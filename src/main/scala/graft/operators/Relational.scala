@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** Core relational operators re-expressing the reference's ETL semantics
+  * (star-schema FK resolution, idempotent upsert, incremental loads,
+  * standings) as declarative Spark plans.
+  *
+  * Determinism notes (these queries are hash-compared against a DuckDB
+  * oracle): money aggregates are summed as exact DECIMAL then cast to
+  * DOUBLE, so the result is bit-identical regardless of partitioning /
+  * aggregation order; every output has a total ordering via explicit
+  * tie-break columns.
+  */
+object Relational {
+
+  private val D2 = DecimalType(18, 2)
+  private val D4 = DecimalType(18, 4)
+
+  /** Exact, order-independent money sum: decimal accumulate, double out. */
+  private def dsum(c: Column): Column = sum(c.cast(D2)).cast("double")
+
+  /** q1: pricing-summary aggregation (partial agg map-side, one shuffle).
+    * Reference analog: championship points aggregation
+    * (/root/reference/loaders/__init__.py:497-531).
+    */
+  def q1Agg(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D4)).cast("double").as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** q2: FK-resolution joins — the distributed version of the reference's
+    * in-memory lookup maps (/root/reference/loaders/base_loader.py:176-211).
+    * All dimensions are broadcast: the lineitem fact never shuffles for
+    * the join, only for the final aggregation.
+    */
+  def q2LookupJoin(t: Tables): DataFrame =
+    t.lineitem
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D4)).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** q3: top-k per group via ranking window — fastest-lap-rank semantics
+    * (/root/reference/loaders/__init__.py:430-436). Single hash shuffle
+    * on the partition key; no global sort.
+    */
+  def q3TopkPerGroup(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  /** q4: last-write-wins upsert by business key — `ON CONFLICT DO UPDATE`
+    * (/root/reference/loaders/__init__.py:253-276) as a single-shuffle
+    * window dedup: latest (ts, event_id) wins per (user_id, event_type).
+    */
+  def q4Upsert(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t.events
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"), col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"),
+        col("value").as("last_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** q5: insert-if-not-exists — the reference's id-absent filter
+    * (/root/reference/loaders/__init__.py:67-75) as a left-anti join.
+    * orders is the bigger side; anti join shuffles on the key once
+    * (AQE may convert to broadcast when the filtered side is small).
+    */
+  def q5AntiInsert(t: Tables): DataFrame = {
+    val recent = t.orders
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    t.customer
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q6: championship standings — points sum + win count + position
+    * (/root/reference/loaders/__init__.py:481-560). Revenue is the
+    * points analog; wins = distinct orders supplied; position = rank
+    * with a deterministic tie-break.
+    */
+  def q6Standings(t: Tables): DataFrame = {
+    val perSupplier = t.lineitem
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D4)).cast("double").as("points"),
+        countDistinct(col("l_orderkey")).as("win_count"))
+    val w = Window.orderBy(col("points").desc, col("s_suppkey"))
+    perSupplier
+      .withColumn("position", row_number().over(w))
+      .orderBy(col("position"))
+  }
+
+  /** q7: running points total across rounds (championship-over-time
+    * semantics): per-customer cumulative revenue in order-date order.
+    * Decimal accumulation keeps the running sum exact and deterministic.
+    */
+  def q7RunningTotal(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("running_total", sum(col("o_totalprice").cast(D2)).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** q8: native codegen time-string parse — `convert_time_to_ms`
+    * (/root/reference/loaders/base_loader.py:213-221). The time string is
+    * synthesized from lineitem columns, then parsed back by the custom
+    * Catalyst expression [[graft.functions.RaceTimeMillis]].
+    */
+  def q8TimeParse(t: Tables): DataFrame =
+    t.lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .withColumn("time_str",
+        format_string("%d:%06.3f", col("l_linenumber"), col("l_quantity") % 60))
+      .withColumn("time_ms", GraftFunctions.race_time_ms(col("time_str")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("time_str"), col("time_ms"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** q9: watermark-based incremental load (/root/reference/metadata.py:118-180):
+    * take only events past the watermark, restricted to entities already
+    * known before it (the "update existing" path). The watermark filter is
+    * pushed to the parquet scan; the known-entity set is a semi join.
+    */
+  def q9Incremental(t: Tables): DataFrame = {
+    val wm = lit("2024-01-15 00:00:00").cast("timestamp")
+    val fresh = t.events.filter(col("ts") > wm)
+    val knownUsers = t.events.filter(col("ts") <= wm).select(col("user_id")).distinct()
+    fresh
+      .join(knownUsers, Seq("user_id"), "left_semi")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_new"),
+        min(col("event_id")).as("first_new_event_id"),
+        dsum(col("value")).as("new_value_total"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q10: schema-driven sanitization — `sanitize_df`
+    * (/root/reference/loaders/__init__.py:117-146): clamp to range
+    * (smallint clip), trim/normalize strings, null-safe defaults. Pure
+    * codegen'd projections; no shuffle at all.
+    */
+  def q10Sanitize(t: Tables): DataFrame =
+    t.part
+      .select(
+        col("p_partkey"),
+        least(greatest(col("p_size"), lit(5)), lit(20)).as("size_clamped"),
+        upper(trim(col("p_brand"))).as("brand_norm"),
+        coalesce(nullif(trim(col("p_type")), lit("")), lit("unknown")).as("type_norm"),
+        round(col("p_retailprice"), 0).cast("long").as("price_rounded"))
+      .orderBy(col("p_partkey"))
+
+  /** q11: sync-log statistics (/root/reference/metadata.py:44-115):
+    * per-entity record counts, totals, and share-of-total rate.
+    */
+  def q11SyncStats(t: Tables): DataFrame = {
+    val perType = t.events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+    perType
+      .withColumn("share", round(col("n") / sum(col("n")).over(Window.partitionBy()), 6))
+      .orderBy(col("event_type"))
+  }
+
+  /** q12: pivot event types to columns — the reference's session-type
+    * modeling (formula_one.sql enum) as a pivoted per-user activity
+    * matrix. Explicit pivot values keep the plan single-pass (no extra
+    * distinct-values job at scale).
+    */
+  def q12Pivot(t: Tables, eventTypes: Seq[String]): DataFrame =
+    t.events
+      .groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, eventTypes)
+      .orderBy(col("user_id"))
+
+  /** q13: selective fact-dim join + agg + top-n — the dependency-ordered
+    * fact load (/root/reference/main.py DAG) as TPC-H-Q3-style shipping
+    * priority. Customer filter prunes before the join; dims broadcast.
+    */
+  def q13OrderRevenue(t: Tables): DataFrame = {
+    val cutoff = lit("1997-03-15").cast("timestamp")
+    t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cutoff)
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D4)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+}

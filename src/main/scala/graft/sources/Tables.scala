@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet readers for the testdata star schema.
+  *
+  * Each accessor is a plain `spark.read.parquet` so Catalyst owns column
+  * pruning and predicate pushdown — callers `.select`/`.filter` and the
+  * scan reads only what the plan needs (verify via `PushedFilters` /
+  * `ReadSchema` in `.explain("formatted")`).
+  *
+  * At 100 TB the fact tables (`lineitem`, `events`) would be
+  * date-partitioned directories; the same `read.parquet(dir)` picks up
+  * partition pruning for free. The small dimensions are broadcast-sized
+  * by design (mirrors the reference's in-memory FK lookup maps,
+  * `/root/reference/loaders/base_loader.py:176-211`, distributed-safe).
+  */
+final class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame = t("region")
+  def nation: DataFrame = t("nation")
+  def customer: DataFrame = t("customer")
+  def supplier: DataFrame = t("supplier")
+  def part: DataFrame = t("part")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark only
+    * reads with `spark.sql.legacy.parquet.nanosAsLong=true` (LongType).
+    * Normalize here to a microsecond timestamp (truncation, matching what
+    * DuckDB's TIMESTAMP_NS→TIMESTAMP cast does) so downstream operators
+    * see a plain event-time column.
+    */
+  def events: DataFrame = {
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
+  }
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.classic
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's package-private Column <-> Expression conversion
+  * (org.apache.spark.sql.classic.ExpressionUtils, Spark 4.x). Lives in the
+  * spark package namespace solely to reach the private[classic] helpers;
+  * graft code calls this instead of touching Spark internals directly.
+  */
+object GraftInterop {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.RaceTimeMillis
+import graft.operators.Relational
+import graft.sources.Tables
+
+class RelationalSpec extends SparkSpecBase {
+  private lazy val t = Tables(spark, sfDir)
+
+  test("q1 aggregates the full flag/status matrix") {
+    val rows = Relational.q1Agg(t).collect()
+    assert(rows.nonEmpty && rows.length <= 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total > 0 && total <= 6000)
+  }
+
+  test("q2 revenue per nation covers joined dims only") {
+    val df = Relational.q2LookupJoin(t)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+  }
+
+  test("q3 keeps at most 3 rows per group, ranked") {
+    val rows = Relational.q3TopkPerGroup(t).collect()
+    val byGroup = rows.groupBy(_.getAs[String]("o_orderpriority"))
+    assert(byGroup.values.forall(_.length <= 3))
+    byGroup.values.foreach { g =>
+      val prices = g.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("o_totalprice"))
+      assert(prices.sameElements(prices.sortBy(-(_: Double))))
+    }
+  }
+
+  test("q4 upsert leaves one row per business key, the latest") {
+    val df = Relational.q4Upsert(t)
+    val n = df.count()
+    val nKeys = t.events.select(col("user_id"), col("event_type")).distinct().count()
+    assert(n == nKeys)
+  }
+
+  test("q5 anti-insert excludes every customer having a recent order") {
+    val result = Relational.q5AntiInsert(t)
+    val recentCusts = t.orders
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    assert(result.join(recentCusts, col("c_custkey") === col("o_custkey")).count() == 0)
+  }
+
+  test("q6 standings positions are a 1..n permutation") {
+    val pos = Relational.q6Standings(t).collect().map(_.getAs[Int]("position")).sorted
+    assert(pos.sameElements(1 to pos.length))
+  }
+
+  test("q7 running total tops out at the customer's full spend") {
+    val maxRunning = Relational.q7RunningTotal(t)
+      .groupBy(col("o_custkey")).agg(max(col("running_total")).as("m"))
+    val fullSpend = t.orders.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("s"))
+    val joined = maxRunning.join(fullSpend, Seq("o_custkey")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(math.abs(r.getAs[Double]("m") - r.getAs[Double]("s")) < 1e-6))
+  }
+
+  test("q8 time parse matches the reference formula") {
+    val rows = Relational.q8TimeParse(t).limit(100).collect()
+    rows.foreach { r =>
+      val s = r.getAs[String]("time_str")
+      val Array(m, sec) = s.split(":")
+      val expected = ((m.toLong * 60 + sec.toDouble) * 1000).toLong
+      assert(r.getAs[Long]("time_ms") == expected, s"for $s")
+    }
+  }
+
+  test("RaceTimeMillis handles malformed input as null (reference semantics)") {
+    assert(RaceTimeMillis.parse("1:30.500") == 90500L)
+    assert(RaceTimeMillis.parse("0:05.001") == 5001L)
+    assert(RaceTimeMillis.parse("") == Long.MinValue)
+    assert(RaceTimeMillis.parse("abc") == Long.MinValue)
+    assert(RaceTimeMillis.parse("1:xx") == Long.MinValue)
+    assert(RaceTimeMillis.parse(":30") == Long.MinValue)
+    // expression-level null propagation
+    import spark.implicits._
+    val df = Seq("2:01.250", "nope", null).toDF("s")
+      .select(graft.functions.GraftFunctions.race_time_ms(col("s")).as("ms"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(got.sameElements(Array[Any](121250L, null, null)))
+  }
+
+  test("q9 incremental only returns users known before the watermark") {
+    val wm = lit("2024-01-15 00:00:00").cast("timestamp")
+    val known = t.events.filter(col("ts") <= wm).select(col("user_id")).distinct()
+    val result = Relational.q9Incremental(t)
+    assert(result.join(known, Seq("user_id"), "left_anti").count() == 0)
+  }
+
+  test("q10 sanitize clamps to [5, 20]") {
+    val rows = Relational.q10Sanitize(t).collect()
+    assert(rows.forall { r =>
+      val v = r.getAs[Int]("size_clamped"); v >= 5 && v <= 20
+    })
+  }
+
+  test("q11 shares sum to ~1") {
+    val shares = Relational.q11SyncStats(t).collect().map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+  }
+
+  test("q12 pivot counts per user sum to the user's event count") {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val rows = Relational.q12Pivot(t, types).collect()
+    val totalPivot = rows.map(r => types.map(c => r.getAs[Long](c)).sum).sum
+    assert(totalPivot == t.events.count())
+  }
+
+  test("q13 returns top-10 by revenue, descending") {
+    val revs = Relational.q13OrderRevenue(t).collect().map(_.getAs[Double]("revenue"))
+    assert(revs.length <= 10)
+    assert(revs.sameElements(revs.sortBy(-(_: Double))))
+  }
+}

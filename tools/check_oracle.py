@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run after
+`sbt "runMain graft.Verify <sfDir> <outDir>"`, this reads each query's
+parquet output plus oracle_sql.json, executes the oracle SQL in DuckDB
+against the same testdata parquet tables, sorts columns by name and rows
+by value, and compares. Dev tool only — not part of the Spark library.
+"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            mine = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            ref = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        mine, ref = canon(mine), canon(ref)
+        if list(mine.columns) != list(ref.columns):
+            print(f"FAIL {name}: columns {list(mine.columns)} vs {list(ref.columns)}")
+            n_fail += 1; continue
+        if len(mine) != len(ref):
+            print(f"FAIL {name}: rows {len(mine)} vs {len(ref)}"); n_fail += 1; continue
+        if not mine.equals(ref):
+            neq = (mine != ref) & ~(mine.isna() & ref.isna())
+            bad_cols = [c for c in mine.columns if neq[c].any()]
+            print(f"FAIL {name}: value mismatch in {bad_cols}")
+            for c in bad_cols[:3]:
+                idx = neq[c].idxmax()
+                print(f"  {c}[{idx}]: mine={mine[c][idx]!r} ref={ref[c][idx]!r}")
+            n_fail += 1; continue
+        # dtype check (schema-level compare the driver may also do)
+        dt_mine = [str(d) for d in mine.dtypes]
+        dt_ref = [str(d) for d in ref.dtypes]
+        note = "" if dt_mine == dt_ref else f"  [dtype diff: {list(zip(mine.columns, dt_mine, dt_ref))}]"
+        print(f"PASS {name} ({len(mine)} rows){note}")
+        n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    sys.exit(main(sf, out))
