@@ -29,6 +29,25 @@ object SparkEntry {
     "q11_sync_stats" -> ((s, dir) => Relational.q11SyncStats(Tables(s, dir))),
     "q12_pivot" -> ((s, dir) => Relational.q12Pivot(Tables(s, dir), EventTypes)),
     "q13_order_revenue" -> ((s, dir) => Relational.q13OrderRevenue(Tables(s, dir))),
+    // §2.2 dedup
+    "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir))),
+    "d2_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir))),
+    "d3_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables(s, dir))),
+    "d4_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables(s, dir))),
+    "d5_dedup_embed" -> ((s, dir) => Dedup.embeddingNearDup(Tables(s, dir))),
+    // §2.3 similarity search
+    "s1_ann_brute" -> ((s, dir) => Similarity.bruteForce(Tables(s, dir))),
+    "s2_ann_ivf" -> ((s, dir) => Similarity.ivf(Tables(s, dir))),
+    // §2.4 text analysis
+    "t1_langid" -> ((s, dir) => TextAnalysis.langId(Tables(s, dir))),
+    "t2_quality" -> ((s, dir) => TextAnalysis.quality(Tables(s, dir))),
+    "t3_tokens" -> ((s, dir) => TextAnalysis.tokens(Tables(s, dir))),
+    "t4_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables(s, dir))),
+    // §2.5 multimodal plumbing
+    "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
+    // §2.6 streaming (batch twins; streaming forms tested in StreamingSpec)
+    "st1_stream_window" -> ((s, dir) => graft.streaming.EventPipelines.windowedCountsBatch(Tables(s, dir))),
+    "st2_sessionize" -> ((s, dir) => graft.streaming.EventPipelines.sessionizeBatch(Tables(s, dir))),
   )
 
   /** DuckDB-equivalent SQL per query key; the driver hash-compares results
@@ -158,5 +177,87 @@ object SparkEntry {
         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY content_hash""".stripMargin,
+    "t1_langid" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['der','die','und','das','ist','ein','den','von','zu','mit'], x))) AS s_de,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['the','and','of','to','in','is','a','on','for','with'], x))) AS s_en,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['el','la','de','que','y','en','los','del','las','un'], x))) AS s_es,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['le','la','de','et','les','des','un','une','du','est'], x))) AS s_fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+        |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+        |    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+        |    WHEN s_fr > 0 THEN 'fr'
+        |    ELSE 'und' END AS pred_lang,
+        |  (CASE
+        |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+        |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+        |    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+        |    WHEN s_fr > 0 THEN 'fr'
+        |    ELSE 'und' END = lang) AS is_match
+        |FROM scored
+        |ORDER BY doc_id""".stripMargin,
+    "t2_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |    ROUND(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / GREATEST(length(text), 1), 6) AS punct_ratio,
+        |    ROUND(CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['the','and','of','to','in','is','a','on','for','with'], x))) AS DOUBLE)
+        |      / GREATEST(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1), 6) AS stop_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_chars_actual, n_tokens, punct_ratio, stop_ratio,
+        |  ROUND(0.5 * LEAST(n_tokens, 100) / 100.0
+        |      + 0.3 * (1.0 - punct_ratio)
+        |      + 0.2 * LEAST(stop_ratio * 5.0, 1.0), 6) AS quality_score
+        |FROM base
+        |ORDER BY doc_id""".stripMargin,
+    "t3_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS subword_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "st1_stream_window" ->
+      """SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+    "st2_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id,
+        |  COUNT(*) AS n_events,
+        |  MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS start_epoch,
+        |  MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) - MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS duration_sec
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
   )
 }

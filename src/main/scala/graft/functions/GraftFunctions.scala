@@ -1,19 +1,46 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.classic.{GraftInterop => ExpressionUtils}
+import org.apache.spark.sql.classic.{GraftInterop => EU}
 
-/** Column-API and SQL-registry surface for graft's native expressions. */
+/** Column-API and SQL-registry surface for graft's native expressions.
+  * Everything here is a codegen'd Catalyst expression — no Scala UDFs on
+  * any hot path.
+  */
 object GraftFunctions {
 
-  /** `"M:SS.mmm"` → milliseconds (null on malformed). Codegen'd. */
-  def race_time_ms(c: Column): Column =
-    ExpressionUtils.column(RaceTimeMillis(ExpressionUtils.expression(c)))
+  /** `"M:SS.mmm"` → milliseconds (null on malformed). */
+  def race_time_ms(c: Column): Column = EU.column(RaceTimeMillis(EU.expression(c)))
 
-  /** Register every graft function for SQL use (`SELECT race_time_ms(x)`). */
+  /** array<long> shingle hashes → MinHash signature (array<long>). */
+  def minhash_sig(c: Column, numHashes: Int = 64, seed: Long = 42L): Column =
+    EU.column(MinHashSignature(EU.expression(c), numHashes, seed))
+
+  /** array<string> tokens → 64-bit SimHash. */
+  def simhash64(c: Column): Column = EU.column(SimHash64(EU.expression(c)))
+
+  /** string → min rolling k-byte-window hash (winnowing fingerprint). */
+  def rolling_fingerprint(c: Column, k: Int = 16): Column =
+    EU.column(RollingFingerprint(EU.expression(c), k))
+
+  /** cosine(array<float>, array<float>) → double. */
+  def cosine_sim(a: Column, b: Column): Column =
+    EU.column(CosineSimilarity(EU.expression(a), EU.expression(b)))
+
+  /** array<float> → 64-bit random-hyperplane sign sketch. */
+  def sign_sketch(c: Column, nbits: Int = 16, seed: Long = 7L): Column =
+    EU.column(SignSketch(EU.expression(c), nbits, seed))
+
+  /** Register every graft function for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
       "race_time_ms", exprs => RaceTimeMillis(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_fingerprint", exprs => RollingFingerprint(exprs.head, 16), "built-in")
   }
 }

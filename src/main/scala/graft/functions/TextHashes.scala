@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared 64-bit hash kernels for the text-dedup operators. All pure
+  * static functions so the Catalyst expressions below can call them from
+  * generated code without breaking whole-stage codegen.
+  */
+object GraftHash {
+  final val Prime61: Long = (1L << 61) - 1
+
+  /** splitmix64 — deterministic per-seed stream of hash coefficients. */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** FNV-1a 64-bit over UTF-8 bytes — token-level base hash. */
+  def fnv64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** MinHash signature of a shingle-hash set: n universal hashes
+    * h_i(x) = (a_i*x + b_i) mod (2^61-1), min over shingles per i.
+    */
+  def minhashSig(shingles: ArrayData, n: Int, seed: Long): ArrayData = {
+    val sig = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val a = splitmix64(seed + 2L * i) | 1L // odd multiplier
+      val b = splitmix64(seed + 2L * i + 1)
+      var minV = Long.MaxValue
+      var j = 0
+      val m = shingles.numElements()
+      while (j < m) {
+        val x = shingles.getLong(j)
+        val v = java.lang.Math.floorMod(a * x + b, Prime61)
+        if (v < minV) minV = v
+        j += 1
+      }
+      sig(i) = if (m == 0) Long.MaxValue else minV
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** SimHash64 over a token array: per-bit vote of each token's FNV hash. */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    var j = 0
+    val m = tokens.numElements()
+    while (j < m) {
+      if (!tokens.isNullAt(j)) {
+        val h = fnv64(tokens.getUTF8String(j))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Min rolling polynomial hash over all k-byte windows (Karp–Rabin with
+    * base 257 mod 2^61-1) — a winnowing-style document fingerprint that is
+    * stable under content shifts. Text shorter than k hashes whole.
+    */
+  def rollingFingerprint(s: UTF8String, k: Int): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val B = 257L
+    if (n == 0) return 0L
+    val win = math.min(k, n)
+    // B^(win-1) mod p
+    var pow = 1L
+    var i = 0
+    while (i < win - 1) { pow = mulMod(pow, B); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < win) { h = addMod(mulMod(h, B), bytes(i) & 0xffL); i += 1 }
+    var minH = h
+    i = win
+    while (i < n) {
+      h = subMod(h, mulMod(bytes(i - win) & 0xffL, pow))
+      h = addMod(mulMod(h, B), bytes(i) & 0xffL)
+      if (h < minH) minH = h
+      i += 1
+    }
+    minH
+  }
+
+  private def mulMod(a: Long, b: Long): Long = {
+    // (a*b) mod (2^61-1) via 128-bit multiply
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // fold: x mod (2^61-1) where x = hi*2^64 + lo
+    val part = ((hi << 3) | (lo >>> 61)) + (lo & Prime61)
+    val r = (part & Prime61) + (part >>> 61)
+    if (r >= Prime61) r - Prime61 else r
+  }
+  private def addMod(a: Long, b: Long): Long = { val s = a + b; if (s >= Prime61) s - Prime61 else s }
+  private def subMod(a: Long, b: Long): Long = { val s = a - b; if (s < 0) s + Prime61 else s }
+}
+
+/** MinHash signature expression: array<long> shingle hashes → array<long>
+  * signature of length `numHashes`. Map-side only — at 100 TB scale the
+  * signature replaces the shingle set before any shuffle.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.minhashSig(input.asInstanceOf[ArrayData], numHashes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = GraftHash.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $cls$$.MODULE$$.minhashSig($c, $numHashes, ${seed}L);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature = copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** SimHash64 expression: array<string> tokens → 64-bit locality-sensitive
+  * hash (hamming distance tracks cosine similarity of token multisets).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(GraftHash.simhash64(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = GraftHash.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls$$.MODULE$$.simhash64($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** Rolling-hash fingerprint expression: string → min k-byte-window
+  * Karp–Rabin hash (winnowing fingerprint).
+  */
+case class RollingFingerprint(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(GraftHash.rollingFingerprint(input.asInstanceOf[UTF8String], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = GraftHash.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls$$.MODULE$$.rollingFingerprint($c, $k);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint = copy(child = newChild)
+  override def prettyName: String = "rolling_fingerprint"
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.sources.Tables
+
+/** Document deduplication family. The common scale shape: compute a
+  * compact per-row sketch map-side (custom codegen expressions), shuffle
+  * only on small bucket keys, and verify candidates — never materialize
+  * the O(n²) pair space.
+  */
+object Dedup {
+
+  /** d1: exact dedup — content-hash groupBy, keep min doc_id. One shuffle
+    * on a 128-bit hash; at 100 TB this is the canonical "hash-groupBy"
+    * exact dedup (no raw-text shuffle: only (hash, id) pairs move).
+    */
+  def exact(t: Tables): DataFrame =
+    t.documents
+      .select(md5(col("text")).as("content_hash"), col("doc_id"))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+      .orderBy(col("content_hash"))
+
+  /** Tokenized view shared by the text-dedup ops. */
+  private def tokenized(t: Tables): DataFrame =
+    t.documents.select(
+      col("doc_id"),
+      split(trim(lower(col("text"))), "\\s+").as("tokens"))
+
+  /** Word 2-gram shingle hashes (array<long>) per document. */
+  private def shingled(t: Tables): DataFrame =
+    tokenized(t).select(
+      col("doc_id"),
+      expr("transform(sequence(0, size(tokens) - 2), i -> xxhash64(tokens[i], tokens[i+1]))")
+        .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** d2: MinHash + LSH banding. numHashes=64 split into 16 bands of 4 —
+    * S-curve threshold ≈ (1/16)^(1/4) ≈ 0.5 Jaccard. The self-join runs
+    * on (band_idx, band_hash) bucket keys only; candidate pairs are then
+    * scored by signature agreement. Pairs, not clusters, are the output —
+    * transitive closure is a separate (cheap) connected-components pass.
+    */
+  def minhashLsh(t: Tables, numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = shingled(t)
+      .select(col("doc_id"), minhash_sig(col("shingles"), numHashes, 42L).as("sig"))
+
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+
+    val a = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard",
+        expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / cast($numHashes as double)"))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d3: SimHash near-dup. 64-bit signature map-side; pigeonhole banding
+    * (4 × 16-bit bands guarantees recall for hamming ≤ 3; larger radii
+    * are best-effort, standard SimHash practice). Final filter is exact
+    * hamming on the full signature.
+    */
+  def simhash(t: Tables, maxHamming: Int = 6): DataFrame = {
+    val sigs = tokenized(t).select(col("doc_id"), simhash64(col("tokens")).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> cast(shiftright(sig, b * 16) & 65535 as long))")))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val a = banded.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("sig_a ^ sig_b")).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d4: exact n-gram Jaccard verification over the LSH candidates — the
+    * verify stage of the dedup pipeline. Exact set Jaccard is computed
+    * only for pairs the cheap LSH pass surfaced.
+    */
+  def ngramJaccard(t: Tables, minJaccard: Double = 0.3): DataFrame = {
+    val candidates = minhashLsh(t, threshold = 0.3).select(col("doc_a"), col("doc_b"))
+    val sets = shingled(t).select(col("doc_id"), array_distinct(col("shingles")).as("sset"))
+    candidates
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sset", "set_a"), Seq("doc_a"))
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sset", "set_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d5: embedding-cosine near-dup. Random-hyperplane sign sketch (16
+    * bits) map-side, bucket-join on 4-bit bands, exact cosine only on
+    * bucket collisions. The full pair matrix never exists.
+    */
+  def embeddingNearDup(t: Tables, minCosine: Double = 0.15, topN: Int = 50): DataFrame = {
+    val sk = t.embeddings.select(col("vec_id"), col("embedding"),
+      sign_sketch(col("embedding"), 16, 7L).as("sketch"))
+    val banded = sk.select(col("vec_id"), col("embedding"),
+      posexplode(expr("transform(sequence(0, 3), b -> cast(shiftright(sketch, b * 4) & 15 as long))")))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val a = banded.select(col("band_idx"), col("band_val"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = banded.select(col("band_idx"), col("band_val"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"))
+      .distinct()
+      .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the embeddings table.
+  *
+  * `bruteForce` is the correctness baseline: query-set × corpus with a
+  * codegen'd cosine kernel, top-k per query via ranking window. The
+  * corpus side streams; only `nQueries × corpus` rows exist transiently
+  * and the window shuffles `nQueries × k`-ish data after AQE.
+  *
+  * `ivf` is the scale path: a one-iteration k-means (seed vectors →
+  * assign → mean), centroids broadcast, each query probes only its
+  * `nprobe` nearest clusters. At 100 TB the corpus is bucketed by
+  * cluster id on disk and a probe reads `nprobe/nlist` of the data.
+  */
+object Similarity {
+
+  private def querySet(t: Tables, nQueries: Int): DataFrame =
+    t.embeddings
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+
+  /** s1: exact top-k per query by cosine. */
+  def bruteForce(t: Tables, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val corpus = t.embeddings.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    querySet(t, nQueries)
+      .crossJoin(corpus)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("query_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s2: IVF probe. One k-means refinement over `nlist` deterministic
+    * seeds; queries search the union of their `nprobe` closest clusters.
+    */
+  def ivf(t: Tables, nQueries: Int = 10, k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+
+    // seed centroids: first nlist vectors (deterministic), then one Lloyd step.
+    val seeds = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
+    val assigned0 = assignNearest(emb, seeds)
+    val refined = assigned0
+      .select(col("cid"), expr("transform(embedding, x -> cast(x as double))").as("ed"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), expr("aggregate(collect_list(ed), cast(array() as array<double>), (acc, v) -> IF(size(acc) = 0, v, zip_with(acc, v, (a, b) -> a + b)))").as("sums"))
+      .select(col("cid"), expr("transform(sums, s -> cast(s / n as float))").as("centroid"))
+
+    val assigned = assignNearest(emb, refined)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("cid"))
+
+    // probe lists per query: nprobe nearest refined centroids
+    val q = querySet(t, nQueries)
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(refined))
+      .withColumn("ccos", cosine_sim(col("query_emb"), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("query_emb"), col("cid"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    probes
+      .join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("query_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Assign each vector to its nearest centroid (centroids broadcast). */
+  private def assignNearest(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    emb.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine_sim(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+}

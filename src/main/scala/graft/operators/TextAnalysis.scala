@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.sources.Tables
+
+/** Text-analysis operators over the documents table. Everything is
+  * built-in codegen'd functions (split/regexp/higher-order array ops) —
+  * single map-side pass, no shuffle except final ordering.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "on", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "den", "von", "zu", "mit"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"))
+
+  private def tokensCol: Column = split(trim(lower(col("text"))), "\\s+")
+
+  private def stopHits(lang: String): Column = {
+    val set = Stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
+    expr(s"size(filter(toks, x -> x IN $set))")
+  }
+
+  /** t1: n-gram/stopword-heuristic language ID. Deterministic argmax over
+    * per-language stopword hit counts with fixed preference order; 'und'
+    * when no evidence. `is_match` compares to the corpus label.
+    */
+  def langId(t: Tables): DataFrame =
+    t.documents
+      .withColumn("toks", tokensCol)
+      .withColumn("s_de", stopHits("de"))
+      .withColumn("s_en", stopHits("en"))
+      .withColumn("s_es", stopHits("es"))
+      .withColumn("s_fr", stopHits("fr"))
+      .withColumn("pred_lang",
+        when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+          .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+          .when(col("s_fr") > 0, "fr")
+          .otherwise("und"))
+      .select(col("doc_id"), col("pred_lang"),
+        (col("pred_lang") === col("lang")).as("is_match"))
+      .orderBy(col("doc_id"))
+
+  /** t2: quality scoring — length, punctuation ratio, stopword ratio,
+    * composite score (the classic pre-training heuristics stack).
+    */
+  def quality(t: Tables): DataFrame = {
+    val en = Stopwords("en").map(w => s"'$w'").mkString("(", ", ", ")")
+    t.documents
+      .withColumn("toks", tokensCol)
+      .withColumn("n_chars_actual", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("punct_ratio",
+        round(length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double") /
+          greatest(length(col("text")), lit(1)), 6))
+      .withColumn("stop_ratio",
+        round(expr(s"size(filter(toks, x -> x IN $en))").cast("double") /
+          greatest(size(col("toks")), lit(1)), 6))
+      .withColumn("quality_score",
+        round(lit(0.5) * least(col("n_tokens"), lit(100)).cast("double") / 100.0
+          + lit(0.3) * (lit(1.0) - col("punct_ratio"))
+          + lit(0.2) * least(col("stop_ratio") * 5.0, lit(1.0)), 6))
+      .select(col("doc_id"), col("n_chars_actual"), col("n_tokens"),
+        col("punct_ratio"), col("stop_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t3: token counting — whitespace tokens and BPE-ish subword units
+    * (letter runs / digit runs / single punctuation, the usual
+    * pre-tokenizer shape).
+    */
+  def tokens(t: Tables): DataFrame =
+    t.documents
+      .withColumn("ws_tokens", size(tokensCol).cast("long"))
+      .withColumn("subword_tokens",
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long"))
+      .select(col("doc_id"), col("ws_tokens"), col("subword_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** t4: rolling-hash document fingerprints — full-document Karp–Rabin
+    * min-window hash (shift-stable) + a coarse bucket for grouping.
+    * Custom codegen expression [[graft.functions.RollingFingerprint]].
+    */
+  def fingerprint(t: Tables): DataFrame =
+    t.documents
+      .withColumn("fp64", rolling_fingerprint(col("text"), 16))
+      .withColumn("fp_bucket", pmod(col("fp64"), lit(1024)).cast("int"))
+      .select(col("doc_id"), col("fp64"), col("fp_bucket"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Event-stream processing. Each operator exists twice with identical
+  * semantics: a batch twin (driver-verifiable against the DuckDB oracle)
+  * and a Structured Streaming form (readStream/watermark/state), tested
+  * with MemoryStream in StreamingSpec.
+  */
+object EventPipelines {
+
+  /** st1 (batch twin): tumbling 1-hour event-time window per event type.
+    * Window + partial aggregation → one shuffle keyed by (window, type).
+    */
+  def windowedCountsBatch(t: Tables): DataFrame =
+    t.events
+      .groupBy(
+        unix_timestamp(window(col("ts"), "1 hour").getField("start")).as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** st1 (streaming): same plan over a stream, 30-minute watermark bounds
+    * state; append mode emits each window once it is final.
+    */
+  def windowedCountsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** st2 (batch twin): sessionization with a 30-minute inactivity gap —
+    * lag → new-session flag → running sum = session index → per-session
+    * rollup. Two window passes over one (user_id)-keyed shuffle.
+    */
+  def sessionizeBatch(t: Tables, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull or
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_timestamp(col("ts"))).as("start_epoch"),
+        (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts")))).as("duration_sec"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(sessionId: Long, nEvents: Long, startMillis: Long, lastMillis: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long, start_epoch: Long, duration_sec: Long)
+
+  /** st2 (streaming): the same session semantics as explicit keyed state —
+    * `flatMapGroupsWithState` with an event-time timeout: a session closes
+    * either when a later event for the same user exceeds the gap, or when
+    * the watermark passes its gap deadline (no per-key polling — state is
+    * O(1) per active user, the scalable pattern for 100 TB streams).
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          def close(s: SessionState): SessionOut =
+            SessionOut(userId, s.sessionId, s.nEvents, s.startMillis / 1000, (s.lastMillis - s.startMillis) / 1000)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(close(s))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMillis <= gapMs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1, lastMillis = math.max(s.lastMillis, t)))
+                case Some(s) =>
+                  closed += close(s)
+                  cur = Some(SessionState(s.sessionId + 1, 1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, 1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // fire when the watermark passes the inactivity deadline
+              val deadline = math.max(s.lastMillis + gapMs, state.getCurrentWatermarkMs() + 1)
+              state.setTimeoutTimestamp(deadline)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming dedup: exactly-once per event_id within the watermark
+    * horizon (the streaming form of the reference's idempotent loads).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes").dropDuplicates("event_id")
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpecBase {
+  private lazy val t = Tables(spark, sfDir)
+
+  test("d1 exact dedup covers every document exactly once") {
+    val rows = Dedup.exact(t).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == t.documents.count())
+  }
+
+  test("d2 minhash-LSH finds the planted near-duplicates and estimates track exact jaccard") {
+    val pairs = Dedup.minhashLsh(t).collect()
+    assert(pairs.nonEmpty, "testdata plants near-dup pairs; LSH must surface them")
+    val exact = Dedup.ngramJaccard(t, minJaccard = 0.0).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Double]("jaccard"))).toMap
+    pairs.foreach { p =>
+      val key = (p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b"))
+      exact.get(key).foreach { j =>
+        assert(math.abs(p.getAs[Double]("est_jaccard") - j) < 0.25,
+          s"minhash estimate too far from exact for $key")
+      }
+    }
+  }
+
+  test("d3 simhash pairs have verified-low hamming distance") {
+    val rows = Dedup.simhash(t).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("hamming") <= 6))
+  }
+
+  test("d4 jaccard verification only keeps pairs above threshold") {
+    val rows = Dedup.ngramJaccard(t).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("jaccard") >= 0.3))
+  }
+
+  test("d5 embedding near-dup returns ranked bucket-collision pairs") {
+    val rows = Dedup.embeddingNearDup(t).collect()
+    assert(rows.nonEmpty)
+    val cs = rows.map(_.getAs[Double]("cos"))
+    assert(cs.forall(_ >= 0.15))
+    assert(cs.sameElements(cs.sortBy(-(_: Double))))
+  }
+
+  test("s1 brute-force ANN ranks by cosine, no self-matches") {
+    val rows = Similarity.bruteForce(t).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      val cos = sorted.map(_.getAs[Double]("cos"))
+      assert(cos.sameElements(cos.sortBy(-(_: Double))))
+      assert(g.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    }
+  }
+
+  test("s2 IVF recall vs brute force is high on this corpus") {
+    val brute = Similarity.bruteForce(t).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivf(t).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("t4 fingerprint is shift-stable: shared window survives a prefix edit") {
+    import spark.implicits._
+    import graft.functions.GraftHash
+    import org.apache.spark.unsafe.types.UTF8String
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val shifted = "PREFIX " + base
+    // min-window hash over k=16-byte windows: every window of `base` also
+    // appears in `shifted`, so the min can only stay equal or decrease via
+    // windows spanning the new prefix.
+    val f1 = GraftHash.rollingFingerprint(UTF8String.fromString(base), 16)
+    val f2 = GraftHash.rollingFingerprint(UTF8String.fromString(shifted), 16)
+    assert(f2 <= f1)
+    val viaDf = TextAnalysis.fingerprint(Tables(spark, sfDir)).collect()
+    assert(viaDf.map(_.getAs[Long]("doc_id")).distinct.length == viaDf.length)
+  }
+
+  test("m1 multimodal pipeline produces per-source features with exact byte accounting") {
+    val rows = Multimodal.pipeline(t).collect()
+    assert(rows.nonEmpty)
+    val totalBytes = rows.map(_.getAs[Long]("total_bytes")).sum
+    val expected = t.documents.select(sum(length(col("text")))).collect()(0).getLong(0)
+    assert(totalBytes == expected, "UTF-8 payload bytes must equal total text length (ascii corpus)")
+  }
+}

@@ -6,7 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for specs. */
 trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = GraftSession.getOrCreate("local[4]")
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("local[4]", shufflePartitions = 4).getOrCreate()
+    graft.functions.GraftFunctions.registerAll(s)
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
   val sfDir = "/root/testdata/sf0.001"
 
   override def afterAll(): Unit = {

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventPipelines
+
+class StreamingSpec extends SparkSpecBase {
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("st1 streaming windowed counts match the batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventPipelines.windowedCountsStream(mem.toDF())
+      .writeStream.format("memory").queryName("st1_out").outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts(5), 1, "click", 1.0),
+        Ev(2, ts(20), 1, "click", 2.0),
+        Ev(3, ts(40), 2, "view", 3.0))
+      q.processAllAvailable()
+      // advance event time beyond watermark so the 10:00 window finalizes
+      mem.addData(Ev(4, Timestamp.valueOf("2024-01-01 12:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("st1_out").collect()
+      val clicks = out.find(_.getAs[String]("event_type") == "click").get
+      assert(clicks.getAs[Long]("n") == 2)
+      assert(clicks.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops replayed event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventPipelines.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts(1), 1, "click", 1.0), Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1, ts(3), 1, "click", 1.0)) // replay of id 1
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("st2 streaming sessionization closes a session after the gap times out") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventPipelines.SessionEvent]
+    val sessions = EventPipelines.sessionizeStream(mem.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("st2_out").outputMode("append").start()
+    try {
+      def at(minutes: Int) = new Timestamp(Timestamp.valueOf("2024-01-01 10:00:00").getTime + minutes * 60_000L)
+      // two bursts 40 minutes apart -> first burst closes as its own session
+      mem.addData(
+        EventPipelines.SessionEvent(1, 1, at(0)),
+        EventPipelines.SessionEvent(1, 2, at(5)))
+      q.processAllAvailable()
+      mem.addData(EventPipelines.SessionEvent(1, 3, at(45)))
+      q.processAllAvailable()
+      val out1 = spark.table("st2_out").collect()
+      assert(out1.length == 1, s"expected the first session to close, got ${out1.length}")
+      assert(out1.head.getAs[Long]("n_events") == 2)
+      assert(out1.head.getAs[Long]("duration_sec") == 300)
+      // a far-future event for ANOTHER user advances the watermark past the
+      // 45min+gap deadline -> user 1's open session times out and flushes
+      mem.addData(EventPipelines.SessionEvent(2, 4, at(300)))
+      q.processAllAvailable()
+      mem.addData(EventPipelines.SessionEvent(2, 5, at(301)))
+      q.processAllAvailable()
+      val out2 = spark.table("st2_out").collect()
+      assert(out2.length == 2, s"expected the timed-out session to flush, got ${out2.length}")
+      assert(out2.exists(r => r.getAs[Long]("user_id") == 1 && r.getAs[Long]("session_id") == 2))
+    } finally q.stop()
+  }
+
+  test("st2 batch twin: session count equals gap-break count") {
+    val t = graft.sources.Tables(spark, sfDir)
+    val sessions = EventPipelines.sessionizeBatch(t)
+    val nSessions = sessions.count()
+    val nUsers = t.events.select(col("user_id")).distinct().count()
+    assert(nSessions >= nUsers, "each user has at least one session")
+    assert(sessions.filter(col("duration_sec") < 0).count() == 0)
+  }
+}
