@@ -1,0 +1,32 @@
+package graft
+
+/** Plan-audit tool: `runMain graft.Explain <sfDir> <queryName> [fmt]` —
+  * prints the formatted physical plan and wall time for one query, so
+  * shuffle/broadcast/pushdown regressions are visible per operator.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val names = if (args.length > 1) args(1).split(",").toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val mode = if (args.length > 2) args(2) else "formatted"
+    val spark = GraftSession.getOrCreate(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+        if (ms > 200)
+          println(f"  stage ${si.stageId}%3d tasks=${si.numTasks}%3d wall=${ms}ms")
+      }
+    })
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      println(s"\n===== $name =====")
+      if (mode != "none") df.explain(mode)
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"[$name] rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    spark.stop()
+  }
+}

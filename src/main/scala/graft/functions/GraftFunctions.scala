@@ -16,6 +16,18 @@ object GraftFunctions {
   def minhash_sig(c: Column, numHashes: Int = 64, seed: Long = 42L): Column =
     EU.column(MinHashSignature(EU.expression(c), numHashes, seed))
 
+  /** array<string> tokens → array<long> k-token shingle hashes (codegen). */
+  def shingle_hashes(c: Column, k: Int = 2): Column =
+    EU.column(ShingleHashes(EU.expression(c), k))
+
+  /** array<string> tokens → MinHash signature, fused single pass. */
+  def shingle_minhash(c: Column, k: Int = 2, numHashes: Int = 64, seed: Long = 42L): Column =
+    EU.column(ShingleMinHash(EU.expression(c), k, numHashes, seed))
+
+  /** array<long> signature → array<long> LSH band bucket keys. */
+  def sig_bands(c: Column, bands: Int = 16): Column =
+    EU.column(SignatureBands(EU.expression(c), bands))
+
   /** array<string> tokens → 64-bit SimHash. */
   def simhash64(c: Column): Column = EU.column(SimHash64(EU.expression(c)))
 

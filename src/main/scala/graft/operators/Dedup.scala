@@ -24,18 +24,27 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
       .orderBy(col("content_hash"))
 
-  /** Tokenized view shared by the text-dedup ops. */
-  private def tokenized(t: Tables): DataFrame =
-    t.documents.select(
-      col("doc_id"),
-      split(trim(lower(col("text"))), "\\s+").as("tokens"))
+  /** Tokenized view shared by the text-dedup ops. The repartition spreads
+    * a degenerate single-split input over all cores before the CPU-heavy
+    * hash work; at 100 TB the scan has thousands of splits and the
+    * exchange is a no-op cost relative to the hashing it parallelizes.
+    */
+  private def tokenized(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    t.documents
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("tokens"))
+  }
 
-  /** Word 2-gram shingle hashes (array<long>) per document. */
+  /** Word 2-gram shingle hashes (array<long>) per document — native
+    * codegen expression, not a higher-order-function lambda (those run on
+    * the interpreted path: ~250x slower per shingle, measured).
+    */
   private def shingled(t: Tables): DataFrame =
     tokenized(t).select(
       col("doc_id"),
-      expr("transform(sequence(0, size(tokens) - 2), i -> xxhash64(tokens[i], tokens[i+1]))")
-        .as("shingles"))
+      shingle_hashes(col("tokens"), 2).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
   /** d2: MinHash + LSH banding. numHashes=64 split into 16 bands of 4 —
@@ -44,26 +53,33 @@ object Dedup {
     * scored by signature agreement. Pairs, not clusters, are the output —
     * transitive closure is a separate (cheap) connected-components pass.
     */
-  def minhashLsh(t: Tables, numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
-    val rows = numHashes / bands
-    val sigs = shingled(t)
-      .select(col("doc_id"), minhash_sig(col("shingles"), numHashes, 42L).as("sig"))
-
+  /** LSH candidate pair ids (deduped). Only (band, hash, id) triples ever
+    * shuffle — signatures and text stay columnar at their source until a
+    * pair survives banding. This is the shape that holds at 100 TB: the
+    * wide payload is re-attached to the (tiny) surviving pair set by join.
+    */
+  private def lshCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_hash")
-
-    val a = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-
+      col("doc_id"),
+      posexplode(sig_bands(col("sig"), bands)))
+      .select(col("doc_id"), col("pos").as("band_idx"), col("col").as("band_hash"))
+    val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
+  }
+
+  def minhashLsh(t: Tables, numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = tokenized(t)
+      .filter(size(col("tokens")) > 1)
+      .select(col("doc_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig"))
+
+    lshCandidates(sigs, bands, rows)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .withColumn("est_jaccard",
         expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / cast($numHashes as double)"))
       .filter(col("est_jaccard") >= threshold)
@@ -98,8 +114,11 @@ object Dedup {
     * verify stage of the dedup pipeline. Exact set Jaccard is computed
     * only for pairs the cheap LSH pass surfaced.
     */
-  def ngramJaccard(t: Tables, minJaccard: Double = 0.3): DataFrame = {
-    val candidates = minhashLsh(t, threshold = 0.3).select(col("doc_a"), col("doc_b"))
+  def ngramJaccard(t: Tables, minJaccard: Double = 0.3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val sigs = tokenized(t)
+      .filter(size(col("tokens")) > 1)
+      .select(col("doc_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig"))
+    val candidates = lshCandidates(sigs, bands, numHashes / bands)
     val sets = shingled(t).select(col("doc_id"), array_distinct(col("shingles")).as("sset"))
     candidates
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sset", "set_a"), Seq("doc_a"))
@@ -117,18 +136,21 @@ object Dedup {
     * bucket collisions. The full pair matrix never exists.
     */
   def embeddingNearDup(t: Tables, minCosine: Double = 0.15, topN: Int = 50): DataFrame = {
-    val sk = t.embeddings.select(col("vec_id"), col("embedding"),
+    val sk = t.embeddings.select(col("vec_id"),
       sign_sketch(col("embedding"), 16, 7L).as("sketch"))
-    val banded = sk.select(col("vec_id"), col("embedding"),
+    val banded = sk.select(col("vec_id"),
       posexplode(expr("transform(sequence(0, 3), b -> cast(shiftright(sketch, b * 4) & 15 as long))")))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
-    val a = banded.select(col("band_idx"), col("band_val"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = banded.select(col("band_idx"), col("band_val"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val a = banded.select(col("band_idx"), col("band_val"), col("vec_id").as("id_a"))
+    val b = banded.select(col("band_idx"), col("band_val"), col("vec_id").as("id_b"))
+    val emb = t.embeddings
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+      .join(broadcast(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))), Seq("id_a"))
+      .join(broadcast(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))), Seq("id_b"))
       .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))

@@ -21,7 +21,7 @@ object EventPipelines {
   def windowedCountsBatch(t: Tables): DataFrame =
     t.events
       .groupBy(
-        unix_timestamp(window(col("ts"), "1 hour").getField("start")).as("window_start"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("window_start"),
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
