@@ -29,6 +29,7 @@ object SparkEntry {
     "q11_sync_stats" -> ((s, dir) => Relational.q11SyncStats(Tables(s, dir))),
     "q12_pivot" -> ((s, dir) => Relational.q12Pivot(Tables(s, dir), EventTypes)),
     "q13_order_revenue" -> ((s, dir) => Relational.q13OrderRevenue(Tables(s, dir))),
+    "q14_json_extract" -> ((s, dir) => Relational.q14JsonExtract(Tables(s, dir))),
     // §2.2 dedup
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir))),
     "d2_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir))),
@@ -177,6 +178,15 @@ object SparkEntry {
         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q14_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+        |  COUNT(json_extract_string(props, '$.k')) AS n_with_k,
+        |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
         |FROM documents

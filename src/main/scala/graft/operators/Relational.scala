@@ -230,4 +230,21 @@ object Relational {
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
+
+  /** q14: semi-structured payload parsing — the reference's JSON API
+    * responses (/root/reference/api_client.py, loaders' transform steps)
+    * as `get_json_object` over the events `props` column. Extraction is
+    * codegen'd; one aggregation shuffle.
+    */
+  def q14JsonExtract(t: Tables): DataFrame =
+    t.events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).as("total_k"),
+        count(col("k")).as("n_with_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
 }

@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.util.zip.ZipFile
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CSV ingestion — the reference's pre-season path reads CSV dumps out of
+  * a ZIP archive and coerces them to the table schema
+  * (/root/reference/loaders/__init__.py:16-146: get_raw_zip +
+  * sanitize_df). Spark-first form: `spark.read.csv` with an explicit
+  * schema (header-driven permissive parse would lose type errors), then a
+  * declarative sanitize pass.
+  *
+  * ZIP is not a splittable Spark format; entries are extracted to
+  * temporary files once (driver-side IO, not a row loop) and then read by
+  * the distributed CSV reader. At scale the dumps would land uncompressed
+  * or as per-entry gzip behind a manifest, and the extraction step drops
+  * away.
+  */
+object CsvSource {
+
+  /** Read one CSV file/directory with an explicit schema. */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
+      .csv(path)
+
+  /** Extract named entries of a ZIP to temp CSV files and read each into
+    * a DataFrame (reference: PreSeasonLoader.transform's dump_list_csv).
+    * Columns are read as raw strings — like the reference's CSV parse —
+    * so out-of-range values reach [[sanitize]] instead of being nulled by
+    * a typed parse; pass the result through `sanitize(df, schema)`.
+    */
+  def fromZip(spark: SparkSession, zipPath: String,
+      entries: Map[String, StructType]): Map[String, DataFrame] = {
+    val zf = new ZipFile(zipPath)
+    try {
+      val available = zf.entries().asScala.map(_.getName).toSet
+      entries.collect { case (entry, schema) if available.contains(entry) =>
+        val tmp = java.nio.file.Files.createTempFile(s"graft_zip_", ".csv")
+        val in = zf.getInputStream(zf.getEntry(entry))
+        try java.nio.file.Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+        tmp.toFile.deleteOnExit()
+        val rawSchema = StructType(schema.fields.map(f => StructField(f.name, StringType, nullable = true)))
+        entry -> csv(spark, tmp.toString, rawSchema)
+      }
+    } finally zf.close()
+  }
+
+  /** Schema-driven sanitize (reference: sanitize_df,
+    * loaders/__init__.py:117-146): per-column coercions expressed as
+    * codegen'd projections — trim/null-normalize strings, clamp
+    * smallints, round-trip numerics, parse dates/booleans.
+    */
+  def sanitize(df: DataFrame, schema: StructType): DataFrame = {
+    val cols = df.columns.map { name =>
+      schema.find(_.name == name) match {
+        case Some(f) => (f.dataType match {
+          case StringType => coalesce(nullif(trim(col(name).cast("string")), lit("")), lit(null))
+          case ShortType => least(greatest(col(name).cast("int"), lit(-32768)), lit(32767)).cast("short")
+          case IntegerType | LongType => col(name).cast(f.dataType)
+          case DoubleType | FloatType => col(name).cast(f.dataType)
+          case BooleanType => lower(trim(col(name).cast("string"))).isin("true", "t", "1").as(name)
+          case DateType => to_date(col(name))
+          case TimestampType => to_timestamp(col(name))
+          case other => col(name).cast(other)
+        }).as(name)
+        case None => col(name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+}
