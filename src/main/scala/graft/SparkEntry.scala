@@ -30,6 +30,7 @@ object SparkEntry {
     "q12_pivot" -> ((s, dir) => Relational.q12Pivot(Tables(s, dir), EventTypes)),
     "q13_order_revenue" -> ((s, dir) => Relational.q13OrderRevenue(Tables(s, dir))),
     "q14_json_extract" -> ((s, dir) => Relational.q14JsonExtract(Tables(s, dir))),
+    "q15_asof_join" -> ((s, dir) => Relational.q15AsofJoin(Tables(s, dir))),
     // §2.2 dedup
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir))),
     "d2_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir))),
@@ -187,6 +188,20 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q15_asof_join" ->
+      """WITH uniq AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM (
+        |    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) x
+        |  WHERE rn = 1)
+        |SELECT a.o_custkey, a.o_orderkey,
+        |  b.o_orderkey AS prev_orderkey,
+        |  b.o_totalprice AS prev_totalprice
+        |FROM orders a
+        |ASOF LEFT JOIN uniq b
+        |  ON a.o_custkey = b.o_custkey AND b.o_orderdate < a.o_orderdate
+        |ORDER BY a.o_custkey, a.o_orderkey""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
         |FROM documents

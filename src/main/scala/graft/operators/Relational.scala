@@ -247,4 +247,25 @@ object Relational {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
+
+  /** q15: as-of join via the custom graft operator
+    * ([[graft.plans.AsOfJoinPlans]]): each order joined to the same
+    * customer's latest strictly-earlier order — "state as of this point
+    * in time", the reference's watermark/standings-as-of-round semantics
+    * as a first-class operator.
+    */
+  def q15AsofJoin(t: Tables): DataFrame = {
+    val orders = t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    // unique (custkey, date) on the build side -> deterministic as-of pick
+    val wDedup = Window.partitionBy(col("o_custkey"), col("o_orderdate")).orderBy(col("o_orderkey").desc)
+    val uniq = orders.withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1).drop("rn")
+    graft.plans.AsOfJoinPlans
+      .asofJoin(orders, uniq, on = Seq("o_custkey"), timeCol = "o_orderdate",
+        rightPrefix = "prev_", strict = true)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("prev_o_orderkey").as("prev_orderkey"),
+        col("prev_o_totalprice").as("prev_totalprice"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
 }

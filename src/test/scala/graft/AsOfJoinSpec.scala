@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.plans.AsOfJoinPlans
+
+class AsOfJoinSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join picks the latest right row at-or-before each left time") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (1L, ts("2024-01-01 12:00:00"), 120.0),
+      (2L, ts("2024-01-01 10:30:00"), 55.0)).toDF("key", "t", "px")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:30:00")),
+      (1L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-01 09:00:00")),
+      (2L, ts("2024-01-01 23:00:00")),
+      (3L, ts("2024-01-01 10:00:00"))).toDF("key", "t")
+
+    val out = AsOfJoinPlans.asofJoin(trades, quotes, Seq("key"), "t")
+      .select("key", "t", "r_px").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, if (r.isNullAt(2)) null else r.getDouble(2)))
+      .sortBy(x => (x._1, x._2))
+
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01 09:00:00.0", null),        // before any quote
+      (1L, "2024-01-01 10:30:00.0", 100.0),       // 10:00 quote
+      (1L, "2024-01-01 11:00:00.0", 110.0),       // exact match, non-strict
+      (2L, "2024-01-01 23:00:00.0", 55.0),
+      (3L, "2024-01-01 10:00:00.0", null)))       // key with no right rows
+  }
+
+  test("strict mode excludes equal timestamps") {
+    import spark.implicits._
+    val right = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("key", "t", "v")
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 25L)).toDF("key", "t")
+    val out = AsOfJoinPlans.asofJoin(left, right, Seq("key"), "t", strict = true)
+      .select("t", "r_v").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((10L, null), (20L, "a"), (25L, "b")))
+  }
+
+  test("null keys and null times never match") {
+    import spark.implicits._
+    val right = Seq((Some(1L), Some(10L), "a")).toDF("key", "t", "v")
+    val left = Seq(
+      (Option.empty[Long], Some(20L)),
+      (Some(1L), Option.empty[Long]),
+      (Some(1L), Some(20L))).toDF("key", "t")
+    val out = AsOfJoinPlans.asofJoin(left, right, Seq("key"), "t")
+      .select("r_v").collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(out.count(_ == "a") == 1)
+    assert(out.count(_ == null) == 2)
+  }
+
+  test("physical plan gets exchanges and sorts from EnsureRequirements") {
+    import spark.implicits._
+    val a = Seq((1L, 1L)).toDF("key", "t")
+    val b = Seq((1L, 1L, "x")).toDF("key", "t", "v")
+    val plan = AsOfJoinPlans.asofJoin(a, b, Seq("key"), "t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoinExec") || plan.contains("AsOfJoin"), plan)
+    assert(plan.contains("Sort"), "children must be sorted")
+    assert(plan.contains("Exchange") || plan.contains("ShuffleQueryStage"), "children must be clustered")
+  }
+}
