@@ -158,9 +158,12 @@ object Relational {
     * pushed to the parquet scan; the known-entity set is a semi join.
     */
   def q9Incremental(t: Tables): DataFrame = {
-    val wm = lit("2024-01-15 00:00:00").cast("timestamp")
-    val fresh = t.events.filter(col("ts") > wm)
-    val knownUsers = t.events.filter(col("ts") <= wm).select(col("user_id")).distinct()
+    // watermark pushed down in the raw INT64-nanos domain: the predicate
+    // reaches the parquet scan (PushedFilters) and prunes at 100 TB,
+    // which a filter on the converted timestamp column cannot do.
+    val wmNanos = lit(java.time.Instant.parse("2024-01-15T00:00:00Z").getEpochSecond * 1000000000L)
+    val fresh = t.eventsRaw.filter(col("ts") > wmNanos)
+    val knownUsers = t.eventsRaw.filter(col("ts") <= wmNanos).select(col("user_id")).distinct()
     fresh
       .join(knownUsers, Seq("user_id"), "left_semi")
       .groupBy(col("user_id"))

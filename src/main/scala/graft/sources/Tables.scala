@@ -31,6 +31,13 @@ final class Tables(spark: SparkSession, dir: String) {
     * DuckDB's TIMESTAMP_NS→TIMESTAMP cast does) so downstream operators
     * see a plain event-time column.
     */
+  /** events with `ts` as raw INT64 nanoseconds — for operators that need
+    * parquet filter pushdown on event time (a predicate on the converted
+    * timestamp column cannot push through the arithmetic; one on the raw
+    * long reaches the scan and prunes row groups / partitions at scale).
+    */
+  def eventsRaw: DataFrame = t("events")
+
   def events: DataFrame = {
     val raw = t("events")
     raw.schema("ts").dataType match {
