@@ -45,6 +45,8 @@ object SparkEntry {
     "t2_quality" -> ((s, dir) => TextAnalysis.quality(Tables(s, dir))),
     "t3_tokens" -> ((s, dir) => TextAnalysis.tokens(Tables(s, dir))),
     "t4_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables(s, dir))),
+    "t5_vocab" -> ((s, dir) => TextAnalysis.vocab(Tables(s, dir))),
+    "t5_vocab_sketch" -> ((s, dir) => TextAnalysis.vocabSketch(Tables(s, dir))),
     // §2.5 multimodal plumbing
     "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
     // §2.6 streaming (batch twins; streaming forms tested in StreamingSpec)
@@ -257,6 +259,24 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS subword_tokens
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "t5_vocab" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents) x
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 20""".stripMargin,
+    // the sketch is exact whenever distinct tokens <= capacity, so the
+    // same oracle applies on this corpus (capacity 4096 >> vocabulary)
+    "t5_vocab_sketch" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents) x
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 20""".stripMargin,
     "st1_stream_window" ->
       """SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start, event_type,
         |  COUNT(*) AS n,

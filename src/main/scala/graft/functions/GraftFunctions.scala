@@ -43,6 +43,12 @@ object GraftFunctions {
   def sign_sketch(c: Column, nbits: Int = 16, seed: Long = 7L): Column =
     EU.column(SignSketch(EU.expression(c), nbits, seed))
 
+  /** Heavy-hitters aggregate over token arrays: SpaceSaving sketch,
+    * fixed memory, mergeable partials.
+    */
+  def approx_top_k_tokens(c: Column, k: Int = 20, capacity: Int = 4096): Column =
+    EU.column(ApproxTopKTokens(EU.expression(c), k, capacity).toAggregateExpression())
+
   /** Register every graft function for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

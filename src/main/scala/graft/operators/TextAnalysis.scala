@@ -82,6 +82,34 @@ object TextAnalysis {
       .select(col("doc_id"), col("ws_tokens"), col("subword_tokens"))
       .orderBy(col("doc_id"))
 
+  /** t5: exact corpus vocabulary top-k — explode + count + rank. The
+    * exact counterpart of [[vocabSketch]]; at 100 TB the sketch replaces
+    * this (the explode shuffles one row per token occurrence).
+    */
+  def vocab(t: Tables, k: Int = 20): DataFrame =
+    t.documents
+      .select(explode(tokensCol).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** t5 scale path: the same statistic via the SpaceSaving
+    * `TypedImperativeAggregate` — fixed memory per partial, one merge,
+    * no per-occurrence shuffle. Verified against [[vocab]] in specs.
+    */
+  def vocabSketch(t: Tables, k: Int = 20): DataFrame = {
+    val spark = t.documents.sparkSession
+    t.documents
+      .select(col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(tokensCol.as("toks"))
+      .agg(approx_top_k_tokens(col("toks"), k).as("topk"))
+      .select(explode(col("topk")).as("e"))
+      .select(col("e.token").as("token"), col("e.cnt").as("n"))
+  }
+
   /** t4: rolling-hash document fingerprints — full-document Karp–Rabin
     * min-window hash (shift-stable) + a coarse bucket for grouping.
     * Custom codegen expression [[graft.functions.RollingFingerprint]].
