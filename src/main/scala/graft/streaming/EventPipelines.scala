@@ -121,4 +121,30 @@ object EventPipelines {
     */
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "30 minutes").dropDuplicates("event_id")
+
+  /** Streaming idempotent upsert into a parquet warehouse table — the
+    * streaming twin of the reference's post-race incremental load:
+    * each micro-batch merges last-write-wins by key via
+    * [[graft.etl.Pipeline.merge]] inside `foreachBatch`. Restart-safe:
+    * replayed batches collapse into the same keys (merge is idempotent),
+    * which is the exactly-once recipe for non-transactional sinks.
+    */
+  def upsertStream(events: DataFrame, targetPath: String, checkpoint: String,
+      keys: Seq[String] = Seq("event_id"), versionCol: String = "ts"): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(targetPath)))
+            Some(spark.read.parquet(targetPath))
+          else None
+        val merged = graft.etl.Pipeline
+          .merge(existing, batch.toDF(), keys, Some(versionCol))
+          .localCheckpoint(true)
+        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(targetPath)
+        ()
+      }
+      .start()
 }

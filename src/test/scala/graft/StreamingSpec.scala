@@ -81,6 +81,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming upsert sink merges micro-batches idempotently by key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = java.nio.file.Files.createTempDirectory("graft_upsert_").resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val mem = MemoryStream[Ev]
+    val q = EventPipelines.upsertStream(mem.toDF(), target, ckpt)
+    try {
+      mem.addData(Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      // same key replayed with a newer ts -> overwrites, no duplicate
+      mem.addData(Ev(1, ts(9), 1, "click", 9.0), Ev(3, ts(3), 2, "buy", 3.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(target).collect()
+      assert(out.length == 3)
+      val e1 = out.find(_.getAs[Long]("event_id") == 1).get
+      assert(e1.getAs[Double]("value") == 9.0, "latest version wins")
+    } finally q.stop()
+  }
+
   test("st2 batch twin: session count equals gap-break count") {
     val t = graft.sources.Tables(spark, sfDir)
     val sessions = EventPipelines.sessionizeBatch(t)
