@@ -49,6 +49,7 @@ object SparkEntry {
     "t5_vocab_sketch" -> ((s, dir) => TextAnalysis.vocabSketch(Tables(s, dir))),
     // §2.5 multimodal plumbing
     "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
+    "m2_frame_sample" -> ((s, dir) => Multimodal.frames(Tables(s, dir))),
     // §2.6 streaming (batch twins; streaming forms tested in StreamingSpec)
     "st1_stream_window" -> ((s, dir) => graft.streaming.EventPipelines.windowedCountsBatch(Tables(s, dir))),
     "st2_sessionize" -> ((s, dir) => graft.streaming.EventPipelines.sessionizeBatch(Tables(s, dir))),

@@ -36,6 +36,48 @@ object Multimodal {
     }
   }
 
+  /** Fixed-size "thumbnail" of a payload: byte-domain nearest-neighbor
+    * resample — the shape (and batch contract) of an image resize, with
+    * the pixel decode stubbed (no codec libraries in this container).
+    */
+  def resizeStub(payload: Array[Byte], outLen: Int): Array[Byte] = {
+    if (payload.isEmpty) return Array.emptyByteArray
+    val out = new Array[Byte](outLen)
+    var i = 0
+    while (i < outLen) { out(i) = payload((i.toLong * payload.length / outLen).toInt); i += 1 }
+    out
+  }
+
+  /** Evenly spaced "frames" of a payload — the video frame-sample batch
+    * shape: one row in, `n` (frame_idx, frame_payload) rows out.
+    */
+  def frameSampleStub(payload: Array[Byte], n: Int, frameLen: Int): Seq[(Int, Array[Byte])] =
+    (0 until n).map { i =>
+      val start = if (n == 1) 0 else (i.toLong * math.max(0, payload.length - frameLen) / (n - 1)).toInt
+      (i, payload.slice(start, math.min(payload.length, start + frameLen)))
+    }
+
+  /** m1b: resize + frame-sample over the binary column, batched per
+    * partition (flatMap for the 1→n frame expansion). Deterministic
+    * stubs; the Spark-side schema/batch contract is the real thing.
+    */
+  def frames(t: Tables, nFrames: Int = 3, frameLen: Int = 32): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    t.documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, payload) =>
+          val thumb = resizeStub(payload, 16)
+          frameSampleStub(payload, nFrames, frameLen).map { case (idx, frame) =>
+            (id, idx, frame.length, java.util.Arrays.hashCode(frame), java.util.Arrays.hashCode(thumb))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_bytes", "frame_hash", "thumb_hash")
+  }
+
   /** m1: binary-column pipeline. Documents' text stands in for a media
     * payload: encode → (payload binary, metadata struct) → repartition by
     * source (locality for the decode pass) → batched decode →

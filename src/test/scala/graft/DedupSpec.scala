@@ -83,6 +83,14 @@ class DedupSpec extends SparkSpecBase {
     assert(viaDf.map(_.getAs[Long]("doc_id")).distinct.length == viaDf.length)
   }
 
+  test("m1b frame-sample expands each payload to n frames with bounded size") {
+    val rows = Multimodal.frames(t, nFrames = 3, frameLen = 32).collect()
+    assert(rows.length == t.documents.count() * 3)
+    assert(rows.forall(_.getAs[Int]("frame_bytes") <= 32))
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(perDoc.values.forall(_.map(_.getAs[Int]("frame_idx")).sorted.sameElements(Seq(0, 1, 2))))
+  }
+
   test("m1 multimodal pipeline produces per-source features with exact byte accounting") {
     val rows = Multimodal.pipeline(t).collect()
     assert(rows.nonEmpty)
