@@ -31,6 +31,8 @@ object SparkEntry {
     "q13_order_revenue" -> ((s, dir) => Relational.q13OrderRevenue(Tables(s, dir))),
     "q14_json_extract" -> ((s, dir) => Relational.q14JsonExtract(Tables(s, dir))),
     "q15_asof_join" -> ((s, dir) => Relational.q15AsofJoin(Tables(s, dir))),
+    "q16_quantiles" -> ((s, dir) => Relational.q16Quantiles(Tables(s, dir))),
+    "q17_rollup" -> ((s, dir) => Relational.q17Rollup(Tables(s, dir))),
     // §2.2 dedup
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir))),
     "d2_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir))),
@@ -182,6 +184,26 @@ object SparkEntry {
         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q16_quantiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 6) AS p95,
+        |  ROUND(MIN(value), 6) AS vmin,
+        |  ROUND(MAX(value), 6) AS vmax
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q17_rollup" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items,
+        |  CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
     "q14_json_extract" ->
       """SELECT event_type,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,

@@ -271,4 +271,36 @@ object Relational {
         col("prev_o_totalprice").as("prev_totalprice"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
+
+  /** q16: exact interpolated quantiles per group — lap-time distribution
+    * analysis semantics. `percentile` matches DuckDB's `quantile_cont`
+    * (both linear interpolation). At 100 TB the drop-in scale path is
+    * `approx_percentile` (t-digest-style mergeable sketch, same call
+    * shape).
+    */
+  def q16Quantiles(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(min(col("value")), 6).as("vmin"),
+        round(max(col("value")), 6).as("vmax"))
+      .orderBy(col("event_type"))
+
+  /** q17: multi-grain aggregation via ROLLUP — season/round/total grains
+    * of the reference's standings in one pass (partial aggregation per
+    * grouping set, single shuffle).
+    */
+  def q17Rollup(t: Tables): DataFrame =
+    t.lineitem
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D4)).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("r_name"), col("n_name"))
 }
