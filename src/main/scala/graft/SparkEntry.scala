@@ -39,6 +39,7 @@ object SparkEntry {
     "d3_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables(s, dir))),
     "d4_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables(s, dir))),
     "d5_dedup_embed" -> ((s, dir) => Dedup.embeddingNearDup(Tables(s, dir))),
+    "d6_dedup_clusters" -> ((s, dir) => Dedup.clusters(Tables(s, dir))),
     // §2.3 similarity search
     "s1_ann_brute" -> ((s, dir) => Similarity.bruteForce(Tables(s, dir))),
     "s2_ann_ivf" -> ((s, dir) => Similarity.ivf(Tables(s, dir))),

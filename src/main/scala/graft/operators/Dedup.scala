@@ -131,6 +131,46 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d6: near-duplicate clusters — connected components over the LSH
+    * pair graph, so "keep one per cluster" decisions are possible (pairs
+    * alone under-delete transitive groups). Iterative min-label
+    * propagation: each round every vertex takes the min label in its
+    * neighborhood; converges in O(component diameter) rounds (dedup
+    * clusters are near-cliques, so 2–3 in practice). The driver loop only
+    * orchestrates — per-round work is joins/aggregations on the cluster;
+    * this is the GraphX/GraphFrames pattern without the dependency.
+    */
+  def clusters(t: Tables, maxIter: Int = 10): DataFrame = {
+    val pairs = minhashLsh(t).select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("doc_id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
   /** d5: embedding-cosine near-dup. Random-hyperplane sign sketch (16
     * bits) map-side, bucket-join on 4-bit bands, exact cosine only on
     * bucket collisions. The full pair matrix never exists.

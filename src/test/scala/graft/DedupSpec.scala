@@ -47,6 +47,24 @@ class DedupSpec extends SparkSpecBase {
     assert(cs.sameElements(cs.sortBy(-(_: Double))))
   }
 
+  test("d6 clusters equal union-find connected components of the pair graph") {
+    val pairs = Dedup.minhashLsh(t).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    // reference union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(d => d -> find(d)).toMap
+    val got = Dedup.clusters(t).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == expected)
+  }
+
   test("s1 brute-force ANN ranks by cosine, no self-matches") {
     val rows = Similarity.bruteForce(t).collect()
     assert(rows.nonEmpty)
