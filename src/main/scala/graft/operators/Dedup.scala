@@ -73,9 +73,14 @@ object Dedup {
 
   def minhashLsh(t: Tables, numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
+    // signatures feed three plan branches (banding + both sig-attach
+    // joins); materialize once instead of recomputing the scan+hash per
+    // branch (at scale: a checkpoint of n×(64 longs), tiny next to the
+    // corpus text)
     val sigs = tokenized(t)
       .filter(size(col("tokens")) > 1)
       .select(col("doc_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig"))
+      .localCheckpoint(true)
 
     lshCandidates(sigs, bands, rows)
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
