@@ -92,8 +92,11 @@ object AsOfJoinPlans {
         org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
           .asInstanceOf[Ordering[AnyRef]])
 
+      val outputAttrs = output
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-        new Iterator[InternalRow] {
+        // normalize to UnsafeRow: parents (collect, exchanges) require it
+        val toUnsafe = UnsafeProjection.create(outputAttrs, outputAttrs)
+        val merged = new Iterator[InternalRow] {
           private val joined = new JoinedRow
           private val nullRight = InternalRow.fromSeq(Seq.fill(numRightFields)(null))
           private val rBuf = rIter.buffered
@@ -161,6 +164,7 @@ object AsOfJoinPlans {
             else joined(l, nullRight)
           }
         }
+        merged.map(toUnsafe)
       }
     }
 
@@ -177,6 +181,10 @@ object AsOfJoinPlans {
   def ensureRegistered(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
     }
   }
 

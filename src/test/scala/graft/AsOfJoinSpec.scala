@@ -58,6 +58,47 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(out.count(_ == null) == 2)
   }
 
+  test("key filters push through the as-of join to both scans") {
+    val t = graft.sources.Tables(spark, sfDir)
+    val joined = graft.operators.Relational.q15AsofJoin(t)
+      .filter(org.apache.spark.sql.functions.col("o_custkey") === 7)
+    val rows = joined.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("o_custkey") == 7))
+    // the optimized plan must contain a filter on BOTH children of the
+    // as-of join (pushed below it), i.e. the join no longer sees a
+    // parent Filter on the key
+    val optimized = joined.queryExecution.optimizedPlan
+    val asofNodes = optimized.collect { case j: graft.plans.AsOfJoinPlans.AsOfJoin => j }
+    assert(asofNodes.nonEmpty, optimized.toString)
+    val j = asofNodes.head
+    def hasKeyFilter(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collect { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }
+        .exists(_.condition.references.exists(a => a.name == "o_custkey" || a.name == "prev_o_custkey"))
+    assert(hasKeyFilter(j.left), "left side must receive the key predicate")
+    assert(hasKeyFilter(j.right), "right side must receive the key predicate")
+  }
+
+  test("extensions class wires strategy and rule into a fresh session") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val l = Seq((1L, 5L)).toDF("k", "t")
+      val r = Seq((1L, 3L, "x")).toDF("k", "t", "v")
+      val out = AsOfJoinPlans.asofJoin(l, r, Seq("k"), "t").collect()
+      assert(out.length == 1 && out.head.getAs[String]("r_v") == "x")
+    } finally {
+      // leave the shared session intact for other suites; s2 is the same
+      // underlying context in local mode, so only clear the newSession state
+    }
+  }
+
   test("physical plan gets exchanges and sorts from EnsureRequirements") {
     import spark.implicits._
     val a = Seq((1L, 1L)).toDF("key", "t")
