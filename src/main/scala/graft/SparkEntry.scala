@@ -49,6 +49,7 @@ object SparkEntry {
     "t3_tokens" -> ((s, dir) => TextAnalysis.tokens(Tables(s, dir))),
     "t4_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables(s, dir))),
     "t5_vocab" -> ((s, dir) => TextAnalysis.vocab(Tables(s, dir))),
+    "t6_tfidf" -> ((s, dir) => TextAnalysis.tfidf(Tables(s, dir))),
     "t5_vocab_sketch" -> ((s, dir) => TextAnalysis.vocabSketch(Tables(s, dir))),
     // §2.5 multimodal plumbing
     "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
@@ -291,6 +292,25 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 20""".stripMargin,
+    "t6_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> ''
+        |  GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    ROUND(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, rank, token, score FROM (
+        |  SELECT doc_id, token, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INT) AS rank
+        |  FROM scored) x
+        |WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     // the sketch is exact whenever distinct tokens <= capacity, so the
     // same oracle applies on this corpus (capacity 4096 >> vocabulary)
     "t5_vocab_sketch" ->

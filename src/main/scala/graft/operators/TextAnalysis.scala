@@ -110,6 +110,31 @@ object TextAnalysis {
       .select(col("e.token").as("token"), col("e.cnt").as("n"))
   }
 
+  /** t6: TF-IDF top terms per document. df computed once over the corpus
+    * (token vocab ≪ corpus, broadcast back); ranking uses the ROUNDED
+    * score so cross-engine ties resolve identically. At 100 TB both
+    * aggregations are plain partial-agg shuffles on (doc, token)/(token).
+    */
+  def tfidf(t: Tables, topK: Int = 3): DataFrame = {
+    val spark = t.documents.sparkSession
+    val tokens = t.documents
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(tokensCol).as("token"))
+      .filter(col("token") =!= "")
+    val n = t.documents.count()
+    val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(df), Seq("token"))
+      .withColumn("score", round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("token"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** t4: rolling-hash document fingerprints — full-document Karp–Rabin
     * min-window hash (shift-stable) + a coarse bucket for grouping.
     * Custom codegen expression [[graft.functions.RollingFingerprint]].
