@@ -33,6 +33,8 @@ object SparkEntry {
     "q15_asof_join" -> ((s, dir) => Relational.q15AsofJoin(Tables(s, dir))),
     "q16_quantiles" -> ((s, dir) => Relational.q16Quantiles(Tables(s, dir))),
     "q17_rollup" -> ((s, dir) => Relational.q17Rollup(Tables(s, dir))),
+    "q18_corr_subquery" -> ((s, dir) => Relational.q18CorrSubquery(Tables(s, dir))),
+    "q19_hash_split" -> ((s, dir) => Relational.q19HashSplit(Tables(s, dir))),
     // §2.2 dedup
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir))),
     "d2_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir))),
@@ -186,6 +188,21 @@ object SparkEntry {
         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q18_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q19_hash_split" ->
+      """SELECT CASE WHEN md5(CAST(o_orderkey AS VARCHAR)) < 'cccccccc000000000000000000000000'
+        |            THEN 'train' ELSE 'eval' END AS split,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY split""".stripMargin,
     "q16_quantiles" ->
       """SELECT event_type,
         |  ROUND(quantile_cont(value, 0.5), 6) AS p50,

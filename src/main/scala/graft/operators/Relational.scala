@@ -288,6 +288,40 @@ object Relational {
         round(max(col("value")), 6).as("vmax"))
       .orderBy(col("event_type"))
 
+  /** q18: correlated scalar subquery through the SQL front-end — orders
+    * 1.5× above their customer's average. Catalyst de-correlates to an
+    * aggregate+join; the average uses the decimal formula so both
+    * engines compute identical doubles.
+    */
+  def q18CorrSubquery(t: Tables): DataFrame = {
+    val spark = t.orders.sparkSession
+    t.orders.createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM graft_orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM graft_orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** q19: deterministic train/eval split — md5-threshold hashing on the
+    * business key, so the split is reproducible across engines, runs,
+    * and scales (no `rand()`: retried tasks and re-shuffled data land in
+    * the same split). The hex threshold encodes the train fraction.
+    */
+  def q19HashSplit(t: Tables, trainFrac: Double = 0.8): DataFrame = {
+    val threshold = f"${(trainFrac * 0xFFFFFFFFL).toLong}%08x" + "0" * 24
+    t.orders
+      .withColumn("split",
+        when(md5(col("o_orderkey").cast("string")) < lit(threshold), "train").otherwise("eval"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total_value"))
+      .orderBy(col("split"))
+  }
+
   /** q17: multi-grain aggregation via ROLLUP — season/round/total grains
     * of the reference's standings in one pass (partial aggregation per
     * grouping set, single shuffle).
