@@ -259,9 +259,13 @@ object Relational {
     */
   def q15AsofJoin(t: Tables): DataFrame = {
     val orders = t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
-    // unique (custkey, date) on the build side -> deterministic as-of pick
+    // unique (custkey, date) on the build side -> deterministic as-of pick.
+    // Pre-partitioning by the JOIN key alone satisfies the window's
+    // (custkey, date) clustering too, so the window and the as-of join
+    // share one exchange instead of shuffling twice.
     val wDedup = Window.partitionBy(col("o_custkey"), col("o_orderdate")).orderBy(col("o_orderkey").desc)
-    val uniq = orders.withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1).drop("rn")
+    val uniq = orders.repartition(col("o_custkey"))
+      .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1).drop("rn")
     graft.plans.AsOfJoinPlans
       .asofJoin(orders, uniq, on = Seq("o_custkey"), timeCol = "o_orderdate",
         rightPrefix = "prev_", strict = true)
