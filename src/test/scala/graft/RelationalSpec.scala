@@ -9,6 +9,12 @@ import graft.sources.Tables
 class RelationalSpec extends SparkSpecBase {
   private lazy val t = Tables(spark, sfDir)
 
+  test("SparkEntry.entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every query key has either an oracle or is a documented rows-only op
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("q1 aggregates the full flag/status matrix") {
     val rows = Relational.q1Agg(t).collect()
     assert(rows.nonEmpty && rows.length <= 6)
