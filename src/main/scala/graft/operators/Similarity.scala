@@ -80,6 +80,55 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Persist the IVF layout: cluster assignments written
+    * `partitionBy(cid)`, so a probe's scan prunes to its nprobe cluster
+    * directories — at 100 TB a top-k search reads nprobe/nlist of the
+    * corpus from disk, not all of it. Returns the centroid table for the
+    * probe side.
+    */
+  def buildIvfIndex(t: Tables, path: String, nlist: Int = 16): DataFrame = {
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val seeds = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
+    val assigned0 = assignNearest(emb, seeds)
+    val refined = assigned0
+      .select(col("cid"), expr("transform(embedding, x -> cast(x as double))").as("ed"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), expr("aggregate(collect_list(ed), cast(array() as array<double>), (acc, v) -> IF(size(acc) = 0, v, zip_with(acc, v, (a, b) -> a + b)))").as("sums"))
+      .select(col("cid"), expr("transform(sums, s -> cast(s / n as float))").as("centroid"))
+    assignNearest(emb, refined)
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    refined
+  }
+
+  /** Probe the persisted index: nearest `nprobe` centroids per query,
+    * then search ONLY those cluster partitions (`cid IN (...)` prunes at
+    * the directory level — verified via PartitionFilters in the plan).
+    */
+  def searchIvfIndex(t: Tables, path: String, centroids: DataFrame,
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    val index = spark.read.parquet(path)
+    val q = querySet(t, nQueries)
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine_sim(col("query_emb"), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("query_emb"), col("cid"))
+    val neededClusters = probes.select(col("cid")).distinct().collect().map(_.getInt(0))
+    val pruned = index.filter(col("cid").isin(neededClusters.map(_.asInstanceOf[Any]).toSeq: _*))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    probes
+      .join(pruned.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cid")), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("query_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Assign each vector to its nearest centroid (centroids broadcast). */
   private def assignNearest(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))

@@ -85,6 +85,19 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("persisted IVF index prunes cluster partitions and matches in-memory IVF") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_").resolve("idx").toString
+    val centroids = Similarity.buildIvfIndex(t, path)
+    val fromIndex = Similarity.searchIvfIndex(t, path, centroids)
+    // partition pruning visible in the scan: PartitionFilters on cid
+    val planStr = fromIndex.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("cid"), planStr)
+    // results agree with the self-contained IVF operator
+    val a = fromIndex.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    val b = Similarity.ivf(t).collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(a.sameElements(b))
+  }
+
   test("t4 fingerprint is shift-stable: shared window survives a prefix edit") {
     import spark.implicits._
     import graft.functions.GraftHash

@@ -101,6 +101,27 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("document stream: exact dedup keeps first occurrence, quality scoring is stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, text: String)
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.DocPipelines.qualityStream(
+      graft.streaming.DocPipelines.exactDedupStream(docs))
+      .writeStream.format("memory").queryName("docs_out").outputMode("append").start()
+    try {
+      mem.addData((1L, "hello world!"), (2L, "hello world!"), (3L, "unique doc here"))
+      q.processAllAvailable()
+      mem.addData((4L, "hello world!"), (5L, "another doc"))
+      q.processAllAvailable()
+      val out = spark.table("docs_out").collect()
+      assert(out.length == 3, s"dup content must collapse, got ${out.length}")
+      assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L, 5L))
+      assert(out.forall(r => r.getAs[Long]("n_tokens") > 0))
+    } finally q.stop()
+  }
+
   test("st2 batch twin: session count equals gap-break count") {
     val t = graft.sources.Tables(spark, sfDir)
     val sessions = EventPipelines.sessionizeBatch(t)
