@@ -122,6 +122,28 @@ object EventPipelines {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "30 minutes").dropDuplicates("event_id")
 
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's click within the preceding attribution window. Watermarks on
+    * BOTH sides + the time-range join condition let Spark bound the
+    * buffered state (clicks older than the window + watermark delay are
+    * evicted) — the only shape where an unbounded two-stream join stays
+    * O(window) in state at 100 TB/day rates.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30, delay: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", delay)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", delay)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"), col("ts").as("purchase_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_value"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** Streaming idempotent upsert into a parquet warehouse table — the
     * streaming twin of the reference's post-race incremental load:
     * each micro-batch merges last-write-wins by key via

@@ -101,6 +101,28 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches purchases to in-window clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = EventPipelines.attributionJoin(clicks.toDF(), purchases.toDF(), windowMinutes = 30)
+    val q = joined.writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      clicks.addData(
+        Ev(10, ts(0), 1, "click", 0),
+        Ev(11, ts(50), 1, "click", 0), // out of window for the first purchase
+        Ev(12, ts(5), 2, "click", 0))
+      purchases.addData(
+        Ev(20, ts(20), 1, "purchase", 9.99), // matches click 10 (20min gap)
+        Ev(21, ts(55), 1, "purchase", 5.0))  // matches click 11 (5min), NOT 10 (55min)
+      q.processAllAvailable()
+      val out = spark.table("attr_out").collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).sorted
+      assert(out.toSeq == Seq((20L, 10L), (21L, 11L)), out.mkString(","))
+    } finally q.stop()
+  }
+
   test("document stream: exact dedup keeps first occurrence, quality scoring is stateless") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
