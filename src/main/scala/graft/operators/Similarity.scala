@@ -40,23 +40,36 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** s2: IVF probe. One k-means refinement over `nlist` deterministic
+  /** Lloyd's k-means over the embedding column: deterministic seeds
+    * (first `nlist` vectors), then `iters` assign→mean rounds. Each
+    * round is one broadcast cross-score + one groupBy; lineage is cut
+    * per round so the plan stays flat. Deterministic — no random init,
+    * so index builds are reproducible run-to-run.
+    */
+  def kmeansCentroids(emb: DataFrame, nlist: Int, iters: Int = 2): DataFrame = {
+    val seeds = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
+    var centroids = seeds
+    var i = 0
+    while (i < iters) {
+      centroids = assignNearest(emb, centroids)
+        .select(col("cid"), expr("transform(embedding, x -> cast(x as double))").as("ed"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), expr("aggregate(collect_list(ed), cast(array() as array<double>), (acc, v) -> IF(size(acc) = 0, v, zip_with(acc, v, (a, b) -> a + b)))").as("sums"))
+        .select(col("cid"), expr("transform(sums, s -> cast(s / n as float))").as("centroid"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    centroids
+  }
+
+  /** s2: IVF probe. Multi-iteration k-means over `nlist` deterministic
     * seeds; queries search the union of their `nprobe` closest clusters.
     */
   def ivf(t: Tables, nQueries: Int = 10, k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val spark = t.embeddings.sparkSession
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
-
-    // seed centroids: first nlist vectors (deterministic), then one Lloyd step.
-    val seeds = emb.filter(col("vec_id") < nlist)
-      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
-    val assigned0 = assignNearest(emb, seeds)
-    val refined = assigned0
-      .select(col("cid"), expr("transform(embedding, x -> cast(x as double))").as("ed"))
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n"), expr("aggregate(collect_list(ed), cast(array() as array<double>), (acc, v) -> IF(size(acc) = 0, v, zip_with(acc, v, (a, b) -> a + b)))").as("sums"))
-      .select(col("cid"), expr("transform(sums, s -> cast(s / n as float))").as("centroid"))
-
+    val refined = kmeansCentroids(emb, nlist)
     val assigned = assignNearest(emb, refined)
       .select(col("vec_id").as("neighbor_id"), col("embedding"), col("cid"))
 
@@ -88,14 +101,7 @@ object Similarity {
     */
   def buildIvfIndex(t: Tables, path: String, nlist: Int = 16): DataFrame = {
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
-    val seeds = emb.filter(col("vec_id") < nlist)
-      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
-    val assigned0 = assignNearest(emb, seeds)
-    val refined = assigned0
-      .select(col("cid"), expr("transform(embedding, x -> cast(x as double))").as("ed"))
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n"), expr("aggregate(collect_list(ed), cast(array() as array<double>), (acc, v) -> IF(size(acc) = 0, v, zip_with(acc, v, (a, b) -> a + b)))").as("sums"))
-      .select(col("cid"), expr("transform(sums, s -> cast(s / n as float))").as("centroid"))
+    val refined = kmeansCentroids(emb, nlist)
     assignNearest(emb, refined)
       .write.mode("overwrite").partitionBy("cid").parquet(path)
     refined
