@@ -135,6 +135,26 @@ final class PipelineRunner(
 
   def table(name: String): DataFrame = spark.read.parquet(targetPath(name))
 
+  /** Atomic publish: write the merged result to a staging dir, then swap
+    * it into place with filesystem renames. A crash mid-write leaves the
+    * old table intact (the staging dir is garbage, not the target) —
+    * single-writer atomicity without a table format; multi-writer ACID
+    * is a Delta/Iceberg-class concern, out of scope.
+    */
+  private def atomicPublish(df: DataFrame, name: String): Unit = {
+    val target = Paths.get(targetPath(name))
+    val staging = Paths.get(s"${targetPath(name)}.staging-${System.nanoTime()}")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val retired = Paths.get(s"${targetPath(name)}.retired-${System.nanoTime()}")
+    if (Files.exists(target)) Files.move(target, retired, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staging, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // old generation removed only after the swap succeeded
+    if (Files.exists(retired)) {
+      def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+      rm(retired.toFile)
+    }
+  }
+
   /** Run one mode (reference: --mode pre_season|post_race). `force`
     * bypasses the watermark skip (reference: --force). Returns per-table
     * merged record counts.
@@ -149,8 +169,8 @@ final class PipelineRunner(
       try {
         val fresh = extracts(name)(spark, since)
         val merged = Pipeline.merge(readTarget(name), fresh, spec.keyColumns, spec.versionColumn)
-          .localCheckpoint(eager = true) // sever lineage from the file being overwritten
-        merged.write.mode(SaveMode.Overwrite).parquet(targetPath(name))
+          .localCheckpoint(eager = true) // sever lineage from the file being replaced
+        atomicPublish(merged, name)
         val n = merged.count()
         metadata.appendLog(name, "success", n, newWatermark.orElse(since))
         name -> n

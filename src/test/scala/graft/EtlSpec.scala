@@ -71,6 +71,26 @@ class EtlSpec extends SparkSpecBase {
     assert(store.history("fact_events").count(_.status == "success") == 2)
   }
 
+  test("a failing run leaves the previous table generation intact (atomic publish)") {
+    val (wh, md) = freshDirs()
+    val store = new MetadataStore(spark, md)
+    val okExtracts = extracts()
+    val runner1 = new PipelineRunner(spark, wh, store, specs, okExtracts)
+    runner1.run(Pipeline.PreSeason)
+    val before = runner1.table("dim_customer").count()
+
+    val poison: Map[String, Pipeline.Extract] = okExtracts.updated(
+      "dim_customer", (s, _) => {
+        import org.apache.spark.sql.functions.udf
+        val boom = udf((x: Long) => { throw new RuntimeException("extract blew up"); x })
+        Tables(s, sfDir).customer.withColumn("c_custkey", boom(org.apache.spark.sql.functions.col("c_custkey")))
+      })
+    val runner2 = new PipelineRunner(spark, wh, store, specs, poison)
+    intercept[Exception] { runner2.run(Pipeline.PreSeason, force = true) }
+    assert(runner1.table("dim_customer").count() == before, "old generation must survive the failed run")
+    assert(store.history("dim_customer").last.status == "failed")
+  }
+
   test("merge keeps the freshest version per key") {
     import spark.implicits._
     val old = Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("id", "v", "ver")
