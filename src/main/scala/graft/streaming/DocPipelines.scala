@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.GraftFunctions
 
 /** Streaming forms of the training-data document operators: a document
   * stream (e.g. a crawl feed) deduplicated and quality-scored on the
@@ -23,6 +26,61 @@ object DocPipelines {
       case Some(ts) => hashed.withWatermark(ts, delay).dropDuplicates("content_hash")
       case None => hashed.dropDuplicates("content_hash")
     }
+  }
+
+  case class BandDoc(band_key: Long, doc_id: Long, sig: Array[Long])
+  case class BucketState(docs: List[(Long, Array[Long])])
+  case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  /** Streaming MinHash near-dup detection: the streaming twin of the
+    * batch LSH dedup. Signatures are computed map-side by the same
+    * codegen expression; each doc lands in its `bands` bucket groups,
+    * and per-bucket keyed state holds the signatures seen so far — a new
+    * arrival emits candidate pairs against its bucket's history. State
+    * per bucket is the bucket's membership (the same collision set the
+    * batch join materializes); production feeds bound it with a state
+    * TTL. The same pair can surface from several bands — consumers
+    * dedupe downstream (exactly what the batch pipeline's `distinct()`
+    * does).
+    */
+  def minhashDedupStream(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): Dataset[NearDupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .filter(size(col("toks")) > 1)
+      .withColumn("sig", GraftFunctions.shingle_minhash(col("toks"), 2, numHashes, 42L))
+      .select(col("doc_id"), col("sig"),
+        explode(GraftFunctions.sig_bands(col("sig"), bands)).as("band_key"))
+      .select(col("band_key"), col("doc_id"), col("sig"))
+      .as[BandDoc]
+
+    banded
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[BandDoc], state: GroupState[BucketState]) =>
+          var seen = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = List.newBuilder[NearDupPair]
+          rows.toSeq.sortBy(_.doc_id).foreach { bd =>
+            if (!seen.exists(_._1 == bd.doc_id)) {
+              seen.foreach { case (oldId, oldSig) =>
+                var same = 0
+                var i = 0
+                while (i < bd.sig.length) { if (bd.sig(i) == oldSig(i)) same += 1; i += 1 }
+                val est = same.toDouble / bd.sig.length
+                if (est >= threshold) {
+                  val (a, b) = if (oldId < bd.doc_id) (oldId, bd.doc_id) else (bd.doc_id, oldId)
+                  out += NearDupPair(a, b, est)
+                }
+              }
+              seen = (bd.doc_id, bd.sig) :: seen
+            }
+          }
+          state.update(BucketState(seen))
+          out.result().iterator
+      }
   }
 
   /** Stateless streaming quality scoring — same columns as the batch t2

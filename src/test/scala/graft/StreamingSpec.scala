@@ -144,6 +144,28 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming minhash dedup finds near-dups within and across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    val nearDup = base.replace("tonight", "today") // one token differs
+    val unrelated = "completely different words about spark shuffles and parquet row groups here now"
+    val pairs = graft.streaming.DocPipelines.minhashDedupStream(mem.toDF().toDF("doc_id", "text"))
+    val q = pairs.writeStream.format("memory").queryName("mh_out").outputMode("append").start()
+    try {
+      mem.addData((1L, base), (2L, unrelated))
+      q.processAllAvailable()
+      assert(spark.table("mh_out").isEmpty, "no near-dups yet")
+      mem.addData((3L, nearDup)) // cross-batch near-dup of doc 1
+      q.processAllAvailable()
+      val found = spark.table("mh_out").collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).distinct
+      assert(found.contains((1L, 3L)), s"expected (1,3), got ${found.mkString(",")}")
+      assert(!found.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not pair")
+    } finally q.stop()
+  }
+
   test("st2 batch twin: session count equals gap-break count") {
     val t = graft.sources.Tables(spark, sfDir)
     val sessions = EventPipelines.sessionizeBatch(t)
