@@ -19,6 +19,7 @@ object Bench {
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
 
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every output column; a count()
@@ -37,13 +38,18 @@ object Bench {
         }
         org.apache.spark.sql.classic.GraftInterop.ofRows(spark, stripped)
           .write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => () }
+      } catch { case e: Throwable =>
+        // a crashed query must not masquerade as a fast one
+        failures += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

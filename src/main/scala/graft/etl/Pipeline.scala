@@ -97,8 +97,11 @@ final class MetadataStore(spark: SparkSession, root: String) {
     val prior = readLog().as[MetadataStore.LogRow].collect().toSeq
     val nextId = if (prior.isEmpty) 1L else prior.map(_.id).max + 1
     val row = MetadataStore.LogRow(nextId, entity, status, records, watermark)
-    (prior :+ row).toDS().toDF().repartition(1)
-      .write.mode(SaveMode.Overwrite).parquet(logPath)
+    // append-only: a crash mid-write can at worst lose THIS entry; an
+    // overwrite of the whole log would destroy every watermark if it died
+    // between delete and commit
+    Seq(row).toDS().toDF().repartition(1)
+      .write.mode(SaveMode.Append).parquet(logPath)
   }
 
   /** Latest successful watermark per entity (reference: get_watermark). */

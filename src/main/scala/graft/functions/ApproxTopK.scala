@@ -30,18 +30,31 @@ final class SpaceSavingSketch(val capacity: Int) {
     }
   }
 
+  /** Min count of a FULL sketch — the upper bound on any evicted token's
+    * true count; 0 while under capacity (nothing was ever evicted).
+    */
+  private def evictionBound: Long =
+    if (counts.size < capacity) 0L else counts.valuesIterator.map(_._1).min
+
+  /** Standard mergeable-SpaceSaving combine (Agarwal et al.): a token
+    * absent from one side may have been evicted there with count up to
+    * that side's min counter, so the absent side contributes its
+    * eviction bound to both count and error — keeping every retained
+    * count an overestimate. The post-merge truncation to capacity drops
+    * only the smallest merged counters (the same guarantee as eviction).
+    */
   def merge(other: SpaceSavingSketch): Unit = {
-    other.counts.foreach { case (t, (c, e)) =>
-      counts.get(t) match {
-        case Some((c0, e0)) => counts.update(t, (c0 + c, e0 + e))
-        case None => counts.update(t, (c, e))
-      }
-    }
-    if (counts.size > capacity) {
-      val keep = counts.toSeq.sortBy { case (t, (c, _)) => (-c, t) }.take(capacity)
-      counts.clear()
-      keep.foreach { case (t, ce) => counts.update(t, ce) }
-    }
+    val mSelf = evictionBound
+    val mOther = other.evictionBound
+    val keys = counts.keySet ++ other.counts.keySet
+    val merged = keys.iterator.map { t =>
+      val (c1, e1) = counts.getOrElse(t, (mSelf, mSelf))
+      val (c2, e2) = other.counts.getOrElse(t, (mOther, mOther))
+      t -> (c1 + c2, e1 + e2)
+    }.toSeq
+    counts.clear()
+    merged.sortBy { case (t, (c, _)) => (-c, t) }.take(capacity)
+      .foreach { case (t, ce) => counts.update(t, ce) }
   }
 
   def topK(k: Int): Seq[(String, Long)] =

@@ -30,13 +30,14 @@ case class RaceTimeMillis(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = RaceTimeMillis.getClass.getName.stripSuffix("$")
+    val parsed = ctx.freshName("graftParsed")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |long graftParsed = $cls$$.MODULE$$.parse($c.toString());
-         |if (graftParsed == Long.MIN_VALUE) {
+         |long $parsed = $cls$$.MODULE$$.parse($c.toString());
+         |if ($parsed == Long.MIN_VALUE) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graftParsed;
+         |  ${ev.value} = $parsed;
          |}
        """.stripMargin
     })

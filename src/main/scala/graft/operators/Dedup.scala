@@ -58,7 +58,7 @@ object Dedup {
     * pair survives banding. This is the shape that holds at 100 TB: the
     * wide payload is re-attached to the (tiny) surviving pair set by join.
     */
-  private def lshCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+  private def lshCandidates(sigs: DataFrame, bands: Int): DataFrame = {
     val banded = sigs.select(
       col("doc_id"),
       posexplode(sig_bands(col("sig"), bands)))
@@ -72,7 +72,6 @@ object Dedup {
   }
 
   def minhashLsh(t: Tables, numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
-    val rows = numHashes / bands
     // signatures feed three plan branches (banding + both sig-attach
     // joins); materialize once instead of recomputing the scan+hash per
     // branch (at scale: a checkpoint of n×(64 longs), tiny next to the
@@ -82,7 +81,7 @@ object Dedup {
       .select(col("doc_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig"))
       .localCheckpoint(true)
 
-    lshCandidates(sigs, bands, rows)
+    lshCandidates(sigs, bands)
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .withColumn("est_jaccard",
@@ -123,7 +122,7 @@ object Dedup {
     val sigs = tokenized(t)
       .filter(size(col("tokens")) > 1)
       .select(col("doc_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig"))
-    val candidates = lshCandidates(sigs, bands, numHashes / bands)
+    val candidates = lshCandidates(sigs, bands)
     val sets = shingled(t).select(col("doc_id"), array_distinct(col("shingles")).as("sset"))
     candidates
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sset", "set_a"), Seq("doc_a"))

@@ -67,7 +67,6 @@ object Similarity {
     * seeds; queries search the union of their `nprobe` closest clusters.
     */
   def ivf(t: Tables, nQueries: Int = 10, k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val spark = t.embeddings.sparkSession
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
     val refined = kmeansCentroids(emb, nlist)
     val assigned = assignNearest(emb, refined)
@@ -122,6 +121,7 @@ object Similarity {
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("query_emb"), col("cid"))
+      .localCheckpoint(true) // probes feed both the cid collect and the join
     val neededClusters = probes.select(col("cid")).distinct().collect().map(_.getInt(0))
     val pruned = index.filter(col("cid").isin(neededClusters.map(_.asInstanceOf[Any]).toSeq: _*))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))

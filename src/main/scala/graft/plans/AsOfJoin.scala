@@ -202,11 +202,20 @@ object AsOfJoinPlans {
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not in ${plan.output.map(_.name)}"))
-    val node = AsOfJoin(
-      lPlan, rPlan,
-      on.map(attr(lPlan, _)), on.map(n => attr(rPlan, rightPrefix + n)),
-      attr(lPlan, timeCol), attr(rPlan, rightPrefix + timeCol),
-      strict)
+    val lKeys = on.map(attr(lPlan, _))
+    val rKeys = on.map(n => attr(rPlan, rightPrefix + n))
+    val lTime = attr(lPlan, timeCol)
+    val rTime = attr(rPlan, rightPrefix + timeCol)
+    // the exec reads right values with the LEFT side's types (shared key
+    // ordering / time comparison), so mismatched types would silently
+    // compare garbage — reject them here instead
+    lKeys.zip(rKeys).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"as-of join key type mismatch: ${l.name}:${l.dataType.catalogString} vs ${r.name}:${r.dataType.catalogString}")
+    }
+    require(lTime.dataType == rTime.dataType,
+      s"as-of join time type mismatch: ${lTime.dataType.catalogString} vs ${rTime.dataType.catalogString}")
+    val node = AsOfJoin(lPlan, rPlan, lKeys, rKeys, lTime, rTime, strict)
     GraftInterop.ofRows(spark, node)
   }
 }

@@ -42,9 +42,12 @@ final class Tables(spark: SparkSession, dir: String) {
     val raw = t("events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // integer DIV, not `/`: float division of ~2^60 ns values loses
+        // the low bits (double ulp at that magnitude is 256 ns) and can
+        // shift boundary-aligned timestamps by 1us
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
       case _ => raw
     }
   }

@@ -23,7 +23,11 @@ object DocPipelines {
       delay: String = "1 hour"): DataFrame = {
     val hashed = docs.withColumn("content_hash", md5(col("text")))
     watermarkCol match {
-      case Some(ts) => hashed.withWatermark(ts, delay).dropDuplicates("content_hash")
+      // dropDuplicatesWithinWatermark is what actually evicts hash state
+      // as the watermark advances; plain dropDuplicates without the
+      // event-time column in the subset keeps state forever
+      case Some(ts) => hashed.withWatermark(ts, delay)
+        .dropDuplicatesWithinWatermark("content_hash")
       case None => hashed.dropDuplicates("content_hash")
     }
   }

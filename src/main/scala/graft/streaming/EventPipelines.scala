@@ -87,11 +87,18 @@ object EventPipelines {
             SessionOut(userId, s.sessionId, s.nEvents, s.startMillis / 1000, (s.lastMillis - s.startMillis) / 1000)
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
+            // keep a counter-only marker (nEvents == 0) so the user's NEXT
+            // session continues the numbering — removing state entirely
+            // would restart at session_id 1 and collide with earlier
+            // emitted keys. O(1) per ever-seen user; no timeout set, so
+            // the marker is inert until the user reappears.
+            state.update(SessionState(s.sessionId + 1, 0, 0L, 0L))
             Iterator(close(s))
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var cur = state.getOption
+            var cur = state.getOption.filter(_.nEvents > 0)
+            var nextId = state.getOption.map(s => if (s.nEvents > 0) s.sessionId + 1 else s.sessionId)
+              .getOrElse(1L)
             val closed = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
               val t = e.ts.getTime
@@ -102,7 +109,7 @@ object EventPipelines {
                   closed += close(s)
                   cur = Some(SessionState(s.sessionId + 1, 1, t, t))
                 case None =>
-                  cur = Some(SessionState(1, 1, t, t))
+                  cur = Some(SessionState(nextId, 1, t, t))
               }
             }
             cur.foreach { s =>
