@@ -40,6 +40,20 @@ class ApproxTopKSpec extends SparkSpecBase {
     assert(top("b") >= 50 && top("b") <= 50 + stream.size / 8)
   }
 
+  test("merged partials keep the overestimate-only guarantee despite evictions") {
+    val a = new SpaceSavingSketch(8)
+    val b = new SpaceSavingSketch(8)
+    // token "hot" heavy in A, evicted-from/absent-in B's capacity churn
+    (1 to 200).foreach(_ => a.add("hot"))
+    (1 to 30).foreach(i => a.add(s"fillerA$i"))
+    (1 to 40).foreach(i => b.add(s"fillerB$i"))
+    (1 to 50).foreach(_ => b.add("hot"))
+    a.merge(b)
+    val hot = a.topK(8).toMap.get("hot")
+    assert(hot.isDefined, "heavy hitter must survive the merge")
+    assert(hot.get >= 250, s"merged count ${hot.get} must not underestimate the true 250")
+  }
+
   test("serialize/deserialize round-trips the sketch") {
     val agg = graft.functions.ApproxTopKTokens(
       org.apache.spark.sql.classic.GraftInterop.expression(lit(Array("x"))), 5, 16)
