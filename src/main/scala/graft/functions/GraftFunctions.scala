@@ -35,6 +35,14 @@ object GraftFunctions {
   def rolling_fingerprint(c: Column, k: Int = 16): Column =
     EU.column(RollingFingerprint(EU.expression(c), k))
 
+  /** (array<long>, array<long>) → int count of agreeing positions. */
+  def sig_agreement(a: Column, b: Column): Column =
+    EU.column(SigAgreement(EU.expression(a), EU.expression(b)))
+
+  /** array<string> tokens → int count of tokens in `words` (dups counted). */
+  def stopword_hits(c: Column, words: Seq[String]): Column =
+    EU.column(StopwordHits(EU.expression(c), words))
+
   /** cosine(array<float>, array<float>) → double. */
   def cosine_sim(a: Column, b: Column): Column =
     EU.column(CosineSimilarity(EU.expression(a), EU.expression(b)))

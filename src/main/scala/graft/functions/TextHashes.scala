@@ -170,6 +170,37 @@ object GraftHash {
     minH
   }
 
+  /** Count of positions where two equal-length long arrays agree — the
+    * MinHash signature-agreement kernel (estimated Jaccard = agree/n).
+    * One tight loop; replaces an `aggregate(zip_with(...))` pipeline that
+    * would run per candidate pair on the interpreted expression path.
+    */
+  def sigAgreement(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var same = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) same += 1
+      i += 1
+    }
+    same
+  }
+
+  /** Count of tokens present in a fixed word set (duplicates counted) —
+    * the stopword-hit kernel for language ID / quality scoring. Set
+    * membership on UTF8String, no per-token lambda dispatch.
+    */
+  def stopwordHits(tokens: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    var hits = 0
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i) && set.contains(tokens.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
   private def mulMod(a: Long, b: Long): Long = {
     // (a*b) mod (2^61-1) via 128-bit multiply
     val hi = Math.multiplyHigh(a, b)
@@ -276,6 +307,54 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   }
   override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
   override def prettyName: String = "simhash64"
+}
+
+/** Signature-agreement expression: (array<long>, array<long>) → int count
+  * of agreeing positions (codegen). Estimated Jaccard for MinHash
+  * signatures is `sig_agreement(a, b) / numHashes`.
+  */
+case class SigAgreement(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Integer.valueOf(
+      GraftHash.sigAgreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = GraftHash.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $cls$$.MODULE$$.sigAgreement($a, $b);")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SigAgreement =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sig_agreement"
+}
+
+/** Stopword-hit-count expression: array<string> tokens → int count of
+  * tokens in the fixed word list (duplicates counted; codegen). The set
+  * lives once per task via a codegen reference object — no per-token
+  * interpreted lambda.
+  */
+case class StopwordHits(child: Expression, words: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(GraftHash.stopwordHits(input.asInstanceOf[ArrayData], set))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = GraftHash.getClass.getName.stripSuffix("$")
+    val setRef = ctx.addReferenceObj("stopwords", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls$$.MODULE$$.stopwordHits($c, (java.util.HashSet) $setRef);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): StopwordHits = copy(child = newChild)
+  override def prettyName: String = "stopword_hits"
 }
 
 /** Rolling-hash fingerprint expression: string → min k-byte-window

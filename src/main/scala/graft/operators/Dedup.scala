@@ -85,7 +85,7 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .withColumn("est_jaccard",
-        expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / cast($numHashes as double)"))
+        sig_agreement(col("sig_a"), col("sig_b")).cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -193,8 +193,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-      .join(broadcast(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))), Seq("id_a"))
-      .join(broadcast(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))), Seq("id_b"))
+      // plain shuffle joins: the surviving pair set keys on vec_id, the
+      // corpus shuffles once per side on its own id. A forced broadcast
+      // of the FULL embeddings table here OOMs executors at corpus scale;
+      // AQE still converts these to broadcasts when the table is small.
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
       .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))

@@ -52,11 +52,17 @@ object Similarity {
     var centroids = seeds
     var i = 0
     while (i < iters) {
+      // per-dimension mean via posexplode + partial-agg avg: (cid, dim)
+      // keyed shuffle of scalars — never a row holding a whole cluster's
+      // vectors (a collect_list there blows a single row past executor
+      // memory at corpus scale). Reassembly is nlist×dim tiny structs.
       centroids = assignNearest(emb, centroids)
-        .select(col("cid"), expr("transform(embedding, x -> cast(x as double))").as("ed"))
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("avgv"))
         .groupBy(col("cid"))
-        .agg(count(lit(1)).as("n"), expr("aggregate(collect_list(ed), cast(array() as array<double>), (acc, v) -> IF(size(acc) = 0, v, zip_with(acc, v, (a, b) -> a + b)))").as("sums"))
-        .select(col("cid"), expr("transform(sums, s -> cast(s / n as float))").as("centroid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("avgv")))),
+          s => s.getField("avgv").cast("float")).as("centroid"))
         .localCheckpoint(true)
       i += 1
     }

@@ -20,10 +20,8 @@ object TextAnalysis {
 
   private def tokensCol: Column = split(trim(lower(col("text"))), "\\s+")
 
-  private def stopHits(lang: String): Column = {
-    val set = Stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
-    expr(s"size(filter(toks, x -> x IN $set))")
-  }
+  private def stopHits(lang: String): Column =
+    stopword_hits(col("toks"), Stopwords(lang))
 
   /** t1: n-gram/stopword-heuristic language ID. Deterministic argmax over
     * per-language stopword hit counts with fixed preference order; 'und'
@@ -50,7 +48,6 @@ object TextAnalysis {
     * composite score (the classic pre-training heuristics stack).
     */
   def quality(t: Tables): DataFrame = {
-    val en = Stopwords("en").map(w => s"'$w'").mkString("(", ", ", ")")
     t.documents
       .withColumn("toks", tokensCol)
       .withColumn("n_chars_actual", length(col("text")).cast("long"))
@@ -59,7 +56,7 @@ object TextAnalysis {
         round(length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double") /
           greatest(length(col("text")), lit(1)), 6))
       .withColumn("stop_ratio",
-        round(expr(s"size(filter(toks, x -> x IN $en))").cast("double") /
+        round(stopword_hits(col("toks"), Stopwords("en")).cast("double") /
           greatest(size(col("toks")), lit(1)), 6))
       .withColumn("quality_score",
         round(lit(0.5) * least(col("n_tokens"), lit(100)).cast("double") / 100.0
