@@ -1,0 +1,202 @@
+package graft
+
+import graft.functions.GraftHash
+
+/** DuckDB SQL replicas of graft's hash/sketch kernels, generated from the
+  * same constants the Scala expressions use (seeds, FNV primes, splitmix
+  * streams). These exist so the driver's DuckDB oracle can verify even
+  * the custom-expression operators end-to-end: the corpus is pure ASCII
+  * (strlen == length for every doc at every SF), so char-level SQL folds
+  * reproduce the JVM's byte-level hashing exactly, and HUGEINT modular
+  * arithmetic emulates wrapping 64/32-bit integer semantics.
+  *
+  * Only the IVF probe (s2) has no replica: its k-means centroids are
+  * floating-point accumulation whose cross-engine reproduction is not
+  * meaningful — it is verified by recall-vs-brute-force specs instead.
+  */
+object OracleReplicas {
+
+  private val Mod64 = "CAST(18446744073709551616 AS HUGEINT)"
+  private val P61 = GraftHash.Prime61 // 2305843009213693951
+
+  private def u(x: Long): String = java.lang.Long.toUnsignedString(x)
+
+  /** FNV-1a 64 over a string expression, unsigned in HUGEINT (mirrors
+    * [[graft.functions.GraftHash.fnv64]]).
+    */
+  def fnv64Sql(s: String): String =
+    s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |    list_transform(string_split($s, ''), c -> CAST(unicode(c) AS HUGEINT))),
+       |  (h, b) -> (xor(h, b) * 1099511628211) % $Mod64)""".stripMargin
+
+  /** Reinterpret an unsigned HUGEINT value as the JVM's signed 64-bit. */
+  def signed64(v: String): String =
+    s"CAST(CASE WHEN ($v) >= 9223372036854775808 THEN ($v) - 18446744073709551616 ELSE ($v) END AS BIGINT)"
+
+  /** java.util.Arrays.hashCode over a HUGEINT byte list (h = 31*h + b,
+    * wrapping 32-bit), unsigned mod 2^32.
+    */
+  def jhashSql(bytes: String): String =
+    s"""list_reduce(list_prepend(CAST(1 AS HUGEINT), $bytes),
+       |  (h, b) -> (31 * h + b) % CAST(4294967296 AS HUGEINT))""".stripMargin
+
+  /** Reinterpret an unsigned mod-2^32 HUGEINT as the JVM's signed int. */
+  def signed32(v: String): String =
+    s"CAST(CASE WHEN ($v) >= 2147483648 THEN ($v) - 4294967296 ELSE ($v) END AS INTEGER)"
+
+  /** Chars of a string expression as a HUGEINT byte list (ASCII corpus). */
+  def charBytes(s: String): String =
+    s"list_transform(string_split($s, ''), c -> CAST(unicode(c) AS HUGEINT))"
+
+  /** d3: SimHash64 — per-token FNV, 64 per-bit votes, pigeonhole band
+    * collision + exact hamming filter, mirroring
+    * [[graft.functions.GraftHash.simhash64]] and [[graft.operators.Dedup.simhash]].
+    */
+  def d3Simhash(maxHamming: Int = 6): String = {
+    val votes = (0 until 64)
+      .map(b => s"SUM(CASE WHEN (h // CAST(${u(1L << b)} AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n    ")
+    val sigTerms = (0 until 64)
+      .map(b => s"CASE WHEN v$b > 0 THEN CAST(${u(1L << b)} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END")
+      .mkString(" + ")
+    val bandCond = (0 until 4)
+      .map(b => s"((a.usig // CAST(${u(1L << (16 * b))} AS HUGEINT)) % 65536 = (b.usig // CAST(${u(1L << (16 * b))} AS HUGEINT)) % 65536)")
+      .mkString(" OR ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents),
+       |th AS (SELECT doc_id, ${fnv64Sql("tok")} AS h FROM toks),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM th GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $sigTerms AS usig FROM votes),
+       |s2 AS (SELECT doc_id, usig, ${signed64("usig")} AS sig FROM sigs)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming
+       |  AND ($bandCond)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** t4: min rolling Karp–Rabin window hash (base 257 mod 2^61-1) over
+    * every 16-byte window, mirroring [[graft.functions.GraftHash.rollingFingerprint]].
+    */
+  def t4Fingerprint(k: Int = 16): String =
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS L, LEAST($k, length(text)) AS win FROM documents),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN L = 0 THEN CAST(0 AS BIGINT) ELSE CAST(
+       |      list_aggregate(
+       |        list_transform(range(L - win + 1), j ->
+       |          list_reduce(
+       |            list_prepend(CAST(0 AS HUGEINT), ${charBytes("substr(text, j + 1, win)")}),
+       |            (a, b) -> (a * 257 + b) % CAST($P61 AS HUGEINT))),
+       |        'min') AS BIGINT) END AS fp64
+       |  FROM d)
+       |SELECT doc_id, fp64, CAST(fp64 % 1024 AS INTEGER) AS fp_bucket
+       |FROM fp ORDER BY doc_id""".stripMargin
+
+  /** d5: random-hyperplane sign sketch with the exact splitmix64-derived
+    * weights of [[graft.functions.GraftVec.signSketch]] inlined as double
+    * literals (Double.toString round-trips), 4-bit band collision, exact
+    * cosine, mirroring [[graft.operators.Dedup.embeddingNearDup]].
+    */
+  def d5EmbedNearDup(minCosine: Double = 0.15, topN: Int = 50, nbits: Int = 16, seed: Long = 7L, dim: Int = 64): String = {
+    def weight(b: Int, d: Int): Double = {
+      val h = GraftHash.splitmix64(seed + b.toLong * 131071L + d)
+      (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    val sketch = (0 until nbits).map { b =>
+      val w = (0 until dim).map(d => weight(b, d).toString).mkString("[", ", ", "]")
+      s"CASE WHEN list_reduce(list_prepend(0.0, list_transform(range($dim), d -> ($w)[d+1] * CAST(embedding[d+1] AS DOUBLE))), (a, x) -> a + x) >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    val bandCond = (0 until 4)
+      .map(b => s"((a.sk // ${1L << (4 * b)}) % 16 = (b.sk // ${1L << (4 * b)}) % 16)")
+      .mkString(" OR ")
+    s"""WITH sk AS (SELECT vec_id, embedding, $sketch AS sk FROM embeddings),
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+       |  FROM sk a JOIN sk b ON a.vec_id < b.vec_id
+       |  WHERE $bandCond),
+       |pairs AS (
+       |  SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM cand),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+       |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+       |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+       |  FROM pairs GROUP BY id_a, id_b),
+       |cosd AS (
+       |  SELECT id_a, id_b,
+       |    ROUND(CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END, 4) AS cos
+       |  FROM scored
+       |  WHERE (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END) >= $minCosine)
+       |SELECT id_a, id_b, cos FROM cosd
+       |ORDER BY cos DESC, id_a, id_b
+       |LIMIT $topN""".stripMargin
+  }
+
+  /** d2: the full MinHash+LSH pipeline — shingle FNV (token bytes + the
+    * 0x1f separator fold, i.e. FNV over `tok1 || chr(31) || tok2 ||
+    * chr(31)`), 64 universal hashes `floorMod(a_i*x + b_i, 2^61-1)` with
+    * the splitmix64(42)-stream coefficients inlined, band-block equality,
+    * signature agreement ≥ threshold. Mirrors
+    * [[graft.functions.GraftHash.shingleMinHash]] / [[graft.operators.Dedup.minhashLsh]].
+    * Wrapping 64-bit `a*x` is computed as
+    * `((a_hi*x mod 2^32)*2^32 + a_lo*x) mod 2^64` to stay inside HUGEINT.
+    */
+  def d2MinhashLsh(numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5, seed: Long = 42L): String =
+    s"""WITH ${minhashCtes(numHashes, bands, seed)}
+       |SELECT doc_a, doc_b, ROUND(est, 4) AS est_jaccard
+       |FROM cand WHERE est >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** d6: connected components (min-label per component) over the d2 LSH
+    * pair graph, via transitive-closure recursive CTE. Mirrors
+    * [[graft.operators.Dedup.clusters]].
+    */
+  def d6Clusters(numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5, seed: Long = 42L): String =
+    s"""WITH RECURSIVE ${minhashCtes(numHashes, bands, seed)},
+       |p AS (SELECT doc_a, doc_b FROM cand WHERE est >= $threshold),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+       |verts AS (SELECT DISTINCT s AS doc_id FROM edges),
+       |walk(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM verts
+       |  UNION
+       |  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.doc_id)
+       |SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id ORDER BY cluster_id, doc_id""".stripMargin
+
+  /** Shared CTEs: tokens → per-doc shingle-FNV list → 64-hash MinHash
+    * signature → band-colliding candidate pairs with agreement estimate.
+    */
+  private def minhashCtes(numHashes: Int, bands: Int, seed: Long): String = {
+    val shingleFnv = fnv64Sql("t[i] || chr(31) || t[i+1] || chr(31)")
+    val sigElems = (0 until numHashes).map { j =>
+      val a = GraftHash.splitmix64(seed + 2L * j) | 1L
+      val b = GraftHash.splitmix64(seed + 2L * j + 1)
+      val aHi = a >>> 32
+      val aLo = a & 0xffffffffL
+      val tu = s"(((($aHi * x) % 4294967296) * 4294967296 + $aLo * x + ${u(b)}) % $Mod64)"
+      val ts = s"(CASE WHEN $tu >= 9223372036854775808 THEN $tu - 18446744073709551616 ELSE $tu END)"
+      val fm = s"((($ts % $P61) + $P61) % $P61)"
+      s"CAST(list_aggregate(list_transform(xs, x -> $fm), 'min') AS BIGINT)"
+    }
+    val sigList = sigElems.mkString("[", ", ", "]")
+    val per = numHashes / bands
+    val bandCond = (0 until bands)
+      .map(b => s"(a.sig[${per * b + 1}:${per * b + per}] = b.sig[${per * b + 1}:${per * b + per}])")
+      .mkString(" OR ")
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_transform(range(1, len(t)), i -> $shingleFnv) AS xs
+       |  FROM toks WHERE len(t) > 1),
+       |sigs AS (SELECT doc_id, $sigList AS sig FROM sh),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_filter(range($numHashes), i -> a.sig[i+1] = b.sig[i+1])) / $numHashes.0 AS est
+       |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |  WHERE $bandCond)""".stripMargin
+  }
+}

@@ -61,12 +61,87 @@ object SparkEntry {
     "st2_sessionize" -> ((s, dir) => graft.streaming.EventPipelines.sessionizeBatch(Tables(s, dir))),
   )
 
+  import OracleReplicas.{fnv64Sql, signed64, jhashSql, signed32, charBytes}
+
+  /** Shared CTE body for the exact-shingle-Jaccard oracles (d4/d6):
+    * distinct word-2-gram shingles per doc, inverted-index pair
+    * intersection counts, Jaccard ratio.
+    */
+  private val jaccardCtes: String =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS shingle
+      |    FROM toks WHERE len(t) > 1) z),
+      |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+      |shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |j AS (
+      |  SELECT doc_a, doc_b, CAST(shared AS DOUBLE) / (sa.nsh + sb.nsh - shared) AS jac
+      |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)""".stripMargin
+
   /** DuckDB-equivalent SQL per query key; the driver hash-compares results
     * (columns sorted by name), so aliases here match the Spark side
     * exactly, money sums go through DECIMAL for order-independence, and
     * integer aggregates are cast to BIGINT (DuckDB SUM(int) is HUGEINT).
     */
   def oracleSql: Map[String, String] = Map(
+    "s1_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT query_id, vec_id AS neighbor_id, unnest(qe) AS x, unnest(embedding) AS y
+        |  FROM q CROSS JOIN embeddings WHERE vec_id <> query_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |  FROM pairs GROUP BY query_id, neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END AS cosf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END) DESC,
+        |               neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, ROUND(cosf, 6) AS cos
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "d4_ngram_jaccard" ->
+      (s"WITH $jaccardCtes\n" +
+        "SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM j WHERE jac >= 0.3 ORDER BY doc_a, doc_b"),
+    "d6_dedup_clusters" -> OracleReplicas.d6Clusters(),
+    "m1_multimodal" ->
+      (s"""WITH f AS (
+          |  SELECT source, length(text) AS blen,
+          |    ${signed64(fnv64Sql("text"))} AS hs
+          |  FROM documents)
+          |SELECT source,
+          |  COUNT(*) AS n_media,
+          |  CAST(SUM(blen) AS BIGINT) AS total_bytes,
+          |  MIN(hs) AS min_checksum,
+          |  AVG(64 + (abs(hs) % 1024)) AS avg_width
+          |FROM f GROUP BY source ORDER BY source""".stripMargin),
+    "m2_frame_sample" -> {
+      val frameStr = "substr(text, CAST(fi * greatest(length(text) - 32, 0) // 2 AS INTEGER) + 1, 32)"
+      val thumbBytes = "list_transform(range(16), i -> CAST(unicode(substr(text, CAST(i * length(text) // 16 AS INTEGER) + 1, 1)) AS HUGEINT))"
+      s"""SELECT doc_id,
+         |  CAST(fi AS INTEGER) AS frame_idx,
+         |  CAST(length($frameStr) AS INTEGER) AS frame_bytes,
+         |  ${signed32(jhashSql(charBytes(frameStr)))} AS frame_hash,
+         |  ${signed32(jhashSql(thumbBytes))} AS thumb_hash
+         |FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS fi)
+         |ORDER BY doc_id, frame_idx""".stripMargin
+    },
+    // generated replicas of the custom hash/sketch kernels (constants
+    // derived from the same splitmix64 streams the expressions use)
+    "d2_dedup_minhash" -> OracleReplicas.d2MinhashLsh(),
+    "d3_dedup_simhash" -> OracleReplicas.d3Simhash(),
+    "d5_dedup_embed" -> OracleReplicas.d5EmbedNearDup(),
+    "t4_fingerprint" -> OracleReplicas.t4Fingerprint(),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -37,16 +37,6 @@ object Dedup {
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("tokens"))
   }
 
-  /** Word 2-gram shingle hashes (array<long>) per document — native
-    * codegen expression, not a higher-order-function lambda (those run on
-    * the interpreted path: ~250x slower per shingle, measured).
-    */
-  private def shingled(t: Tables): DataFrame =
-    tokenized(t).select(
-      col("doc_id"),
-      shingle_hashes(col("tokens"), 2).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-
   /** d2: MinHash + LSH banding. numHashes=64 split into 16 bands of 4 —
     * S-curve threshold ≈ (1/16)^(1/4) ≈ 0.5 Jaccard. The self-join runs
     * on (band_idx, band_hash) bucket keys only; candidate pairs are then
@@ -114,22 +104,40 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** d4: exact n-gram Jaccard verification over the LSH candidates — the
-    * verify stage of the dedup pipeline. Exact set Jaccard is computed
-    * only for pairs the cheap LSH pass surfaced.
+  /** d4: EXACT n-gram Jaccard dedup via inverted-index blocking. Jaccard
+    * over distinct word-2-gram shingle sets, computed entirely with
+    * joins/aggregations: explode (doc, shingle), self-join on the shingle
+    * to count |A∩B| per pair, attach |A|/|B|, filter on the ratio.
+    * Recall is exactly 1.0 — Jaccard > 0 implies a shared shingle, so
+    * every qualifying pair survives blocking (unlike the probabilistic
+    * d2 LSH path, this is the reproducible ground-truth operator).
+    *
+    * Scale shape: the self-join's output is Σ_shingle df² — fine while
+    * no shingle is corpus-hot; production corpora drop ultra-common
+    * shingles (df cap) or fall back to d2's LSH where the exact pair set
+    * itself would be quadratic. Only (shingle-hash, doc_id) pairs and
+    * small count rows ever shuffle; shingle strings leave the map side
+    * only as join keys.
     */
-  def ngramJaccard(t: Tables, minJaccard: Double = 0.3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val sigs = tokenized(t)
+  def ngramJaccard(t: Tables, minJaccard: Double = 0.3): DataFrame = {
+    // 8-byte FNV shingle hashes as the join/count domain: same Jaccard as
+    // string shingles modulo 64-bit collisions (~df²/2^64, negligible),
+    // at a fraction of the shuffle bytes and key-compare cost
+    val sets = tokenized(t)
       .filter(size(col("tokens")) > 1)
-      .select(col("doc_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig"))
-    val candidates = lshCandidates(sigs, bands)
-    val sets = shingled(t).select(col("doc_id"), array_distinct(col("shingles")).as("sset"))
-    candidates
-      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sset", "set_a"), Seq("doc_a"))
-      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sset", "set_b"), Seq("doc_b"))
+      .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("tokens"), 2))).as("shingle"))
+      .localCheckpoint(true) // feeds the size agg and both join sides
+    val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val shared = sets.select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(sets.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), Seq("doc_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))))
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -145,6 +153,9 @@ object Dedup {
     * this is the GraphX/GraphFrames pattern without the dependency.
     */
   def clusters(t: Tables, maxIter: Int = 10): DataFrame = {
+    // edges from the LSH pair graph — the pair source that scales (d4's
+    // exact graph costs Σdf² and is the ground-truth/verify path, not the
+    // production one). The propagation is identical for any edge source.
     val pairs = minhashLsh(t).select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -159,14 +170,17 @@ object Dedup {
         .join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("doc_id"))
         .agg(min(col("label")).as("nmin"))
+      // carry the old label through the select so the convergence count
+      // reads the (already materialized) checkpoint instead of paying a
+      // second join against the previous generation every round
       val next = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("__old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("__old")).count()
+      labels = next.drop("__old")
       converged = changed == 0
       iter += 1
     }
