@@ -24,13 +24,19 @@ object Pipeline {
   case object PreSeason extends Strategy
   case object PostRace extends Strategy
 
-  /** Table configuration (reference: config.py TableConfig). */
+  /** Table configuration (reference: config.py TableConfig).
+    * `partitionColumn` opts the table into partitioned storage +
+    * partition-scoped merges; a row's partition value must be stable
+    * under upsert (derive it from the business key or an immutable
+    * event time, or the "old" row survives in its old partition).
+    */
   final case class TableSpec(
       name: String,
       strategy: Strategy,
       dependencies: Seq[String],
       keyColumns: Seq[String],
-      versionColumn: Option[String] = None)
+      versionColumn: Option[String] = None,
+      partitionColumn: Option[String] = None)
 
   /** A loader produces the fresh extract for its entity; the runner owns
     * transform-order, merge and metadata (reference: BaseLoader.run).
@@ -54,6 +60,69 @@ object Pipeline {
     }
     specs.map(_.name).sorted.foreach(visit)
     done.toSeq.filter(byName.contains)
+  }
+
+  /** Incremental merge into a PARTITIONED parquet target, rewriting only
+    * the partitions `fresh` touches (dynamic partition overwrite). The
+    * whole-table merge + staging swap reads and rewrites every byte of
+    * the target per run — fatal once the table is 1000× the increment.
+    * Here: existing rows are read ONLY from touched partitions (partition
+    * pruning at the scan), merged last-write-wins with the increment, and
+    * written back in overwrite-dynamic mode, which replaces exactly the
+    * partition directories present in the output. Untouched partitions'
+    * files are never read or rewritten. Returns the merged row count of
+    * the touched partitions.
+    */
+  def mergeIntoPartitioned(spark: SparkSession, targetPath: String, fresh: DataFrame,
+      keys: Seq[String], version: Option[String], partitionCol: String): Long = {
+    // touched partition values: driver-sized by construction (an
+    // increment spans few coarse partitions — days, not keys)
+    val touched = fresh.select(col(partitionCol)).distinct().collect().map(_.get(0))
+    val exists = Files.exists(Paths.get(targetPath))
+    val existing =
+      if (exists)
+        Some(spark.read.parquet(targetPath)
+          .filter(col(partitionCol).isin(touched.toSeq: _*)))
+      else None
+    val merged = merge(existing, fresh, keys, version)
+      .localCheckpoint(eager = true) // sever lineage from files being replaced
+    merged.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(targetPath)
+    merged.count()
+  }
+
+  /** Thrown by extracts for non-retryable failures — the analog of the
+    * reference's 4xx client errors, which its retry loop surfaces
+    * immediately (/root/reference/api_client.py:71-73).
+    */
+  final case class FatalExtractException(message: String, cause: Throwable = null)
+      extends RuntimeException(message, cause)
+
+  /** Retry combinator for extracts (reference: api_client.py:33-84's
+    * request loop): transient failures retry with exponential backoff,
+    * [[FatalExtractException]] (client-error analog) does not retry.
+    * `sleep` is injectable so specs run without wall-clock delays.
+    */
+  def withRetry(extract: Extract, maxAttempts: Int = 3,
+      backoffMs: Int => Long = a => 100L << a,
+      sleep: Long => Unit = Thread.sleep): Extract = (spark, since) => {
+    var attempt = 0
+    var out: Option[DataFrame] = None
+    var lastErr: Throwable = null
+    while (out.isEmpty && attempt < maxAttempts) {
+      try out = Some(extract(spark, since))
+      catch {
+        case e: FatalExtractException => throw e
+        case e: Throwable =>
+          lastErr = e
+          attempt += 1
+          if (attempt < maxAttempts) sleep(backoffMs(attempt))
+      }
+    }
+    out.getOrElse(throw lastErr)
   }
 
   /** Idempotent merge: last-write-wins per business key — the distributed
@@ -80,28 +149,76 @@ object Pipeline {
   }
 }
 
-/** Parquet-backed sync metadata (reference: metadata.py sync_status +
-  * sync_log). Tiny table, rewritten whole — the audit log is append-only
-  * in spirit and kept bounded by the runner.
+/** Freshness gating — the reference's "smart loading" decisions
+  * (metadata.py:196-316 should_load + the race-since-last-sync buffer
+  * check), generalized: PreSeason entities load once per period (year),
+  * PostRace entities load only when an event old enough to be final
+  * (bufferSec, the reference's penalty window) postdates the last sync.
+  * Pure functions — the runner supplies the calendar and the clock.
   */
-final class MetadataStore(spark: SparkSession, root: String) {
+object Freshness {
+  private def yearOf(epochSec: Long): Int =
+    java.time.Instant.ofEpochSecond(epochSec).atZone(java.time.ZoneOffset.UTC).getYear
+
+  /** Should `strategy` load now? `eventTimes` is the event calendar
+    * (epoch seconds); `graceSec` re-examines events slightly older than
+    * the last sync, mirroring the reference's 1-day lookback.
+    */
+  def shouldLoad(strategy: Pipeline.Strategy, lastSuccessAt: Option[Long], nowSec: Long,
+      eventTimes: => Seq[Long], bufferSec: Long = 2 * 86400L, graceSec: Long = 86400L): Boolean =
+    lastSuccessAt match {
+      case None => true // never loaded
+      case Some(last) => strategy match {
+        case Pipeline.PreSeason => yearOf(last) < yearOf(nowSec)
+        case Pipeline.PostRace =>
+          val settled = eventTimes.filter(_ <= nowSec - bufferSec)
+          settled.nonEmpty && settled.max > last - graceSec
+      }
+    }
+}
+
+/** Parquet-backed sync metadata (reference: metadata.py sync_status +
+  * sync_log). Two-phase: [[startSync]] appends a `running` row before
+  * work begins, [[completeSync]] appends the terminal row referencing
+  * it — so a hung or crashed run is VISIBLE as a trailing `running`
+  * entry instead of silently absent (reference: start_sync/complete_sync,
+  * metadata.py:11-113). Tiny table; append-only. `clock` is injectable
+  * for deterministic specs.
+  */
+final class MetadataStore(spark: SparkSession, root: String,
+    clock: () => Long = () => System.currentTimeMillis() / 1000) {
   import spark.implicits._
 
   private val logPath = s"$root/sync_log"
+
+  def nowSec: Long = clock()
 
   private def readLog(): DataFrame =
     if (Files.exists(Paths.get(logPath))) spark.read.parquet(logPath)
     else spark.emptyDataset[MetadataStore.LogRow].toDF()
 
-  def appendLog(entity: String, status: String, records: Long, watermark: Option[Long]): Unit = {
+  def appendLog(entity: String, status: String, records: Long, watermark: Option[Long],
+      refId: Option[Long] = None, error: Option[String] = None): Long = {
     val prior = readLog().as[MetadataStore.LogRow].collect().toSeq
     val nextId = if (prior.isEmpty) 1L else prior.map(_.id).max + 1
-    val row = MetadataStore.LogRow(nextId, entity, status, records, watermark)
+    val row = MetadataStore.LogRow(nextId, entity, status, records, watermark, refId, error, clock())
     // append-only: a crash mid-write can at worst lose THIS entry; an
     // overwrite of the whole log would destroy every watermark if it died
     // between delete and commit
     Seq(row).toDS().toDF().repartition(1)
       .write.mode(SaveMode.Append).parquet(logPath)
+    nextId
+  }
+
+  /** Phase 1: record the run as in-flight; returns the log id to close. */
+  def startSync(entity: String): Long =
+    appendLog(entity, "running", 0L, None)
+
+  /** Phase 2: close the in-flight row with the terminal outcome. */
+  def completeSync(entity: String, logId: Long, success: Boolean, records: Long,
+      watermark: Option[Long], error: Option[String] = None): Unit = {
+    appendLog(entity, if (success) "success" else "failed", records, watermark, Some(logId), error)
+    ()
   }
 
   /** Latest successful watermark per entity (reference: get_watermark). */
@@ -112,12 +229,24 @@ final class MetadataStore(spark: SparkSession, root: String) {
     rows.sortBy(_.id).lastOption.flatMap(_.watermark)
   }
 
+  /** Wall-clock of the last successful sync (freshness-gate input). */
+  def lastSuccessAt(entity: String): Option[Long] =
+    history(entity).filter(_.status == "success").lastOption.map(_.syncedAt)
+
+  /** The entity's current state = its latest log row. A hung run shows
+    * as `running` here until its terminal row lands.
+    */
+  def currentStatus(entity: String): Option[String] =
+    history(entity).lastOption.map(_.status)
+
   def history(entity: String): Seq[MetadataStore.LogRow] =
     readLog().as[MetadataStore.LogRow].collect().toSeq.filter(_.entity == entity).sortBy(_.id)
 }
 
 object MetadataStore {
-  final case class LogRow(id: Long, entity: String, status: String, records: Long, watermark: Option[Long])
+  final case class LogRow(id: Long, entity: String, status: String, records: Long,
+      watermark: Option[Long], refId: Option[Long] = None, error: Option[String] = None,
+      syncedAt: Long = 0L)
 }
 
 /** The orchestrator (reference: main.py run loop). Warehouse tables are
@@ -129,7 +258,10 @@ final class PipelineRunner(
     warehouseRoot: String,
     metadata: MetadataStore,
     specs: Seq[Pipeline.TableSpec],
-    extracts: Map[String, Pipeline.Extract]) {
+    extracts: Map[String, Pipeline.Extract],
+    // event calendar for freshness gating (reference: the round table);
+    // None = no gating, every run loads (the pre-gating behavior)
+    calendar: Option[SparkSession => Seq[Long]] = None) {
 
   private def targetPath(name: String) = s"$warehouseRoot/$name"
 
@@ -159,29 +291,68 @@ final class PipelineRunner(
   }
 
   /** Run one mode (reference: --mode pre_season|post_race). `force`
-    * bypasses the watermark skip (reference: --force). Returns per-table
-    * merged record counts.
+    * bypasses both the watermark skip and the freshness gate (reference:
+    * --force). Tables the freshness gate skips get a `skipped` audit row
+    * and are absent from the returned counts. Returns per-table merged
+    * record counts.
     */
   def run(strategy: Pipeline.Strategy, force: Boolean = false,
       newWatermark: Option[Long] = None): Map[String, Long] = {
     val selected = specs.filter(_.strategy == strategy).map(_.name).toSet
     val ordered = Pipeline.loadOrder(specs).filter(selected.contains)
-    ordered.map { name =>
-      val spec = specs.find(_.name == name).get
-      val since = if (force) None else metadata.watermark(name)
+    ordered.flatMap(name => runOne(specs.find(_.name == name).get, force, newWatermark))
+      .toMap
+  }
+
+  /** Targeted single-table run (reference: main.py run_table / --table):
+    * same extract→merge→publish→metadata path, one entity, no mode
+    * filter. Returns the merged count, or None if the freshness gate
+    * skipped it.
+    */
+  def runTable(name: String, force: Boolean = false,
+      newWatermark: Option[Long] = None): Option[Long] = {
+    val spec = specs.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown table $name"))
+    runOne(spec, force, newWatermark).map(_._2)
+  }
+
+  private def runOne(spec: Pipeline.TableSpec, force: Boolean,
+      newWatermark: Option[Long]): Option[(String, Long)] = {
+    val name = spec.name
+    val since = if (force) None else metadata.watermark(name)
+    val fresh0 = calendar match {
+      case Some(cal) if !force =>
+        Freshness.shouldLoad(spec.strategy, metadata.lastSuccessAt(name), metadata.nowSec, cal(spark))
+      case _ => true
+    }
+    if (!fresh0) {
+      metadata.appendLog(name, "skipped", 0L, since)
+      None
+    } else {
+      val logId = metadata.startSync(name)
       try {
         val fresh = extracts(name)(spark, since)
-        val merged = Pipeline.merge(readTarget(name), fresh, spec.keyColumns, spec.versionColumn)
-          .localCheckpoint(eager = true) // sever lineage from the file being replaced
-        atomicPublish(merged, name)
-        val n = merged.count()
-        metadata.appendLog(name, "success", n, newWatermark.orElse(since))
-        name -> n
+        // partitioned tables merge in place per touched partition (n =
+        // touched-partition rows); unpartitioned tables merge whole and
+        // swap atomically (n = full table rows)
+        val n = spec.partitionColumn match {
+          case Some(pc) =>
+            Pipeline.mergeIntoPartitioned(spark, targetPath(name), fresh,
+              spec.keyColumns, spec.versionColumn, pc)
+          case None =>
+            val merged = Pipeline.merge(readTarget(name), fresh, spec.keyColumns, spec.versionColumn)
+              .localCheckpoint(eager = true) // sever lineage from the file being replaced
+            atomicPublish(merged, name)
+            merged.count()
+        }
+        metadata.completeSync(name, logId, success = true, n, newWatermark.orElse(since))
+        Some(name -> n)
       } catch {
         case e: Exception =>
-          metadata.appendLog(name, "failed", 0L, since)
+          metadata.completeSync(name, logId, success = false, 0L, since,
+            Option(e.getMessage))
           throw e
       }
-    }.toMap
+    }
   }
 }

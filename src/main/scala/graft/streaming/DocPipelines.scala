@@ -32,7 +32,7 @@ object DocPipelines {
     }
   }
 
-  case class BandDoc(band_key: Long, doc_id: Long, sig: Array[Long])
+  case class BandDoc(band_key: Long, doc_id: Long, sig: Array[Long], ts: java.sql.Timestamp)
   case class BucketState(docs: List[(Long, Array[Long])])
   case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
 
@@ -40,50 +40,73 @@ object DocPipelines {
     * batch LSH dedup. Signatures are computed map-side by the same
     * codegen expression; each doc lands in its `bands` bucket groups,
     * and per-bucket keyed state holds the signatures seen so far — a new
-    * arrival emits candidate pairs against its bucket's history. State
-    * per bucket is the bucket's membership (the same collision set the
-    * batch join materializes); production feeds bound it with a state
-    * TTL. The same pair can surface from several bands — consumers
-    * dedupe downstream (exactly what the batch pipeline's `distinct()`
-    * does).
+    * arrival emits candidate pairs against its bucket's history. The
+    * same pair can surface from several bands — consumers dedupe
+    * downstream (exactly what the batch pipeline's `distinct()` does).
+    *
+    * State TTL: with `watermarkCol` set, each bucket carries an
+    * event-time timeout `ttl` past its newest member — once the
+    * watermark passes it, the bucket's membership is REMOVED. Without a
+    * TTL the state would grow with distinct band buckets forever; with
+    * it, state is O(buckets active within the TTL window), the only
+    * shape that survives an endless feed. `watermarkCol = None` keeps
+    * unbounded state for bounded backfills.
     */
   def minhashDedupStream(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): Dataset[NearDupPair] = {
+      threshold: Double = 0.5, watermarkCol: Option[String] = None,
+      delay: String = "10 minutes", ttlMinutes: Int = 60): Dataset[NearDupPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val banded = docs
+    val useTtl = watermarkCol.isDefined
+    val ttlMs = ttlMinutes * 60_000L
+    val watermarked = watermarkCol.fold(docs)(c => docs.withWatermark(c, delay))
+    val tsCol = watermarkCol.fold(lit(null).cast("timestamp"))(col(_))
+    val banded = watermarked
       .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
       .filter(size(col("toks")) > 1)
       .withColumn("sig", GraftFunctions.shingle_minhash(col("toks"), 2, numHashes, 42L))
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id"), col("sig"), tsCol.as("ts"),
         explode(GraftFunctions.sig_bands(col("sig"), bands)).as("band_key"))
-      .select(col("band_key"), col("doc_id"), col("sig"))
+      .select(col("band_key"), col("doc_id"), col("sig"), col("ts"))
       .as[BandDoc]
 
+    val timeoutConf = if (useTtl) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     banded
       .groupByKey(_.band_key)
       .flatMapGroupsWithState[BucketState, NearDupPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_: Long, rows: Iterator[BandDoc], state: GroupState[BucketState]) =>
-          var seen = state.getOption.map(_.docs).getOrElse(Nil)
-          val out = List.newBuilder[NearDupPair]
-          rows.toSeq.sortBy(_.doc_id).foreach { bd =>
-            if (!seen.exists(_._1 == bd.doc_id)) {
-              seen.foreach { case (oldId, oldSig) =>
-                var same = 0
-                var i = 0
-                while (i < bd.sig.length) { if (bd.sig(i) == oldSig(i)) same += 1; i += 1 }
-                val est = same.toDouble / bd.sig.length
-                if (est >= threshold) {
-                  val (a, b) = if (oldId < bd.doc_id) (oldId, bd.doc_id) else (bd.doc_id, oldId)
-                  out += NearDupPair(a, b, est)
+          if (state.hasTimedOut) {
+            // watermark passed the bucket's TTL deadline: evict the
+            // whole membership — docs older than the horizon can no
+            // longer produce within-window pairs
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.map(_.docs).getOrElse(Nil)
+            val out = List.newBuilder[NearDupPair]
+            var maxTs = Long.MinValue
+            rows.toSeq.sortBy(_.doc_id).foreach { bd =>
+              if (bd.ts != null) maxTs = math.max(maxTs, bd.ts.getTime)
+              if (!seen.exists(_._1 == bd.doc_id)) {
+                seen.foreach { case (oldId, oldSig) =>
+                  var same = 0
+                  var i = 0
+                  while (i < bd.sig.length) { if (bd.sig(i) == oldSig(i)) same += 1; i += 1 }
+                  val est = same.toDouble / bd.sig.length
+                  if (est >= threshold) {
+                    val (a, b) = if (oldId < bd.doc_id) (oldId, bd.doc_id) else (bd.doc_id, oldId)
+                    out += NearDupPair(a, b, est)
+                  }
                 }
+                seen = (bd.doc_id, bd.sig) :: seen
               }
-              seen = (bd.doc_id, bd.sig) :: seen
             }
+            state.update(BucketState(seen))
+            if (useTtl && maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
           }
-          state.update(BucketState(seen))
-          out.result().iterator
       }
   }
 

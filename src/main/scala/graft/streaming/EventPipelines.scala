@@ -157,23 +157,36 @@ object EventPipelines {
     * [[graft.etl.Pipeline.merge]] inside `foreachBatch`. Restart-safe:
     * replayed batches collapse into the same keys (merge is idempotent),
     * which is the exactly-once recipe for non-transactional sinks.
+    *
+    * With `partitionCol` set, each micro-batch rewrites ONLY the
+    * partitions it touches ([[graft.etl.Pipeline.mergeIntoPartitioned]])
+    * — without it, every micro-batch reads and rewrites the WHOLE
+    * target, which stops being viable once the table dwarfs a batch.
     */
   def upsertStream(events: DataFrame, targetPath: String, checkpoint: String,
-      keys: Seq[String] = Seq("event_id"), versionCol: String = "ts"): org.apache.spark.sql.streaming.StreamingQuery =
+      keys: Seq[String] = Seq("event_id"), versionCol: String = "ts",
+      partitionCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val existing =
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(targetPath)))
-            Some(spark.read.parquet(targetPath))
-          else None
-        val merged = graft.etl.Pipeline
-          .merge(existing, batch.toDF(), keys, Some(versionCol))
-          .localCheckpoint(true)
-        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(targetPath)
-        ()
+        partitionCol match {
+          case Some(pc) =>
+            graft.etl.Pipeline.mergeIntoPartitioned(
+              spark, targetPath, batch.toDF(), keys, Some(versionCol), pc)
+            ()
+          case None =>
+            val existing =
+              if (java.nio.file.Files.exists(java.nio.file.Paths.get(targetPath)))
+                Some(spark.read.parquet(targetPath))
+              else None
+            val merged = graft.etl.Pipeline
+              .merge(existing, batch.toDF(), keys, Some(versionCol))
+              .localCheckpoint(true)
+            merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(targetPath)
+            ()
+        }
       }
       .start()
 }

@@ -91,6 +91,144 @@ class EtlSpec extends SparkSpecBase {
     assert(store.history("dim_customer").last.status == "failed")
   }
 
+  test("freshness gate skips fresh tables; events past the buffer trigger loads; force overrides") {
+    val (wh, md) = freshDirs()
+    var now = 1705276800L // 2024-01-15
+    val store = new MetadataStore(spark, md, clock = () => now)
+    // calendar: one event settled long ago, one event on 2024-01-20
+    val calendar: org.apache.spark.sql.SparkSession => Seq[Long] =
+      _ => Seq(1704067200L /* 2024-01-01 */, 1705708800L /* 2024-01-20 */)
+    val runner = new PipelineRunner(spark, wh, store, specs, extracts(), Some(calendar))
+
+    val first = runner.run(Pipeline.PreSeason)
+    assert(first.contains("dim_customer"), "never-loaded tables must load")
+    // same period, already loaded -> skipped with an audit row
+    val second = runner.run(Pipeline.PreSeason)
+    assert(second.isEmpty, "fresh pre-season tables must be skipped")
+    assert(store.currentStatus("dim_customer").contains("skipped"))
+    // force bypasses the gate
+    val forced = runner.run(Pipeline.PreSeason, force = true)
+    assert(forced.contains("dim_customer"))
+    // next year -> pre-season loads again
+    now = 1737072000L // 2025-01-17
+    assert(runner.run(Pipeline.PreSeason).contains("dim_customer"))
+
+    // post-race: load (event settled), then skip (no new settled event)
+    now = 1705276800L
+    assert(runner.run(Pipeline.PostRace).contains("fact_events"))
+    assert(runner.run(Pipeline.PostRace).isEmpty, "no settled event since last sync")
+    // the 2024-01-20 event settles after the 2-day buffer -> load again
+    now = 1705708800L + 3 * 86400
+    assert(runner.run(Pipeline.PostRace).contains("fact_events"))
+  }
+
+  test("two-phase sync: a hung run is visible as a trailing running row") {
+    val (wh, md) = freshDirs()
+    val store = new MetadataStore(spark, md)
+    val logId = store.startSync("fact_events")
+    assert(store.currentStatus("fact_events").contains("running"), "in-flight run must be visible")
+    store.completeSync("fact_events", logId, success = false, 0L, None, Some("executor lost"))
+    assert(store.currentStatus("fact_events").contains("failed"))
+    assert(store.history("fact_events").last.error.contains("executor lost"))
+    assert(store.history("fact_events").last.refId.contains(logId))
+    // a completed run via the runner ends in success, not running
+    val runner = new PipelineRunner(spark, wh, store, specs, extracts())
+    runner.run(Pipeline.PreSeason)
+    assert(store.currentStatus("dim_customer").contains("success"))
+  }
+
+  test("single-table targeted run loads exactly one entity") {
+    val (wh, md) = freshDirs()
+    val store = new MetadataStore(spark, md)
+    val runner = new PipelineRunner(spark, wh, store, specs, extracts())
+    val n = runner.runTable("dim_nation")
+    assert(n.contains(Tables(spark, sfDir).nation.count()))
+    assert(store.history("dim_customer").isEmpty, "other tables untouched")
+    intercept[IllegalArgumentException] { runner.runTable("nope") }
+  }
+
+  test("withRetry retries transient extract failures with backoff, not fatal ones") {
+    var attempts = 0
+    val sleeps = scala.collection.mutable.ListBuffer.empty[Long]
+    val flaky: Pipeline.Extract = (s, _) => {
+      attempts += 1
+      if (attempts < 3) throw new RuntimeException("transient")
+      Tables(s, sfDir).nation
+    }
+    val wrapped = Pipeline.withRetry(flaky, maxAttempts = 3, sleep = sleeps += _)
+    assert(wrapped(spark, None).count() == Tables(spark, sfDir).nation.count())
+    assert(attempts == 3)
+    assert(sleeps.toSeq == Seq(200L, 400L), "exponential backoff between attempts")
+
+    attempts = 0
+    val fatal: Pipeline.Extract = (_, _) => {
+      attempts += 1
+      throw Pipeline.FatalExtractException("bad request")
+    }
+    intercept[Pipeline.FatalExtractException] {
+      Pipeline.withRetry(fatal, maxAttempts = 3, sleep = _ => ())(spark, None)
+    }
+    assert(attempts == 1, "client-error analogs must not retry")
+
+    attempts = 0
+    val alwaysDown: Pipeline.Extract = (_, _) => {
+      attempts += 1
+      throw new RuntimeException("still down")
+    }
+    intercept[RuntimeException] {
+      Pipeline.withRetry(alwaysDown, maxAttempts = 3, sleep = _ => ())(spark, None)
+    }
+    assert(attempts == 3, "transient failures exhaust all attempts")
+  }
+
+  test("partitioned merge rewrites only touched partitions; untouched files survive unmodified") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft_pm_").toString + "/t"
+    val initial = Seq(
+      (1L, "a", 10L, "2024-01-01"), (2L, "b", 10L, "2024-01-01"),
+      (3L, "c", 10L, "2024-01-02")).toDF("id", "v", "ver", "day")
+    Pipeline.mergeIntoPartitioned(spark, target, initial, Seq("id"), Some("ver"), "day")
+
+    def snapshot(day: String): Map[String, (Long, Long)] = {
+      val dir = new java.io.File(s"$target/day=$day")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val day1Before = snapshot("2024-01-01")
+    assert(day1Before.nonEmpty)
+    Thread.sleep(20) // make mtime changes observable
+
+    // increment touches only day 2: upsert id=3, insert id=4
+    val fresh = Seq((3L, "C", 20L, "2024-01-02"), (4L, "d", 5L, "2024-01-02"))
+      .toDF("id", "v", "ver", "day")
+    val n = Pipeline.mergeIntoPartitioned(spark, target, fresh, Seq("id"), Some("ver"), "day")
+    assert(n == 2, "merged count covers touched partitions only")
+
+    assert(snapshot("2024-01-01") == day1Before,
+      "files of untouched partitions must survive a merge byte-for-byte")
+    val rows = spark.read.parquet(target).orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v")))
+    assert(rows.sameElements(Array((1L, "a"), (2L, "b"), (3L, "C"), (4L, "d"))))
+  }
+
+  test("runner with a partitioned table spec merges increments through the partition path") {
+    import spark.implicits._
+    val (wh, md) = freshDirs()
+    val store = new MetadataStore(spark, md)
+    val pSpecs = Seq(Pipeline.TableSpec("fact_p", Pipeline.PostRace, Nil,
+      Seq("id"), versionColumn = Some("ver"), partitionColumn = Some("day")))
+    var batch = Seq((1L, "a", 1L, "d1"), (2L, "b", 1L, "d2"))
+    val ex: Map[String, Pipeline.Extract] = Map(
+      "fact_p" -> ((s, _) => { import s.implicits._; batch.toDF("id", "v", "ver", "day") }))
+    val runner = new PipelineRunner(spark, wh, store, pSpecs, ex)
+    runner.run(Pipeline.PostRace)
+    batch = Seq((2L, "B", 2L, "d2"))
+    runner.run(Pipeline.PostRace)
+    val rows = runner.table("fact_p").orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v")))
+    assert(rows.sameElements(Array((1L, "a"), (2L, "B"))), "upsert within touched partition")
+  }
+
   test("merge keeps the freshest version per key") {
     import spark.implicits._
     val old = Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("id", "v", "ver")

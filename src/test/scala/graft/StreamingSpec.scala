@@ -166,6 +166,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming minhash bucket state is evicted once the watermark passes its TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    val dup1 = base.replace("tonight", "today")
+    val dup2 = base.replace("home", "house")
+    val far = "completely different words about spark shuffles and parquet row groups here now"
+    val pairs = graft.streaming.DocPipelines.minhashDedupStream(
+      mem.toDF().toDF("doc_id", "text", "ingest_ts"),
+      watermarkCol = Some("ingest_ts"), delay = "10 minutes", ttlMinutes = 30)
+    val q = pairs.writeStream.format("memory").queryName("mh_ttl_out").outputMode("append").start()
+    try {
+      mem.addData((1L, base, ts(0)))
+      q.processAllAvailable()
+      mem.addData((2L, dup1, ts(5))) // within TTL: pairs with doc 1
+      q.processAllAvailable()
+      val within = spark.table("mh_ttl_out").collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).distinct
+      assert(within.contains((1L, 2L)), s"expected (1,2) within TTL, got ${within.mkString(",")}")
+
+      // advance the watermark far past the buckets' 30-minute TTL
+      mem.addData((3L, far, Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // docs 1/2 are evicted: a fresh near-dup of them pairs with NOTHING
+      mem.addData((4L, dup2, Timestamp.valueOf("2024-01-01 12:01:00")))
+      q.processAllAvailable()
+      val after = spark.table("mh_ttl_out").collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).distinct
+      assert(!after.exists(p => p._2 == 4L || p._1 == 4L),
+        s"evicted members must not pair with later arrivals, got ${after.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("st2 batch twin: session count equals gap-break count") {
     val t = graft.sources.Tables(spark, sfDir)
     val sessions = EventPipelines.sessionizeBatch(t)
