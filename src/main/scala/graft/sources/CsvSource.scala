@@ -54,6 +54,49 @@ object CsvSource {
     } finally zf.close()
   }
 
+  /** Row-level error quarantine (reference: loaders/__init__.py:67-115 —
+    * per-row savepoints skip bad rows instead of failing the load).
+    * Spark-first form: one codegen'd projection computes a per-row reason
+    * string (a present value that fails its typed coercion, or a missing
+    * required column), then the raw frame splits into
+    * (clean — sanitized, quarantine — raw rows + `_reason`). Nothing is
+    * silently dropped: the quarantine frame is the audit trail the
+    * reference logs per skipped row.
+    */
+  def sanitizeWithQuarantine(df: DataFrame, schema: StructType,
+      required: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val checks = df.columns.flatMap { name =>
+      // try_cast, not cast: under ANSI semantics a plain cast THROWS on
+      // the malformed values this probe exists to detect
+      def tryCastNull(sqlType: String) =
+        col(name).isNotNull && expr(s"try_cast(`$name` AS $sqlType)").isNull
+      val bad = schema.find(_.name == name).flatMap { f =>
+        f.dataType match {
+          case ShortType | IntegerType | LongType => Some(tryCastNull("BIGINT"))
+          case DoubleType | FloatType => Some(tryCastNull("DOUBLE"))
+          case BooleanType =>
+            Some(col(name).isNotNull &&
+              !lower(trim(col(name).cast("string"))).isin("true", "t", "1", "false", "f", "0"))
+          case DateType => Some(tryCastNull("DATE"))
+          case TimestampType => Some(tryCastNull("TIMESTAMP"))
+          case _ => None
+        }
+      }
+      val missing =
+        if (required.contains(name))
+          Some(when(col(name).isNull || trim(col(name).cast("string")) === "", lit(s"$name:missing")))
+        else None
+      bad.map(b => when(b, lit(s"$name:bad_value"))).toSeq ++ missing.toSeq
+    }
+    // concat_ws skips nulls, so the reason column stays codegen'd: empty
+    // string = clean row
+    val flagged = df.withColumn("_reason",
+      nullif(concat_ws(",", checks.toIndexedSeq: _*), lit("")))
+    val clean = sanitize(flagged.filter(col("_reason").isNull).drop("_reason"), schema)
+    val quarantine = flagged.filter(col("_reason").isNotNull)
+    (clean, quarantine)
+  }
+
   /** Schema-driven sanitize (reference: sanitize_df,
     * loaders/__init__.py:117-146): per-column coercions expressed as
     * codegen'd projections — trim/null-normalize strings, clamp

@@ -238,6 +238,30 @@ class EtlSpec extends SparkSpecBase {
     assert(merged.sameElements(Array((1L, "a"), (2L, "B"), (3L, "c"))))
   }
 
+  test("bad rows are quarantined with reasons, clean rows load (row-level error skip)") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("score", DoubleType),
+      StructField("active", BooleanType)))
+    val raw = Seq(
+      ("1", "alpha", "1.5", "true"),   // clean
+      ("x", "beta", "2.0", "true"),    // id fails long coercion
+      ("3", "", "3.0", "false"),       // required name missing
+      ("4", "delta", "oops", "maybe"), // bad double AND bad boolean
+      ("5", "epsilon", null, "f"))     // null score is fine (absent, not bad)
+      .toDF("id", "name", "score", "active")
+    val (clean, quarantine) = CsvSource.sanitizeWithQuarantine(raw, schema, required = Seq("name"))
+    assert(clean.select("id").as[Long].collect().sorted.sameElements(Array(1L, 5L)))
+    assert(clean.schema("id").dataType == LongType, "clean side is sanitized to the schema")
+    val reasons = quarantine.collect().map(r => r.getAs[String]("id") -> r.getAs[String]("_reason")).toMap
+    assert(reasons("x") == "id:bad_value")
+    assert(reasons("3") == "name:missing")
+    assert(reasons("4") == "score:bad_value,active:bad_value")
+    assert(clean.count() + quarantine.count() == raw.count(), "nothing silently dropped")
+  }
+
   test("csv-from-zip roundtrip with schema-driven sanitize (reference pre-season path)") {
     val schema = StructType(Seq(
       StructField("id", LongType),
