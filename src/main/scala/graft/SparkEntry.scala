@@ -53,6 +53,9 @@ object SparkEntry {
     "t5_vocab" -> ((s, dir) => TextAnalysis.vocab(Tables(s, dir))),
     "t6_tfidf" -> ((s, dir) => TextAnalysis.tfidf(Tables(s, dir))),
     "t5_vocab_sketch" -> ((s, dir) => TextAnalysis.vocabSketch(Tables(s, dir))),
+    // §2.7 corpus curation
+    "dc1_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables(s, dir))),
+    "dc2_sample_budget" -> ((s, dir) => Curation.sampleToBudget(Tables(s, dir))),
     // §2.5 multimodal plumbing
     "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
     "m2_frame_sample" -> ((s, dir) => Multimodal.frames(Tables(s, dir))),
@@ -136,6 +139,33 @@ object SparkEntry {
          |FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS fi)
          |ORDER BY doc_id, frame_idx""".stripMargin
     },
+    "dc1_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks WHERE len(t) >= 3) z),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM sh JOIN bench USING (shingle)
+        |WHERE doc_id >= 50
+        |GROUP BY doc_id HAVING COUNT(*) >= 5
+        |ORDER BY doc_id""".stripMargin,
+    "dc2_sample_budget" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, ws_tokens,
+        |    CAST(SUM(ws_tokens) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM c)
+        |SELECT doc_id, source, ws_tokens, cum_tokens FROM s
+        |WHERE cum_tokens <= 10000
+        |ORDER BY source, cum_tokens""".stripMargin,
     // generated replicas of the custom hash/sketch kernels (constants
     // derived from the same splitmix64 streams the expressions use)
     "d2_dedup_minhash" -> OracleReplicas.d2MinhashLsh(),

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.sources.Tables
+
+/** Corpus-curation operators: the decisions a training-data pipeline
+  * makes BETWEEN dedup and training — keeping benchmark data out of the
+  * corpus and fitting sources into a token budget — expressed as plain
+  * joins/aggregations so they hold at corpus scale.
+  */
+object Curation {
+
+  /** dc1: benchmark decontamination. Flags corpus documents sharing at
+    * least `minShared` distinct word-`k`-gram shingles with ANY benchmark
+    * document (here: `doc_id < benchSize` stands in for the eval set,
+    * like s1's query subset). The benchmark shingle vocabulary is tiny
+    * next to the corpus, so the join is a broadcast: every corpus
+    * shingle checks membership map-side and only (doc_id) hits shuffle
+    * for the count — the shape that survives a 100 TB corpus against a
+    * fixed eval suite. Shingles are FNV-hashed map-side (codegen), the
+    * same collision-negligible domain d4 counts in.
+    */
+  def decontaminate(t: Tables, benchSize: Long = 50, k: Int = 3, minShared: Long = 5): DataFrame = {
+    val spark = t.documents.sparkSession
+    val shingled = t.documents
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("toks"), k))).as("shingle"))
+    val bench = shingled.filter(col("doc_id") < benchSize)
+      .select(col("shingle")).distinct()
+    shingled.filter(col("doc_id") >= benchSize)
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_id"))
+  }
+
+  /** dc2: deterministic token-budget sampling. Each source keeps its
+    * documents in md5(doc_id) priority order until the running
+    * whitespace-token count exceeds `budgetTokens` — a reproducible
+    * down-sample (no rand(): reruns, engines and audits agree on the
+    * exact document set). One (source)-keyed window over precomputed
+    * per-doc counts; the heavy text column never reaches the shuffle.
+    */
+  def sampleToBudget(t: Tables, budgetTokens: Long = 10000): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.documents
+      .select(col("doc_id"), col("source"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("ws_tokens"))
+      .withColumn("cum_tokens", sum(col("ws_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("source"), col("ws_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+}

@@ -141,13 +141,19 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Assign each vector to its nearest centroid (centroids broadcast). */
-  private def assignNearest(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+  /** Assign each vector to its nearest centroid (centroids broadcast).
+    * Arg-max via `max_by` partial aggregation, not a ranking window: the
+    * n×nlist scored rows combine map-side to one row per vector, so only
+    * n rows shuffle — a window would shuffle and sort the full cross
+    * product. Tie-break (-cid in the ordering struct) matches
+    * `orderBy(ccos.desc, cid)` exactly.
+    */
+  private def assignNearest(emb: DataFrame, centroids: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroids))
       .withColumn("ccos", cosine_sim(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("embedding"), col("cid")),
+        struct(col("ccos"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"), col("m.cid").as("cid"))
 }
