@@ -117,9 +117,9 @@ object Relational {
       .agg(
         sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D4)).cast("double").as("points"),
         countDistinct(col("l_orderkey")).as("win_count"))
-    val w = Window.orderBy(col("points").desc, col("s_suppkey"))
-    perSupplier
-      .withColumn("position", row_number().over(w))
+    // distributed global numbering — an unpartitioned ranking window
+    // would pull every supplier into one task (see [[Ranking]])
+    Ranking.globalRowNumber(perSupplier, Seq(col("points").desc, col("s_suppkey")), "position")
       .orderBy(col("position"))
   }
 

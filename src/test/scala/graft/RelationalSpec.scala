@@ -125,4 +125,26 @@ class RelationalSpec extends SparkSpecBase {
     assert(revs.length <= 10)
     assert(revs.sameElements(revs.sortBy(-(_: Double))))
   }
+
+  test("globalRowNumber matches an unpartitioned ranking window across many partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 5000).map(i => (i.toLong, (i * 2654435761L) % 97))
+      .toDF("id", "score").repartition(16)
+    val viaWindow = df.withColumn("position",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("int"))
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("position"))).toMap
+    val viaRanking = graft.operators.Ranking
+      .globalRowNumber(df, Seq(col("score").desc, col("id")), "position", numPartitions = Some(7))
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("position"))).toMap
+    assert(viaRanking == viaWindow)
+    // the data path stays range-partitioned with NO unpartitioned window
+    // over data rows (the only global window is the per-partition-count
+    // offset cumsum, bounded by partition count)
+    val plan = graft.operators.Ranking
+      .globalRowNumber(df, Seq(col("score").desc, col("id")), "position")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("rangepartitioning"), plan.take(800))
+    assert(!plan.contains("window [row_number"), "data rows must not pass through a ranking window")
+  }
 }
