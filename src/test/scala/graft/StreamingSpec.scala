@@ -81,6 +81,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming dedup runs on the RocksDB state store (production state backend)") {
+    // at 100 TB/day rates keyed state outgrows executor heaps; RocksDB
+    // spills it to local disk. This proves the pipelines run unchanged on
+    // the production provider — per-query option, no session rebuild.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rocks_").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    // the provider is a session conf captured at query start (a
+    // writeStream option of the same name is silently ignored)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = graft.streaming.EventPipelines.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("rocks_out").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(1), 1, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(3, ts(2), 2, "click", 1.0)) // replay id=1
+      q.processAllAvailable()
+      val ids = spark.table("rocks_out").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)), s"got ${ids.mkString(",")}")
+      // prove the provider actually switched: RocksDB checkpoints state
+      // as zip snapshots/changelogs, the default HDFS provider as .delta
+      val stateFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt, "state"))
+        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      val names = scala.jdk.CollectionConverters.IteratorHasAsScala(stateFiles).asScala
+        .map(_.getFileName.toString).toSeq
+      assert(!names.exists(_.endsWith(".delta")),
+        s"HDFS-provider .delta files present — RocksDB provider not engaged: $names")
+      assert(names.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
+        s"no RocksDB snapshot artifacts in checkpoint: $names")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming upsert sink merges micro-batches idempotently by key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
