@@ -167,6 +167,45 @@ object OracleReplicas {
        |  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.doc_id)
        |SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id ORDER BY cluster_id, doc_id""".stripMargin
 
+  /** dc3: canonical doc per near-dup cluster — the d6 closure joined
+    * with t2's quality formula, keeper = highest score then lowest id.
+    * Mirrors [[graft.operators.Curation.canonicalPerCluster]].
+    */
+  def dc3Canonical(numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5, seed: Long = 42L): String =
+    s"""WITH RECURSIVE ${minhashCtes(numHashes, bands, seed)},
+       |p AS (SELECT doc_a, doc_b FROM cand WHERE est >= $threshold),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+       |verts AS (SELECT DISTINCT s AS doc_id FROM edges),
+       |walk(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM verts
+       |  UNION
+       |  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.doc_id),
+       |labels AS (SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id),
+       |qbase AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+       |    ROUND(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+       |      / GREATEST(length(text), 1), 6) AS punct_ratio,
+       |    ROUND(CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |        x -> list_contains(['the','and','of','to','in','is','a','on','for','with'], x))) AS DOUBLE)
+       |      / GREATEST(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1), 6) AS stop_ratio
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    ROUND(0.5 * LEAST(n_tokens, 100) / 100.0
+       |        + 0.3 * (1.0 - punct_ratio)
+       |        + 0.2 * LEAST(stop_ratio * 5.0, 1.0), 6) AS quality_score
+       |  FROM qbase),
+       |m AS (SELECT l.cluster_id, l.doc_id, q.quality_score FROM labels l JOIN q USING (doc_id)),
+       |r AS (SELECT cluster_id, doc_id, quality_score,
+       |        ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id) AS rn
+       |      FROM m)
+       |SELECT r.cluster_id, r.doc_id AS keeper_id, r.quality_score AS keeper_score, c.n_docs
+       |FROM r JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM m GROUP BY cluster_id) c
+       |  USING (cluster_id)
+       |WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
+
   /** Shared CTEs: tokens → per-doc shingle-FNV list → 64-hash MinHash
     * signature → band-colliding candidate pairs with agreement estimate.
     */

@@ -56,6 +56,7 @@ object SparkEntry {
     // §2.7 corpus curation
     "dc1_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables(s, dir))),
     "dc2_sample_budget" -> ((s, dir) => Curation.sampleToBudget(Tables(s, dir))),
+    "dc3_canonical" -> ((s, dir) => Curation.canonicalPerCluster(Tables(s, dir))),
     // §2.5 multimodal plumbing
     "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
     "m2_frame_sample" -> ((s, dir) => Multimodal.frames(Tables(s, dir))),
@@ -169,6 +170,7 @@ object SparkEntry {
     // generated replicas of the custom hash/sketch kernels (constants
     // derived from the same splitmix64 streams the expressions use)
     "d2_dedup_minhash" -> OracleReplicas.d2MinhashLsh(),
+    "dc3_canonical" -> OracleReplicas.dc3Canonical(),
     "d3_dedup_simhash" -> OracleReplicas.d3Simhash(),
     "d5_dedup_embed" -> OracleReplicas.d5EmbedNearDup(),
     "t4_fingerprint" -> OracleReplicas.t4Fingerprint(),

@@ -40,6 +40,27 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** dc3: canonical-document selection — the "keep one per cluster"
+    * decision the dedup family exists for. Near-dup clusters (d6) joined
+    * with quality scores (t2); each cluster keeps its highest-quality
+    * member (tie → lowest doc_id) via `max_by` partial aggregation.
+    * Composition of existing operators — the cluster table is tiny next
+    * to the corpus, quality is a map-side pass, and the argmax shuffles
+    * one row per member.
+    */
+  def canonicalPerCluster(t: Tables): DataFrame = {
+    val clusters = Dedup.clusters(t)
+    val quality = TextAnalysis.quality(t).select(col("doc_id"), col("quality_score"))
+    clusters
+      .join(quality, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(col("doc_id"), struct(col("quality_score"), (-col("doc_id")).as("nid"))).as("keeper_id"),
+        max(col("quality_score")).as("keeper_score"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** dc2: deterministic token-budget sampling. Each source keeps its
     * documents in md5(doc_id) priority order until the running
     * whitespace-token count exceeds `budgetTokens` — a reproducible

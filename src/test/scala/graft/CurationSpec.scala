@@ -22,6 +22,26 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("dc3 canonical selection keeps exactly one highest-quality doc per cluster") {
+    val clusters = graft.operators.Dedup.clusters(t).collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    val quality = graft.operators.TextAnalysis.quality(t).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    val keepers = Curation.canonicalPerCluster(t).collect()
+    assert(keepers.length == clusters.size, "one keeper per cluster")
+    keepers.foreach { k =>
+      val cid = k.getAs[Long]("cluster_id")
+      val members = clusters(cid)
+      val keeper = k.getAs[Long]("keeper_id")
+      assert(members.contains(keeper))
+      val best = members.map(quality).max
+      assert(quality(keeper) == best, "keeper has the cluster's best quality")
+      assert(keeper == members.filter(quality(_) == best).min, "ties break to lowest id")
+      assert(k.getAs[Long]("n_docs") == members.size)
+    }
+  }
+
   test("dc2 budget sampling is deterministic and respects the per-source token budget") {
     val a = Curation.sampleToBudget(t).collect()
     val b = Curation.sampleToBudget(t).collect()
