@@ -48,10 +48,11 @@ object Bench {
               .write.format("noop").mode("overwrite").save()
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case e: Throwable =>
-            // a crashed query must not masquerade as a fast one
+            // a crashed query must not masquerade as a fast one: record
+            // the elapsed-until-crash time, and the errors array flags it
             failures += name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            None
+            Some((System.nanoTime() - t0) / 1e9)
           }
         }
       }

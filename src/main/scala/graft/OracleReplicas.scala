@@ -171,7 +171,10 @@ object OracleReplicas {
     * with t2's quality formula, keeper = highest score then lowest id.
     * Mirrors [[graft.operators.Curation.canonicalPerCluster]].
     */
-  def dc3Canonical(numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5, seed: Long = 42L): String =
+  def dc3Canonical(numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5, seed: Long = 42L): String = {
+    // word list derived from the operator's own constant, not a copy
+    val enStopwords = graft.operators.TextAnalysis.Stopwords("en")
+      .map(w => s"'$w'").mkString("[", ",", "]")
     s"""WITH RECURSIVE ${minhashCtes(numHashes, bands, seed)},
        |p AS (SELECT doc_a, doc_b FROM cand WHERE est >= $threshold),
        |edges AS (SELECT doc_a AS s, doc_b AS d FROM p UNION ALL SELECT doc_b, doc_a FROM p),
@@ -187,7 +190,7 @@ object OracleReplicas {
        |    ROUND(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
        |      / GREATEST(length(text), 1), 6) AS punct_ratio,
        |    ROUND(CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-       |        x -> list_contains(['the','and','of','to','in','is','a','on','for','with'], x))) AS DOUBLE)
+       |        x -> list_contains($enStopwords, x))) AS DOUBLE)
        |      / GREATEST(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1), 6) AS stop_ratio
        |  FROM documents),
        |q AS (
@@ -205,6 +208,7 @@ object OracleReplicas {
        |  USING (cluster_id)
        |WHERE rn = 1
        |ORDER BY cluster_id""".stripMargin
+  }
 
   /** Shared CTEs: tokens → per-doc shingle-FNV list → 64-hash MinHash
     * signature → band-colliding candidate pairs with agreement estimate.

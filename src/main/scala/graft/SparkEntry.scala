@@ -67,7 +67,7 @@ object SparkEntry {
 
   import OracleReplicas.{fnv64Sql, signed64, jhashSql, signed32, charBytes}
 
-  /** Shared CTE body for the exact-shingle-Jaccard oracles (d4/d6):
+  /** Shared CTE body for the exact-shingle-Jaccard oracle (d4):
     * distinct word-2-gram shingles per doc, inverted-index pair
     * intersection counts, Jaccard ratio.
     */

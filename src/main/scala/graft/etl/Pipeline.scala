@@ -72,6 +72,15 @@ object Pipeline {
     * partition directories present in the output. Untouched partitions'
     * files are never read or rewritten. Returns the merged row count of
     * the touched partitions.
+    *
+    * Atomicity tradeoff vs the unpartitioned staging-swap path: dynamic
+    * overwrite replaces each touched partition directory at commit, so a
+    * crash mid-commit can leave a touched partition between generations
+    * (untouched partitions are never at risk). Closing that window needs
+    * a table format with transactional commits (Delta/Iceberg-class) —
+    * the same boundary `atomicPublish` documents for multi-writer ACID.
+    * The merge itself is idempotent, so rerunning the increment repairs
+    * an interrupted commit.
     */
   def mergeIntoPartitioned(spark: SparkSession, targetPath: String, fresh: DataFrame,
       keys: Seq[String], version: Option[String], partitionCol: String): Long = {
@@ -194,8 +203,23 @@ final class MetadataStore(spark: SparkSession, root: String,
   def nowSec: Long = clock()
 
   private def readLog(): DataFrame =
-    if (Files.exists(Paths.get(logPath))) spark.read.parquet(logPath)
-    else spark.emptyDataset[MetadataStore.LogRow].toDF()
+    if (Files.exists(Paths.get(logPath))) {
+      // tolerate logs written before the two-phase columns existed:
+      // absent columns read as null / epoch 0 instead of failing the
+      // typed resolve (mergeSchema so mixed-generation files coexist)
+      val raw = spark.read.option("mergeSchema", "true").parquet(logPath)
+      val withRef =
+        if (raw.columns.contains("refId")) raw
+        else raw.withColumn("refId", lit(null).cast("long"))
+      val withErr =
+        if (withRef.columns.contains("error")) withRef
+        else withRef.withColumn("error", lit(null).cast("string"))
+      val withTs =
+        if (withErr.columns.contains("syncedAt"))
+          withErr.withColumn("syncedAt", coalesce(col("syncedAt"), lit(0L)))
+        else withErr.withColumn("syncedAt", lit(0L))
+      withTs
+    } else spark.emptyDataset[MetadataStore.LogRow].toDF()
 
   def appendLog(entity: String, status: String, records: Long, watermark: Option[Long],
       refId: Option[Long] = None, error: Option[String] = None): Long = {

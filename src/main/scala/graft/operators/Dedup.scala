@@ -152,7 +152,13 @@ object Dedup {
     * orchestrates — per-round work is joins/aggregations on the cluster;
     * this is the GraphX/GraphFrames pattern without the dependency.
     */
-  def clusters(t: Tables, maxIter: Int = 10): DataFrame = {
+  def clusters(t: Tables, maxIter: Int = 100): DataFrame = {
+    // maxIter is a runaway cap, not the expected round count: min-label
+    // propagation needs O(min-label distance) rounds, so a 10-cap could
+    // stop a >10-hop chain before the true component min arrives (real
+    // dedup clusters are near-cliques and converge in 2-3; the oracle
+    // computes the full closure, so early truncation would also diverge
+    // from verification)
     // edges from the LSH pair graph — the pair source that scales (d4's
     // exact graph costs Σdf² and is the ground-truth/verify path, not the
     // production one). The propagation is identical for any edge source.

@@ -31,6 +31,10 @@ object Ranking {
       numPartitions: Option[Int] = None): DataFrame = {
     val parts = numPartitions.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
     // monotonically_increasing_id = pid * 2^33 + within-partition index
+    // materialized ONCE: the offsets branch and the join branch must see
+    // the same range boundaries and partition-local ids — relying on
+    // exchange reuse to guarantee that is fragile (a re-executed range
+    // exchange may sample different boundaries)
     val local = df
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
@@ -38,6 +42,7 @@ object Ranking {
       .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
       .withColumn("__rn", (col("__mid").bitwiseAND((1L << 33) - 1)) + 1)
       .drop("__mid")
+      .localCheckpoint(true)
     // partition counts are `parts` rows — the only non-distributed state
     // (the unpartitioned offset window runs over ≤ `parts` rows, bounded
     // by cluster width, never by data volume)

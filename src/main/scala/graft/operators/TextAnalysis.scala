@@ -12,7 +12,10 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  private val Stopwords = Map(
+  /** Shared with [[graft.OracleReplicas]] so oracle SQL derives from the
+    * SAME word lists the operators use — no silently-divergent copy.
+    */
+  private[graft] val Stopwords = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "on", "for", "with"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "un"),
     "de" -> Seq("der", "die", "und", "das", "ist", "ein", "den", "von", "zu", "mit"),

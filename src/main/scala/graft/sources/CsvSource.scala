@@ -65,14 +65,23 @@ object CsvSource {
     */
   def sanitizeWithQuarantine(df: DataFrame, schema: StructType,
       required: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    // a required column missing from the frame entirely is schema drift,
+    // not a bad row — no row-level skip can repair it, so fail loudly
+    val absent = required.filterNot(df.columns.contains)
+    require(absent.isEmpty, s"required columns absent from input: ${absent.mkString(", ")}")
     val checks = df.columns.flatMap { name =>
       // try_cast, not cast: under ANSI semantics a plain cast THROWS on
-      // the malformed values this probe exists to detect
+      // the malformed values this probe exists to detect. The probe type
+      // must match what sanitize() will actually cast to — probing a
+      // 32-bit column at BIGINT would pass a 10-digit value through to a
+      // throwing INT cast (ShortType probes INTEGER because sanitize
+      // clamps shorts through an int cast).
       def tryCastNull(sqlType: String) =
         col(name).isNotNull && expr(s"try_cast(`$name` AS $sqlType)").isNull
       val bad = schema.find(_.name == name).flatMap { f =>
         f.dataType match {
-          case ShortType | IntegerType | LongType => Some(tryCastNull("BIGINT"))
+          case ShortType | IntegerType => Some(tryCastNull("INTEGER"))
+          case LongType => Some(tryCastNull("BIGINT"))
           case DoubleType | FloatType => Some(tryCastNull("DOUBLE"))
           case BooleanType =>
             Some(col(name).isNotNull &&

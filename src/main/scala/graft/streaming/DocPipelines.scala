@@ -33,7 +33,7 @@ object DocPipelines {
   }
 
   case class BandDoc(band_key: Long, doc_id: Long, sig: Array[Long], ts: java.sql.Timestamp)
-  case class BucketState(docs: List[(Long, Array[Long])])
+  case class BucketState(docs: List[(Long, Array[Long])], maxTsMs: Long = Long.MinValue)
   case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
 
   /** Streaming MinHash near-dup detection: the streaming twin of the
@@ -85,7 +85,10 @@ object DocPipelines {
           } else {
             var seen = state.getOption.map(_.docs).getOrElse(Nil)
             val out = List.newBuilder[NearDupPair]
-            var maxTs = Long.MinValue
+            // the deadline tracks the newest member EVER seen, not this
+            // batch's max — a late-but-in-watermark arrival must not
+            // shrink the bucket's remaining lifetime
+            var maxTs = state.getOption.map(_.maxTsMs).getOrElse(Long.MinValue)
             rows.toSeq.sortBy(_.doc_id).foreach { bd =>
               if (bd.ts != null) maxTs = math.max(maxTs, bd.ts.getTime)
               if (!seen.exists(_._1 == bd.doc_id)) {
@@ -102,7 +105,7 @@ object DocPipelines {
                 seen = (bd.doc_id, bd.sig) :: seen
               }
             }
-            state.update(BucketState(seen))
+            state.update(BucketState(seen, maxTs))
             if (useTtl && maxTs != Long.MinValue)
               state.setTimeoutTimestamp(math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
             out.result().iterator

@@ -260,6 +260,23 @@ class EtlSpec extends SparkSpecBase {
     assert(reasons("3") == "name:missing")
     assert(reasons("4") == "score:bad_value,active:bad_value")
     assert(clean.count() + quarantine.count() == raw.count(), "nothing silently dropped")
+
+    // out-of-32-bit-range values quarantine instead of crashing the
+    // clean side's ANSI cast; shorts still clamp (not quarantine) within
+    // int range
+    val intSchema = StructType(Seq(StructField("id", IntegerType), StructField("sz", ShortType)))
+    val wide = Seq(("3000000000", "12"), ("7", "3000000000"), ("8", "99999"))
+      .toDF("id", "sz")
+    val (okRows, badRows) = CsvSource.sanitizeWithQuarantine(wide, intSchema)
+    assert(okRows.collect().map(r => (r.getAs[Int]("id"), r.getAs[Short]("sz"))).toSet ==
+      Set((8, 32767.toShort)), "99999 clamps to short max; >int values never reach the cast")
+    assert(badRows.collect().map(_.getAs[String]("_reason")).sorted.toSeq ==
+      Seq("id:bad_value", "sz:bad_value"))
+
+    // a required column absent entirely is schema drift -> loud failure
+    intercept[IllegalArgumentException] {
+      CsvSource.sanitizeWithQuarantine(raw.drop("name"), schema, required = Seq("name"))
+    }
   }
 
   test("csv-from-zip roundtrip with schema-driven sanitize (reference pre-season path)") {

@@ -244,6 +244,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("a late in-watermark arrival does not shrink a minhash bucket's TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    val dup1 = base.replace("tonight", "today")
+    val dup2 = base.replace("home", "house")
+    val far = "completely different words about spark shuffles and parquet row groups here now"
+    def at(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val pairs = graft.streaming.DocPipelines.minhashDedupStream(
+      mem.toDF().toDF("doc_id", "text", "ingest_ts"),
+      watermarkCol = Some("ingest_ts"), delay = "10 minutes", ttlMinutes = 60)
+    val q = pairs.writeStream.format("memory").queryName("mh_late_out").outputMode("append").start()
+    try {
+      mem.addData((1L, base, at("12:00")))
+      q.processAllAvailable()
+      // LATE but within the watermark: must not pull the deadline below
+      // newest-member (12:00) + 60min
+      mem.addData((2L, dup1, at("11:55")))
+      q.processAllAvailable()
+      // watermark → 12:56: past 11:55+60min but NOT past 13:00
+      mem.addData((3L, far, at("13:06")))
+      q.processAllAvailable()
+      mem.addData((4L, dup2, at("12:58")))
+      q.processAllAvailable()
+      val found = spark.table("mh_late_out").collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).distinct
+      assert(found.contains((1L, 4L)),
+        s"bucket must survive to newest-member+TTL; got ${found.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("st2 batch twin: session count equals gap-break count") {
     val t = graft.sources.Tables(spark, sfDir)
     val sessions = EventPipelines.sessionizeBatch(t)
