@@ -35,6 +35,10 @@ object GraftFunctions {
   def rolling_fingerprint(c: Column, k: Int = 16): Column =
     EU.column(RollingFingerprint(EU.expression(c), k))
 
+  /** array<long> → int count of elements in the fixed long set. */
+  def long_set_hits(c: Column, values: Array[Long]): Column =
+    EU.column(LongSetHits(EU.expression(c), values))
+
   /** (array<long>, array<long>) → int count of agreeing positions. */
   def sig_agreement(a: Column, b: Column): Column =
     EU.column(SigAgreement(EU.expression(a), EU.expression(b)))

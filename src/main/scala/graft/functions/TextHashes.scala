@@ -201,6 +201,21 @@ object GraftHash {
     hits
   }
 
+  /** Count of array elements present in a SORTED long array (binary
+    * search per element, no boxing) — the membership kernel for checking
+    * hashed shingles against a broadcast benchmark set.
+    */
+  def sortedHits(values: ArrayData, sorted: Array[Long]): Int = {
+    var hits = 0
+    var i = 0
+    val n = values.numElements()
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(sorted, values.getLong(i)) >= 0) hits += 1
+      i += 1
+    }
+    hits
+  }
+
   private def mulMod(a: Long, b: Long): Long = {
     // (a*b) mod (2^61-1) via 128-bit multiply
     val hi = Math.multiplyHigh(a, b)
@@ -355,6 +370,33 @@ case class StopwordHits(child: Expression, words: Seq[String]) extends UnaryExpr
   }
   override protected def withNewChildInternal(newChild: Expression): StopwordHits = copy(child = newChild)
   override def prettyName: String = "stopword_hits"
+}
+
+/** Long-set membership count expression: array<long> → int count of
+  * elements in a fixed long set (codegen; the set ships once per task as
+  * a sorted array reference object). The hashed-shingle analog of
+  * [[StopwordHits]] — powers stateless streaming decontamination.
+  */
+case class LongSetHits(child: Expression, values: Array[Long]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val sorted: Array[Long] = {
+    val s = values.clone()
+    java.util.Arrays.sort(s)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(GraftHash.sortedHits(input.asInstanceOf[ArrayData], sorted))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = GraftHash.getClass.getName.stripSuffix("$")
+    val setRef = ctx.addReferenceObj("longset", sorted, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls$$.MODULE$$.sortedHits($c, (long[]) $setRef);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LongSetHits = copy(child = newChild)
+  override def prettyName: String = "long_set_hits"
 }
 
 /** Rolling-hash fingerprint expression: string → min k-byte-window

@@ -113,6 +113,34 @@ object DocPipelines {
       }
   }
 
+  /** Streaming decontamination: the streaming form of the dc1 batch
+    * operator. The benchmark's hashed-shingle vocabulary is computed
+    * ONCE from the (static, small) eval set and baked into the plan as
+    * a task-broadcast sorted array; each arriving document counts its
+    * overlap in one codegen membership pass. Fully STATELESS — append
+    * mode, no shuffle, no aggregation state: the only "state" is the
+    * immutable benchmark set, which lives outside the stream (exactly
+    * how a production feed screens against a pinned eval suite).
+    */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
+      k: Int = 3, minShared: Int = 5): DataFrame = {
+    val benchShingles: Array[Long] = benchmark
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .filter(size(col("toks")) >= k)
+      .select(explode(array_distinct(GraftFunctions.shingle_hashes(col("toks"), k))).as("shingle"))
+      .distinct()
+      .collect().map(_.getLong(0)) // eval suites are driver-sized by definition
+    docs
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        GraftFunctions.long_set_hits(
+          array_distinct(GraftFunctions.shingle_hashes(col("toks"), k)),
+          benchShingles).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .drop("toks")
+  }
+
   /** Stateless streaming quality scoring — same columns as the batch t2
     * operator, applied per micro-batch with zero state.
     */

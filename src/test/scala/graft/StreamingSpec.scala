@@ -276,6 +276,32 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming decontamination matches the batch dc1 operator, stateless in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.sources.Tables(spark, sfDir)
+    val benchmark = t.documents.filter(col("doc_id") < 50)
+    val corpusRows = t.documents.filter(col("doc_id") >= 50)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val flagged = graft.streaming.DocPipelines.decontaminateStream(
+      mem.toDF().toDF("doc_id", "text"), benchmark)
+    val q = flagged.writeStream.format("memory").queryName("dc_stream_out")
+      .outputMode("append").start() // append works: no aggregation state
+    try {
+      val (first, second) = corpusRows.splitAt(corpusRows.length / 2)
+      mem.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("dc_stream_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_shared").toLong).toMap
+      val batch = graft.operators.Curation.decontaminate(t).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+      assert(streamed == batch, "stream and batch decontamination must agree")
+    } finally q.stop()
+  }
+
   test("st2 batch twin: session count equals gap-break count") {
     val t = graft.sources.Tables(spark, sfDir)
     val sessions = EventPipelines.sessionizeBatch(t)
