@@ -88,7 +88,10 @@ object Similarity {
       .select(col("query_id"), col("query_emb"), col("cid"))
 
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    probes
+    // the probe set (queries × nprobe) broadcasts; without the hint the
+    // planner sort-merge-joins and SHUFFLES THE CORPUS on cid — the
+    // exact cost IVF exists to avoid
+    broadcast(probes)
       .join(assigned, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine_sim(col("query_emb"), col("embedding")))
@@ -131,7 +134,9 @@ object Similarity {
     val neededClusters = probes.select(col("cid")).distinct().collect().map(_.getInt(0))
     val pruned = index.filter(col("cid").isin(neededClusters.map(_.asInstanceOf[Any]).toSeq: _*))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    probes
+    // probes broadcast: the pruned index partitions are read in place,
+    // never shuffled on cid
+    broadcast(probes)
       .join(pruned.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cid")), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine_sim(col("query_emb"), col("embedding")))
