@@ -35,6 +35,7 @@ object SparkEntry {
     "q17_rollup" -> ((s, dir) => Relational.q17Rollup(Tables(s, dir))),
     "q18_corr_subquery" -> ((s, dir) => Relational.q18CorrSubquery(Tables(s, dir))),
     "q19_hash_split" -> ((s, dir) => Relational.q19HashSplit(Tables(s, dir))),
+    "q20_funnel" -> ((s, dir) => Relational.q20Funnel(Tables(s, dir))),
     // §2.2 dedup
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir))),
     "d2_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir))),
@@ -310,6 +311,22 @@ object SparkEntry {
         |FROM orders
         |GROUP BY 1
         |ORDER BY split""".stripMargin,
+    "q20_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+        |s1 AS (SELECT user_id, MIN(es) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT ev.user_id, MIN(es) AS t2 FROM ev JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND es > t1 AND es <= t1 + 3600
+        |  GROUP BY ev.user_id),
+        |s3 AS (
+        |  SELECT ev.user_id, MIN(es) AS t3 FROM ev JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND es > t2 AND es <= t2 + 3600
+        |  GROUP BY ev.user_id)
+        |SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        |UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM s2
+        |UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+        |ORDER BY stage""".stripMargin,
     "q16_quantiles" ->
       """SELECT event_type,
         |  ROUND(quantile_cont(value, 0.5), 6) AS p50,

@@ -326,6 +326,34 @@ object Relational {
       .orderBy(col("split"))
   }
 
+  /** q20: staged conversion funnel — users who viewed, then clicked
+    * after that view, then purchased after that click, each step within
+    * `windowSec`. One (user_id)-keyed aggregation computes stage-1 entry
+    * (first view); stage 2 and 3 re-aggregate conditioned on the prior
+    * stage's timestamp — the per-user joins align on the aggregation's
+    * own hash partitioning, so the events table shuffles ONCE per stage
+    * on the same key and nothing re-exchanges. Output is one row per
+    * funnel stage (stage, n_users), monotonically non-increasing.
+    */
+  def q20Funnel(t: Tables, windowSec: Long = 3600): DataFrame = {
+    val ev = t.events.select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("es"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("es")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("es") > col("t1") && col("es") <= col("t1") + windowSec)
+      .groupBy(col("user_id")).agg(min(col("es")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("es") > col("t2") && col("es") <= col("t2") + windowSec)
+      .groupBy(col("user_id")).agg(min(col("es")).as("t3"))
+    val counts = Seq(("1_view", s1), ("2_click", s2), ("3_purchase", s3))
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+      }
+    counts.reduce(_.unionByName(_)).orderBy(col("stage"))
+  }
+
   /** q17: multi-grain aggregation via ROLLUP — season/round/total grains
     * of the reference's standings in one pass (partial aggregation per
     * grouping set, single shuffle).

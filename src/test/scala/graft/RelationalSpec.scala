@@ -126,6 +126,17 @@ class RelationalSpec extends SparkSpecBase {
     assert(revs.sameElements(revs.sortBy(-(_: Double))))
   }
 
+  test("q20 funnel stages are monotonically non-increasing and bounded by user count") {
+    val rows = Relational.q20Funnel(t).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(rows.keySet == Set("1_view", "2_click", "3_purchase"))
+    assert(rows("1_view") >= rows("2_click") && rows("2_click") >= rows("3_purchase"),
+      s"funnel must narrow: $rows")
+    assert(rows("1_view") > 0)
+    val nUsers = t.events.select(col("user_id")).distinct().count()
+    assert(rows("1_view") <= nUsers)
+  }
+
   test("globalRowNumber matches an unpartitioned ranking window across many partitions") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
