@@ -36,6 +36,7 @@ object SparkEntry {
     "q18_corr_subquery" -> ((s, dir) => Relational.q18CorrSubquery(Tables(s, dir))),
     "q19_hash_split" -> ((s, dir) => Relational.q19HashSplit(Tables(s, dir))),
     "q20_funnel" -> ((s, dir) => Relational.q20Funnel(Tables(s, dir))),
+    "q21_range_join" -> ((s, dir) => RangeJoin.purchasesInSignupWindows(Tables(s, dir))),
     // §2.2 dedup
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir))),
     "d2_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir))),
@@ -311,6 +312,19 @@ object SparkEntry {
         |FROM orders
         |GROUP BY 1
         |ORDER BY split""".stripMargin,
+    "q21_range_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+        |s AS (SELECT user_id, event_id AS signup_id, es AS start_es FROM ev WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id AS purchase_id, es FROM ev WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT DISTINCT signup_id, purchase_id
+        |  FROM s JOIN p USING (user_id)
+        |  WHERE p.es >= s.start_es AND p.es < s.start_es + 3600)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases_matched,
+        |  CAST(COUNT(DISTINCT signup_id) AS BIGINT) AS n_signups_matched
+        |FROM j""".stripMargin,
     "q20_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),

@@ -137,6 +137,24 @@ class RelationalSpec extends SparkSpecBase {
     assert(rows("1_view") <= nUsers)
   }
 
+  test("q21 binned range join equals the brute-force non-equi join") {
+    val binned = graft.operators.RangeJoin.purchasesInSignupWindows(t).collect()(0)
+    val ev = t.events.select(col("user_id"), col("event_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("es"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("sid"), col("es").as("ses"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pid"), col("es").as("pes"))
+    val brute = s.join(p, col("user_id") === col("pu") &&
+        col("pes") >= col("ses") && col("pes") < col("ses") + 3600)
+      .select(col("sid"), col("pid")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(binned.getAs[Long]("n_pairs") == brute.length)
+    assert(binned.getAs[Long]("n_purchases_matched") == brute.map(_._2).distinct.length)
+    assert(binned.getAs[Long]("n_signups_matched") == brute.map(_._1).distinct.length)
+    assert(brute.nonEmpty, "testdata must produce at least one attribution pair")
+  }
+
   test("globalRowNumber matches an unpartitioned ranking window across many partitions") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
