@@ -36,8 +36,17 @@ object GraftFunctions {
     EU.column(RollingFingerprint(EU.expression(c), k))
 
   /** array<long> → int count of elements in the fixed long set. */
-  def long_set_hits(c: Column, values: Array[Long]): Column =
+  def long_set_hits(c: Column, values: Seq[Long]): Column =
     EU.column(LongSetHits(EU.expression(c), values))
+
+  /** The canonical whitespace tokenization every text operator AND its
+    * DuckDB oracle mirror (`regexp_split_to_array(trim(lower(text)),
+    * '\s+')`) — single definition so batch, streaming and oracle
+    * tokenizations cannot drift apart.
+    */
+  def ws_tokens(c: Column): Column =
+    org.apache.spark.sql.functions.split(
+      org.apache.spark.sql.functions.trim(org.apache.spark.sql.functions.lower(c)), "\\s+")
 
   /** (array<long>, array<long>) → int count of agreeing positions. */
   def sig_agreement(a: Column, b: Column): Column =

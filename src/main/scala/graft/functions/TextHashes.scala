@@ -377,12 +377,16 @@ case class StopwordHits(child: Expression, words: Seq[String]) extends UnaryExpr
   * a sorted array reference object). The hashed-shingle analog of
   * [[StopwordHits]] — powers stateless streaming decontamination.
   */
-case class LongSetHits(child: Expression, values: Array[Long]) extends UnaryExpression {
+case class LongSetHits(child: Expression, values: Seq[Long]) extends UnaryExpression {
+  // values is a Seq, not Array: case-class equality stays STRUCTURAL, so
+  // two plans built from equal sets compare equal (sameResult/cache
+  // reuse/ReuseExchange all depend on it; an Array field would compare
+  // by reference and silently defeat them)
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = child.nullable
 
   @transient private lazy val sorted: Array[Long] = {
-    val s = values.clone()
+    val s = values.toArray
     java.util.Arrays.sort(s)
     s
   }

@@ -27,7 +27,7 @@ object Curation {
   def decontaminate(t: Tables, benchSize: Long = 50, k: Int = 3, minShared: Long = 5): DataFrame = {
     val spark = t.documents.sparkSession
     val shingled = t.documents
-      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"), ws_tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("toks"), k))).as("shingle"))
     val bench = shingled.filter(col("doc_id") < benchSize)
@@ -74,7 +74,7 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.documents
       .select(col("doc_id"), col("source"),
-        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("ws_tokens"))
+        size(ws_tokens(col("text"))).cast("long").as("ws_tokens"))
       .withColumn("cum_tokens", sum(col("ws_tokens")).over(w))
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col("doc_id"), col("source"), col("ws_tokens"), col("cum_tokens"))

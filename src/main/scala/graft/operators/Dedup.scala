@@ -34,7 +34,7 @@ object Dedup {
     t.documents
       .select(col("doc_id"), col("text"))
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("tokens"))
+      .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
   }
 
   /** d2: MinHash + LSH banding. numHashes=64 split into 16 bands of 4 —

@@ -21,7 +21,7 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist", "ein", "den", "von", "zu", "mit"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"))
 
-  private def tokensCol: Column = split(trim(lower(col("text"))), "\\s+")
+  private def tokensCol: Column = ws_tokens(col("text"))
 
   private def stopHits(lang: String): Column =
     stopword_hits(col("toks"), Stopwords(lang))

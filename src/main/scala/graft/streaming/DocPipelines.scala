@@ -62,7 +62,7 @@ object DocPipelines {
     val watermarked = watermarkCol.fold(docs)(c => docs.withWatermark(c, delay))
     val tsCol = watermarkCol.fold(lit(null).cast("timestamp"))(col(_))
     val banded = watermarked
-      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("toks", GraftFunctions.ws_tokens(col("text")))
       .filter(size(col("toks")) > 1)
       .withColumn("sig", GraftFunctions.shingle_minhash(col("toks"), 2, numHashes, 42L))
       .select(col("doc_id"), col("sig"), tsCol.as("ts"),
@@ -124,21 +124,20 @@ object DocPipelines {
     */
   def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
       k: Int = 3, minShared: Int = 5): DataFrame = {
-    val benchShingles: Array[Long] = benchmark
-      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+    val benchShingles: Seq[Long] = benchmark
+      .withColumn("toks", GraftFunctions.ws_tokens(col("text")))
       .filter(size(col("toks")) >= k)
       .select(explode(array_distinct(GraftFunctions.shingle_hashes(col("toks"), k))).as("shingle"))
       .distinct()
-      .collect().map(_.getLong(0)) // eval suites are driver-sized by definition
+      .collect().map(_.getLong(0)).toSeq // eval suites are driver-sized by definition
     docs
-      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("toks", GraftFunctions.ws_tokens(col("text")))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
         GraftFunctions.long_set_hits(
           array_distinct(GraftFunctions.shingle_hashes(col("toks"), k)),
           benchShingles).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-      .drop("toks")
   }
 
   /** Stateless streaming quality scoring — same columns as the batch t2
@@ -146,7 +145,7 @@ object DocPipelines {
     */
   def qualityStream(docs: DataFrame): DataFrame =
     docs
-      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("toks", GraftFunctions.ws_tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("punct_ratio",
         round(length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double") /
