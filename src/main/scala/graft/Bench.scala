@@ -20,7 +20,7 @@ object Bench {
     tables.foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
 
     val failures = scala.collection.mutable.ListBuffer.empty[String]
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink forces full evaluation of every output column; a count()
       // would let Catalyst prune the computation being measured. A ROOT
@@ -33,9 +33,13 @@ object Bench {
       // best-of-N (default 2): this host sees intermittent hypervisor
       // contention that can inflate a single run several-fold; the min of
       // two runs measures the query, not the neighbor's workload.
-      val times = (1 to reps).flatMap { _ =>
-        if (failures.contains(name)) None
-        else {
+      // successful and crashed reps are kept apart: a query that succeeds
+      // once but crashes quickly on another rep must report a successful
+      // rep's time, not the fast crash's
+      val ok = scala.collection.mutable.ListBuffer.empty[Double]
+      val crashed = scala.collection.mutable.ListBuffer.empty[Double]
+      (1 to reps).foreach { _ =>
+        if (!failures.contains(name)) {
           val t0 = System.nanoTime()
           try {
             val df = fn(spark, sfDir)
@@ -46,17 +50,17 @@ object Bench {
             }
             org.apache.spark.sql.classic.GraftInterop.ofRows(spark, stripped)
               .write.format("noop").mode("overwrite").save()
-            Some((System.nanoTime() - t0) / 1e9)
+            ok += (System.nanoTime() - t0) / 1e9
           } catch { case e: Throwable =>
             // a crashed query must not masquerade as a fast one: record
             // the elapsed-until-crash time, and the errors array flags it
             failures += name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            Some((System.nanoTime() - t0) / 1e9)
+            crashed += (System.nanoTime() - t0) / 1e9
           }
         }
       }
-      name -> (if (times.nonEmpty) times.min else 0.0)
+      name -> (if (ok.nonEmpty) ok.min else if (crashed.nonEmpty) crashed.min else 0.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -83,11 +83,28 @@ object Pipeline {
     * an interrupted commit.
     */
   def mergeIntoPartitioned(spark: SparkSession, targetPath: String, fresh: DataFrame,
-      keys: Seq[String], version: Option[String], partitionCol: String): Long = {
+      keys: Seq[String], version: Option[String], partitionCol: String,
+      checkPartitionStability: Boolean = false): Long = {
     // touched partition values: driver-sized by construction (an
     // increment spans few coarse partitions — days, not keys)
     val touched = fresh.select(col(partitionCol)).distinct().collect().map(_.get(0))
     val exists = Files.exists(Paths.get(targetPath))
+    // debug guard for the TableSpec partition-stability contract: an
+    // upsert that MOVES a key to a new partition value would leave the
+    // stale row alive in its old (untouched) partition — a duplicate-key
+    // table. Opt-in because it scans the target's key+partition columns.
+    if (checkPartitionStability && exists) {
+      val moved = spark.read.parquet(targetPath)
+        .select(col(partitionCol).as("__old_part") +: keys.map(col): _*)
+        .join(fresh.select(col(partitionCol).as("__new_part") +: keys.map(col): _*), keys)
+        .filter(col("__old_part") =!= col("__new_part"))
+        .limit(1).count()
+      require(moved == 0L,
+        s"mergeIntoPartitioned: fresh rows change $partitionCol for existing keys; " +
+          "the stale rows would survive in their old partitions (partition values " +
+          "must be stable under upsert — derive them from the business key or an " +
+          "immutable event time)")
+    }
     val existing =
       if (exists)
         Some(spark.read.parquet(targetPath)

@@ -179,11 +179,23 @@ object Dedup {
       // carry the old label through the select so the convergence count
       // reads the (already materialized) checkpoint instead of paying a
       // second join against the previous generation every round
-      val next = labels
+      val stepped = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           col("label").as("__old"))
+      // pointer jumping: label ← label(label). Labels are vertex ids, so
+      // the previous generation maps every possible label; compressing
+      // through it collapses chains exponentially — O(log diameter)
+      // rounds instead of O(diameter), i.e. fewer sequential Spark jobs
+      // (the dominant cost of this loop: each round is a fixed number of
+      // bucket-key shuffles regardless of data size)
+      val next = stepped
+        .join(labels.select(col("doc_id").as("label"), col("label").as("__jump")),
+          Seq("label"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("__jump"), col("label"))).as("label"),
+          col("__old"))
         .localCheckpoint(true)
       val changed = next.filter(col("label") =!= col("__old")).count()
       labels = next.drop("__old")

@@ -106,8 +106,14 @@ object DocPipelines {
               }
             }
             state.update(BucketState(seen, maxTs))
-            if (useTtl && maxTs != Long.MinValue)
-              state.setTimeoutTimestamp(math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            // a bucket whose rows all carry a null event time would never
+            // register a deadline and its state would be immortal; anchor
+            // the TTL to the current watermark instead so eviction still
+            // happens
+            if (useTtl) {
+              val anchor = if (maxTs != Long.MinValue) maxTs else state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(anchor + ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
             out.result().iterator
           }
       }
@@ -130,6 +136,13 @@ object DocPipelines {
       .select(explode(array_distinct(GraftFunctions.shingle_hashes(col("toks"), k))).as("shingle"))
       .distinct()
       .collect().map(_.getLong(0)).toSeq // eval suites are driver-sized by definition
+    // the set ships inside every task binary and participates in plan
+    // canonicalization — fine for eval-suite scale, pathological if a
+    // corpus-sized frame is passed by mistake
+    require(benchShingles.size <= 2_000_000,
+      s"decontaminateStream: benchmark yields ${benchShingles.size} shingles (> 2M); " +
+        "this path embeds the set in the plan — use the batch dc1 broadcast-join " +
+        "operator (Curation.decontaminate) for corpus-sized benchmark frames")
     docs
       .withColumn("toks", GraftFunctions.ws_tokens(col("text")))
       .filter(size(col("toks")) >= k)

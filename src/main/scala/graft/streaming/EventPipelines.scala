@@ -162,6 +162,10 @@ object EventPipelines {
     * partitions it touches ([[graft.etl.Pipeline.mergeIntoPartitioned]])
     * — without it, every micro-batch reads and rewrites the WHOLE
     * target, which stops being viable once the table dwarfs a batch.
+    * The partition value of a key must be STABLE under upsert (derive it
+    * from the business key or an immutable event time): an update that
+    * moved a key to a new partition value would leave the stale row
+    * alive in its old, untouched partition.
     */
   def upsertStream(events: DataFrame, targetPath: String, checkpoint: String,
       keys: Seq[String] = Seq("event_id"), versionCol: String = "ts",

@@ -211,6 +211,29 @@ class EtlSpec extends SparkSpecBase {
     assert(rows.sameElements(Array((1L, "a"), (2L, "b"), (3L, "C"), (4L, "d"))))
   }
 
+  test("partition-stability guard rejects upserts that move a key across partitions") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft_ps_").toString + "/t"
+    val initial = Seq((1L, "a", 10L, "2024-01-01"), (2L, "b", 10L, "2024-01-02"))
+      .toDF("id", "v", "ver", "day")
+    Pipeline.mergeIntoPartitioned(spark, target, initial, Seq("id"), Some("ver"), "day")
+
+    // id=1 tries to move from day 1 to day 3: the stale day-1 row would
+    // survive in its (untouched) old partition — the guard must refuse
+    val moving = Seq((1L, "A", 20L, "2024-01-03")).toDF("id", "v", "ver", "day")
+    val err = intercept[IllegalArgumentException] {
+      Pipeline.mergeIntoPartitioned(spark, target, moving, Seq("id"), Some("ver"), "day",
+        checkPartitionStability = true)
+    }
+    assert(err.getMessage.contains("partition"), s"unexpected message: ${err.getMessage}")
+
+    // a stable upsert passes the guard
+    val stable = Seq((1L, "A", 20L, "2024-01-01")).toDF("id", "v", "ver", "day")
+    val n = Pipeline.mergeIntoPartitioned(spark, target, stable, Seq("id"), Some("ver"), "day",
+      checkPartitionStability = true)
+    assert(n == 1)
+  }
+
   test("runner with a partitioned table spec merges increments through the partition path") {
     import spark.implicits._
     val (wh, md) = freshDirs()
