@@ -210,6 +210,106 @@ object OracleReplicas {
        |ORDER BY cluster_id""".stripMargin
   }
 
+  /** splitmix64 over an unsigned HUGEINT expression, emitted as chained
+    * CTE column transforms (mirrors [[graft.functions.GraftHash.splitmix64]]).
+    * Each 64×64-bit wrapping multiply by a constant C is computed as
+    * ((C_hi·x mod 2^32)·2^32 + C_lo·x) mod 2^64 to stay inside HUGEINT.
+    */
+  private def mulConstMod64(c: Long, x: String): String = {
+    val hi = c >>> 32
+    val lo = c & 0xffffffffL
+    s"((((($hi * ($x)) % 4294967296) * 4294967296) + $lo * ($x)) % $Mod64)"
+  }
+
+  def splitmixSql(x: String): String = {
+    val z0 = s"((($x) + ${u(0x9e3779b97f4a7c15L)}) % $Mod64)"
+    val z1 = mulConstMod64(0xbf58476d1ce4e5b9L, s"xor($z0, ($z0) // 1073741824)")
+    val z2 = mulConstMod64(0x94d049bb133111ebL, s"xor($z1, ($z1) // 134217728)")
+    s"xor($z2, ($z2) // 2147483648)"
+  }
+
+  /** q22: the deterministic-HLL distinct sketch replayed
+    * register-for-register — splitmix64 hash, bucket = top p bits, rank =
+    * leading zeros of the shifted word (via the exact bit-length of its
+    * UBIGINT binary string), MAX rank per (group, bucket), exact HUGEINT
+    * register sum, single double division by the same numerator literal
+    * the Scala estimator uses. Mirrors [[graft.functions.HllDistinct]] /
+    * [[graft.operators.Relational.q22HllDistinct]].
+    */
+  def q22HllDistinct(p: Int = 6): String = {
+    val m = 1 << p
+    val k = graft.functions.HllDistinct.maxRank(p)
+    val num = graft.functions.HllDistinct.numerator(p)
+    val bucketDiv = u(1L << (64 - p)) // hash // 2^(64-p) = top p bits
+    s"""WITH h AS (
+       |  SELECT l_returnflag, ${splitmixSql("CAST(l_orderkey AS HUGEINT)")} AS hu
+       |  FROM lineitem),
+       |rh AS (
+       |  SELECT l_returnflag,
+       |    hu // $bucketDiv AS idx,
+       |    LEAST(65 - length(bin(CAST((hu * $m) % $Mod64 AS UBIGINT))), $k) AS rho
+       |  FROM h),
+       |regs AS (SELECT l_returnflag, idx, MAX(rho) AS mr FROM rh GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT l_returnflag,
+       |    COUNT(*) AS present,
+       |    SUM(CAST(power(2, $k - mr) AS HUGEINT)) AS s_present
+       |  FROM regs GROUP BY 1),
+       |est AS (
+       |  SELECT l_returnflag,
+       |    s_present + ($m - present) * CAST(power(2, $k) AS HUGEINT) AS s_total,
+       |    $m - present AS zeros
+       |  FROM agg),
+       |n AS (SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag,
+       |  ROUND(CASE WHEN $num / CAST(s_total AS DOUBLE) <= 2.5 * $m AND zeros > 0
+       |             THEN $m * ln($m / zeros)
+       |             ELSE $num / CAST(s_total AS DOUBLE) END, 2) AS est_distinct,
+       |  n_rows
+       |FROM est JOIN n USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** s3: LSH-bucketed ANN — d5's sign sketch (same inlined weights) on
+    * both sides, 4-bit band collision gates candidates, exact cosine
+    * rerank, top-k per query. Mirrors [[graft.operators.Similarity.lshTopK]].
+    */
+  def s3LshTopK(nQueries: Int = 10, k: Int = 5, nbits: Int = 16, seed: Long = 7L, dim: Int = 64): String = {
+    def weight(b: Int, d: Int): Double = {
+      val h = GraftHash.splitmix64(seed + b.toLong * 131071L + d)
+      (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    val sketch = (0 until nbits).map { b =>
+      val w = (0 until dim).map(d => weight(b, d).toString).mkString("[", ", ", "]")
+      s"CASE WHEN list_reduce(list_prepend(0.0, list_transform(range($dim), d -> ($w)[d+1] * CAST(embedding[d+1] AS DOUBLE))), (a, x) -> a + x) >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    val bandCond = (0 until 4)
+      .map(b => s"((q.sk // ${1L << (4 * b)}) % 16 = (c.sk // ${1L << (4 * b)}) % 16)")
+      .mkString(" OR ")
+    s"""WITH sk AS (SELECT vec_id, embedding, $sketch AS sk FROM embeddings),
+       |cand AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.embedding AS qe, c.embedding AS ce
+       |  FROM sk q JOIN sk c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id
+       |  WHERE $bandCond),
+       |pairs AS (SELECT query_id, neighbor_id, unnest(qe) AS x, unnest(ce) AS y FROM cand),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+       |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+       |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+       |  FROM pairs GROUP BY query_id, neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END AS cosf,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END) DESC,
+       |               neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, ROUND(cosf, 6) AS cos
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Shared CTEs: tokens → per-doc shingle-FNV list → 64-hash MinHash
     * signature → band-colliding candidate pairs with agreement estimate.
     */

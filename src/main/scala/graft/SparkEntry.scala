@@ -37,6 +37,7 @@ object SparkEntry {
     "q19_hash_split" -> ((s, dir) => Relational.q19HashSplit(Tables(s, dir))),
     "q20_funnel" -> ((s, dir) => Relational.q20Funnel(Tables(s, dir))),
     "q21_range_join" -> ((s, dir) => RangeJoin.purchasesInSignupWindows(Tables(s, dir))),
+    "q22_hll_distinct" -> ((s, dir) => Relational.q22HllDistinct(Tables(s, dir))),
     // §2.2 dedup
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir))),
     "d2_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir))),
@@ -47,6 +48,7 @@ object SparkEntry {
     // §2.3 similarity search
     "s1_ann_brute" -> ((s, dir) => Similarity.bruteForce(Tables(s, dir))),
     "s2_ann_ivf" -> ((s, dir) => Similarity.ivf(Tables(s, dir))),
+    "s3_ann_lsh" -> ((s, dir) => Similarity.lshTopK(Tables(s, dir))),
     // §2.4 text analysis
     "t1_langid" -> ((s, dir) => TextAnalysis.langId(Tables(s, dir))),
     "t2_quality" -> ((s, dir) => TextAnalysis.quality(Tables(s, dir))),
@@ -55,10 +57,12 @@ object SparkEntry {
     "t5_vocab" -> ((s, dir) => TextAnalysis.vocab(Tables(s, dir))),
     "t6_tfidf" -> ((s, dir) => TextAnalysis.tfidf(Tables(s, dir))),
     "t5_vocab_sketch" -> ((s, dir) => TextAnalysis.vocabSketch(Tables(s, dir))),
+    "t7_repetition" -> ((s, dir) => TextAnalysis.repetition(Tables(s, dir))),
     // §2.7 corpus curation
     "dc1_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables(s, dir))),
     "dc2_sample_budget" -> ((s, dir) => Curation.sampleToBudget(Tables(s, dir))),
     "dc3_canonical" -> ((s, dir) => Curation.canonicalPerCluster(Tables(s, dir))),
+    "dc4_mixture" -> ((s, dir) => Curation.sampleToMixture(Tables(s, dir))),
     // §2.5 multimodal plumbing
     "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
     "m2_frame_sample" -> ((s, dir) => Multimodal.frames(Tables(s, dir))),
@@ -169,8 +173,47 @@ object SparkEntry {
         |SELECT doc_id, source, ws_tokens, cum_tokens FROM s
         |WHERE cum_tokens <= 10000
         |ORDER BY source, cum_tokens""".stripMargin,
+    "t7_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |st AS (
+        |  SELECT doc_id, len(t) AS n,
+        |    len(list_distinct(t)) AS dt,
+        |    list_aggregate(list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x))), 'max') AS topc,
+        |    GREATEST(len(t) - 1, 0) AS nsh,
+        |    len(list_distinct(list_transform(range(1, len(t)), i -> t[i] || chr(31) || t[i+1]))) AS dsh
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_tokens,
+        |  ROUND(1.0 - dt / GREATEST(n, 1), 6) AS dup_token_frac,
+        |  ROUND(topc / GREATEST(n, 1), 6) AS top_token_frac,
+        |  ROUND(CASE WHEN nsh > 0 THEN 1.0 - dsh / nsh ELSE 0.0 END, 6) AS dup_2gram_frac
+        |FROM st
+        |ORDER BY doc_id""".stripMargin,
+    "dc4_mixture" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens
+        |  FROM documents),
+        |wt AS (
+        |  SELECT source, CAST(CAST(substr(source, 4) AS INT) % 3 + 1 AS DOUBLE) AS w
+        |  FROM (SELECT DISTINCT source FROM documents) z),
+        |b AS (
+        |  SELECT source, CAST(FLOOR(60000.0 * w / (SELECT SUM(w) FROM wt)) AS BIGINT) AS src_budget
+        |  FROM wt),
+        |s AS (
+        |  SELECT doc_id, c.source, ws_tokens, src_budget,
+        |    CAST(SUM(ws_tokens) OVER (PARTITION BY c.source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM c JOIN b ON c.source = b.source)
+        |SELECT doc_id, source, ws_tokens, cum_tokens, src_budget FROM s
+        |WHERE cum_tokens <= src_budget
+        |ORDER BY source, cum_tokens""".stripMargin,
     // generated replicas of the custom hash/sketch kernels (constants
     // derived from the same splitmix64 streams the expressions use)
+    "q22_hll_distinct" -> OracleReplicas.q22HllDistinct(),
+    "s3_ann_lsh" -> OracleReplicas.s3LshTopK(),
     "d2_dedup_minhash" -> OracleReplicas.d2MinhashLsh(),
     "dc3_canonical" -> OracleReplicas.dc3Canonical(),
     "d3_dedup_simhash" -> OracleReplicas.d3Simhash(),

@@ -70,6 +70,16 @@ object GraftFunctions {
   def approx_top_k_tokens(c: Column, k: Int = 20, capacity: Int = 4096): Column =
     EU.column(ApproxTopKTokens(EU.expression(c), k, capacity).toAggregateExpression())
 
+  /** Distinct-count sketch aggregate: deterministic HLL, 2^p-byte
+    * mergeable partials, exact-integer estimator (DuckDB-replayable).
+    */
+  def hll_distinct(c: Column, p: Int = 6): Column =
+    EU.column(HllDistinctAgg(EU.expression(c), p).toAggregateExpression())
+
+  /** array<string> tokens → struct of within-doc repetition counters. */
+  def repetition_stats(c: Column, k: Int = 2): Column =
+    EU.column(RepetitionStats(EU.expression(c), k))
+
   /** Register every graft function for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HyperLogLog distinct-count sketch with DETERMINISTIC, cross-engine
+  * replayable arithmetic (Flajolet et al. 2007). The sketch itself is the
+  * standard one — m = 2^p byte registers, register j keeps the max
+  * leading-zero rank of hashes landing in bucket j — but the estimator is
+  * computed through an EXACT integer register sum (Σ 2^(K-M[j]) as a
+  * BigInt) followed by a single double division, so the result is
+  * independent of register visit order and reproducible by any engine
+  * with 128-bit integers (the DuckDB oracle replays it in HUGEINT).
+  *
+  * The 100 TB shape: each partial is m bytes regardless of input size,
+  * merges are elementwise max (associative, commutative), so a
+  * billions-of-rows COUNT(DISTINCT) becomes a map-side sketch + one
+  * m-byte-per-partition reduce — no shuffle of the key domain at all.
+  * Contrast Spark's built-in approx_count_distinct, which is also HLL++
+  * but whose bias-corrected estimate is not readily replayable in SQL;
+  * this one is, which is what lets the driver's DuckDB gate verify it.
+  *
+  * Re-expresses the reference's audit statistics at sketch scale
+  * (/root/reference/metadata.py:44-115 counts distinct entities per sync;
+  * at corpus scale those become sketches).
+  */
+object HllDistinct {
+  /** max rank: hash has 64-p usable bits, +1 for the all-zero word. */
+  def maxRank(p: Int): Int = 64 - p + 1
+
+  /** Standard HLL alpha constant per register count. */
+  def alpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** The estimator numerator alpha·m²·2^K as ONE double constant — both
+    * the Scala eval and the generated DuckDB replica divide this same
+    * literal by the exact integer register sum, so the two engines agree
+    * bit-for-bit (Double.toString round-trips).
+    */
+  def numerator(p: Int): Double = {
+    val m = 1 << p
+    alpha(m) * m.toDouble * m.toDouble * math.pow(2.0, maxRank(p).toDouble)
+  }
+
+  /** Rank of a hash for bucket width p: leading zeros of (h << p) + 1,
+    * capped at K (the all-zero-suffix case).
+    */
+  def rank(h: Long, p: Int): Int = {
+    val w = h << p
+    math.min(java.lang.Long.numberOfLeadingZeros(w) + 1, maxRank(p))
+  }
+
+  /** Estimate from a register array: exact integer sum, one division.
+    * Small-range linear counting (est ≤ 2.5m with empty registers) uses
+    * m·ln(m/V) — deterministic given (m, V), and the replica emits the
+    * same branch.
+    */
+  def estimate(regs: Array[Byte], p: Int): Double = {
+    val m = regs.length
+    val k = maxRank(p)
+    var sum = BigInt(0)
+    var zeros = 0
+    var j = 0
+    while (j < m) {
+      val r = regs(j) & 0xff
+      if (r == 0) zeros += 1
+      sum += BigInt(1) << (k - r)
+      j += 1
+    }
+    val raw = numerator(p) / sum.toDouble
+    if (raw <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros)
+    else raw
+  }
+}
+
+/** The mergeable register state. */
+final class HllRegisters(val p: Int) {
+  val regs = new Array[Byte](1 << p)
+
+  def addHash(h: Long): Unit = {
+    val idx = (h >>> (64 - p)).toInt
+    val r = HllDistinct.rank(h, p)
+    if (r > (regs(idx) & 0xff)) regs(idx) = r.toByte
+  }
+
+  def merge(other: HllRegisters): Unit = {
+    var j = 0
+    while (j < regs.length) {
+      if ((other.regs(j) & 0xff) > (regs(j) & 0xff)) regs(j) = other.regs(j)
+      j += 1
+    }
+  }
+
+  def estimate: Double = HllDistinct.estimate(regs, p)
+}
+
+/** hll_distinct(col, p) → double estimated distinct count. Long inputs
+  * hash through splitmix64; string inputs through FNV-1a 64 then
+  * splitmix64 (finalizer decorrelates FNV's low-entropy high bits before
+  * the bucket split).
+  */
+case class HllDistinctAgg(
+    child: Expression,
+    p: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllRegisters] {
+
+  require(p >= 4 && p <= 16, s"hll_distinct precision $p outside [4,16]")
+
+  // lazy: the child is unresolved when the Column wrapper constructs this
+  @transient private lazy val isString = child.dataType == StringType
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+
+  override def createAggregationBuffer(): HllRegisters = new HllRegisters(p)
+
+  override def update(buf: HllRegisters, input: InternalRow): HllRegisters = {
+    val v = child.eval(input)
+    if (v != null) {
+      val base =
+        if (isString) GraftHash.fnv64(v.asInstanceOf[UTF8String])
+        else v.asInstanceOf[Number].longValue()
+      buf.addHash(GraftHash.splitmix64(base))
+    }
+    buf
+  }
+
+  override def merge(buf: HllRegisters, other: HllRegisters): HllRegisters = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: HllRegisters): Any = java.lang.Double.valueOf(buf.estimate)
+
+  override def serialize(buf: HllRegisters): Array[Byte] = {
+    val out = new Array[Byte](1 + buf.regs.length)
+    out(0) = buf.p.toByte
+    System.arraycopy(buf.regs, 0, out, 1, buf.regs.length)
+    out
+  }
+
+  override def deserialize(bytes: Array[Byte]): HllRegisters = {
+    val sketch = new HllRegisters(bytes(0).toInt)
+    System.arraycopy(bytes, 1, sketch.regs, 0, sketch.regs.length)
+    sketch
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllDistinctAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllDistinctAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllDistinctAgg =
+    copy(child = c.head)
+  override def prettyName: String = "hll_distinct"
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -59,6 +59,39 @@ object Curation {
         max(col("quality_score")).as("keeper_score"),
         count(lit(1)).as("n_docs"))
       .orderBy(col("cluster_id"))
+  }
+
+  /** dc4: domain-mixture sampling — dc2 generalized to WEIGHTED
+    * per-source budgets, the "data mixing" step that fits heterogeneous
+    * sources into a training-token budget at configured proportions.
+    * `weight` is any deterministic per-source Column (a literal mixture
+    * table joins in identically); each source's budget is
+    * floor(totalBudget · w / Σw), then the same md5-priority running-sum
+    * cut as dc2. The weight/budget table is one row per source —
+    * broadcast — and the heavy text never shuffles: per-doc token counts
+    * are computed map-side and only (doc_id, source, count) rows enter
+    * the window.
+    */
+  def sampleToMixture(t: Tables, totalBudget: Long = 60000,
+      weight: Column = expr("cast(substr(source, 4) as int)") % 3 + 1): DataFrame = {
+    val docs = t.documents
+      .select(col("doc_id"), col("source"),
+        size(ws_tokens(col("text"))).cast("long").as("ws_tokens"))
+    val weights = docs.select(col("source")).distinct()
+      .withColumn("w", weight.cast("double"))
+    val totalW = weights.agg(sum(col("w")).as("tw"))
+    val budgets = weights.crossJoin(broadcast(totalW))
+      .withColumn("src_budget",
+        floor(lit(totalBudget.toDouble) * col("w") / col("tw")).cast("long"))
+      .select(col("source"), col("src_budget"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(budgets), Seq("source"))
+      .withColumn("cum_tokens", sum(col("ws_tokens")).over(w))
+      .filter(col("cum_tokens") <= col("src_budget"))
+      .select(col("doc_id"), col("source"), col("ws_tokens"), col("cum_tokens"), col("src_budget"))
+      .orderBy(col("source"), col("cum_tokens"))
   }
 
   /** dc2: deterministic token-budget sampling. Each source keeps its

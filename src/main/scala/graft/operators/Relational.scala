@@ -354,6 +354,23 @@ object Relational {
     counts.reduce(_.unionByName(_)).orderBy(col("stage"))
   }
 
+  /** q22: distinct-count sketch aggregation — the audit statistics of
+    * q11 (reference metadata.py:44-115 distinct-entity counts) at sketch
+    * scale. `hll_distinct` is graft's deterministic HLL
+    * `TypedImperativeAggregate`: 2^p-byte mergeable partials, map-side
+    * combine, exact-integer estimator — a COUNT(DISTINCT) whose shuffle
+    * is m bytes per partition instead of the key domain, and which the
+    * DuckDB oracle replays register-for-register. `n_rows` rides the
+    * same single shuffle.
+    */
+  def q22HllDistinct(t: Tables, p: Int = 6): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(GraftFunctions.hll_distinct(col("l_orderkey"), p), 2).as("est_distinct"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** q17: multi-grain aggregation via ROLLUP — season/round/total grains
     * of the reference's standings in one pass (partial aggregation per
     * grouping set, single shuffle).

@@ -146,6 +146,45 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s3: LSH-bucketed ANN — the deterministic scale path that the DuckDB
+    * oracle CAN verify end-to-end (unlike s2's floating-point k-means).
+    * Same random-hyperplane sign sketch as d5 (16 bits, 4×4-bit bands):
+    * a corpus vector is a candidate for a query iff they collide on at
+    * least one band; exact cosine reranks candidates; top-k per query.
+    *
+    * Scale shape: sketches and band keys are computed map-side; the tiny
+    * query band set broadcasts, so the corpus NEVER shuffles — each scan
+    * row either matches a broadcast band key or dies in place. Candidate
+    * attach is a second corpus scan filtered by the (small) candidate id
+    * set; the ranking window runs on queries × candidates, not queries ×
+    * corpus (brute force's cost).
+    */
+  def lshTopK(t: Tables, nQueries: Int = 10, k: Int = 5, nbits: Int = 16, seed: Long = 7L): DataFrame = {
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val banded = emb
+      .select(col("vec_id"), sign_sketch(col("embedding"), nbits, seed).as("sketch"))
+      .select(col("vec_id"),
+        posexplode(expr("transform(sequence(0, 3), b -> cast(shiftright(sketch, b * 4) & 15 as long))")))
+      .select(col("vec_id"), col("pos").as("band_idx"), col("col").as("band_val"))
+    val qb = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("band_idx"), col("band_val"))
+    val cand = banded.join(broadcast(qb), Seq("band_idx", "band_val"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val qe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), Seq("neighbor_id"))
+      .join(broadcast(qe), Seq("query_id"))
+      .withColumn("cos", cosine_sim(col("query_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Assign each vector to its nearest centroid (centroids broadcast).
     * Arg-max via `max_by` partial aggregation, not a ranking window: the
     * n×nlist scored rows combine map-side to one row per vector, so only

@@ -135,6 +135,28 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** t7: within-document repetition scoring — the Gopher-style filters
+    * (duplicate-token fraction, top-token dominance, duplicate-n-gram
+    * fraction) that catch boilerplate and degenerate generations. All
+    * five counters come from ONE codegen pass over the token array
+    * ([[graft.functions.RepetitionStats]]): per-document work stays
+    * map-side, only small counters leave the scan — no token shuffle at
+    * any corpus size.
+    */
+  def repetition(t: Tables, k: Int = 2): DataFrame =
+    t.documents
+      .select(col("doc_id"), repetition_stats(tokensCol, k).as("r"))
+      .select(col("doc_id"),
+        col("r.n_tokens").cast("long").as("n_tokens"),
+        round(lit(1.0) - col("r.distinct_tokens") / greatest(col("r.n_tokens"), lit(1)), 6)
+          .as("dup_token_frac"),
+        round(col("r.top_token_count") / greatest(col("r.n_tokens"), lit(1)).cast("double"), 6)
+          .as("top_token_frac"),
+        round(when(col("r.n_shingles") > 0,
+          lit(1.0) - col("r.distinct_shingles") / col("r.n_shingles").cast("double"))
+          .otherwise(0.0), 6).as("dup_2gram_frac"))
+      .orderBy(col("doc_id"))
+
   /** t4: rolling-hash document fingerprints — full-document Karp–Rabin
     * min-window hash (shift-stable) + a coarse bucket for grouping.
     * Custom codegen expression [[graft.functions.RollingFingerprint]].

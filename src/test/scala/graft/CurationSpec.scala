@@ -59,4 +59,43 @@ class CurationSpec extends SparkSpecBase {
     val large = a.map(_.getAs[Long]("doc_id")).toSet
     assert(small.subsetOf(large), "shrinking the budget only removes docs, never swaps them")
   }
+
+  test("dc4 mixture sampling honors weighted per-source budgets and priority order") {
+    val rows = Curation.sampleToMixture(t, totalBudget = 20000).collect()
+    assert(rows.nonEmpty)
+    // per-source budget = floor(total * w / sum(w)) with w = srcN % 3 + 1
+    val weights = (0 until 20).map(i => s"src$i" -> (i % 3 + 1).toDouble).toMap
+    val sumW = weights.values.sum
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, srcRows) =>
+      val expectedBudget = math.floor(20000.0 * weights(src) / sumW).toLong
+      assert(srcRows.forall(_.getAs[Long]("src_budget") == expectedBudget), s"$src budget")
+      assert(srcRows.map(_.getAs[Long]("cum_tokens")).max <= expectedBudget)
+    }
+    // heavier-weighted sources get proportionally larger budgets
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.head.getAs[Long]("src_budget")).toMap
+    assert(bySrc("src2") > bySrc("src0"), "w=3 source outbudgets w=1 source")
+    // deterministic rerun
+    val again = Curation.sampleToMixture(t, totalBudget = 20000).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("t7 repetition scoring: planted duplicate tokens raise the dup fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // all distinct
+      (2L, "spam spam spam spam spam spam"), // one token repeated
+      (3L, "a b a b a b a b") // repeated 2-gram pattern
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep_").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.repetition(graft.sources.Tables(spark, dir)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("dup_token_frac") == 0.0)
+    assert(out(1L).getAs[Double]("dup_2gram_frac") == 0.0)
+    assert(out(2L).getAs[Double]("top_token_frac") == 1.0)
+    assert(out(2L).getAs[Double]("dup_2gram_frac") > 0.7, "spam^6 has 5 identical 2-grams")
+    assert(out(3L).getAs[Double]("dup_token_frac") == 0.75, "8 tokens, 2 distinct")
+    assert(out(3L).getAs[Double]("dup_2gram_frac") > 0.5, "ababab alternates 2 shingles")
+  }
 }

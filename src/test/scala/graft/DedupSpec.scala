@@ -85,6 +85,31 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("s3 LSH ANN: candidates share a sketch band, recall vs brute is reasonable") {
+    val brute = Similarity.bruteForce(t).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val rows = Similarity.lshTopK(t).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      val cos = sorted.map(_.getAs[Double]("cos"))
+      assert(cos.sameElements(cos.sortBy(-(_: Double))), "ranked by cosine desc")
+      assert(g.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    }
+    val lsh = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.4, s"LSH recall $recall vs brute force too low for 4x4-bit bands")
+    // every emitted pair genuinely collides on at least one 4-bit band —
+    // the bucketing, not a fallback scan, produced the candidates
+    val sketches = t.embeddings
+      .select(col("vec_id"), graft.functions.GraftFunctions.sign_sketch(col("embedding"), 16, 7L).as("sk"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("sk")).toMap
+    lsh.foreach { case (q, n) =>
+      val collide = (0 until 4).exists(b => ((sketches(q) >> (4 * b)) & 15) == ((sketches(n) >> (4 * b)) & 15))
+      assert(collide, s"pair ($q,$n) does not share any band")
+    }
+  }
+
   test("persisted IVF index prunes cluster partitions and matches in-memory IVF") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_").resolve("idx").toString
     val centroids = Similarity.buildIvfIndex(t, path)

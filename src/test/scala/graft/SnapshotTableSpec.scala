@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.etl.{SnapshotTable, VersionConflictException}
+
+class SnapshotTableSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def fresh(): SnapshotTable =
+    new SnapshotTable(spark, Files.createTempDirectory("graft_snap_").toString + "/t")
+
+  test("append/overwrite produce a version chain with time travel") {
+    val t = fresh()
+    assert(t.currentVersion.isEmpty)
+    val v0 = t.append(Seq((1L, "a")).toDF("id", "v"))
+    val v1 = t.append(Seq((2L, "b")).toDF("id", "v"))
+    assert((v0, v1) == (0L, 1L))
+    assert(t.read().count() == 2)
+    assert(t.read(Some(0L)).count() == 1, "older snapshots stay readable")
+    val v2 = t.overwrite(Seq((9L, "z")).toDF("id", "v"))
+    assert(v2 == 2L)
+    assert(t.read().collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(t.read(Some(1L)).count() == 2, "overwrite does not destroy history")
+  }
+
+  test("a stale commit loses deterministically; the retry path composes changes") {
+    val t = fresh()
+    t.append(Seq((1L, "a")).toDF("id", "v")) // v0
+    // a writer that resolved v0 but finds v1 published must conflict
+    t.append(Seq((2L, "b")).toDF("id", "v")) // v1
+    intercept[VersionConflictException] {
+      t.tryCommit(expected = 0L, dirs = Seq("phantom-dir"))
+    }
+    // the retrying append re-reads fresh state: nothing is lost
+    t.append(Seq((3L, "c")).toDF("id", "v")) // v2
+    assert(t.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("concurrent appends from many threads all land; reads see consistent snapshots") {
+    val t = fresh()
+    val threads = (1 to 6).map { i =>
+      new Thread(() => { t.append(Seq((i.toLong, s"w$i")).toDF("id", "v")); () })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(t.currentVersion.contains(5L), "six commits -> versions 0..5")
+    assert(t.read().collect().map(_.getLong(0)).sorted.toSeq == (1L to 6L),
+      "every writer's rows survive the races")
+    // each intermediate snapshot has exactly version+1 data dirs
+    (0L to 5L).foreach { v =>
+      assert(t.read(Some(v)).count() == v + 1)
+    }
+  }
+
+  test("vacuum drops unreachable data but keeps retained versions intact") {
+    val t = fresh()
+    t.append(Seq((1L, "a")).toDF("id", "v")) // v0
+    t.overwrite(Seq((2L, "b")).toDF("id", "v")) // v1 — v0's dir now unreachable from v1
+    t.append(Seq((3L, "c")).toDF("id", "v")) // v2
+    t.vacuum(keepVersions = 2)
+    assert(t.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(t.read(Some(1L)).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    intercept[Exception] { t.read(Some(0L)).collect() } // vacuumed away
+  }
+}
