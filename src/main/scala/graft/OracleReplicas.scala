@@ -270,6 +270,57 @@ object OracleReplicas {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  /** q25: rollup-over-sketches replayed per grain. Register max is
+    * associative, so merging finest-grain sketches equals building each
+    * grain from rows — the replica computes every grain's registers
+    * directly from the hashed keys and must match the merged estimates
+    * exactly. Mirrors [[graft.operators.Relational.q25HllRollup]].
+    */
+  def q25HllRollup(p: Int = 6): String = {
+    val m = 1 << p
+    val k = graft.functions.HllDistinct.maxRank(p)
+    val num = graft.functions.HllDistinct.numerator(p)
+    val bucketDiv = u(1L << (64 - p))
+    def grain(groupCols: Seq[String], gid: Int): String = {
+      val sel = Seq("l_returnflag", "l_linestatus").map { c =>
+        if (groupCols.contains(c)) c else s"CAST(NULL AS VARCHAR) AS $c"
+      }.mkString(", ")
+      val by = if (groupCols.isEmpty) "" else s" GROUP BY ${groupCols.mkString(", ")}"
+      val keyList = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ","
+      val joinOn =
+        if (groupCols.isEmpty) "ON TRUE"
+        else "USING (" + groupCols.mkString(", ") + ")"
+      s"""SELECT $sel,
+         |  ROUND(CASE WHEN $num / CAST(s_total AS DOUBLE) <= 2.5 * $m AND zeros > 0
+         |             THEN $m * ln($m / zeros)
+         |             ELSE $num / CAST(s_total AS DOUBLE) END, 2) AS est_distinct,
+         |  n_rows, CAST($gid AS BIGINT) AS gid
+         |FROM (
+         |  SELECT $keyList
+         |    SUM(CAST(power(2, $k - mr) AS HUGEINT)) + ($m - COUNT(*)) * CAST(power(2, $k) AS HUGEINT) AS s_total,
+         |    $m - COUNT(*) AS zeros
+         |  FROM (SELECT $keyList idx, MAX(rho) AS mr FROM rh GROUP BY ${(groupCols :+ "idx").mkString(", ")})
+         | $by) e
+         |JOIN (SELECT $keyList COUNT(*) AS n_rows FROM lineitem$by) n
+         |  $joinOn""".stripMargin
+    }
+    s"""WITH h AS (
+       |  SELECT l_returnflag, l_linestatus,
+       |    ${splitmixSql("CAST(l_orderkey AS HUGEINT)")} AS hu
+       |  FROM lineitem),
+       |rh AS (
+       |  SELECT l_returnflag, l_linestatus,
+       |    hu // $bucketDiv AS idx,
+       |    LEAST(65 - length(bin(CAST((hu * $m) % $Mod64 AS UBIGINT))), $k) AS rho
+       |  FROM h)
+       |${grain(Seq("l_returnflag", "l_linestatus"), 0)}
+       |UNION ALL
+       |${grain(Seq("l_returnflag"), 1)}
+       |UNION ALL
+       |${grain(Seq.empty, 3)}
+       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+  }
+
   /** s3: LSH-bucketed ANN — d5's sign sketch (same inlined weights) on
     * both sides, 4-bit band collision gates candidates, exact cosine
     * rerank, top-k per query. Mirrors [[graft.operators.Similarity.lshTopK]].

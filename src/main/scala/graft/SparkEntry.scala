@@ -38,6 +38,9 @@ object SparkEntry {
     "q20_funnel" -> ((s, dir) => Relational.q20Funnel(Tables(s, dir))),
     "q21_range_join" -> ((s, dir) => RangeJoin.purchasesInSignupWindows(Tables(s, dir))),
     "q22_hll_distinct" -> ((s, dir) => Relational.q22HllDistinct(Tables(s, dir))),
+    "q23_salted_join" -> ((s, dir) => Relational.q23SaltedJoin(Tables(s, dir))),
+    "q24_hist_quantiles" -> ((s, dir) => Relational.q24HistQuantiles(Tables(s, dir))),
+    "q25_hll_rollup" -> ((s, dir) => Relational.q25HllRollup(Tables(s, dir))),
     // §2.2 dedup
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir))),
     "d2_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir))),
@@ -210,9 +213,46 @@ object SparkEntry {
         |SELECT doc_id, source, ws_tokens, cum_tokens, src_budget FROM s
         |WHERE cum_tokens <= src_budget
         |ORDER BY source, cum_tokens""".stripMargin,
+    // salting is semantics-preserving: the oracle is the PLAIN join
+    "q23_salted_join" ->
+      """SELECT l_suppkey, s_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY l_suppkey, s_name
+        |ORDER BY l_suppkey""".stripMargin,
+    "q24_hist_quantiles" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 5.0), 0), 199) AS INT) AS bin
+        |  FROM events),
+        |h AS (SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bin, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h),
+        |q50 AS (
+        |  SELECT event_type,
+        |    ROUND(0.0 + 5.0 * (bin + (CAST(0.5 AS DOUBLE) * n - (cum - c)) / c), 6) AS p50_est
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bin) AS rn
+        |        FROM cum WHERE cum >= CAST(0.5 AS DOUBLE) * n) z
+        |  WHERE rn = 1),
+        |q95 AS (
+        |  SELECT event_type,
+        |    ROUND(0.0 + 5.0 * (bin + (CAST(0.95 AS DOUBLE) * n - (cum - c)) / c), 6) AS p95_est
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bin) AS rn
+        |        FROM cum WHERE cum >= CAST(0.95 AS DOUBLE) * n) z
+        |  WHERE rn = 1),
+        |nn AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_rows FROM cum GROUP BY 1)
+        |SELECT event_type, p50_est, p95_est, n_rows
+        |FROM q50 JOIN q95 USING (event_type) JOIN nn USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // generated replicas of the custom hash/sketch kernels (constants
     // derived from the same splitmix64 streams the expressions use)
     "q22_hll_distinct" -> OracleReplicas.q22HllDistinct(),
+    "q25_hll_rollup" -> OracleReplicas.q25HllRollup(),
     "s3_ann_lsh" -> OracleReplicas.s3LshTopK(),
     "d2_dedup_minhash" -> OracleReplicas.d2MinhashLsh(),
     "dc3_canonical" -> OracleReplicas.dc3Canonical(),

@@ -80,6 +80,17 @@ object GraftFunctions {
   def repetition_stats(c: Column, k: Int = 2): Column =
     EU.column(RepetitionStats(EU.expression(c), k))
 
+  /** Build a binary HLL sketch VALUE (store/re-aggregate later). */
+  def hll_sketch(c: Column, p: Int = 6): Column =
+    EU.column(HllSketchAgg(EU.expression(c), p).toAggregateExpression())
+
+  /** Union already-built binary sketches (register max). */
+  def hll_merge(c: Column, p: Int = 6): Column =
+    EU.column(HllMergeAgg(EU.expression(c), p).toAggregateExpression())
+
+  /** Scalar distinct-count estimate of a binary sketch. */
+  def hll_estimate(c: Column): Column = EU.column(HllEstimate(EU.expression(c)))
+
   /** Register every graft function for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

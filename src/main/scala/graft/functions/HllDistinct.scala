@@ -106,23 +106,59 @@ final class HllRegisters(val p: Int) {
   * splitmix64 (finalizer decorrelates FNV's low-entropy high bits before
   * the bucket split).
   */
-case class HllDistinctAgg(
-    child: Expression,
-    p: Int,
-    override val mutableAggBufferOffset: Int = 0,
-    override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[HllRegisters] {
+/** Shared plumbing of the HLL aggregates: register-state buffer with the
+  * (p + registers) byte wire format the sketches travel in.
+  */
+sealed trait HllAggBase extends TypedImperativeAggregate[HllRegisters] {
+  def p: Int
 
-  require(p >= 4 && p <= 16, s"hll_distinct precision $p outside [4,16]")
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): HllRegisters = new HllRegisters(p)
+
+  override def merge(buf: HllRegisters, other: HllRegisters): HllRegisters = {
+    buf.merge(other); buf
+  }
+
+  override def serialize(buf: HllRegisters): Array[Byte] = HllWire.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): HllRegisters = HllWire.fromBytes(bytes)
+}
+
+/** The sketch wire format: 1 byte precision + 2^p register bytes. The
+  * SAME encoding serves agg-buffer shuffle bytes and first-class binary
+  * sketch VALUES (hll_sketch output / hll_merge input), so sketches can
+  * be stored in tables and re-aggregated later — the 100 TB pattern of
+  * per-day sketches rolled up to any grain without rescanning.
+  */
+object HllWire {
+  def toBytes(buf: HllRegisters): Array[Byte] = {
+    val out = new Array[Byte](1 + buf.regs.length)
+    out(0) = buf.p.toByte
+    System.arraycopy(buf.regs, 0, out, 1, buf.regs.length)
+    out
+  }
+
+  def fromBytes(bytes: Array[Byte]): HllRegisters = {
+    val sketch = new HllRegisters(bytes(0).toInt)
+    System.arraycopy(bytes, 1, sketch.regs, 0, sketch.regs.length)
+    sketch
+  }
+
+  def estimateBytes(bytes: Array[Byte]): Double =
+    HllDistinct.estimate(java.util.Arrays.copyOfRange(bytes, 1, bytes.length), bytes(0).toInt)
+}
+
+/** Adds one raw value into the registers (shared by the two row-input
+  * aggregates): longs hash through splitmix64, strings through FNV-1a 64
+  * then splitmix64 (the finalizer decorrelates FNV's biased high bits
+  * before the bucket split).
+  */
+sealed trait HllRowInput extends HllAggBase {
+  def child: Expression
 
   // lazy: the child is unresolved when the Column wrapper constructs this
   @transient private lazy val isString = child.dataType == StringType
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
-  override def dataType: DataType = DoubleType
-
-  override def createAggregationBuffer(): HllRegisters = new HllRegisters(p)
 
   override def update(buf: HllRegisters, input: InternalRow): HllRegisters = {
     val v = child.eval(input)
@@ -134,25 +170,20 @@ case class HllDistinctAgg(
     }
     buf
   }
+}
 
-  override def merge(buf: HllRegisters, other: HllRegisters): HllRegisters = {
-    buf.merge(other); buf
-  }
+/** hll_distinct(col, p) → double estimated distinct count. */
+case class HllDistinctAgg(
+    child: Expression,
+    p: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends HllRowInput {
 
+  require(p >= 4 && p <= 16, s"hll_distinct precision $p outside [4,16]")
+
+  override def dataType: DataType = DoubleType
   override def eval(buf: HllRegisters): Any = java.lang.Double.valueOf(buf.estimate)
-
-  override def serialize(buf: HllRegisters): Array[Byte] = {
-    val out = new Array[Byte](1 + buf.regs.length)
-    out(0) = buf.p.toByte
-    System.arraycopy(buf.regs, 0, out, 1, buf.regs.length)
-    out
-  }
-
-  override def deserialize(bytes: Array[Byte]): HllRegisters = {
-    val sketch = new HllRegisters(bytes(0).toInt)
-    System.arraycopy(bytes, 1, sketch.regs, 0, sketch.regs.length)
-    sketch
-  }
 
   override def withNewMutableAggBufferOffset(offset: Int): HllDistinctAgg =
     copy(mutableAggBufferOffset = offset)
@@ -161,4 +192,79 @@ case class HllDistinctAgg(
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllDistinctAgg =
     copy(child = c.head)
   override def prettyName: String = "hll_distinct"
+}
+
+/** hll_sketch(col, p) → binary sketch VALUE — store it, ship it, merge it
+  * later with [[HllMergeAgg]]; read it with [[HllEstimate]].
+  */
+case class HllSketchAgg(
+    child: Expression,
+    p: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends HllRowInput {
+
+  require(p >= 4 && p <= 16, s"hll_sketch precision $p outside [4,16]")
+
+  override def dataType: DataType = BinaryType
+  override def eval(buf: HllRegisters): Any = HllWire.toBytes(buf)
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllSketchAgg =
+    copy(child = c.head)
+  override def prettyName: String = "hll_sketch"
+}
+
+/** hll_merge(sketch_col, p) → binary — unions already-built sketches
+  * (elementwise register max), enabling rollups over stored sketches
+  * without touching the raw keys again.
+  */
+case class HllMergeAgg(
+    child: Expression,
+    p: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends HllAggBase {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = BinaryType
+
+  override def update(buf: HllRegisters, input: InternalRow): HllRegisters = {
+    val v = child.eval(input)
+    if (v != null) buf.merge(HllWire.fromBytes(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def eval(buf: HllRegisters): Any = HllWire.toBytes(buf)
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllMergeAgg =
+    copy(child = c.head)
+  override def prettyName: String = "hll_merge"
+}
+
+/** hll_estimate(sketch) → double — scalar read of a binary sketch. */
+case class HllEstimate(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(HllWire.estimateBytes(input.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cls = HllWire.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls$$.MODULE$$.estimateBytes($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HllEstimate = copy(child = newChild)
+  override def prettyName: String = "hll_estimate"
 }

@@ -371,6 +371,95 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** q23: per-supplier revenue computed THROUGH the explicit salted-join
+    * rewrite ([[Skew.saltedJoin]]) — proving under the driver's oracle
+    * gate that salting is semantics-preserving (the oracle is the plain
+    * join). The salt widens each join key into `factor` shuffle keys, so
+    * a corpus-hot supplier's rows spread over `factor` reducers instead
+    * of one; the small side replicates `factor`× map-side.
+    */
+  def q23SaltedJoin(t: Tables): DataFrame =
+    Skew.saltedJoin(
+      t.lineitem.select(col("l_suppkey"), col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      t.supplier.select(col("s_suppkey").as("l_suppkey"), col("s_name")),
+      key = "l_suppkey", saltBy = "l_orderkey", factor = 8)
+      .groupBy(col("l_suppkey"), col("s_name"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D4)).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_suppkey"))
+
+  /** q25: ROLLUP over STORED sketches — the sketch-algebra pattern that
+    * makes distinct counts tractable at 100 TB: build binary HLL sketch
+    * values once at the finest grain (here (returnflag, linestatus)),
+    * then compute every coarser grain by MERGING sketches (register
+    * max), never rescanning the raw keys. Identical registers fall out
+    * of merge-up and direct-build — the estimate at every grain is
+    * exactly what building from rows would give, which is what the
+    * oracle verifies (per-grain register replay). gid mirrors q17's
+    * grouping_id convention (0 = detail, 1 = per-returnflag, 3 = total).
+    */
+  def q25HllRollup(t: Tables, p: Int = 6): DataFrame = {
+    import GraftFunctions.{hll_sketch, hll_merge, hll_estimate}
+    val base = t.lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch(col("l_orderkey"), p).as("sk"), count(lit(1)).as("n_rows"))
+      .localCheckpoint(true) // the stored-sketch table: three grains read it
+    val detail = base.select(
+      col("l_returnflag"), col("l_linestatus"),
+      round(hll_estimate(col("sk")), 2).as("est_distinct"),
+      col("n_rows"), lit(0L).as("gid"))
+    val mid = base.groupBy(col("l_returnflag"))
+      .agg(hll_merge(col("sk"), p).as("sk"), sum(col("n_rows")).as("n_rows"))
+      .select(col("l_returnflag"), lit(null).cast("string").as("l_linestatus"),
+        round(hll_estimate(col("sk")), 2).as("est_distinct"),
+        col("n_rows"), lit(1L).as("gid"))
+    val total = base.agg(hll_merge(col("sk"), p).as("sk"), sum(col("n_rows")).as("n_rows"))
+      .select(lit(null).cast("string").as("l_returnflag"), lit(null).cast("string").as("l_linestatus"),
+        round(hll_estimate(col("sk")), 2).as("est_distinct"),
+        col("n_rows"), lit(3L).as("gid"))
+    detail.unionByName(mid).unionByName(total)
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q24: approximate quantiles via a MERGEABLE fixed-bin histogram —
+    * the sketch-scale counterpart of q16's exact percentiles (which need
+    * a per-group sort). The histogram is `nbins` counters per group:
+    * partial-aggregated map-side, merged by addition, order-independent
+    * — at 100 TB the quantile query shuffles nbins rows per group, not
+    * the value column. The quantile is linear interpolation inside the
+    * bin where the cumulative count crosses q·n (error bounded by the
+    * bin width); all arithmetic is fixed-order, so the DuckDB oracle
+    * reproduces it exactly.
+    */
+  def q24HistQuantiles(t: Tables, lo: Double = 0.0, hi: Double = 1000.0, nbins: Int = 200): DataFrame = {
+    val w = (hi - lo) / nbins
+    val hist = t.events
+      .select(col("event_type"), col("value"))
+      .withColumn("bin",
+        least(greatest(floor((col("value") - lo) / w), lit(0)), lit(nbins - 1)).cast("int"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    def quantile(p: Double, name: String): DataFrame =
+      cum.filter(col("cum") >= lit(p) * col("n"))
+        .groupBy(col("event_type"))
+        .agg(min_by(struct(col("bin"), col("c"), col("cum"), col("n")), col("bin")).as("m"))
+        .select(col("event_type"),
+          round(lit(lo) + lit(w) *
+            (col("m.bin") + (lit(p) * col("m.n") - (col("m.cum") - col("m.c"))) / col("m.c")), 6)
+            .as(name))
+    quantile(0.5, "p50_est")
+      .join(quantile(0.95, "p95_est"), Seq("event_type"))
+      .join(cum.groupBy(col("event_type")).agg(max(col("n")).as("n_rows")), Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
   /** q17: multi-grain aggregation via ROLLUP — season/round/total grains
     * of the reference's standings in one pass (partial aggregation per
     * grouping set, single shuffle).

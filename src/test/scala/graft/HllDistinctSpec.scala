@@ -57,6 +57,29 @@ class HllDistinctSpec extends SparkSpecBase {
     assert(math.abs(est - 3000) / 3000.0 < 4 * 1.04 / 16.0, s"est=$est")
   }
 
+  test("sketch algebra: merging stored sketches equals building from rows") {
+    import spark.implicits._
+    val df = (1 to 8000).map(i => (s"g${i % 4}", i.toLong % 1500)).toDF("g", "key")
+      .repartition(8).localCheckpoint(true)
+    // finest grain -> binary sketch values
+    val base = df.groupBy(col("g"))
+      .agg(GraftFunctions.hll_sketch(col("key"), 8).as("sk"))
+    // merge-up across all groups
+    val merged = base.agg(GraftFunctions.hll_merge(col("sk"), 8).as("sk"))
+      .select(GraftFunctions.hll_estimate(col("sk")))
+      .collect()(0).getDouble(0)
+    // direct build over the same rows
+    val direct = df.agg(GraftFunctions.hll_distinct(col("key"), 8))
+      .collect()(0).getDouble(0)
+    assert(merged == direct, s"merge-up $merged must equal direct build $direct exactly")
+    // per-group estimate from the binary value matches hll_distinct per group
+    val viaSketch = base.select(col("g"), GraftFunctions.hll_estimate(col("sk")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaAgg = df.groupBy(col("g")).agg(GraftFunctions.hll_distinct(col("key"), 8).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaSketch == viaAgg)
+  }
+
   test("estimator constants: numerator literal round-trips and rank caps at K") {
     assert(HllDistinct.numerator(6) == 0.709 * 4096.0 * math.pow(2.0, 59.0))
     assert(HllDistinct.rank(0L, 6) == HllDistinct.maxRank(6))
