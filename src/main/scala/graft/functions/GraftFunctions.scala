@@ -102,5 +102,15 @@ object GraftFunctions {
       "graft_cosine", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_fingerprint", exprs => RollingFingerprint(exprs.head, 16), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_hll_distinct", exprs => HllDistinctAgg(exprs.head, 6).toAggregateExpression(), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_hll_sketch", exprs => HllSketchAgg(exprs.head, 6).toAggregateExpression(), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_hll_merge", exprs => HllMergeAgg(exprs.head, 6).toAggregateExpression(), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_hll_estimate", exprs => HllEstimate(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_repetition_stats", exprs => RepetitionStats(exprs.head, 2), "built-in")
   }
 }

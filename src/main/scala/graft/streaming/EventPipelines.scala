@@ -40,6 +40,23 @@ object EventPipelines {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming windowed DISTINCT-user counts via the deterministic HLL
+    * sketch: the aggregate's 2^p-byte buffer is exactly the per-window
+    * state Structured Streaming keeps, so distinct counting over an
+    * endless stream runs in bounded memory per (window, type) — an exact
+    * streaming COUNT(DISTINCT) would hold every user id seen. The sketch
+    * is merge-order independent, so the streaming estimate equals the
+    * batch estimate over the same rows EXACTLY (spec-asserted).
+    */
+  def windowedDistinctUsersStream(events: DataFrame, p: Int = 8): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        graft.functions.GraftFunctions.hll_distinct(col("user_id"), p).as("est_users"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("est_users"), col("n"))
+
   /** st2 (batch twin): sessionization with a 30-minute inactivity gap —
     * lag → new-session flag → running sum = session index → per-session
     * rollup. Two window passes over one (user_id)-keyed shuffle.

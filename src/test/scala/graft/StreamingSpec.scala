@@ -35,6 +35,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming windowed HLL distinct users equals the batch sketch exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventPipelines.windowedDistinctUsersStream(mem.toDF())
+      .writeStream.format("memory").queryName("hll_out").outputMode("append").start()
+    try {
+      // 40 events over 12 distinct users in the 10:00 window, split
+      // across micro-batches so partial sketches must merge in state
+      val evs = (1 to 40).map(i => Ev(i.toLong, ts(i % 50), i.toLong % 12, "click", 1.0))
+      mem.addData(evs.take(15): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(15): _*)
+      q.processAllAvailable()
+      mem.addData(Ev(99, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("hll_out")
+        .filter(col("window_start") === Timestamp.valueOf("2024-01-01 10:00:00"))
+        .collect()
+      assert(out.length == 1)
+      val streamed = out(0).getAs[Double]("est_users")
+      val batch = evs.map(_.user_id).toDF("user_id")
+        .agg(graft.functions.GraftFunctions.hll_distinct(col("user_id"), 8))
+        .collect()(0).getDouble(0)
+      assert(streamed == batch,
+        s"stream ($streamed) and batch ($batch) sketches must agree bit-for-bit")
+      assert(math.abs(streamed - 12) <= 2, s"estimate $streamed should be near 12 true users")
+      assert(out(0).getAs[Long]("n") == 40)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event_ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
