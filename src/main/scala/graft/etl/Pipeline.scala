@@ -302,14 +302,34 @@ final class PipelineRunner(
     extracts: Map[String, Pipeline.Extract],
     // event calendar for freshness gating (reference: the round table);
     // None = no gating, every run loads (the pre-gating behavior)
-    calendar: Option[SparkSession => Seq[Long]] = None) {
+    calendar: Option[SparkSession => Seq[Long]] = None,
+    // publish unpartitioned tables through [[SnapshotTable]] manifests
+    // instead of the staging-dir swap: adds multi-writer safety (two
+    // runners racing the same table cannot clobber each other), version
+    // history, and snapshot-isolated readers. Partitioned tables keep
+    // the dynamic-partition-overwrite path either way.
+    useSnapshotTables: Boolean = false) {
 
   private def targetPath(name: String) = s"$warehouseRoot/$name"
 
-  private def readTarget(name: String): Option[DataFrame] =
-    if (Files.exists(Paths.get(targetPath(name)))) Some(spark.read.parquet(targetPath(name))) else None
+  private def snapshotTable(name: String) = new SnapshotTable(spark, targetPath(name))
 
-  def table(name: String): DataFrame = spark.read.parquet(targetPath(name))
+  private def readTarget(name: String): Option[DataFrame] =
+    if (useSnapshotTables) {
+      val st = snapshotTable(name)
+      st.currentVersion.map(_ => st.read())
+    } else if (Files.exists(Paths.get(targetPath(name)))) {
+      Some(spark.read.parquet(targetPath(name)))
+    } else None
+
+  def table(name: String): DataFrame =
+    if (useSnapshotTables) snapshotTable(name).read() else spark.read.parquet(targetPath(name))
+
+  /** Time travel (snapshot mode only): the table as of `version`. */
+  def tableAt(name: String, version: Long): DataFrame = {
+    require(useSnapshotTables, "tableAt needs useSnapshotTables = true")
+    snapshotTable(name).read(Some(version))
+  }
 
   /** Atomic publish: write the merged result to a staging dir, then swap
     * it into place with filesystem renames. A crash mid-write leaves the
@@ -383,7 +403,8 @@ final class PipelineRunner(
           case None =>
             val merged = Pipeline.merge(readTarget(name), fresh, spec.keyColumns, spec.versionColumn)
               .localCheckpoint(eager = true) // sever lineage from the file being replaced
-            atomicPublish(merged, name)
+            if (useSnapshotTables) snapshotTable(name).overwrite(merged)
+            else atomicPublish(merged, name)
             merged.count()
         }
         metadata.completeSync(name, logId, success = true, n, newWatermark.orElse(since))

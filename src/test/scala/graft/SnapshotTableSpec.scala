@@ -53,6 +53,27 @@ class SnapshotTableSpec extends SparkSpecBase {
     }
   }
 
+  test("pipeline runner in snapshot mode: merges version-chain, history stays readable") {
+    import graft.etl.{MetadataStore, Pipeline, PipelineRunner}
+    val wh = Files.createTempDirectory("graft_snapwh_").toString
+    val md = Files.createTempDirectory("graft_snapmd_").toString
+    val store = new MetadataStore(spark, md)
+    val specs = Seq(Pipeline.TableSpec("dim", Pipeline.PreSeason, Nil, Seq("id"), Some("ver")))
+    var batch = Seq((1L, "a", 1L), (2L, "b", 1L))
+    val ex: Map[String, Pipeline.Extract] = Map(
+      "dim" -> ((s, _) => { import s.implicits._; batch.toDF("id", "v", "ver") }))
+    val runner = new PipelineRunner(spark, wh, store, specs, ex, useSnapshotTables = true)
+    runner.run(Pipeline.PreSeason, force = true)
+    batch = Seq((2L, "B", 2L), (3L, "c", 1L))
+    runner.run(Pipeline.PreSeason, force = true)
+    val now = runner.table("dim").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).sortBy(_._1)
+    assert(now.sameElements(Array((1L, "a"), (2L, "B"), (3L, "c"))), "merged upsert at v1")
+    val v0 = runner.tableAt("dim", 0L).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).sortBy(_._1)
+    assert(v0.sameElements(Array((1L, "a"), (2L, "b"))), "pre-merge snapshot still readable")
+  }
+
   test("vacuum drops unreachable data but keeps retained versions intact") {
     val t = fresh()
     t.append(Seq((1L, "a")).toDF("id", "v")) // v0
