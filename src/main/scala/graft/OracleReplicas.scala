@@ -334,7 +334,7 @@ object OracleReplicas {
       val w = (0 until dim).map(d => weight(b, d).toString).mkString("[", ", ", "]")
       s"CASE WHEN list_reduce(list_prepend(0.0, list_transform(range($dim), d -> ($w)[d+1] * CAST(embedding[d+1] AS DOUBLE))), (a, x) -> a + x) >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
     }.mkString(" + ")
-    val bandCond = (0 until 4)
+    val bandCond = (0 until nbits / 4)
       .map(b => s"((q.sk // ${1L << (4 * b)}) % 16 = (c.sk // ${1L << (4 * b)}) % 16)")
       .mkString(" OR ")
     s"""WITH sk AS (SELECT vec_id, embedding, $sketch AS sk FROM embeddings),

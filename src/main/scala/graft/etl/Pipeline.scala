@@ -401,11 +401,19 @@ final class PipelineRunner(
             Pipeline.mergeIntoPartitioned(spark, targetPath(name), fresh,
               spec.keyColumns, spec.versionColumn, pc)
           case None =>
-            val merged = Pipeline.merge(readTarget(name), fresh, spec.keyColumns, spec.versionColumn)
-              .localCheckpoint(eager = true) // sever lineage from the file being replaced
-            if (useSnapshotTables) snapshotTable(name).overwrite(merged)
-            else atomicPublish(merged, name)
-            merged.count()
+            if (useSnapshotTables) {
+              // read-modify-write: on a version conflict with a racing
+              // runner, the merge re-derives against the winner's fresh
+              // snapshot — neither runner's increment is lost
+              val (_, published) = snapshotTable(name).overwriteWith(existing =>
+                Pipeline.merge(existing, fresh, spec.keyColumns, spec.versionColumn))
+              published.count()
+            } else {
+              val merged = Pipeline.merge(readTarget(name), fresh, spec.keyColumns, spec.versionColumn)
+                .localCheckpoint(eager = true) // sever lineage from the file being replaced
+              atomicPublish(merged, name)
+              merged.count()
+            }
         }
         metadata.completeSync(name, logId, success = true, n, newWatermark.orElse(since))
         Some(name -> n)

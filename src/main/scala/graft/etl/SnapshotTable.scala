@@ -41,18 +41,28 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   final case class Snapshot(version: Long, dirs: Seq[String])
 
+  /** The table's root directory (specs inspect the on-disk layout). */
+  def rootPath: String = root
+
   private val manifestDir = Paths.get(root, "_manifests")
   private val dataDir = Paths.get(root, "data")
 
   private def manifestPath(v: Long): Path = manifestDir.resolve(f"v$v%012d")
 
+  private def listDir(dir: Path): Seq[Path] = {
+    // Files.list leaks a directory fd unless closed — this accessor runs
+    // on every read, so the leak would accumulate in long-lived runners
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   private def listVersions(): Seq[Long] =
     if (!Files.isDirectory(manifestDir)) Seq.empty
-    else Files.list(manifestDir).iterator().asScala
+    else listDir(manifestDir)
       .map(_.getFileName.toString)
       .filter(_.startsWith("v"))
       .map(_.drop(1).toLong)
-      .toSeq.sorted
+      .sorted
 
   def currentVersion: Option[Long] = listVersions().lastOption
 
@@ -135,23 +145,63 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   /** Append `df` as a new data directory (existing data untouched). */
   def append(df: DataFrame): Long = commitRetry(writeData(df), (old, d) => old :+ d)
 
-  /** Replace the table contents with `df` at the next version. */
+  /** Replace the table contents with `df` at the next version.
+    * NOTE: overwrite is last-writer-wins BY DEFINITION — of two racing
+    * overwrites, the later version's content stands (each remains
+    * readable at its own version; nothing tears). A writer whose new
+    * content DEPENDS on the current content (read-modify-write, e.g. a
+    * merge) must use [[overwriteWith]], which recomputes from the fresh
+    * snapshot on conflict instead of republishing a stale derivation.
+    */
   def overwrite(df: DataFrame): Long = commitRetry(writeData(df), (_, d) => Seq(d))
+
+  /** Read-modify-write overwrite: `derive` maps the CURRENT table state
+    * (None before the first commit) to the new contents. On a version
+    * conflict the derivation re-runs against the winner's fresh snapshot
+    * — so concurrent read-modify-writes COMPOSE instead of losing the
+    * earlier writer's change. Returns (committed version, the derived
+    * frame as committed) — the frame is checkpointed, safe to count.
+    */
+  def overwriteWith(derive: Option[DataFrame] => DataFrame, maxAttempts: Int = 10): (Long, DataFrame) = {
+    var attempt = 0
+    while (true) {
+      val snap = snapshot()
+      val expected = snap.map(_.version).getOrElse(-1L)
+      val derived = derive(snap.map(s => read(Some(s.version))))
+        .localCheckpoint(true) // pin the derivation to THIS snapshot's files
+      val dir = writeData(derived)
+      try return (tryCommit(expected, Seq(dir)), derived)
+      catch {
+        case VersionConflictException(_) =>
+          attempt += 1
+          if (attempt >= maxAttempts)
+            throw new IllegalStateException(s"read-modify-write lost $maxAttempts races at $root")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Drop data directories no committed manifest references and
     * manifests older than `keepVersions` — the maintenance step that
     * bounds storage. Never touches dirs reachable from a kept manifest,
-    * so concurrent readers of kept versions are safe.
+    * so concurrent readers of kept versions are safe. `minAgeMs` guards
+    * IN-FLIGHT commits: a dir a writer has created but not yet named in
+    * a manifest is unreferenced too — deleting it would corrupt the
+    * commit the moment it lands. Only dirs older than the age floor
+    * (default 1 h, far beyond any write-to-commit window) are eligible;
+    * pass 0 only when no writer can be active.
     */
-  def vacuum(keepVersions: Int = 2): Unit = {
+  def vacuum(keepVersions: Int = 2, minAgeMs: Long = 3600_000L): Unit = {
     val versions = listVersions()
     val drop = versions.dropRight(keepVersions)
     val keep = versions.takeRight(keepVersions)
     val live = keep.flatMap(v => snapshot(Some(v)).map(_.dirs).getOrElse(Seq.empty)).toSet
     drop.foreach(v => Files.deleteIfExists(manifestPath(v)))
     if (Files.isDirectory(dataDir)) {
-      Files.list(dataDir).iterator().asScala
+      val cutoff = System.currentTimeMillis() - minAgeMs
+      listDir(dataDir)
         .filter(p => !live.contains(p.getFileName.toString))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
         .foreach { p =>
           def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
           rm(p.toFile)

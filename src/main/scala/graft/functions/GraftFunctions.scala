@@ -102,15 +102,33 @@ object GraftFunctions {
       "graft_cosine", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_fingerprint", exprs => RollingFingerprint(exprs.head, 16), "built-in")
+    // optional trailing INT argument (precision / shingle width): honor
+    // it when present — silently ignoring a user-supplied literal would
+    // produce wrong-precision results with no error
+    def intArg(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        idx: Int, default: Int, what: String): Int =
+      exprs.lift(idx).map {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"$what must be an INT literal, got $other")
+      }.getOrElse(default)
     registry.createOrReplaceTempFunction(
-      "graft_hll_distinct", exprs => HllDistinctAgg(exprs.head, 6).toAggregateExpression(), "built-in")
+      "graft_hll_distinct",
+      exprs => HllDistinctAgg(exprs.head, intArg(exprs, 1, 6, "precision")).toAggregateExpression(),
+      "built-in")
     registry.createOrReplaceTempFunction(
-      "graft_hll_sketch", exprs => HllSketchAgg(exprs.head, 6).toAggregateExpression(), "built-in")
+      "graft_hll_sketch",
+      exprs => HllSketchAgg(exprs.head, intArg(exprs, 1, 6, "precision")).toAggregateExpression(),
+      "built-in")
     registry.createOrReplaceTempFunction(
-      "graft_hll_merge", exprs => HllMergeAgg(exprs.head, 6).toAggregateExpression(), "built-in")
+      "graft_hll_merge",
+      exprs => HllMergeAgg(exprs.head, intArg(exprs, 1, 6, "precision")).toAggregateExpression(),
+      "built-in")
     registry.createOrReplaceTempFunction(
       "graft_hll_estimate", exprs => HllEstimate(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
-      "graft_repetition_stats", exprs => RepetitionStats(exprs.head, 2), "built-in")
+      "graft_repetition_stats",
+      exprs => RepetitionStats(exprs.head, intArg(exprs, 1, 2, "shingle width")),
+      "built-in")
   }
 }

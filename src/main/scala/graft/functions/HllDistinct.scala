@@ -229,12 +229,23 @@ case class HllMergeAgg(
     override val inputAggBufferOffset: Int = 0)
   extends HllAggBase {
 
+  require(p >= 4 && p <= 16, s"hll_merge precision $p outside [4,16]")
+
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = BinaryType
 
   override def update(buf: HllRegisters, input: InternalRow): HllRegisters = {
     val v = child.eval(input)
-    if (v != null) buf.merge(HllWire.fromBytes(v.asInstanceOf[Array[Byte]]))
+    if (v != null) {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      // sketches of different precisions have incompatible bucket maps —
+      // merging them would crash (larger into smaller) or silently emit
+      // a structurally-valid garbage union (smaller into larger)
+      require(bytes.nonEmpty && bytes(0).toInt == p,
+        s"hll_merge(p=$p) got a sketch with precision ${if (bytes.isEmpty) "<empty>" else bytes(0)}; " +
+          "rebuild one side or merge at the sketch's own precision")
+      buf.merge(HllWire.fromBytes(bytes))
+    }
     buf
   }
 

@@ -88,9 +88,10 @@ object Dedup {
     */
   def simhash(t: Tables, maxHamming: Int = 6): DataFrame = {
     val sigs = tokenized(t).select(col("doc_id"), simhash64(col("tokens")).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> cast(shiftright(sig, b * 16) & 65535 as long))")))
+    // plain column expressions, not a transform() lambda — HOFs run
+    // interpreted per row; these four shifts stay in codegen
+    val bandCols = (0 until 4).map(b => shiftright(col("sig"), b * 16).bitwiseAND(lit(65535L)))
+    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
     val a = banded.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
@@ -214,8 +215,9 @@ object Dedup {
   def embeddingNearDup(t: Tables, minCosine: Double = 0.15, topN: Int = 50): DataFrame = {
     val sk = t.embeddings.select(col("vec_id"),
       sign_sketch(col("embedding"), 16, 7L).as("sketch"))
-    val banded = sk.select(col("vec_id"),
-      posexplode(expr("transform(sequence(0, 3), b -> cast(shiftright(sketch, b * 4) & 15 as long))")))
+    // plain column expressions, not a transform() lambda (see simhash)
+    val bandCols = (0 until 4).map(b => shiftright(col("sketch"), b * 4).bitwiseAND(lit(15L)))
+    val banded = sk.select(col("vec_id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
     val a = banded.select(col("band_idx"), col("band_val"), col("vec_id").as("id_a"))

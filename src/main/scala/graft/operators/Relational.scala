@@ -443,9 +443,13 @@ object Relational {
     val wCum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("event_type"))
+    // cum is ≤ nbins rows per group; materialize it ONCE — the two
+    // quantile branches and the n_rows aggregate would otherwise each
+    // re-run the events scan + histogram + windows
     val cum = hist
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n", sum(col("c")).over(wAll))
+      .localCheckpoint(true)
     def quantile(p: Double, name: String): DataFrame =
       cum.filter(col("cum") >= lit(p) * col("n"))
         .groupBy(col("event_type"))
@@ -461,18 +465,32 @@ object Relational {
   }
 
   /** q17: multi-grain aggregation via ROLLUP — season/round/total grains
-    * of the reference's standings in one pass (partial aggregation per
-    * grouping set, single shuffle).
+    * of the reference's standings. TWO-LEVEL: the fact first aggregates
+    * at the finest grain (25 (region, nation) rows), and ROLLUP runs
+    * over that tiny intermediate, re-summing the decomposable partials
+    * (decimal sums and counts are associative, so results are
+    * bit-identical to a direct rollup — the oracle confirms). A direct
+    * `rollup` on the fact would Expand every input row once per grouping
+    * set — 3× the scan CPU and shuffle at 100 TB for measures that
+    * decompose anyway.
     */
-  def q17Rollup(t: Tables): DataFrame =
-    t.lineitem
+  def q17Rollup(t: Tables): DataFrame = {
+    val finest = t.lineitem
       .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D4)).as("rev_part"),
+        count(lit(1)).as("n_part"))
+    finest
       .rollup(col("r_name"), col("n_name"))
       .agg(
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D4)).cast("double").as("revenue"),
-        count(lit(1)).as("n_items"),
+        sum(col("rev_part")).cast("double").as("revenue"),
+        // coalesce: on an EMPTY fact the grand-total row must read 0
+        // like a direct rollup's count(*), not sum-over-nothing NULL
+        coalesce(sum(col("n_part")), lit(0L)).as("n_items"),
         grouping_id().as("gid"))
       .orderBy(col("gid"), col("r_name"), col("n_name"))
+  }
 }

@@ -160,11 +160,18 @@ object Similarity {
     * corpus (brute force's cost).
     */
   def lshTopK(t: Tables, nQueries: Int = 10, k: Int = 5, nbits: Int = 16, seed: Long = 7L): DataFrame = {
+    require(nbits % 4 == 0 && nbits >= 4, s"nbits=$nbits must be a positive multiple of 4")
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    // bands derived from the sketch width (4 bits each) — hard-coding 4
+    // bands would make every pair collide on the all-zero upper bands of
+    // a narrower sketch (candidate set degenerates to the full corpus).
+    // Plain column expressions, not a transform() lambda: higher-order
+    // functions run on the interpreted path per corpus row.
+    val bandCols = (0 until nbits / 4).map(b =>
+      shiftright(col("sketch"), b * 4).bitwiseAND(lit(15L)))
     val banded = emb
       .select(col("vec_id"), sign_sketch(col("embedding"), nbits, seed).as("sketch"))
-      .select(col("vec_id"),
-        posexplode(expr("transform(sequence(0, 3), b -> cast(shiftright(sketch, b * 4) & 15 as long))")))
+      .select(col("vec_id"), posexplode(array(bandCols: _*)))
       .select(col("vec_id"), col("pos").as("band_idx"), col("col").as("band_val"))
     val qb = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("band_idx"), col("band_val"))

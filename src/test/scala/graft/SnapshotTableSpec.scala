@@ -79,9 +79,39 @@ class SnapshotTableSpec extends SparkSpecBase {
     t.append(Seq((1L, "a")).toDF("id", "v")) // v0
     t.overwrite(Seq((2L, "b")).toDF("id", "v")) // v1 — v0's dir now unreachable from v1
     t.append(Seq((3L, "c")).toDF("id", "v")) // v2
+    // default minAge protects in-flight commits: fresh DATA dirs survive
+    // an age-guarded vacuum even when unreferenced (old manifests are
+    // still dropped — only data deletion is age-gated)
+    def dataDirCount(st: SnapshotTable): Int = {
+      val f = new java.io.File(st.rootPath + "/data")
+      if (f.isDirectory) f.listFiles().length else 0
+    }
+    val before = dataDirCount(t)
     t.vacuum(keepVersions = 2)
+    assert(dataDirCount(t) == before, "age floor keeps just-written dirs")
+    // age floor lifted (no active writers): unreachable data goes
+    t.vacuum(keepVersions = 2, minAgeMs = 0L)
     assert(t.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
     assert(t.read(Some(1L)).collect().map(_.getLong(0)).toSeq == Seq(2L))
     intercept[Exception] { t.read(Some(0L)).collect() } // vacuumed away
+  }
+
+  test("overwriteWith composes racing read-modify-writes (no lost update)") {
+    val t = fresh()
+    t.overwrite(Seq((0L, "base")).toDF("id", "v"))
+    // two writers, each adding its own row to whatever the current
+    // contents are; the conflict loser must re-derive, not clobber
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        t.overwriteWith { cur =>
+          cur.get.unionByName(Seq((i.toLong, s"w$i")).toDF("id", "v"))
+        }
+        ()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(t.read().collect().map(_.getLong(0)).sorted.toSeq == (0L to 4L),
+      "every writer's row must survive — a stale republish would drop some")
   }
 }
