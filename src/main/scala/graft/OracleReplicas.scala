@@ -361,10 +361,24 @@ object OracleReplicas {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** d7: incremental MinHash dedup — the d2 replica with a ONE-SIDED
+    * pair condition (existing corpus × new batch), mirroring
+    * [[graft.operators.Dedup.minhashIncremental]].
+    */
+  def d7MinhashIncremental(splitId: Long = 250, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 42L): String =
+    s"""WITH ${minhashCtes(numHashes, bands, seed, s"a.doc_id < $splitId AND b.doc_id >= $splitId")}
+       |SELECT doc_b AS new_id, doc_a AS dup_of, ROUND(est, 4) AS est_jaccard
+       |FROM cand WHERE est >= $threshold
+       |ORDER BY new_id, dup_of""".stripMargin
+
   /** Shared CTEs: tokens → per-doc shingle-FNV list → 64-hash MinHash
     * signature → band-colliding candidate pairs with agreement estimate.
+    * `pairCond` selects which (a, b) doc pairs are eligible (self-join
+    * upper triangle by default; one-sided splits for incremental dedup).
     */
-  private def minhashCtes(numHashes: Int, bands: Int, seed: Long): String = {
+  private def minhashCtes(numHashes: Int, bands: Int, seed: Long,
+      pairCond: String = "a.doc_id < b.doc_id"): String = {
     val shingleFnv = fnv64Sql("t[i] || chr(31) || t[i+1] || chr(31)")
     val sigElems = (0 until numHashes).map { j =>
       val a = GraftHash.splitmix64(seed + 2L * j) | 1L
@@ -390,7 +404,7 @@ object OracleReplicas {
        |cand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    len(list_filter(range($numHashes), i -> a.sig[i+1] = b.sig[i+1])) / $numHashes.0 AS est
-       |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |  FROM sigs a JOIN sigs b ON $pairCond
        |  WHERE $bandCond)""".stripMargin
   }
 }

@@ -48,6 +48,7 @@ object SparkEntry {
     "d4_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables(s, dir))),
     "d5_dedup_embed" -> ((s, dir) => Dedup.embeddingNearDup(Tables(s, dir))),
     "d6_dedup_clusters" -> ((s, dir) => Dedup.clusters(Tables(s, dir))),
+    "d7_dedup_incremental" -> ((s, dir) => Dedup.minhashIncremental(Tables(s, dir))),
     // §2.3 similarity search
     "s1_ann_brute" -> ((s, dir) => Similarity.bruteForce(Tables(s, dir))),
     "s2_ann_ivf" -> ((s, dir) => Similarity.ivf(Tables(s, dir))),
@@ -255,6 +256,7 @@ object SparkEntry {
     "q25_hll_rollup" -> OracleReplicas.q25HllRollup(),
     "s3_ann_lsh" -> OracleReplicas.s3LshTopK(),
     "d2_dedup_minhash" -> OracleReplicas.d2MinhashLsh(),
+    "d7_dedup_incremental" -> OracleReplicas.d7MinhashIncremental(),
     "dc3_canonical" -> OracleReplicas.dc3Canonical(),
     "d3_dedup_simhash" -> OracleReplicas.d3Simhash(),
     "d5_dedup_embed" -> OracleReplicas.d5EmbedNearDup(),

@@ -81,6 +81,43 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d7: INCREMENTAL dedup — a batch of new documents against the
+    * EXISTING corpus (the shape of every real ingest: the corpus only
+    * grows, and each increment must not re-pair the history against
+    * itself). One-sided LSH: new docs' band keys join existing docs'
+    * band keys — history×history pairs never form, so the work is
+    * O(increment × collisions), not O(corpus²). At 100 TB the existing
+    * side is a PRECOMPUTED signature store (n×64 longs, the d2
+    * checkpoint persisted); an increment reads bands, not text.
+    * `splitId` stands in for the ingest boundary (doc_id >= splitId =
+    * the new batch), like dc1's benchmark split.
+    */
+  def minhashIncremental(t: Tables, splitId: Long = 250, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val sigs = tokenized(t)
+      .filter(size(col("tokens")) > 1)
+      .select(col("doc_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig"))
+      .localCheckpoint(true) // the signature store: banding + both attaches read it
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(sig_bands(col("sig"), bands)))
+      .select(col("doc_id"), col("pos").as("band_idx"), col("col").as("band_hash"))
+    val existing = banded.filter(col("doc_id") < splitId)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("dup_of"))
+    val fresh = banded.filter(col("doc_id") >= splitId)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("new_id"))
+    fresh.join(existing, Seq("band_idx", "band_hash"))
+      .select(col("new_id"), col("dup_of"))
+      .distinct()
+      .join(sigs.select(col("doc_id").as("new_id"), col("sig").as("sig_a")), Seq("new_id"))
+      .join(sigs.select(col("doc_id").as("dup_of"), col("sig").as("sig_b")), Seq("dup_of"))
+      .withColumn("est_jaccard",
+        sig_agreement(col("sig_a"), col("sig_b")).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("new_id"), col("dup_of"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
   /** d3: SimHash near-dup. 64-bit signature map-side; pigeonhole banding
     * (4 × 16-bit bands guarantees recall for hamming ≤ 3; larger radii
     * are best-effort, standard SimHash practice). Final filter is exact

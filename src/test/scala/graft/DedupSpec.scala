@@ -65,6 +65,21 @@ class DedupSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("d7 incremental dedup equals the full LSH restricted to cross-split pairs") {
+    val split = 250L
+    val full = Dedup.minhashLsh(t).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("est_jaccard")))
+    val crossSplit = full.filter { case (a, b, _) => a < split && b >= split }
+      .map { case (a, b, e) => (b, a, e) }.sorted // (new_id, dup_of, est)
+    val incr = Dedup.minhashIncremental(t, splitId = split).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"), r.getAs[Double]("est_jaccard")))
+      .sorted
+    assert(incr.nonEmpty, "the corpus plants near-dups spanning the split")
+    assert(incr.sameElements(crossSplit),
+      "one-sided banding finds exactly the full self-join's cross-split pairs")
+    assert(incr.forall { case (n, o, _) => n >= split && o < split })
+  }
+
   test("s1 brute-force ANN ranks by cosine, no self-matches") {
     val rows = Similarity.bruteForce(t).collect()
     assert(rows.nonEmpty)
