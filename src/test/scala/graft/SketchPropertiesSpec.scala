@@ -1,0 +1,122 @@
+package graft
+
+import org.scalacheck.Gen
+
+import graft.functions.{GraftHash, HllDistinct, HllRegisters, HllWire, SpaceSavingSketch}
+
+/** Property-based checks of the sketch algebra — the laws the 100 TB
+  * execution model depends on: partial aggregation is only correct if
+  * merge is associative and commutative and serialization round-trips,
+  * for ANY partition layout, not just the ones the example specs hit.
+  */
+class SketchPropertiesSpec extends SparkSpecBase {
+
+  // scalacheck generators driven manually (no scalatest bridge in the
+  // offline cache): draw N samples per law
+  private def samples[T](g: Gen[T], n: Int = 60): Seq[T] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    samples(g).foreach(f)
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    samples(g1).zip(samples(g2)).foreach { case (a, b) => f(a, b) }
+  private def forAll[A, B, C](g1: Gen[A], g2: Gen[B], g3: Gen[C])(f: (A, B, C) => Unit): Unit =
+    samples(g1).lazyZip(samples(g2)).lazyZip(samples(g3)).foreach { case (a, b, c) => f(a, b, c) }
+
+  private val keysGen: Gen[List[Long]] =
+    Gen.listOfN(300, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+
+  private def build(keys: Seq[Long], p: Int = 6): HllRegisters = {
+    val r = new HllRegisters(p)
+    keys.foreach(k => r.addHash(GraftHash.splitmix64(k)))
+    r
+  }
+
+  test("HLL merge is commutative and associative (any partition layout, same result)") {
+    forAll(keysGen, keysGen, keysGen) { (a: List[Long], b: List[Long], c: List[Long]) =>
+      val ab = build(a); ab.merge(build(b))
+      val ba = build(b); ba.merge(build(a))
+      assert(ab.regs.sameElements(ba.regs), "commutativity")
+
+      val abThenC = build(a); abThenC.merge(build(b)); abThenC.merge(build(c))
+      val aThenBc = build(a)
+      val bc = build(b); bc.merge(build(c))
+      aThenBc.merge(bc)
+      assert(abThenC.regs.sameElements(aThenBc.regs), "associativity")
+    }
+  }
+
+  test("HLL merge of any split equals the direct build (partial-agg correctness)") {
+    forAll(keysGen, Gen.chooseNum(0, 300)) { (keys: List[Long], cut: Int) =>
+      val whole = build(keys)
+      val left = build(keys.take(cut))
+      left.merge(build(keys.drop(cut)))
+      assert(left.regs.sameElements(whole.regs))
+      assert(left.estimate == whole.estimate)
+    }
+  }
+
+  test("HLL estimate is insensitive to duplicates and input order") {
+    forAll(keysGen) { keys: List[Long] =>
+      val once = build(keys)
+      val shuffledDup = build(scala.util.Random.shuffle(keys ++ keys ++ keys.take(10)))
+      assert(once.regs.sameElements(shuffledDup.regs))
+    }
+  }
+
+  test("HLL wire format round-trips exactly") {
+    forAll(keysGen, Gen.oneOf(4, 6, 8, 12)) { (keys: List[Long], p: Int) =>
+      val r = build(keys, p)
+      val back = HllWire.fromBytes(HllWire.toBytes(r))
+      assert(back.p == r.p && back.regs.sameElements(r.regs))
+      assert(HllWire.estimateBytes(HllWire.toBytes(r)) == r.estimate)
+    }
+  }
+
+  test("HLL rank stays within [1, K] for arbitrary hashes and precisions") {
+    forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue), Gen.oneOf(4, 6, 10, 16)) {
+      (h: Long, p: Int) =>
+        val r = HllDistinct.rank(h, p)
+        assert(r >= 1 && r <= HllDistinct.maxRank(p))
+    }
+  }
+
+  test("SpaceSaving counts never underestimate the true frequency") {
+    val tokGen = Gen.listOfN(400, Gen.oneOf((1 to 25).map(i => s"t$i")))
+    forAll(tokGen) { toks: List[String] =>
+      val sk = new SpaceSavingSketch(8) // capacity << 25 distinct: eviction pressure
+      toks.foreach(sk.add(_))
+      val truth = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      sk.counts.foreach { case (t, (c, _)) =>
+        assert(c >= truth.getOrElse(t, 0L), s"retained count for $t underestimates")
+      }
+    }
+  }
+
+  test("SpaceSaving merge keeps the overestimate guarantee") {
+    val tokGen = Gen.listOfN(200, Gen.oneOf((1 to 20).map(i => s"t$i")))
+    forAll(tokGen, tokGen) { (a: List[String], b: List[String]) =>
+      val sa = new SpaceSavingSketch(8); a.foreach(sa.add(_))
+      val sb = new SpaceSavingSketch(8); b.foreach(sb.add(_))
+      sa.merge(sb)
+      val truth = (a ++ b).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      sa.counts.foreach { case (t, (c, _)) =>
+        assert(c >= truth.getOrElse(t, 0L), s"merged count for $t underestimates")
+      }
+    }
+  }
+
+  test("MinHash signature agreement is symmetric and bounded by signature length") {
+    val tokGen = Gen.listOfN(30, Gen.oneOf((1 to 40).map(i => s"w$i")))
+    forAll(tokGen, tokGen) { (a: List[String], b: List[String]) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      def sig(ts: List[String]) = GraftHash.shingleMinHash(
+        new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any]), 2, 64, 42L)
+      val (sa, sb) = (sig(a), sig(b))
+      val ab = GraftHash.sigAgreement(sa, sb)
+      assert(ab == GraftHash.sigAgreement(sb, sa))
+      assert(ab >= 0 && ab <= 64)
+      assert(GraftHash.sigAgreement(sa, sa) == 64, "self-agreement is total")
+    }
+  }
+}
