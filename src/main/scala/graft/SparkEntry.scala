@@ -67,6 +67,7 @@ object SparkEntry {
     "dc2_sample_budget" -> ((s, dir) => Curation.sampleToBudget(Tables(s, dir))),
     "dc3_canonical" -> ((s, dir) => Curation.canonicalPerCluster(Tables(s, dir))),
     "dc4_mixture" -> ((s, dir) => Curation.sampleToMixture(Tables(s, dir))),
+    "dc5_decontaminate_bloom" -> ((s, dir) => Curation.decontaminateBloom(Tables(s, dir))),
     // §2.5 multimodal plumbing
     "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
     "m2_frame_sample" -> ((s, dir) => Multimodal.frames(Tables(s, dir))),
@@ -96,6 +97,23 @@ object SparkEntry {
       |j AS (
       |  SELECT doc_a, doc_b, CAST(shared AS DOUBLE) / (sa.nsh + sb.nsh - shared) AS jac
       |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)""".stripMargin
+
+  /** dc1's oracle — also dc5's: the Bloom-prefiltered plan must produce
+    * exactly the unfiltered operator's rows.
+    */
+  private val dc1Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |  FROM toks WHERE len(t) >= 3) z),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM sh JOIN bench USING (shingle)
+      |WHERE doc_id >= 50
+      |GROUP BY doc_id HAVING COUNT(*) >= 5
+      |ORDER BY doc_id""".stripMargin
 
   /** DuckDB-equivalent SQL per query key; the driver hash-compares results
     * (columns sorted by name), so aliases here match the Spark side
@@ -150,19 +168,10 @@ object SparkEntry {
          |FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS fi)
          |ORDER BY doc_id, frame_idx""".stripMargin
     },
-    "dc1_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-        |  FROM toks WHERE len(t) >= 3) z),
-        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
-        |FROM sh JOIN bench USING (shingle)
-        |WHERE doc_id >= 50
-        |GROUP BY doc_id HAVING COUNT(*) >= 5
-        |ORDER BY doc_id""".stripMargin,
+    "dc1_decontaminate" -> dc1Sql,
+    // dc5 is dc1 through a Bloom-prefiltered plan: no false negatives +
+    // exact verify stage => identical output, same oracle
+    "dc5_decontaminate_bloom" -> dc1Sql,
     "dc2_sample_budget" ->
       """WITH c AS (
         |  SELECT doc_id, source,

@@ -91,6 +91,14 @@ object GraftFunctions {
   /** Scalar distinct-count estimate of a binary sketch. */
   def hll_estimate(c: Column): Column = EU.column(HllEstimate(EU.expression(c)))
 
+  /** Build a binary Bloom filter over long keys (or array<long> rows). */
+  def bloom_build(c: Column, nbits: Int = 1 << 20, k: Int = 4): Column =
+    EU.column(BloomBuildAgg(EU.expression(c), nbits, k).toAggregateExpression())
+
+  /** array<long> → int count of elements the filter (possibly) contains. */
+  def bloom_hits(c: Column, filter: Array[Byte]): Column =
+    EU.column(BloomHits(EU.expression(c), filter))
+
   /** Register every graft function for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

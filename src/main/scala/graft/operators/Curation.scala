@@ -40,6 +40,41 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** dc5: Bloom-prefiltered decontamination — dc1's output through a
+    * runtime-filter plan. The benchmark's shingle set is summarized into
+    * a FIXED-SIZE Bloom filter (128 KiB at nbits=2^20 regardless of set
+    * size — vs a broadcast hash of the full set); every corpus document
+    * probes the filter map-side in one codegen pass and dies in the scan
+    * if it cannot reach `minShared` hits. Only surviving docs explode
+    * shingles into the exact join, which removes Bloom false positives —
+    * so the result EQUALS dc1 (Bloom has no false negatives; the
+    * prefilter only discards docs the exact join would discard anyway),
+    * and the dc1 oracle verifies this plan end-to-end. At 100 TB the
+    * exact-join stage processes only the prefilter's survivors instead
+    * of every corpus shingle.
+    */
+  def decontaminateBloom(t: Tables, benchSize: Long = 50, k: Int = 3, minShared: Long = 5,
+      nbits: Int = 1 << 20, kProbes: Int = 4): DataFrame = {
+    val shingled = t.documents
+      .select(col("doc_id"), ws_tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), array_distinct(shingle_hashes(col("toks"), k)).as("shingles"))
+    val filterBytes: Array[Byte] = shingled.filter(col("doc_id") < benchSize)
+      .agg(bloom_build(col("shingles"), nbits, kProbes).as("f"))
+      .collect()(0).getAs[Array[Byte]](0) // fixed 5 + nbits/8 bytes, driver-safe by construction
+    val candidates = shingled.filter(col("doc_id") >= benchSize)
+      .filter(bloom_hits(col("shingles"), filterBytes) >= minShared)
+    val bench = shingled.filter(col("doc_id") < benchSize)
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    candidates
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_id"))
+  }
+
   /** dc3: canonical-document selection — the "keep one per cluster"
     * decision the dedup family exists for. Near-dup clusters (d6) joined
     * with quality scores (t2); each cluster keeps its highest-quality

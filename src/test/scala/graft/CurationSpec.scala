@@ -80,6 +80,20 @@ class CurationSpec extends SparkSpecBase {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("dc5 Bloom-prefiltered decontamination equals dc1 exactly") {
+    val dc1 = Curation.decontaminate(t).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared"))).sorted
+    val dc5 = Curation.decontaminateBloom(t).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared"))).sorted
+    assert(dc5.nonEmpty && dc5.sameElements(dc1),
+      "no false negatives + exact verify => identical result sets")
+    // a deliberately tiny filter (high FP rate) must STILL equal dc1 —
+    // false positives only add prefilter survivors, never results
+    val tiny = Curation.decontaminateBloom(t, nbits = 256, kProbes = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared"))).sorted
+    assert(tiny.sameElements(dc1), "saturated filter degrades to dc1's plan, not dc1's answer")
+  }
+
   test("t7 repetition scoring: planted duplicate tokens raise the dup fractions") {
     import spark.implicits._
     val docs = Seq(

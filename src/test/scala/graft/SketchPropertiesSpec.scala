@@ -105,6 +105,32 @@ class SketchPropertiesSpec extends SparkSpecBase {
     }
   }
 
+  test("Bloom filter never false-negatives; OR-merge equals direct build") {
+    import graft.functions.GraftBloom
+    forAll(keysGen, keysGen) { (members: List[Long], probesRaw: List[Long]) =>
+      val nbits = 1 << 12
+      val words = new Array[Long](nbits / 64)
+      members.foreach(GraftBloom.set(words, nbits, 4, _))
+      members.foreach(m => assert(GraftBloom.probe(words, nbits, 4, m), "member must probe true"))
+
+      // split build + OR == whole build
+      val (l, r) = members.splitAt(members.size / 2)
+      val wl = new Array[Long](nbits / 64)
+      val wr = new Array[Long](nbits / 64)
+      l.foreach(GraftBloom.set(wl, nbits, 4, _))
+      r.foreach(GraftBloom.set(wr, nbits, 4, _))
+      val merged = wl.zip(wr).map { case (x, y) => x | y }
+      assert(merged.sameElements(words))
+
+      // wire round-trip preserves every probe outcome
+      val bytes = GraftBloom.toBytes(nbits, 4, words)
+      val (nb2, k2, w2) = GraftBloom.fromBytes(bytes)
+      probesRaw.foreach { q =>
+        assert(GraftBloom.probe(w2, nb2, k2, q) == GraftBloom.probe(words, nbits, 4, q))
+      }
+    }
+  }
+
   test("MinHash signature agreement is symmetric and bounded by signature length") {
     val tokGen = Gen.listOfN(30, Gen.oneOf((1 to 40).map(i => s"w$i")))
     forAll(tokGen, tokGen) { (a: List[String], b: List[String]) =>
