@@ -47,10 +47,12 @@ object GraftBloom {
   /** Count of array elements the filter (possibly) contains — the
     * map-side prefilter kernel (no false negatives: every true member
     * counts; false positives only ever INCREASE the count, so a
-    * `hits >= threshold` gate never drops a true match).
+    * `hits >= threshold` gate never drops a true match). Takes the
+    * DECODED word array: the caller decodes the wire bytes ONCE per
+    * task, not per row (a per-row fromBytes would copy the whole filter
+    * for every document — more work than the k probes themselves).
     */
-  def hits(values: ArrayData, bytes: Array[Byte]): Int = {
-    val (nbits, k, words) = fromBytes(bytes)
+  def hits(values: ArrayData, words: Array[Long], nbits: Int, k: Int): Int = {
     var n = 0
     var i = 0
     val m = values.numElements()
@@ -103,6 +105,18 @@ case class BloomBuildAgg(
   require(nbits >= 64 && nbits % 64 == 0, s"nbits=$nbits must be a positive multiple of 64")
   require(k >= 1 && k <= 16, s"k=$k probes outside [1,16]")
 
+  // long keys only: ArrayData.getLong over any other element width reads
+  // garbage bits, silently breaking the no-false-negatives contract —
+  // reject at analysis time instead
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_build needs BIGINT, INT or ARRAY<BIGINT> input, got ${other.catalogString}")
+    }
+
   @transient private lazy val isArray = child.dataType.isInstanceOf[ArrayType]
 
   override def children: Seq[Expression] = Seq(child)
@@ -148,21 +162,32 @@ case class BloomBuildAgg(
 }
 
 /** bloom_hits(array<long>, filterBytes) → int count of (possible)
-  * members. The filter ships once per task as a reference object —
-  * fixed size regardless of the set it summarizes (vs LongSetHits'
-  * literal array, which grows with the set).
+  * members. The DECODED filter ships once per task as a reference
+  * object — fixed size regardless of the set it summarizes (vs
+  * LongSetHits' literal array, which grows with the set).
   */
-case class BloomHits(child: Expression, filter: Array[Byte]) extends UnaryExpression {
+case class BloomHits(child: Expression, filter: Seq[Byte]) extends UnaryExpression {
+  // filter is a Seq, not Array: case-class equality stays STRUCTURAL, so
+  // plans built from equal filters compare equal (sameResult / plan
+  // cache / ReuseExchange; same rule as LongSetHits). Decoded ONCE here,
+  // not per row.
+  @transient private lazy val decoded: (Int, Int, Array[Long]) =
+    GraftBloom.fromBytes(filter.toArray)
+
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = child.nullable
 
-  override def nullSafeEval(input: Any): Any =
-    java.lang.Integer.valueOf(GraftBloom.hits(input.asInstanceOf[ArrayData], filter))
+  override def nullSafeEval(input: Any): Any = {
+    val (nbits, k, words) = decoded
+    java.lang.Integer.valueOf(GraftBloom.hits(input.asInstanceOf[ArrayData], words, nbits, k))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = GraftBloom.getClass.getName.stripSuffix("$")
-    val ref = ctx.addReferenceObj("bloom", filter, "byte[]")
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls$$.MODULE$$.hits($c, (byte[]) $ref);")
+    val (nbits, k, words) = decoded
+    val ref = ctx.addReferenceObj("bloomWords", words, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $cls$$.MODULE$$.hits($c, (long[]) $ref, $nbits, $k);")
   }
   override protected def withNewChildInternal(newChild: Expression): BloomHits = copy(child = newChild)
   override def prettyName: String = "bloom_hits"

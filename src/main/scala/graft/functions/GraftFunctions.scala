@@ -96,7 +96,7 @@ object GraftFunctions {
     EU.column(BloomBuildAgg(EU.expression(c), nbits, k).toAggregateExpression())
 
   /** array<long> → int count of elements the filter (possibly) contains. */
-  def bloom_hits(c: Column, filter: Array[Byte]): Column =
+  def bloom_hits(c: Column, filter: Seq[Byte]): Column =
     EU.column(BloomHits(EU.expression(c), filter))
 
   /** Register every graft function for SQL use. */

@@ -24,20 +24,35 @@ object Curation {
     * fixed eval suite. Shingles are FNV-hashed map-side (codegen), the
     * same collision-negligible domain d4 counts in.
     */
-  def decontaminate(t: Tables, benchSize: Long = 50, k: Int = 3, minShared: Long = 5): DataFrame = {
-    val spark = t.documents.sparkSession
-    val shingled = t.documents
+  /** Per-doc distinct shingle-hash arrays — shared by dc1 and dc5, so
+    * the Bloom-prefiltered plan is STRUCTURALLY the same exact pipeline
+    * (its equals-dc1 oracle contract cannot drift by a one-sided edit).
+    */
+  private def shingled(t: Tables, k: Int): DataFrame =
+    t.documents
       .select(col("doc_id"), ws_tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("toks"), k))).as("shingle"))
-    val bench = shingled.filter(col("doc_id") < benchSize)
-      .select(col("shingle")).distinct()
-    shingled.filter(col("doc_id") >= benchSize)
-      .join(broadcast(bench), Seq("shingle"))
+      .select(col("doc_id"), array_distinct(shingle_hashes(col("toks"), k)).as("shingles"))
+
+  /** The exact overlap-count tail shared by dc1 and dc5: explode the
+    * candidate docs' shingles, count matches against the (broadcast)
+    * benchmark shingle set, keep docs with ≥ minShared.
+    */
+  private def sharedCounts(candidates: DataFrame, benchShingles: DataFrame,
+      minShared: Long): DataFrame =
+    candidates
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy(col("doc_id"))
+
+  def decontaminate(t: Tables, benchSize: Long = 50, k: Int = 3, minShared: Long = 5): DataFrame = {
+    val sh = shingled(t, k)
+    val bench = sh.filter(col("doc_id") < benchSize)
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    sharedCounts(sh.filter(col("doc_id") >= benchSize), bench, minShared)
   }
 
   /** dc5: Bloom-prefiltered decontamination — dc1's output through a
@@ -55,24 +70,15 @@ object Curation {
     */
   def decontaminateBloom(t: Tables, benchSize: Long = 50, k: Int = 3, minShared: Long = 5,
       nbits: Int = 1 << 20, kProbes: Int = 4): DataFrame = {
-    val shingled = t.documents
-      .select(col("doc_id"), ws_tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), array_distinct(shingle_hashes(col("toks"), k)).as("shingles"))
-    val filterBytes: Array[Byte] = shingled.filter(col("doc_id") < benchSize)
+    val sh = shingled(t, k)
+    val filterBytes: Array[Byte] = sh.filter(col("doc_id") < benchSize)
       .agg(bloom_build(col("shingles"), nbits, kProbes).as("f"))
       .collect()(0).getAs[Array[Byte]](0) // fixed 5 + nbits/8 bytes, driver-safe by construction
-    val candidates = shingled.filter(col("doc_id") >= benchSize)
-      .filter(bloom_hits(col("shingles"), filterBytes) >= minShared)
-    val bench = shingled.filter(col("doc_id") < benchSize)
+    val candidates = sh.filter(col("doc_id") >= benchSize)
+      .filter(bloom_hits(col("shingles"), filterBytes.toSeq) >= minShared)
+    val bench = sh.filter(col("doc_id") < benchSize)
       .select(explode(col("shingles")).as("shingle")).distinct()
-    candidates
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .join(broadcast(bench), Seq("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-      .orderBy(col("doc_id"))
+    sharedCounts(candidates, bench, minShared)
   }
 
   /** dc3: canonical-document selection — the "keep one per cluster"
