@@ -99,44 +99,45 @@ object GraftFunctions {
   def bloom_hits(c: Column, filter: Seq[Byte]): Column =
     EU.column(BloomHits(EU.expression(c), filter))
 
+  /** Optional trailing INT argument (precision / shingle width): honor
+    * it when present — silently ignoring a user-supplied literal would
+    * produce wrong-precision results with no error.
+    */
+  private def intArg(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      idx: Int, default: Int, what: String): Int =
+    exprs.lift(idx).map {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an INT literal, got $other")
+    }.getOrElse(default)
+
+  /** Single source of the SQL surface — consumed by [[registerAll]]
+    * (imperative per-session) AND [[graft.plans.GraftExtensions]]
+    * (spark.sql.extensions packaging), so the two registration paths
+    * cannot drift.
+    */
+  private[graft] val sqlFunctionBuilders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "race_time_ms" -> (exprs => RaceTimeMillis(exprs.head)),
+    "graft_simhash64" -> (exprs => SimHash64(exprs.head)),
+    "graft_cosine" -> (exprs => CosineSimilarity(exprs.head, exprs(1))),
+    "graft_fingerprint" -> (exprs => RollingFingerprint(exprs.head, 16)),
+    "graft_hll_distinct" -> (exprs =>
+      HllDistinctAgg(exprs.head, intArg(exprs, 1, 6, "precision")).toAggregateExpression()),
+    "graft_hll_sketch" -> (exprs =>
+      HllSketchAgg(exprs.head, intArg(exprs, 1, 6, "precision")).toAggregateExpression()),
+    "graft_hll_merge" -> (exprs =>
+      HllMergeAgg(exprs.head, intArg(exprs, 1, 6, "precision")).toAggregateExpression()),
+    "graft_hll_estimate" -> (exprs => HllEstimate(exprs.head)),
+    "graft_repetition_stats" -> (exprs =>
+      RepetitionStats(exprs.head, intArg(exprs, 1, 2, "shingle width"))))
+
   /** Register every graft function for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction(
-      "race_time_ms", exprs => RaceTimeMillis(exprs.head), "built-in")
-    registry.createOrReplaceTempFunction(
-      "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
-    registry.createOrReplaceTempFunction(
-      "graft_cosine", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
-    registry.createOrReplaceTempFunction(
-      "graft_fingerprint", exprs => RollingFingerprint(exprs.head, 16), "built-in")
-    // optional trailing INT argument (precision / shingle width): honor
-    // it when present — silently ignoring a user-supplied literal would
-    // produce wrong-precision results with no error
-    def intArg(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-        idx: Int, default: Int, what: String): Int =
-      exprs.lift(idx).map {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"$what must be an INT literal, got $other")
-      }.getOrElse(default)
-    registry.createOrReplaceTempFunction(
-      "graft_hll_distinct",
-      exprs => HllDistinctAgg(exprs.head, intArg(exprs, 1, 6, "precision")).toAggregateExpression(),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "graft_hll_sketch",
-      exprs => HllSketchAgg(exprs.head, intArg(exprs, 1, 6, "precision")).toAggregateExpression(),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "graft_hll_merge",
-      exprs => HllMergeAgg(exprs.head, intArg(exprs, 1, 6, "precision")).toAggregateExpression(),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "graft_hll_estimate", exprs => HllEstimate(exprs.head), "built-in")
-    registry.createOrReplaceTempFunction(
-      "graft_repetition_stats",
-      exprs => RepetitionStats(exprs.head, intArg(exprs, 1, 2, "shingle width")),
-      "built-in")
+    sqlFunctionBuilders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

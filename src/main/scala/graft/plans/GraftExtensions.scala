@@ -67,5 +67,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinPlans.AsOfStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
+    // same builder list registerAll uses imperatively — a session created
+    // with spark.sql.extensions=graft.plans.GraftExtensions gets the full
+    // SQL function surface without any graft API call
+    graft.functions.GraftFunctions.sqlFunctionBuilders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+        builder))
+    }
   }
 }

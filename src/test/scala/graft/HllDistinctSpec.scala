@@ -80,6 +80,23 @@ class HllDistinctSpec extends SparkSpecBase {
     assert(viaSketch == viaAgg)
   }
 
+  test("SQL surface: registered functions match the Column API, honor the precision arg") {
+    import spark.implicits._
+    (1L to 500L).toDF("k").createOrReplaceTempView("hll_sql_in")
+    val viaSql = spark.sql("SELECT graft_hll_distinct(k, 8) AS e FROM hll_sql_in")
+      .collect()(0).getDouble(0)
+    val viaApi = (1L to 500L).toDF("k")
+      .agg(GraftFunctions.hll_distinct(col("k"), 8)).collect()(0).getDouble(0)
+    assert(viaSql == viaApi, "SQL and Column registration share one builder")
+    val viaDefault = spark.sql("SELECT graft_hll_distinct(k) AS e FROM hll_sql_in")
+      .collect()(0).getDouble(0)
+    assert(viaDefault != viaSql, "p=8 vs default p=6 must differ on 500 keys")
+    val rep = spark.sql(
+      "SELECT graft_repetition_stats(array('a','b','a'), 2).distinct_tokens AS d")
+      .collect()(0).getInt(0)
+    assert(rep == 2)
+  }
+
   test("estimator constants: numerator literal round-trips and rank caps at K") {
     assert(HllDistinct.numerator(6) == 0.709 * 4096.0 * math.pow(2.0, 59.0))
     assert(HllDistinct.rank(0L, 6) == HllDistinct.maxRank(6))
