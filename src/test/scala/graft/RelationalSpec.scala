@@ -155,6 +155,40 @@ class RelationalSpec extends SparkSpecBase {
     assert(brute.nonEmpty, "testdata must produce at least one attribution pair")
   }
 
+  test("q24 histogram quantiles stay within one bin width of q16's exact percentiles") {
+    val t = graft.sources.Tables(spark, sfDir)
+    val exact = graft.operators.Relational.q16Quantiles(t).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    val approx = graft.operators.Relational.q24HistQuantiles(t).collect()
+    assert(approx.nonEmpty)
+    // position error is bounded by one bin, but the uniform-within-bin
+    // interpolation can add up to another bin on sparse data — two bin
+    // widths is the honest bound
+    val tol = 2 * 5.0
+    approx.foreach { r =>
+      val (p50, p95) = exact(r.getAs[String]("event_type"))
+      assert(math.abs(r.getAs[Double]("p50_est") - p50) <= tol,
+        s"p50 outside bound: est=${r.getAs[Double]("p50_est")} exact=$p50")
+      assert(math.abs(r.getAs[Double]("p95_est") - p95) <= tol,
+        s"p95 outside bound: est=${r.getAs[Double]("p95_est")} exact=$p95")
+    }
+  }
+
+  test("q22 HLL estimate tracks the exact distinct count per group") {
+    val t = graft.sources.Tables(spark, sfDir)
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val exact = t.lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("d")).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("d")).toMap
+    graft.operators.Relational.q22HllDistinct(t).collect().foreach { r =>
+      val truth = exact(r.getAs[String]("l_returnflag"))
+      val rel = math.abs(r.getAs[Double]("est_distinct") - truth) / truth
+      // stderr ~ 1.04/sqrt(64) = 13%; allow 3 sigma
+      assert(rel < 0.4, s"estimate ${r.getAs[Double]("est_distinct")} vs $truth (rel=$rel)")
+    }
+  }
+
   test("globalRowNumber matches an unpartitioned ranking window across many partitions") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
