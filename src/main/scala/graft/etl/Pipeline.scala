@@ -314,20 +314,37 @@ final class PipelineRunner(
 
   private def snapshotTable(name: String) = new SnapshotTable(spark, targetPath(name))
 
+  /** Does `name` publish through [[SnapshotTable]] manifests? Partitioned
+    * tables never do — they merge in place via dynamic partition
+    * overwrite ([[Pipeline.mergeIntoPartitioned]]) and are stored as
+    * plain partitioned parquet, so their reads must not demand a
+    * manifest. A table with no committed manifest yet (e.g. a legacy
+    * plain-parquet table adopted into snapshot mode) also reads the
+    * parquet path until its first snapshot commit.
+    */
+  private def readsViaSnapshot(name: String): Boolean =
+    useSnapshotTables &&
+      specs.find(_.name == name).forall(_.partitionColumn.isEmpty) &&
+      snapshotTable(name).currentVersion.isDefined
+
   private def readTarget(name: String): Option[DataFrame] =
-    if (useSnapshotTables) {
-      val st = snapshotTable(name)
-      st.currentVersion.map(_ => st.read())
-    } else if (Files.exists(Paths.get(targetPath(name)))) {
+    if (readsViaSnapshot(name)) Some(snapshotTable(name).read())
+    else if (Files.exists(Paths.get(targetPath(name)))) {
       Some(spark.read.parquet(targetPath(name)))
     } else None
 
   def table(name: String): DataFrame =
-    if (useSnapshotTables) snapshotTable(name).read() else spark.read.parquet(targetPath(name))
+    if (readsViaSnapshot(name)) snapshotTable(name).read()
+    else spark.read.parquet(targetPath(name))
 
-  /** Time travel (snapshot mode only): the table as of `version`. */
+  /** Time travel (snapshot mode only): the table as of `version`.
+    * Partitioned tables merge in place (no manifest chain), so they have
+    * no version history to travel to — rejected up front.
+    */
   def tableAt(name: String, version: Long): DataFrame = {
     require(useSnapshotTables, "tableAt needs useSnapshotTables = true")
+    require(specs.find(_.name == name).forall(_.partitionColumn.isEmpty),
+      s"$name is partitioned: partitioned tables merge in place and keep no version history")
     snapshotTable(name).read(Some(version))
   }
 

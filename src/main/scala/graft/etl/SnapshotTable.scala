@@ -31,9 +31,15 @@ final case class VersionConflictException(expected: Long)
   *    concurrent commits (snapshot isolation); older versions stay
   *    readable (time travel) until explicitly vacuumed
   *
-  * The scheme needs only atomic create-new and immutable files, both of
-  * which object stores provide (conditional PUT), so the layout ports to
-  * S3/GCS-class storage unchanged. Reference analog: the sync metadata +
+  * Portability: the LAYOUT (immutable data dirs + a manifest chain)
+  * assumes nothing about the store, but THIS implementation's commit
+  * primitive is POSIX `link(2)` via `Files.createLink` — it requires a
+  * filesystem with hard links (local disk, NFS, most HDFS-compatible
+  * mounts) and throws `UnsupportedOperationException` elsewhere. Porting
+  * to S3/GCS-class object stores means swapping [[tryCommit]]'s publish
+  * step for a conditional PUT (`If-None-Match: *`), which gives the same
+  * create-new-or-fail semantics atomically for both name and content;
+  * everything else carries over. Reference analog: the sync metadata +
   * idempotent loads of /root/reference/metadata.py, hardened for
   * concurrent writers.
   */
@@ -100,6 +106,8 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * first, then hard-linked into its versioned name — `link` is
     * create-new-or-EEXIST, so a concurrent commit of the same version
     * loses deterministically and no reader ever sees a partial manifest.
+    * POSIX-only (see class doc): on a store without hard links, replace
+    * this publish with a conditional PUT of the manifest bytes.
     */
   def tryCommit(expected: Long, dirs: Seq[String]): Long = {
     Files.createDirectories(manifestDir)

@@ -252,6 +252,38 @@ class EtlSpec extends SparkSpecBase {
     assert(rows.sameElements(Array((1L, "a"), (2L, "B"))), "upsert within touched partition")
   }
 
+  test("snapshot mode: partitioned tables stay readable and mergeable (parquet path)") {
+    import spark.implicits._
+    val (wh, md) = freshDirs()
+    val store = new MetadataStore(spark, md)
+    val mixedSpecs = Seq(
+      Pipeline.TableSpec("fact_p", Pipeline.PostRace, Nil,
+        Seq("id"), versionColumn = Some("ver"), partitionColumn = Some("day")),
+      Pipeline.TableSpec("dim_u", Pipeline.PostRace, Nil, Seq("id"), versionColumn = Some("ver")))
+    var batch = Seq((1L, "a", 1L, "d1"), (2L, "b", 1L, "d2"))
+    val ex: Map[String, Pipeline.Extract] = Map(
+      "fact_p" -> ((s, _) => { import s.implicits._; batch.toDF("id", "v", "ver", "day") }),
+      "dim_u" -> ((s, _) => { import s.implicits._
+        batch.map { case (i, v, ver, _) => (i, v, ver) }.toDF("id", "v", "ver") }))
+    val runner = new PipelineRunner(spark, wh, store, mixedSpecs, ex, useSnapshotTables = true)
+    runner.run(Pipeline.PostRace)
+    // partitioned table: no manifest was (or should be) written; reads go
+    // through plain partitioned parquet, not SnapshotTable
+    assert(!Files.exists(java.nio.file.Paths.get(s"$wh/fact_p/_manifests")),
+      "partitioned tables must not grow a manifest chain")
+    assert(runner.table("fact_p").count() == 2)
+    // second increment merges through the partition path under snapshot mode
+    batch = Seq((2L, "B", 2L, "d2"), (3L, "c", 1L, "d3"))
+    runner.run(Pipeline.PostRace)
+    val rows = runner.table("fact_p").orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v")))
+    assert(rows.sameElements(Array((1L, "a"), (2L, "B"), (3L, "c"))))
+    // the unpartitioned sibling DID publish through manifests in the same run
+    assert(Files.exists(java.nio.file.Paths.get(s"$wh/dim_u/_manifests")))
+    assert(runner.table("dim_u").count() == 3)
+    intercept[IllegalArgumentException] { runner.tableAt("fact_p", 0L) }
+  }
+
   test("merge keeps the freshest version per key") {
     import spark.implicits._
     val old = Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("id", "v", "ver")
