@@ -171,6 +171,36 @@ case class BloomHits(child: Expression, filter: Seq[Byte]) extends UnaryExpressi
   // plans built from equal filters compare equal (sameResult / plan
   // cache / ReuseExchange; same rule as LongSetHits). Decoded ONCE here,
   // not per row.
+
+  // wire-header validation at construction: a truncated or foreign blob
+  // would otherwise decode into a garbage bit array and probe nonsense —
+  // voiding the no-false-negatives contract with no error anywhere
+  locally {
+    require(filter.length >= 5,
+      s"bloom_hits: filter blob is ${filter.length} bytes, shorter than the 5-byte header")
+    val bb = java.nio.ByteBuffer.wrap(filter.toArray, 0, 5)
+    val nbits = bb.getInt
+    val k = bb.get.toInt
+    require(nbits >= 64 && nbits % 64 == 0,
+      s"bloom_hits: decoded nbits=$nbits is not a positive multiple of 64 — not a bloom_build blob")
+    require(k >= 1 && k <= 16, s"bloom_hits: decoded k=$k probes outside [1,16]")
+    require(filter.length == 5 + nbits / 8,
+      s"bloom_hits: blob is ${filter.length} bytes but nbits=$nbits implies ${5 + nbits / 8}")
+  }
+
+  // ARRAY<BIGINT> only: getLong over any other element width reads
+  // garbage bits, silently voiding the no-false-negatives contract the
+  // build-side check protects — mirror BloomBuildAgg and reject at
+  // analysis time
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_hits needs ARRAY<BIGINT> input, got ${other.catalogString}")
+    }
+
   @transient private lazy val decoded: (Int, Int, Array[Long]) =
     GraftBloom.fromBytes(filter.toArray)
 

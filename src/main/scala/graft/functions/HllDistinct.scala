@@ -158,6 +158,21 @@ sealed trait HllRowInput extends HllAggBase {
   // lazy: the child is unresolved when the Column wrapper constructs this
   @transient private lazy val isString = child.dataType == StringType
 
+  // integral or string keys only: a DOUBLE/DECIMAL child would silently
+  // truncate through Number.longValue (1.2 and 1.9 collapse to the same
+  // register update — an undetectable undercount). Reject at analysis
+  // time, same contract as BloomBuildAgg; cast explicitly if truncation
+  // is actually intended.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs an integral or STRING input, got ${other.catalogString} " +
+            "(fractional values would silently truncate; cast explicitly if intended)")
+    }
+
   override def children: Seq[Expression] = Seq(child)
 
   override def update(buf: HllRegisters, input: InternalRow): HllRegisters = {

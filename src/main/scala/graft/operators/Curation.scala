@@ -114,12 +114,25 @@ object Curation {
     * the window.
     */
   def sampleToMixture(t: Tables, totalBudget: Long = 60000,
-      weight: Column = expr("cast(substr(source, 4) as int)") % 3 + 1): DataFrame = {
+      weight: Column = expr("try_cast(substr(source, 4) as int)") % 3 + 1): DataFrame = {
     val docs = t.documents
       .select(col("doc_id"), col("source"),
         size(ws_tokens(col("text"))).cast("long").as("ws_tokens"))
+    // a NULL/non-positive weight would silently DELETE its whole source
+    // from the mixture (NULL budget ⇒ the cum_tokens<=src_budget filter
+    // keeps nothing) — fail loudly at the first evaluated row instead.
+    // The default weight uses try_cast so an unexpected source name
+    // reaches THIS check with a named source, not an opaque ANSI cast
+    // error.
     val weights = docs.select(col("source")).distinct()
       .withColumn("w", weight.cast("double"))
+      .withColumn("w",
+        when(col("w").isNull || isnan(col("w")) || col("w") <= 0d,
+          raise_error(concat(
+            lit("dc4 mixture weight must be a positive number; source '"),
+            col("source"), lit("' evaluated to "),
+            coalesce(col("w").cast("string"), lit("NULL")))))
+          .otherwise(col("w")))
     val totalW = weights.agg(sum(col("w")).as("tw"))
     val budgets = weights.crossJoin(broadcast(totalW))
       .withColumn("src_budget",

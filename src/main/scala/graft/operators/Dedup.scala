@@ -24,18 +24,15 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
       .orderBy(col("content_hash"))
 
-  /** Tokenized view shared by the text-dedup ops. The repartition spreads
-    * a degenerate single-split input over all cores before the CPU-heavy
-    * hash work; at 100 TB the scan has thousands of splits and the
-    * exchange is a no-op cost relative to the hashing it parallelizes.
+  /** Tokenized view shared by the text-dedup ops. [[spreadIfNarrow]]
+    * spreads a degenerate few-split input over all cores before the
+    * CPU-heavy hash work, and passes a well-split (at-scale) scan through
+    * with NO text exchange — only the signatures derived from it ever
+    * need spreading.
     */
-  private def tokenized(t: Tables): DataFrame = {
-    val spark = t.documents.sparkSession
-    t.documents
-      .select(col("doc_id"), col("text"))
-      .repartition(spark.sparkContext.defaultParallelism)
+  private def tokenized(t: Tables): DataFrame =
+    spreadIfNarrow(t.documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
-  }
 
   /** d2: MinHash + LSH banding. numHashes=64 split into 16 bands of 4 —
     * S-curve threshold ≈ (1/16)^(1/4) ≈ 0.5 Jaccard. The self-join runs

@@ -111,15 +111,11 @@ object Relational {
     * with a deterministic tie-break.
     */
   def q6Standings(t: Tables): DataFrame = {
-    val spark = t.lineitem.sparkSession
     // narrow projection spread over all cores before the join + distinct
-    // aggregation: the testdata parquet has few row-group splits, which
-    // would otherwise cap this CPU-heavy stage at 3 tasks (at real scale
-    // the scan has thousands of splits and this exchange is noise
-    // relative to the work it parallelizes)
-    val perSupplier = t.lineitem
-      .select(col("l_suppkey"), col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    // aggregation when the testdata scan yields only a few row-group
+    // splits; a well-split at-scale scan passes through exchange-free
+    val perSupplier = spreadIfNarrow(t.lineitem
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
       .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
       .agg(

@@ -100,35 +100,36 @@ object TextAnalysis {
     * no per-occurrence shuffle. Verified against [[vocab]] in specs.
     */
   def vocabSketch(t: Tables, k: Int = 20): DataFrame = {
-    val spark = t.documents.sparkSession
-    t.documents
-      .select(col("text"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    spreadIfNarrow(t.documents.select(col("text")))
       .select(tokensCol.as("toks"))
       .agg(approx_top_k_tokens(col("toks"), k).as("topk"))
       .select(explode(col("topk")).as("e"))
       .select(col("e.token").as("token"), col("e.cnt").as("n"))
   }
 
-  /** t6: TF-IDF top terms per document. df computed once over the corpus
-    * (token vocab ≪ corpus, broadcast back); ranking uses the ROUNDED
-    * score so cross-engine ties resolve identically. At 100 TB both
-    * aggregations are plain partial-agg shuffles on (doc, token)/(token).
+  /** t6: TF-IDF top terms per document. Both aggregations are plain
+    * partial-agg shuffles on (doc, token) / (token); ranking uses the
+    * ROUNDED score so cross-engine ties resolve identically.
+    *
+    * Scale notes: the tf↔df join carries NO size hint — at web-corpus
+    * scale the distinct-token table is billions of rows (junk tokens
+    * dominate) and a forced broadcast would OOM; AQE still broadcasts it
+    * when it measures small. The corpus doc count folds into the plan as
+    * a one-row aggregate (broadcast by construction) instead of a
+    * separate driver-side `count()` action.
     */
   def tfidf(t: Tables, topK: Int = 3): DataFrame = {
-    val spark = t.documents.sparkSession
-    val tokens = t.documents
-      .select(col("doc_id"), col("text"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    val tokens = spreadIfNarrow(t.documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(tokensCol).as("token"))
       .filter(col("token") =!= "")
-    val n = t.documents.count()
+    val nDocs = t.documents.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
-    tf.join(broadcast(df), Seq("token"))
-      .withColumn("score", round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("doc_id"), col("rank"), col("token"), col("score"))

@@ -80,6 +80,44 @@ class CurationSpec extends SparkSpecBase {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("dc4 fails loudly on NULL or non-positive weights instead of silently dropping sources") {
+    def chain(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
+    // a weight evaluating to NULL used to yield a NULL budget, and the
+    // cum_tokens <= src_budget filter then deleted the whole source from
+    // the mixture with no error anywhere
+    val nullW = when(col("source") === "src1", lit(null).cast("int")).otherwise(lit(1))
+    val e1 = intercept[Exception] {
+      Curation.sampleToMixture(t, totalBudget = 20000, weight = nullW).collect()
+    }
+    assert(chain(e1).contains("src1") && chain(e1).contains("positive"), chain(e1))
+
+    val zeroW = when(col("source") === "src2", lit(0)).otherwise(lit(2))
+    val e2 = intercept[Exception] {
+      Curation.sampleToMixture(t, totalBudget = 20000, weight = zeroW).collect()
+    }
+    assert(chain(e2).contains("src2"), chain(e2))
+
+    // the default weight's try_cast reaches the same named-source error
+    // for a source name it cannot parse (instead of an opaque ANSI cast
+    // failure deep in the plan)
+    val renamed = t.documents.withColumn("source",
+      when(col("doc_id") === 7, lit("webcrawl")).otherwise(col("source")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dc4w_").toString
+    renamed.write.parquet(s"$dir/documents.parquet")
+    val e3 = intercept[Exception] {
+      Curation.sampleToMixture(graft.sources.Tables(spark, dir), totalBudget = 20000).collect()
+    }
+    assert(chain(e3).contains("webcrawl"), chain(e3))
+
+    // a uniform custom weight keeps every source (no silent drops)
+    val uniform = Curation.sampleToMixture(t, totalBudget = 20000, weight = lit(1)).collect()
+    assert(uniform.map(_.getAs[String]("source")).distinct.length ==
+      t.documents.select("source").distinct().count())
+  }
+
   test("dc5 Bloom-prefiltered decontamination equals dc1 exactly") {
     val dc1 = Curation.decontaminate(t).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared"))).sorted

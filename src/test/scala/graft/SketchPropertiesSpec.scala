@@ -131,6 +131,53 @@ class SketchPropertiesSpec extends SparkSpecBase {
     }
   }
 
+  test("input validation: fractional HLL inputs and malformed Bloom probes are rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.AnalysisException
+    import org.apache.spark.sql.functions.col
+    import graft.functions.GraftFunctions
+
+    // DOUBLE children would silently truncate via Number.longValue (1.2
+    // and 1.9 collapse to one register update) — analysis-time rejection
+    val doubles = Seq(1.2, 1.9, 2.5).toDF("d")
+    val e1 = intercept[AnalysisException] {
+      doubles.agg(GraftFunctions.hll_distinct(col("d"), 8)).collect()
+    }
+    assert(e1.getMessage.contains("hll_distinct"), e1.getMessage)
+    val e2 = intercept[AnalysisException] {
+      doubles.agg(GraftFunctions.hll_sketch(col("d"), 8)).collect()
+    }
+    assert(e2.getMessage.contains("hll_sketch"), e2.getMessage)
+    // an explicit cast is the documented opt-in to truncation
+    doubles.agg(GraftFunctions.hll_distinct(col("d").cast("long"), 8)).collect()
+
+    // bloom_hits over array<int> would read garbage bits via getLong —
+    // rejected at analysis time, mirroring bloom_build's input check
+    val filter = Seq(1L, 2L).toDF("k")
+      .agg(GraftFunctions.bloom_build(col("k"), 256, 2))
+      .collect()(0).getAs[Array[Byte]](0).toSeq
+    val intArrays = Seq(Seq(1, 2)).toDF("a")
+    val e3 = intercept[AnalysisException] {
+      intArrays.select(GraftFunctions.bloom_hits(col("a"), filter)).collect()
+    }
+    assert(e3.getMessage.toLowerCase.contains("array<bigint>"), e3.getMessage)
+
+    // wire-header validation: blobs that are not bloom_build output
+    // refuse construction instead of probing a garbage bit array
+    val longArrays = Seq(Seq(1L, 2L)).toDF("a")
+    val eShort = intercept[IllegalArgumentException] {
+      GraftFunctions.bloom_hits(col("a"), Seq[Byte](1, 2, 3))
+    }
+    assert(eShort.getMessage.contains("header"), eShort.getMessage)
+    val eTrunc = intercept[IllegalArgumentException] {
+      GraftFunctions.bloom_hits(col("a"), filter.dropRight(1))
+    }
+    assert(eTrunc.getMessage.contains("bytes"), eTrunc.getMessage)
+    // the untampered filter still probes fine over ARRAY<BIGINT>
+    assert(longArrays.select(GraftFunctions.bloom_hits(col("a"), filter))
+      .collect()(0).getInt(0) == 2)
+  }
+
   test("MinHash signature agreement is symmetric and bounded by signature length") {
     val tokGen = Gen.listOfN(30, Gen.oneOf((1 to 40).map(i => s"w$i")))
     forAll(tokGen, tokGen) { (a: List[String], b: List[String]) =>
