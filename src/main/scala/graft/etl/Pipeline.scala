@@ -43,6 +43,14 @@ object Pipeline {
     */
   type Extract = (SparkSession, Option[Long]) => DataFrame
 
+  /** A period-scoped loader for targeted backfills (reference:
+    * api_client.py takes `(year, round)` everywhere): given period
+    * bindings like `Map("year" -> 2024, "round" -> 5)`, fetch ONLY that
+    * slice of the entity — the point of the repair workflow is not
+    * re-extracting the whole history to fix one round.
+    */
+  type ScopedExtract = (SparkSession, Map[String, Any]) => DataFrame
+
   /** Resolve a dependency-respecting load order (reference: main.py's
     * manual ordering; here an explicit deterministic topo sort).
     */
@@ -308,7 +316,12 @@ final class PipelineRunner(
     // runners racing the same table cannot clobber each other), version
     // history, and snapshot-isolated readers. Partitioned tables keep
     // the dynamic-partition-overwrite path either way.
-    useSnapshotTables: Boolean = false) {
+    useSnapshotTables: Boolean = false,
+    // period-scoped loaders for [[backfill]]; tables without one fall
+    // back to the full extract filtered to the period (correct, but
+    // re-fetches history — provide a scoped extract where the source
+    // supports period queries, as the reference API does)
+    scopedExtracts: Map[String, Pipeline.ScopedExtract] = Map.empty) {
 
   private def targetPath(name: String) = s"$warehouseRoot/$name"
 
@@ -394,6 +407,72 @@ final class PipelineRunner(
     runOne(spec, force, newWatermark).map(_._2)
   }
 
+  /** Year/round-scoped targeted backfill (reference: main.py's
+    * `run_table(table_name, year, round_num)` repair workflow): re-sync
+    * ONE period slice of one table, leaving every other row AND the
+    * watermark untouched. `period` binds period columns to values, e.g.
+    * `Map("year" -> 2024, "round" -> 5)`.
+    *
+    * The scoped extract (or, failing that, the full extract filtered to
+    * the period) produces the slice; rows OUTSIDE the period are dropped
+    * defensively before the merge, so a buggy scoped extract can never
+    * clobber history it was not asked to repair. The merge itself is the
+    * normal last-write-wins upsert on the business key — same semantics
+    * as the reference's ON CONFLICT DO UPDATE re-load of a round. The
+    * sync log records the run; the watermark is re-asserted unchanged
+    * (a repair is not forward progress).
+    */
+  def backfill(name: String, period: Map[String, Any]): Long = {
+    val spec = specs.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown table $name"))
+    require(period.nonEmpty, "backfill needs at least one period binding")
+    val keepWatermark = metadata.watermark(name)
+    val logId = metadata.startSync(name)
+    try {
+      val slice = period.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+      val extracted = scopedExtracts.get(name) match {
+        case Some(scoped) => scoped(spark, period)
+        case None => extracts(name)(spark, None)
+      }
+      val fresh = extracted.filter(slice)
+      val n = mergeAndPublish(spec, fresh)
+      metadata.completeSync(name, logId, success = true, n, keepWatermark)
+      n
+    } catch {
+      case e: Exception =>
+        metadata.completeSync(name, logId, success = false, 0L, keepWatermark,
+          Option(e.getMessage))
+        throw e
+    }
+  }
+
+  /** The shared merge→publish tail of [[runOne]] and [[backfill]]:
+    * partitioned tables merge in place per touched partition; snapshot
+    * tables commit a read-modify-write version; plain tables merge whole
+    * and swap atomically. Returns the merged row count (touched
+    * partitions for partitioned tables, full table otherwise).
+    */
+  private def mergeAndPublish(spec: Pipeline.TableSpec, fresh: DataFrame): Long =
+    spec.partitionColumn match {
+      case Some(pc) =>
+        Pipeline.mergeIntoPartitioned(spark, targetPath(spec.name), fresh,
+          spec.keyColumns, spec.versionColumn, pc)
+      case None =>
+        if (useSnapshotTables) {
+          // read-modify-write: on a version conflict with a racing
+          // runner, the merge re-derives against the winner's fresh
+          // snapshot — neither runner's increment is lost
+          val (_, published) = snapshotTable(spec.name).overwriteWith(existing =>
+            Pipeline.merge(existing, fresh, spec.keyColumns, spec.versionColumn))
+          published.count()
+        } else {
+          val merged = Pipeline.merge(readTarget(spec.name), fresh, spec.keyColumns, spec.versionColumn)
+            .localCheckpoint(eager = true) // sever lineage from the file being replaced
+          atomicPublish(merged, spec.name)
+          merged.count()
+        }
+    }
+
   private def runOne(spec: Pipeline.TableSpec, force: Boolean,
       newWatermark: Option[Long]): Option[(String, Long)] = {
     val name = spec.name
@@ -410,28 +489,7 @@ final class PipelineRunner(
       val logId = metadata.startSync(name)
       try {
         val fresh = extracts(name)(spark, since)
-        // partitioned tables merge in place per touched partition (n =
-        // touched-partition rows); unpartitioned tables merge whole and
-        // swap atomically (n = full table rows)
-        val n = spec.partitionColumn match {
-          case Some(pc) =>
-            Pipeline.mergeIntoPartitioned(spark, targetPath(name), fresh,
-              spec.keyColumns, spec.versionColumn, pc)
-          case None =>
-            if (useSnapshotTables) {
-              // read-modify-write: on a version conflict with a racing
-              // runner, the merge re-derives against the winner's fresh
-              // snapshot — neither runner's increment is lost
-              val (_, published) = snapshotTable(name).overwriteWith(existing =>
-                Pipeline.merge(existing, fresh, spec.keyColumns, spec.versionColumn))
-              published.count()
-            } else {
-              val merged = Pipeline.merge(readTarget(name), fresh, spec.keyColumns, spec.versionColumn)
-                .localCheckpoint(eager = true) // sever lineage from the file being replaced
-              atomicPublish(merged, name)
-              merged.count()
-            }
-        }
+        val n = mergeAndPublish(spec, fresh)
         metadata.completeSync(name, logId, success = true, n, newWatermark.orElse(since))
         Some(name -> n)
       } catch {

@@ -252,6 +252,52 @@ class EtlSpec extends SparkSpecBase {
     assert(rows.sameElements(Array((1L, "a"), (2L, "B"))), "upsert within touched partition")
   }
 
+  test("period-scoped backfill re-syncs one round only, watermark untouched") {
+    import spark.implicits._
+    val (wh, md) = freshDirs()
+    val store = new MetadataStore(spark, md)
+    val rSpecs = Seq(Pipeline.TableSpec("results", Pipeline.PostRace, Nil,
+      Seq("id"), versionColumn = Some("ver")))
+    val history = Seq(
+      (1L, 2024, 1, "a", 1L), (2L, 2024, 1, "b", 1L),
+      (3L, 2024, 2, "WRONG", 1L), (4L, 2024, 2, "d", 1L),
+      (5L, 2024, 3, "e", 1L))
+    val full: Map[String, Pipeline.Extract] = Map(
+      "results" -> ((s, _) => { import s.implicits._
+        history.toDF("id", "year", "round", "v", "ver") }))
+    // the scoped extract records what period it was asked for and serves
+    // ONLY that slice — plus one out-of-period row that the runner's
+    // defensive filter must drop before it can clobber round-1 history
+    var askedFor: Map[String, Any] = Map.empty
+    val scoped: Map[String, Pipeline.ScopedExtract] = Map(
+      "results" -> ((s, period) => { import s.implicits._
+        askedFor = period
+        Seq((3L, 2024, 2, "fixed", 1L), (4L, 2024, 2, "d", 1L),
+          (1L, 2024, 1, "CLOBBER", 9L)).toDF("id", "year", "round", "v", "ver") }))
+    val runner = new PipelineRunner(spark, wh, store, rSpecs, full, scopedExtracts = scoped)
+    runner.run(Pipeline.PostRace, newWatermark = Some(777L))
+    assert(store.watermark("results").contains(777L))
+
+    val n = runner.backfill("results", Map("year" -> 2024, "round" -> 2))
+    assert(askedFor == Map("year" -> 2024, "round" -> 2), "scoped extract receives the period")
+    assert(n == history.length, "merged table keeps every row")
+    val rows = runner.table("results").orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toMap
+    assert(rows(3L) == "fixed", "the targeted round's bad row is repaired")
+    assert(rows(1L) == "a", "out-of-period rows from the scoped extract must not touch history")
+    assert(rows(5L) == "e", "other rounds untouched")
+    assert(store.watermark("results").contains(777L), "a repair is not forward progress")
+    assert(store.history("results").last.status == "success")
+
+    // a table without a scoped extract falls back to the filtered full
+    // extract: same result, correct if slower
+    val runner2 = new PipelineRunner(spark, wh, store, rSpecs, full)
+    assert(runner2.backfill("results", Map("round" -> 3)) == history.length)
+    assert(runner2.table("results").count() == history.length)
+    intercept[IllegalArgumentException] { runner.backfill("nope", Map("round" -> 1)) }
+    intercept[IllegalArgumentException] { runner.backfill("results", Map.empty) }
+  }
+
   test("snapshot mode: partitioned tables stay readable and mergeable (parquet path)") {
     import spark.implicits._
     val (wh, md) = freshDirs()
