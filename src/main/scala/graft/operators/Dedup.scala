@@ -225,13 +225,17 @@ object Dedup {
       // rounds instead of O(diameter), i.e. fewer sequential Spark jobs
       // (the dominant cost of this loop: each round is a fixed number of
       // bucket-key shuffles regardless of data size)
+      // LAZY checkpoint: the convergence count below is the action that
+      // materializes it, so each round costs ONE Spark job (materialize +
+      // count fused), not two. Column pruning cannot reach through the
+      // checkpoint boundary, so the count still persists every column.
       val next = stepped
         .join(labels.select(col("doc_id").as("label"), col("label").as("__jump")),
           Seq("label"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("__jump"), col("label"))).as("label"),
           col("__old"))
-        .localCheckpoint(true)
+        .localCheckpoint(eager = false)
       val changed = next.filter(col("label") =!= col("__old")).count()
       labels = next.drop("__old")
       converged = changed == 0
