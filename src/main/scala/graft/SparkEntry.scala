@@ -68,6 +68,7 @@ object SparkEntry {
     "dc3_canonical" -> ((s, dir) => Curation.canonicalPerCluster(Tables(s, dir))),
     "dc4_mixture" -> ((s, dir) => Curation.sampleToMixture(Tables(s, dir))),
     "dc5_decontaminate_bloom" -> ((s, dir) => Curation.decontaminateBloom(Tables(s, dir))),
+    "dc6_quality_gate" -> ((s, dir) => Curation.qualityGate(Tables(s, dir))),
     // §2.5 multimodal plumbing
     "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
     "m2_frame_sample" -> ((s, dir) => Multimodal.frames(Tables(s, dir))),
@@ -223,6 +224,47 @@ object SparkEntry {
         |SELECT doc_id, source, ws_tokens, cum_tokens, src_budget FROM s
         |WHERE cum_tokens <= src_budget
         |ORDER BY source, cum_tokens""".stripMargin,
+    "dc6_quality_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    ROUND(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / GREATEST(length(text), 1), 6) AS punct_ratio,
+        |    ROUND(CAST(len(list_filter(t,
+        |        x -> list_contains(['the','and','of','to','in','is','a','on','for','with'], x))) AS DOUBLE)
+        |      / GREATEST(len(t), 1), 6) AS stop_ratio,
+        |    len(list_distinct(t)) AS dt,
+        |    list_aggregate(list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x))), 'max') AS topc,
+        |    GREATEST(len(t) - 1, 0) AS nsh,
+        |    len(list_distinct(list_transform(range(1, len(t)), i -> t[i] || chr(31) || t[i+1]))) AS dsh
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id, n_tokens, punct_ratio, stop_ratio,
+        |    ROUND(0.5 * LEAST(n_tokens, 100) / 100.0
+        |        + 0.3 * (1.0 - punct_ratio)
+        |        + 0.2 * LEAST(stop_ratio * 5.0, 1.0), 6) AS quality_score,
+        |    ROUND(1.0 - dt / GREATEST(n_tokens, 1), 6) AS dup_token_frac,
+        |    ROUND(topc / GREATEST(n_tokens, 1), 6) AS top_token_frac,
+        |    ROUND(CASE WHEN nsh > 0 THEN 1.0 - dsh / nsh ELSE 0.0 END, 6) AS dup_2gram_frac
+        |  FROM base),
+        |g AS (
+        |  SELECT doc_id, quality_score,
+        |    list_filter([
+        |      CASE WHEN n_tokens < 16 THEN 'too_short' END,
+        |      CASE WHEN punct_ratio > 0.10 THEN 'high_punct' END,
+        |      CASE WHEN stop_ratio < 0.01 THEN 'low_stopword' END,
+        |      CASE WHEN dup_token_frac > 0.68 THEN 'repetitive_tokens' END,
+        |      CASE WHEN top_token_frac > 0.16 THEN 'dominant_token' END,
+        |      CASE WHEN dup_2gram_frac > 0.08 THEN 'repetitive_2grams' END],
+        |      x -> x IS NOT NULL) AS r
+        |  FROM m)
+        |SELECT doc_id, len(r) = 0 AS keep,
+        |  COALESCE(array_to_string(r, ','), '') AS reasons, quality_score
+        |FROM g
+        |ORDER BY doc_id""".stripMargin,
     // salting is semantics-preserving: the oracle is the PLAIN join
     "q23_salted_join" ->
       """SELECT l_suppkey, s_name,

@@ -148,6 +148,40 @@ object Curation {
       .orderBy(col("source"), col("cum_tokens"))
   }
 
+  /** dc6: composite quality gate — the Gopher/C4-style keep/drop decision
+    * every pretraining pipeline runs over every document, expressed as
+    * named threshold rules over the t2 quality metrics and t7 repetition
+    * fractions. Output is one row per document: `keep` plus the
+    * comma-joined list of violated rules (in fixed rule order), so drops
+    * are AUDITABLE — "what fraction died to which rule" is a groupBy away.
+    *
+    * Scale shape: one map-side projection over one documents scan
+    * ([[TextAnalysis.gateMetrics]] — the metric formulas are shared with
+    * t2/t7, not duplicated), no join, no shuffle except the final order.
+    * Thresholds are calibrated to this corpus's measured distributions so
+    * the gate exercises both outcomes; real pipelines tune them per
+    * source.
+    */
+  def qualityGate(t: Tables,
+      minTokens: Long = 16, maxPunct: Double = 0.10, minStop: Double = 0.01,
+      maxDupToken: Double = 0.68, maxTopToken: Double = 0.16,
+      maxDup2gram: Double = 0.08): DataFrame = {
+    val rules = array(
+      when(col("n_tokens") < minTokens, lit("too_short")),
+      when(col("punct_ratio") > maxPunct, lit("high_punct")),
+      when(col("stop_ratio") < minStop, lit("low_stopword")),
+      when(col("dup_token_frac") > maxDupToken, lit("repetitive_tokens")),
+      when(col("top_token_frac") > maxTopToken, lit("dominant_token")),
+      when(col("dup_2gram_frac") > maxDup2gram, lit("repetitive_2grams")))
+    TextAnalysis.gateMetrics(t)
+      .withColumn("reasons_arr", array_compact(rules))
+      .select(col("doc_id"),
+        (size(col("reasons_arr")) === 0).as("keep"),
+        array_join(col("reasons_arr"), ",").as("reasons"),
+        col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** dc2: deterministic token-budget sampling. Each source keeps its
     * documents in md5(doc_id) priority order until the running
     * whitespace-token count exceeds `budgetTokens` — a reproducible

@@ -47,13 +47,12 @@ object TextAnalysis {
         (col("pred_lang") === col("lang")).as("is_match"))
       .orderBy(col("doc_id"))
 
-  /** t2: quality scoring — length, punctuation ratio, stopword ratio,
-    * composite score (the classic pre-training heuristics stack).
+  /** Appends the five t2 metric columns to a frame bearing (text, toks).
+    * Shared by [[quality]] and [[gateMetrics]] so the dc6 gate judges
+    * documents by EXACTLY the formulas t2 reports — the two cannot drift.
     */
-  def quality(t: Tables): DataFrame = {
-    t.documents
-      .withColumn("toks", tokensCol)
-      .withColumn("n_chars_actual", length(col("text")).cast("long"))
+  private def withQualityCols(df: DataFrame): DataFrame =
+    df.withColumn("n_chars_actual", length(col("text")).cast("long"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("punct_ratio",
         round(length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double") /
@@ -65,10 +64,15 @@ object TextAnalysis {
         round(lit(0.5) * least(col("n_tokens"), lit(100)).cast("double") / 100.0
           + lit(0.3) * (lit(1.0) - col("punct_ratio"))
           + lit(0.2) * least(col("stop_ratio") * 5.0, lit(1.0)), 6))
+
+  /** t2: quality scoring — length, punctuation ratio, stopword ratio,
+    * composite score (the classic pre-training heuristics stack).
+    */
+  def quality(t: Tables): DataFrame =
+    withQualityCols(t.documents.withColumn("toks", tokensCol))
       .select(col("doc_id"), col("n_chars_actual"), col("n_tokens"),
         col("punct_ratio"), col("stop_ratio"), col("quality_score"))
       .orderBy(col("doc_id"))
-  }
 
   /** t3: token counting — whitespace tokens and BPE-ish subword units
     * (letter runs / digit runs / single punctuation, the usual
@@ -144,19 +148,36 @@ object TextAnalysis {
     * map-side, only small counters leave the scan — no token shuffle at
     * any corpus size.
     */
+  /** The three t7 repetition fractions from a `repetition_stats` struct
+    * column — shared by [[repetition]] and [[gateMetrics]].
+    */
+  private def repetitionFracCols(r: Column): Seq[Column] = Seq(
+    round(lit(1.0) - r.getField("distinct_tokens") / greatest(r.getField("n_tokens"), lit(1)), 6)
+      .as("dup_token_frac"),
+    round(r.getField("top_token_count") / greatest(r.getField("n_tokens"), lit(1)).cast("double"), 6)
+      .as("top_token_frac"),
+    round(when(r.getField("n_shingles") > 0,
+      lit(1.0) - r.getField("distinct_shingles") / r.getField("n_shingles").cast("double"))
+      .otherwise(0.0), 6).as("dup_2gram_frac"))
+
   def repetition(t: Tables, k: Int = 2): DataFrame =
     t.documents
       .select(col("doc_id"), repetition_stats(tokensCol, k).as("r"))
-      .select(col("doc_id"),
-        col("r.n_tokens").cast("long").as("n_tokens"),
-        round(lit(1.0) - col("r.distinct_tokens") / greatest(col("r.n_tokens"), lit(1)), 6)
-          .as("dup_token_frac"),
-        round(col("r.top_token_count") / greatest(col("r.n_tokens"), lit(1)).cast("double"), 6)
-          .as("top_token_frac"),
-        round(when(col("r.n_shingles") > 0,
-          lit(1.0) - col("r.distinct_shingles") / col("r.n_shingles").cast("double"))
-          .otherwise(0.0), 6).as("dup_2gram_frac"))
+      .select(col("doc_id") +: col("r.n_tokens").cast("long").as("n_tokens") +:
+        repetitionFracCols(col("r")): _*)
       .orderBy(col("doc_id"))
+
+  /** One-scan per-document metric panel for [[Curation.qualityGate]]:
+    * the t2 quality columns and t7 repetition fractions computed in a
+    * SINGLE map-side projection over one documents scan — no second scan,
+    * no doc_id join, no shuffle at all. This is the 100 TB shape for a
+    * filter that every document must pass through.
+    */
+  private[operators] def gateMetrics(t: Tables, k: Int = 2): DataFrame =
+    withQualityCols(t.documents.withColumn("toks", tokensCol))
+      .withColumn("r", repetition_stats(col("toks"), k))
+      .select(Seq(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+        col("stop_ratio"), col("quality_score")) ++ repetitionFracCols(col("r")): _*)
 
   /** t4: rolling-hash document fingerprints — full-document Karp–Rabin
     * min-window hash (shift-stable) + a coarse bucket for grouping.

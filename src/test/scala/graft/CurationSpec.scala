@@ -132,6 +132,46 @@ class CurationSpec extends SparkSpecBase {
     assert(tiny.sameElements(dc1), "saturated filter degrades to dc1's plan, not dc1's answer")
   }
 
+  test("dc6 quality gate drops for the right named reasons and agrees with t2/t7 metrics") {
+    import spark.implicits._
+    // planted docs, one per rule (and one clean), so every reason fires
+    val clean = ("the quick brown fox jumps over the lazy dog and then runs far away " +
+      "to find a place in the sun with many other animals on a warm day for rest").trim
+    val docs = Seq(
+      (1L, clean), // keeps: long enough, stopwords, varied
+      (2L, "just five words right here"), // too_short (also low_stopword)
+      (3L, clean + " !!!...;;;,,,???!!!...;;;,,,???"), // high_punct
+      (4L, (1 to 40).map(i => s"w$i").mkString(" ")), // low_stopword
+      (5L, "the " * 39 + "end"), // repetitive_tokens + dominant_token + repetitive_2grams
+      (6L, (1 to 20).flatMap(_ => Seq("the", "of")).mkString(" ") + " tail") // repetitive_2grams
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dc6_").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val pt = graft.sources.Tables(spark, dir)
+    val out = Curation.qualityGate(pt).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[String]("reasons"))).toMap
+    assert(out(1L) == (true, ""), s"clean doc must keep: ${out(1L)}")
+    assert(!out(2L)._1 && out(2L)._2.contains("too_short"))
+    assert(!out(3L)._1 && out(3L)._2.contains("high_punct"))
+    assert(!out(4L)._1 && out(4L)._2 == "low_stopword")
+    assert(!out(5L)._1 && out(5L)._2.contains("repetitive_tokens")
+      && out(5L)._2.contains("dominant_token"))
+    assert(!out(6L)._1 && out(6L)._2.contains("repetitive_2grams"))
+
+    // reasons come in fixed rule order (stable output for the oracle)
+    assert(out(5L)._2.indexOf("repetitive_tokens") < out(5L)._2.indexOf("dominant_token"))
+
+    // on the real corpus both outcomes occur, and quality_score equals t2's
+    val gate = Curation.qualityGate(t).collect()
+    assert(gate.exists(_.getAs[Boolean]("keep")) && gate.exists(!_.getAs[Boolean]("keep")),
+      "thresholds must exercise both outcomes on testdata")
+    val t2score = graft.operators.TextAnalysis.quality(t).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    gate.foreach(r => assert(r.getAs[Double]("quality_score") ==
+      t2score(r.getAs[Long]("doc_id")), "gate and t2 share one formula"))
+  }
+
   test("t7 repetition scoring: planted duplicate tokens raise the dup fractions") {
     import spark.implicits._
     val docs = Seq(
