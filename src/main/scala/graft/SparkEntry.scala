@@ -69,6 +69,7 @@ object SparkEntry {
     "dc4_mixture" -> ((s, dir) => Curation.sampleToMixture(Tables(s, dir))),
     "dc5_decontaminate_bloom" -> ((s, dir) => Curation.decontaminateBloom(Tables(s, dir))),
     "dc6_quality_gate" -> ((s, dir) => Curation.qualityGate(Tables(s, dir))),
+    "dc7_contamination_report" -> ((s, dir) => Curation.contaminationReport(Tables(s, dir))),
     // §2.5 multimodal plumbing
     "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
     "m2_frame_sample" -> ((s, dir) => Multimodal.frames(Tables(s, dir))),
@@ -224,6 +225,32 @@ object SparkEntry {
         |SELECT doc_id, source, ws_tokens, cum_tokens, src_budget FROM s
         |WHERE cum_tokens <= src_budget
         |ORDER BY source, cum_tokens""".stripMargin,
+    // per-PAIR semantics (vs dc1's union-of-bench-shingles count): the
+    // same string-shingle domain replays the FNV-hash join exactly
+    // because the hash is collision-negligible on this vocabulary
+    "dc7_contamination_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks WHERE len(t) >= 3) z),
+        |pairs AS (
+        |  SELECT b.doc_id AS bench_id, c.doc_id AS corpus_id, COUNT(*) AS shared
+        |  FROM sh b JOIN sh c USING (shingle)
+        |  WHERE b.doc_id < 50 AND c.doc_id >= 50
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |ranked AS (
+        |  SELECT bench_id, corpus_id, shared,
+        |    ROW_NUMBER() OVER (PARTITION BY bench_id ORDER BY shared DESC, corpus_id ASC) AS rn
+        |  FROM pairs),
+        |agg AS (
+        |  SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_contaminating,
+        |    CAST(MAX(shared) AS BIGINT) AS max_shared
+        |  FROM pairs GROUP BY bench_id)
+        |SELECT a.bench_id, a.n_contaminating, a.max_shared, r.corpus_id AS worst_doc_id
+        |FROM agg a JOIN ranked r ON a.bench_id = r.bench_id AND r.rn = 1
+        |ORDER BY a.bench_id""".stripMargin,
     "dc6_quality_gate" ->
       """WITH toks AS (
         |  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS t

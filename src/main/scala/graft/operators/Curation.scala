@@ -81,6 +81,43 @@ object Curation {
     sharedCounts(candidates, bench, minShared)
   }
 
+  /** dc7: contamination audit — the benchmark-side view of dc1. dc1
+    * answers "which corpus documents must die"; this answers "which eval
+    * items are compromised, how many corpus documents hit each, and
+    * which one is the worst offender" — the report a decontamination run
+    * ships to the eval owners. Semantics are per-PAIR: a benchmark doc
+    * appears when at least one single corpus document shares
+    * ≥ `minShared` shingles with it specifically (dc1's count is against
+    * the union of all benchmark shingles, so the two operators answer
+    * different questions from the same join).
+    *
+    * Scale shape: the (shingle → bench_id) table is eval-suite-sized and
+    * broadcast; corpus shingles probe it map-side and only matching
+    * (bench, corpus) pairs shuffle for the count — the surviving pair
+    * set is tiny at any corpus size (contamination is rare by
+    * construction). Worst-offender ties break to the lowest corpus id.
+    */
+  def contaminationReport(t: Tables, benchSize: Long = 50, k: Int = 3,
+      minShared: Long = 5): DataFrame = {
+    val sh = shingled(t, k)
+    val bench = sh.filter(col("doc_id") < benchSize)
+      .select(col("doc_id").as("bench_id"), explode(col("shingles")).as("shingle"))
+    val corpus = sh.filter(col("doc_id") >= benchSize)
+      .select(col("doc_id").as("corpus_id"), explode(col("shingles")).as("shingle"))
+    corpus
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("bench_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .groupBy(col("bench_id"))
+      .agg(
+        count(lit(1)).as("n_contaminating"),
+        max(col("shared")).as("max_shared"),
+        max_by(col("corpus_id"), struct(col("shared"), (-col("corpus_id")).as("nid")))
+          .as("worst_doc_id"))
+      .orderBy(col("bench_id"))
+  }
+
   /** dc3: canonical-document selection — the "keep one per cluster"
     * decision the dedup family exists for. Near-dup clusters (d6) joined
     * with quality scores (t2); each cluster keeps its highest-quality

@@ -132,6 +132,35 @@ class CurationSpec extends SparkSpecBase {
     assert(tiny.sameElements(dc1), "saturated filter degrades to dc1's plan, not dc1's answer")
   }
 
+  test("dc7 contamination report matches brute-force pairwise overlap exactly") {
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def shingles(s: String): Set[String] = {
+      val toks = s.trim.toLowerCase.split("\\s+").toSeq
+      if (toks.length < 3) Set.empty else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val bench = docs.collect { case (id, tx) if id < 50 => id -> shingles(tx) }
+    val corpus = docs.collect { case (id, tx) if id >= 50 => id -> shingles(tx) }
+    val pairs = for {
+      (b, bs) <- bench.toSeq; (c, cs) <- corpus.toSeq
+      n = (bs & cs).size if n >= 5
+    } yield (b, c, n.toLong)
+    val expected = pairs.groupBy(_._1).map { case (b, ps) =>
+      val maxShared = ps.map(_._3).max
+      // worst offender: max shared, ties to lowest corpus id
+      val worst = ps.filter(_._3 == maxShared).map(_._2).min
+      b -> (ps.size.toLong, maxShared, worst)
+    }
+    assert(expected.nonEmpty, "the corpus plants contamination; the report must be non-empty")
+
+    val out = Curation.contaminationReport(t).collect()
+      .map(r => r.getAs[Long]("bench_id") ->
+        (r.getAs[Long]("n_contaminating"), r.getAs[Long]("max_shared"),
+          r.getAs[Long]("worst_doc_id"))).toMap
+    assert(out == expected,
+      s"report must equal pairwise ground truth\nexpected $expected\ngot $out")
+  }
+
   test("dc6 quality gate drops for the right named reasons and agrees with t2/t7 metrics") {
     import spark.implicits._
     // planted docs, one per rule (and one clean), so every reason fires
