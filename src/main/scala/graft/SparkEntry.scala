@@ -49,6 +49,7 @@ object SparkEntry {
     "d5_dedup_embed" -> ((s, dir) => Dedup.embeddingNearDup(Tables(s, dir))),
     "d6_dedup_clusters" -> ((s, dir) => Dedup.clusters(Tables(s, dir))),
     "d7_dedup_incremental" -> ((s, dir) => Dedup.minhashIncremental(Tables(s, dir))),
+    "d8_semdedup" -> ((s, dir) => Dedup.semDedup(Tables(s, dir))),
     // §2.3 similarity search
     "s1_ann_brute" -> ((s, dir) => Similarity.bruteForce(Tables(s, dir))),
     "s2_ann_ivf" -> ((s, dir) => Similarity.ivf(Tables(s, dir))),
@@ -338,6 +339,29 @@ object SparkEntry {
     "dc3_canonical" -> OracleReplicas.dc3Canonical(),
     "d3_dedup_simhash" -> OracleReplicas.d3Simhash(),
     "d5_dedup_embed" -> OracleReplicas.d5EmbedNearDup(),
+    // within-cluster cosine domination (SemDeDup stage 2); zipped unnest
+    // accumulates the dot/norm sums in the same index order as the Spark
+    // kernel, so the DOUBLE cosine and the >= tau cut replay exactly
+    "d8_semdedup" ->
+      """WITH e AS (SELECT vec_id, label AS cluster_id, embedding FROM embeddings),
+        |pairs AS (
+        |  SELECT a.cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+        |         unnest(a.embedding) AS x, unnest(b.embedding) AS y
+        |  FROM e a JOIN e b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT cluster_id, id_a, id_b,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |  FROM pairs GROUP BY 1, 2, 3),
+        |cosd AS (
+        |  SELECT cluster_id, id_a, id_b,
+        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END AS cos
+        |  FROM scored)
+        |SELECT id_b AS vec_id, MIN(cluster_id) AS cluster_id, MIN(id_a) AS kept_by,
+        |  ROUND(arg_min(cos, id_a), 4) AS cos_to_keeper
+        |FROM cosd WHERE cos >= 0.3
+        |GROUP BY id_b ORDER BY vec_id""".stripMargin,
     "t4_fingerprint" -> OracleReplicas.t4Fingerprint(),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

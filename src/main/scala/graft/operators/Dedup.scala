@@ -277,4 +277,45 @@ object Dedup {
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(topN)
   }
+
+  /** d8: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * dedup WITHIN embedding clusters. Clustering is the upstream job
+    * (s2's IVF k-means at corpus scale; here the persisted `label`
+    * assignment stands in), and this operator is the paper's second
+    * stage: inside each cluster, a vector is a semantic duplicate when
+    * some lower-id cluster-mate has cosine ≥ `tau` with it. We use the
+    * order-free "dominated by ANY lower id" rule rather than the
+    * paper's keep-farthest-from-centroid, so the drop set falls out of
+    * one distributed pass with no sequential within-cluster scan — a
+    * dominated doc can itself dominate (ids, not survivorship, decide),
+    * which the spec pins against a brute-force replica.
+    *
+    * Output is the drop list: each dropped vec_id with its cluster, the
+    * lowest dominating id, and the (rounded) cosine to that keeper.
+    *
+    * Scale shape: pairs exist only inside a cluster, so the join keys
+    * on cluster_id and the quadratic term is bounded by the upstream
+    * choice of k (E[size] = n/k); the embeddings shuffle once per side
+    * and nothing else moves. No broadcast hint — AQE promotes the small
+    * side when it fits.
+    */
+  def semDedup(t: Tables, tau: Double = 0.3): DataFrame = {
+    val e = t.embeddings.select(
+      col("vec_id"), col("label").as("cluster_id"), col("embedding"))
+    val a = e.select(col("cluster_id"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = e.select(col("cluster_id"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(
+        min(col("cluster_id")).as("cluster_id"),
+        min(col("id_a")).as("kept_by"),
+        round(min_by(col("cos"), col("id_a")), 4).as("cos_to_keeper"))
+      .select(col("vec_id"), col("cluster_id"), col("kept_by"), col("cos_to_keeper"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -47,6 +47,40 @@ class DedupSpec extends SparkSpecBase {
     assert(cs.sameElements(cs.sortBy(-(_: Double))))
   }
 
+  test("d8 semdedup drop list equals brute-force within-cluster cosine domination") {
+    val vecs = t.embeddings.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    // dominated by ANY lower-id cluster-mate (ids decide, not survivorship)
+    val expected = (for {
+      byCluster <- vecs.groupBy(_._2).values.toSeq
+      sorted = byCluster.sortBy(_._1)
+      (jId, _, jEmb) <- sorted
+      doms = sorted.takeWhile(_._1 < jId).map { case (i, _, e) => (i, cos(e, jEmb)) }
+        .filter(_._2 >= 0.3)
+      if doms.nonEmpty
+    } yield {
+      val (keptBy, c) = doms.minBy(_._1)
+      jId -> (keptBy, math.rint(c * 1e4) / 1e4)
+    }).toMap
+    assert(expected.nonEmpty, "the corpus has within-cluster semantic dups at tau=0.3")
+
+    val out = Dedup.semDedup(t).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("kept_by"), r.getAs[Double]("cos_to_keeper"))).toMap
+    assert(out == expected, s"drop list must equal pairwise ground truth (${out.size} vs ${expected.size})")
+    // a dropped doc may itself dominate: the rule is order-free by design
+    val droppedIds = expected.keySet
+    assert(expected.values.exists { case (k, _) => droppedIds.contains(k) } ||
+      expected.values.forall { case (k, _) => !droppedIds.contains(k) })
+  }
+
   test("d6 clusters equal union-find connected components of the pair graph") {
     val pairs = Dedup.minhashLsh(t).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
