@@ -340,14 +340,42 @@ final class PipelineRunner(
       specs.find(_.name == name).forall(_.partitionColumn.isEmpty) &&
       snapshotTable(name).currentVersion.isDefined
 
+  /** Does the table's root use the [[SnapshotTable]] on-disk layout
+    * (immutable dirs under `data/`, manifests under `_manifests/`)?
+    * Such a root must NEVER be read as plain recursive parquet: a
+    * first commit in flight (or crashed after writeData) has staged
+    * `data/d-*` dirs but no manifest, and a recursive read would pick
+    * the uncommitted files up as committed state (`_manifests` is
+    * underscore-filtered by the parquet reader; `data/` is not).
+    */
+  private def hasSnapshotLayout(name: String): Boolean = {
+    val root = Paths.get(targetPath(name))
+    Files.isDirectory(root.resolve("data")) ||
+      Files.isDirectory(root.resolve("_manifests"))
+  }
+
   private def readTarget(name: String): Option[DataFrame] =
     if (readsViaSnapshot(name)) Some(snapshotTable(name).read())
+    else if (hasSnapshotLayout(name)) {
+      // snapshot-layout root outside the snapshot read path (snapshot
+      // mode off, or no committed version yet): read through the
+      // manifest if one exists; a manifest-less root has no committed
+      // state — staged data dirs are garbage, not a table.
+      snapshotTable(name).currentVersion.map(_ => snapshotTable(name).read())
+    }
     else if (Files.exists(Paths.get(targetPath(name)))) {
       Some(spark.read.parquet(targetPath(name)))
     } else None
 
   def table(name: String): DataFrame =
     if (readsViaSnapshot(name)) snapshotTable(name).read()
+    else if (hasSnapshotLayout(name))
+      snapshotTable(name).currentVersion match {
+        case Some(_) => snapshotTable(name).read()
+        case None => throw new IllegalStateException(
+          s"table $name has a snapshot layout but no committed version — " +
+            "staged (uncommitted) data is not readable table state")
+      }
     else spark.read.parquet(targetPath(name))
 
   /** Time travel (snapshot mode only): the table as of `version`.
@@ -419,14 +447,18 @@ final class PipelineRunner(
     * clobber history it was not asked to repair. The merge itself is the
     * normal last-write-wins upsert on the business key — same semantics
     * as the reference's ON CONFLICT DO UPDATE re-load of a round. The
-    * sync log records the run; the watermark is re-asserted unchanged
-    * (a repair is not forward progress).
+    * sync log records the run; the watermark is left unchanged (a repair
+    * is not forward progress). "Unchanged" is read at COMPLETION time,
+    * not captured up front: a concurrent incremental run may legitimately
+    * advance the watermark while the backfill merges, and re-asserting a
+    * pre-backfill snapshot would silently roll that advance back (benign
+    * only because merges are idempotent — but it forces the next
+    * incremental to re-extract the increment).
     */
   def backfill(name: String, period: Map[String, Any]): Long = {
     val spec = specs.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"unknown table $name"))
     require(period.nonEmpty, "backfill needs at least one period binding")
-    val keepWatermark = metadata.watermark(name)
     val logId = metadata.startSync(name)
     try {
       val slice = period.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
@@ -436,11 +468,11 @@ final class PipelineRunner(
       }
       val fresh = extracted.filter(slice)
       val n = mergeAndPublish(spec, fresh)
-      metadata.completeSync(name, logId, success = true, n, keepWatermark)
+      metadata.completeSync(name, logId, success = true, n, metadata.watermark(name))
       n
     } catch {
       case e: Exception =>
-        metadata.completeSync(name, logId, success = false, 0L, keepWatermark,
+        metadata.completeSync(name, logId, success = false, 0L, metadata.watermark(name),
           Option(e.getMessage))
         throw e
     }

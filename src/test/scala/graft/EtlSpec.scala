@@ -298,6 +298,64 @@ class EtlSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { runner.backfill("results", Map.empty) }
   }
 
+  test("backfill keeps a watermark advanced concurrently, not its pre-backfill snapshot") {
+    import spark.implicits._
+    val (wh, md) = freshDirs()
+    val store = new MetadataStore(spark, md)
+    val rSpecs = Seq(Pipeline.TableSpec("results", Pipeline.PostRace, Nil,
+      Seq("id"), versionColumn = Some("ver")))
+    val full: Map[String, Pipeline.Extract] = Map(
+      "results" -> ((s, _) => { import s.implicits._
+        Seq((1L, 2024, 1, "a", 1L)).toDF("id", "year", "round", "v", "ver") }))
+    // the scoped extract simulates a concurrent incremental run finishing
+    // mid-backfill: it advances the watermark as a side effect
+    val scoped: Map[String, Pipeline.ScopedExtract] = Map(
+      "results" -> ((s, _) => { import s.implicits._
+        store.completeSync("results", store.startSync("results"),
+          success = true, 1L, Some(888L))
+        Seq((1L, 2024, 1, "a2", 2L)).toDF("id", "year", "round", "v", "ver") }))
+    val runner = new PipelineRunner(spark, wh, store, rSpecs, full, scopedExtracts = scoped)
+    runner.run(Pipeline.PostRace, newWatermark = Some(777L))
+    assert(store.watermark("results").contains(777L))
+    runner.backfill("results", Map("round" -> 1))
+    assert(store.watermark("results").contains(888L),
+      "the concurrent advance must survive the backfill's completion record")
+  }
+
+  test("a manifest-less snapshot root with staged data dirs is never dirty-read as parquet") {
+    import spark.implicits._
+    val (wh, md) = freshDirs()
+    val store = new MetadataStore(spark, md)
+    val uSpecs = Seq(Pipeline.TableSpec("tbl", Pipeline.PostRace, Nil,
+      Seq("id"), versionColumn = Some("ver")))
+    val ex: Map[String, Pipeline.Extract] = Map(
+      "tbl" -> ((s, _) => { import s.implicits._; Seq((1L, "fresh", 1L)).toDF("id", "v", "ver") }))
+
+    // simulate a first commit crashed after writeData: root/data/d-*/ has
+    // parquet, no manifest exists yet
+    Seq((99L, "STAGED", 9L)).toDF("id", "v", "ver")
+      .write.parquet(s"$wh/tbl/data/d-inflight")
+    val runner = new PipelineRunner(spark, wh, store, uSpecs, ex, useSnapshotTables = true)
+    intercept[IllegalStateException] { runner.table("tbl") }
+
+    // a run sees "no committed state" (not the staged rows) and publishes
+    // v0 containing only the fresh extract
+    val n = runner.run(Pipeline.PostRace)
+    assert(n("tbl") == 1)
+    val vs = runner.table("tbl").collect().map(_.getAs[String]("v"))
+    assert(vs.sameElements(Array("fresh")),
+      s"staged data must not leak into the first committed version, got ${vs.toSeq}")
+
+    // a snapshot-layout root read OUTSIDE snapshot mode goes through the
+    // manifest too: a second staged-but-uncommitted dir stays invisible
+    Seq((98L, "STAGED2", 9L)).toDF("id", "v", "ver")
+      .write.parquet(s"$wh/tbl/data/d-inflight2")
+    val plainRunner = new PipelineRunner(spark, wh, store, uSpecs, ex, useSnapshotTables = false)
+    val vs2 = plainRunner.table("tbl").collect().map(_.getAs[String]("v"))
+    assert(vs2.sameElements(Array("fresh")),
+      s"recursive parquet fallback must not read snapshot data dirs, got ${vs2.toSeq}")
+  }
+
   test("snapshot mode: partitioned tables stay readable and mergeable (parquet path)") {
     import spark.implicits._
     val (wh, md) = freshDirs()
