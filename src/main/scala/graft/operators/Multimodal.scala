@@ -79,9 +79,17 @@ object Multimodal {
   }
 
   /** m1: binary-column pipeline. Documents' text stands in for a media
-    * payload: encode → (payload binary, metadata struct) → repartition by
-    * source (locality for the decode pass) → batched decode →
-    * per-source feature aggregation.
+    * payload: encode → (payload binary, metadata struct) → batched decode
+    * per scan partition → per-source feature aggregation.
+    *
+    * The decode is per-row work needing no co-location, so the payload is
+    * NOT repartitioned before it: a keyed exchange here (the former
+    * `repartition(meta.source)`, ~20 distinct values) would shuffle the
+    * FULL binary corpus into at most #sources tasks — parallelism
+    * collapse plus skew at 100 TB, for zero algorithmic benefit.
+    * [[spreadIfNarrow]] still fans a degenerate few-split local scan out
+    * to all cores (round-robin, and only then); a well-split at-scale
+    * scan passes through with no payload exchange at all.
     */
   def pipeline(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
@@ -97,8 +105,7 @@ object Multimodal {
 
     // decode runs once per partition over an iterator: the batch shape a
     // native decoder needs (load model/codec once, stream rows through).
-    val features: Dataset[MediaFeature] = media
-      .repartition(col("meta.source"))
+    val features: Dataset[MediaFeature] = spreadIfNarrow(media)
       .select(col("doc_id"), col("meta.mime").as("mime"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { batch =>

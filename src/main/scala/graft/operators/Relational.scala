@@ -204,6 +204,9 @@ object Relational {
         dsum(col("value")).as("total_value"),
         countDistinct(col("user_id")).as("n_users"))
     perType
+      // unpartitioned window is bounded: it runs over the ≤5 post-agg
+      // event-type rows, never over data rows (the WindowExec warning it
+      // triggers is benign by construction)
       .withColumn("share", round(col("n") / sum(col("n")).over(Window.partitionBy()), 6))
       .orderBy(col("event_type"))
   }

@@ -1,8 +1,11 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.{Join, Repartition, RepartitionByExpression}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
 
-import graft.operators.TextAnalysis
+import graft.operators.{Curation, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Plan-shape assertions for the scale-critical fixes: these lock the
@@ -11,6 +14,41 @@ import graft.sources.Tables
   * cannot see.
   */
 class PlanShapeSpec extends SparkSpecBase {
+
+  private lazy val t = Tables(spark, sfDir)
+
+  /** The initial (pre-AQE) physical plan — where forced hints and static
+    * pushdown decisions live.
+    */
+  private def phys(df: DataFrame): SparkPlan = df.queryExecution.sparkPlan
+
+  private def scansOf(plan: SparkPlan, table: String): Seq[FileSourceScanExec] =
+    plan.collect {
+      case s: FileSourceScanExec
+        if s.metadata.get("Location").exists(_.contains(s"$table.parquet")) => s
+    }
+
+  private def pushed(s: FileSourceScanExec): String =
+    s.metadata.getOrElse("PushedFilters", "")
+
+  /** Execute `df` and return the FINAL adaptive plan's formatted explain
+    * (AQE's runtime decisions — broadcast promotions — only exist after
+    * execution).
+    */
+  private def finalExplain(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  /** The `Input [...]` column lists of every Exchange node in a formatted
+    * explain — i.e. WHAT each shuffle/broadcast actually carries.
+    */
+  private def exchangeInputs(explain: String): Seq[String] =
+    explain.split("\n\n").toSeq
+      .filter(b => b.linesIterator.hasNext &&
+        b.linesIterator.next().matches("""\(\d+\) (Exchange|AQEShuffleRead).*"""))
+      .flatMap(_.linesIterator.filter(_.startsWith("Input ")))
 
   test("t6 tfidf: the vocabulary join carries no broadcast hint; only the 1-row doc count does") {
     // at web-corpus scale the distinct-token table is billions of rows —
@@ -24,6 +62,96 @@ class PlanShapeSpec extends SparkSpecBase {
       s"expected exactly one hinted join (the n_docs single-row cross join), got:\n$plan")
     // no separate driver-side count() action: the doc count is a plan node
     assert(plan.toString.contains("n_docs"), "doc count must fold into the plan")
+  }
+
+  test("m1 multimodal: the binary payload never shuffles on a key before decode") {
+    // decode is per-row work needing no co-location; a keyed exchange of
+    // the full payload (the former repartition on ~20-value meta.source)
+    // collapses parallelism to #sources tasks at corpus scale
+    val plan = Multimodal.pipeline(Tables(spark, sfDir)).queryExecution.optimizedPlan
+    val keyed = plan.collect { case r: RepartitionByExpression => r }
+    assert(keyed.isEmpty,
+      s"payload must reach the decode pass with no keyed exchange, got:\n$plan")
+  }
+
+  test("q2/q17: all three dimension joins broadcast; the fact never pre-join shuffles") {
+    // the distributed form of the reference's in-memory FK lookup maps —
+    // at 100 TB a sort-merge join here would shuffle the full fact 3×
+    for ((name, df) <- Seq("q2" -> Relational.q2LookupJoin(t), "q17" -> Relational.q17Rollup(t))) {
+      val p = phys(df)
+      assert(p.collect { case b: BroadcastHashJoinExec => b }.length == 3,
+        s"$name must broadcast supplier/nation/region, got:\n$p")
+      assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty,
+        s"$name must not sort-merge any dim join:\n$p")
+    }
+  }
+
+  test("q13: segment and both date filters are pushed to their parquet scans") {
+    val p = phys(Relational.q13OrderRevenue(t))
+    assert(scansOf(p, "customer").exists(pushed(_).contains("EqualTo(c_mktsegment,BUILDING)")),
+      s"customer segment filter must reach the scan:\n$p")
+    assert(scansOf(p, "orders").exists(pushed(_).contains("LessThan(o_orderdate")),
+      s"orders date filter must reach the scan:\n$p")
+    assert(scansOf(p, "lineitem").exists(pushed(_).contains("GreaterThan(l_shipdate")),
+      s"lineitem date filter must reach the scan:\n$p")
+  }
+
+  test("q9: both watermark predicates are pushed in the raw INT64-nanos domain") {
+    // a predicate on the converted timestamp cannot prune row groups; one
+    // on the raw long reaches PushedFilters and prunes files at 100 TB
+    val p = phys(Relational.q9Incremental(t))
+    val evScans = scansOf(p, "events")
+    assert(evScans.exists(pushed(_).contains("GreaterThan(ts,1705276800000000000)")),
+      s"fresh-side watermark must push down:\n$p")
+    assert(evScans.exists(pushed(_).contains("LessThanOrEqual(ts,1705276800000000000)")),
+      s"known-entity-side watermark must push down:\n$p")
+  }
+
+  test("dc1: exactly one broadcast-hinted join (the benchmark shingles); no sort-merge join") {
+    val df = Curation.decontaminate(t)
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.hint.leftHint.orElse(j.hint.rightHint).isDefined => j
+    }
+    assert(hinted.length == 1,
+      s"the benchmark shingle set is the one forced broadcast:\n${df.queryExecution.optimizedPlan}")
+    val p = phys(df)
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.length == 1 &&
+      p.collect { case s: SortMergeJoinExec => s }.isEmpty,
+      s"corpus shingles must probe a broadcast, never sort-merge:\n$p")
+  }
+
+  test("dc6: zero shuffles before the presentation sort") {
+    // all nine gate metrics are one map-side codegen projection over one
+    // scan; the only exchange the plan may contain is the final orderBy's
+    // range partitioning. (`sparkPlan` predates EnsureRequirements, so
+    // shuffles are only visible in the prepared plan's explain.)
+    val explain = Curation.qualityGate(t).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchanges = explain.split("\n\n").toSeq.filter(b =>
+      b.linesIterator.hasNext && b.linesIterator.next().matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges.length == 1 && exchanges.head.contains("rangepartitioning"),
+      s"expected only the presentation-sort exchange, got:\n$explain")
+  }
+
+  test("s3: no exchange ever carries an embedding payload (corpus never shuffles)") {
+    // query bands / query embeddings / candidate set broadcast; every
+    // shuffle moves ids and scalars only — the invariant that makes the
+    // ANN probe read-mostly at 100 TB
+    val inputs = exchangeInputs(finalExplain(Similarity.lshTopK(t)))
+    assert(inputs.nonEmpty, "expected at least one exchange Input line")
+    val carrying = inputs.filter(_.contains("emb"))
+    assert(carrying.isEmpty,
+      s"an exchange carries embedding payloads:\n${carrying.mkString("\n")}")
+  }
+
+  test("d8: no exchange carries an embedding payload except the within-cluster join sides") {
+    // the two cluster_id-keyed exchanges ARE the algorithm (embeddings
+    // shuffle once per side); nothing else — in particular the output
+    // agg/sort — may move vectors
+    val inputs = exchangeInputs(finalExplain(Dedup.semDedup(t)))
+    val carrying = inputs.filter(_.contains("emb"))
+    assert(carrying.length <= 2,
+      s"only the two join-side exchanges may carry embeddings:\n${carrying.mkString("\n")}")
   }
 
   test("spreadIfNarrow: narrow scans spread to full parallelism, well-split scans pass through") {
