@@ -372,6 +372,40 @@ object OracleReplicas {
        |FROM cand WHERE est >= $threshold
        |ORDER BY new_id, dup_of""".stripMargin
 
+  /** d9: substring-level exact dedup — positional k-shingle FNV inverted
+    * index + alignment-diagonal gaps-and-islands, mirroring
+    * [[graft.operators.Dedup.substringSpans]]. Same FNV shingle domain
+    * as d2/d4 (token bytes + the 0x1f separator fold per token); the
+    * unsigned-HUGEINT hashes join identically to the JVM's signed longs
+    * because the reinterpretation is bijective and `h` never reaches
+    * the output.
+    */
+  def d9SubstringSpans(k: Int = 8, minSpanTokens: Int = 16): String = {
+    val shingleFnv = fnv64Sql((0 until k).map(j => s"t[i+$j] || chr(31)").mkString(" || "))
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_transform(range(1, len(t) - $k + 2), i -> $shingleFnv) AS xs
+       |  FROM toks WHERE len(t) >= $k),
+       |psh AS (
+       |  SELECT doc_id, unnest(xs) AS h, unnest(range(1, len(xs) + 1)) AS pos FROM sh),
+       |m AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+       |  FROM psh a JOIN psh b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+       |    pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS island
+       |  FROM m)
+       |SELECT doc_a, doc_b,
+       |  CAST(MIN(pos_a) AS INTEGER) AS start_a,
+       |  CAST(MIN(pos_b) AS INTEGER) AS start_b,
+       |  CAST(COUNT(*) + ${k - 1} AS BIGINT) AS span_tokens
+       |FROM isl
+       |GROUP BY doc_a, doc_b, diag, island
+       |HAVING COUNT(*) + ${k - 1} >= $minSpanTokens
+       |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+  }
+
   /** Shared CTEs: tokens → per-doc shingle-FNV list → 64-hash MinHash
     * signature → band-colliding candidate pairs with agreement estimate.
     * `pairCond` selects which (a, b) doc pairs are eligible (self-join

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -178,6 +179,57 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d9: substring-level exact dedup (the Lee et al. 2022,
+    * arXiv:2107.06499 "ExactSubstr" granularity) — maximal duplicated
+    * token SPANS across documents, the one duplication d1 (whole-doc
+    * exact) and d2/d3 (whole-doc approximate) cannot see: a 50-token
+    * boilerplate paragraph shared by otherwise-distinct documents.
+    *
+    * Spark-first shape instead of the paper's suffix array: positional
+    * k-token shingle hashes (same FNV domain as d4/dc1) form an
+    * inverted index; matching (doc_a, doc_b) shingle positions that are
+    * CONSECUTIVE on one alignment diagonal (pos_a - pos_b constant)
+    * merge into maximal spans via a gaps-and-islands window — a shared
+    * span of S tokens is exactly S-k+1 consecutive diagonal matches, so
+    * every span ≥ `minSpanTokens` is found with recall 1.0 (modulo
+    * 64-bit FNV collisions, ~df²/2^64).
+    *
+    * Output: one row per maximal span — (doc_a, doc_b, start_a,
+    * start_b, span_tokens), 1-based token positions.
+    *
+    * Scale shape: only (hash, doc_id, pos) triples shuffle; the
+    * self-join costs Σ_shingle df² like d4 — exact ground truth by
+    * design. At corpus scale the standard mitigations compose: drop
+    * ultra-common shingles (df cap — boilerplate that hot is its own
+    * signal) or gate the pair space through d2's LSH first and run this
+    * only on candidate pairs.
+    */
+  def substringSpans(t: Tables, k: Int = 8, minSpanTokens: Int = 16): DataFrame = {
+    val psh = tokenized(t)
+      .filter(size(col("tokens")) >= k)
+      .select(col("doc_id"), posexplode(shingle_hashes(col("tokens"), k)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+      .localCheckpoint(true) // feeds both self-join sides
+    val matches = psh.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+      .join(psh.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pos_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"))
+    // gaps-and-islands on the alignment diagonal: consecutive matches
+    // (pos_a and pos_b both advancing by 1) share pos_a - row_number()
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pos_a"))
+    matches
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(
+        min(col("pos_a")).as("start_a"),
+        min(col("pos_b")).as("start_b"),
+        (count(lit(1)) + lit(k - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"), col("span_tokens"))
+      .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+  }
+
   /** d6: near-duplicate clusters — connected components over the LSH
     * pair graph, so "keep one per cluster" decisions are possible (pairs
     * alone under-delete transitive groups). Iterative min-label
@@ -298,10 +350,42 @@ object Dedup {
     * choice of k (E[size] = n/k); the embeddings shuffle once per side
     * and nothing else moves. No broadcast hint — AQE promotes the small
     * side when it fits.
+    *
+    * `maxClusterSize` guards the quadratic term: the per-cluster pair
+    * count is size², so one degenerate label (a buggy upstream assigning
+    * everything cluster 0) silently turns this into an all-pairs join.
+    * With a bound set, any cluster exceeding it fails loudly NAMING the
+    * worst cluster and its size (same philosophy as dc4's weight check)
+    * instead of grinding through n² pairs. The check is an EAGER
+    * fail-fast job at operator-construction time — one (cluster_id)-only
+    * partial agg, the embedding payload never moves for it — run BEFORE
+    * the quadratic join is even built. (Eager on purpose: an in-plan
+    * raise_error guard hangs off a column the optimizer is free to
+    * prune, and a pruned guard is no guard; an action cannot be pruned.
+    * Precedent: d2/d4's eager localCheckpoint.) A satisfied guard leaves
+    * the returned plan bit-identical to the unguarded one.
     */
-  def semDedup(t: Tables, tau: Double = 0.3): DataFrame = {
-    val e = t.embeddings.select(
+  def semDedup(t: Tables, tau: Double = 0.3,
+      maxClusterSize: Option[Long] = None): DataFrame =
+    semDedupOf(t.embeddings, tau, maxClusterSize)
+
+  /** d8 over an explicit `(vec_id, label, embedding)` frame — the unit
+    * the spec drives with adversarial labelings.
+    */
+  def semDedupOf(embeddings: DataFrame, tau: Double = 0.3,
+      maxClusterSize: Option[Long] = None): DataFrame = {
+    val e = embeddings.select(
       col("vec_id"), col("label").as("cluster_id"), col("embedding"))
+    maxClusterSize.foreach { m =>
+      val worst = e.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > m).orderBy(col("n").desc).limit(1).collect()
+      worst.headOption.foreach { r =>
+        throw new IllegalStateException(
+          s"d8 cluster exceeds maxClusterSize=$m: cluster ${r.get(0)} has " +
+            s"${r.getAs[Long]("n")} vectors — within-cluster pairs would be " +
+            "quadratic; re-cluster upstream with larger k")
+      }
+    }
     val a = e.select(col("cluster_id"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
     val b = e.select(col("cluster_id"), col("vec_id").as("id_b"),

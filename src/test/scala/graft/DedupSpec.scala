@@ -67,7 +67,11 @@ class DedupSpec extends SparkSpecBase {
       if doms.nonEmpty
     } yield {
       val (keptBy, c) = doms.minBy(_._1)
-      jId -> (keptBy, math.rint(c * 1e4) / 1e4)
+      // HALF_UP, not math.rint (half-even): Spark's round() and DuckDB's
+      // ROUND are half-away-from-zero, so a cosine landing exactly on a
+      // .00005 boundary must round the same way here
+      jId -> (keptBy,
+        BigDecimal(c).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
     }).toMap
     assert(expected.nonEmpty, "the corpus has within-cluster semantic dups at tau=0.3")
 
@@ -79,6 +83,63 @@ class DedupSpec extends SparkSpecBase {
     val droppedIds = expected.keySet
     assert(expected.values.exists { case (k, _) => droppedIds.contains(k) } ||
       expected.values.forall { case (k, _) => !droppedIds.contains(k) })
+  }
+
+  test("d8 maxClusterSize guard raises on a degenerate giant cluster, naming it") {
+    // a buggy upstream assigning every vector one label turns the
+    // within-cluster join quadratic; the guard must fail loudly first
+    val degenerate = t.embeddings.withColumn("label", lit(7))
+    val e = intercept[Exception] {
+      Dedup.semDedupOf(degenerate, maxClusterSize = Some(50)).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("maxClusterSize=50") && msg.contains("cluster 7"),
+      s"error must name the bound and the violating cluster, got: $msg")
+  }
+
+  test("d8 maxClusterSize guard is transparent when no cluster violates it") {
+    val unguarded = Dedup.semDedup(t).collect().toSeq
+    val guarded = Dedup.semDedup(t, maxClusterSize = Some(1000000L)).collect().toSeq
+    assert(guarded == unguarded, "a satisfied guard must not change the output")
+  }
+
+  test("d9 substring spans equal brute-force maximal common token runs") {
+    val k = 8
+    val minSpan = 16
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim.toLowerCase.split("\\s+"))
+      .sortBy(_._1)
+    // brute force: walk every alignment diagonal of every doc pair and
+    // keep maximal equal-token runs ≥ minSpan (1-based starts)
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int, Long)]
+    for (i <- docs.indices; j <- i + 1 until docs.length) {
+      val (ida, a) = docs(i)
+      val (idb, b) = docs(j)
+      if (a.length >= k && b.length >= k) {
+        for (d <- -(b.length - 1) to (a.length - 1)) {
+          var pa = math.max(0, d)
+          var run = 0
+          var startA = 0
+          while (pa <= a.length) {
+            val pb = pa - d
+            val ok = pa < a.length && pb >= 0 && pb < b.length && a(pa) == b(pb)
+            if (ok) { if (run == 0) startA = pa; run += 1 }
+            else {
+              if (run >= minSpan) expected += ((ida, idb, startA + 1, startA - d + 1, run.toLong))
+              run = 0
+            }
+            pa += 1
+          }
+        }
+      }
+    }
+    val got = Dedup.substringSpans(t, k, minSpan).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("start_a"), r.getAs[Int]("start_b"), r.getAs[Long]("span_tokens")))
+    assert(got.nonEmpty, "the corpus plants shared-boilerplate spans")
+    assert(got.toVector.sorted == expected.toVector.sorted,
+      s"spans must equal token-level ground truth (${got.length} vs ${expected.length})")
   }
 
   test("d6 clusters equal union-find connected components of the pair graph") {
