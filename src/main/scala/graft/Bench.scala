@@ -21,7 +21,12 @@ object Bench {
 
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // comma-separated subset for quiet single-query measurement (e.g.
+    // seeding a BASELINE.md row); unset = all queries (the driver's mode)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // noop sink forces full evaluation of every output column; a count()
       // would let Catalyst prune the computation being measured. A ROOT
       // Sort is presentation-only ordering for the oracle diff (the

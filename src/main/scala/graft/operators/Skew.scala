@@ -21,12 +21,21 @@ object Skew {
     * must be a column of `large` with per-row variation (a row id);
     * using a hash of it keeps the salt deterministic run-to-run (no
     * `rand()` — reruns and retries stay idempotent).
+    *
+    * `smallHint` optionally pins the join strategy (e.g. "shuffle_hash"
+    * when the replicated dim fits a per-partition hash relation but not
+    * a broadcast). It must be applied HERE, after the salt explode — a
+    * hint the caller puts on `small` is detached by the Generate node
+    * the replication inserts, and the join silently falls back to
+    * sort-merge (measured 2× slower in SkewBench: the full salted fact
+    * gets sorted).
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
-      saltBy: String, factor: Int = 8): DataFrame = {
+      saltBy: String, factor: Int = 8, smallHint: Option[String] = None): DataFrame = {
     val salted = large.withColumn("__salt", pmod(xxhash64(col(saltBy)), lit(factor)).cast("int"))
-    val replicated = small
+    val replicated0 = small
       .withColumn("__salt", explode(expr(s"sequence(0, ${factor - 1})")))
+    val replicated = smallHint.fold(replicated0)(replicated0.hint(_))
     salted
       .join(replicated, Seq(key, "__salt"))
       .drop("__salt")
