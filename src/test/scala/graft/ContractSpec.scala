@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The coverage contract, as a failing test instead of a doc convention:
+  * every `SparkEntry.queries` key must be (a) oracle-verified or on the
+  * short declared rows-only list, (b) inventoried in SURVEY.md §2, and
+  * (c) measurable against a BASELINE.md row. Round 6's d8 drift (an
+  * operator shipping outside the inventory/baseline) cannot recur while
+  * this suite is green.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  /** Queries whose semantics are not SQL-expressible (floating-point
+    * k-means); each must carry spec-level verification instead.
+    */
+  private val declaredRowsOnly = Set("s2_ann_ivf")
+
+  private def read(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+
+  test("every query has a DuckDB oracle or a declared rows-only justification") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- declaredRowsOnly
+    assert(missing.isEmpty, s"queries with neither oracle nor rows-only declaration: $missing")
+    val stale = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"oracle entries without a matching query: $stale")
+    val pointless = declaredRowsOnly.intersect(SparkEntry.oracleSql.keySet)
+    assert(pointless.isEmpty, s"rows-only declarations that actually have oracles: $pointless")
+  }
+
+  test("SURVEY.md §2 inventories every query key") {
+    val survey = read("SURVEY.md")
+    val missing = SparkEntry.queries.keySet.filterNot(k => survey.contains(s"`$k`"))
+    assert(missing.isEmpty, s"SURVEY.md §2 is missing rows for: $missing")
+  }
+
+  test("BASELINE.md has a measured row for every query key") {
+    val base = read("BASELINE.md")
+    val missing = SparkEntry.queries.keySet.filterNot(k => base.contains(s"| $k |"))
+    assert(missing.isEmpty, s"BASELINE.md is missing entries for: $missing")
+  }
+}
