@@ -380,15 +380,22 @@ object OracleReplicas {
     * because the reinterpretation is bijective and `h` never reaches
     * the output.
     */
-  def d9SubstringSpans(k: Int = 8, minSpanTokens: Int = 16): String = {
+  /** Shared d9/d10 CTEs: tokens → positional k-shingle FNV list →
+    * (doc_id, h, pos) occurrence table.
+    */
+  private def substringCtes(k: Int): String = {
     val shingleFnv = fnv64Sql((0 until k).map(j => s"t[i+$j] || chr(31)").mkString(" || "))
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
        |sh AS (
        |  SELECT doc_id, list_transform(range(1, len(t) - $k + 2), i -> $shingleFnv) AS xs
        |  FROM toks WHERE len(t) >= $k),
        |psh AS (
-       |  SELECT doc_id, unnest(xs) AS h, unnest(range(1, len(xs) + 1)) AS pos FROM sh),
+       |  SELECT doc_id, unnest(xs) AS h, unnest(range(1, len(xs) + 1)) AS pos FROM sh)""".stripMargin
+  }
+
+  def d9SubstringSpans(k: Int = 8, minSpanTokens: Int = 16): String =
+    s"""WITH ${substringCtes(k)},
        |m AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
        |  FROM psh a JOIN psh b ON a.h = b.h AND a.doc_id < b.doc_id),
@@ -404,7 +411,27 @@ object OracleReplicas {
        |GROUP BY doc_a, doc_b, diag, island
        |HAVING COUNT(*) + ${k - 1} >= $minSpanTokens
        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
-  }
+
+  /** d10: one-sided d9 — a new batch's spans against the existing
+    * corpus only, mirroring [[graft.operators.Dedup.substringSpansIncremental]].
+    */
+  def d10SubstringIncremental(splitId: Long = 250, k: Int = 8, minSpanTokens: Int = 16): String =
+    s"""WITH ${substringCtes(k)},
+       |m AS (
+       |  SELECT a.doc_id AS new_id, b.doc_id AS dup_of, a.pos AS pos_new, b.pos AS pos_old
+       |  FROM psh a JOIN psh b ON a.h = b.h AND a.doc_id >= $splitId AND b.doc_id < $splitId),
+       |isl AS (
+       |  SELECT new_id, dup_of, pos_new, pos_old, pos_new - pos_old AS diag,
+       |    pos_new - ROW_NUMBER() OVER (PARTITION BY new_id, dup_of, pos_new - pos_old ORDER BY pos_new) AS island
+       |  FROM m)
+       |SELECT new_id, dup_of,
+       |  CAST(MIN(pos_new) AS INTEGER) AS start_new,
+       |  CAST(MIN(pos_old) AS INTEGER) AS start_old,
+       |  CAST(COUNT(*) + ${k - 1} AS BIGINT) AS span_tokens
+       |FROM isl
+       |GROUP BY new_id, dup_of, diag, island
+       |HAVING COUNT(*) + ${k - 1} >= $minSpanTokens
+       |ORDER BY new_id, dup_of, start_new, start_old""".stripMargin
 
   /** Shared CTEs: tokens → per-doc shingle-FNV list → 64-hash MinHash
     * signature → band-colliding candidate pairs with agreement estimate.

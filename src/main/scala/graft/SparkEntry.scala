@@ -51,6 +51,7 @@ object SparkEntry {
     "d7_dedup_incremental" -> ((s, dir) => Dedup.minhashIncremental(Tables(s, dir))),
     "d8_semdedup" -> ((s, dir) => Dedup.semDedup(Tables(s, dir))),
     "d9_substring_dedup" -> ((s, dir) => Dedup.substringSpans(Tables(s, dir))),
+    "d10_substring_incremental" -> ((s, dir) => Dedup.substringSpansIncremental(Tables(s, dir))),
     // §2.3 similarity search
     "s1_ann_brute" -> ((s, dir) => Similarity.bruteForce(Tables(s, dir))),
     "s2_ann_ivf" -> ((s, dir) => Similarity.ivf(Tables(s, dir))),
@@ -338,6 +339,7 @@ object SparkEntry {
     "d2_dedup_minhash" -> OracleReplicas.d2MinhashLsh(),
     "d7_dedup_incremental" -> OracleReplicas.d7MinhashIncremental(),
     "d9_substring_dedup" -> OracleReplicas.d9SubstringSpans(),
+    "d10_substring_incremental" -> OracleReplicas.d10SubstringIncremental(),
     "dc3_canonical" -> OracleReplicas.dc3Canonical(),
     "d3_dedup_simhash" -> OracleReplicas.d3Simhash(),
     "d5_dedup_embed" -> OracleReplicas.d5EmbedNearDup(),

@@ -200,16 +200,32 @@ object Dedup {
     * Scale shape: only (hash, doc_id, pos) triples shuffle; the
     * self-join costs Σ_shingle df² like d4 — exact ground truth by
     * design. At corpus scale the standard mitigations compose: drop
-    * ultra-common shingles (df cap — boilerplate that hot is its own
-    * signal) or gate the pair space through d2's LSH first and run this
-    * only on candidate pairs.
+    * ultra-common shingles (`maxDf` — boilerplate hot enough to hit a
+    * df cap is its own dedup signal) or gate the pair space through
+    * d2's LSH first and run this only on candidate pairs.
+    *
+    * With `maxDf` set, occurrences of any shingle appearing in more
+    * than `maxDf` (doc, pos) slots are dropped BEFORE the self-join, so
+    * the join cost is bounded by Σ min(df, maxDf)². Precision is kept —
+    * every emitted span is still a sub-span of a genuine duplicated
+    * run — but a long span crossing a corpus-hot shingle may split or
+    * shrink below `minSpanTokens` (the declared recall trade of the
+    * scale path; spec-pinned containment property).
     */
-  def substringSpans(t: Tables, k: Int = 8, minSpanTokens: Int = 16): DataFrame = {
-    val psh = tokenized(t)
+  def substringSpans(t: Tables, k: Int = 8, minSpanTokens: Int = 16,
+      maxDf: Option[Long] = None): DataFrame = {
+    val psh0 = tokenized(t)
       .filter(size(col("tokens")) >= k)
       .select(col("doc_id"), posexplode(shingle_hashes(col("tokens"), k)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
       .localCheckpoint(true) // feeds both self-join sides
+    val psh = maxDf.fold(psh0) { m =>
+      // unordered count window = one hash shuffle on h, which the
+      // self-join needs anyway — the cap costs no extra exchange kind
+      psh0.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .filter(col("__df") <= m)
+        .drop("__df")
+    }
     val matches = psh.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
       .join(psh.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pos_b")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
@@ -228,6 +244,41 @@ object Dedup {
       .filter(col("span_tokens") >= minSpanTokens)
       .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"), col("span_tokens"))
       .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+  }
+
+  /** d10: INCREMENTAL substring dedup — d9's spans for a NEW batch
+    * against the EXISTING corpus only (d7's ingest shape at substring
+    * granularity). One-sided inverted index: fresh (h, pos) occurrences
+    * join existing ones, so history×history span pairs never form and
+    * the work is O(increment × collisions). At 100 TB the existing side
+    * is the PERSISTED positional shingle store (the d9 checkpoint kept
+    * as a table); an increment reads hashes, not text. Output names the
+    * ingest roles: (new_id, dup_of, start_new, start_old, span_tokens).
+    */
+  def substringSpansIncremental(t: Tables, splitId: Long = 250, k: Int = 8,
+      minSpanTokens: Int = 16): DataFrame = {
+    val psh = tokenized(t)
+      .filter(size(col("tokens")) >= k)
+      .select(col("doc_id"), posexplode(shingle_hashes(col("tokens"), k)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+      .localCheckpoint(true) // the occurrence store: both one-sided halves read it
+    val fresh = psh.filter(col("doc_id") >= splitId)
+      .select(col("h"), col("doc_id").as("new_id"), col("pos").as("pos_new"))
+    val existing = psh.filter(col("doc_id") < splitId)
+      .select(col("h"), col("doc_id").as("dup_of"), col("pos").as("pos_old"))
+    val w = Window.partitionBy(col("new_id"), col("dup_of"), col("diag")).orderBy(col("pos_new"))
+    fresh.join(existing, Seq("h"))
+      .select(col("new_id"), col("dup_of"), col("pos_new"), col("pos_old"))
+      .withColumn("diag", col("pos_new") - col("pos_old"))
+      .withColumn("island", col("pos_new") - row_number().over(w))
+      .groupBy(col("new_id"), col("dup_of"), col("diag"), col("island"))
+      .agg(
+        min(col("pos_new")).as("start_new"),
+        min(col("pos_old")).as("start_old"),
+        (count(lit(1)) + lit(k - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("new_id"), col("dup_of"), col("start_new"), col("start_old"), col("span_tokens"))
+      .orderBy(col("new_id"), col("dup_of"), col("start_new"), col("start_old"))
   }
 
   /** d6: near-duplicate clusters — connected components over the LSH

@@ -142,6 +142,50 @@ class DedupSpec extends SparkSpecBase {
       s"spans must equal token-level ground truth (${got.length} vs ${expected.length})")
   }
 
+  test("d9 maxDf cap: transparent above the max df; capped spans stay inside true spans") {
+    val loose = Dedup.substringSpans(t, maxDf = Some(1000000L)).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("start_a"), r.getAs[Int]("start_b"), r.getAs[Long]("span_tokens")))
+    val uncapped = Dedup.substringSpans(t).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("start_a"), r.getAs[Int]("start_b"), r.getAs[Long]("span_tokens")))
+    assert(loose.toVector.sorted == uncapped.toVector.sorted,
+      "a cap above the hottest shingle's df must not change the output")
+
+    // a tight cap may split/shrink spans (declared recall trade) but
+    // every emitted span must remain a sub-span of a genuine duplicated
+    // run on the same alignment diagonal — precision is never traded
+    val capped = Dedup.substringSpans(t, maxDf = Some(3L)).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("start_a"), r.getAs[Int]("start_b"), r.getAs[Long]("span_tokens")))
+    capped.foreach { case (a, b, sa, sb, n) =>
+      val contained = uncapped.exists { case (ua, ub, usa, usb, un) =>
+        ua == a && ub == b && (sa - sb) == (usa - usb) &&
+          sa >= usa && sa + n <= usa + un
+      }
+      assert(contained, s"capped span ($a,$b,$sa,$sb,$n) not inside any true span")
+    }
+  }
+
+  test("d10 incremental substring spans equal the full d9 restricted to cross-split pairs") {
+    val split = 250L
+    // d9 orders pairs (doc_a < doc_b); cross-split pairs have doc_a on
+    // the existing side and doc_b in the new batch — remap to the
+    // incremental output's ingest roles
+    val cross = Dedup.substringSpans(t).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("start_a"), r.getAs[Int]("start_b"), r.getAs[Long]("span_tokens")))
+      .filter { case (a, b, _, _, _) => a < split && b >= split }
+      .map { case (a, b, sa, sb, n) => (b, a, sb, sa, n) }
+    val incr = Dedup.substringSpansIncremental(t, splitId = split).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Int]("start_new"), r.getAs[Int]("start_old"), r.getAs[Long]("span_tokens")))
+    assert(incr.nonEmpty, "the corpus plants duplicated spans across the split")
+    assert(incr.toVector.sorted == cross.toVector.sorted,
+      "one-sided indexing finds exactly the full self-join's cross-split spans")
+    assert(incr.forall { case (n, o, _, _, _) => n >= split && o < split })
+  }
+
   test("d6 clusters equal union-find connected components of the pair graph") {
     val pairs = Dedup.minhashLsh(t).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))

@@ -154,6 +154,26 @@ class PlanShapeSpec extends SparkSpecBase {
       s"only the two join-side exchanges may carry embeddings:\n${carrying.mkString("\n")}")
   }
 
+  test("d9: no hash/range exchange carries document text or token arrays") {
+    // the substring index shuffles only (h, doc_id, pos) triples; the
+    // heavy text may appear in at most the round-robin spread of a
+    // degenerate few-split LOCAL scan (spreadIfNarrow — absent at scale)
+    val df = Dedup.substringSpans(t)
+    df.collect()
+    val explain = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val offending = explain.split("\n\n").toSeq
+      .filter(b => b.linesIterator.hasNext &&
+        b.linesIterator.next().matches("""\(\d+\) Exchange.*"""))
+      .filter(b => b.linesIterator.exists(l =>
+        // \b-guarded: `span_tokens#...` (an output measure) must not
+        // trip the payload check aimed at `text#`/`tokens#` columns
+        l.startsWith("Input ") && "(?<![\\w])(text|tokens)#\\d".r.findFirstIn(l).isDefined))
+      .filterNot(_.contains("roundrobinpartitioning"))
+    assert(offending.isEmpty,
+      s"a keyed exchange carries the text payload:\n${offending.mkString("\n\n")}")
+  }
+
   test("spreadIfNarrow: narrow scans spread to full parallelism, well-split scans pass through") {
     val cores = spark.sparkContext.defaultParallelism
     val narrow = spark.range(0, 100, 1, 1).toDF("id")
