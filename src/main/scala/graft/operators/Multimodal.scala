@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -105,15 +105,22 @@ object Multimodal {
 
     // decode runs once per partition over an iterator: the batch shape a
     // native decoder needs (load model/codec once, stream rows through).
-    val features: Dataset[MediaFeature] = spreadIfNarrow(media)
-      .select(col("doc_id"), col("meta.mime").as("mime"), col("payload"))
-      .as[(Long, String, Array[Byte])]
+    // `source` rides ALONG the decode from the metadata struct — the
+    // former re-join against documents to recover it was an n×n-row
+    // shuffle at corpus scale for a column the row already carried.
+    val features = spreadIfNarrow(media)
+      .select(col("doc_id"), col("meta.mime").as("mime"),
+        col("meta.source").as("source"), col("payload"))
+      .as[(Long, String, String, Array[Byte])]
       .mapPartitions { batch =>
-        batch.map { case (id, mime, payload) => FakeDecoder.decode(id, mime, payload) }
+        batch.map { case (id, mime, source, payload) =>
+          val f: MediaFeature = FakeDecoder.decode(id, mime, payload)
+          (f.doc_id, f.mime, source, f.byte_len, f.checksum64, f.width, f.height)
+        }
       }
+      .toDF("doc_id", "mime", "source", "byte_len", "checksum64", "width", "height")
 
-    features.toDF()
-      .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+    features
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_media"),

@@ -72,6 +72,10 @@ class PlanShapeSpec extends SparkSpecBase {
     val keyed = plan.collect { case r: RepartitionByExpression => r }
     assert(keyed.isEmpty,
       s"payload must reach the decode pass with no keyed exchange, got:\n$plan")
+    // source rides along the decode — no join may reappear to re-attach
+    // columns the metadata struct already carries
+    assert(plan.collect { case j: Join => j }.isEmpty,
+      s"m1 must not re-join documents for metadata columns:\n$plan")
   }
 
   test("q2/q17: all three dimension joins broadcast; the fact never pre-join shuffles") {
