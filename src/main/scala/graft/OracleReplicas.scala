@@ -361,6 +361,53 @@ object OracleReplicas {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** s4: corpus-wide kNN graph — d5/s3's sign sketch (same inlined
+    * weights) on every vector, undirected 4-bit band collision pairs,
+    * exact cosine, then each pair feeds both endpoints' top-k. Mirrors
+    * [[graft.operators.Similarity.knnGraph]].
+    */
+  def s4KnnGraph(k: Int = 3, nbits: Int = 16, seed: Long = 7L, dim: Int = 64): String = {
+    def weight(b: Int, d: Int): Double = {
+      val h = GraftHash.splitmix64(seed + b.toLong * 131071L + d)
+      (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    val sketch = (0 until nbits).map { b =>
+      val w = (0 until dim).map(d => weight(b, d).toString).mkString("[", ", ", "]")
+      s"CASE WHEN list_reduce(list_prepend(0.0, list_transform(range($dim), d -> ($w)[d+1] * CAST(embedding[d+1] AS DOUBLE))), (a, x) -> a + x) >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    val bandCond = (0 until nbits / 4)
+      .map(b => s"((a.sk // ${1L << (4 * b)}) % 16 = (b.sk // ${1L << (4 * b)}) % 16)")
+      .mkString(" OR ")
+    s"""WITH sk AS (SELECT vec_id, embedding, $sketch AS sk FROM embeddings),
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+       |  FROM sk a JOIN sk b ON a.vec_id < b.vec_id
+       |  WHERE $bandCond),
+       |pairs AS (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM cand),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+       |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+       |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+       |  FROM pairs GROUP BY id_a, id_b),
+       |cosd AS (
+       |  SELECT id_a, id_b,
+       |    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END AS cosf
+       |  FROM scored),
+       |directed AS (
+       |  SELECT id_a AS vec_id, id_b AS neighbor_id, cosf FROM cosd
+       |  UNION ALL
+       |  SELECT id_b, id_a, cosf FROM cosd),
+       |ranked AS (
+       |  SELECT vec_id, neighbor_id, cosf,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cosf DESC, neighbor_id) AS INT) AS rank
+       |  FROM directed)
+       |SELECT vec_id, rank, neighbor_id, ROUND(cosf, 6) AS cos
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY vec_id, rank""".stripMargin
+  }
+
   /** d7: incremental MinHash dedup — the d2 replica with a ONE-SIDED
     * pair condition (existing corpus × new batch), mirroring
     * [[graft.operators.Dedup.minhashIncremental]].

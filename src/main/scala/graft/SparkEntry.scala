@@ -56,6 +56,7 @@ object SparkEntry {
     "s1_ann_brute" -> ((s, dir) => Similarity.bruteForce(Tables(s, dir))),
     "s2_ann_ivf" -> ((s, dir) => Similarity.ivf(Tables(s, dir))),
     "s3_ann_lsh" -> ((s, dir) => Similarity.lshTopK(Tables(s, dir))),
+    "s4_knn_graph" -> ((s, dir) => Similarity.knnGraph(Tables(s, dir))),
     // §2.4 text analysis
     "t1_langid" -> ((s, dir) => TextAnalysis.langId(Tables(s, dir))),
     "t2_quality" -> ((s, dir) => TextAnalysis.quality(Tables(s, dir))),
@@ -65,6 +66,8 @@ object SparkEntry {
     "t6_tfidf" -> ((s, dir) => TextAnalysis.tfidf(Tables(s, dir))),
     "t5_vocab_sketch" -> ((s, dir) => TextAnalysis.vocabSketch(Tables(s, dir))),
     "t7_repetition" -> ((s, dir) => TextAnalysis.repetition(Tables(s, dir))),
+    "t8_unigram_logprob" -> ((s, dir) => TextAnalysis.unigramLogprob(Tables(s, dir))),
+    "t9_pii_redact" -> ((s, dir) => TextAnalysis.piiScrub(Tables(s, dir))),
     // §2.7 corpus curation
     "dc1_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables(s, dir))),
     "dc2_sample_budget" -> ((s, dir) => Curation.sampleToBudget(Tables(s, dir))),
@@ -667,6 +670,54 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 20""".stripMargin,
+    "s4_knn_graph" -> OracleReplicas.s4KnnGraph(),
+    "t8_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> ''
+        |  GROUP BY doc_id, token),
+        |ctf AS (SELECT token, CAST(SUM(tf) AS DOUBLE) AS ctf FROM tf GROUP BY token),
+        |tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n_total FROM tf),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    SUM(tf * ln(ctf / n_total)) AS lp_sum
+        |  FROM tf JOIN ctf USING (token) CROSS JOIN tot
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, ROUND(lp_sum / n_tokens, 6) AS avg_logprob
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin,
+    // the synthesized contact line (one email / phone / IPv4 per doc) is
+    // replayed verbatim; regex syntax is the Java∩RE2 subset, redaction
+    // order email → phone → IP matches the operator exactly
+    "t9_pii_redact" -> {
+      import graft.operators.TextAnalysis.{EmailRe, PhoneRe, Ipv4Re}
+      s"""WITH synth AS (
+         |  SELECT doc_id,
+         |    'contact user' || doc_id || '@' || source || '.com or 555-' ||
+         |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |    lpad(CAST(n_chars % 10000 AS VARCHAR), 4, '0') ||
+         |    ' ip 10.0.' || (doc_id % 256) || '.' || (n_chars % 256) ||
+         |    ' re: ' || text AS text
+         |  FROM documents),
+         |red AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+         |    CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |    CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ips,
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+         |        '$PhoneRe', '<PHONE>', 'g'),
+         |      '$Ipv4Re', '<IP>', 'g') AS redacted
+         |  FROM synth)
+         |SELECT doc_id, n_emails, n_phones, n_ips,
+         |  CAST(length(redacted) AS BIGINT) AS redacted_len,
+         |  md5(redacted) AS redacted_md5
+         |FROM red
+         |ORDER BY doc_id""".stripMargin
+    },
     "st1_stream_window" ->
       """SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start, event_type,
         |  COUNT(*) AS n,

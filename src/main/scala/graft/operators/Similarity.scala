@@ -192,6 +192,50 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s4: approximate k-nearest-neighbor GRAPH over the whole corpus —
+    * every vector's top-k neighbors, the precursor structure for
+    * SemDeDup-style clustering, graph-based dedup (d6 consumes pair
+    * graphs) and diversity sampling. Same deterministic sign-sketch LSH
+    * as d5/s3: candidate pairs form ONLY on a shared 4-bit band
+    * (undirected, `id_a < id_b`, computed once), exact cosine reranks,
+    * and each undirected pair then feeds BOTH endpoints' top-k lists.
+    *
+    * Scale shape: the self-join shuffles (band_idx, band_val, vec_id)
+    * keys — never embeddings; candidate cardinality ∝ band collisions
+    * (d2's bucketed LSH argument, not n²). Embeddings attach to the
+    * (small) candidate pair set via plain shuffle joins AQE can promote
+    * to broadcasts; the per-node ranking window runs on candidates × 2,
+    * not corpus².
+    */
+  def knnGraph(t: Tables, k: Int = 3, nbits: Int = 16, seed: Long = 7L): DataFrame = {
+    require(nbits % 4 == 0 && nbits >= 4, s"nbits=$nbits must be a positive multiple of 4")
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val bandCols = (0 until nbits / 4).map(b =>
+      shiftright(col("sketch"), b * 4).bitwiseAND(lit(15L)))
+    val banded = emb
+      .select(col("vec_id"), sign_sketch(col("embedding"), nbits, seed).as("sketch"))
+      .select(col("vec_id"), posexplode(array(bandCols: _*)))
+      .select(col("vec_id"), col("pos").as("band_idx"), col("col").as("band_val"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"), Seq("band_idx", "band_val"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val scored = pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), Seq("id_b"))
+      .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+      .select(col("id_a"), col("id_b"), col("cos"))
+    val directed = scored.select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"), col("cos"))
+      .unionByName(scored.select(col("id_b").as("vec_id"), col("id_a").as("neighbor_id"), col("cos")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    directed
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** Assign each vector to its nearest centroid (centroids broadcast).
     * Arg-max via `max_by` partial aggregation, not a ranking window: the
     * n×nlist scored rows combine map-side to one row per vector, so only

@@ -179,6 +179,87 @@ object TextAnalysis {
       .select(Seq(col("doc_id"), col("n_tokens"), col("punct_ratio"),
         col("stop_ratio"), col("quality_score")) ++ repetitionFracCols(col("r")): _*)
 
+  /** t8: unigram language-model score per document (the CCNet-style LM
+    * quality proxy): avg over token occurrences of ln P(token), with
+    * P estimated from the corpus itself (tf_corpus / total_tokens).
+    * Low (very negative) scores flag rare-token gibberish; scores near
+    * zero flag degenerate common-token repetition — the standard cheap
+    * stand-in for a perplexity filter when no external LM is available.
+    *
+    * Scale shape mirrors t6 exactly: per-(doc, token) tf is one partial
+    * agg; the corpus frequency table joins UN-hinted (AQE broadcasts it
+    * only when it measures small — at web scale the distinct-token table
+    * is unbounded); the corpus total folds into the plan as a one-row
+    * aggregate cross join, never a driver-side action. Heavy text stays
+    * in the scan — only (doc_id, token, tf) rows shuffle.
+    */
+  def unigramLogprob(t: Tables): DataFrame = {
+    val tokens = spreadIfNarrow(t.documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(tokensCol).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val ctf = tf.groupBy(col("token")).agg(sum(col("tf")).cast("double").as("ctf"))
+    val total = tf.agg(sum(col("tf")).cast("double").as("n_total"))
+    tf.join(ctf, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * log(col("ctf") / col("n_total"))).as("lp_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lp_sum") / col("n_tokens"), 6).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII patterns shared by the operator and its oracle SQL builder —
+    * restricted to syntax Java regex and RE2 (DuckDB) interpret
+    * identically: no backreferences, no lookaround, ASCII classes only.
+    */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private[graft] val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** t9 core: count and redact PII (emails, NNN-NNN-NNNN phones, IPv4
+    * addresses) in `textCol`. Counts are measured on the ORIGINAL text;
+    * redaction applies email → phone → IP in that fixed order so the
+    * result is deterministic under overlapping character classes. One
+    * map-side codegen pass (regexp_count/regexp_replace are codegen'd
+    * built-ins) — no shuffle, the 100 TB shape for a scrubbing pass every
+    * document flows through.
+    */
+  def piiRedact(df: DataFrame, textCol: Column): DataFrame =
+    df.withColumn("n_emails", regexp_count(textCol, lit(EmailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(textCol, lit(PhoneRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(textCol, lit(Ipv4Re)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(textCol, EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>"))
+
+  /** t9 `queries()` row: the synthetic corpus carries no natural PII, so
+    * the gate would be vacuous on raw `text`; instead each doc's columns
+    * deterministically synthesize a contact line (one email, one phone,
+    * one IPv4) prefixed to the text, and the redactor must find exactly
+    * those plus leave the body intact. The oracle replays the same
+    * synthesis in SQL, so counts AND the redacted-text digest are
+    * hash-verified, not just non-zero.
+    */
+  def piiScrub(t: Tables): DataFrame = {
+    val synth = t.documents.select(col("doc_id"),
+      concat(
+        lit("contact user"), col("doc_id"), lit("@"), col("source"), lit(".com or 555-"),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+        lpad(pmod(col("n_chars"), lit(10000)).cast("string"), 4, "0"),
+        lit(" ip 10.0."), pmod(col("doc_id"), lit(256)), lit("."), pmod(col("n_chars"), lit(256)),
+        lit(" re: "), col("text")).as("text"))
+    piiRedact(synth, col("text"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        length(col("redacted")).cast("long").as("redacted_len"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t4: rolling-hash document fingerprints — full-document Karp–Rabin
     * min-window hash (shift-stable) + a coarse bucket for grouping.
     * Custom codegen expression [[graft.functions.RollingFingerprint]].

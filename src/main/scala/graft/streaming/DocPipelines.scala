@@ -153,6 +153,15 @@ object DocPipelines {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Stateless streaming PII scrubbing — the t9 redactor applied per
+    * micro-batch: count + redact emails / phones / IPv4 in one map-side
+    * codegen pass, zero state, append mode. The shape of an
+    * ingest-time scrub every arriving document crosses before landing.
+    */
+  def piiScrubStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.piiRedact(docs, col("text"))
+      .drop("text")
+
   /** Stateless streaming quality scoring — same columns as the batch t2
     * operator, applied per micro-batch with zero state.
     */

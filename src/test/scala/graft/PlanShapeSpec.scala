@@ -178,6 +178,41 @@ class PlanShapeSpec extends SparkSpecBase {
       s"a keyed exchange carries the text payload:\n${offending.mkString("\n\n")}")
   }
 
+  test("t8 unigram logprob: the corpus-frequency join carries no broadcast hint; only the 1-row total does") {
+    // same scale contract as t6: the distinct-token table is unbounded at
+    // web scale, so the tf↔ctf join must stay un-hinted (AQE promotes it
+    // when it measures small); the corpus token total folds into the plan
+    // as a one-row aggregate, never a driver-side action
+    val plan = TextAnalysis.unigramLogprob(t).queryExecution.optimizedPlan
+    val hintedJoins = plan.collect {
+      case j: Join if j.hint.leftHint.orElse(j.hint.rightHint).isDefined => j
+    }
+    assert(hintedJoins.length == 1,
+      s"expected exactly one hinted join (the n_total single-row cross join), got:\n$plan")
+    assert(plan.toString.contains("n_total"), "token total must fold into the plan")
+  }
+
+  test("t9 pii redact: zero shuffles before the presentation sort") {
+    // counting + redaction is one map-side codegen projection over one
+    // scan — the 100 TB shape for a scrubbing pass every document crosses
+    val explain = TextAnalysis.piiScrub(t).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchanges = explain.split("\n\n").toSeq.filter(b =>
+      b.linesIterator.hasNext && b.linesIterator.next().matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges.length == 1 && exchanges.head.contains("rangepartitioning"),
+      s"expected only the presentation-sort exchange, got:\n$explain")
+  }
+
+  test("s4 kNN graph: embeddings shuffle only on the two attach-join sides") {
+    // the band self-join — the quadratic-risk stage — exchanges only
+    // (vec_id, band) keys; vectors move solely to attach onto the (small)
+    // candidate pair set, at most once per side
+    val inputs = exchangeInputs(finalExplain(Similarity.knnGraph(t)))
+    val carrying = inputs.filter(_.contains("emb"))
+    assert(carrying.length <= 2,
+      s"only the two attach-join exchanges may carry embeddings:\n${carrying.mkString("\n")}")
+  }
+
   test("spreadIfNarrow: narrow scans spread to full parallelism, well-split scans pass through") {
     val cores = spark.sparkContext.defaultParallelism
     val narrow = spark.range(0, 100, 1, 1).toDF("id")

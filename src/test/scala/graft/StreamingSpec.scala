@@ -333,6 +333,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming PII scrub matches the batch t9 redactor, stateless in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "mail a@b.io and call 555-123-4567"),
+      (2L, "host 10.0.0.7 clean otherwise"),
+      (3L, "nothing sensitive at all"))
+    val mem = MemoryStream[(Long, String)]
+    val scrubbed = graft.streaming.DocPipelines.piiScrubStream(
+      mem.toDF().toDF("doc_id", "text"))
+    val q = scrubbed.writeStream.format("memory").queryName("pii_stream_out")
+      .outputMode("append").start() // stateless: append needs no watermark
+    try {
+      mem.addData(docs.take(2)); q.processAllAvailable()
+      mem.addData(docs.drop(2)); q.processAllAvailable()
+      val streamed = spark.table("pii_stream_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+            r.getAs[Long]("n_ips"), r.getAs[String]("redacted")))).toMap
+      val batch = graft.operators.TextAnalysis.piiRedact(
+          docs.toDF("doc_id", "text"), col("text")).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+            r.getAs[Long]("n_ips"), r.getAs[String]("redacted")))).toMap
+      assert(streamed == batch, "stream and batch PII scrubbing must agree")
+      assert(streamed(1L)._4 == "mail <EMAIL> and call <PHONE>")
+    } finally q.stop()
+  }
+
   test("st2 batch twin: session count equals gap-break count") {
     val t = graft.sources.Tables(spark, sfDir)
     val sessions = EventPipelines.sessionizeBatch(t)

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Functional specs for the round-7 additions: the unigram-LM quality
+  * proxy (t8), PII redaction (t9) and the corpus kNN graph (s4).
+  */
+class TextExtraSpec extends SparkSpecBase {
+
+  private lazy val t = Tables(spark, sfDir)
+
+  // ---------------------------------------------------------------- t8
+
+  test("t8 unigram logprob matches hand-computed values on a crafted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t8crafted").toString
+    Seq(
+      (0L, "a a", "en", "src0", 3L),
+      (1L, "a b", "en", "src0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // corpus: ctf(a)=3, ctf(b)=1, total=4
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = TextAnalysis.unigramLogprob(Tables(spark, dir)).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logprob"))).toMap
+    assert(byId(0L) == ((2L, r6(math.log(3.0 / 4.0)))))
+    assert(byId(1L) == ((2L, r6((math.log(3.0 / 4.0) + math.log(1.0 / 4.0)) / 2.0))))
+  }
+
+  test("t8 on the real corpus: every score is negative and rare-token docs score lower") {
+    val rows = TextAnalysis.unigramLogprob(t).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getAs[Double]("avg_logprob") < 0.0),
+      "ln P(token) < 0 for every non-certain token")
+    // sanity: scores spread — a corpus-frequency signal, not a constant
+    val scores = rows.map(_.getAs[Double]("avg_logprob"))
+    assert(scores.max - scores.min > 0.01, "scores must discriminate between docs")
+  }
+
+  // ---------------------------------------------------------------- t9
+
+  private def redactOne(s: String): (Long, Long, Long, String) = {
+    import spark.implicits._
+    val r = TextAnalysis.piiRedact(Seq(s).toDF("text"), col("text")).collect().head
+    (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"), r.getAs[Long]("n_ips"),
+      r.getAs[String]("redacted"))
+  }
+
+  test("t9 finds and redacts emails, phones and IPv4 addresses") {
+    assert(redactOne("reach jane.doe+x@example.org today") ==
+      ((1L, 0L, 0L, "reach <EMAIL> today")))
+    assert(redactOne("call 555-123-4567 or 555-000-9999") ==
+      ((0L, 2L, 0L, "call <PHONE> or <PHONE>")))
+    assert(redactOne("server 192.168.1.100 is down") ==
+      ((0L, 0L, 1L, "server <IP> is down")))
+    assert(redactOne("a@b.io then 10.0.0.1 then 555-111-2222") ==
+      ((1L, 1L, 1L, "<EMAIL> then <IP> then <PHONE>")))
+  }
+
+  test("t9 leaves clean text untouched and is idempotent on redacted text") {
+    val clean = "no personal information in this sentence"
+    assert(redactOne(clean) == ((0L, 0L, 0L, clean)))
+    val (_, _, _, once) = redactOne("write a@b.io or 1.2.3.4")
+    assert(redactOne(once) == ((0L, 0L, 0L, once)), "redaction is a fixpoint")
+  }
+
+  test("t9 queries row synthesizes exactly one of each PII kind per document") {
+    val rows = TextAnalysis.piiScrub(t).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getAs[Long]("n_emails") == 1L &&
+      r.getAs[Long]("n_phones") == 1L && r.getAs[Long]("n_ips") == 1L),
+      "the synthesized contact line carries one email, one phone, one IPv4")
+  }
+
+  // ---------------------------------------------------------------- s4
+
+  test("s4 kNN graph: ranks contiguous, no self-edges, cosine non-increasing, pairs band-collide") {
+    val rows = Similarity.knnGraph(t).collect()
+    assert(rows.nonEmpty)
+    val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
+    byVec.values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).sameElements(1 to g.length),
+        "ranks are 1..n with no gaps")
+      val cos = sorted.map(_.getAs[Double]("cos"))
+      assert(cos.sameElements(cos.sortBy(-(_: Double))), "ranked by cosine desc")
+      assert(g.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("vec_id")))
+    }
+    // every edge genuinely collides on a 4-bit band — the bucketing, not
+    // a fallback scan, produced the candidates
+    val sk = t.embeddings
+      .select(col("vec_id"), graft.functions.GraftFunctions.sign_sketch(col("embedding"), 16, 7L).as("sk"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("sk")).toMap
+    rows.foreach { r =>
+      val a = sk(r.getAs[Long]("vec_id")); val b = sk(r.getAs[Long]("neighbor_id"))
+      assert((0 until 4).exists(i => ((a >> (4 * i)) & 15L) == ((b >> (4 * i)) & 15L)),
+        s"edge ${r} does not share any sketch band")
+    }
+  }
+
+  test("s4 kNN graph: edge recall vs brute-force top-k is reasonable") {
+    val emb = t.embeddings.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val k = 3
+    val brute = emb.keys.flatMap { v =>
+      emb.keys.filter(_ != v).toSeq
+        .map(n => (n, cos(emb(v), emb(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(k)
+        .map { case (n, _) => (v, n) }
+    }.toSet
+    val lsh = Similarity.knnGraph(t).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.4, s"kNN-graph recall $recall vs brute force too low for 4x4-bit bands")
+  }
+
+  test("s4 kNN graph: an undirected pair scores identically from both endpoints") {
+    val rows = Similarity.knnGraph(t).collect()
+    val cosOf = rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")) ->
+      r.getAs[Double]("cos")).toMap
+    val mirrored = cosOf.keys.filter(p => cosOf.contains((p._2, p._1)))
+    assert(mirrored.nonEmpty, "at least one pair appears in both endpoints' top-k")
+    mirrored.foreach(p => assert(cosOf(p) == cosOf((p._2, p._1)),
+      s"cos asymmetry on $p"))
+  }
+}
