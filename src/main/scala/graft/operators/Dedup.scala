@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
-import graft.sources.Tables
+import graft.sources.{Tables, Warehouse}
 
 /** Document deduplication family. The common scale shape: compute a
   * compact per-row sketch map-side (custom codegen expressions), shuffle
@@ -109,6 +109,72 @@ object Dedup {
       .distinct()
       .join(sigs.select(col("doc_id").as("new_id"), col("sig").as("sig_a")), Seq("new_id"))
       .join(sigs.select(col("doc_id").as("dup_of"), col("sig").as("sig_b")), Seq("dup_of"))
+      .withColumn("est_jaccard",
+        sig_agreement(col("sig_a"), col("sig_b")).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("new_id"), col("dup_of"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
+  /** The PERSISTED form of d7's signature store: at 100 TB the existing
+    * corpus's MinHash signatures are computed ONCE per corpus generation
+    * and written as bucketed warehouse tables, so every subsequent
+    * ingest batch probes band hashes from disk instead of re-scanning
+    * and re-hashing corpus text:
+    *
+    *   - `<name>_bands` (band_idx, band_hash, doc_id), bucketed on
+    *     band_hash — the ingest probe's join side, read co-partitioned
+    *     with zero store-side shuffle;
+    *   - `<name>_sigs` (doc_id, sig), bucketed on doc_id — the verify
+    *     stage's signature attach.
+    *
+    * Same kernels and constants as d2/d7 (shingle_minhash seed 42), so
+    * probing the store is bit-equivalent to recomputing — spec-verified
+    * against [[minhashIncremental]].
+    */
+  def buildSignatureStore(docs: DataFrame, name: String, numHashes: Int = 64,
+      bands: Int = 16, buckets: Int = 8): Unit = {
+    val sigs = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
+      .filter(size(col("tokens")) > 1)
+      .select(col("doc_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig"))
+      .localCheckpoint(true) // one hash pass feeds both table writes
+    val banded = sigs.select(col("doc_id"), posexplode(sig_bands(col("sig"), bands)))
+      .select(col("pos").as("band_idx"), col("col").as("band_hash"), col("doc_id"))
+    Warehouse.writeBucketed(banded, s"${name}_bands", "band_hash", buckets)
+    Warehouse.writeBucketed(sigs, s"${name}_sigs", "doc_id", buckets)
+  }
+
+  /** d7 against the persisted store: the new batch's band keys
+    * (explicitly partitioned to the store's bucket layout) join the
+    * bucketed band table co-partitioned — the corpus side NEVER
+    * shuffles, and history×history pairs never form. Work per ingest is
+    * O(batch × collisions) plus a store read; the batch's own text is
+    * hashed exactly once.
+    */
+  def minhashIncrementalAgainstStore(name: String, newDocs: DataFrame,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      buckets: Int = 8): DataFrame = {
+    val spark = newDocs.sparkSession
+    val freshSigs = spreadIfNarrow(newDocs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
+      .filter(size(col("tokens")) > 1)
+      .select(col("doc_id").as("new_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig_a"))
+      .localCheckpoint(true) // feeds banding + the verify attach
+    // fresh band keys carry distinct names so the plan (and its spec)
+    // can tell the batch-side exchange from a store-side one
+    val freshBands = freshSigs.select(col("new_id"), posexplode(sig_bands(col("sig_a"), bands)))
+      .select(col("new_id"), col("pos").as("fband_idx"), col("col").as("fband_hash"))
+      .repartition(buckets, col("fband_hash"))
+    val pairs = freshBands
+      .join(Warehouse.table(spark, s"${name}_bands"),
+        col("fband_idx") === col("band_idx") && col("fband_hash") === col("band_hash"))
+      .select(col("new_id"), col("doc_id").as("dup_of"))
+      .distinct()
+    pairs
+      .join(freshSigs, Seq("new_id"))
+      .join(Warehouse.table(spark, s"${name}_sigs")
+        .select(col("doc_id").as("dup_of"), col("sig").as("sig_b")), Seq("dup_of"))
       .withColumn("est_jaccard",
         sig_agreement(col("sig_a"), col("sig_b")).cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)

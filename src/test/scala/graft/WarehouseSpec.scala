@@ -6,11 +6,11 @@ import graft.sources.{Tables, Warehouse}
 
 class WarehouseSpec extends SparkSpecBase {
 
-  test("co-bucketed tables join without any shuffle exchange") {
-    val t = Tables(spark, sfDir)
-    // clean any leftover catalog entries AND their on-disk locations from
-    // a previous JVM (the in-memory catalog forgets, the dir persists)
-    Seq("wh_orders", "wh_lineitem").foreach { name =>
+  /** Drop leftover catalog entries AND their on-disk locations from a
+    * previous JVM (the in-memory catalog forgets, the dir persists).
+    */
+  private def cleanTables(names: String*): Unit =
+    names.foreach { name =>
       spark.sql(s"DROP TABLE IF EXISTS $name")
       val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
         .stripPrefix("file:"), name)
@@ -22,6 +22,10 @@ class WarehouseSpec extends SparkSpecBase {
         rm(loc)
       }
     }
+
+  test("co-bucketed tables join without any shuffle exchange") {
+    val t = Tables(spark, sfDir)
+    cleanTables("wh_orders", "wh_lineitem")
     Warehouse.writeBucketed(t.orders, "wh_orders", "o_orderkey", 8)
     Warehouse.writeBucketed(
       t.lineitem.select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
@@ -49,5 +53,36 @@ class WarehouseSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     val got = joined.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(got == expected)
+  }
+
+  test("persisted signature store: ingest probe equals d7 and never shuffles the store side") {
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+    cleanTables("sigstore_bands", "sigstore_sigs")
+
+    graft.operators.Dedup.buildSignatureStore(
+      t.documents.filter(col("doc_id") < 250), "sigstore")
+    val probe = graft.operators.Dedup.minhashIncrementalAgainstStore(
+      "sigstore", t.documents.filter(col("doc_id") >= 250))
+    val got = probe.collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Double]("est_jaccard"))).toSet
+
+    // bit-equivalent to recomputing the corpus signatures in-job (d7)
+    val want = graft.operators.Dedup.minhashIncremental(t, 250).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Double]("est_jaccard"))).toSet
+    assert(got == want, s"store probe diverged from d7: got $got want $want")
+    assert(got.nonEmpty, "the sf0.001 corpus has cross-split near-dups")
+
+    // the store-side band table must be read co-partitioned: the only
+    // hash exchange on band keys is the batch side's explicit
+    // repartition (fband_hash) — a store-side shuffle would re-move the
+    // whole corpus index on every ingest
+    val physical = probe.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange hashpartitioning(band_hash"),
+      s"store bands must never shuffle:\n$physical")
+    assert(physical.contains("hashpartitioning(fband_hash"),
+      s"the batch side aligns to the store's bucket layout:\n$physical")
   }
 }
