@@ -347,6 +347,58 @@ object Dedup {
       .orderBy(col("new_id"), col("dup_of"), col("start_new"), col("start_old"))
   }
 
+  /** The PERSISTED form of d10's positional shingle store: the corpus's
+    * (shingle_hash, doc_id, pos) occurrence table written ONCE per
+    * generation as a warehouse table bucketed on the hash, so each
+    * ingest batch joins its own occurrences co-partitioned against disk
+    * — corpus text is never re-tokenized and the store side never
+    * shuffles. Same FNV shingle kernel as d9/d10, so probing is
+    * bit-equivalent to the in-job recompute (spec-verified).
+    */
+  def buildSubstringStore(docs: DataFrame, name: String, k: Int = 8,
+      buckets: Int = 8): Unit = {
+    val psh = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
+      .filter(size(col("tokens")) >= k)
+      .select(col("doc_id"), posexplode(shingle_hashes(col("tokens"), k)))
+      .select(col("col").as("h"), col("doc_id"), (col("pos") + 1).as("pos"))
+    Warehouse.writeBucketed(psh, s"${name}_shingles", "h", buckets)
+  }
+
+  /** d10 against the persisted store: the new batch's positional
+    * shingles (partitioned to the store's bucket layout) join the
+    * occurrence table co-partitioned, then the same alignment-diagonal
+    * islands as d9/d10 rebuild maximal spans. Work per ingest is
+    * O(batch × collisions) plus a store read.
+    */
+  def substringSpansAgainstStore(name: String, newDocs: DataFrame, k: Int = 8,
+      minSpanTokens: Int = 16, buckets: Int = 8): DataFrame = {
+    val spark = newDocs.sparkSession
+    // batch-side columns carry distinct names so the plan (and spec) can
+    // tell the batch exchange from a store-side one
+    val fresh = spreadIfNarrow(newDocs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
+      .filter(size(col("tokens")) >= k)
+      .select(col("doc_id"), posexplode(shingle_hashes(col("tokens"), k)))
+      .select(col("col").as("fh"), col("doc_id").as("new_id"), (col("pos") + 1).as("pos_new"))
+      .repartition(buckets, col("fh"))
+    val existing = Warehouse.table(spark, s"${name}_shingles")
+      .select(col("h"), col("doc_id").as("dup_of"), col("pos").as("pos_old"))
+    val w = Window.partitionBy(col("new_id"), col("dup_of"), col("diag")).orderBy(col("pos_new"))
+    fresh.join(existing, col("fh") === col("h"))
+      .select(col("new_id"), col("dup_of"), col("pos_new"), col("pos_old"))
+      .withColumn("diag", col("pos_new") - col("pos_old"))
+      .withColumn("island", col("pos_new") - row_number().over(w))
+      .groupBy(col("new_id"), col("dup_of"), col("diag"), col("island"))
+      .agg(
+        min(col("pos_new")).as("start_new"),
+        min(col("pos_old")).as("start_old"),
+        (count(lit(1)) + lit(k - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("new_id"), col("dup_of"), col("start_new"), col("start_old"), col("span_tokens"))
+      .orderBy(col("new_id"), col("dup_of"), col("start_new"), col("start_old"))
+  }
+
   /** d6: near-duplicate clusters — connected components over the LSH
     * pair graph, so "keep one per cluster" decisions are possible (pairs
     * alone under-delete transitive groups). Iterative min-label

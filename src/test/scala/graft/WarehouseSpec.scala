@@ -85,4 +85,29 @@ class WarehouseSpec extends SparkSpecBase {
     assert(physical.contains("hashpartitioning(fband_hash"),
       s"the batch side aligns to the store's bucket layout:\n$physical")
   }
+
+  test("persisted substring store: ingest probe equals d10 and never shuffles the store side") {
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+    cleanTables("substore_shingles")
+
+    graft.operators.Dedup.buildSubstringStore(
+      t.documents.filter(col("doc_id") < 250), "substore")
+    val probe = graft.operators.Dedup.substringSpansAgainstStore(
+      "substore", t.documents.filter(col("doc_id") >= 250))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Int]("start_new"), r.getAs[Int]("start_old"),
+        r.getAs[Long]("span_tokens"))
+    val got = probe.collect().map(key).toSet
+    val want = graft.operators.Dedup.substringSpansIncremental(t, 250).collect().map(key).toSet
+    assert(got == want, s"store probe diverged from d10: got $got want $want")
+    assert(got.nonEmpty, "the sf0.001 corpus has cross-split duplicated spans")
+
+    val physical = probe.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange hashpartitioning(h#"),
+      s"store shingles must never shuffle:\n$physical")
+    assert(physical.contains("hashpartitioning(fh#"),
+      s"the batch side aligns to the store's bucket layout:\n$physical")
+  }
 }
