@@ -77,6 +77,45 @@ class TextExtraSpec extends SparkSpecBase {
       "the synthesized contact line carries one email, one phone, one IPv4")
   }
 
+  test("t9 property: injected PII is counted and redacted exactly, for any arrangement") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    // base words are letters-only, so the ONLY matchable substrings are
+    // the injected tokens — expected counts are exact by construction
+    val word = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val email = for {
+      l <- Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+      d <- Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+      tld <- Gen.oneOf("com", "org", "io")
+    } yield (s"$l@$d.$tld", "<EMAIL>")
+    val phone = for {
+      a <- Gen.chooseNum(0, 999); b <- Gen.chooseNum(0, 999); c <- Gen.chooseNum(0, 9999)
+    } yield (f"$a%03d-$b%03d-$c%04d", "<PHONE>")
+    val ip = Gen.listOfN(4, Gen.chooseNum(0, 255)).map(o => (o.mkString("."), "<IP>"))
+    val token: Gen[(String, String, Int)] = Gen.frequency(
+      5 -> word.map(w => (w, w, 0)),
+      1 -> email.map { case (s, r) => (s, r, 1) },
+      1 -> phone.map { case (s, r) => (s, r, 2) },
+      1 -> ip.map { case (s, r) => (s, r, 3) })
+    val rowGen = Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, token)).map { toks =>
+      val text = toks.map(_._1).mkString(" ")
+      val expected = toks.map(_._2).mkString(" ")
+      val counts = (1 to 3).map(k => toks.count(_._3 == k).toLong)
+      (text, expected, counts(0), counts(1), counts(2))
+    }
+    val cases = Iterator.continually(rowGen.sample).flatten.take(80).toSeq
+    val got = graft.operators.TextAnalysis.piiRedact(
+        cases.map(_._1).toDF("text"), org.apache.spark.sql.functions.col("text"))
+      .select("text", "n_emails", "n_phones", "n_ips", "redacted")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+          r.getAs[Long]("n_ips"), r.getString(4)))).toMap
+    cases.foreach { case (text, expected, ne, np, ni) =>
+      assert(got(text) == ((ne, np, ni, expected)),
+        s"mismatch for input '$text': got ${got(text)}, want ($ne,$np,$ni,'$expected')")
+    }
+  }
+
   // ---------------------------------------------------------------- s4
 
   test("s4 kNN graph: ranks contiguous, no self-edges, cosine non-increasing, pairs band-collide") {
