@@ -102,7 +102,11 @@ object OracleReplicas {
     * literals (Double.toString round-trips), 4-bit band collision, exact
     * cosine, mirroring [[graft.operators.Dedup.embeddingNearDup]].
     */
-  def d5EmbedNearDup(minCosine: Double = 0.15, topN: Int = 50, nbits: Int = 16, seed: Long = 7L, dim: Int = 64): String = {
+  /** Shared d5/dc8 CTE block: sign sketch → band collision candidates →
+    * exact cosine, threshold applied on the UNROUNDED value (matching
+    * the Spark filter); `cosd` carries the rounded presentation cosine.
+    */
+  private def d5PairCtes(minCosine: Double, nbits: Int = 16, seed: Long = 7L, dim: Int = 64): String = {
     def weight(b: Int, d: Int): Double = {
       val h = GraftHash.splitmix64(seed + b.toLong * 131071L + d)
       (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
@@ -114,7 +118,7 @@ object OracleReplicas {
     val bandCond = (0 until 4)
       .map(b => s"((a.sk // ${1L << (4 * b)}) % 16 = (b.sk // ${1L << (4 * b)}) % 16)")
       .mkString(" OR ")
-    s"""WITH sk AS (SELECT vec_id, embedding, $sketch AS sk FROM embeddings),
+    s"""sk AS (SELECT vec_id, embedding, $sketch AS sk FROM embeddings),
        |cand AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
        |  FROM sk a JOIN sk b ON a.vec_id < b.vec_id
@@ -131,11 +135,14 @@ object OracleReplicas {
        |  SELECT id_a, id_b,
        |    ROUND(CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END, 4) AS cos
        |  FROM scored
-       |  WHERE (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END) >= $minCosine)
+       |  WHERE (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END) >= $minCosine)""".stripMargin
+  }
+
+  def d5EmbedNearDup(minCosine: Double = 0.15, topN: Int = 50, nbits: Int = 16, seed: Long = 7L, dim: Int = 64): String =
+    s"""WITH ${d5PairCtes(minCosine, nbits, seed, dim)}
        |SELECT id_a, id_b, cos FROM cosd
        |ORDER BY cos DESC, id_a, id_b
        |LIMIT $topN""".stripMargin
-  }
 
   /** d2: the full MinHash+LSH pipeline — shingle FNV (token bytes + the
     * 0x1f separator fold, i.e. FNV over `tok1 || chr(31) || tok2 ||
@@ -171,13 +178,29 @@ object OracleReplicas {
     * with t2's quality formula, keeper = highest score then lowest id.
     * Mirrors [[graft.operators.Curation.canonicalPerCluster]].
     */
-  def dc3Canonical(numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5, seed: Long = 42L): String = {
+  def dc3Canonical(numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5, seed: Long = 42L): String =
+    s"""WITH RECURSIVE ${minhashCtes(numHashes, bands, seed)},
+       |p AS (SELECT doc_a, doc_b FROM cand WHERE est >= $threshold),
+       |${canonicalClosureTail()}""".stripMargin
+
+  /** dc8: dc3's closure+keeper tail over d5's embedding-cosine pair
+    * graph (full threshold set, no presentation limit). Mirrors
+    * [[graft.operators.Curation.semanticCanonical]].
+    */
+  def dc8SemanticCanonical(minCosine: Double = 0.3): String =
+    s"""WITH RECURSIVE ${d5PairCtes(minCosine)},
+       |p AS (SELECT id_a AS doc_a, id_b AS doc_b FROM cosd),
+       |${canonicalClosureTail()}""".stripMargin
+
+  /** Shared dc3/dc8 tail: min-label transitive closure over the `p`
+    * pair CTE, t2's quality formula, highest-quality (tie → lowest id)
+    * keeper per cluster.
+    */
+  private def canonicalClosureTail(): String = {
     // word list derived from the operator's own constant, not a copy
     val enStopwords = graft.operators.TextAnalysis.Stopwords("en")
       .map(w => s"'$w'").mkString("[", ",", "]")
-    s"""WITH RECURSIVE ${minhashCtes(numHashes, bands, seed)},
-       |p AS (SELECT doc_a, doc_b FROM cand WHERE est >= $threshold),
-       |edges AS (SELECT doc_a AS s, doc_b AS d FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+    s"""edges AS (SELECT doc_a AS s, doc_b AS d FROM p UNION ALL SELECT doc_b, doc_a FROM p),
        |verts AS (SELECT DISTINCT s AS doc_id FROM edges),
        |walk(doc_id, label) AS (
        |  SELECT doc_id, doc_id FROM verts

@@ -76,6 +76,7 @@ object SparkEntry {
     "dc5_decontaminate_bloom" -> ((s, dir) => Curation.decontaminateBloom(Tables(s, dir))),
     "dc6_quality_gate" -> ((s, dir) => Curation.qualityGate(Tables(s, dir))),
     "dc7_contamination_report" -> ((s, dir) => Curation.contaminationReport(Tables(s, dir))),
+    "dc8_semantic_canonical" -> ((s, dir) => Curation.semanticCanonical(Tables(s, dir))),
     // §2.5 multimodal plumbing
     "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
     "m2_frame_sample" -> ((s, dir) => Multimodal.frames(Tables(s, dir))),
@@ -344,6 +345,7 @@ object SparkEntry {
     "d9_substring_dedup" -> OracleReplicas.d9SubstringSpans(),
     "d10_substring_incremental" -> OracleReplicas.d10SubstringIncremental(),
     "dc3_canonical" -> OracleReplicas.dc3Canonical(),
+    "dc8_semantic_canonical" -> OracleReplicas.dc8SemanticCanonical(),
     "d3_dedup_simhash" -> OracleReplicas.d3Simhash(),
     "d5_dedup_embed" -> OracleReplicas.d5EmbedNearDup(),
     // within-cluster cosine domination (SemDeDup stage 2); zipped unnest

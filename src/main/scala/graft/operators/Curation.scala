@@ -139,6 +139,37 @@ object Curation {
       .orderBy(col("cluster_id"))
   }
 
+  /** dc8: SEMANTIC canonical selection — dc3's keep-one-per-cluster
+    * decision over EMBEDDING-space clusters instead of minhash clusters:
+    * d5's cosine threshold pair graph (full set, no presentation limit)
+    * → connected components (the d6 propagation, shared via
+    * `clustersOfPairs`) → highest-quality keeper per cluster (tie →
+    * lowest id). Complements d8: SemDeDup drops dominated members
+    * within PRE-ASSIGNED k-means clusters; dc8 derives the groups from
+    * pairwise similarity itself and picks the best-quality survivor —
+    * the decision layer over near-duplicate MEANING rather than
+    * near-duplicate TEXT. Embeddings map 1:1 to documents (vec_id ≡
+    * doc_id in the testdata convention), so quality joins directly.
+    *
+    * Scale: the pair graph is band-bucketed (d5's shape), propagation
+    * shuffles (id, label) rows, quality is one map-side pass, and the
+    * argmax is one partial-agg shuffle of (cluster, id, score) rows.
+    */
+  def semanticCanonical(t: Tables, minCosine: Double = 0.3): DataFrame = {
+    val pairs = Dedup.embeddingPairs(t, minCosine)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val clusters = Dedup.clustersOfPairs(pairs)
+    val quality = TextAnalysis.quality(t).select(col("doc_id"), col("quality_score"))
+    clusters
+      .join(quality, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(col("doc_id"), struct(col("quality_score"), (-col("doc_id")).as("nid"))).as("keeper_id"),
+        max(col("quality_score")).as("keeper_score"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** dc4: domain-mixture sampling — dc2 generalized to WEIGHTED
     * per-source budgets, the "data mixing" step that fits heterogeneous
     * sources into a training-token budget at configured proportions.

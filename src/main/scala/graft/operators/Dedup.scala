@@ -408,17 +408,24 @@ object Dedup {
     * orchestrates — per-round work is joins/aggregations on the cluster;
     * this is the GraphX/GraphFrames pattern without the dependency.
     */
-  def clusters(t: Tables, maxIter: Int = 100): DataFrame = {
+  def clusters(t: Tables, maxIter: Int = 100): DataFrame =
+    // edges from the LSH pair graph — the pair source that scales (d4's
+    // exact graph costs Σdf² and is the ground-truth/verify path, not the
+    // production one). The propagation is identical for any edge source.
+    clustersOfPairs(minhashLsh(t).select(col("doc_a"), col("doc_b")), maxIter)
+
+  /** The d6 propagation over ANY undirected pair graph (doc_a, doc_b) —
+    * minhash pairs (d6 itself), embedding-cosine pairs (dc8's semantic
+    * clusters), or any candidate source with the same two columns.
+    */
+  def clustersOfPairs(pairGraph: DataFrame, maxIter: Int = 100): DataFrame = {
     // maxIter is a runaway cap, not the expected round count: min-label
     // propagation needs O(min-label distance) rounds, so a 10-cap could
     // stop a >10-hop chain before the true component min arrives (real
     // dedup clusters are near-cliques and converge in 2-3; the oracle
     // computes the full closure, so early truncation would also diverge
     // from verification)
-    // edges from the LSH pair graph — the pair source that scales (d4's
-    // exact graph costs Σdf² and is the ground-truth/verify path, not the
-    // production one). The propagation is identical for any edge source.
-    val pairs = minhashLsh(t).select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val pairs = pairGraph.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)
@@ -471,7 +478,17 @@ object Dedup {
     * bits) map-side, bucket-join on 4-bit bands, exact cosine only on
     * bucket collisions. The full pair matrix never exists.
     */
-  def embeddingNearDup(t: Tables, minCosine: Double = 0.15, topN: Int = 50): DataFrame = {
+  def embeddingNearDup(t: Tables, minCosine: Double = 0.15, topN: Int = 50): DataFrame =
+    embeddingPairs(t, minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+
+  /** d5's full threshold pair set — (id_a, id_b, cos) with the cosine
+    * cut applied but NO presentation ordering/limit: the pair-graph form
+    * dc8's semantic clustering consumes.
+    */
+  private[graft] def embeddingPairs(t: Tables, minCosine: Double): DataFrame = {
     val sk = t.embeddings.select(col("vec_id"),
       sign_sketch(col("embedding"), 16, 7L).as("sketch"))
     // plain column expressions, not a transform() lambda (see simhash)
@@ -494,9 +511,7 @@ object Dedup {
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
       .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= minCosine)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
-      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
-      .limit(topN)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** d8: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic

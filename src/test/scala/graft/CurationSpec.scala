@@ -201,6 +201,34 @@ class CurationSpec extends SparkSpecBase {
       t2score(r.getAs[Long]("doc_id")), "gate and t2 share one formula"))
   }
 
+  test("dc8 semantic canonical matches a driver-side union-find over the embedding pair graph") {
+    val pairs = graft.operators.Dedup.embeddingPairs(t, 0.3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.nonEmpty)
+    // union-find ground truth for the component structure
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb }
+    val membership = parent.keys.map(v => v -> find(v)).toSeq
+      .groupBy { case (_, root) => root }
+      .map { case (_, vs) => val ids = vs.map(_._1).toSet; ids.min -> ids }
+    val quality = graft.operators.TextAnalysis.quality(t).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    val expected = membership.map { case (label, ids) =>
+      val keeper = ids.toSeq.sortBy(id => (-quality(id), id)).head
+      label -> ((keeper, quality(keeper), ids.size.toLong))
+    }
+    val got = graft.operators.Curation.semanticCanonical(t).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("keeper_id"), r.getAs[Double]("keeper_score"),
+          r.getAs[Long]("n_docs")))).toMap
+    assert(got == expected, s"semantic keepers diverge: got $got want $expected")
+    assert(got.size > 1, "threshold 0.3 yields a non-degenerate cluster structure")
+  }
+
   test("t7 repetition scoring: planted duplicate tokens raise the dup fractions") {
     import spark.implicits._
     val docs = Seq(
