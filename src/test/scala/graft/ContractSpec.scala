@@ -39,4 +39,21 @@ class ContractSpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet.filterNot(k => base.contains(s"| $k |"))
     assert(missing.isEmpty, s"BASELINE.md is missing entries for: $missing")
   }
+
+  test("BASELINE.md's published total equals the sum of its per-query rows") {
+    // the total is what BENCH_r{N} is compared against at a glance; a
+    // hand-added row that forgets to update it silently misstates the
+    // within-2x envelope
+    val rows = read("BASELINE.md").linesIterator
+      .filter(_.matches("""\| [a-z0-9_]+ \| [0-9.]+ \|"""))
+      .map(_.split("\\|")(2).trim.toDouble).toSeq
+    assert(rows.size == SparkEntry.queries.size,
+      s"baseline table has ${rows.size} measured rows for ${SparkEntry.queries.size} queries")
+    val total = read("BASELINE.md").linesIterator
+      .collectFirst { case l if l.startsWith("| **total** |") =>
+        l.split("\\|")(2).trim.stripPrefix("**").stripSuffix("**").toDouble }
+      .getOrElse(fail("no total row in BASELINE.md"))
+    assert(math.abs(rows.sum - total) < 0.5,
+      f"baseline rows sum to ${rows.sum}%.2f but the published total is $total%.2f")
+  }
 }
