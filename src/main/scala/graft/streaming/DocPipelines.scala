@@ -153,6 +153,35 @@ object DocPipelines {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Stateless streaming LM-quality scoring — the t8 twin: each
+    * arriving document scores against a PINNED corpus-frequency
+    * snapshot (how a production feed scores against the previous corpus
+    * generation's vocabulary), one map-side pass, zero state. The
+    * snapshot ships as a plan-literal map — vocabulary-sized by
+    * definition, with the same embed-guard as the benchmark shingle
+    * set — and unseen tokens fall back to `floorLogprob` (batch t8 has
+    * no unseen tokens because its frequencies come from the same
+    * corpus).
+    */
+  def unigramLogprobStream(docs: DataFrame, vocabLogprob: Map[String, Double],
+      floorLogprob: Double = math.log(1e-9)): DataFrame = {
+    require(vocabLogprob.size <= 2_000_000,
+      s"unigramLogprobStream: vocabulary has ${vocabLogprob.size} entries (> 2M); " +
+        "this path embeds the map in the plan — score against a frequency TABLE " +
+        "with the batch operator (TextAnalysis.unigramLogprob) instead")
+    val vocab = typedlit(vocabLogprob)
+    docs
+      .withColumn("toks",
+        filter(GraftFunctions.ws_tokens(col("text")), t => t =!= ""))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(
+          aggregate(col("toks"), lit(0.0d),
+            (acc, t) => acc + coalesce(element_at(vocab, t), lit(floorLogprob)))
+            / size(col("toks")), 6).as("avg_logprob"))
+  }
+
   /** Stateless streaming PII scrubbing — the t9 redactor applied per
     * micro-batch: count + redact emails / phones / IPv4 in one map-side
     * codegen pass, zero state, append mode. The shape of an

@@ -333,6 +333,46 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming unigram logprob matches batch t8 against the same frequency snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.sources.Tables(spark, sfDir)
+    // pin the snapshot from the same corpus batch t8 derives its
+    // frequencies from, so every token is known and scores must agree
+    val tokens = t.documents
+      .select(explode(graft.functions.GraftFunctions.ws_tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "").groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = tokens.map(_._2).sum.toDouble
+    val vocab = tokens.map { case (tok, n) => tok -> math.log(n / total) }.toMap
+
+    val docs = t.documents.select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val scored = graft.streaming.DocPipelines.unigramLogprobStream(
+      mem.toDF().toDF("doc_id", "text"), vocab)
+    val q = scored.writeStream.format("memory").queryName("lp_stream_out")
+      .outputMode("append").start() // stateless: per-doc, no aggregation state
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      mem.addData(a.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("lp_stream_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logprob")))).toMap
+      val batch = graft.operators.TextAnalysis.unigramLogprob(t).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logprob")))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (id, (n, lp)) =>
+        assert(n == batch(id)._1, s"token count mismatch for doc $id")
+        // batch accumulates tf·lp per distinct token, the stream adds lp
+        // per occurrence — one rounding step of float slack at the edge
+        assert(math.abs(lp - batch(id)._2) <= 2e-6,
+          s"doc $id: stream $lp vs batch ${batch(id)._2}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming PII scrub matches the batch t9 redactor, stateless in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
