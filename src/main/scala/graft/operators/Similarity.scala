@@ -207,7 +207,8 @@ object Similarity {
     * to broadcasts; the per-node ranking window runs on candidates × 2,
     * not corpus².
     */
-  def knnGraph(t: Tables, k: Int = 3, nbits: Int = 16, seed: Long = 7L): DataFrame = {
+  def knnGraph(t: Tables, k: Int = 3, nbits: Int = 16, seed: Long = 7L,
+      maxBucketSize: Option[Long] = None): DataFrame = {
     require(nbits % 4 == 0 && nbits >= 4, s"nbits=$nbits must be a positive multiple of 4")
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
     val bandCols = (0 until nbits / 4).map(b =>
@@ -216,6 +217,23 @@ object Similarity {
       .select(col("vec_id"), sign_sketch(col("embedding"), nbits, seed).as("sketch"))
       .select(col("vec_id"), posexplode(array(bandCols: _*)))
       .select(col("vec_id"), col("pos").as("band_idx"), col("col").as("band_val"))
+    // same fail-loudly philosophy as d8's maxClusterSize: a band bucket
+    // holding B vectors yields B² candidate pairs — healthy sketches
+    // spread buckets geometrically, but a degenerate corpus (constant
+    // embeddings, a broken upstream normalizer) collapses into one
+    // bucket and silently goes quadratic. The EAGER count runs before
+    // the self-join is built; bucket keys are tiny (nbits/4 × ids).
+    maxBucketSize.foreach { m =>
+      val worst = banded.groupBy(col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > m).orderBy(col("n").desc).limit(1).collect()
+      worst.headOption.foreach { r =>
+        throw new IllegalStateException(
+          s"s4 band bucket exceeds maxBucketSize=$m: band ${r.get(0)} value ${r.get(1)} " +
+            s"holds ${r.getAs[Long]("n")} vectors — the self-join would be quadratic; " +
+            "widen the sketch (nbits) or fix the upstream embedding distribution")
+      }
+    }
     val pairs = banded.as("a")
       .join(banded.as("b"), Seq("band_idx", "band_val"))
       .filter(col("a.vec_id") < col("b.vec_id"))

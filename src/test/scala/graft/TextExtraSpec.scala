@@ -163,6 +163,24 @@ class TextExtraSpec extends SparkSpecBase {
     assert(recall >= 0.4, s"kNN-graph recall $recall vs brute force too low for 4x4-bit bands")
   }
 
+  test("s4 kNN graph: maxBucketSize fails loudly on a degenerate constant-embedding corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("s4degenerate").toString
+    // identical vectors: every sketch bit agrees, all 500 land in ONE
+    // bucket per band — the silent-quadratic shape the guard names
+    (0L until 500L).map(i => (i, Array.fill(8)(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val t2 = Tables(spark, dir)
+    val e = intercept[IllegalStateException] {
+      Similarity.knnGraph(t2, maxBucketSize = Some(100L))
+    }
+    assert(e.getMessage.contains("maxBucketSize=100") && e.getMessage.contains("500"),
+      s"guard must name the violating bucket: ${e.getMessage}")
+    // under the cap, the guard stays silent and the graph still builds
+    assert(Similarity.knnGraph(t, maxBucketSize = Some(100000L)).collect().nonEmpty)
+  }
+
   test("s4 kNN graph: an undirected pair scores identically from both endpoints") {
     val rows = Similarity.knnGraph(t).collect()
     val cosOf = rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")) ->
