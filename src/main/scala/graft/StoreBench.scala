@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Ingest benchmark main: measures incremental MinHash dedup of a new
+  * batch THROUGH the persisted signature store
+  * ([[Dedup.minhashIncrementalAgainstStore]]) against the in-job form
+  * that re-hashes the whole corpus every run ([[Dedup.minhashIncremental]]),
+  * on a synthetic corpus large enough that corpus re-hashing dominates.
+  *
+  * This is the claim the store APIs exist for: ingest cost should track
+  * the BATCH, not the corpus. The store build is timed separately — it
+  * is paid once per corpus generation and amortizes over every
+  * subsequent ingest. Prints ONE JSON line; STOREBENCH.md records a
+  * quiet run.
+  */
+object StoreBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nCorpus = sys.env.getOrElse("SPARK_GRAFT_STORE_CORPUS", "200000").toLong
+    val nBatch = sys.env.getOrElse("SPARK_GRAFT_STORE_BATCH", "2000").toLong
+    val spark = GraftSession.builder(s"local[$cpus]", shufflePartitions = cpus.toInt).getOrCreate()
+    functions.GraftFunctions.registerAll(spark)
+    spark.sparkContext.setLogLevel("WARN")
+
+    // deterministic ~30-token docs over a 5000-word vocabulary; every
+    // 20th batch doc repeats a corpus doc's word sequence shifted by one
+    // word so real near-dup pairs survive banding (the output is not
+    // empty), while the bulk of the batch is fresh text
+    def words(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat_ws(" ", (0 until 30).map(i =>
+        concat(lit("w"), pmod(xxhash64(seed * 31 + lit(i)), lit(5000)))): _*)
+    val corpus = spark.range(0, nCorpus)
+      .select(col("id").as("doc_id"), words(col("id")).as("text"))
+    val batch = spark.range(nCorpus, nCorpus + nBatch)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 20 === 0, words(col("id") - nCorpus + 1))
+          .otherwise(words(col("id"))).as("text"))
+
+    // the in-job operator reads a Tables dir: materialize corpus+batch
+    // exactly once so parquet scan cost is identical for both paths
+    val dir = java.nio.file.Files.createTempDirectory("storebench").toString
+    corpus.unionByName(batch).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t = Tables(spark, dir)
+    val corpusDocs = t.documents.filter(col("doc_id") < nCorpus)
+    val batchDocs = t.documents.filter(col("doc_id") >= nCorpus)
+
+    def timed(mk: => DataFrame): (Double, Long) = {
+      mk.count() // untimed warmup: JIT + page cache, like Bench's table warmup
+      val reps = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = mk.count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      reps.minBy(_._1)
+    }
+
+    Seq("storebench_sig_bands", "storebench_sig_sigs")
+      .foreach(graft.sources.Warehouse.drop(spark, _))
+    val tb0 = System.nanoTime()
+    Dedup.buildSignatureStore(corpusDocs, "storebench_sig")
+    val buildSec = (System.nanoTime() - tb0) / 1e9
+
+    val (probeSec, probeRows) = timed(
+      Dedup.minhashIncrementalAgainstStore("storebench_sig", batchDocs))
+    val (inJobSec, inJobRows) = timed(Dedup.minhashIncremental(t, nCorpus))
+
+    assert(probeRows == inJobRows,
+      s"store probe must equal the in-job operator: $probeRows vs $inJobRows")
+    println(s"""{"metric":"store_probe_vs_injob","corpus_docs":$nCorpus,"batch_docs":$nBatch,""" +
+      s""""store_build_sec":$buildSec,"probe_sec":$probeSec,"injob_sec":$inJobSec,""" +
+      s""""pairs_found":$probeRows,"cpus":$cpus}""")
+    spark.stop()
+  }
+}

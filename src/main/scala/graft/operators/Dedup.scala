@@ -133,7 +133,7 @@ object Dedup {
     * against [[minhashIncremental]].
     */
   def buildSignatureStore(docs: DataFrame, name: String, numHashes: Int = 64,
-      bands: Int = 16, buckets: Int = 8): Unit = {
+      bands: Int = 16, buckets: Int = 32): Unit = {
     val sigs = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
       .filter(size(col("tokens")) > 1)
@@ -154,7 +154,7 @@ object Dedup {
     */
   def minhashIncrementalAgainstStore(name: String, newDocs: DataFrame,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      buckets: Int = 8): DataFrame = {
+      buckets: Int = 32): DataFrame = {
     val spark = newDocs.sparkSession
     val freshSigs = spreadIfNarrow(newDocs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
@@ -356,7 +356,7 @@ object Dedup {
     * bit-equivalent to the in-job recompute (spec-verified).
     */
   def buildSubstringStore(docs: DataFrame, name: String, k: Int = 8,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 32): Unit = {
     val psh = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
       .filter(size(col("tokens")) >= k)
@@ -372,7 +372,7 @@ object Dedup {
     * O(batch × collisions) plus a store read.
     */
   def substringSpansAgainstStore(name: String, newDocs: DataFrame, k: Int = 8,
-      minSpanTokens: Int = 16, buckets: Int = 8): DataFrame = {
+      minSpanTokens: Int = 16, buckets: Int = 32): DataFrame = {
     val spark = newDocs.sparkSession
     // batch-side columns carry distinct names so the plan (and spec) can
     // tell the batch exchange from a store-side one

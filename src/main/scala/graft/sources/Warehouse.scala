@@ -25,4 +25,19 @@ object Warehouse {
       .saveAsTable(table)
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Drop a table AND its on-disk location: the in-memory catalog
+    * forgets across JVMs but the warehouse dir persists, and
+    * `saveAsTable` refuses to overwrite an orphaned location.
+    */
+  def drop(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
+  }
 }

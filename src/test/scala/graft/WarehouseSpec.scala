@@ -10,18 +10,7 @@ class WarehouseSpec extends SparkSpecBase {
     * previous JVM (the in-memory catalog forgets, the dir persists).
     */
   private def cleanTables(names: String*): Unit =
-    names.foreach { name =>
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:"), name)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(loc)
-      }
-    }
+    names.foreach(Warehouse.drop(spark, _))
 
   test("co-bucketed tables join without any shuffle exchange") {
     val t = Tables(spark, sfDir)
