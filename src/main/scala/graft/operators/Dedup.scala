@@ -134,15 +134,20 @@ object Dedup {
     */
   def buildSignatureStore(docs: DataFrame, name: String, numHashes: Int = 64,
       bands: Int = 16, buckets: Int = 32): Unit = {
-    val sigs = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
-      .filter(size(col("tokens")) > 1)
-      .select(col("doc_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig"))
-      .localCheckpoint(true) // one hash pass feeds both table writes
+    // corpus text is hashed exactly once: the sigs table streams to disk
+    // in the hash pass, and the bands table derives from READING IT BACK
+    // — nothing corpus-sized is ever held resident (an eager checkpoint
+    // here grew superlinearly past ~1M docs on a single host)
+    Warehouse.writeBucketed(
+      spreadIfNarrow(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
+        .filter(size(col("tokens")) > 1)
+        .select(col("doc_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig")),
+      s"${name}_sigs", "doc_id", buckets)
+    val sigs = Warehouse.table(docs.sparkSession, s"${name}_sigs")
     val banded = sigs.select(col("doc_id"), posexplode(sig_bands(col("sig"), bands)))
       .select(col("pos").as("band_idx"), col("col").as("band_hash"), col("doc_id"))
     Warehouse.writeBucketed(banded, s"${name}_bands", "band_hash", buckets)
-    Warehouse.writeBucketed(sigs, s"${name}_sigs", "doc_id", buckets)
   }
 
   /** d7 against the persisted store: the new batch's band keys
