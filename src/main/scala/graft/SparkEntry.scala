@@ -68,6 +68,7 @@ object SparkEntry {
     "t7_repetition" -> ((s, dir) => TextAnalysis.repetition(Tables(s, dir))),
     "t8_unigram_logprob" -> ((s, dir) => TextAnalysis.unigramLogprob(Tables(s, dir))),
     "t9_pii_redact" -> ((s, dir) => TextAnalysis.piiScrub(Tables(s, dir))),
+    "t10_token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(Tables(s, dir))),
     // §2.7 corpus curation
     "dc1_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables(s, dir))),
     "dc2_sample_budget" -> ((s, dir) => Curation.sampleToBudget(Tables(s, dir))),
@@ -673,6 +674,26 @@ object SparkEntry {
         |ORDER BY n DESC, token
         |LIMIT 20""".stripMargin,
     "s4_knn_graph" -> OracleReplicas.s4KnnGraph(),
+    // empty-string tokens are COUNTED (t7's convention — the kernel sees
+    // every array element), so no token <> '' filter here
+    "t10_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY doc_id, token),
+        |n AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS nt FROM tf GROUP BY doc_id),
+        |agg AS (
+        |  SELECT tf.doc_id,
+        |    CAST(MAX(nt) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+        |    -SUM((CAST(c AS DOUBLE) / nt) * ln(CAST(c AS DOUBLE) / nt)) AS h
+        |  FROM tf JOIN n USING (doc_id) GROUP BY tf.doc_id)
+        |SELECT doc_id, n_tokens, distinct_tokens,
+        |  ROUND(h, 6) AS token_entropy,
+        |  ROUND(CASE WHEN distinct_tokens > 1 THEN h / ln(distinct_tokens) ELSE 0.0 END, 6)
+        |    AS norm_entropy
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin,
     "t8_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token

@@ -40,7 +40,18 @@ object RepetitionKernel {
       if (j == 0 || hs(j) != hs(j - 1)) distinctSh += 1
       j += 1
     }
-    InternalRow(n, counts.size(), top, m, distinctSh)
+    // Shannon entropy over the token distribution, from the count map
+    // already built above — the same single pass feeds t7's fractions,
+    // dc6's gate and t10's entropy panel
+    var h = 0.0
+    if (n > 0) {
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val p = it.next().toDouble / n
+        h -= p * math.log(p)
+      }
+    }
+    InternalRow(n, counts.size(), top, m, distinctSh, h)
   }
 }
 
@@ -51,7 +62,8 @@ case class RepetitionStats(child: Expression, k: Int) extends UnaryExpression {
     StructField("distinct_tokens", IntegerType, nullable = false),
     StructField("top_token_count", IntegerType, nullable = false),
     StructField("n_shingles", IntegerType, nullable = false),
-    StructField("distinct_shingles", IntegerType, nullable = false)))
+    StructField("distinct_shingles", IntegerType, nullable = false),
+    StructField("token_entropy", DoubleType, nullable = false)))
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(input: Any): Any =

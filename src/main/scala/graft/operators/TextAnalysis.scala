@@ -260,6 +260,27 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t10: token-distribution entropy per document — Shannon entropy of
+    * the within-doc token histogram plus the [0,1] normalization
+    * H/ln(distinct). Low entropy flags repetitive/templated text from a
+    * different angle than t7's count fractions (a doc can have a low
+    * dup-token fraction yet a very skewed distribution). Computed from
+    * the SAME single codegen pass as t7/dc6 ([[graft.functions.RepetitionStats]]
+    * carries the entropy field) — zero shuffles before the presentation
+    * sort, at any corpus size.
+    */
+  def tokenEntropy(t: Tables, k: Int = 2): DataFrame =
+    t.documents
+      .select(col("doc_id"), repetition_stats(tokensCol, k).as("r"))
+      .select(col("doc_id"),
+        col("r.n_tokens").cast("long").as("n_tokens"),
+        col("r.distinct_tokens").cast("long").as("distinct_tokens"),
+        round(col("r.token_entropy"), 6).as("token_entropy"),
+        round(when(col("r.distinct_tokens") > 1,
+          col("r.token_entropy") / log(col("r.distinct_tokens").cast("double")))
+          .otherwise(0.0), 6).as("norm_entropy"))
+      .orderBy(col("doc_id"))
+
   /** t4: rolling-hash document fingerprints — full-document Karp–Rabin
     * min-window hash (shift-stable) + a coarse bucket for grouping.
     * Custom codegen expression [[graft.functions.RollingFingerprint]].

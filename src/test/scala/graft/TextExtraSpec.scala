@@ -42,6 +42,35 @@ class TextExtraSpec extends SparkSpecBase {
     assert(scores.max - scores.min > 0.01, "scores must discriminate between docs")
   }
 
+  test("t10 token entropy matches hand-computed values and bounds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t10crafted").toString
+    Seq(
+      (0L, "a b c d", "en", "src0", 7L),        // uniform: H = ln 4, norm = 1
+      (1L, "x x x x", "en", "src0", 7L),        // constant: H = 0, norm = 0
+      (2L, "a a a b", "en", "src0", 7L))        // skewed: H = -(3/4 ln 3/4 + 1/4 ln 1/4)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = graft.operators.TextAnalysis.tokenEntropy(Tables(spark, dir)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("token_entropy"), r.getAs[Double]("norm_entropy")))).toMap
+    assert(rows(0L) == ((r6(math.log(4.0)), 1.0)))
+    assert(rows(1L) == ((0.0, 0.0)))
+    val hSkew = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(rows(2L) == ((r6(hSkew), r6(hSkew / math.log(2.0)))))
+
+    // real corpus: entropy in [0, ln distinct], norm in [0, 1]
+    val real = graft.operators.TextAnalysis.tokenEntropy(t).collect()
+    assert(real.length == 500)
+    real.foreach { r =>
+      val h = r.getAs[Double]("token_entropy"); val nm = r.getAs[Double]("norm_entropy")
+      assert(h >= 0.0 && h <= math.log(r.getAs[Long]("distinct_tokens").toDouble) + 1e-6)
+      assert(nm >= 0.0 && nm <= 1.0 + 1e-9)
+    }
+  }
+
   // ---------------------------------------------------------------- t9
 
   private def redactOne(s: String): (Long, Long, Long, String) = {
