@@ -71,9 +71,23 @@ object StoreBench {
 
     assert(probeRows == inJobRows,
       s"store probe must equal the in-job operator: $probeRows vs $inJobRows")
+
+    // same comparison for the substring-granularity store (d10's shape):
+    // positional shingle index on disk vs per-run corpus re-tokenization
+    Seq("storebench_sub_shingles").foreach(graft.sources.Warehouse.drop(spark, _))
+    val ts0 = System.nanoTime()
+    Dedup.buildSubstringStore(corpusDocs, "storebench_sub")
+    val subBuildSec = (System.nanoTime() - ts0) / 1e9
+    val (subProbeSec, subProbeRows) = timed(
+      Dedup.substringSpansAgainstStore("storebench_sub", batchDocs))
+    val (subInJobSec, subInJobRows) = timed(Dedup.substringSpansIncremental(t, nCorpus))
+    assert(subProbeRows == subInJobRows,
+      s"substring store probe must equal the in-job operator: $subProbeRows vs $subInJobRows")
+
     println(s"""{"metric":"store_probe_vs_injob","corpus_docs":$nCorpus,"batch_docs":$nBatch,""" +
       s""""store_build_sec":$buildSec,"probe_sec":$probeSec,"injob_sec":$inJobSec,""" +
-      s""""pairs_found":$probeRows,"cpus":$cpus}""")
+      s""""pairs_found":$probeRows,"sub_build_sec":$subBuildSec,"sub_probe_sec":$subProbeSec,""" +
+      s""""sub_injob_sec":$subInJobSec,"sub_spans_found":$subProbeRows,"cpus":$cpus}""")
     spark.stop()
   }
 }
