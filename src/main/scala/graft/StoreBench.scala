@@ -28,17 +28,20 @@ object StoreBench {
     spark.sparkContext.setLogLevel("WARN")
 
     // deterministic ~30-token docs over a 5000-word vocabulary; every
-    // 20th batch doc repeats a corpus doc's word sequence shifted by one
-    // word so real near-dup pairs survive banding (the output is not
-    // empty), while the bulk of the batch is fresh text
-    def words(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      concat_ws(" ", (0 until 30).map(i =>
+    // 20th batch doc is a NEAR-dup of a corpus doc — one fresh token
+    // prepended to the corpus doc's 29-token suffix (2-gram shingle
+    // Jaccard ≈ 0.9), so the pairs that survive banding exercise the
+    // near-dup path rather than trivial exact copies — while the bulk
+    // of the batch is fresh text
+    def words(seed: org.apache.spark.sql.Column, from: Int = 0): org.apache.spark.sql.Column =
+      concat_ws(" ", (from until 30).map(i =>
         concat(lit("w"), pmod(xxhash64(seed * 31 + lit(i)), lit(5000)))): _*)
     val corpus = spark.range(0, nCorpus)
       .select(col("id").as("doc_id"), words(col("id")).as("text"))
     val batch = spark.range(nCorpus, nCorpus + nBatch)
       .select(col("id").as("doc_id"),
-        when(col("id") % 20 === 0, words(col("id") - nCorpus + 1))
+        when(col("id") % 20 === 0,
+          concat_ws(" ", concat(lit("x"), col("id")), words(col("id") - nCorpus + 1, from = 1)))
           .otherwise(words(col("id"))).as("text"))
 
     // the in-job operator reads a Tables dir: materialize corpus+batch

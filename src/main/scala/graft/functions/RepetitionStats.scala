@@ -8,9 +8,10 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 object RepetitionKernel {
-  /** Within-document repetition counts in ONE pass over the token array:
+  /** Within-document repetition stats in ONE pass over the token array:
     * (n_tokens, distinct_tokens, top_token_count, n_shingles,
-    * distinct_shingles). These feed the Gopher-style repetition filters
+    * distinct_shingles, token_entropy) — five counters plus the Shannon
+    * entropy of the token histogram. These feed the Gopher-style repetition filters
     * (duplicate-token fraction, top-token dominance, duplicate-n-gram
     * fraction) — inherently per-document map-side work, so the operator
     * built on this never shuffles tokens: only the 5 small counters leave
@@ -55,7 +56,9 @@ object RepetitionKernel {
   }
 }
 
-/** repetition_stats(tokens, k) → struct of the five repetition counters. */
+/** repetition_stats(tokens, k) → struct of the five repetition counters
+  * plus the token-entropy double (t10's signal, same single pass).
+  */
 case class RepetitionStats(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", IntegerType, nullable = false),
