@@ -133,7 +133,8 @@ object Dedup {
     * against [[minhashIncremental]].
     */
   def buildSignatureStore(docs: DataFrame, name: String, numHashes: Int = 64,
-      bands: Int = 16, buckets: Int = 32): Unit = {
+      bands: Int = 16, buckets: Int = 32,
+      maxBandBucket: Option[Long] = Some(QuadraticGuardDefault)): Unit = {
     // corpus text is hashed exactly once: the sigs table streams to disk
     // in the hash pass, and the bands table derives from READING IT BACK
     // — nothing corpus-sized is ever held resident (an eager checkpoint
@@ -148,6 +149,26 @@ object Dedup {
     val banded = sigs.select(col("doc_id"), posexplode(sig_bands(col("sig"), bands)))
       .select(col("pos").as("band_idx"), col("col").as("band_hash"), col("doc_id"))
     Warehouse.writeBucketed(banded, s"${name}_bands", "band_hash", buckets)
+    // quadratic guard, ON by default: a band bucket holding B docs makes
+    // every ingest probe that hits it emit B candidate rows — a
+    // corpus-hot bucket (near-constant documents, a broken tokenizer)
+    // turns each probe quadratic. Checked by reading back the compact
+    // band index (3 longs/row) AFTER the single-pass build, so the text
+    // is not rescanned; a tripped guard refuses to publish the store.
+    maxBandBucket.foreach { m =>
+      val worst = Warehouse.table(docs.sparkSession, s"${name}_bands")
+        .groupBy(col("band_idx"), col("band_hash")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > m).orderBy(col("n").desc).limit(1).collect()
+      worst.headOption.foreach { r =>
+        Seq(s"${name}_sigs", s"${name}_bands")
+          .foreach(Warehouse.drop(docs.sparkSession, _))
+        throw new IllegalStateException(
+          s"signature store '$name' band bucket exceeds maxBandBucket=$m: " +
+            s"band ${r.get(0)} hash ${r.get(1)} holds ${r.getAs[Long]("n")} docs — " +
+            "every probe hitting it would be quadratic; store not published " +
+            "(fix the corpus or opt out with maxBandBucket = None)")
+      }
+    }
   }
 
   /** d7 against the persisted store: the new batch's band keys
@@ -282,6 +303,15 @@ object Dedup {
     * run — but a long span crossing a corpus-hot shingle may split or
     * shrink below `minSpanTokens` (the declared recall trade of the
     * scale path; spec-pinned containment property).
+    *
+    * 100 TB NOTE: this self-contained form `localCheckpoint`s the full
+    * positional shingle index — executor-local, unreplicated storage
+    * sized O(corpus tokens), where one lost executor kills the job. It
+    * is the right shape for a one-shot batch job or the oracle gate;
+    * the sanctioned corpus-scale shape is the PERSISTED index —
+    * [[buildSubstringStore]] once per generation +
+    * [[substringSpansAgainstStore]] per ingest — which keeps nothing
+    * corpus-sized in executor storage.
     */
   def substringSpans(t: Tables, k: Int = 8, minSpanTokens: Int = 16,
       maxDf: Option[Long] = None): DataFrame = {
@@ -325,6 +355,11 @@ object Dedup {
     * is the PERSISTED positional shingle store (the d9 checkpoint kept
     * as a table); an increment reads hashes, not text. Output names the
     * ingest roles: (new_id, dup_of, start_new, start_old, span_tokens).
+    *
+    * 100 TB NOTE: like d9, this self-contained form checkpoints the
+    * whole index executor-locally — use [[buildSubstringStore]] +
+    * [[substringSpansAgainstStore]] as the only sanctioned shape at
+    * corpus scale (see [[substringSpans]]).
     */
   def substringSpansIncremental(t: Tables, splitId: Long = 250, k: Int = 8,
       minSpanTokens: Int = 16): DataFrame = {
@@ -361,13 +396,32 @@ object Dedup {
     * bit-equivalent to the in-job recompute (spec-verified).
     */
   def buildSubstringStore(docs: DataFrame, name: String, k: Int = 8,
-      buckets: Int = 32): Unit = {
+      buckets: Int = 32,
+      maxDf: Option[Long] = Some(QuadraticGuardDefault)): Unit = {
     val psh = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
       .filter(size(col("tokens")) >= k)
       .select(col("doc_id"), posexplode(shingle_hashes(col("tokens"), k)))
       .select(col("col").as("h"), col("doc_id"), (col("pos") + 1).as("pos"))
     Warehouse.writeBucketed(psh, s"${name}_shingles", "h", buckets)
+    // quadratic guard, ON by default (same shape as the signature
+    // store's): a shingle occurring in `df` (doc, pos) slots emits df
+    // rows per probe occurrence — corpus-hot boilerplate makes every
+    // ingest grind. Checked against the written compact index, not the
+    // text; a tripped guard refuses to publish.
+    maxDf.foreach { m =>
+      val worst = Warehouse.table(docs.sparkSession, s"${name}_shingles")
+        .groupBy(col("h")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > m).orderBy(col("n").desc).limit(1).collect()
+      worst.headOption.foreach { r =>
+        Warehouse.drop(docs.sparkSession, s"${name}_shingles")
+        throw new IllegalStateException(
+          s"substring store '$name' shingle df exceeds maxDf=$m: " +
+            s"hash ${r.get(0)} occupies ${r.getAs[Long]("n")} (doc, pos) slots — " +
+            "probes joining it would be quadratic; store not published " +
+            "(cap with d9's maxDf upstream or opt out with maxDf = None)")
+      }
+    }
   }
 
   /** d10 against the persisted store: the new batch's positional
@@ -553,16 +607,20 @@ object Dedup {
     * prune, and a pruned guard is no guard; an action cannot be pruned.
     * Precedent: d2/d4's eager localCheckpoint.) A satisfied guard leaves
     * the returned plan bit-identical to the unguarded one.
+    *
+    * The guard defaults ON at [[QuadraticGuardDefault]] — degenerate
+    * inputs fail loudly unless the caller explicitly opts out with
+    * `maxClusterSize = None`.
     */
   def semDedup(t: Tables, tau: Double = 0.3,
-      maxClusterSize: Option[Long] = None): DataFrame =
+      maxClusterSize: Option[Long] = Some(QuadraticGuardDefault)): DataFrame =
     semDedupOf(t.embeddings, tau, maxClusterSize)
 
   /** d8 over an explicit `(vec_id, label, embedding)` frame — the unit
     * the spec drives with adversarial labelings.
     */
   def semDedupOf(embeddings: DataFrame, tau: Double = 0.3,
-      maxClusterSize: Option[Long] = None): DataFrame = {
+      maxClusterSize: Option[Long] = Some(QuadraticGuardDefault)): DataFrame = {
     val e = embeddings.select(
       col("vec_id"), col("label").as("cluster_id"), col("embedding"))
     maxClusterSize.foreach { m =>

@@ -206,9 +206,13 @@ object Similarity {
     * (small) candidate pair set via plain shuffle joins AQE can promote
     * to broadcasts; the per-node ranking window runs on candidates × 2,
     * not corpus².
+    *
+    * `maxBucketSize` defaults ON at [[QuadraticGuardDefault]] — a
+    * degenerate one-bucket corpus fails loudly unless the caller
+    * explicitly opts out with `None`.
     */
   def knnGraph(t: Tables, k: Int = 3, nbits: Int = 16, seed: Long = 7L,
-      maxBucketSize: Option[Long] = None): DataFrame = {
+      maxBucketSize: Option[Long] = Some(QuadraticGuardDefault)): DataFrame = {
     require(nbits % 4 == 0 && nbits >= 4, s"nbits=$nbits must be a positive multiple of 4")
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
     val bandCols = (0 until nbits / 4).map(b =>

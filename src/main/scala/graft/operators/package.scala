@@ -24,4 +24,15 @@ package object operators {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Default bound for the quadratic-blowup guards (d8 `maxClusterSize`,
+    * s4 `maxBucketSize`, the store builds' `maxDf`/`maxBandBucket`): the
+    * guards are ON by default, opt-out via explicit `None`. 2^20 is
+    * generous — a key reaching it implies ~10^12 candidate pairs, a job
+    * that would never finish anyway — so healthy corpora never trip it,
+    * while a degenerate input (constant embeddings, a buggy upstream
+    * labeler, corpus-hot boilerplate shingles) fails LOUDLY naming the
+    * offending key instead of silently going quadratic at scale.
+    */
+  val QuadraticGuardDefault: Long = 1L << 20
 }

@@ -99,9 +99,49 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("d8 maxClusterSize guard is transparent when no cluster violates it") {
-    val unguarded = Dedup.semDedup(t).collect().toSeq
+    val unguarded = Dedup.semDedup(t, maxClusterSize = None).collect().toSeq
     val guarded = Dedup.semDedup(t, maxClusterSize = Some(1000000L)).collect().toSeq
     assert(guarded == unguarded, "a satisfied guard must not change the output")
+  }
+
+  test("d8 guard defaults ON: a degenerate giant cluster fails loudly with NO explicit bound") {
+    // no maxClusterSize argument — the default must catch a cluster
+    // larger than QuadraticGuardDefault before the quadratic join forms
+    val big = spark.range(0, operators.QuadraticGuardDefault + 1007)
+      .select(col("id").as("vec_id"), lit(0).as("label"),
+        array(lit(1.0f)).as("embedding"))
+    val e = intercept[IllegalStateException] { Dedup.semDedupOf(big) }
+    assert(e.getMessage.contains("maxClusterSize") && e.getMessage.contains("cluster 0"),
+      s"default guard must fire and name the cluster: ${e.getMessage}")
+  }
+
+  test("substring store build refuses to publish a corpus-hot shingle index (default maxDf)") {
+    // one doc of >2^20 identical tokens: every k-shingle hashes alike,
+    // so that hash's df exceeds the default guard — the build must fail
+    // loudly and leave NO published table behind
+    val docs = spark.range(0, 1).select(col("id").as("doc_id"),
+      rtrim(repeat(lit("a "), (operators.QuadraticGuardDefault + 1007).toInt)).as("text"))
+    val e = intercept[IllegalStateException] { Dedup.buildSubstringStore(docs, "guard_sub") }
+    assert(e.getMessage.contains("maxDf") && e.getMessage.contains("not published"),
+      s"default guard must fire: ${e.getMessage}")
+    assert(!spark.catalog.tableExists("guard_sub_shingles"),
+      "a tripped guard must not leave the poisoned store published")
+  }
+
+  test("signature store build guard names a corpus-hot band bucket and refuses to publish") {
+    // 500 identical docs collapse every band into one bucket; the
+    // explicit bound exercises the same code path the default runs at
+    // QuadraticGuardDefault (same shared constant)
+    val docs = spark.range(0, 500).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta").as("text"))
+    val e = intercept[IllegalStateException] {
+      Dedup.buildSignatureStore(docs, "guard_sig", maxBandBucket = Some(100L))
+    }
+    assert(e.getMessage.contains("maxBandBucket=100") && e.getMessage.contains("500"),
+      s"guard must name the bound and the bucket size: ${e.getMessage}")
+    assert(!spark.catalog.tableExists("guard_sig_bands") &&
+      !spark.catalog.tableExists("guard_sig_sigs"),
+      "a tripped guard must unpublish both store tables")
   }
 
   test("d9 substring spans equal brute-force maximal common token runs") {

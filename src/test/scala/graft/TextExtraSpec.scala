@@ -210,6 +210,17 @@ class TextExtraSpec extends SparkSpecBase {
     assert(Similarity.knnGraph(t, maxBucketSize = Some(100000L)).collect().nonEmpty)
   }
 
+  test("s4 guard defaults ON: a bucket past QuadraticGuardDefault fails with NO explicit bound") {
+    val dir = java.nio.file.Files.createTempDirectory("s4defaultguard").toString
+    spark.range(0, operators.QuadraticGuardDefault + 1007)
+      .select(col("id").as("vec_id"), array(lit(1.0f), lit(1.0f)).as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalStateException] { Similarity.knnGraph(Tables(spark, dir)) }
+    assert(e.getMessage.contains("maxBucketSize"),
+      s"default guard must fire on the degenerate corpus: ${e.getMessage}")
+  }
+
   test("s4 kNN graph: an undirected pair scores identically from both endpoints") {
     val rows = Similarity.knnGraph(t).collect()
     val cosOf = rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")) ->
