@@ -503,13 +503,112 @@ object OracleReplicas {
        |HAVING COUNT(*) + ${k - 1} >= $minSpanTokens
        |ORDER BY new_id, dup_of, start_new, start_old""".stripMargin
 
+  /** dc9: the composed end-to-end curation pipeline — gate (dc6's rules)
+    * → exact dedup (d1) → MinHash-LSH clusters + quality keeper
+    * (d2/d6/dc3) → decontamination (dc1) → weighted mixture (dc4) —
+    * chaining the SAME replica fragments the stage oracles use, each
+    * stage restricted to the previous stage's survivors. Mirrors
+    * [[graft.operators.Curation.fullCuration]]. String shingles stand in
+    * for the FNV hash domain as in dc1/d4 (collision-negligible).
+    */
+  def dc9FullCuration(benchSize: Long = 50, shingleK: Int = 3, minShared: Long = 5,
+      totalBudget: Long = 60000, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 42L): String = {
+    val enStopwords = graft.operators.TextAnalysis.Stopwords("en")
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    // k-token ' '-joined shingles: range(1, len(t) - (k - 2)) positions
+    val shingleExpr = (0 until shingleK).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    def shingleCte(cteName: String, from: String): String =
+      s"""$cteName AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t) - ${shingleK - 2}),
+         |    i -> $shingleExpr)) AS shingle
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         |        FROM $from) zt
+         |  WHERE len(t) >= $shingleK) z)""".stripMargin
+    s"""WITH RECURSIVE
+       |corpus AS (SELECT * FROM documents WHERE doc_id >= $benchSize),
+       |gtoks AS (
+       |  SELECT doc_id, source, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM corpus),
+       |gbase AS (
+       |  SELECT doc_id, source, text,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    ROUND(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+       |      / GREATEST(length(text), 1), 6) AS punct_ratio,
+       |    ROUND(CAST(len(list_filter(t, x -> list_contains($enStopwords, x))) AS DOUBLE)
+       |      / GREATEST(len(t), 1), 6) AS stop_ratio,
+       |    len(list_distinct(t)) AS dt,
+       |    list_aggregate(list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x))), 'max') AS topc,
+       |    GREATEST(len(t) - 1, 0) AS nsh,
+       |    len(list_distinct(list_transform(range(1, len(t)), i -> t[i] || chr(31) || t[i+1]))) AS dsh
+       |  FROM gtoks),
+       |gm AS (
+       |  SELECT doc_id, source, text, n_tokens, punct_ratio, stop_ratio,
+       |    ROUND(0.5 * LEAST(n_tokens, 100) / 100.0
+       |        + 0.3 * (1.0 - punct_ratio)
+       |        + 0.2 * LEAST(stop_ratio * 5.0, 1.0), 6) AS quality_score,
+       |    ROUND(1.0 - dt / GREATEST(n_tokens, 1), 6) AS dup_token_frac,
+       |    ROUND(topc / GREATEST(n_tokens, 1), 6) AS top_token_frac,
+       |    ROUND(CASE WHEN nsh > 0 THEN 1.0 - dsh / nsh ELSE 0.0 END, 6) AS dup_2gram_frac
+       |  FROM gbase),
+       |s1 AS (
+       |  SELECT doc_id, source, text, quality_score FROM gm
+       |  WHERE n_tokens >= 16 AND punct_ratio <= 0.10 AND stop_ratio >= 0.01
+       |    AND dup_token_frac <= 0.68 AND top_token_frac <= 0.16 AND dup_2gram_frac <= 0.08),
+       |ex AS (SELECT MIN(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+       |s2 AS (SELECT s1.* FROM s1 JOIN ex USING (doc_id)),
+       |${minhashCtes(numHashes, bands, seed, source = "s2")},
+       |p AS (SELECT doc_a, doc_b FROM cand WHERE est >= $threshold),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+       |verts AS (SELECT DISTINCT s AS doc_id FROM edges),
+       |walk(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM verts
+       |  UNION
+       |  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.doc_id),
+       |labels AS (SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id),
+       |rk AS (
+       |  SELECT l.cluster_id, l.doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY s2.quality_score DESC, l.doc_id) AS rn
+       |  FROM labels l JOIN s2 USING (doc_id)),
+       |drops AS (SELECT doc_id FROM rk WHERE rn > 1),
+       |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+       |${shingleCte("bsh", s"documents WHERE doc_id < $benchSize")},
+       |bench AS (SELECT DISTINCT shingle FROM bsh),
+       |${shingleCte("csh", "s3")},
+       |cont AS (
+       |  SELECT doc_id FROM csh JOIN bench USING (shingle)
+       |  GROUP BY doc_id HAVING COUNT(*) >= $minShared),
+       |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |c AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS ws_tokens
+       |  FROM s4),
+       |wt AS (
+       |  SELECT source, CAST(CAST(substr(source, 4) AS INT) % 3 + 1 AS DOUBLE) AS w
+       |  FROM (SELECT DISTINCT source FROM s4) z),
+       |b AS (
+       |  SELECT source, CAST(FLOOR($totalBudget.0 * w / (SELECT SUM(w) FROM wt)) AS BIGINT) AS src_budget
+       |  FROM wt),
+       |sel AS (
+       |  SELECT doc_id, c.source, ws_tokens, src_budget,
+       |    CAST(SUM(ws_tokens) OVER (PARTITION BY c.source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM c JOIN b ON c.source = b.source)
+       |SELECT doc_id, source, ws_tokens, cum_tokens, src_budget FROM sel
+       |WHERE cum_tokens <= src_budget
+       |ORDER BY source, cum_tokens""".stripMargin
+  }
+
   /** Shared CTEs: tokens → per-doc shingle-FNV list → 64-hash MinHash
     * signature → band-colliding candidate pairs with agreement estimate.
     * `pairCond` selects which (a, b) doc pairs are eligible (self-join
     * upper triangle by default; one-sided splits for incremental dedup).
     */
   private def minhashCtes(numHashes: Int, bands: Int, seed: Long,
-      pairCond: String = "a.doc_id < b.doc_id"): String = {
+      pairCond: String = "a.doc_id < b.doc_id",
+      source: String = "documents"): String = {
     val shingleFnv = fnv64Sql("t[i] || chr(31) || t[i+1] || chr(31)")
     val sigElems = (0 until numHashes).map { j =>
       val a = GraftHash.splitmix64(seed + 2L * j) | 1L
@@ -527,7 +626,7 @@ object OracleReplicas {
       .map(b => s"(a.sig[${per * b + 1}:${per * b + per}] = b.sig[${per * b + 1}:${per * b + per}])")
       .mkString(" OR ")
     s"""toks AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM $source),
        |sh AS (
        |  SELECT doc_id, list_transform(range(1, len(t)), i -> $shingleFnv) AS xs
        |  FROM toks WHERE len(t) > 1),

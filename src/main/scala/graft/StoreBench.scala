@@ -62,8 +62,7 @@ object StoreBench {
       reps.minBy(_._1)
     }
 
-    Seq("storebench_sig_bands", "storebench_sig_sigs")
-      .foreach(graft.sources.Warehouse.drop(spark, _))
+    graft.sources.Warehouse.dropStore(spark, "storebench_sig", Seq("bands", "sigs"))
     val tb0 = System.nanoTime()
     Dedup.buildSignatureStore(corpusDocs, "storebench_sig")
     val buildSec = (System.nanoTime() - tb0) / 1e9
@@ -77,7 +76,7 @@ object StoreBench {
 
     // same comparison for the substring-granularity store (d10's shape):
     // positional shingle index on disk vs per-run corpus re-tokenization
-    Seq("storebench_sub_shingles").foreach(graft.sources.Warehouse.drop(spark, _))
+    graft.sources.Warehouse.dropStore(spark, "storebench_sub", Seq("shingles"))
     val ts0 = System.nanoTime()
     Dedup.buildSubstringStore(corpusDocs, "storebench_sub")
     val subBuildSec = (System.nanoTime() - ts0) / 1e9

@@ -182,10 +182,16 @@ object Curation {
     * the window.
     */
   def sampleToMixture(t: Tables, totalBudget: Long = 60000,
-      weight: Column = expr("try_cast(substr(source, 4) as int)") % 3 + 1): DataFrame = {
-    val docs = t.documents
-      .select(col("doc_id"), col("source"),
-        size(ws_tokens(col("text"))).cast("long").as("ws_tokens"))
+      weight: Column = expr("try_cast(substr(source, 4) as int)") % 3 + 1): DataFrame =
+    mixtureOf(
+      t.documents.select(col("doc_id"), col("source"),
+        size(ws_tokens(col("text"))).cast("long").as("ws_tokens")),
+      totalBudget, weight)
+
+  /** dc4's core over an explicit `(doc_id, source, ws_tokens)` frame —
+    * shared with the composed pipeline ([[fullCuration]]'s final stage).
+    */
+  private def mixtureOf(docs: DataFrame, totalBudget: Long, weight: Column): DataFrame = {
     // a NULL/non-positive weight would silently DELETE its whole source
     // from the mixture (NULL budget ⇒ the cum_tokens<=src_budget filter
     // keeps nothing) — fail loudly at the first evaluated row instead.
@@ -268,5 +274,104 @@ object Curation {
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col("doc_id"), col("source"), col("ws_tokens"), col("cum_tokens"))
       .orderBy(col("source"), col("cum_tokens"))
+  }
+
+  /** dc9: the END-TO-END curation run — the workflow a real pipeline
+    * executes as ONE job, composed from the verified stage operators in
+    * their production order:
+    *
+    *   1. quality gate (dc6's rules) over the training corpus
+    *      (`doc_id >= benchSize`; the eval slice is never trained on),
+    *   2. exact dedup (d1's keep-min-id over md5(text)),
+    *   3. near-dup clusters (d2's MinHash-LSH pairs → d6's propagation)
+    *      with dc3's highest-quality-keeper decision,
+    *   4. benchmark decontamination (dc1's ≥ minShared shared-shingle
+    *      rule against the ungated eval slice),
+    *   5. domain-mixture token budgeting (dc4's weighted md5-priority
+    *      cut) over the survivors.
+    *
+    * Output is dc4's shape over the final survivor set: one row per
+    * kept doc — (doc_id, source, ws_tokens, cum_tokens, src_budget).
+    *
+    * This row exists because stage-boundary bugs (column drift, rounding
+    * at hand-offs, keeper-vs-drop ordering) only surface under
+    * composition — each stage alone is oracle-verified, and this query's
+    * oracle chains the same replicas end-to-end.
+    *
+    * Scale shape: ONE heavy scan computes every per-doc signal map-side
+    * (gate metrics, content hash, MinHash signature, decon shingles,
+    * token count) into a compact checkpointed base — the text column
+    * never enters ANY exchange (PlanShapeSpec-asserted); every
+    * subsequent stage shuffles only ids, hashes, signatures and counts.
+    * The stages keep their individual 100 TB arguments: the exact-dedup
+    * shuffle keys on (hash, id); band self-join on band keys; propagation
+    * on (id, label); decon probes a broadcast eval shingle set; the
+    * mixture windows (source)-keyed count rows.
+    */
+  def fullCuration(t: Tables, benchSize: Long = 50, shingleK: Int = 3,
+      minShared: Long = 5, totalBudget: Long = 60000, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5,
+      weight: Column = expr("try_cast(substr(source, 4) as int)") % 3 + 1): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    // ---- stage 1: gate. One projection computes the dc6 metric panel
+    // plus everything later stages need; the filter keeps the default
+    // dc6 rules (shared formulas — the stages cannot drift).
+    val metrics = TA.gateMetricsOf(
+      spreadIfNarrow(t.documents.filter(col("doc_id") >= benchSize)
+        .select(col("doc_id"), col("source"), col("text"))),
+      keep = Seq(col("source"), col("text"), col("toks")))
+    val gated = metrics.filter(
+      col("n_tokens") >= 16 && col("punct_ratio") <= 0.10 && col("stop_ratio") >= 0.01 &&
+        col("dup_token_frac") <= 0.68 && col("top_token_frac") <= 0.16 &&
+        col("dup_2gram_frac") <= 0.08)
+    // the compact per-doc base: text and tokens die HERE, map-side —
+    // nothing heavier than a 64-long signature ever reaches a shuffle
+    val base = gated.select(
+      col("doc_id"), col("source"), col("quality_score"),
+      md5(col("text")).as("content_hash"),
+      size(col("toks")).cast("long").as("ws_tokens"),
+      when(size(col("toks")) > 1,
+        shingle_minhash(col("toks"), 2, numHashes, 42L)).as("sig"),
+      when(size(col("toks")) >= shingleK,
+        array_distinct(shingle_hashes(col("toks"), shingleK)))
+        .otherwise(array().cast("array<bigint>")).as("shingles"))
+      .localCheckpoint(true) // feeds exact-dedup + 5 later branches
+    // ---- stage 2: exact dedup (d1): keep min doc_id per content hash
+    val exactKeep = base.groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))
+    val s2 = base.join(exactKeep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true) // feeds banding, 2 sig attaches, keeper, decon, mixture
+    // ---- stage 3: near-dup clusters (d2 pairs → d6 propagation) + dc3 keeper
+    val sigs = s2.select(col("doc_id"), col("sig"))
+    val pairs = Dedup.lshCandidates(sigs, bands)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .filter(sig_agreement(col("sig_a"), col("sig_b")).cast("double") / numHashes >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = Dedup.clustersOfPairs(pairs)
+    val keepers = clusters
+      .join(s2.select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("quality_score"), (-col("doc_id")).as("nid"))).as("keeper_id"))
+    val dropIds = clusters.join(keepers, Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id"))
+    val s3 = s2.join(dropIds, Seq("doc_id"), "left_anti")
+    // ---- stage 4: decontamination (dc1): the eval slice is UNgated —
+    // benchmark docs are what they are, only the training side is curated
+    val benchSh = t.documents.filter(col("doc_id") < benchSize)
+      .select(ws_tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= shingleK)
+      .select(explode(array_distinct(shingle_hashes(col("toks"), shingleK))).as("shingle"))
+      .distinct()
+    val contaminated = s3.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"))
+    val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
+    // ---- stage 5: mixture (dc4's exact core) over the survivors
+    mixtureOf(s4.select(col("doc_id"), col("source"), col("ws_tokens")),
+      totalBudget, weight)
   }
 }

@@ -46,7 +46,7 @@ object Dedup {
     * pair survives banding. This is the shape that holds at 100 TB: the
     * wide payload is re-attached to the (tiny) surviving pair set by join.
     */
-  private def lshCandidates(sigs: DataFrame, bands: Int): DataFrame = {
+  private[operators] def lshCandidates(sigs: DataFrame, bands: Int): DataFrame = {
     val banded = sigs.select(
       col("doc_id"),
       posexplode(sig_bands(col("sig"), bands)))
@@ -131,10 +131,22 @@ object Dedup {
     * Same kernels and constants as d2/d7 (shingle_minhash seed 42), so
     * probing the store is bit-equivalent to recomputing — spec-verified
     * against [[minhashIncremental]].
+    *
+    * GENERATIONS: each build writes fresh `<name>__g<N>_{sigs,bands}`
+    * tables and atomically publishes N only when both are complete
+    * ([[Warehouse.claimGeneration]]/[[Warehouse.publishGeneration]]) —
+    * a rebuild never touches the live generation, so probes racing it
+    * keep reading their resolved generation bit-identically
+    * (spec-verified). Old generations are reclaimed by
+    * [[Warehouse.vacuumStoreGenerations]].
     */
   def buildSignatureStore(docs: DataFrame, name: String, numHashes: Int = 64,
       bands: Int = 16, buckets: Int = 32,
       maxBandBucket: Option[Long] = Some(QuadraticGuardDefault)): Unit = {
+    val spark = docs.sparkSession
+    val gen = Warehouse.claimGeneration(spark, name)
+    val sigsT = Warehouse.storeTableName(name, gen, "sigs")
+    val bandsT = Warehouse.storeTableName(name, gen, "bands")
     // corpus text is hashed exactly once: the sigs table streams to disk
     // in the hash pass, and the bands table derives from READING IT BACK
     // — nothing corpus-sized is ever held resident (an eager checkpoint
@@ -144,24 +156,24 @@ object Dedup {
         .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
         .filter(size(col("tokens")) > 1)
         .select(col("doc_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig")),
-      s"${name}_sigs", "doc_id", buckets)
-    val sigs = Warehouse.table(docs.sparkSession, s"${name}_sigs")
+      sigsT, "doc_id", buckets)
+    val sigs = Warehouse.table(spark, sigsT)
     val banded = sigs.select(col("doc_id"), posexplode(sig_bands(col("sig"), bands)))
       .select(col("pos").as("band_idx"), col("col").as("band_hash"), col("doc_id"))
-    Warehouse.writeBucketed(banded, s"${name}_bands", "band_hash", buckets)
+    Warehouse.writeBucketed(banded, bandsT, "band_hash", buckets)
     // quadratic guard, ON by default: a band bucket holding B docs makes
     // every ingest probe that hits it emit B candidate rows — a
     // corpus-hot bucket (near-constant documents, a broken tokenizer)
     // turns each probe quadratic. Checked by reading back the compact
     // band index (3 longs/row) AFTER the single-pass build, so the text
-    // is not rescanned; a tripped guard refuses to publish the store.
+    // is not rescanned; a tripped guard refuses to publish the new
+    // generation (the prior one, if any, stays live and untouched).
     maxBandBucket.foreach { m =>
-      val worst = Warehouse.table(docs.sparkSession, s"${name}_bands")
+      val worst = Warehouse.table(spark, bandsT)
         .groupBy(col("band_idx"), col("band_hash")).agg(count(lit(1)).as("n"))
         .filter(col("n") > m).orderBy(col("n").desc).limit(1).collect()
       worst.headOption.foreach { r =>
-        Seq(s"${name}_sigs", s"${name}_bands")
-          .foreach(Warehouse.drop(docs.sparkSession, _))
+        Seq(sigsT, bandsT).foreach(Warehouse.drop(spark, _))
         throw new IllegalStateException(
           s"signature store '$name' band bucket exceeds maxBandBucket=$m: " +
             s"band ${r.get(0)} hash ${r.get(1)} holds ${r.getAs[Long]("n")} docs — " +
@@ -169,6 +181,7 @@ object Dedup {
             "(fix the corpus or opt out with maxBandBucket = None)")
       }
     }
+    Warehouse.publishGeneration(spark, name, gen)
   }
 
   /** d7 against the persisted store: the new batch's band keys
@@ -182,6 +195,12 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
       buckets: Int = 32): DataFrame = {
     val spark = newDocs.sparkSession
+    // resolve the store generation ONCE so both store-side reads (bands
+    // + sigs) pin to the same immutable snapshot even if a rebuild
+    // publishes mid-construction
+    val gen = Warehouse.resolveGeneration(spark, name)
+    val storeBands = Warehouse.table(spark, Warehouse.storeTableName(name, gen, "bands"))
+    val storeSigs = Warehouse.table(spark, Warehouse.storeTableName(name, gen, "sigs"))
     val freshSigs = spreadIfNarrow(newDocs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
       .filter(size(col("tokens")) > 1)
@@ -193,13 +212,13 @@ object Dedup {
       .select(col("new_id"), col("pos").as("fband_idx"), col("col").as("fband_hash"))
       .repartition(buckets, col("fband_hash"))
     val pairs = freshBands
-      .join(Warehouse.table(spark, s"${name}_bands"),
+      .join(storeBands,
         col("fband_idx") === col("band_idx") && col("fband_hash") === col("band_hash"))
       .select(col("new_id"), col("doc_id").as("dup_of"))
       .distinct()
     pairs
       .join(freshSigs, Seq("new_id"))
-      .join(Warehouse.table(spark, s"${name}_sigs")
+      .join(storeSigs
         .select(col("doc_id").as("dup_of"), col("sig").as("sig_b")), Seq("dup_of"))
       .withColumn("est_jaccard",
         sig_agreement(col("sig_a"), col("sig_b")).cast("double") / numHashes)
@@ -398,23 +417,27 @@ object Dedup {
   def buildSubstringStore(docs: DataFrame, name: String, k: Int = 8,
       buckets: Int = 32,
       maxDf: Option[Long] = Some(QuadraticGuardDefault)): Unit = {
+    val spark = docs.sparkSession
+    val gen = Warehouse.claimGeneration(spark, name)
+    val shinglesT = Warehouse.storeTableName(name, gen, "shingles")
     val psh = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
       .filter(size(col("tokens")) >= k)
       .select(col("doc_id"), posexplode(shingle_hashes(col("tokens"), k)))
       .select(col("col").as("h"), col("doc_id"), (col("pos") + 1).as("pos"))
-    Warehouse.writeBucketed(psh, s"${name}_shingles", "h", buckets)
+    Warehouse.writeBucketed(psh, shinglesT, "h", buckets)
     // quadratic guard, ON by default (same shape as the signature
     // store's): a shingle occurring in `df` (doc, pos) slots emits df
     // rows per probe occurrence — corpus-hot boilerplate makes every
     // ingest grind. Checked against the written compact index, not the
-    // text; a tripped guard refuses to publish.
+    // text; a tripped guard refuses to publish the new generation (the
+    // prior one, if any, stays live and untouched).
     maxDf.foreach { m =>
-      val worst = Warehouse.table(docs.sparkSession, s"${name}_shingles")
+      val worst = Warehouse.table(spark, shinglesT)
         .groupBy(col("h")).agg(count(lit(1)).as("n"))
         .filter(col("n") > m).orderBy(col("n").desc).limit(1).collect()
       worst.headOption.foreach { r =>
-        Warehouse.drop(docs.sparkSession, s"${name}_shingles")
+        Warehouse.drop(spark, shinglesT)
         throw new IllegalStateException(
           s"substring store '$name' shingle df exceeds maxDf=$m: " +
             s"hash ${r.get(0)} occupies ${r.getAs[Long]("n")} (doc, pos) slots — " +
@@ -422,6 +445,7 @@ object Dedup {
             "(cap with d9's maxDf upstream or opt out with maxDf = None)")
       }
     }
+    Warehouse.publishGeneration(spark, name, gen)
   }
 
   /** d10 against the persisted store: the new batch's positional
@@ -441,7 +465,8 @@ object Dedup {
       .select(col("doc_id"), posexplode(shingle_hashes(col("tokens"), k)))
       .select(col("col").as("fh"), col("doc_id").as("new_id"), (col("pos") + 1).as("pos_new"))
       .repartition(buckets, col("fh"))
-    val existing = Warehouse.table(spark, s"${name}_shingles")
+    val existing = Warehouse.table(spark,
+      Warehouse.storeTableName(name, Warehouse.resolveGeneration(spark, name), "shingles"))
       .select(col("h"), col("doc_id").as("dup_of"), col("pos").as("pos_old"))
     val w = Window.partitionBy(col("new_id"), col("dup_of"), col("diag")).orderBy(col("pos_new"))
     fresh.join(existing, col("fh") === col("h"))
@@ -477,7 +502,16 @@ object Dedup {
     * minhash pairs (d6 itself), embedding-cosine pairs (dc8's semantic
     * clusters), or any candidate source with the same two columns.
     */
-  def clustersOfPairs(pairGraph: DataFrame, maxIter: Int = 100): DataFrame = {
+  def clustersOfPairs(pairGraph: DataFrame, maxIter: Int = 100): DataFrame =
+    clustersOfPairsCounted(pairGraph, maxIter)._1
+
+  /** [[clustersOfPairs]] plus the number of propagation rounds actually
+    * run — the observable the adversarial convergence spec pins: pointer
+    * jumping must close a diameter-D component in O(log D) rounds, and
+    * the `maxIter` backstop must never be the terminator on real shapes.
+    */
+  private[graft] def clustersOfPairsCounted(pairGraph: DataFrame,
+      maxIter: Int = 100): (DataFrame, Int) = {
     // maxIter is a runaway cap, not the expected round count: min-label
     // propagation needs O(min-label distance) rounds, so a 10-cap could
     // stop a >10-hop chain before the true component min arrives (real
@@ -528,9 +562,9 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    labels
+    (labels
       .select(col("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("cluster_id"), col("doc_id"))
+      .orderBy(col("cluster_id"), col("doc_id")), iter)
   }
 
   /** d5: embedding-cosine near-dup. Random-hyperplane sign sketch (16

@@ -174,10 +174,20 @@ object TextAnalysis {
     * filter that every document must pass through.
     */
   private[operators] def gateMetrics(t: Tables, k: Int = 2): DataFrame =
-    withQualityCols(t.documents.withColumn("toks", tokensCol))
+    gateMetricsOf(t.documents, k)
+
+  /** [[gateMetrics]] over an explicit documents frame, optionally
+    * carrying extra columns through the same single projection (`keep`
+    * may reference `toks`, the tokenized text) — the composition hook
+    * [[Curation.fullCuration]] uses to derive EVERY per-doc signal of
+    * the fused pipeline in one scan.
+    */
+  private[operators] def gateMetricsOf(docs: DataFrame, k: Int = 2,
+      keep: Seq[Column] = Seq.empty): DataFrame =
+    withQualityCols(docs.withColumn("toks", tokensCol))
       .withColumn("r", repetition_stats(col("toks"), k))
       .select(Seq(col("doc_id"), col("n_tokens"), col("punct_ratio"),
-        col("stop_ratio"), col("quality_score")) ++ repetitionFracCols(col("r")): _*)
+        col("stop_ratio"), col("quality_score")) ++ repetitionFracCols(col("r")) ++ keep: _*)
 
   /** t8: unigram language-model score per document (the CCNet-style LM
     * quality proxy): avg over token occurrences of ln P(token), with

@@ -1,5 +1,9 @@
 package graft.sources
 
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Bucketed warehouse tables — the co-located-join layout. Writing both
@@ -25,6 +29,121 @@ object Warehouse {
       .saveAsTable(table)
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  // ---------------------------------------------------------------------
+  // Store generations — atomic publish for multi-table bucketed stores.
+  //
+  // A persisted dedup store is a SET of bucketed tables rebuilt together
+  // once per corpus generation. Rebuild-in-place (SaveMode.Overwrite +
+  // drop) would let an ingest probe racing the rebuild read a dropped or
+  // half-written table. Instead each build writes to fresh
+  // generation-suffixed tables (`<store>__g<N>_<suffix>`) and then
+  // publishes N via an atomic marker-file create — the same
+  // create-new-or-fail primitive SnapshotTable's manifest commit uses —
+  // so probes resolve a generation ONCE at plan construction and read
+  // its immutable tables regardless of concurrent rebuilds. Old
+  // generations stay readable until explicitly vacuumed.
+  //
+  // Marker layout (under the warehouse dir, beside the tables):
+  //   _generations/<store>/claim-N  — a builder owns generation N
+  //                                   (exclusive create; racing builders
+  //                                   get distinct numbers)
+  //   _generations/<store>/ready-N  — generation N's tables are complete
+  //                                   and visible to probes
+  // currentGeneration = max ready N. A build that fails (or trips a
+  // guard) leaves a burned claim with no ready marker — invisible to
+  // probes, cleaned by vacuum.
+  // ---------------------------------------------------------------------
+
+  private def warehousePath(spark: SparkSession): String =
+    spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+
+  private def genDir(spark: SparkSession, store: String): Path =
+    Paths.get(warehousePath(spark), "_generations", store.toLowerCase(java.util.Locale.ROOT))
+
+  private def listGens(dir: Path, prefix: String): Seq[Long] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toSeq.map(_.getFileName.toString)
+        .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toLong).sorted
+      finally s.close()
+    }
+
+  /** The generation-suffixed concrete table name. */
+  def storeTableName(store: String, gen: Long, suffix: String): String =
+    s"${store}__g${gen}_$suffix"
+
+  /** Claim the next free generation number for `store` (atomic
+    * create-new of the claim marker: of two racing builders each gets
+    * its own number). The claimed generation is invisible to probes
+    * until [[publishGeneration]].
+    */
+  def claimGeneration(spark: SparkSession, store: String): Long = {
+    val dir = genDir(spark, store)
+    Files.createDirectories(dir)
+    var n = (listGens(dir, "claim-") ++ listGens(dir, "ready-")).foldLeft(0L)(math.max) + 1
+    while (true) {
+      try { Files.createFile(dir.resolve(s"claim-$n")); return n }
+      catch { case _: java.nio.file.FileAlreadyExistsException => n += 1 }
+    }
+    -1L // unreachable
+  }
+
+  /** Publish a claimed generation: after this, new probes resolve to it.
+    * Probes constructed before the publish keep reading their own
+    * (still-on-disk) generation — snapshot semantics per probe plan.
+    */
+  def publishGeneration(spark: SparkSession, store: String, gen: Long): Unit =
+    Files.createFile(genDir(spark, store).resolve(s"ready-$gen"))
+
+  /** The latest PUBLISHED generation, if any. */
+  def currentGeneration(spark: SparkSession, store: String): Option[Long] =
+    listGens(genDir(spark, store), "ready-").lastOption
+
+  /** Resolve the latest published generation or fail with a build hint. */
+  def resolveGeneration(spark: SparkSession, store: String): Long =
+    currentGeneration(spark, store).getOrElse(throw new IllegalStateException(
+      s"store '$store' has no published generation — run its build first"))
+
+  /** Drop ALL generations of a store (tables + markers) plus any legacy
+    * unversioned `<store>_<suffix>` tables — test/bench hygiene.
+    */
+  def dropStore(spark: SparkSession, store: String, suffixes: Seq[String]): Unit = {
+    val dir = genDir(spark, store)
+    val gens = (listGens(dir, "claim-") ++ listGens(dir, "ready-")).distinct
+    for (g <- gens; s <- suffixes) drop(spark, storeTableName(store, g, s))
+    suffixes.foreach(s => drop(spark, s"${store}_$s"))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    if (Files.exists(dir)) rm(dir.toFile)
+  }
+
+  /** Drop published generations older than the newest `keep`, and any
+    * burned claims below the newest kept generation (a failed build's
+    * leftovers). Never touches the current generation, so probes
+    * resolved against it are safe; probes pinned to an OLDER generation
+    * must finish before vacuum (same contract as SnapshotTable.vacuum).
+    */
+  def vacuumStoreGenerations(spark: SparkSession, store: String,
+      suffixes: Seq[String], keep: Int = 1): Unit = {
+    val dir = genDir(spark, store)
+    val ready = listGens(dir, "ready-")
+    val dropGens = ready.dropRight(keep)
+    val floor = ready.takeRight(keep).headOption.getOrElse(Long.MaxValue)
+    for (g <- dropGens; s <- suffixes) drop(spark, storeTableName(store, g, s))
+    dropGens.foreach { g =>
+      Files.deleteIfExists(dir.resolve(s"ready-$g"))
+      Files.deleteIfExists(dir.resolve(s"claim-$g"))
+    }
+    // burned claims (no ready marker) below the kept floor
+    listGens(dir, "claim-").filter(g => g < floor && !ready.contains(g)).foreach { g =>
+      suffixes.foreach(s => drop(spark, storeTableName(store, g, s)))
+      Files.deleteIfExists(dir.resolve(s"claim-$g"))
+    }
+  }
 
   /** Drop a table AND its on-disk location: the in-memory catalog
     * forgets across JVMs but the warehouse dir persists, and

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
-import graft.sources.Tables
+import graft.sources.{Tables, Warehouse}
 
 class DedupSpec extends SparkSpecBase {
   private lazy val t = Tables(spark, sfDir)
@@ -116,19 +116,23 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("substring store build refuses to publish a corpus-hot shingle index (default maxDf)") {
+    Warehouse.dropStore(spark, "guard_sub", Seq("shingles"))
     // one doc of >2^20 identical tokens: every k-shingle hashes alike,
     // so that hash's df exceeds the default guard — the build must fail
-    // loudly and leave NO published table behind
+    // loudly and publish NO generation
     val docs = spark.range(0, 1).select(col("id").as("doc_id"),
       rtrim(repeat(lit("a "), (operators.QuadraticGuardDefault + 1007).toInt)).as("text"))
     val e = intercept[IllegalStateException] { Dedup.buildSubstringStore(docs, "guard_sub") }
     assert(e.getMessage.contains("maxDf") && e.getMessage.contains("not published"),
       s"default guard must fire: ${e.getMessage}")
-    assert(!spark.catalog.tableExists("guard_sub_shingles"),
-      "a tripped guard must not leave the poisoned store published")
+    assert(Warehouse.currentGeneration(spark, "guard_sub").isEmpty,
+      "a tripped guard must not publish a generation")
+    assert(!spark.catalog.tableExists(Warehouse.storeTableName("guard_sub", 1, "shingles")),
+      "a tripped guard must drop the poisoned generation's table")
   }
 
   test("signature store build guard names a corpus-hot band bucket and refuses to publish") {
+    Warehouse.dropStore(spark, "guard_sig", Seq("bands", "sigs"))
     // 500 identical docs collapse every band into one bucket; the
     // explicit bound exercises the same code path the default runs at
     // QuadraticGuardDefault (same shared constant)
@@ -139,9 +143,11 @@ class DedupSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("maxBandBucket=100") && e.getMessage.contains("500"),
       s"guard must name the bound and the bucket size: ${e.getMessage}")
-    assert(!spark.catalog.tableExists("guard_sig_bands") &&
-      !spark.catalog.tableExists("guard_sig_sigs"),
-      "a tripped guard must unpublish both store tables")
+    assert(Warehouse.currentGeneration(spark, "guard_sig").isEmpty,
+      "a tripped guard must not publish a generation")
+    assert(!spark.catalog.tableExists(Warehouse.storeTableName("guard_sig", 1, "bands")) &&
+      !spark.catalog.tableExists(Warehouse.storeTableName("guard_sig", 1, "sigs")),
+      "a tripped guard must drop both of the generation's tables")
   }
 
   test("d9 substring spans equal brute-force maximal common token runs") {
@@ -224,6 +230,24 @@ class DedupSpec extends SparkSpecBase {
     assert(incr.toVector.sorted == cross.toVector.sorted,
       "one-sided indexing finds exactly the full self-join's cross-split spans")
     assert(incr.forall { case (n, o, _, _, _) => n >= split && o < split })
+  }
+
+  test("propagation closes a 100-node path graph in O(log n) rounds, far from the maxIter backstop") {
+    // adversarial shape for min-label propagation: a pure path
+    // 0-1-2-...-99 (diameter 99). Plain propagation needs ~99 rounds;
+    // pointer jumping must compress the chain exponentially — the
+    // sequential-round count is the dominant cost of the loop at scale,
+    // so this is a performance contract, not just a correctness one.
+    val path = spark.range(0, 99)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val (labels, rounds) = Dedup.clustersOfPairsCounted(path)
+    val rows = labels.collect()
+    assert(rows.length == 100 && rows.forall(_.getAs[Long]("cluster_id") == 0L),
+      "every path node must reach the component minimum label 0")
+    // log2(99) ≈ 6.6; allow headroom for the label-vs-jump interleave,
+    // but far below the linear 99 and the maxIter=100 backstop
+    assert(rounds <= 16, s"pointer jumping took $rounds rounds on a 99-hop path — not logarithmic")
+    assert(rounds < 100, "the maxIter backstop must never be the terminator")
   }
 
   test("d6 clusters equal union-find connected components of the pair graph") {

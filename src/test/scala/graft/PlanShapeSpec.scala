@@ -213,6 +213,48 @@ class PlanShapeSpec extends SparkSpecBase {
       s"only the two attach-join exchanges may carry embeddings:\n${carrying.mkString("\n")}")
   }
 
+  test("dc9 full curation: no keyed exchange in ANY stage job carries text or token arrays") {
+    // the fused pipeline runs as several jobs (checkpoint materializations
+    // + the propagation loop + the final query), so the invariant must be
+    // checked across EVERY executed plan, not just the returned frame's:
+    // text and token arrays die map-side in the one heavy scan; all
+    // later stages shuffle ids/hashes/signatures/counts only. The only
+    // tolerated text-carrying exchange is spreadIfNarrow's round-robin
+    // spread of a degenerate few-split LOCAL scan (absent at scale).
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Curation.fullCuration(t).collect()
+      // listener callbacks are async — wait until the captured count stops moving
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val n = plans.size()
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+      import scala.jdk.CollectionConverters._
+      val offending = plans.asScala.toSeq.flatMap { ex =>
+        ex.split("\n\n").toSeq
+          .filter(b => b.linesIterator.hasNext &&
+            b.linesIterator.next().matches("""\(\d+\) Exchange.*"""))
+          .filter(b => b.linesIterator.exists(l =>
+            l.startsWith("Input ") && "(?<![\\w])(text|toks|tokens)#\\d".r.findFirstIn(l).isDefined))
+          .filterNot(_.contains("roundrobinpartitioning"))
+      }
+      assert(plans.size() > 1, "expected multiple stage jobs (checkpoints + final query)")
+      assert(offending.isEmpty,
+        s"a keyed exchange in a stage job carries text/tokens:\n${offending.mkString("\n\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("spreadIfNarrow: narrow scans spread to full parallelism, well-split scans pass through") {
     val cores = spark.sparkContext.defaultParallelism
     val narrow = spark.range(0, 100, 1, 1).toDF("id")

@@ -47,7 +47,7 @@ class WarehouseSpec extends SparkSpecBase {
   test("persisted signature store: ingest probe equals d7 and never shuffles the store side") {
     import org.apache.spark.sql.functions.col
     val t = Tables(spark, sfDir)
-    cleanTables("sigstore_bands", "sigstore_sigs")
+    Warehouse.dropStore(spark, "sigstore", Seq("bands", "sigs"))
 
     graft.operators.Dedup.buildSignatureStore(
       t.documents.filter(col("doc_id") < 250), "sigstore")
@@ -78,7 +78,7 @@ class WarehouseSpec extends SparkSpecBase {
   test("persisted substring store: ingest probe equals d10 and never shuffles the store side") {
     import org.apache.spark.sql.functions.col
     val t = Tables(spark, sfDir)
-    cleanTables("substore_shingles")
+    Warehouse.dropStore(spark, "substore", Seq("shingles"))
 
     graft.operators.Dedup.buildSubstringStore(
       t.documents.filter(col("doc_id") < 250), "substore")
@@ -98,5 +98,53 @@ class WarehouseSpec extends SparkSpecBase {
       s"store shingles must never shuffle:\n$physical")
     assert(physical.contains("hashpartitioning(fh#"),
       s"the batch side aligns to the store's bucket layout:\n$physical")
+  }
+
+  test("store rebuild publishes a new generation; a probe racing it reads the old one bit-identically") {
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+    Warehouse.dropStore(spark, "genstore", Seq("bands", "sigs"))
+    val batch = t.documents.filter(col("doc_id") >= 250)
+
+    // generation 1: a SMALLER corpus than the rebuild will use, so the
+    // two generations genuinely differ
+    graft.operators.Dedup.buildSignatureStore(
+      t.documents.filter(col("doc_id") < 150), "genstore")
+    val g1 = Warehouse.currentGeneration(spark, "genstore").get
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"), r.getAs[Double]("est_jaccard"))
+    // the in-flight probe: generation resolved NOW, before the rebuild
+    val probe = graft.operators.Dedup.minhashIncrementalAgainstStore("genstore", batch)
+    val before = probe.collect().map(key).toSet
+    assert(before.nonEmpty)
+
+    // the rebuild the verdict's race describes: under drop-and-overwrite
+    // the racing probe read a dropped or half-written table; under
+    // generations it must keep reading g1 unchanged
+    graft.operators.Dedup.buildSignatureStore(
+      t.documents.filter(col("doc_id") < 250), "genstore")
+    val g2 = Warehouse.currentGeneration(spark, "genstore").get
+    assert(g2 > g1, "the rebuild must publish a NEW generation")
+    val after = probe.collect().map(key).toSet
+    assert(after == before, "the pre-rebuild probe must read its generation bit-identically")
+    assert(spark.catalog.tableExists(Warehouse.storeTableName("genstore", g1, "bands")) &&
+      spark.catalog.tableExists(Warehouse.storeTableName("genstore", g1, "sigs")),
+      "the old generation must remain on disk until vacuumed")
+
+    // a probe constructed AFTER the publish resolves g2 and equals the
+    // in-job operator over the rebuilt corpus
+    val fresh = graft.operators.Dedup.minhashIncrementalAgainstStore("genstore", batch)
+      .collect().map(key).toSet
+    val want = graft.operators.Dedup.minhashIncremental(t, 250).collect().map(key).toSet
+    assert(fresh == want, "a fresh probe must see the new generation")
+    assert(fresh != before, "the two generations differ on this corpus split")
+
+    // vacuum reclaims everything but the current generation
+    Warehouse.vacuumStoreGenerations(spark, "genstore", Seq("bands", "sigs"), keep = 1)
+    assert(!spark.catalog.tableExists(Warehouse.storeTableName("genstore", g1, "bands")) &&
+      !spark.catalog.tableExists(Warehouse.storeTableName("genstore", g1, "sigs")),
+      "vacuum must drop the superseded generation")
+    assert(Warehouse.currentGeneration(spark, "genstore").contains(g2),
+      "vacuum must keep the current generation")
   }
 }
