@@ -174,6 +174,7 @@ object Dedup {
         .filter(col("n") > m).orderBy(col("n").desc).limit(1).collect()
       worst.headOption.foreach { r =>
         Seq(sigsT, bandsT).foreach(Warehouse.drop(spark, _))
+        Warehouse.burnClaim(spark, name, gen)
         throw new IllegalStateException(
           s"signature store '$name' band bucket exceeds maxBandBucket=$m: " +
             s"band ${r.get(0)} hash ${r.get(1)} holds ${r.getAs[Long]("n")} docs — " +
@@ -438,6 +439,7 @@ object Dedup {
         .filter(col("n") > m).orderBy(col("n").desc).limit(1).collect()
       worst.headOption.foreach { r =>
         Warehouse.drop(spark, shinglesT)
+        Warehouse.burnClaim(spark, name, gen)
         throw new IllegalStateException(
           s"substring store '$name' shingle df exceeds maxDf=$m: " +
             s"hash ${r.get(0)} occupies ${r.getAs[Long]("n")} (doc, pos) slots — " +

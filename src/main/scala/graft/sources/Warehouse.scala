@@ -121,27 +121,59 @@ object Warehouse {
     if (Files.exists(dir)) rm(dir.toFile)
   }
 
-  /** Drop published generations older than the newest `keep`, and any
-    * burned claims below the newest kept generation (a failed build's
-    * leftovers). Never touches the current generation, so probes
-    * resolved against it are safe; probes pinned to an OLDER generation
-    * must finish before vacuum (same contract as SnapshotTable.vacuum).
+  /** Delete a claimed-but-unpublished generation's claim marker (after
+    * its tables are dropped) — the guard-trip/build-failure cleanup, so
+    * a refused build doesn't permanently burn its generation number.
+    */
+  def burnClaim(spark: SparkSession, store: String, gen: Long): Unit =
+    Files.deleteIfExists(genDir(spark, store).resolve(s"claim-$gen"))
+
+  /** Drop published generations older than the newest `keep`, and
+    * burned claims (a failed build's leftovers) that are provably dead.
+    * Never touches the kept generations, so probes resolved against
+    * them are safe. Safety rules against racing builders/probes:
+    *
+    *  - `minAgeMs` age-gates every reclaimed marker (same contract as
+    *    [[graft.etl.SnapshotTable.vacuum]]): only generations/claims
+    *    whose marker is older than the floor (default 1 h, far beyond
+    *    any build or probe window) are eligible. Pass 0 only when no
+    *    builder can be active and no probe is pinned to an old
+    *    generation.
+    *  - claims are swept only when at least one generation is
+    *    PUBLISHED — before the first publish, every claim may belong to
+    *    an in-flight first build whose tables must not be deleted from
+    *    under it.
+    *  - the highest-numbered claim is never swept even past the age
+    *    gate: it is the one marker an in-flight build (however slow)
+    *    could still publish. Claims below it with no ready marker are
+    *    dead — a later build claimed past them, so theirs either failed
+    *    or published-and-was-vacuumed.
     */
   def vacuumStoreGenerations(spark: SparkSession, store: String,
-      suffixes: Seq[String], keep: Int = 1): Unit = {
+      suffixes: Seq[String], keep: Int = 1, minAgeMs: Long = 3600_000L): Unit = {
     val dir = genDir(spark, store)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(marker: String): Boolean =
+      scala.util.Try(Files.getLastModifiedTime(dir.resolve(marker)).toMillis)
+        .toOption.forall(_ <= cutoff)
     val ready = listGens(dir, "ready-")
-    val dropGens = ready.dropRight(keep)
-    val floor = ready.takeRight(keep).headOption.getOrElse(Long.MaxValue)
+    val dropGens = ready.dropRight(keep).filter(g => oldEnough(s"ready-$g"))
     for (g <- dropGens; s <- suffixes) drop(spark, storeTableName(store, g, s))
     dropGens.foreach { g =>
       Files.deleteIfExists(dir.resolve(s"ready-$g"))
       Files.deleteIfExists(dir.resolve(s"claim-$g"))
     }
-    // burned claims (no ready marker) below the kept floor
-    listGens(dir, "claim-").filter(g => g < floor && !ready.contains(g)).foreach { g =>
-      suffixes.foreach(s => drop(spark, storeTableName(store, g, s)))
-      Files.deleteIfExists(dir.resolve(s"claim-$g"))
+    // burned claims (no ready marker), above or below the kept floor
+    val readyLeft = listGens(dir, "ready-")
+    if (readyLeft.nonEmpty) {
+      val claims = listGens(dir, "claim-")
+      val highest = claims.foldLeft(Long.MinValue)(math.max)
+      claims
+        .filter(g => g != highest && !readyLeft.contains(g) && oldEnough(s"claim-$g"))
+        .foreach { g =>
+          suffixes.foreach(s => drop(spark, storeTableName(store, g, s)))
+          Files.deleteIfExists(dir.resolve(s"claim-$g"))
+        }
     }
   }
 
@@ -151,26 +183,37 @@ object Warehouse {
     * location is resolved from the catalog while the table still
     * exists (covers external/custom-location tables); the fallback for
     * already-orphaned dirs uses the warehouse-dir convention with the
-    * LOWERCASED name (the catalog lowercases managed-table dirs).
+    * LOWERCASED name (the catalog lowercases managed-table dirs). A
+    * resolvable catalog location with a NON-file scheme means the data
+    * lives somewhere this JVM's filesystem cannot (and must not) touch:
+    * DROP TABLE removes the catalog entry and no local rm runs — the
+    * warehouse-dir convention path would be an unrelated directory.
     */
   def drop(spark: SparkSession, name: String): Unit = {
-    val catalogLoc: Option[java.io.File] =
+    val catalogLoc: Option[Either[Unit, java.io.File]] =
       if (spark.catalog.tableExists(name))
         scala.util.Try(new java.net.URI(
           spark.sql(s"DESCRIBE EXTENDED $name")
             .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
             .collect()(0).getString(1))).toOption
-          .filter(u => u.getScheme == null || u.getScheme == "file")
-          .map(u => new java.io.File(u.getPath))
+          .map { u =>
+            if (u.getScheme == null || u.getScheme == "file")
+              Right(new java.io.File(u.getPath))
+            else Left(()) // remote location: catalog drop only, no local rm
+          }
       else None
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    val loc = catalogLoc.getOrElse(new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      name.toLowerCase(java.util.Locale.ROOT)))
+    val loc: Option[java.io.File] = catalogLoc match {
+      case Some(Left(()))  => None
+      case Some(Right(f))  => Some(f)
+      case None            => Some(new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        name.toLowerCase(java.util.Locale.ROOT)))
+    }
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    if (loc.exists()) rm(loc)
+    loc.filter(_.exists()).foreach(rm)
   }
 }

@@ -129,6 +129,10 @@ class DedupSpec extends SparkSpecBase {
       "a tripped guard must not publish a generation")
     assert(!spark.catalog.tableExists(Warehouse.storeTableName("guard_sub", 1, "shingles")),
       "a tripped guard must drop the poisoned generation's table")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "_generations", "guard_sub", "claim-1")),
+      "a tripped guard must burn its own claim marker")
   }
 
   test("signature store build guard names a corpus-hot band bucket and refuses to publish") {
@@ -148,6 +152,10 @@ class DedupSpec extends SparkSpecBase {
     assert(!spark.catalog.tableExists(Warehouse.storeTableName("guard_sig", 1, "bands")) &&
       !spark.catalog.tableExists(Warehouse.storeTableName("guard_sig", 1, "sigs")),
       "a tripped guard must drop both of the generation's tables")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "_generations", "guard_sig", "claim-1")),
+      "a tripped guard must burn its own claim marker")
   }
 
   test("d9 substring spans equal brute-force maximal common token runs") {

@@ -233,7 +233,15 @@ class PlanShapeSpec extends SparkSpecBase {
     spark.listenerManager.register(listener)
     try {
       Curation.fullCuration(t).collect()
-      // listener callbacks are async — wait until the captured count stops moving
+      // listener callbacks are async — flush the shared listener bus
+      // deterministically (LiveListenerBus.waitUntilEmpty is private[spark],
+      // so reach it reflectively), then confirm the count is quiescent so a
+      // late-reported stage job can't slip past the assertion
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods.find(m =>
+        m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .foreach(_.invoke(bus))
       var last = -1; var stable = 0
       while (stable < 3) {
         Thread.sleep(200)
@@ -247,7 +255,7 @@ class PlanShapeSpec extends SparkSpecBase {
             b.linesIterator.next().matches("""\(\d+\) Exchange.*"""))
           .filter(b => b.linesIterator.exists(l =>
             l.startsWith("Input ") && "(?<![\\w])(text|toks|tokens)#\\d".r.findFirstIn(l).isDefined))
-          .filterNot(_.contains("roundrobinpartitioning"))
+          .filterNot(_.toLowerCase.contains("roundrobinpartitioning"))
       }
       assert(plans.size() > 1, "expected multiple stage jobs (checkpoints + final query)")
       assert(offending.isEmpty,

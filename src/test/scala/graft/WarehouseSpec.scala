@@ -139,12 +139,109 @@ class WarehouseSpec extends SparkSpecBase {
     assert(fresh == want, "a fresh probe must see the new generation")
     assert(fresh != before, "the two generations differ on this corpus split")
 
-    // vacuum reclaims everything but the current generation
-    Warehouse.vacuumStoreGenerations(spark, "genstore", Seq("bands", "sigs"), keep = 1)
+    // vacuum reclaims everything but the current generation (minAgeMs=0:
+    // no builder is active and no probe stays pinned past this line)
+    Warehouse.vacuumStoreGenerations(spark, "genstore", Seq("bands", "sigs"),
+      keep = 1, minAgeMs = 0L)
     assert(!spark.catalog.tableExists(Warehouse.storeTableName("genstore", g1, "bands")) &&
       !spark.catalog.tableExists(Warehouse.storeTableName("genstore", g1, "sigs")),
       "vacuum must drop the superseded generation")
     assert(Warehouse.currentGeneration(spark, "genstore").contains(g2),
       "vacuum must keep the current generation")
+  }
+
+  private def genMarker(store: String, marker: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "_generations", store, marker)
+
+  test("vacuum age gate: a seconds-old superseded generation survives the default floor") {
+    Warehouse.dropStore(spark, "agestore", Seq("x"))
+    val g1 = Warehouse.claimGeneration(spark, "agestore")
+    Warehouse.writeBucketed(spark.range(3).toDF("id"),
+      Warehouse.storeTableName("agestore", g1, "x"), "id", 2)
+    Warehouse.publishGeneration(spark, "agestore", g1)
+    val g2 = Warehouse.claimGeneration(spark, "agestore")
+    Warehouse.writeBucketed(spark.range(5).toDF("id"),
+      Warehouse.storeTableName("agestore", g2, "x"), "id", 2)
+    Warehouse.publishGeneration(spark, "agestore", g2)
+
+    // default minAgeMs (1 h): g1 was superseded seconds ago — a probe
+    // could still be pinned to it, so vacuum must leave it alone
+    Warehouse.vacuumStoreGenerations(spark, "agestore", Seq("x"), keep = 1)
+    assert(spark.catalog.tableExists(Warehouse.storeTableName("agestore", g1, "x")),
+      "the age gate must protect a freshly-superseded generation")
+    assert(java.nio.file.Files.exists(genMarker("agestore", s"ready-$g1")))
+
+    // explicit 0 (caller asserts no pinned probes): g1 is reclaimed, g2 kept
+    Warehouse.vacuumStoreGenerations(spark, "agestore", Seq("x"), keep = 1, minAgeMs = 0L)
+    assert(!spark.catalog.tableExists(Warehouse.storeTableName("agestore", g1, "x")))
+    assert(spark.catalog.tableExists(Warehouse.storeTableName("agestore", g2, "x")))
+    Warehouse.dropStore(spark, "agestore", Seq("x"))
+  }
+
+  test("vacuum never reclaims an in-flight build's claim") {
+    Warehouse.dropStore(spark, "claimstore", Seq("x"))
+    // an in-flight FIRST build: a claim with half-written tables and
+    // nothing published — vacuum must not treat it as burned (deleting
+    // its tables would let the build publish a broken generation)
+    val g1 = Warehouse.claimGeneration(spark, "claimstore")
+    Warehouse.writeBucketed(spark.range(3).toDF("id"),
+      Warehouse.storeTableName("claimstore", g1, "x"), "id", 2)
+    Warehouse.vacuumStoreGenerations(spark, "claimstore", Seq("x"), keep = 1, minAgeMs = 0L)
+    assert(java.nio.file.Files.exists(genMarker("claimstore", s"claim-$g1")),
+      "with nothing published, every claim may be an in-flight first build")
+    assert(spark.catalog.tableExists(Warehouse.storeTableName("claimstore", g1, "x")),
+      "the in-flight build's tables must survive the claim sweep")
+
+    // after the first publish: a dead claim BELOW the newest claim is
+    // reclaimed (a later build claimed past it, so its build is gone),
+    // but the highest claim could still publish and is never swept
+    Warehouse.publishGeneration(spark, "claimstore", g1)
+    val dead = Warehouse.claimGeneration(spark, "claimstore")
+    val inflight = Warehouse.claimGeneration(spark, "claimstore")
+    Warehouse.vacuumStoreGenerations(spark, "claimstore", Seq("x"), keep = 1, minAgeMs = 0L)
+    assert(!java.nio.file.Files.exists(genMarker("claimstore", s"claim-$dead")),
+      "a burned claim below the newest claim must be reclaimed (even above the ready floor)")
+    assert(java.nio.file.Files.exists(genMarker("claimstore", s"claim-$inflight")),
+      "the highest claim is never swept — its build may still publish")
+    assert(java.nio.file.Files.exists(genMarker("claimstore", s"ready-$g1")),
+      "the kept generation stays published")
+    Warehouse.dropStore(spark, "claimstore", Seq("x"))
+  }
+
+  test("a guard-tripped rebuild burns its claim and a fresh probe resolves the prior generation") {
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+    Warehouse.dropStore(spark, "guardprobe", Seq("bands", "sigs"))
+    graft.operators.Dedup.buildSignatureStore(
+      t.documents.filter(col("doc_id") < 250), "guardprobe")
+    val g1 = Warehouse.currentGeneration(spark, "guardprobe").get
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"), r.getAs[Double]("est_jaccard"))
+    val batch = t.documents.filter(col("doc_id") >= 250)
+    val before = graft.operators.Dedup.minhashIncrementalAgainstStore("guardprobe", batch)
+      .collect().map(key).toSet
+    assert(before.nonEmpty)
+
+    // the rebuild trips its guard (bound 0: any non-empty bucket fails)
+    val e = intercept[IllegalStateException] {
+      graft.operators.Dedup.buildSignatureStore(
+        t.documents.filter(col("doc_id") < 250), "guardprobe",
+        maxBandBucket = Some(0L))
+    }
+    assert(e.getMessage.contains("not published"))
+
+    // probe side of the guard contract: a probe constructed AFTER the
+    // tripped rebuild still resolves g1 and reads it bit-identically
+    assert(Warehouse.currentGeneration(spark, "guardprobe").contains(g1),
+      "a tripped rebuild must leave the prior generation current")
+    val after = graft.operators.Dedup.minhashIncrementalAgainstStore("guardprobe", batch)
+      .collect().map(key).toSet
+    assert(after == before, "a fresh probe after a tripped rebuild must equal the pre-trip probe")
+    // and the failed build reclaimed its own claim marker
+    assert(!java.nio.file.Files.exists(genMarker("guardprobe", s"claim-${g1 + 1}")),
+      "a tripped guard must burn its claim so the generation number is not leaked forever")
+    Warehouse.dropStore(spark, "guardprobe", Seq("bands", "sigs"))
   }
 }
