@@ -10,9 +10,12 @@ import graft.functions.GraftHash
   * reproduce the JVM's byte-level hashing exactly, and HUGEINT modular
   * arithmetic emulates wrapping 64/32-bit integer semantics.
   *
-  * Only the IVF probe (s2) has no replica: its k-means centroids are
-  * floating-point accumulation whose cross-engine reproduction is not
-  * meaningful — it is verified by recall-vs-brute-force specs instead.
+  * The IVF probe (s2) is replayable because its k-means runs on
+  * quantized scaled-integer embeddings with integer-SUM centroids
+  * ([[graft.operators.Similarity.kmeansCentroids]]): every double in
+  * the assignment scoring is integer-valued below 2^53, so addition is
+  * exact and order-independent and plain SQL SUMs reproduce the JVM
+  * loop bit-for-bit.
   */
 object OracleReplicas {
 
@@ -379,6 +382,91 @@ object OracleReplicas {
        |      ORDER BY (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END) DESC,
        |               neighbor_id) AS INT) AS rank
        |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, ROUND(cosf, 6) AS cos
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** s2: IVF ANN probe — deterministic k-means replayed round-for-round,
+    * mirroring [[graft.operators.Similarity.ivf]]. Embeddings quantize
+    * to scaled longs (floor(x·S + 0.5), S = 2^12); seeds are the first
+    * `nlist` quantized vectors; each round assigns every vector to its
+    * max-cosine centroid (tie → lowest cid) and rebuilds centroids as
+    * per-dimension integer SUMS of members (cosine is scale-invariant,
+    * so sum ≡ mean). All assignment-scoring doubles are integer-valued
+    * < 2^53 ⇒ exact ⇒ the SQL SUMs equal the JVM's sequential loops
+    * bit-for-bit, and every argmax lands identically. Queries probe
+    * their `nprobe` best centroids; candidates rerank by exact cosine
+    * on the ORIGINAL float embeddings (the s1/s3-precedented pattern).
+    */
+  def s2Ivf(nQueries: Int = 10, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 2, scale: Long = 4096): String = {
+    // cosine from exact dot/na/nb columns (identical CASE/sqrt/div ops
+    // to GraftVec.cosine2 on identical inputs)
+    val cosOf = "CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END"
+    // one assign→sum round: score quantized vectors against the current
+    // long-format centroid table g{i-1}(cid, pos, s), pick argmax, then
+    // per-dimension integer sums of the winners' quantized vectors
+    def round(i: Int, prevCentroids: String): String =
+      s"""r${i}s AS (
+         |  SELECT v.vec_id, g.cid,
+         |    SUM(CAST(v.x AS DOUBLE) * CAST(g.s AS DOUBLE)) AS dot,
+         |    SUM(CAST(v.x AS DOUBLE) * CAST(v.x AS DOUBLE)) AS na,
+         |    SUM(CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)) AS nb
+         |  FROM vx v JOIN $prevCentroids g USING (pos)
+         |  GROUP BY v.vec_id, g.cid),
+         |a$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ($cosOf) DESC, cid) AS rn
+         |    FROM r${i}s) z WHERE rn = 1),
+         |g$i AS (
+         |  SELECT a.cid, v.pos, SUM(v.x) AS s
+         |  FROM a$i a JOIN vx v USING (vec_id) GROUP BY a.cid, v.pos)""".stripMargin
+    val rounds = (1 to iters).map(i => round(i, if (i == 1) "g0" else s"g${i - 1}")).mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $scale.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |vx AS (
+       |  SELECT vec_id, unnest(q) AS x, unnest(range(1, len(q) + 1)) AS pos FROM qv),
+       |g0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, pos, CAST(x AS HUGEINT) AS s
+       |  FROM vx WHERE vec_id < $nlist),
+       |$rounds,
+       |fs AS (
+       |  SELECT v.vec_id, g.cid,
+       |    SUM(CAST(v.x AS DOUBLE) * CAST(g.s AS DOUBLE)) AS dot,
+       |    SUM(CAST(v.x AS DOUBLE) * CAST(v.x AS DOUBLE)) AS na,
+       |    SUM(CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)) AS nb
+       |  FROM vx v JOIN g$iters g USING (pos)
+       |  GROUP BY v.vec_id, g.cid),
+       |fr AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ($cosOf) DESC, cid) AS rn
+       |  FROM fs),
+       |afin AS (SELECT vec_id, cid FROM fr WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cid FROM fr WHERE vec_id < $nQueries AND rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN afin a USING (cid)
+       |  WHERE a.vec_id <> p.query_id),
+       |pr AS (
+       |  SELECT c.query_id, c.neighbor_id, unnest(qe.embedding) AS x, unnest(ne.embedding) AS y
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+       |sc AS (
+       |  SELECT query_id, neighbor_id,
+       |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+       |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+       |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+       |  FROM pr GROUP BY query_id, neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    ($cosOf) AS cosf,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ($cosOf) DESC, neighbor_id) AS INT) AS rank
+       |  FROM sc)
        |SELECT query_id, rank, neighbor_id, ROUND(cosf, 6) AS cos
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin

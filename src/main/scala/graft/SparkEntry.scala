@@ -341,6 +341,7 @@ object SparkEntry {
     // derived from the same splitmix64 streams the expressions use)
     "q22_hll_distinct" -> OracleReplicas.q22HllDistinct(),
     "q25_hll_rollup" -> OracleReplicas.q25HllRollup(),
+    "s2_ann_ivf" -> OracleReplicas.s2Ivf(),
     "s3_ann_lsh" -> OracleReplicas.s3LshTopK(),
     "d2_dedup_minhash" -> OracleReplicas.d2MinhashLsh(),
     "d7_dedup_incremental" -> OracleReplicas.d7MinhashIncremental(),

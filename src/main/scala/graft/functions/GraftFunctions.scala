@@ -64,6 +64,12 @@ object GraftFunctions {
   def sign_sketch(c: Column, nbits: Int = 16, seed: Long = 7L): Column =
     EU.column(SignSketch(EU.expression(c), nbits, seed))
 
+  /** array<float> → array<long> of floor(x·scale + 0.5) — exact,
+    * engine-portable integer quantization (see [[GraftVec.quantize]]).
+    */
+  def quantize_vec(c: Column, scale: Double): Column =
+    EU.column(QuantizeVec(EU.expression(c), scale))
+
   /** Heavy-hitters aggregate over token arrays: SpaceSaving sketch,
     * fixed memory, mergeable partials.
     */

@@ -13,17 +13,44 @@ object GraftVec {
   /** Cosine similarity, accumulated in double for stability. 0.0 when
     * either norm is zero; requires equal lengths.
     */
-  def cosine(a: ArrayData, b: ArrayData): Double = {
+  def cosine(a: ArrayData, b: ArrayData): Double = cosine2(a, b, aFloat = true, bFloat = true)
+
+  /** Element-type-aware cosine: each side is array<float> or
+    * array<double> (`aFloat`/`bFloat` resolved from the static schema).
+    * The accumulation loop is strictly in index order, so a replica that
+    * reduces the same element sequence with the same IEEE ops (DuckDB
+    * `list_reduce`) reproduces the value bit-for-bit.
+    */
+  def cosine2(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Quantize array<float> to scaled longs: floor(x·scale + 0.5). Every
+    * step (float→double widen, multiply by a power-of-two scale, +0.5,
+    * floor, integral truncate) is an exact or exactly-rounded IEEE op, so
+    * any engine computing the same formula over the same floats yields
+    * identical integers — the foundation for cross-engine-deterministic
+    * centroid arithmetic (integer sums are associative; float means are
+    * not).
+    */
+  def quantize(v: ArrayData, scale: Double): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(v.getFloat(i).toDouble * scale + 0.5).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Random-hyperplane sign sketch: `nbits` pseudo-random projections
@@ -52,17 +79,26 @@ object GraftVec {
   }
 }
 
-/** cosine(array<float>, array<float>) → double, codegen'd. */
+/** cosine(array<float|double>, array<float|double>) → double, codegen'd. */
 case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
 
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"cosine_sim expects array<float> or array<double>, got $other")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    java.lang.Double.valueOf(GraftVec.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+    java.lang.Double.valueOf(GraftVec.cosine2(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat(left), isFloat(right)))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = GraftVec.getClass.getName.stripSuffix("$")
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $cls$$.MODULE$$.cosine($a, $b);")
+    val (af, bf) = (isFloat(left), isFloat(right))
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $cls$$.MODULE$$.cosine2($a, $b, $af, $bf);")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
@@ -83,4 +119,23 @@ case class SignSketch(child: Expression, nbits: Int, seed: Long) extends UnaryEx
   }
   override protected def withNewChildInternal(newChild: Expression): SignSketch = copy(child = newChild)
   override def prettyName: String = "sign_sketch"
+}
+
+/** quantize_vec(array<float>) → array<long> of floor(x·scale + 0.5),
+  * codegen'd. See [[GraftVec.quantize]] for the determinism argument.
+  */
+case class QuantizeVec(child: Expression, scale: Double) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(v: Any): Any =
+    GraftVec.quantize(v.asInstanceOf[ArrayData], scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = GraftVec.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $cls$$.MODULE$$.quantize($c, $scale);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVec = copy(child = newChild)
+  override def prettyName: String = "quantize_vec"
 }

@@ -14,10 +14,11 @@ import graft.sources.Tables
   * corpus side streams; only `nQueries × corpus` rows exist transiently
   * and the window shuffles `nQueries × k`-ish data after AQE.
   *
-  * `ivf` is the scale path: a one-iteration k-means (seed vectors →
-  * assign → mean), centroids broadcast, each query probes only its
-  * `nprobe` nearest clusters. At 100 TB the corpus is bucketed by
-  * cluster id on disk and a probe reads `nprobe/nlist` of the data.
+  * `ivf` is the scale path: Lloyd's k-means over deterministic seeds
+  * (assign → integer-sum centroid rounds, see [[kmeansCentroids]]),
+  * centroids broadcast, each query probes only its `nprobe` nearest
+  * clusters. At 100 TB the corpus is bucketed by cluster id on disk and
+  * a probe reads `nprobe/nlist` of the data.
   */
 object Similarity {
 
@@ -40,29 +41,51 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Quantization scale for centroid arithmetic: 2^12 (power of two, so
+    * the float→scaled-long mapping is exact IEEE and engine-portable).
+    * Chosen so every cosine intermediate in the k-means build is an
+    * integer-valued double below 2^53 — worst case dim·(N·S·M)² with
+    * dim=64, component bound M≈0.6 and corpus N ≤ ~4.8k — which makes
+    * double addition EXACT and therefore order-independent: any engine
+    * summing the same integers in any order gets the identical value,
+    * so the whole assign→sum cascade is replayable in plain SQL. Past
+    * that N the JVM result stays deterministic (Long sums, per-row
+    * sequential loops) but cross-engine bit-replay is best-effort.
+    */
+  val KmeansQuantScale: Double = (1L << 12).toDouble
+
   /** Lloyd's k-means over the embedding column: deterministic seeds
-    * (first `nlist` vectors), then `iters` assign→mean rounds. Each
+    * (first `nlist` vectors), then `iters` assign→sum rounds. Each
     * round is one broadcast cross-score + one groupBy; lineage is cut
-    * per round so the plan stays flat. Deterministic — no random init,
-    * so index builds are reproducible run-to-run.
+    * per round so the plan stays flat.
+    *
+    * Centroids are per-dimension SUMS of the members' quantized
+    * (scaled-integer) embeddings, not float means: cosine is invariant
+    * to positive scaling, so sum ≡ mean for every cosine this operator
+    * takes, while Long addition is associative — the build is
+    * bit-deterministic regardless of partitioning AND exactly
+    * replayable by the DuckDB oracle (float avg is neither). Returned
+    * `centroid` is array<double> of exactly-representable integers
+    * (|sum| ≪ 2^53).
     */
   def kmeansCentroids(emb: DataFrame, nlist: Int, iters: Int = 2): DataFrame = {
     val seeds = emb.filter(col("vec_id") < nlist)
-      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
+      .select(col("vec_id").cast("int").as("cid"),
+        quantize_vec(col("embedding"), KmeansQuantScale).cast("array<double>").as("centroid"))
     var centroids = seeds
     var i = 0
     while (i < iters) {
-      // per-dimension mean via posexplode + partial-agg avg: (cid, dim)
-      // keyed shuffle of scalars — never a row holding a whole cluster's
+      // per-dimension sum via posexplode + partial-agg: (cid, dim) keyed
+      // shuffle of scalars — never a row holding a whole cluster's
       // vectors (a collect_list there blows a single row past executor
       // memory at corpus scale). Reassembly is nlist×dim tiny structs.
       centroids = assignNearest(emb, centroids)
-        .select(col("cid"), posexplode(col("embedding")))
+        .select(col("cid"), posexplode(quantize_vec(col("embedding"), KmeansQuantScale)))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("col")).as("avgv"))
+        .agg(sum(col("col")).as("sumv"))
         .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("avgv")))),
-          s => s.getField("avgv").cast("float")).as("centroid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("sumv")))),
+          s => s.getField("sumv").cast("double")).as("centroid"))
         .localCheckpoint(true)
       i += 1
     }
@@ -82,7 +105,8 @@ object Similarity {
     val q = querySet(t, nQueries)
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid"))
     val probes = q.crossJoin(broadcast(refined))
-      .withColumn("ccos", cosine_sim(col("query_emb"), col("centroid")))
+      .withColumn("ccos", cosine_sim(
+        quantize_vec(col("query_emb"), KmeansQuantScale).cast("array<double>"), col("centroid")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("query_emb"), col("cid"))
@@ -126,7 +150,8 @@ object Similarity {
     val q = querySet(t, nQueries)
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid"))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("ccos", cosine_sim(col("query_emb"), col("centroid")))
+      .withColumn("ccos", cosine_sim(
+        quantize_vec(col("query_emb"), KmeansQuantScale).cast("array<double>"), col("centroid")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("query_emb"), col("cid"))
@@ -263,11 +288,15 @@ object Similarity {
     * n×nlist scored rows combine map-side to one row per vector, so only
     * n rows shuffle — a window would shuffle and sort the full cross
     * product. Tie-break (-cid in the ordering struct) matches
-    * `orderBy(ccos.desc, cid)` exactly.
+    * `orderBy(ccos.desc, cid)` exactly. The score is cosine of the
+    * QUANTIZED vector vs the integer-sum centroid: both inputs are exact
+    * integers in any engine, so the assignment is deterministic and
+    * oracle-replayable.
     */
   private def assignNearest(emb: DataFrame, centroids: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroids))
-      .withColumn("ccos", cosine_sim(col("embedding"), col("centroid")))
+      .withColumn("ccos", cosine_sim(
+        quantize_vec(col("embedding"), KmeansQuantScale).cast("array<double>"), col("centroid")))
       .groupBy(col("vec_id"))
       .agg(max_by(
         struct(col("embedding"), col("cid")),

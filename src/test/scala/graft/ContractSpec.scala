@@ -11,10 +11,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite {
 
-  /** Queries whose semantics are not SQL-expressible (floating-point
-    * k-means); each must carry spec-level verification instead.
+  /** Queries whose semantics are not SQL-expressible; each must carry
+    * spec-level verification instead. Empty since round 9: s2's k-means
+    * was re-derived in scaled-integer arithmetic and gained a replica.
     */
-  private val declaredRowsOnly = Set("s2_ann_ivf")
+  private val declaredRowsOnly = Set.empty[String]
 
   private def read(p: String): String =
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
