@@ -162,12 +162,19 @@ object Relational {
     * pushed to the parquet scan; the known-entity set is a semi join.
     */
   def q9Incremental(t: Tables): DataFrame = {
-    // watermark pushed down in the raw INT64-nanos domain: the predicate
-    // reaches the parquet scan (PushedFilters) and prunes at 100 TB,
-    // which a filter on the converted timestamp column cannot do.
-    val wmNanos = lit(java.time.Instant.parse("2024-01-15T00:00:00Z").getEpochSecond * 1000000000L)
-    val fresh = t.eventsRaw.filter(col("ts") > wmNanos)
-    val knownUsers = t.eventsRaw.filter(col("ts") <= wmNanos).select(col("user_id")).distinct()
+    // watermark pushed down in the column's NATIVE domain so the
+    // predicate reaches the parquet scan (PushedFilters) and prunes at
+    // 100 TB: a timestamp literal against a timestamp column, or a raw
+    // nanos long against legacy INT64(NANOS) data — never a comparison
+    // through a conversion expression, which cannot push.
+    val raw = t.eventsRaw
+    val wm = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        lit(java.time.Instant.parse("2024-01-15T00:00:00Z").getEpochSecond * 1000000000L)
+      case dt => lit("2024-01-15 00:00:00").cast(dt)
+    }
+    val fresh = raw.filter(col("ts") > wm)
+    val knownUsers = raw.filter(col("ts") <= wm).select(col("user_id")).distinct()
     fresh
       .join(knownUsers, Seq("user_id"), "left_semi")
       .groupBy(col("user_id"))

@@ -25,16 +25,12 @@ final class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark only
-    * reads with `spark.sql.legacy.parquet.nanosAsLong=true` (LongType).
-    * Normalize here to a microsecond timestamp (truncation, matching what
-    * DuckDB's TIMESTAMP_NS→TIMESTAMP cast does) so downstream operators
-    * see a plain event-time column.
-    */
-  /** events with `ts` as raw INT64 nanoseconds — for operators that need
-    * parquet filter pushdown on event time (a predicate on the converted
-    * timestamp column cannot push through the arithmetic; one on the raw
-    * long reaches the scan and prunes row groups / partitions at scale).
+  /** events with `ts` exactly as stored — microsecond timestamp in
+    * current testdata; raw INT64 nanoseconds (LongType, via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) in legacy drops. For
+    * operators that need parquet filter pushdown on event time: the
+    * predicate must be written in the stored domain (a comparison through
+    * a conversion expression cannot push to the scan).
     */
   def eventsRaw: DataFrame = t("events")
 
