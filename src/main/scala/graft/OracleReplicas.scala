@@ -601,7 +601,40 @@ object OracleReplicas {
     */
   def dc9FullCuration(benchSize: Long = 50, shingleK: Int = 3, minShared: Long = 5,
       totalBudget: Long = 60000, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, seed: Long = 42L): String = {
+      threshold: Double = 0.5, seed: Long = 42L): String =
+    s"""WITH RECURSIVE
+       |${dc9Ctes(benchSize, shingleK, minShared, totalBudget, numHashes, bands, threshold, seed)}
+       |SELECT doc_id, source, ws_tokens, cum_tokens, src_budget FROM sel
+       |WHERE cum_tokens <= src_budget
+       |ORDER BY source, cum_tokens""".stripMargin
+
+  /** dc10: the dc9 attrition audit — per-stage survivor COUNT(*)s over
+    * the SAME chained CTEs the dc9 replica runs, mirroring
+    * [[graft.operators.Curation.fullCurationAudit]].
+    */
+  def dc10CurationAudit(benchSize: Long = 50, shingleK: Int = 3, minShared: Long = 5,
+      totalBudget: Long = 60000, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 42L): String =
+    s"""WITH RECURSIVE
+       |${dc9Ctes(benchSize, shingleK, minShared, totalBudget, numHashes, bands, threshold, seed)}
+       |SELECT * FROM (
+       |  SELECT 0 AS stage_ord, 'corpus' AS stage, (SELECT COUNT(*) FROM corpus) AS survivors
+       |  UNION ALL SELECT 1, 'quality_gate', (SELECT COUNT(*) FROM s1)
+       |  UNION ALL SELECT 2, 'exact_dedup', (SELECT COUNT(*) FROM s2)
+       |  UNION ALL SELECT 3, 'near_dup', (SELECT COUNT(*) FROM s3)
+       |  UNION ALL SELECT 4, 'decontaminate', (SELECT COUNT(*) FROM s4)
+       |  UNION ALL SELECT 5, 'mixture',
+       |    (SELECT COUNT(*) FROM sel WHERE cum_tokens <= src_budget)) z
+       |ORDER BY stage_ord""".stripMargin
+
+  /** The dc9 CTE chain (gate → exact → near-dup → decon → mixture
+    * window), shared verbatim by [[dc9FullCuration]] and
+    * [[dc10CurationAudit]] so the audit oracle counts exactly the rows
+    * the run oracle emits.
+    */
+  private def dc9Ctes(benchSize: Long, shingleK: Int, minShared: Long,
+      totalBudget: Long, numHashes: Int, bands: Int,
+      threshold: Double, seed: Long): String = {
     val enStopwords = graft.operators.TextAnalysis.Stopwords("en")
       .map(w => s"'$w'").mkString("[", ",", "]")
     // k-token ' '-joined shingles: range(1, len(t) - (k - 2)) positions
@@ -613,8 +646,7 @@ object OracleReplicas {
          |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
          |        FROM $from) zt
          |  WHERE len(t) >= $shingleK) z)""".stripMargin
-    s"""WITH RECURSIVE
-       |corpus AS (SELECT * FROM documents WHERE doc_id >= $benchSize),
+    s"""corpus AS (SELECT * FROM documents WHERE doc_id >= $benchSize),
        |gtoks AS (
        |  SELECT doc_id, source, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
        |  FROM corpus),
@@ -683,10 +715,7 @@ object OracleReplicas {
        |    CAST(SUM(ws_tokens) OVER (PARTITION BY c.source
        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-       |  FROM c JOIN b ON c.source = b.source)
-       |SELECT doc_id, source, ws_tokens, cum_tokens, src_budget FROM sel
-       |WHERE cum_tokens <= src_budget
-       |ORDER BY source, cum_tokens""".stripMargin
+       |  FROM c JOIN b ON c.source = b.source)""".stripMargin
   }
 
   /** Shared CTEs: tokens → per-doc shingle-FNV list → 64-hash MinHash

@@ -79,6 +79,7 @@ object SparkEntry {
     "dc7_contamination_report" -> ((s, dir) => Curation.contaminationReport(Tables(s, dir))),
     "dc8_semantic_canonical" -> ((s, dir) => Curation.semanticCanonical(Tables(s, dir))),
     "dc9_full_curation" -> ((s, dir) => Curation.fullCuration(Tables(s, dir))),
+    "dc10_curation_audit" -> ((s, dir) => Curation.fullCurationAudit(Tables(s, dir))),
     // §2.5 multimodal plumbing
     "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
     "m2_frame_sample" -> ((s, dir) => Multimodal.frames(Tables(s, dir))),
@@ -350,6 +351,7 @@ object SparkEntry {
     "dc3_canonical" -> OracleReplicas.dc3Canonical(),
     "dc8_semantic_canonical" -> OracleReplicas.dc8SemanticCanonical(),
     "dc9_full_curation" -> OracleReplicas.dc9FullCuration(),
+    "dc10_curation_audit" -> OracleReplicas.dc10CurationAudit(),
     "d3_dedup_simhash" -> OracleReplicas.d3Simhash(),
     "d5_dedup_embed" -> OracleReplicas.d5EmbedNearDup(),
     // within-cluster cosine domination (SemDeDup stage 2); zipped unnest

@@ -311,7 +311,57 @@ object Curation {
   def fullCuration(t: Tables, benchSize: Long = 50, shingleK: Int = 3,
       minShared: Long = 5, totalBudget: Long = 60000, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.5,
+      weight: Column = expr("try_cast(substr(source, 4) as int)") % 3 + 1): DataFrame =
+    curationStages(t, benchSize, shingleK, minShared, totalBudget, numHashes,
+      bands, threshold, weight).mixture
+
+  /** dc10: the attrition audit of [[fullCuration]] — per-stage survivor
+    * counts (corpus → quality gate → exact dedup → near-dup → decon →
+    * mixture), the summary a real curation run reports first (cf. the
+    * reference's per-table record counts,
+    * /root/reference/main.py:239-280 `_print_summary`). Built over the
+    * SAME stage frames as the run it audits ([[curationStages]]), so the
+    * audit cannot drift from the pipeline; its oracle chains the dc9
+    * replica's stage CTEs' COUNT(*)s.
+    *
+    * Scale shape: each count is a full-pipeline aggregate, but every
+    * stage past the gate reads the one checkpointed compact base (ids,
+    * hashes, signatures — text never shuffles), and a COUNT over each is
+    * a map-side partial + single-row exchange. The union of six
+    * single-row aggregates is driver-trivial at any corpus size.
+    */
+  def fullCurationAudit(t: Tables, benchSize: Long = 50, shingleK: Int = 3,
+      minShared: Long = 5, totalBudget: Long = 60000, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5,
       weight: Column = expr("try_cast(substr(source, 4) as int)") % 3 + 1): DataFrame = {
+    val st = curationStages(t, benchSize, shingleK, minShared, totalBudget,
+      numHashes, bands, threshold, weight)
+    Seq(
+      (0, "corpus", st.corpus),
+      (1, "quality_gate", st.gated),
+      (2, "exact_dedup", st.exact),
+      (3, "near_dup", st.nearDup),
+      (4, "decontaminate", st.decon),
+      (5, "mixture", st.mixture))
+      .map { case (ord, name, df) =>
+        df.agg(count(lit(1)).as("survivors"))
+          .select(lit(ord).as("stage_ord"), lit(name).as("stage"), col("survivors"))
+      }
+      .reduce(_.union(_))
+      .orderBy(col("stage_ord"))
+  }
+
+  /** The composed pipeline's per-stage survivor frames — one builder
+    * shared by [[fullCuration]] (returns the mixture) and
+    * [[fullCurationAudit]] (counts every stage), so the audit audits
+    * exactly the run that ships.
+    */
+  private final case class CurationStages(corpus: DataFrame, gated: DataFrame,
+      exact: DataFrame, nearDup: DataFrame, decon: DataFrame, mixture: DataFrame)
+
+  private def curationStages(t: Tables, benchSize: Long, shingleK: Int,
+      minShared: Long, totalBudget: Long, numHashes: Int,
+      bands: Int, threshold: Double, weight: Column): CurationStages = {
     import graft.operators.{TextAnalysis => TA}
     // ---- stage 1: gate. One projection computes the dc6 metric panel
     // plus everything later stages need; the filter keeps the default
@@ -371,7 +421,10 @@ object Curation {
       .select(col("doc_id"))
     val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
     // ---- stage 5: mixture (dc4's exact core) over the survivors
-    mixtureOf(s4.select(col("doc_id"), col("source"), col("ws_tokens")),
+    val mixture = mixtureOf(s4.select(col("doc_id"), col("source"), col("ws_tokens")),
       totalBudget, weight)
+    CurationStages(
+      corpus = t.documents.filter(col("doc_id") >= benchSize).select(col("doc_id")),
+      gated = base, exact = s2, nearDup = s3, decon = s4, mixture = mixture)
   }
 }

@@ -168,9 +168,17 @@ object Relational {
     // nanos long against legacy INT64(NANOS) data — never a comparison
     // through a conversion expression, which cannot push.
     val raw = t.eventsRaw
+    // tz-independent literals: a string cast to TIMESTAMP_LTZ is interpreted
+    // in spark.sql.session.timeZone, so a non-UTC consumer session would get
+    // a shifted watermark. Instant/LocalDateTime literals pin the instant
+    // (resp. wall-clock) regardless of session zone.
     val wm = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         lit(java.time.Instant.parse("2024-01-15T00:00:00Z").getEpochSecond * 1000000000L)
+      case org.apache.spark.sql.types.TimestampType =>
+        lit(java.time.Instant.parse("2024-01-15T00:00:00Z"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        lit(java.time.LocalDateTime.of(2024, 1, 15, 0, 0))
       case dt => lit("2024-01-15 00:00:00").cast(dt)
     }
     val fresh = raw.filter(col("ts") > wm)

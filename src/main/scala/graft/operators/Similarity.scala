@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
-import graft.sources.Tables
+import graft.sources.{Tables, Warehouse}
 
 /** Approximate-nearest-neighbor search over the embeddings table.
   *
@@ -128,25 +128,44 @@ object Similarity {
   /** Persist the IVF layout: cluster assignments written
     * `partitionBy(cid)`, so a probe's scan prunes to its nprobe cluster
     * directories — at 100 TB a top-k search reads nprobe/nlist of the
-    * corpus from disk, not all of it. Returns the centroid table for the
-    * probe side.
+    * corpus from disk, not all of it. The index is GENERATION-VERSIONED
+    * with the dedup stores' claim/ready protocol
+    * ([[graft.sources.Warehouse.claimPathGeneration]]): data lands at
+    * `<path>/g<gen>` (centroids ride along at `_centroids` inside it, so
+    * a probe always pairs centroids with their exact assignments) and
+    * becomes visible only on publish — a rebuild racing live probes
+    * clobbers nothing, and old generations are reclaimed by
+    * [[graft.sources.Warehouse.vacuumPathGenerations]]. Returns the
+    * centroid table.
     */
   def buildIvfIndex(t: Tables, path: String, nlist: Int = 16): DataFrame = {
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
     val refined = kmeansCentroids(emb, nlist)
-    assignNearest(emb, refined)
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    val gen = Warehouse.claimPathGeneration(path)
+    val genPath = Warehouse.pathGenData(path, gen)
+    try {
+      assignNearest(emb, refined)
+        .write.mode("overwrite").partitionBy("cid").parquet(genPath)
+      // underscore prefix: parquet readers of the index root skip it
+      refined.write.mode("overwrite").parquet(s"$genPath/_centroids")
+    } catch { case e: Throwable => Warehouse.burnPathClaim(path, gen); throw e }
+    Warehouse.publishPathGeneration(path, gen)
     refined
   }
 
   /** Probe the persisted index: nearest `nprobe` centroids per query,
     * then search ONLY those cluster partitions (`cid IN (...)` prunes at
     * the directory level — verified via PartitionFilters in the plan).
+    * The probe resolves the latest PUBLISHED generation at plan time and
+    * stays pinned to it: a concurrent rebuild+publish changes nothing
+    * this plan reads (re-plan to pick up the new generation).
     */
-  def searchIvfIndex(t: Tables, path: String, centroids: DataFrame,
+  def searchIvfIndex(t: Tables, path: String,
       nQueries: Int = 10, k: Int = 5, nprobe: Int = 4): DataFrame = {
     val spark = t.embeddings.sparkSession
-    val index = spark.read.parquet(path)
+    val genPath = Warehouse.pathGenData(path, Warehouse.resolvePathGeneration(path))
+    val centroids = spark.read.parquet(s"$genPath/_centroids")
+    val index = spark.read.parquet(genPath)
     val q = querySet(t, nQueries)
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid"))
     val probes = q.crossJoin(broadcast(centroids))

@@ -79,8 +79,10 @@ object Warehouse {
     * its own number). The claimed generation is invisible to probes
     * until [[publishGeneration]].
     */
-  def claimGeneration(spark: SparkSession, store: String): Long = {
-    val dir = genDir(spark, store)
+  def claimGeneration(spark: SparkSession, store: String): Long =
+    claimIn(genDir(spark, store))
+
+  private def claimIn(dir: Path): Long = {
     Files.createDirectories(dir)
     var n = (listGens(dir, "claim-") ++ listGens(dir, "ready-")).foldLeft(0L)(math.max) + 1
     while (true) {
@@ -172,6 +174,87 @@ object Warehouse {
         .filter(g => g != highest && !readyLeft.contains(g) && oldEnough(s"claim-$g"))
         .foreach { g =>
           suffixes.foreach(s => drop(spark, storeTableName(store, g, s)))
+          Files.deleteIfExists(dir.resolve(s"claim-$g"))
+        }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // PATH-based generation stores: the same claim/ready protocol for
+  // indexes that live as plain (partitioned) parquet DIRECTORIES rather
+  // than warehouse tables — e.g. the IVF index, whose load-bearing scale
+  // property is directory-level partition pruning on cid. Generation g's
+  // data lives at `<root>/g<g>`; markers live at `<root>/_generations`
+  // (underscore-prefixed: invisible to any parquet reader of the root).
+  // Without this, racing rebuilds clobber one shared directory mid-probe.
+  // ---------------------------------------------------------------------
+
+  private def pathGenDir(root: String): Path =
+    Paths.get(root.stripPrefix("file:"), "_generations")
+
+  /** Data directory of generation `gen` under a path store's root. */
+  def pathGenData(root: String, gen: Long): String =
+    s"${root.stripPrefix("file:")}/g$gen"
+
+  /** Claim the next free generation of a directory store (atomic marker
+    * create; racing builders get distinct numbers). Invisible to probes
+    * until [[publishPathGeneration]].
+    */
+  def claimPathGeneration(root: String): Long = claimIn(pathGenDir(root))
+
+  /** Publish a claimed directory-store generation. */
+  def publishPathGeneration(root: String, gen: Long): Unit =
+    Files.createFile(pathGenDir(root).resolve(s"ready-$gen"))
+
+  /** Latest PUBLISHED generation of a directory store, if any. */
+  def currentPathGeneration(root: String): Option[Long] =
+    listGens(pathGenDir(root), "ready-").lastOption
+
+  /** Resolve the latest published generation or fail with a build hint. */
+  def resolvePathGeneration(root: String): Long =
+    currentPathGeneration(root).getOrElse(throw new IllegalStateException(
+      s"path store '$root' has no published generation — run its build first"))
+
+  /** Delete a claimed-but-unpublished directory generation's claim
+    * marker (after its data dir is removed) — build-failure cleanup.
+    */
+  def burnPathClaim(root: String, gen: Long): Unit =
+    Files.deleteIfExists(pathGenDir(root).resolve(s"claim-$gen"))
+
+  /** Vacuum a directory store: same safety rules as
+    * [[vacuumStoreGenerations]] (age gate, keep floor, claims swept only
+    * once something is published, highest claim never swept), deleting
+    * `g<gen>` data directories instead of tables.
+    */
+  def vacuumPathGenerations(root: String, keep: Int = 1,
+      minAgeMs: Long = 3600_000L): Unit = {
+    val dir = pathGenDir(root)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(marker: String): Boolean =
+      scala.util.Try(Files.getLastModifiedTime(dir.resolve(marker)).toMillis)
+        .toOption.forall(_ <= cutoff)
+    def rmData(g: Long): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(pathGenData(root, g)))
+    }
+    val ready = listGens(dir, "ready-")
+    val dropGens = ready.dropRight(keep).filter(g => oldEnough(s"ready-$g"))
+    dropGens.foreach { g =>
+      rmData(g)
+      Files.deleteIfExists(dir.resolve(s"ready-$g"))
+      Files.deleteIfExists(dir.resolve(s"claim-$g"))
+    }
+    val readyLeft = listGens(dir, "ready-")
+    if (readyLeft.nonEmpty) {
+      val claims = listGens(dir, "claim-")
+      val highest = claims.foldLeft(Long.MinValue)(math.max)
+      claims
+        .filter(g => g != highest && !readyLeft.contains(g) && oldEnough(s"claim-$g"))
+        .foreach { g =>
+          rmData(g)
           Files.deleteIfExists(dir.resolve(s"claim-$g"))
         }
     }

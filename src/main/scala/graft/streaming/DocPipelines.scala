@@ -191,6 +191,34 @@ object DocPipelines {
     graft.operators.TextAnalysis.piiRedact(docs, col("text"))
       .drop("text")
 
+  /** Streaming substring dedup — the d10 twin: each arriving micro-batch
+    * of documents probes the PERSISTED positional shingle store
+    * ([[graft.operators.Dedup.substringSpansAgainstStore]]) and the
+    * resulting duplicated-span frame (new_id, dup_of, start_new,
+    * start_old, span_tokens) is handed to `onSpans` with the batch id —
+    * the ingest shape of ExactSubstr dedup as a stream.
+    *
+    * Unlike the MinHash stream, NO streaming state is kept: the corpus
+    * side lives in the generation-versioned warehouse store (built once
+    * per corpus generation by `buildSubstringStore`), so executors hold
+    * nothing corpus-sized and a restart resumes from the checkpoint with
+    * the same store. Each micro-batch pins whatever generation is live
+    * when it probes — exactly the batch ingest's semantics. Like batch
+    * d10, the probe is one-sided: in-batch new×new spans never form
+    * (run the batch d9 over the accumulated corpus for those).
+    */
+  def substringDedupStream(docs: DataFrame, storeName: String,
+      onSpans: (DataFrame, Long) => Unit, k: Int = 8, minSpanTokens: Int = 16,
+      buckets: Int = 32): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onSpans(
+          graft.operators.Dedup.substringSpansAgainstStore(
+            storeName, batch, k, minSpanTokens, buckets),
+          batchId)
+      }
+
   /** Stateless streaming quality scoring — same columns as the batch t2
     * operator, applied per micro-batch with zero state.
     */

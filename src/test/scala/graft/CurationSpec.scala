@@ -229,6 +229,27 @@ class CurationSpec extends SparkSpecBase {
     assert(got.size > 1, "threshold 0.3 yields a non-degenerate cluster structure")
   }
 
+  test("dc10 attrition audit: stages are monotone and consistent with the run it audits") {
+    val audit = Curation.fullCurationAudit(t).collect()
+    assert(audit.map(_.getAs[String]("stage")).toSeq ==
+      Seq("corpus", "quality_gate", "exact_dedup", "near_dup", "decontaminate", "mixture"),
+      "six stages in pipeline order")
+    val counts = audit.map(r => r.getAs[String]("stage") -> r.getAs[Long]("survivors")).toMap
+    // each stage only ever drops rows (a stage may drop nothing at
+    // this tiny sf — the sf0.01 oracle pins the exact per-stage counts)
+    val chain = Seq("corpus", "quality_gate", "exact_dedup", "near_dup", "decontaminate", "mixture")
+    chain.sliding(2).foreach { case Seq(a, b) =>
+      assert(counts(b) <= counts(a), s"stage $b cannot add rows over $a: $counts")
+    }
+    assert(counts("mixture") < counts("corpus"),
+      s"the pipeline must drop SOMETHING on this corpus: $counts")
+    // the audited counts are the run's own: the final stage equals dc9's output
+    assert(counts("mixture") == Curation.fullCuration(t).count(),
+      "audit's mixture row must equal the shipped dc9 row count")
+    assert(counts("corpus") ==
+      t.documents.filter(col("doc_id") >= 50).count(), "input census matches the corpus slice")
+  }
+
   test("t7 repetition scoring: planted duplicate tokens raise the dup fractions") {
     import spark.implicits._
     val docs = Seq(

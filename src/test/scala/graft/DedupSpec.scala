@@ -338,8 +338,8 @@ class DedupSpec extends SparkSpecBase {
 
   test("persisted IVF index prunes cluster partitions and matches in-memory IVF") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_").resolve("idx").toString
-    val centroids = Similarity.buildIvfIndex(t, path)
-    val fromIndex = Similarity.searchIvfIndex(t, path, centroids)
+    Similarity.buildIvfIndex(t, path)
+    val fromIndex = Similarity.searchIvfIndex(t, path)
     // partition pruning visible in the scan: PartitionFilters on cid
     val planStr = fromIndex.queryExecution.executedPlan.toString
     assert(planStr.contains("PartitionFilters") && planStr.contains("cid"), planStr)

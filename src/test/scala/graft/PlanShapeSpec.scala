@@ -107,10 +107,17 @@ class PlanShapeSpec extends SparkSpecBase {
     // and prunes files at 100 TB
     val p = phys(Relational.q9Incremental(t))
     val evScans = scansOf(p, "events")
-    assert(evScans.exists(pushed(_).contains("GreaterThan(ts,")),
-      s"fresh-side watermark must push down:\n$p")
-    assert(evScans.exists(pushed(_).contains("LessThanOrEqual(ts,")),
-      s"known-entity-side watermark must push down:\n$p")
+    // besides the predicate shape, pin the pushed VALUE to the watermark
+    // date: a timezone-shifted literal would still render "GreaterThan(ts,"
+    // but carry the wrong instant. Both renderings carry the date — the
+    // timestamp branch as "2024-01-15...", the legacy INT64(NANOS) branch
+    // as the exact nanos 1705276800000000000.
+    def carriesWatermark(s: String): Boolean =
+      s.contains("2024-01-15") || s.contains("1705276800000000000")
+    assert(evScans.exists(sc => pushed(sc).contains("GreaterThan(ts,") && carriesWatermark(pushed(sc))),
+      s"fresh-side watermark must push down with the watermark value:\n$p")
+    assert(evScans.exists(sc => pushed(sc).contains("LessThanOrEqual(ts,") && carriesWatermark(pushed(sc))),
+      s"known-entity-side watermark must push down with the watermark value:\n$p")
   }
 
   test("dc1: exactly one broadcast-hinted join (the benchmark shingles); no sort-merge join") {

@@ -402,6 +402,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming substring dedup probes the persisted store and equals batch d10 on the same increment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.sources.Tables(spark, sfDir)
+    graft.sources.Warehouse.dropStore(spark, "substream", Seq("shingles"))
+    graft.operators.Dedup.buildSubstringStore(
+      t.documents.filter(col("doc_id") < 250), "substream")
+    val increment = t.documents.filter(col("doc_id") >= 250)
+      .select("doc_id", "text").as[(Long, String)].collect()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Int]("start_new"), r.getAs[Int]("start_old"),
+        r.getAs[Long]("span_tokens"))
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Int, Int, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocPipelines.substringDedupStream(
+        mem.toDF().toDF("doc_id", "text"), "substream",
+        (spans, _) => got ++= spans.collect().map(key))
+      .start()
+    try {
+      // two micro-batches: the probe is one-sided (batch vs store), so
+      // the union over micro-batches must equal the one-shot batch probe
+      val (first, second) = increment.splitAt(increment.length / 2)
+      mem.addData(first.toIndexedSeq); q.processAllAvailable()
+      mem.addData(second.toIndexedSeq); q.processAllAvailable()
+      val want = graft.operators.Dedup.substringSpansIncremental(t, 250)
+        .collect().map(key).toSet
+      assert(got.toSet == want, s"stream probe diverged from batch d10: got $got want $want")
+      assert(got.nonEmpty, "the sf0.001 corpus has cross-split duplicated spans")
+    } finally q.stop()
+  }
+
   test("st2 batch twin: session count equals gap-break count") {
     val t = graft.sources.Tables(spark, sfDir)
     val sessions = EventPipelines.sessionizeBatch(t)

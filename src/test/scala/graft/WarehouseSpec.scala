@@ -210,6 +210,42 @@ class WarehouseSpec extends SparkSpecBase {
     Warehouse.dropStore(spark, "claimstore", Seq("x"))
   }
 
+  test("IVF index rebuild publishes a new generation; a pinned probe survives; vacuum reclaims") {
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfgen_").resolve("idx").toString
+    // generation 1 over a SUBSET corpus so the two generations genuinely
+    // differ: neighbors past vec_id 60 only exist in generation 2
+    val subDir = java.nio.file.Files.createTempDirectory("graft_ivfsub_").toString
+    t.embeddings.filter(col("vec_id") < 60).write.parquet(s"$subDir/embeddings.parquet")
+    graft.operators.Similarity.buildIvfIndex(Tables(spark, subDir), root)
+    assert(graft.sources.Warehouse.currentPathGeneration(root).contains(1L))
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))
+    val p1 = graft.operators.Similarity.searchIvfIndex(t, root)
+    val r1 = p1.collect().map(key).toSeq
+    assert(r1.nonEmpty)
+
+    // rebuild over the FULL corpus: racing probes must see no clobber
+    graft.operators.Similarity.buildIvfIndex(t, root)
+    assert(graft.sources.Warehouse.currentPathGeneration(root).contains(2L),
+      "a rebuild claims and publishes the NEXT generation, never overwrites")
+    assert(p1.collect().map(key).toSeq == r1,
+      "a probe planned before the rebuild stays pinned to its generation bit-identically")
+    val r2 = graft.operators.Similarity.searchIvfIndex(t, root).collect().map(key).toSeq
+    assert(r2 != r1, "the full-corpus generation finds neighbors the subset lacked")
+
+    // vacuum reclaims the old generation but never the kept one
+    graft.sources.Warehouse.vacuumPathGenerations(root, keep = 1, minAgeMs = 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(graft.sources.Warehouse.pathGenData(root, 1L))),
+      "vacuum deletes the superseded generation's data directory")
+    assert(graft.sources.Warehouse.currentPathGeneration(root).contains(2L))
+    assert(graft.operators.Similarity.searchIvfIndex(t, root).collect().map(key).toSeq == r2,
+      "the surviving generation reads back identically after vacuum")
+  }
+
   test("a guard-tripped rebuild burns its claim and a fresh probe resolves the prior generation") {
     import org.apache.spark.sql.functions.col
     val t = Tables(spark, sfDir)
