@@ -223,13 +223,27 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("dc9 full curation: no keyed exchange in ANY stage job carries text or token arrays") {
-    // the fused pipeline runs as several jobs (checkpoint materializations
-    // + the propagation loop + the final query), so the invariant must be
-    // checked across EVERY executed plan, not just the returned frame's:
-    // text and token arrays die map-side in the one heavy scan; all
-    // later stages shuffle ids/hashes/signatures/counts only. The only
-    // tolerated text-carrying exchange is spreadIfNarrow's round-robin
-    // spread of a degenerate few-split LOCAL scan (absent at scale).
+    assertNoTextCarryingExchange(Curation.fullCuration(t).collect())
+  }
+
+  test("dc10 attrition audit inherits dc9's shape: stage counts never shuffle text") {
+    // the audit shares curationStages with the run it audits, so the
+    // same invariant must hold across its jobs — six single-row count
+    // aggregates shuffle nothing wider than the compact base
+    assertNoTextCarryingExchange(Curation.fullCurationAudit(t).collect())
+  }
+
+  /** Runs `job` and asserts no keyed exchange in ANY of its stage jobs
+    * carries text or token arrays. The fused curation pipelines run as
+    * several jobs (checkpoint materializations + the propagation loop +
+    * the final query), so the invariant is checked across EVERY executed
+    * plan, not just the returned frame's: text and token arrays die
+    * map-side in the one heavy scan; all later stages shuffle
+    * ids/hashes/signatures/counts only. The only tolerated text-carrying
+    * exchange is spreadIfNarrow's round-robin spread of a degenerate
+    * few-split LOCAL scan (absent at scale).
+    */
+  private def assertNoTextCarryingExchange(job: => Unit): Unit = {
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
@@ -241,7 +255,7 @@ class PlanShapeSpec extends SparkSpecBase {
     }
     spark.listenerManager.register(listener)
     try {
-      Curation.fullCuration(t).collect()
+      job
       // listener callbacks are async — flush the shared listener bus
       // deterministically (LiveListenerBus.waitUntilEmpty is private[spark],
       // so reach it reflectively), then confirm the count is quiescent so a
