@@ -334,8 +334,14 @@ object Curation {
       minShared: Long = 5, totalBudget: Long = 60000, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.5,
       weight: Column = expr("try_cast(substr(source, 4) as int)") % 3 + 1): DataFrame = {
+    // checkpointStages: without it the audit's six count branches would
+    // re-run the LSH-pair + propagation stage THREE times (Catalyst does
+    // no common-subtree elimination across union branches) — with it,
+    // each stage materializes once and every count reads a materialized
+    // frame. dc9 itself keeps the checkpoint-free plan: its stages feed
+    // exactly one consumer each, so a barrier would only add cost.
     val st = curationStages(t, benchSize, shingleK, minShared, totalBudget,
-      numHashes, bands, threshold, weight)
+      numHashes, bands, threshold, weight, checkpointStages = true)
     Seq(
       (0, "corpus", st.corpus),
       (1, "quality_gate", st.gated),
@@ -361,7 +367,13 @@ object Curation {
 
   private def curationStages(t: Tables, benchSize: Long, shingleK: Int,
       minShared: Long, totalBudget: Long, numHashes: Int,
-      bands: Int, threshold: Double, weight: Column): CurationStages = {
+      bands: Int, threshold: Double, weight: Column,
+      checkpointStages: Boolean = false): CurationStages = {
+    // identity barrier when auditing (multi-consumer stages), no-op for
+    // the single-consumer dc9 chain — same logic either way, so the
+    // audit still audits exactly the shipped pipeline
+    def materialized(df: DataFrame): DataFrame =
+      if (checkpointStages) df.localCheckpoint(true) else df
     import graft.operators.{TextAnalysis => TA}
     // ---- stage 1: gate. One projection computes the dc6 metric panel
     // plus everything later stages need; the filter keeps the default
@@ -406,7 +418,7 @@ object Curation {
     val dropIds = clusters.join(keepers, Seq("cluster_id"))
       .filter(col("doc_id") =!= col("keeper_id"))
       .select(col("doc_id"))
-    val s3 = s2.join(dropIds, Seq("doc_id"), "left_anti")
+    val s3 = materialized(s2.join(dropIds, Seq("doc_id"), "left_anti"))
     // ---- stage 4: decontamination (dc1): the eval slice is UNgated —
     // benchmark docs are what they are, only the training side is curated
     val benchSh = t.documents.filter(col("doc_id") < benchSize)
@@ -419,7 +431,7 @@ object Curation {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("doc_id"))
-    val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
+    val s4 = materialized(s3.join(contaminated, Seq("doc_id"), "left_anti"))
     // ---- stage 5: mixture (dc4's exact core) over the survivors
     val mixture = mixtureOf(s4.select(col("doc_id"), col("source"), col("ws_tokens")),
       totalBudget, weight)
