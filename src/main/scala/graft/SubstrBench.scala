@@ -78,17 +78,23 @@ object SubstrBench {
           max(col("df")).as("max_df"))
         .collect()(0)
 
-      def timed(run: => DataFrame): (Double, Long) = {
+      // collect, don't count: the spans are ~N/1000 rows (driver-tiny)
+      // and the SAME-SPANS claim below must compare the actual answer
+      // sets — equal counts could hide a split-island +1 canceling a
+      // lost-span -1
+      def timed(run: => DataFrame): (Double, Set[String]) = {
         val t0 = System.nanoTime()
-        val rows = run.count()
+        val rows = run.collect().map(_.toString).toSet
         ((System.nanoTime() - t0) / 1e9, rows)
       }
-      val (cappedSec, cappedRows) = timed(Dedup.substringSpans(t, maxDf = Some(cap)))
-      val (uncappedSec, uncappedRows) = timed(Dedup.substringSpans(t, maxDf = None))
+      val (cappedSec, cappedSpans) = timed(Dedup.substringSpans(t, maxDf = Some(cap)))
+      val (uncappedSec, uncappedSpans) = timed(Dedup.substringSpans(t, maxDf = None))
       // the cap must be semantics-free here: boilerplate spans are
       // sub-threshold, so both runs find exactly the planted duplicates
-      require(cappedRows == uncappedRows,
-        s"capped run changed the answer: $cappedRows vs $uncappedRows spans")
+      require(cappedSpans == uncappedSpans,
+        s"capped run changed the answer: ${cappedSpans.size} vs ${uncappedSpans.size} spans, " +
+          s"diff ${(cappedSpans diff uncappedSpans).take(3)} / ${(uncappedSpans diff cappedSpans).take(3)}")
+      val cappedRows = cappedSpans.size
 
       println(s"""{"metric":"substr_maxdf","docs":$n,"cap":$cap,""" +
         s""""capped_sec":$cappedSec,"uncapped_sec":$uncappedSec,""" +

@@ -148,7 +148,16 @@ object Similarity {
         .write.mode("overwrite").partitionBy("cid").parquet(genPath)
       // underscore prefix: parquet readers of the index root skip it
       refined.write.mode("overwrite").parquet(s"$genPath/_centroids")
-    } catch { case e: Throwable => Warehouse.burnPathClaim(path, gen); throw e }
+    } catch { case e: Throwable =>
+      // delete the partial data dir BEFORE burning the claim: a marker-
+      // less g<gen> dir would be invisible to vacuum (markers drive it)
+      // and, if this claim number is re-issued, dynamic partition
+      // overwrite could let stale cid dirs survive into a published
+      // generation
+      Warehouse.deletePathGenData(path, gen)
+      Warehouse.burnPathClaim(path, gen)
+      throw e
+    }
     Warehouse.publishPathGeneration(path, gen)
     refined
   }

@@ -116,11 +116,7 @@ object Warehouse {
     val gens = (listGens(dir, "claim-") ++ listGens(dir, "ready-")).distinct
     for (g <- gens; s <- suffixes) drop(spark, storeTableName(store, g, s))
     suffixes.foreach(s => drop(spark, s"${store}_$s"))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    if (Files.exists(dir)) rm(dir.toFile)
+    if (Files.exists(dir)) rmTree(dir.toFile)
   }
 
   /** Delete a claimed-but-unpublished generation's claim marker (after
@@ -152,15 +148,23 @@ object Warehouse {
     *    or published-and-was-vacuumed.
     */
   def vacuumStoreGenerations(spark: SparkSession, store: String,
-      suffixes: Seq[String], keep: Int = 1, minAgeMs: Long = 3600_000L): Unit = {
-    val dir = genDir(spark, store)
+      suffixes: Seq[String], keep: Int = 1, minAgeMs: Long = 3600_000L): Unit =
+    vacuumIn(genDir(spark, store), keep, minAgeMs) { g =>
+      suffixes.foreach(s => drop(spark, storeTableName(store, g, s)))
+    }
+
+  /** The shared vacuum core (table stores and path stores differ only
+    * in `deleteGen`, the per-generation data delete action — the safety
+    * rules documented on [[vacuumStoreGenerations]] live HERE, once).
+    */
+  private def vacuumIn(dir: Path, keep: Int, minAgeMs: Long)(deleteGen: Long => Unit): Unit = {
     val cutoff = System.currentTimeMillis() - minAgeMs
     def oldEnough(marker: String): Boolean =
       scala.util.Try(Files.getLastModifiedTime(dir.resolve(marker)).toMillis)
         .toOption.forall(_ <= cutoff)
     val ready = listGens(dir, "ready-")
     val dropGens = ready.dropRight(keep).filter(g => oldEnough(s"ready-$g"))
-    for (g <- dropGens; s <- suffixes) drop(spark, storeTableName(store, g, s))
+    dropGens.foreach(deleteGen)
     dropGens.foreach { g =>
       Files.deleteIfExists(dir.resolve(s"ready-$g"))
       Files.deleteIfExists(dir.resolve(s"claim-$g"))
@@ -173,7 +177,7 @@ object Warehouse {
       claims
         .filter(g => g != highest && !readyLeft.contains(g) && oldEnough(s"claim-$g"))
         .foreach { g =>
-          suffixes.foreach(s => drop(spark, storeTableName(store, g, s)))
+          deleteGen(g)
           Files.deleteIfExists(dir.resolve(s"claim-$g"))
         }
     }
@@ -216,49 +220,34 @@ object Warehouse {
       s"path store '$root' has no published generation — run its build first"))
 
   /** Delete a claimed-but-unpublished directory generation's claim
-    * marker (after its data dir is removed) — build-failure cleanup.
+    * marker (after its data dir is removed via [[deletePathGenData]]) —
+    * build-failure cleanup.
     */
   def burnPathClaim(root: String, gen: Long): Unit =
     Files.deleteIfExists(pathGenDir(root).resolve(s"claim-$gen"))
 
+  /** Delete a directory generation's data dir (recursive). Builders call
+    * this on failure BEFORE [[burnPathClaim]]: a marker-less partial dir
+    * would be invisible to vacuum and could poison a re-issued
+    * generation number under dynamic partition overwrite.
+    */
+  def deletePathGenData(root: String, gen: Long): Unit =
+    rmTree(new java.io.File(pathGenData(root, gen)))
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete()
+  }
+
   /** Vacuum a directory store: same safety rules as
     * [[vacuumStoreGenerations]] (age gate, keep floor, claims swept only
-    * once something is published, highest claim never swept), deleting
-    * `g<gen>` data directories instead of tables.
+    * once something is published, highest claim never swept — shared
+    * [[vacuumIn]] core), deleting `g<gen>` data directories instead of
+    * tables.
     */
   def vacuumPathGenerations(root: String, keep: Int = 1,
-      minAgeMs: Long = 3600_000L): Unit = {
-    val dir = pathGenDir(root)
-    val cutoff = System.currentTimeMillis() - minAgeMs
-    def oldEnough(marker: String): Boolean =
-      scala.util.Try(Files.getLastModifiedTime(dir.resolve(marker)).toMillis)
-        .toOption.forall(_ <= cutoff)
-    def rmData(g: Long): Unit = {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(new java.io.File(pathGenData(root, g)))
-    }
-    val ready = listGens(dir, "ready-")
-    val dropGens = ready.dropRight(keep).filter(g => oldEnough(s"ready-$g"))
-    dropGens.foreach { g =>
-      rmData(g)
-      Files.deleteIfExists(dir.resolve(s"ready-$g"))
-      Files.deleteIfExists(dir.resolve(s"claim-$g"))
-    }
-    val readyLeft = listGens(dir, "ready-")
-    if (readyLeft.nonEmpty) {
-      val claims = listGens(dir, "claim-")
-      val highest = claims.foldLeft(Long.MinValue)(math.max)
-      claims
-        .filter(g => g != highest && !readyLeft.contains(g) && oldEnough(s"claim-$g"))
-        .foreach { g =>
-          rmData(g)
-          Files.deleteIfExists(dir.resolve(s"claim-$g"))
-        }
-    }
-  }
+      minAgeMs: Long = 3600_000L): Unit =
+    vacuumIn(pathGenDir(root), keep, minAgeMs)(g => deletePathGenData(root, g))
 
   /** Drop a table AND its on-disk location: the in-memory catalog
     * forgets across JVMs but the warehouse dir persists, and
@@ -293,10 +282,6 @@ object Warehouse {
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
         name.toLowerCase(java.util.Locale.ROOT)))
     }
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    loc.filter(_.exists()).foreach(rm)
+    loc.filter(_.exists()).foreach(rmTree)
   }
 }

@@ -108,12 +108,19 @@ class PlanShapeSpec extends SparkSpecBase {
     val p = phys(Relational.q9Incremental(t))
     val evScans = scansOf(p, "events")
     // besides the predicate shape, pin the pushed VALUE to the watermark
-    // date: a timezone-shifted literal would still render "GreaterThan(ts,"
-    // but carry the wrong instant. Both renderings carry the date — the
-    // timestamp branch as "2024-01-15...", the legacy INT64(NANOS) branch
-    // as the exact nanos 1705276800000000000.
+    // instant: a timezone-shifted literal would still render
+    // "GreaterThan(ts," but carry the wrong instant. Accepted renderings:
+    // the legacy INT64(NANOS) branch's exact nanos, or the timestamp
+    // branch's java.sql.Timestamp rendering of the SAME instant — which
+    // prints in the JVM default zone, so compute it rather than
+    // hard-coding "2024-01-15" (a non-UTC JVM renders the correct
+    // instant with a different wall-clock date)
+    val wmRendered = java.sql.Timestamp
+      .from(java.time.Instant.parse("2024-01-15T00:00:00Z")).toString
+      .stripSuffix(".0")
     def carriesWatermark(s: String): Boolean =
-      s.contains("2024-01-15") || s.contains("1705276800000000000")
+      s.contains(wmRendered) || s.contains("1705276800000000000") ||
+        s.contains("2024-01-15T00:00") // TimestampNTZ branch: zone-less LocalDateTime rendering
     assert(evScans.exists(sc => pushed(sc).contains("GreaterThan(ts,") && carriesWatermark(pushed(sc))),
       s"fresh-side watermark must push down with the watermark value:\n$p")
     assert(evScans.exists(sc => pushed(sc).contains("LessThanOrEqual(ts,") && carriesWatermark(pushed(sc))),

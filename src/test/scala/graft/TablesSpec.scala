@@ -22,8 +22,11 @@ class TablesSpec extends SparkSpecBase {
   test("events.ts is accepted in BOTH physical domains: timestamp and legacy INT64 nanos") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ts_").toString
-    // current shape: TIMESTAMP(MICROS)
-    Seq((1L, java.sql.Timestamp.valueOf("2024-01-20 01:02:03"), 7L, "view", 1.0, "{}"))
+    // current shape: TIMESTAMP(MICROS). Built from a UTC Instant, not
+    // Timestamp.valueOf (which reads the JVM default zone) — this test
+    // must pass on a non-UTC JVM too
+    Seq((1L, java.sql.Timestamp.from(java.time.Instant.parse("2024-01-20T01:02:03Z")),
+        7L, "view", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$dir/micros/events.parquet")
     val micros = Tables(spark, s"$dir/micros")
