@@ -1,0 +1,46 @@
+package graft
+
+/** A whole-inventory scale audit: every `SparkEntry.queries` plan is
+  * built (planning only — nothing executes) and scanned for the two
+  * operators that are scale killers at 100 TB regardless of tuning. The
+  * per-query shape locks live in PlanShapeSpec; this spec is the
+  * backstop that a NEW query (or a Catalyst planning change) cannot
+  * introduce an O(n·m) join without a test turning red.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  /** Queries whose BroadcastNestedLoopJoin is the intended pattern — in
+    * every case a crossJoin against a BROADCAST side that is one row or
+    * dimension-tiny by construction (the scalar-attach idiom), or s1's
+    * by-design brute-force baseline:
+    *  - dc4/dc9/dc10: total-mixture-weight one-row aggregate attach
+    *  - t6: corpus doc-count attach (idf); t8: total-token-count attach
+    *  - s2: queries × nlist(=16) centroid table
+    *  - s1: queries × corpus brute force — the declared correctness
+    *    baseline whose scale paths are s2/s3
+    */
+  private val scalarAttachBnlj = Set(
+    "dc4_mixture", "dc9_full_curation", "dc10_curation_audit",
+    "t6_tfidf", "t8_unigram_logprob", "s2_ann_ivf", "s1_ann_brute")
+
+  test("no query plan contains a CartesianProduct; BNLJ only where declared scalar-attach") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val cart = if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+      val bnlj = if (plan.contains("BroadcastNestedLoopJoin") && !scalarAttachBnlj(name))
+        Seq(s"$name: undeclared BroadcastNestedLoopJoin") else Nil
+      cart ++ bnlj
+    }
+    assert(offenders.isEmpty,
+      s"scale-killer join shapes found (declare in scalarAttachBnlj ONLY if the " +
+        s"broadcast side is provably one-row/tiny):\n${offenders.mkString("\n")}")
+  }
+
+  test("every declared scalar-attach BNLJ still exists (the allowlist cannot go stale)") {
+    val stale = scalarAttachBnlj.filter { name =>
+      !SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin")
+    }
+    assert(stale.isEmpty, s"allowlisted queries no longer plan a BNLJ — prune: $stale")
+  }
+}
