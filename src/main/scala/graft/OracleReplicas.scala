@@ -472,6 +472,103 @@ object OracleReplicas {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** s5: product-quantization ANN — s2's quantized integer-sum k-means
+    * replayed PER SUBSPACE (`sub` rides in every key), then the ADC
+    * scoring chain: per-query (sub, cid) → partial-dot LUT, corpus codes
+    * sum their m hits, top-`nCandidates` rerank by exact cosine. Every
+    * intermediate is an integer-valued double < 2^53 (subspace sums are
+    * strictly smaller than s2's full-dimension ones), so the whole
+    * train→encode→score cascade replays graft's
+    * [[graft.operators.ProductQuant.pqTopK]] bit-for-bit — including the
+    * `trainSize` id-prefix sample bound on the training CTEs.
+    */
+  def s5Pq(nQueries: Int = 10, k: Int = 5, m: Int = 4, nlist: Int = 16,
+      iters: Int = 2, nCandidates: Int = 64, dim: Int = 64,
+      scale: Long = 4096, trainSize: Long = 1024L): String = {
+    val subDim = dim / m
+    val cosOf = "CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END"
+    // one per-subspace assign→sum round against centroids g{i-1}(sub, cid,
+    // pos, s); training reads ONLY the tx sample (mirrors `trainSize`)
+    def round(i: Int, prev: String): String =
+      s"""r${i}s AS (
+         |  SELECT v.vec_id, v.sub, g.cid,
+         |    SUM(CAST(v.x AS DOUBLE) * CAST(g.s AS DOUBLE)) AS dot,
+         |    SUM(CAST(v.x AS DOUBLE) * CAST(v.x AS DOUBLE)) AS na,
+         |    SUM(CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)) AS nb
+         |  FROM tx v JOIN $prev g ON v.sub = g.sub AND v.pos = g.pos
+         |  GROUP BY v.vec_id, v.sub, g.cid),
+         |a$i AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY ($cosOf) DESC, cid) AS rn
+         |    FROM r${i}s) z WHERE rn = 1),
+         |g$i AS (
+         |  SELECT a.sub, a.cid, v.pos, SUM(v.x) AS s
+         |  FROM a$i a JOIN tx v ON a.vec_id = v.vec_id AND a.sub = v.sub
+         |  GROUP BY a.sub, a.cid, v.pos)""".stripMargin
+    val rounds = (1 to iters).map(i => round(i, if (i == 1) "g0" else s"g${i - 1}")).mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $scale.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |vx AS (
+       |  SELECT vec_id, CAST((pos - 1) // $subDim AS INT) AS sub, pos, x FROM (
+       |    SELECT vec_id, unnest(q) AS x, unnest(range(1, len(q) + 1)) AS pos FROM qv) z),
+       |tx AS (SELECT * FROM vx WHERE vec_id < $trainSize),
+       |g0 AS (
+       |  SELECT sub, CAST(vec_id AS INT) AS cid, pos, CAST(x AS HUGEINT) AS s
+       |  FROM tx WHERE vec_id < $nlist),
+       |$rounds,
+       |fs AS (
+       |  SELECT v.vec_id, v.sub, g.cid,
+       |    SUM(CAST(v.x AS DOUBLE) * CAST(g.s AS DOUBLE)) AS dot,
+       |    SUM(CAST(v.x AS DOUBLE) * CAST(v.x AS DOUBLE)) AS na,
+       |    SUM(CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)) AS nb
+       |  FROM vx v JOIN g$iters g ON v.sub = g.sub AND v.pos = g.pos
+       |  GROUP BY v.vec_id, v.sub, g.cid),
+       |codes AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY ($cosOf) DESC, cid) AS rn
+       |    FROM fs) z WHERE rn = 1),
+       |lut AS (
+       |  SELECT v.vec_id AS query_id, v.sub, g.cid,
+       |    SUM(CAST(v.x AS DOUBLE) * CAST(g.s AS DOUBLE)) AS pdot
+       |  FROM vx v JOIN g$iters g ON v.sub = g.sub AND v.pos = g.pos
+       |  WHERE v.vec_id < $nQueries
+       |  GROUP BY v.vec_id, v.sub, g.cid),
+       |adc AS (
+       |  SELECT l.query_id, c.vec_id, SUM(l.pdot) AS adc
+       |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.cid = l.cid
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY l.query_id, c.vec_id
+       |  HAVING COUNT(*) = $m),
+       |cand AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS cr
+       |    FROM adc) z WHERE cr <= $nCandidates),
+       |pr AS (
+       |  SELECT c.query_id, c.neighbor_id, unnest(qe.embedding) AS x, unnest(ne.embedding) AS y
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+       |sc AS (
+       |  SELECT query_id, neighbor_id,
+       |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+       |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+       |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+       |  FROM pr GROUP BY query_id, neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    ($cosOf) AS cosf,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ($cosOf) DESC, neighbor_id) AS INT) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, neighbor_id, ROUND(cosf, 6) AS cos
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** s4: corpus-wide kNN graph — d5/s3's sign sketch (same inlined
     * weights) on every vector, undirected 4-bit band collision pairs,
     * exact cosine, then each pair feeds both endpoints' top-k. Mirrors

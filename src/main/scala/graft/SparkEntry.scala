@@ -41,6 +41,7 @@ object SparkEntry {
     "q23_salted_join" -> ((s, dir) => Relational.q23SaltedJoin(Tables(s, dir))),
     "q24_hist_quantiles" -> ((s, dir) => Relational.q24HistQuantiles(Tables(s, dir))),
     "q25_hll_rollup" -> ((s, dir) => Relational.q25HllRollup(Tables(s, dir))),
+    "q26_retention" -> ((s, dir) => Relational.q26RetentionCohorts(Tables(s, dir))),
     // §2.2 dedup
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir))),
     "d2_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir))),
@@ -57,6 +58,7 @@ object SparkEntry {
     "s2_ann_ivf" -> ((s, dir) => Similarity.ivf(Tables(s, dir))),
     "s3_ann_lsh" -> ((s, dir) => Similarity.lshTopK(Tables(s, dir))),
     "s4_knn_graph" -> ((s, dir) => Similarity.knnGraph(Tables(s, dir))),
+    "s5_ann_pq" -> ((s, dir) => ProductQuant.pqTopK(Tables(s, dir))),
     // §2.4 text analysis
     "t1_langid" -> ((s, dir) => TextAnalysis.langId(Tables(s, dir))),
     "t2_quality" -> ((s, dir) => TextAnalysis.quality(Tables(s, dir))),
@@ -86,6 +88,9 @@ object SparkEntry {
     // §2.6 streaming (batch twins; streaming forms tested in StreamingSpec)
     "st1_stream_window" -> ((s, dir) => graft.streaming.EventPipelines.windowedCountsBatch(Tables(s, dir))),
     "st2_sessionize" -> ((s, dir) => graft.streaming.EventPipelines.sessionizeBatch(Tables(s, dir))),
+    // §2.8 training-sequence assembly
+    "p1_sequence_pack" -> ((s, dir) => Packing.sequencePack(Tables(s, dir))),
+    "p2_pack_stats" -> ((s, dir) => Packing.packStats(Tables(s, dir))),
   )
 
   import OracleReplicas.{fnv64Sql, signed64, jhashSql, signed32, charBytes}
@@ -127,12 +132,71 @@ object SparkEntry {
       |GROUP BY doc_id HAVING COUNT(*) >= 5
       |ORDER BY doc_id""".stripMargin
 
+  /** Shared CTE body for the p1/p2 packing oracles: per-doc token counts,
+    * md5 shard/priority, per-shard running offsets — the exact layout
+    * [[graft.operators.Packing.packedDocs]] computes (budget 512).
+    */
+  private val packCtes: String =
+    """c AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS pri
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, ws_tokens, pri,
+      |    CAST(strpos('0123456789abcdef', substr(pri, 1, 1)) - 1 AS INT) AS shard
+      |  FROM c WHERE ws_tokens > 0),
+      |p AS (
+      |  SELECT doc_id, shard, ws_tokens,
+      |    CAST(SUM(ws_tokens) OVER (PARTITION BY shard ORDER BY pri, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ws_tokens AS BIGINT) AS start_tok
+      |  FROM s),
+      |pd AS (
+      |  SELECT doc_id, shard, ws_tokens, start_tok, start_tok + ws_tokens AS end_tok,
+      |    start_tok // 512 AS seq_first, (start_tok + ws_tokens - 1) // 512 AS seq_last
+      |  FROM p)""".stripMargin
+
   /** DuckDB-equivalent SQL per query key; the driver hash-compares results
     * (columns sorted by name), so aliases here match the Spark side
     * exactly, money sums go through DECIMAL for order-independence, and
     * integer aggregates are cast to BIGINT (DuckDB SUM(int) is HUGEINT).
     */
   def oracleSql: Map[String, String] = Map(
+    "q26_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800 AS wk
+        |  FROM events),
+        |cohorts AS (SELECT user_id, MIN(wk) AS cohort_week FROM weeks GROUP BY user_id)
+        |SELECT cohort_week, wk - cohort_week AS week_offset,
+        |  COUNT(*) AS n_users
+        |FROM weeks JOIN cohorts USING (user_id)
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "p1_sequence_pack" ->
+      s"""WITH $packCtes
+        |SELECT doc_id, shard, ws_tokens, start_tok, seq_first, seq_last,
+        |  seq_last - seq_first + 1 AS n_seqs
+        |FROM pd
+        |ORDER BY shard, start_tok""".stripMargin,
+    "p2_pack_stats" ->
+      s"""WITH $packCtes,
+        |e AS (
+        |  SELECT shard, start_tok, end_tok,
+        |    unnest(range(seq_first, seq_last + 1)) AS seq_id
+        |  FROM pd),
+        |g AS (
+        |  SELECT shard, seq_id,
+        |    COUNT(*) AS n_docs,
+        |    CAST(SUM(LEAST(end_tok, (seq_id + 1) * 512) -
+        |             GREATEST(start_tok, seq_id * 512)) AS BIGINT) AS fill_tokens,
+        |    CAST(SUM(CASE WHEN start_tok < seq_id * 512 OR end_tok > (seq_id + 1) * 512
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+        |  FROM e GROUP BY shard, seq_id)
+        |SELECT shard, seq_id, n_docs, fill_tokens, n_spanning,
+        |  ROUND(CAST(fill_tokens AS DOUBLE) / 512, 6) AS fill_frac
+        |FROM g
+        |ORDER BY shard, seq_id""".stripMargin,
     "s1_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |pairs AS (
@@ -343,6 +407,7 @@ object SparkEntry {
     "q22_hll_distinct" -> OracleReplicas.q22HllDistinct(),
     "q25_hll_rollup" -> OracleReplicas.q25HllRollup(),
     "s2_ann_ivf" -> OracleReplicas.s2Ivf(),
+    "s5_ann_pq" -> OracleReplicas.s5Pq(),
     "s3_ann_lsh" -> OracleReplicas.s3LshTopK(),
     "d2_dedup_minhash" -> OracleReplicas.d2MinhashLsh(),
     "d7_dedup_incremental" -> OracleReplicas.d7MinhashIncremental(),

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.sources.Tables
+
+/** Training-sequence assembly: pack the curated corpus into fixed
+  * token-budget training sequences (the GPT-style concatenate-and-chunk
+  * scheme every LM pre-training run performs after curation).
+  *
+  * Documents are deterministically sharded (first md5 hex digit of
+  * `doc_id` → 16 shards), ordered within their shard by md5 priority
+  * (dc2/dc4's reproducible-order idiom — no `rand()`, so reruns, engines
+  * and audits agree on the exact layout), then concatenated; sequences of
+  * exactly `budget` tokens are carved from each shard's token stream. A
+  * document whose tokens straddle a sequence boundary spans both — the
+  * standard causal-LM packing trade (no padding waste, some cross-doc
+  * attention), and [[packStats]] reports exactly how much of it happened.
+  *
+  * Scale shape: ONE documents scan computes (doc_id, ws_tokens, priority)
+  * map-side and drops the text — the window shuffles ~50 bytes/doc, never
+  * the document body. The running-offset window is (shard)-keyed, so the
+  * sort is per-shard (N/shards compact rows each); production runs scale
+  * shards with the corpus (more md5 hex chars), keeping every partition
+  * bounded — the same argument as dc2's per-source windows. `budget` is a
+  * power of two so offset→sequence division is exact in any engine.
+  *
+  * Reference anchor: the reference's loaders insert in deterministic
+  * dependency order (`/root/reference/main.py:61-128`); packing is the
+  * training-data analogue — a reproducible total order over the corpus,
+  * materialized as consumable fixed-size units.
+  */
+object Packing {
+
+  val DefaultBudget: Long = 512L
+  private val HexDigits = "0123456789abcdef"
+
+  private[graft] def requirePow2(budget: Long): Unit =
+    require(budget > 0 && (budget & (budget - 1)) == 0,
+      s"budget=$budget must be a positive power of two (exact division in every engine)")
+
+  /** Map-side (doc_id, ws_tokens, pri, shard) prep — the SAME projection
+    * for the batch packer and the streaming twin
+    * ([[graft.streaming.DocPipelines.sequencePackStream]]) so the
+    * shard/priority formulas cannot drift between the two ingest paths.
+    */
+  private[graft] def shardedTokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(ws_tokens(col("text"))).cast("long").as("ws_tokens"),
+        md5(col("doc_id").cast("string")).as("pri"))
+      .filter(col("ws_tokens") > 0)
+      .withColumn("shard", conv(substring(col("pri"), 1, 1), 16, 10).cast("int"))
+
+  /** Per-doc packed layout: shard, token offsets, and the sequence range
+    * [seq_first, seq_last] the document lands in. Shared by [[sequencePack]]
+    * (p1) and [[packStats]] (p2) so the stats audit EXACTLY the layout the
+    * packer ships.
+    */
+  private[operators] def packedDocs(t: Tables, budget: Long): DataFrame = {
+    requirePow2(budget)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    shardedTokenCounts(t.documents)
+      .withColumn("start_tok", sum(col("ws_tokens")).over(w) - col("ws_tokens"))
+      .withColumn("end_tok", col("start_tok") + col("ws_tokens"))
+      .withColumn("seq_first", expr(s"start_tok div $budget"))
+      .withColumn("seq_last", expr(s"(end_tok - 1) div $budget"))
+  }
+
+  /** p1: the pack manifest — one row per document: its shard, token
+    * offset in the shard's concatenated stream, and the sequence range it
+    * occupies. This IS the training-data layout: a writer materializes
+    * sequence `s` of shard `h` by concatenating the manifest's docs with
+    * `seq_first <= s <= seq_last` in `start_tok` order.
+    */
+  def sequencePack(t: Tables, budget: Long = DefaultBudget): DataFrame =
+    packedDocs(t, budget)
+      .select(col("doc_id"), col("shard"), col("ws_tokens"), col("start_tok"),
+        col("seq_first"), col("seq_last"),
+        (col("seq_last") - col("seq_first") + 1L).as("n_seqs"))
+      .orderBy(col("shard"), col("start_tok"))
+
+  /** p2: per-sequence fill/fragmentation stats — docs per sequence, token
+    * fill (== budget except each shard's ragged tail), and how many of
+    * its docs cross a sequence boundary (the cross-doc-attention count).
+    * The numbers a run reports before training starts: fill ratio says
+    * whether packing wasted budget; spanning counts say how much document
+    * truncation/bleed the epoch will see.
+    *
+    * Scale shape: each doc explodes to its `n_seqs` sequence memberships
+    * (~tokens/budget + 1 rows — bounded by doc length, not corpus size);
+    * the aggregate shuffles (shard, seq_id) keyed scalar rows with
+    * map-side partials. Text is long gone.
+    */
+  def packStats(t: Tables, budget: Long = DefaultBudget): DataFrame =
+    packedDocs(t, budget)
+      .select(col("shard"), col("start_tok"), col("end_tok"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .withColumn("seq_lo", col("seq_id") * budget)
+      .withColumn("seq_hi", (col("seq_id") + 1L) * budget)
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least(col("end_tok"), col("seq_hi")) - greatest(col("start_tok"), col("seq_lo")))
+          .as("fill_tokens"),
+        sum((col("start_tok") < col("seq_lo") || col("end_tok") > col("seq_hi"))
+          .cast("long")).as("n_spanning"))
+      .withColumn("fill_frac", round(col("fill_tokens").cast("double") / budget, 6))
+      .orderBy(col("shard"), col("seq_id"))
+}

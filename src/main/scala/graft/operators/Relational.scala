@@ -444,6 +444,31 @@ object Relational {
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q26: weekly cohort retention over the events stream — the classic
+    * warehouse engagement matrix: users cohorted by their first-activity
+    * week, each later active week counted at its offset. Weeks are epoch
+    * indexes (`unix_timestamp div 604800`), not calendar truncations —
+    * no timezone or week-start surface, identical in any engine.
+    *
+    * Scale shape: the (user, week) distinct and the first-week aggregate
+    * both hash on user_id, so the cohort attach join is co-partitioned
+    * (exchange reuse, no extra shuffle of either side); everything past
+    * the one events scan moves (user_id, week) pairs — at 100 TB the
+    * matrix costs two compact-key shuffles, never a raw-event one. No
+    * broadcast hint: the cohort side is |users|-sized and AQE may still
+    * promote it when small.
+    */
+  def q26RetentionCohorts(t: Tables): DataFrame = {
+    val weeks = t.events
+      .select(col("user_id"), expr("unix_timestamp(ts) div 604800").as("wk"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    weeks.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** q24: approximate quantiles via a MERGEABLE fixed-bin histogram —
     * the sketch-scale counterpart of q16's exact percentiles (which need
     * a per-group sort). The histogram is `nbins` counters per group:

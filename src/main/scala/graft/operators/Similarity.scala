@@ -170,12 +170,21 @@ object Similarity {
     * this plan reads (re-plan to pick up the new generation).
     */
   def searchIvfIndex(t: Tables, path: String,
-      nQueries: Int = 10, k: Int = 5, nprobe: Int = 4): DataFrame = {
-    val spark = t.embeddings.sparkSession
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 4): DataFrame =
+    searchIvfIndexWith(querySet(t, nQueries), path, k, nprobe)
+
+  /** [[searchIvfIndex]]'s core over an ARBITRARY query frame
+    * (query_id, query_emb) — also the streaming probe's per-micro-batch
+    * body ([[graft.streaming.DocPipelines.ivfProbeStream]]): an online
+    * query feed probes the same pinned published generation a batch
+    * caller would.
+    */
+  def searchIvfIndexWith(q: DataFrame, path: String,
+      k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val spark = q.sparkSession
     val genPath = Warehouse.pathGenData(path, Warehouse.resolvePathGeneration(path))
     val centroids = spark.read.parquet(s"$genPath/_centroids")
     val index = spark.read.parquet(genPath)
-    val q = querySet(t, nQueries)
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid"))
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("ccos", cosine_sim(

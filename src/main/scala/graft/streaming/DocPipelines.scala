@@ -219,6 +219,70 @@ object DocPipelines {
           batchId)
       }
 
+  /** Streaming ANN probe — the online-serving twin of the persisted IVF
+    * index: each micro-batch of query vectors (vec_id, embedding) probes
+    * whatever index generation is PUBLISHED when it runs
+    * ([[graft.operators.Similarity.searchIvfIndexWith]]) and the top-k
+    * frame is handed to `onHits` with the batch id. Like the substring
+    * stream, ZERO streaming state: the corpus lives in the
+    * generation-versioned on-disk index, a rebuild+publish between
+    * micro-batches is picked up atomically, and executors hold nothing
+    * corpus-sized.
+    */
+  def ivfProbeStream(vectors: DataFrame, indexPath: String,
+      onHits: (DataFrame, Long) => Unit, k: Int = 5, nprobe: Int = 4):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onHits(
+          graft.operators.Similarity.searchIvfIndexWith(
+            batch.select(col("vec_id").as("query_id"), col("embedding").as("query_emb")),
+            indexPath, k, nprobe),
+          batchId)
+      }
+
+  case class PackInDoc(shard: Int, doc_id: Long, ws_tokens: Long, pri: String)
+  case class PackedOut(doc_id: Long, shard: Int, ws_tokens: Long,
+      start_tok: Long, seq_first: Long, seq_last: Long)
+
+  /** Streaming sequence packing — the p1 twin: arriving documents are
+    * appended at their shard's tail of the concatenated token stream and
+    * assigned sequence ranges incrementally. Shard and priority come from
+    * the SAME projection as the batch packer
+    * ([[graft.operators.Packing.shardedTokenCounts]]); within a
+    * micro-batch docs pack in (priority, doc_id) order, across batches in
+    * arrival order — the natural semantics of an append-only manifest
+    * (batch p1 is the one-shot global-priority layout; a single-batch
+    * stream reproduces it exactly, spec-verified).
+    *
+    * State is ONE Long per shard (the next free token offset) — bounded
+    * by shard count regardless of corpus size, the cheapest state shape
+    * any stateful stream here carries.
+    */
+  def sequencePackStream(docs: DataFrame, budget: Long = 512L): Dataset[PackedOut] = {
+    graft.operators.Packing.requirePow2(budget)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.Packing.shardedTokenCounts(docs)
+      .select(col("shard"), col("doc_id"), col("ws_tokens"), col("pri"))
+      .as[PackInDoc]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[Long, PackedOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[PackInDoc], state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r.pri, r.doc_id)).map { r =>
+            val start = off
+            off += r.ws_tokens
+            PackedOut(r.doc_id, shard, r.ws_tokens, start,
+              start / budget, (start + r.ws_tokens - 1) / budget)
+          }
+          state.update(off)
+          out.iterator
+      }
+  }
+
   /** Stateless streaming quality scoring — same columns as the batch t2
     * operator, applied per micro-batch with zero state.
     */

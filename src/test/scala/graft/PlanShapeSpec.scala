@@ -229,6 +229,17 @@ class PlanShapeSpec extends SparkSpecBase {
       s"only the two attach-join exchanges may carry embeddings:\n${carrying.mkString("\n")}")
   }
 
+  test("s5 PQ: raw embeddings move only in the rerank attach and the query broadcast") {
+    // the ADC scoring chain runs on codes + the broadcast LUT; raw
+    // vectors may appear in at most the candidate-attach exchange and the
+    // (tiny) query-embedding broadcast — at 100 TB everything else
+    // touches the ~1/32-sized code table
+    val inputs = exchangeInputs(finalExplain(graft.operators.ProductQuant.pqTopK(t)))
+    val carrying = inputs.filter(_.contains("emb"))
+    assert(carrying.length <= 2,
+      s"only the rerank attach + query broadcast may carry embeddings:\n${carrying.mkString("\n")}")
+  }
+
   test("dc9 full curation: no keyed exchange in ANY stage job carries text or token arrays") {
     assertNoTextCarryingExchange(Curation.fullCuration(t).collect())
   }

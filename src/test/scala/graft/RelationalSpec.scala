@@ -189,6 +189,37 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("q26 retention: offsets are non-negative and offset 0 holds the full cohort") {
+    val rows = graft.operators.Relational.q26RetentionCohorts(t).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_week"))
+    byCohort.foreach { case (cw, rs) =>
+      val byOffset = rs.map(r => r.getAs[Long]("week_offset") -> r.getAs[Long]("n_users")).toMap
+      assert(byOffset.keySet.forall(_ >= 0), s"negative offset in cohort $cw")
+      // every cohort member is active in their own first week by
+      // definition, so offset 0 is the cohort's size — an upper bound
+      // for every later offset
+      assert(byOffset.contains(0L), s"cohort $cw missing its own week")
+      assert(byOffset.forall { case (_, n) => n <= byOffset(0L) },
+        s"cohort $cw has an offset larger than the cohort itself")
+    }
+    // total cohort sizes cover every user exactly once
+    val users = t.events.select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_.getAs[Long]("week_offset") == 0L)
+      .get.getAs[Long]("n_users")).sum == users)
+    // column pruning reaches the scan: the matrix reads (ts, user_id),
+    // never the payload columns
+    val explain = graft.operators.Relational.q26RetentionCohorts(t)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchemas = explain.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach { l =>
+      assert(!l.contains("props") && !l.contains("value") && !l.contains("event_type"),
+        s"payload columns must be pruned from the events scan: $l")
+    }
+  }
+
   test("globalRowNumber matches an unpartitioned ranking window across many partitions") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

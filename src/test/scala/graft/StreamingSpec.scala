@@ -435,6 +435,70 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming IVF probe equals the batch index search on the same query set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.sources.Tables(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_stream_").resolve("idx").toString
+    graft.operators.Similarity.buildIvfIndex(t, path)
+    val queries = t.embeddings.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))
+    val got = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.DocPipelines.ivfProbeStream(
+        mem.toDF().toDF("vec_id", "embedding"), path,
+        (hits, _) => got ++= hits.collect().map(key))
+      .start()
+    try {
+      // two micro-batches over the same published generation must union
+      // to exactly the one-shot batch probe of those 10 queries
+      val (first, second) = queries.splitAt(5)
+      mem.addData(first.toIndexedSeq); q.processAllAvailable()
+      mem.addData(second.toIndexedSeq); q.processAllAvailable()
+      val want = graft.operators.Similarity.searchIvfIndex(t, path)
+        .collect().map(key).toSet
+      assert(got.toSet == want, "stream probe diverged from batch index search")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming sequence packing equals batch p1 on a single batch and appends across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.sources.Tables(spark, sfDir)
+    val docs = t.documents.select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocPipelines.sequencePackStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pack_out").outputMode("append").start()
+    try {
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("ws_tokens"),
+          r.getAs[Long]("start_tok"), r.getAs[Long]("seq_first"), r.getAs[Long]("seq_last"))
+      // one batch holding the whole corpus = the batch layout exactly
+      mem.addData(docs.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("pack_out").collect().map(key).toSet
+      val want = graft.operators.Packing.sequencePack(t).collect().map(key).toSet
+      assert(got == want, "single-batch stream must reproduce the batch manifest")
+      // a second batch appends at each shard's tail: offsets continue
+      val tails = spark.table("pack_out").collect()
+        .groupBy(_.getAs[Int]("shard"))
+        .map { case (sh, rs) =>
+          sh -> rs.map(r => r.getAs[Long]("start_tok") + r.getAs[Long]("ws_tokens")).max }
+      mem.addData((900001L, "alpha beta gamma delta"), (900002L, "epsilon zeta eta theta"))
+      q.processAllAvailable()
+      val late = spark.table("pack_out").collect()
+        .filter(_.getAs[Long]("doc_id") > 900000L)
+      assert(late.length == 2)
+      late.foreach { r =>
+        assert(r.getAs[Long]("start_tok") == tails.getOrElse(r.getAs[Int]("shard"), 0L),
+          "late arrival must pack at its shard's tail")
+      }
+    } finally q.stop()
+  }
+
   test("st2 batch twin: session count equals gap-break count") {
     val t = graft.sources.Tables(spark, sfDir)
     val sessions = EventPipelines.sessionizeBatch(t)
