@@ -53,6 +53,7 @@ object SparkEntry {
     "d8_semdedup" -> ((s, dir) => Dedup.semDedup(Tables(s, dir))),
     "d9_substring_dedup" -> ((s, dir) => Dedup.substringSpans(Tables(s, dir))),
     "d10_substring_incremental" -> ((s, dir) => Dedup.substringSpansIncremental(Tables(s, dir))),
+    "d11_url_dedup" -> ((s, dir) => Urls.urlDedup(Tables(s, dir))),
     // §2.3 similarity search
     "s1_ann_brute" -> ((s, dir) => Similarity.bruteForce(Tables(s, dir))),
     "s2_ann_ivf" -> ((s, dir) => Similarity.ivf(Tables(s, dir))),
@@ -71,6 +72,7 @@ object SparkEntry {
     "t8_unigram_logprob" -> ((s, dir) => TextAnalysis.unigramLogprob(Tables(s, dir))),
     "t9_pii_redact" -> ((s, dir) => TextAnalysis.piiScrub(Tables(s, dir))),
     "t10_token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(Tables(s, dir))),
+    "t11_dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(Tables(s, dir))),
     // §2.7 corpus curation
     "dc1_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables(s, dir))),
     "dc2_sample_budget" -> ((s, dir) => Curation.sampleToBudget(Tables(s, dir))),
@@ -413,6 +415,59 @@ object SparkEntry {
     "d7_dedup_incremental" -> OracleReplicas.d7MinhashIncremental(),
     "d9_substring_dedup" -> OracleReplicas.d9SubstringSpans(),
     "d10_substring_incremental" -> OracleReplicas.d10SubstringIncremental(),
+    // d11: the synthesized crawl-noise URL (host case, www., default
+    // port, shuffled tracking params, fragment, trailing slash) and its
+    // canonicalization replayed step for step; the tracking-param list
+    // is the shared graft.operators.Urls.TrackingRe. DuckDB's
+    // regexp_replace is first-match-only — every pattern here is
+    // anchored or unique, so it agrees with Spark's replace-all.
+    "d11_url_dedup" -> {
+      val trackingRe = graft.operators.Urls.TrackingRe
+      s"""WITH urls AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+         |    (CASE WHEN doc_id % 3 = 0 THEN upper(source || '.example.com')
+         |          WHEN doc_id % 3 = 1 THEN 'WWW.' || source || '.example.com'
+         |          ELSE source || '.example.com' END) ||
+         |    (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) ||
+         |    '/p/' || CAST(doc_id % 12 AS VARCHAR) ||
+         |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 2 = 0
+         |      THEN '?a=' || CAST(doc_id % 12 AS VARCHAR) || '&sort=asc&utm_source=feed'
+         |      ELSE '?utm_campaign=x&sort=asc&a=' || CAST(doc_id % 12 AS VARCHAR) END) ||
+         |    (CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(n_chars % 10 AS VARCHAR) ELSE '' END)
+         |      AS url
+         |  FROM documents),
+         |nofrag AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS u FROM urls),
+         |parts AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+         |      '^www\\.', '') AS auth0,
+         |    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+         |  FROM nofrag),
+         |parts2 AS (
+         |  SELECT doc_id, scheme,
+         |    CASE WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$$', '')
+         |         WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$$', '')
+         |         ELSE auth0 END AS auth,
+         |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$$', '') AS path0,
+         |    regexp_extract(rest, '^[^?]*\\?(.*)$$', 1) AS q0
+         |  FROM parts),
+         |canon AS (
+         |  SELECT doc_id,
+         |    scheme || '://' || auth ||
+         |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+         |    (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canon_url
+         |  FROM (
+         |    SELECT *, array_to_string(list_sort(list_filter(string_split(q0, '&'),
+         |        p -> NOT regexp_matches(p, '$trackingRe') AND p <> '')), '&') AS q2
+         |    FROM parts2) z)
+         |SELECT canon_url, MIN(doc_id) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_urls
+         |FROM canon
+         |GROUP BY canon_url
+         |ORDER BY canon_url""".stripMargin
+    },
     "dc3_canonical" -> OracleReplicas.dc3Canonical(),
     "dc8_semantic_canonical" -> OracleReplicas.dc8SemanticCanonical(),
     "dc9_full_curation" -> OracleReplicas.dc9FullCuration(),
@@ -781,6 +836,41 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, ROUND(lp_sum / n_tokens, 6) AS avg_logprob
         |FROM agg
         |ORDER BY doc_id""".stripMargin,
+    // t11: the full DSIR chain replayed — FNV unigram/bigram feature
+    // hashes (chr(31) token separator, matching ShingleHashes), unsigned
+    // mod-1024 buckets (= the JVM's signed pmod: power-of-two modulus),
+    // add-1 smoothed target/raw distributions, per-doc Σ c·λ. The sum
+    // groups by bucket where the operator sums per feature — identical
+    // reals, reassociation absorbed by ROUND 6 (t8's precedent).
+    "t11_dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+         |uni AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+         |    i -> ${fnv64Sql("t[i] || chr(31)")})) AS h FROM toks),
+         |bi AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |    i -> ${fnv64Sql("t[i] || chr(31) || t[i+1] || chr(31)")})) AS h
+         |  FROM toks WHERE len(t) > 1),
+         |feats AS (
+         |  SELECT doc_id, CAST(h % 1024 AS BIGINT) AS b
+         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) z),
+         |perdoc AS (SELECT doc_id, b, COUNT(*) AS c FROM feats GROUP BY doc_id, b),
+         |byb AS (
+         |  SELECT b,
+         |    SUM(CASE WHEN doc_id < 50 THEN c ELSE 0 END) AS ct,
+         |    SUM(CASE WHEN doc_id >= 50 THEN c ELSE 0 END) AS cr
+         |  FROM perdoc GROUP BY b),
+         |tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nt, CAST(SUM(cr) AS DOUBLE) AS nr FROM byb),
+         |lam AS (
+         |  SELECT b, ln((ct + 1.0) / (nt + 1024.0)) - ln((cr + 1.0) / (nr + 1024.0)) AS lam
+         |  FROM byb CROSS JOIN tot)
+         |SELECT p.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+         |  ROUND(SUM(c * lam), 6) AS log_weight
+         |FROM perdoc p JOIN lam USING (b)
+         |WHERE p.doc_id >= 50
+         |GROUP BY p.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
     // the synthesized contact line (one email / phone / IPv4 per doc) is
     // replayed verbatim; regex syntax is the Java∩RE2 subset, redaction
     // order email → phone → IP matches the operator exactly

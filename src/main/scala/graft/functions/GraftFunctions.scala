@@ -48,6 +48,12 @@ object GraftFunctions {
     org.apache.spark.sql.functions.split(
       org.apache.spark.sql.functions.trim(org.apache.spark.sql.functions.lower(c)), "\\s+")
 
+  /** array<long> feature hashes → Σ weights[pmod(h, B)] (B = weights
+    * length, power of two) — map-side hashed-feature linear scoring.
+    */
+  def bucket_weight_sum(c: Column, weights: Seq[Double]): Column =
+    EU.column(BucketWeightSum(EU.expression(c), weights))
+
   /** (array<long>, array<long>) → int count of agreeing positions. */
   def sig_agreement(a: Column, b: Column): Column =
     EU.column(SigAgreement(EU.expression(a), EU.expression(b)))

@@ -216,6 +216,25 @@ object GraftHash {
     hits
   }
 
+  /** Σ weights[pmod(h, weights.length)] over an array<long> of feature
+    * hashes — the map-side scoring kernel for hashed-feature linear
+    * models (DSIR importance weights): one tight loop, no explode, no
+    * join, no boxing. weights.length MUST be a power of two so the
+    * JVM's signed pmod equals the oracle's unsigned mod (low bits of
+    * the two's-complement representation agree).
+    */
+  def bucketWeightSum(hashes: ArrayData, weights: Array[Double]): Double = {
+    val m = weights.length
+    var s = 0.0
+    var i = 0
+    val n = hashes.numElements()
+    while (i < n) {
+      s += weights(((hashes.getLong(i) % m + m) % m).toInt)
+      i += 1
+    }
+    s
+  }
+
   private def mulMod(a: Long, b: Long): Long = {
     // (a*b) mod (2^61-1) via 128-bit multiply
     val hi = Math.multiplyHigh(a, b)
@@ -401,6 +420,33 @@ case class LongSetHits(child: Expression, values: Seq[Long]) extends UnaryExpres
   }
   override protected def withNewChildInternal(newChild: Expression): LongSetHits = copy(child = newChild)
   override def prettyName: String = "long_set_hits"
+}
+
+/** Hashed-feature linear scoring expression: array<long> feature hashes →
+  * Σ weights[pmod(h, B)] (codegen; the weight table ships once per task
+  * as a double[] reference object). The scoring half of DSIR-style
+  * importance weighting — a fixed-size model applied map-side, so
+  * selection scoring never shuffles the corpus.
+  */
+case class BucketWeightSum(child: Expression, weights: Seq[Double]) extends UnaryExpression {
+  // Seq, not Array: structural case-class equality (see LongSetHits)
+  require(weights.nonEmpty && (weights.size & (weights.size - 1)) == 0,
+    s"weights length must be a power of two, got ${weights.size}")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val arr: Array[Double] = weights.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(GraftHash.bucketWeightSum(input.asInstanceOf[ArrayData], arr))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = GraftHash.getClass.getName.stripSuffix("$")
+    val wRef = ctx.addReferenceObj("bucketweights", arr, "double[]")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls$$.MODULE$$.bucketWeightSum($c, (double[]) $wRef);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BucketWeightSum = copy(child = newChild)
+  override def prettyName: String = "bucket_weight_sum"
 }
 
 /** Rolling-hash fingerprint expression: string → min k-byte-window

@@ -291,6 +291,68 @@ object TextAnalysis {
           .otherwise(0.0), 6).as("norm_entropy"))
       .orderBy(col("doc_id"))
 
+  /** t11 feature column: hashed unigram + bigram FNV shingles of the
+    * canonical tokenization — array<long>, computed in one codegen pass.
+    */
+  private[graft] def dsirFeats(text: Column): Column =
+    concat(shingle_hashes(ws_tokens(text), 1), shingle_hashes(ws_tokens(text), 2))
+
+  /** t11 model build: hashed n-gram bucket distributions for the target
+    * (doc_id < benchSplit — dc1's benchmark-slice convention) and raw
+    * sides, add-1 smoothed, as the length-B log-ratio array
+    * λ[b] = ln((ct_b+1)/(N_t+B)) − ln((cr_b+1)/(N_r+B)) (absent buckets
+    * keep the smoothing-only value). ONE corpus aggregation — feature
+    * hashes fold map-side, at most B rows per partition leave the
+    * exchange — then a ≤B-row driver collect (the dc5 Bloom-bytes
+    * scale). StrictMath.log is the function Catalyst's `log` evaluates,
+    * so the driver-built model agrees with the DuckDB oracle's ln at
+    * the gate's rounding.
+    */
+  def dsirLambda(docs: DataFrame, benchSplit: Long = 50, buckets: Int = 1024): Array[Double] = {
+    val rows = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
+      .select((col("doc_id") < benchSplit).as("is_t"),
+        explode(dsirFeats(col("text"))).as("h"))
+      .select(col("is_t"), pmod(col("h"), lit(buckets.toLong)).as("b"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
+      .collect() // ≤ `buckets` rows by construction
+    var nt = 0.0; var nr = 0.0
+    rows.foreach { r => nt += r.getLong(1); nr += r.getLong(2) }
+    val dt = nt + buckets; val dr = nr + buckets
+    val lam = Array.fill(buckets)(StrictMath.log(1.0 / dt) - StrictMath.log(1.0 / dr))
+    rows.foreach { r =>
+      lam(r.getLong(0).toInt) =
+        StrictMath.log((r.getLong(1) + 1.0) / dt) - StrictMath.log((r.getLong(2) + 1.0) / dr)
+    }
+    lam
+  }
+
+  /** t11 scoring — shared by the batch query and the stateless streaming
+    * twin: log importance weight Σ_features λ[bucket(h)] via ONE map-side
+    * codegen pass ([[graft.functions.BucketWeightSum]]); no shuffle
+    * before the presentation sort.
+    */
+  def dsirScore(docs: DataFrame, lambda: Array[Double]): DataFrame =
+    docs.select(col("doc_id"),
+        size(dsirFeats(col("text"))).cast("long").as("n_feats"),
+        round(bucket_weight_sum(dsirFeats(col("text")), lambda.toSeq), 6).as("log_weight"))
+      .orderBy(col("doc_id"))
+
+  /** t11: DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — score every raw doc
+    * by how target-like its hashed n-gram profile is, the
+    * data-SELECTION step between quality gating (dc6) and mixture
+    * sampling (dc4). Follows dc5's two-action pattern: the fixed-size
+    * model is one bounded aggregation + driver collect, scoring is a
+    * single map-side pass over one scan — at 100 TB the corpus is read
+    * twice and shuffled never.
+    */
+  def dsirWeights(t: Tables, benchSplit: Long = 50, buckets: Int = 1024): DataFrame = {
+    val lam = dsirLambda(t.documents, benchSplit, buckets)
+    dsirScore(t.documents.filter(col("doc_id") >= benchSplit), lam)
+  }
+
   /** t4: rolling-hash document fingerprints — full-document Karp–Rabin
     * min-window hash (shift-stable) + a coarse bucket for grouping.
     * Custom codegen expression [[graft.functions.RollingFingerprint]].
