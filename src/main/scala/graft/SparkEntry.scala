@@ -84,6 +84,7 @@ object SparkEntry {
     "dc8_semantic_canonical" -> ((s, dir) => Curation.semanticCanonical(Tables(s, dir))),
     "dc9_full_curation" -> ((s, dir) => Curation.fullCuration(Tables(s, dir))),
     "dc10_curation_audit" -> ((s, dir) => Curation.fullCurationAudit(Tables(s, dir))),
+    "dc11_dsir_select" -> ((s, dir) => Curation.dsirSelect(Tables(s, dir))),
     // §2.5 multimodal plumbing
     "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
     "m2_frame_sample" -> ((s, dir) => Multimodal.frames(Tables(s, dir))),
@@ -93,6 +94,7 @@ object SparkEntry {
     // §2.8 training-sequence assembly
     "p1_sequence_pack" -> ((s, dir) => Packing.sequencePack(Tables(s, dir))),
     "p2_pack_stats" -> ((s, dir) => Packing.packStats(Tables(s, dir))),
+    "p3_epoch_interleave" -> ((s, dir) => Packing.epochInterleave(Tables(s, dir))),
   )
 
   import OracleReplicas.{fnv64Sql, signed64, jhashSql, signed32, charBytes}
@@ -116,6 +118,35 @@ object SparkEntry {
       |j AS (
       |  SELECT doc_a, doc_b, CAST(shared AS DOUBLE) / (sa.nsh + sb.nsh - shared) AS jac
       |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)""".stripMargin
+
+  /** Shared CTE body for the DSIR oracles (t11 scoring, dc11 selection):
+    * FNV unigram/bigram feature hashes → mod-1024 buckets → per-doc and
+    * per-bucket counts → add-1-smoothed target/raw log-ratio λ table.
+    * Mirrors [[graft.operators.TextAnalysis.dsirLambda]]/[[graft.operators.TextAnalysis.dsirFeats]].
+    */
+  private lazy val dsirCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+       |uni AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+       |    i -> ${fnv64Sql("t[i] || chr(31)")})) AS h FROM toks),
+       |bi AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> ${fnv64Sql("t[i] || chr(31) || t[i+1] || chr(31)")})) AS h
+       |  FROM toks WHERE len(t) > 1),
+       |feats AS (
+       |  SELECT doc_id, CAST(h % 1024 AS BIGINT) AS b
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) z),
+       |perdoc AS (SELECT doc_id, b, COUNT(*) AS c FROM feats GROUP BY doc_id, b),
+       |byb AS (
+       |  SELECT b,
+       |    SUM(CASE WHEN doc_id < 50 THEN c ELSE 0 END) AS ct,
+       |    SUM(CASE WHEN doc_id >= 50 THEN c ELSE 0 END) AS cr
+       |  FROM perdoc GROUP BY b),
+       |tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nt, CAST(SUM(cr) AS DOUBLE) AS nr FROM byb),
+       |lam AS (
+       |  SELECT b, ln((ct + 1.0) / (nt + 1024.0)) - ln((cr + 1.0) / (nr + 1024.0)) AS lam
+       |  FROM byb CROSS JOIN tot)""".stripMargin
 
   /** dc1's oracle — also dc5's: the Bloom-prefiltered plan must produce
     * exactly the unfiltered operator's rows.
@@ -199,6 +230,27 @@ object SparkEntry {
         |  ROUND(CAST(fill_tokens AS DOUBLE) / 512, 6) AS fill_frac
         |FROM g
         |ORDER BY shard, seq_id""".stripMargin,
+    // p3: stride-scheduling keys (r − 0.5)/w are IEEE-exact doubles of
+    // small integers, so the two engines' sort keys agree bit-for-bit;
+    // the weight expression is dc4's convention verbatim
+    "p3_epoch_interleave" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS src_rank
+        |  FROM documents),
+        |w AS (
+        |  SELECT DISTINCT source,
+        |    CAST(TRY_CAST(substr(source, 4) AS INT) % 3 + 1 AS DOUBLE) AS w
+        |  FROM documents),
+        |keyed AS (
+        |  SELECT doc_id, source, src_rank,
+        |    (CAST(src_rank AS DOUBLE) - 0.5) / w AS k
+        |  FROM ranked JOIN w USING (source))
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY k, source, doc_id) AS INT) AS global_pos,
+        |  doc_id, source, src_rank
+        |FROM keyed
+        |ORDER BY global_pos""".stripMargin,
     "s1_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |pairs AS (
@@ -843,34 +895,34 @@ object SparkEntry {
     // groups by bucket where the operator sums per feature — identical
     // reals, reassociation absorbed by ROUND 6 (t8's precedent).
     "t11_dsir_weights" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
-         |uni AS (
-         |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
-         |    i -> ${fnv64Sql("t[i] || chr(31)")})) AS h FROM toks),
-         |bi AS (
-         |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
-         |    i -> ${fnv64Sql("t[i] || chr(31) || t[i+1] || chr(31)")})) AS h
-         |  FROM toks WHERE len(t) > 1),
-         |feats AS (
-         |  SELECT doc_id, CAST(h % 1024 AS BIGINT) AS b
-         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) z),
-         |perdoc AS (SELECT doc_id, b, COUNT(*) AS c FROM feats GROUP BY doc_id, b),
-         |byb AS (
-         |  SELECT b,
-         |    SUM(CASE WHEN doc_id < 50 THEN c ELSE 0 END) AS ct,
-         |    SUM(CASE WHEN doc_id >= 50 THEN c ELSE 0 END) AS cr
-         |  FROM perdoc GROUP BY b),
-         |tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nt, CAST(SUM(cr) AS DOUBLE) AS nr FROM byb),
-         |lam AS (
-         |  SELECT b, ln((ct + 1.0) / (nt + 1024.0)) - ln((cr + 1.0) / (nr + 1024.0)) AS lam
-         |  FROM byb CROSS JOIN tot)
+      s"""WITH $dsirCtes
          |SELECT p.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
          |  ROUND(SUM(c * lam), 6) AS log_weight
          |FROM perdoc p JOIN lam USING (b)
          |WHERE p.doc_id >= 50
          |GROUP BY p.doc_id
          |ORDER BY p.doc_id""".stripMargin,
+    // dc11: t11's chain + the budget cut — per-token score rounded to 4
+    // decimals (the deterministic cross-engine rank key), md5 tie-break,
+    // global running token sum, keep while within budget
+    "dc11_dsir_select" ->
+      s"""WITH $dsirCtes,
+         |sc AS (
+         |  SELECT p.doc_id, ROUND(SUM(c * lam) / SUM(c), 4) AS score
+         |  FROM perdoc p JOIN lam USING (b)
+         |  WHERE p.doc_id >= 50
+         |  GROUP BY p.doc_id),
+         |tok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+         |sel AS (
+         |  SELECT sc.doc_id, n_tokens, score,
+         |    SUM(n_tokens) OVER (
+         |      ORDER BY score DESC, md5(CAST(sc.doc_id AS VARCHAR)), sc.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM sc JOIN tok USING (doc_id))
+         |SELECT doc_id, n_tokens, score, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM sel
+         |WHERE cum_tokens <= 20000
+         |ORDER BY cum_tokens""".stripMargin,
     // the synthesized contact line (one email / phone / IPv4 per doc) is
     // replayed verbatim; regex syntax is the Java∩RE2 subset, redaction
     // order email → phone → IP matches the operator exactly

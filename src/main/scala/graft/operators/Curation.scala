@@ -439,4 +439,35 @@ object Curation {
       corpus = t.documents.filter(col("doc_id") >= benchSize).select(col("doc_id")),
       gated = base, exact = s2, nearDup = s3, decon = s4, mixture = mixture)
   }
+
+  /** dc11: DSIR data selection — the importance-RESAMPLING step t11's
+    * weights exist for (Xie et al. 2023): rank every raw doc by its
+    * per-token importance weight and keep the best until a global token
+    * budget fills. The rank key is the per-token weight ROUNDED to 4
+    * decimals (engines agree on the order exactly; reassociation noise
+    * is ~1e-12) with dc2's md5 tie-break, so the selection replays
+    * bit-identically anywhere.
+    *
+    * Scale shape: t11's map-side scoring (one scan, zero shuffle), then
+    * [[Ranking.globalRunningSum]] over compact (doc_id, n_tokens,
+    * score) rows — a GLOBAL budget cut with no single-task window,
+    * which dc2/dc4's per-source windows cannot express. Text never
+    * leaves the scan.
+    */
+  def dsirSelect(t: Tables, benchSplit: Long = 50, buckets: Int = 1024,
+      tokenBudget: Long = 20000): DataFrame = {
+    val lam = TextAnalysis.dsirLambda(t.documents, benchSplit, buckets)
+    val feats = TextAnalysis.dsirFeats(col("text"))
+    val scored = t.documents.filter(col("doc_id") >= benchSplit)
+      .select(col("doc_id"),
+        size(ws_tokens(col("text"))).cast("long").as("n_tokens"),
+        round(bucket_weight_sum(feats, lam.toSeq) / size(feats).cast("double"), 4)
+          .as("score"))
+    Ranking.globalRunningSum(scored,
+        Seq(col("score").desc, md5(col("doc_id").cast("string")), col("doc_id")),
+        col("n_tokens"), "cum_tokens")
+      .filter(col("cum_tokens") <= tokenBudget)
+      .select(col("doc_id"), col("n_tokens"), col("score"), col("cum_tokens"))
+      .orderBy(col("cum_tokens"))
+  }
 }

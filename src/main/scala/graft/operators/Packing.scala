@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -97,6 +97,46 @@ object Packing {
     * the aggregate shuffles (shard, seq_id) keyed scalar rows with
     * map-side partials. Text is long gone.
     */
+  /** p3: deterministic epoch-order interleave — stride scheduling over
+    * the mixture's sources. Doc #r of source s (md5-priority order, the
+    * dc2/dc4 reproducible-order idiom) is scheduled at key (r − 0.5)/w_s,
+    * so ascending key order interleaves sources proportionally to their
+    * weights at EVERY prefix — the data-blending schedule an LM trainer
+    * actually consumes after dc4 fixes the mixture (Megatron/Gopher-style
+    * weighted blending, as a reproducible total order). Default weight
+    * shares dc4's convention so mixture and schedule agree; like dc4, a
+    * null/non-positive weight fails loudly (a silent null key would sort
+    * a whole source to the front).
+    *
+    * Scale shape: only (doc_id, source) leaves the scan; the per-source
+    * rank is a (source)-keyed window over compact rows; the global
+    * position uses [[Ranking.globalRowNumber]] — range partitioning +
+    * per-partition numbering, NO single-task global window. Keys are
+    * exact-IEEE doubles of small integers, so engines agree bit-for-bit.
+    */
+  def epochInterleave(t: Tables,
+      weight: Column = expr("try_cast(substr(source, 4) as int)") % 3 + 1): DataFrame = {
+    val docs = t.documents.select(col("doc_id"), col("source"))
+    val weights = docs.select(col("source")).distinct()
+      .withColumn("w", weight.cast("double"))
+      .withColumn("w",
+        when(col("w").isNull || isnan(col("w")) || col("w") <= 0d,
+          raise_error(concat(
+            lit("p3 interleave weight must be a positive number; source '"),
+            col("source"), lit("' evaluated to "),
+            coalesce(col("w").cast("string"), lit("NULL")))))
+          .otherwise(col("w")))
+    val wWin = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val keyed = docs
+      .withColumn("src_rank", row_number().over(wWin).cast("long"))
+      .join(broadcast(weights), Seq("source"))
+      .withColumn("k", (col("src_rank").cast("double") - lit(0.5)) / col("w"))
+    Ranking.globalRowNumber(keyed, Seq(col("k"), col("source"), col("doc_id")), "global_pos")
+      .select(col("global_pos"), col("doc_id"), col("source"), col("src_rank"))
+      .orderBy(col("global_pos"))
+  }
+
   def packStats(t: Tables, budget: Long = DefaultBudget): DataFrame =
     packedDocs(t, budget)
       .select(col("shard"), col("start_tok"), col("end_tok"),

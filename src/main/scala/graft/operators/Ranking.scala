@@ -27,6 +27,40 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** Distributed global RUNNING SUM of `value` in `order` — the
+    * prefix-aggregation sibling of [[globalRowNumber]], with the same
+    * no-single-task structure: range-repartition + per-partition sort,
+    * a (partition)-local running-sum window (no extra exchange — rows
+    * are already co-located and sorted), tiny per-partition totals →
+    * cumulative offsets broadcast back. Powers global budget cuts
+    * ("keep the best docs until N tokens") that dc2-style per-source
+    * windows can't express.
+    */
+  def globalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+      outCol: String, numPartitions: Option[Int] = None): DataFrame = {
+    val parts = numPartitions.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
+    // materialized ONCE for the same reason as globalRowNumber: the
+    // offsets branch and the join branch must see identical range
+    // boundaries and partition membership
+    val local = df
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__v", value)
+      .withColumn("__pid", shiftrightunsigned(monotonically_increasing_id(), 33))
+      .localCheckpoint(true)
+    val offsets = local.groupBy(col("__pid")).agg(sum(col("__v")).as("__s"))
+      .withColumn("__offset",
+        coalesce(sum(col("__s")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__offset") + sum(col("__v")).over(w))
+      .drop("__pid", "__v")
+  }
+
   def globalRowNumber(df: DataFrame, order: Seq[Column], outCol: String,
       numPartitions: Option[Int] = None): DataFrame = {
     val parts = numPartitions.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)

@@ -182,6 +182,22 @@ object DocPipelines {
             / size(col("toks")), 6).as("avg_logprob"))
   }
 
+  /** Stateless streaming DSIR selection scoring — the t11 twin: each
+    * arriving document scores against a PINNED λ bucket model (the
+    * previous corpus generation's
+    * [[graft.operators.TextAnalysis.dsirLambda]] output — fixed B
+    * doubles, far below the t8 twin's vocabulary embed-guard), one
+    * map-side codegen pass ([[graft.functions.BucketWeightSum]]), zero
+    * state. Because batch scoring is already a pure per-row projection,
+    * the twin IS the batch scorer minus its presentation sort — the two
+    * cannot drift.
+    */
+  def dsirScoreStream(docs: DataFrame, lambda: Array[Double]): DataFrame =
+    docs.select(col("doc_id"),
+      size(graft.operators.TextAnalysis.dsirFeats(col("text"))).cast("long").as("n_feats"),
+      round(GraftFunctions.bucket_weight_sum(
+        graft.operators.TextAnalysis.dsirFeats(col("text")), lambda.toSeq), 6).as("log_weight"))
+
   /** Stateless streaming PII scrubbing — the t9 redactor applied per
     * micro-batch: count + redact emails / phones / IPv4 in one map-side
     * codegen pass, zero state, append mode. The shape of an

@@ -58,6 +58,41 @@ class DsirSpec extends SparkSpecBase {
       s"target-duplicate ${scores(100L)} must outscore junk ${scores(101L)}")
   }
 
+  test("globalRunningSum equals the single-window recompute") {
+    val df = (1 to 97).map(i => (i.toLong, (i * 37 % 11).toLong, (i * 13 % 7).toLong))
+      .toDF("id", "key", "v")
+    val got = graft.operators.Ranking.globalRunningSum(
+        df, Seq(col("key"), col("id")), col("v"), "rs", numPartitions = Some(5))
+      .select(col("id"), col("rs")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = df.withColumn("rs", sum(col("v")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("key"), col("id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("id"), col("rs")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
+
+  test("dc11: the selection is exactly the greedy best-score prefix of the budget") {
+    val out = graft.operators.Curation.dsirSelect(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // recompute the greedy cut driver-side from the same scores
+    val lam = TextAnalysis.dsirLambda(t.documents)
+    val scored = t.documents.filter(col("doc_id") >= 50)
+      .select(col("doc_id"),
+        size(graft.functions.GraftFunctions.ws_tokens(col("text"))).cast("long").as("n_tokens"),
+        round(bucket_weight_sum(TextAnalysis.dsirFeats(col("text")), lam.toSeq)
+          / size(TextAnalysis.dsirFeats(col("text"))).cast("double"), 4).as("score"),
+        md5(col("doc_id").cast("string")).as("pri"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    val orderKey = scored.sortBy { case (id, _, s, pri) => (-s, pri, id) }
+    var cum = 0L
+    val greedy = orderKey.iterator.map { case (id, n, s, _) =>
+      cum += n; (id, n, s, cum)
+    }.takeWhile(_._4 <= 20000).toSeq
+    assert(out.toSeq == greedy, "selection must be the greedy prefix in (score desc, md5) order")
+    assert(out.nonEmpty && out.length < scored.length,
+      "the budget must genuinely cut (otherwise the test is vacuous)")
+  }
+
   test("t11: scoring is one map-side pass — only the presentation-sort exchange") {
     val lam = Array.fill(1024)(0.1)
     val explain = TextAnalysis.dsirScore(t.documents, lam).queryExecution.explainString(

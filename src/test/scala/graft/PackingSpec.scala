@@ -61,6 +61,57 @@ class PackingSpec extends SparkSpecBase {
     assert(packed == filled, "every token lands in exactly one sequence's fill")
   }
 
+  test("p3: positions are a permutation, per-source order is preserved, prefixes track weights") {
+    val rows = Packing.epochInterleave(t).collect()
+    val n = rows.length
+    // global_pos is exactly 1..N
+    assert(rows.map(_.getAs[Int]("global_pos")).sorted.toSeq == (1 to n),
+      "global positions must be a permutation of 1..N")
+    // within each source, src_rank increases with global_pos (stable order)
+    rows.sortBy(_.getAs[Int]("global_pos"))
+      .groupBy(_.getAs[String]("source")).foreach { case (s, docs) =>
+        val ranks = docs.map(_.getAs[Long]("src_rank")).toSeq
+        assert(ranks == ranks.sorted, s"source $s schedule must preserve priority order")
+      }
+    // the exact stride-scheduling invariant: close a prefix at its key
+    // cutoff K (including the whole tie group), then each source holds
+    // min(n_s, floor(K·w_s + 0.5)) docs — proportional to its weight
+    // until the source runs dry (±1 for float boundary rounding)
+    val w = rows.map(_.getAs[String]("source")).distinct
+      .map(s => s -> (s.drop(3).toInt % 3 + 1).toDouble).toMap
+    val docsK = rows.map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("src_rank"), r.getAs[Int]("global_pos")))
+    def keyOf(s: String, r: Long): Double = (r - 0.5) / w(s)
+    Seq(n / 4, n / 2).foreach { p =>
+      val cutoff = docsK.filter(_._3 <= p).map { case (s, r, _) => keyOf(s, r) }.max
+      val counts = docsK.filter { case (s, r, _) => keyOf(s, r) <= cutoff }
+        .groupBy(_._1).view.mapValues(_.length).toMap
+      w.foreach { case (s, ws) =>
+        val nS = docsK.count(_._1 == s)
+        val predicted = math.min(nS.toDouble, math.floor(cutoff * ws + 0.5))
+        assert(math.abs(counts.getOrElse(s, 0) - predicted) <= 1.0,
+          s"prefix $p (key cutoff $cutoff): source $s got ${counts.getOrElse(s, 0)} predicted $predicted")
+      }
+    }
+  }
+
+  test("p3: equals the single-window recompute") {
+    import spark.implicits._
+    val got = Packing.epochInterleave(t)
+      .select(col("global_pos"), col("doc_id")).as[(Int, Long)].collect().toMap
+    val keyed = t.documents.select(col("doc_id"), col("source"))
+      .withColumn("src_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+      .withColumn("w", (expr("try_cast(substr(source, 4) as int)") % 3 + 1).cast("double"))
+      .withColumn("k", (col("src_rank").cast("double") - lit(0.5)) / col("w"))
+      .withColumn("global_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("k"), col("source"), col("doc_id"))))
+      .select(col("global_pos"), col("doc_id")).as[(Int, Long)].collect().toMap
+    assert(got == keyed)
+  }
+
   test("the packing shuffle never carries the text column") {
     // the per-shard window shuffles (doc_id, ws_tokens, pri, shard) only:
     // text dies map-side in the token-count scan (d9/dc9's invariant)

@@ -373,6 +373,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming DSIR scoring equals batch t11 against the same pinned λ model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.sources.Tables(spark, sfDir)
+    // the model: the previous corpus generation's λ, built batch-side
+    val lam = graft.operators.TextAnalysis.dsirLambda(t.documents)
+    val docs = t.documents.filter(col("doc_id") >= 50)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val scored = graft.streaming.DocPipelines.dsirScoreStream(
+      mem.toDF().toDF("doc_id", "text"), lam)
+    val q = scored.writeStream.format("memory").queryName("dsir_stream_out")
+      .outputMode("append").start() // stateless: per-doc projection, no state
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      mem.addData(a.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("dsir_stream_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_feats"), r.getAs[Double]("log_weight")))).toMap
+      val batch = graft.operators.TextAnalysis.dsirScore(
+          t.documents.filter(col("doc_id") >= 50), lam).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_feats"), r.getAs[Double]("log_weight")))).toMap
+      // the twin IS the batch scorer minus the sort: exact equality
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming PII scrub matches the batch t9 redactor, stateless in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
