@@ -73,6 +73,7 @@ object SparkEntry {
     "t9_pii_redact" -> ((s, dir) => TextAnalysis.piiScrub(Tables(s, dir))),
     "t10_token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(Tables(s, dir))),
     "t11_dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(Tables(s, dir))),
+    "t12_bigram_logprob" -> ((s, dir) => TextAnalysis.bigramLogprob(Tables(s, dir))),
     // §2.7 corpus curation
     "dc1_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables(s, dir))),
     "dc2_sample_budget" -> ((s, dir) => Curation.sampleToBudget(Tables(s, dir))),
@@ -902,6 +903,36 @@ object SparkEntry {
          |WHERE p.doc_id >= 50
          |GROUP BY p.doc_id
          |ORDER BY p.doc_id""".stripMargin,
+    // t12: interpolated bigram LM replayed — zipped parallel unnests
+    // build the adjacency pairs, term granularity matches the operator's
+    // per-(doc, w1, w2) grouping exactly, λ=0.75 pinned
+    "t12_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |cu AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS cu FROM tok GROUP BY w),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+        |big AS (
+        |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM toks WHERE len(t) > 1),
+        |tfb AS (SELECT doc_id, w1, w2, COUNT(*) AS tfb FROM big GROUP BY doc_id, w1, w2),
+        |cb AS (SELECT w1, w2, CAST(SUM(tfb) AS DOUBLE) AS cb FROM tfb GROUP BY w1, w2),
+        |terms AS (
+        |  SELECT f.doc_id, ln(cu.cu / n.n) AS term
+        |  FROM (SELECT doc_id, t[1] AS w FROM toks) f JOIN cu USING (w) CROSS JOIN n
+        |  UNION ALL
+        |  SELECT tfb.doc_id,
+        |    tfb * ln(0.75 * cb.cb / cu1.cu + 0.25 * cu2.cu / n.n) AS term
+        |  FROM tfb
+        |  JOIN cb USING (w1, w2)
+        |  JOIN cu cu1 ON tfb.w1 = cu1.w
+        |  JOIN cu cu2 ON tfb.w2 = cu2.w
+        |  CROSS JOIN n),
+        |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+        |SELECT doc_id, n_tokens, ROUND(SUM(term) / n_tokens, 6) AS avg_logprob
+        |FROM terms JOIN nt USING (doc_id)
+        |GROUP BY doc_id, n_tokens
+        |ORDER BY doc_id""".stripMargin,
     // dc11: t11's chain + the budget cut — per-token score rounded to 4
     // decimals (the deterministic cross-engine rank key), md5 tie-break,
     // global running token sum, keep while within budget

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -290,6 +291,56 @@ object TextAnalysis {
           col("r.token_entropy") / log(col("r.distinct_tokens").cast("double")))
           .otherwise(0.0), 6).as("norm_entropy"))
       .orderBy(col("doc_id"))
+
+  /** t12: interpolated bigram LM quality score — t8's CCNet-shaped LM
+    * proxy upgraded one order: per position i ≥ 2 the token scores
+    * ln(λ·p̂(w_i|w_{i-1}) + (1−λ)·p̂(w_i)), the first token scores its
+    * unigram logprob, and the doc reports the average. Corpus-trained on
+    * itself, so every observed bigram has mass (no unseen-token floor
+    * needed); λ fixed at 0.75 (Jelinek–Mercer interpolation with a
+    * pinned weight — deterministic, engine-replayable).
+    *
+    * Scale shape: adjacency comes from ONE (doc_id)-keyed lead window
+    * over (doc_id, pos, token) rows (st2's sessionize idiom — no token
+    * self-join); the bigram/unigram frequency joins are UN-hinted (t6's
+    * contract — at web scale the distinct-bigram table is unbounded, AQE
+    * broadcasts only what measures small); the corpus total folds in as
+    * a one-row aggregate. Heavy text never leaves the scan. Unlike t8,
+    * empty tokens are NOT filtered (they only arise from empty docs and
+    * the oracle replays the same raw stream — adjacency must not skip).
+    */
+  def bigramLogprob(t: Tables, l2: Double = 0.75): DataFrame = {
+    val docs = spreadIfNarrow(t.documents.select(col("doc_id"), col("text")))
+    val tok = docs.select(col("doc_id"), posexplode(tokensCol)).toDF("doc_id", "pos", "w")
+    val cu = tok.groupBy(col("w")).agg(count(lit(1)).cast("double").as("cu"))
+    val nTot = tok.agg(count(lit(1)).cast("double").as("n"))
+    val seq = tok.withColumn("w2",
+      lead(col("w"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val tfb = seq.filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("tfb"))
+    val cb = tfb.groupBy(col("w1"), col("w2")).agg(sum(col("tfb")).cast("double").as("cb"))
+    val bigramTerms = tfb
+      .join(cb, Seq("w1", "w2"))
+      .join(cu.withColumnRenamed("w", "w1").withColumnRenamed("cu", "cu1"), Seq("w1"))
+      .join(cu.withColumnRenamed("w", "w2").withColumnRenamed("cu", "cu2"), Seq("w2"))
+      .crossJoin(broadcast(nTot))
+      .select(col("doc_id"),
+        (col("tfb") * log(lit(l2) * col("cb") / col("cu1")
+          + lit(1.0 - l2) * col("cu2") / col("n"))).as("term"))
+    val firstTerms = tok.filter(col("pos") === 0)
+      .join(cu, Seq("w"))
+      .crossJoin(broadcast(nTot))
+      .select(col("doc_id"), log(col("cu") / col("n")).as("term"))
+    val nt = t.documents.select(col("doc_id"),
+      size(ws_tokens(col("text"))).cast("long").as("n_tokens"))
+    bigramTerms.unionByName(firstTerms)
+      .groupBy(col("doc_id")).agg(sum(col("term")).as("lp"))
+      .join(nt, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lp") / col("n_tokens"), 6).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
 
   /** t11 feature column: hashed unigram + bigram FNV shingles of the
     * canonical tokenization — array<long>, computed in one codegen pass.

@@ -42,6 +42,44 @@ class TextExtraSpec extends SparkSpecBase {
     assert(scores.max - scores.min > 0.01, "scores must discriminate between docs")
   }
 
+  test("t12 bigram logprob matches hand-computed values on a crafted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t12crafted").toString
+    Seq(
+      (0L, "a b a b", "en", "src0", 7L),
+      (1L, "b a", "en", "src0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // tokens: doc0 = a b a b, doc1 = b a → cu(a)=3, cu(b)=3, N=6
+    // bigrams: ab ba ab (doc0), ba (doc1) → cb(ab)=2, cb(ba)=2
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = 0.75 * 2.0 / 3.0 + 0.25 * 3.0 / 6.0 // p(b|a) interpolated
+    val pBA = 0.75 * 2.0 / 3.0 + 0.25 * 3.0 / 6.0
+    val first = math.log(3.0 / 6.0)
+    val byId = TextAnalysis.bigramLogprob(Tables(spark, dir)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logprob")))).toMap
+    assert(byId(0L) == ((4L, r6((first + 2 * math.log(pAB) + math.log(pBA)) / 4.0))))
+    assert(byId(1L) == ((2L, r6((first + math.log(pBA)) / 2.0))))
+  }
+
+  test("t12 on the real corpus: scores negative, and context beats the unigram floor") {
+    val rows = TextAnalysis.bigramLogprob(t).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getAs[Double]("avg_logprob") < 0.0))
+    // the interpolated bigram prob of an observed pair is at least
+    // (1-λ)·p1(w2), so a doc's t12 score has a hard floor of its t8
+    // score + ln(0.25) — and on real text context should usually WIN
+    // over the raw unigram score
+    val t8 = TextAnalysis.unigramLogprob(t).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob")).toMap
+    val t12 = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob")).toMap
+    val wins = t12.count { case (id, s) => s > t8(id) }
+    assert(wins > t12.size / 2,
+      s"bigram context should beat unigram scoring for most docs (won $wins/${t12.size})")
+  }
+
   test("t10 token entropy matches hand-computed values and bounds") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("t10crafted").toString
