@@ -189,6 +189,57 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Compact the table's physical layout: rewrite the current
+    * snapshot's data directories into `numPartitions` coalesced files
+    * and commit a manifest referencing only the rewrite — the lakehouse
+    * OPTIMIZE maintenance step. A long-lived table accretes one
+    * directory per append; at 100 TB that's the small-files problem
+    * (listing cost, tiny scans, scheduler overhead), and compaction
+    * restores a dense layout WITHOUT changing content: `coalesce`, not
+    * `repartition`, so the rewrite itself never shuffles.
+    *
+    * Concurrency: compaction is a read-modify-write over the LAYOUT.
+    * Appends that land while the rewrite runs must survive, so the
+    * commit folds the fresh snapshot's extra directories in unchanged
+    * and replaces only the directories the compaction actually read; if
+    * any of THOSE vanished (a concurrent overwrite/compaction), this
+    * rewrite is stale — it is discarded and the whole pass restarts
+    * from the new snapshot. Old versions stay readable (time travel)
+    * until [[vacuum]] ages them out.
+    */
+  def compact(numPartitions: Int = 1): Long = compactWithHook(numPartitions, () => ())
+
+  /** [[compact]] with a test seam fired between the rewrite and the
+    * commit — specs inject a racing append/overwrite deterministically.
+    */
+  private[graft] def compactWithHook(numPartitions: Int, beforeCommit: () => Unit,
+      maxAttempts: Int = 10): Long = {
+    var outer = 0
+    while (outer < maxAttempts) {
+      val snap = snapshot()
+        .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
+      if (snap.dirs.size <= 1) return snap.version
+      val c = writeData(read(Some(snap.version)).coalesce(numPartitions))
+      beforeCommit()
+      var stale = false
+      var inner = 0
+      while (!stale && inner < maxAttempts) {
+        val cur = snapshot().get
+        if (!snap.dirs.forall(cur.dirs.contains)) {
+          // a directory this rewrite folded in is no longer current: the
+          // compacted data may resurrect deleted rows — discard and redo
+          stale = true
+        } else {
+          val dirs = cur.dirs.filterNot(snap.dirs.contains) :+ c
+          try return tryCommit(cur.version, dirs)
+          catch { case VersionConflictException(_) => inner += 1 }
+        }
+      }
+      outer += 1
+    }
+    throw new IllegalStateException(s"compaction lost $maxAttempts races at $root")
+  }
+
   /** Drop data directories no committed manifest references and
     * manifests older than `keepVersions` — the maintenance step that
     * bounds storage. Never touches dirs reachable from a kept manifest,

@@ -74,6 +74,43 @@ class SnapshotTableSpec extends SparkSpecBase {
     assert(v0.sameElements(Array((1L, "a"), (2L, "b"))), "pre-merge snapshot still readable")
   }
 
+  test("compact rewrites many data dirs into one without changing content") {
+    val t = fresh()
+    (0 until 4).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val before = t.read().collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(t.snapshot().get.dirs.size == 4)
+    val v = t.compact()
+    assert(v == 4L, "compaction commits a new version")
+    assert(t.snapshot().get.dirs.size == 1, "layout collapses to one directory")
+    val after = t.read().collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(after == before, "compaction must not change content")
+    assert(t.read(Some(3L)).count() == 4, "pre-compaction snapshot stays readable")
+    // already-compact: no-op, no new version
+    assert(t.compact() == v)
+  }
+
+  test("compact preserves an append that races the rewrite") {
+    val t = fresh()
+    (0 until 3).foreach(i => t.append(Seq((i.toLong, "x")).toDF("id", "v")))
+    t.compactWithHook(1, () => { t.append(Seq((99L, "late")).toDF("id", "v")); () })
+    val rows = t.read().collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(0L, 1L, 2L, 99L),
+      "the racing append must survive compaction, with no duplicates")
+    assert(t.snapshot().get.dirs.size == 2,
+      "layout = the compacted dir + the raced append's dir")
+  }
+
+  test("compact discards a stale rewrite when a concurrent overwrite removed its inputs") {
+    val t = fresh()
+    (0 until 3).foreach(i => t.append(Seq((i.toLong, "x")).toDF("id", "v")))
+    var fired = false
+    t.compactWithHook(1, () => {
+      if (!fired) { fired = true; t.overwrite(Seq((7L, "only")).toDF("id", "v")); () }
+    })
+    assert(t.read().collect().map(_.getLong(0)).toSeq == Seq(7L),
+      "the overwrite's deletion must not be resurrected by a stale compaction")
+  }
+
   test("vacuum drops unreachable data but keeps retained versions intact") {
     val t = fresh()
     t.append(Seq((1L, "a")).toDF("id", "v")) // v0
