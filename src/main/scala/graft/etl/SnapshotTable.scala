@@ -153,6 +153,73 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   /** Append `df` as a new data directory (existing data untouched). */
   def append(df: DataFrame): Long = commitRetry(writeData(df), (old, d) => old :+ d)
 
+  /** Append with a directory-level ZONE MAP: after writing, record
+    * min/max of the (long-typed) `statsCols` in a `_stats.json` sidecar
+    * inside the data directory (underscore prefix — parquet readers
+    * ignore it). [[readWhere]] then prunes whole directories whose
+    * range cannot match BEFORE any file listing or footer I/O — the
+    * data-skipping layer that matters on object storage, where a
+    * 100 TB table's read cost starts at the LIST call; parquet footers
+    * still prune row groups inside the directories that survive. The
+    * stats pass reads the just-written files back (footer-cheap
+    * min/max), so the input frame is evaluated exactly once.
+    */
+  def appendIndexed(df: DataFrame, statsCols: Seq[String]): Long = {
+    val name = writeData(df)
+    val dirPath = dataDir.resolve(name)
+    val back = spark.read.parquet(dirPath.toString)
+    if (!back.isEmpty) {
+      val aggs = statsCols.flatMap(c =>
+        Seq(org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col(c)).cast("long"),
+          org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col(c)).cast("long")))
+      val row = back.agg(aggs.head, aggs.tail: _*).head()
+      val json = statsCols.zipWithIndex.map { case (c, i) =>
+        s""""$c":{"min":${row.getLong(2 * i)},"max":${row.getLong(2 * i + 1)}}"""
+      }.mkString("{", ",", "}")
+      Files.write(dirPath.resolve("_stats.json"), json.getBytes("UTF-8"))
+    }
+    commitRetry(name, (old, d) => old :+ d)
+  }
+
+  private val StatsEntryRe = """"([^"]+)":\{"min":(-?\d+),"max":(-?\d+)\}""".r
+
+  private def statsOf(dir: String): Map[String, (Long, Long)] = {
+    val p = dataDir.resolve(dir).resolve("_stats.json")
+    if (!Files.exists(p)) Map.empty
+    else StatsEntryRe.findAllMatchIn(new String(Files.readAllBytes(p), "UTF-8"))
+      .map(m => m.group(1) -> ((m.group(2).toLong, m.group(3).toLong))).toMap
+  }
+
+  /** The directories a `[lo, hi]` range scan on `colName` must read at
+    * a snapshot: a directory is skipped ONLY when its recorded zone
+    * says no row can match; directories without stats (plain appends,
+    * compaction rewrites) are always read — skipping is never unsafe.
+    * Exposed for specs to assert the pruning itself, not just results.
+    */
+  private[graft] def dirsMatching(colName: String, lo: Long, hi: Long,
+      version: Option[Long] = None): Seq[String] = {
+    val snap = snapshot(version)
+      .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
+    snap.dirs.filter { d =>
+      statsOf(d).get(colName) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+  }
+
+  /** Range-scan `colName` in `[lo, hi]` with zone-map directory
+    * pruning, then the exact filter on the survivors.
+    */
+  def readWhere(colName: String, lo: Long, hi: Long, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dirs = dirsMatching(colName, lo, hi, version)
+    val base =
+      if (dirs.isEmpty) read(version).limit(0)
+      else spark.read.parquet(dirs.map(d => dataDir.resolve(d).toString): _*)
+    base.filter(col(colName) >= lo && col(colName) <= hi)
+  }
+
   /** Replace the table contents with `df` at the next version.
     * NOTE: overwrite is last-writer-wins BY DEFINITION — of two racing
     * overwrites, the later version's content stands (each remains

@@ -32,6 +32,26 @@ object DocPipelines {
     }
   }
 
+  /** Streaming URL dedup — the d11 twin at ingest: canonicalize each
+    * arriving record's URL map-side (the SAME codegen chain as batch
+    * [[graft.operators.Urls.canonicalizeUrl]] — batch and stream cannot
+    * disagree on the key) and keep the FIRST occurrence per canonical
+    * URL. With an event-time column, `dropDuplicatesWithinWatermark`
+    * bounds the key state to the crawl-recency window — the frontier
+    * dedup shape of a continuous crawl; without one, state grows with
+    * distinct canonical URLs (bounded backfills only).
+    */
+  def urlDedupStream(records: DataFrame, urlCol: String = "url",
+      watermarkCol: Option[String] = None, delay: String = "1 hour"): DataFrame = {
+    val canon = records.withColumn("canon_url",
+      graft.operators.Urls.canonicalizeUrl(col(urlCol)))
+    watermarkCol match {
+      case Some(ts) => canon.withWatermark(ts, delay)
+        .dropDuplicatesWithinWatermark("canon_url")
+      case None => canon.dropDuplicates("canon_url")
+    }
+  }
+
   case class BandDoc(band_key: Long, doc_id: Long, sig: Array[Long], ts: java.sql.Timestamp)
   case class BucketState(docs: List[(Long, Array[Long])], maxTsMs: Long = Long.MinValue)
   case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)

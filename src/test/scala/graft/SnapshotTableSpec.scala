@@ -111,6 +111,43 @@ class SnapshotTableSpec extends SparkSpecBase {
       "the overwrite's deletion must not be resurrected by a stale compaction")
   }
 
+  test("zone maps: readWhere prunes whole directories and stays exact") {
+    val t = fresh()
+    t.appendIndexed((0L until 10L).map(i => (i, s"a$i")).toDF("id", "v"), Seq("id"))
+    t.appendIndexed((100L until 110L).map(i => (i, s"b$i")).toDF("id", "v"), Seq("id"))
+    t.appendIndexed((200L until 210L).map(i => (i, s"c$i")).toDF("id", "v"), Seq("id"))
+    // the middle range must read exactly one directory
+    assert(t.dirsMatching("id", 100L, 150L).size == 1,
+      "two of three directories must be zone-skipped")
+    assert(t.readWhere("id", 100L, 150L).collect().map(_.getLong(0)).sorted.toSeq
+      == (100L until 110L))
+    // a range outside every zone reads nothing and returns empty
+    assert(t.dirsMatching("id", 500L, 600L).isEmpty)
+    assert(t.readWhere("id", 500L, 600L).count() == 0)
+    // results are IDENTICAL to the unpruned filter (pruning is exact)
+    val pruned = t.readWhere("id", 5L, 205L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val full = t.read().filter(
+        org.apache.spark.sql.functions.col("id") >= 5L
+          && org.apache.spark.sql.functions.col("id") <= 205L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(pruned == full)
+  }
+
+  test("zone maps: stat-less directories are never skipped (plain append, compaction)") {
+    val t = fresh()
+    t.appendIndexed((0L until 10L).map(i => (i, "x")).toDF("id", "v"), Seq("id"))
+    t.append(Seq((999L, "plain")).toDF("id", "v")) // no sidecar
+    assert(t.dirsMatching("id", 900L, 1000L).size == 1,
+      "the stat-less dir must be read, the indexed out-of-range dir skipped")
+    assert(t.readWhere("id", 900L, 1000L).collect().map(_.getLong(0)).toSeq == Seq(999L))
+    // after compaction the rewrite has no stats — everything is read,
+    // nothing is wrong, and re-indexing is a policy choice
+    t.compact()
+    assert(t.dirsMatching("id", 900L, 1000L).size == 1)
+    assert(t.readWhere("id", 900L, 1000L).collect().map(_.getLong(0)).toSeq == Seq(999L))
+  }
+
   test("vacuum drops unreachable data but keeps retained versions intact") {
     val t = fresh()
     t.append(Seq((1L, "a")).toDF("id", "v")) // v0

@@ -373,6 +373,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming URL dedup keeps the first arrival per canonical key, like batch d11's keeper") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // three canonical groups dressed in crawl noise; arrival in id order
+    val recs = Seq(
+      (1L, "https://a.com/p?x=1&utm_source=f"),
+      (2L, "HTTPS://WWW.A.com:443/p/?x=1#frag"), // same page as 1
+      (3L, "https://b.com/q?z=2&y=1"),
+      (4L, "https://b.com/q?y=1&z=2"), // same page as 3
+      (5L, "http://c.com/r"))
+    val mem = MemoryStream[(Long, String)]
+    val dedup = graft.streaming.DocPipelines.urlDedupStream(
+      mem.toDF().toDF("rec_id", "url"))
+    val q = dedup.writeStream.format("memory").queryName("url_stream_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(recs.take(3)); q.processAllAvailable()
+      mem.addData(recs.drop(3)); q.processAllAvailable()
+      val kept = spark.table("url_stream_out").collect()
+        .map(r => (r.getAs[String]("canon_url"), r.getAs[Long]("rec_id"))).toMap
+      // first arrival (= lowest id here) wins per canonical key — the
+      // batch keeper rule under id-ordered arrival
+      assert(kept == Map(
+        "https://a.com/p?x=1" -> 1L,
+        "https://b.com/q?y=1&z=2" -> 3L,
+        "http://c.com/r" -> 5L))
+    } finally q.stop()
+  }
+
   test("streaming DSIR scoring equals batch t11 against the same pinned λ model") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
