@@ -60,6 +60,7 @@ object SparkEntry {
     "s3_ann_lsh" -> ((s, dir) => Similarity.lshTopK(Tables(s, dir))),
     "s4_knn_graph" -> ((s, dir) => Similarity.knnGraph(Tables(s, dir))),
     "s5_ann_pq" -> ((s, dir) => ProductQuant.pqTopK(Tables(s, dir))),
+    "s6_ann_ivfpq" -> ((s, dir) => ProductQuant.ivfPqTopK(Tables(s, dir))),
     // §2.4 text analysis
     "t1_langid" -> ((s, dir) => TextAnalysis.langId(Tables(s, dir))),
     "t2_quality" -> ((s, dir) => TextAnalysis.quality(Tables(s, dir))),
@@ -463,6 +464,7 @@ object SparkEntry {
     "q25_hll_rollup" -> OracleReplicas.q25HllRollup(),
     "s2_ann_ivf" -> OracleReplicas.s2Ivf(),
     "s5_ann_pq" -> OracleReplicas.s5Pq(),
+    "s6_ann_ivfpq" -> OracleReplicas.s6IvfPq(),
     "s3_ann_lsh" -> OracleReplicas.s3LshTopK(),
     "d2_dedup_minhash" -> OracleReplicas.d2MinhashLsh(),
     "d7_dedup_incremental" -> OracleReplicas.d7MinhashIncremental(),

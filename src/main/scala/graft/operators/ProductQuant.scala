@@ -40,7 +40,7 @@ object ProductQuant {
   import Similarity.KmeansQuantScale
 
   /** (vec_id, sub, q): quantized subvectors, one row per subspace. */
-  private def subvectors(emb: DataFrame, m: Int, subDim: Int): DataFrame = {
+  private[operators] def subvectors(emb: DataFrame, m: Int, subDim: Int): DataFrame = {
     val subCols = (0 until m).map(s =>
       quantize_vec(slice(col("embedding"), s * subDim + 1, subDim), KmeansQuantScale)
         .cast("array<double>"))
@@ -85,7 +85,7 @@ object ProductQuant {
     * centroid join keys on `sub`, an equi-join against a broadcast-sized
     * codebook — no cross join anywhere in the encode.
     */
-  private def assignCodes(sv: DataFrame, centroids: DataFrame): DataFrame =
+  private[operators] def assignCodes(sv: DataFrame, centroids: DataFrame): DataFrame =
     sv.join(broadcast(centroids), Seq("sub"))
       .withColumn("ccos", cosine_sim(col("q"), col("centroid")))
       .groupBy(col("vec_id"), col("sub"))
@@ -111,12 +111,7 @@ object ProductQuant {
     val books = codebooks(sv, nlist, iters, trainSize)
     val codes = assignCodes(sv, books)
 
-    // per-query LUT: (query_id, sub, cid) → exact-integer partial dot
-    val lut = sv.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("sub"), col("q"))
-      .join(broadcast(books), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("cid"),
-        intDot(col("q"), col("centroid")).as("pdot"))
+    val lut = adcLut(sv, books, nQueries)
 
     // ADC: each corpus code row hits the broadcast LUT; m scalar rows
     // combine map-side into one (query_id, vec_id, adc) row
@@ -132,7 +127,25 @@ object ProductQuant {
       .filter(col("cr") <= nCandidates)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
 
-    // exact-cosine rerank of the candidate set (s3's tail)
+    rerankExact(cand, emb, nQueries, k)
+  }
+
+  /** Per-query ADC lookup table: (query_id, sub, cid) → exact-integer
+    * partial dot against the codebooks. nQueries·m·nlist rows —
+    * broadcast-sized by construction.
+    */
+  private def adcLut(sv: DataFrame, books: DataFrame, nQueries: Int): DataFrame =
+    sv.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("sub"), col("q"))
+      .join(broadcast(books), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        intDot(col("q"), col("centroid")).as("pdot"))
+
+  /** Exact-cosine rerank of a (query_id, neighbor_id) candidate set —
+    * s3's tail, shared by s5 and s6 so the two ANN paths cannot diverge
+    * in their final ranking semantics.
+    */
+  private def rerankExact(cand: DataFrame, emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val qe = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
@@ -144,5 +157,66 @@ object ProductQuant {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s6: IVF-PQ — the production ANN composition (FAISS's IVFPQ shape):
+    * IVF prunes WHICH cells a probe reads (nprobe/nlist of the corpus),
+    * PQ shrinks WHAT each candidate costs (m codes summed through a
+    * broadcast ADC LUT), and the top-`nCandidates` rerank by exact
+    * cosine. This variant encodes RAW vectors, not residuals — the
+    * trade that keeps every stage integer-exact, so the s2 coarse
+    * replica and the s5 fine replica COMPOSE into one fully-replayed
+    * DuckDB oracle (a residual encode would break the shared-arithmetic
+    * determinism both replicas depend on).
+    *
+    * Scale shape: the ADC scan touches ONLY probed cells' code rows —
+    * the candidate-pair set joins the code table then the broadcast
+    * LUT, (query, candidate)·m scalar rows total; raw embeddings appear
+    * in the one-scan encode and the candidate-sized rerank attach,
+    * nowhere else. With the persisted IVF layout
+    * ([[Similarity.buildIvfIndex]]) the same probe reads nprobe/nlist
+    * of the corpus from disk; this operator is the in-job form.
+    */
+  def ivfPqTopK(t: Tables, nQueries: Int = 10, k: Int = 5, nlist: Int = 16,
+      nprobe: Int = 4, m: Int = 4, pqNlist: Int = 16, iters: Int = 2,
+      nCandidates: Int = 64, trainSize: Long = 1024L): DataFrame = {
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val dim = 64
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+
+    // coarse routing: s2's full-dimension quantized k-means, corpus
+    // assigned once, queries probe their nprobe best cells
+    val coarse = Similarity.kmeansCentroids(emb, nlist, iters)
+    val assigned = Similarity.assignNearest(emb, coarse).select(col("vec_id"), col("cid"))
+    val q = Similarity.querySet(t, nQueries)
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(coarse))
+      .withColumn("ccos", cosine_sim(
+        quantize_vec(col("query_emb"), KmeansQuantScale).cast("array<double>"), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    val candPairs = broadcast(probes).join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+
+    // fine scoring: s5's codebooks/codes/LUT, restricted to the pairs
+    // the coarse stage admitted
+    val sv = subvectors(emb, m, dim / m)
+    val books = codebooks(sv, pqNlist, iters, trainSize)
+    val codes = assignCodes(sv, books)
+    val lut = adcLut(sv, books, nQueries)
+    val wC = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
+    val cand = candPairs
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adc"), count(lit(1)).as("nsub"))
+      .filter(col("nsub") === m)
+      .withColumn("cr", row_number().over(wC))
+      .filter(col("cr") <= nCandidates)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    rerankExact(cand, emb, nQueries, k)
   }
 }

@@ -22,7 +22,7 @@ import graft.sources.{Tables, Warehouse}
   */
 object Similarity {
 
-  private def querySet(t: Tables, nQueries: Int): DataFrame =
+  private[operators] def querySet(t: Tables, nQueries: Int): DataFrame =
     t.embeddings
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
@@ -330,7 +330,24 @@ object Similarity {
     * integers in any engine, so the assignment is deterministic and
     * oracle-replayable.
     */
-  private def assignNearest(emb: DataFrame, centroids: DataFrame): DataFrame =
+  /** Probe sets exactly as the operators compute them (quantized query
+    * × centroid ranking) — exposed so specs can assert candidate
+    * provenance without duplicating the formula.
+    */
+  private[graft] def ivfProbesForSpec(t: Tables, centroids: DataFrame,
+      nQueries: Int, nprobe: Int): Map[Long, Set[Int]] = {
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid"))
+    querySet(t, nQueries).crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine_sim(
+        quantize_vec(col("query_emb"), KmeansQuantScale).cast("array<double>"), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cid"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getInt(1)).toSet }
+  }
+
+  private[graft] def assignNearest(emb: DataFrame, centroids: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroids))
       .withColumn("ccos", cosine_sim(
         quantize_vec(col("embedding"), KmeansQuantScale).cast("array<double>"), col("centroid")))

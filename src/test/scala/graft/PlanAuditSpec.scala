@@ -16,14 +16,14 @@ class PlanAuditSpec extends SparkSpecBase {
     *  - dc4/dc9/dc10: total-mixture-weight one-row aggregate attach
     *  - t6: corpus doc-count attach (idf); t8/t12: total-token-count
     *    attach (t12 twice: bigram terms + first-token terms)
-    *  - s2: queries × nlist(=16) centroid table
+    *  - s2/s6: queries × nlist(=16) centroid table (s6's coarse router)
     *  - s1: queries × corpus brute force — the declared correctness
     *    baseline whose scale paths are s2/s3
     */
   private val scalarAttachBnlj = Set(
     "dc4_mixture", "dc9_full_curation", "dc10_curation_audit",
     "t6_tfidf", "t8_unigram_logprob", "t12_bigram_logprob",
-    "s2_ann_ivf", "s1_ann_brute")
+    "s2_ann_ivf", "s6_ann_ivfpq", "s1_ann_brute")
 
   test("no query plan contains a CartesianProduct; BNLJ only where declared scalar-attach") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
