@@ -990,4 +990,156 @@ object OracleReplicas {
        |  FROM sigs a JOIN sigs b ON $pairCond
        |  WHERE $bandCond)""".stripMargin
   }
+
+  /** t15: the Count-Min plane replayed counter-for-counter — per row j,
+    * every distinct token's bucket is splitmix64(fnv64(token) + j) mod w
+    * (w a power of two, so the unsigned mod equals the JVM's mask), the
+    * row's counters are bucket-grouped SUMs, and a probe's estimate is
+    * the LEAST across rows. Mirrors
+    * [[graft.operators.TextAnalysis.cmsTokenFreq]] /
+    * [[graft.functions.CmsCounters]].
+    */
+  def t15CmsFreq(probes: Seq[String], d: Int = 4, w: Int = 512): String = {
+    def bucketExpr(tokenExpr: String, j: Int): String =
+      s"(${splitmixSql(s"((${fnv64Sql(tokenExpr)}) + $j) % $Mod64")}) % $w"
+    val bucketCols = (0 until d).map(j => s"${bucketExpr("token", j)} AS b$j").mkString(",\n    ")
+    val rowCtes = (0 until d).map(j =>
+      s"cnt$j AS MATERIALIZED (SELECT b$j AS bu, CAST(SUM(c) AS BIGINT) AS n FROM tb GROUP BY b$j)")
+      .mkString(",\n")
+    val probeValues = probes.map(p => s"('$p')").mkString(", ")
+    // LEFT joins + COALESCE 0: a probe bucket no corpus token landed in
+    // has no counter row, and the JVM plane reads 0 there
+    val joins = (0 until d)
+      .map(j => s"LEFT JOIN cnt$j ON cnt$j.bu = ${bucketExpr("p.token", j)}")
+      .mkString("\n")
+    val least = (0 until d).map(j => s"COALESCE(cnt$j.n, 0)").mkString("LEAST(", ", ", ")")
+    s"""WITH tok AS (
+       |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token FROM documents),
+       |tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok WHERE token <> '' GROUP BY token),
+       |tb AS MATERIALIZED (
+       |  SELECT token, c,
+       |    $bucketCols
+       |  FROM tc),
+       |$rowCtes,
+       |probes(token) AS (VALUES $probeValues)
+       |SELECT p.token, $least AS est_count,
+       |  COALESCE(tc.c, 0) AS exact_count
+       |FROM probes p
+       |$joins
+       |LEFT JOIN tc ON tc.token = p.token
+       |ORDER BY p.token""".stripMargin
+  }
+
+  /** q27: the lineitem column profile replayed column by column — one
+    * UNION ALL branch per column with the same metric shapes the
+    * single-pass operator computes (nulls via COUNT(*) − COUNT(c),
+    * distinct excluding nulls, numeric min/max as DOUBLE, timestamps as
+    * exact epoch-microsecond doubles, strings lexicographic). Mirrors
+    * [[graft.operators.Profile.lineitemProfile]].
+    */
+  def q27Profile(): String = {
+    val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    val tsCols = Seq("l_shipdate")
+    def branch(c: String, minNum: String, maxNum: String, minStr: String, maxStr: String): String =
+      s"""SELECT '$c' AS col_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  $minNum AS min_num, $maxNum AS max_num,
+         |  $minStr AS min_str, $maxStr AS max_str
+         |FROM lineitem""".stripMargin
+    val branches =
+      numCols.map(c => branch(c, s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)",
+        "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")) ++
+      tsCols.map(c => branch(c, s"CAST(MIN(epoch_us($c)) AS DOUBLE)", s"CAST(MAX(epoch_us($c)) AS DOUBLE)",
+        "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")) ++
+      strCols.map(c => branch(c, "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+        s"MIN($c)", s"MAX($c)"))
+    branches.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) z ORDER BY col_name")
+  }
+
+  /** t13: BPE merge training replayed round by round — mirrors
+    * [[graft.operators.Bpe.bpeMerges]]. Each round r derives from the
+    * previous round's dict: sliding adjacent-pair counts (parallel
+    * unnest of the two slices), best pair by (count DESC, lhs, rhs),
+    * then the greedy leftmost non-overlapping rewrite expressed with
+    * window functions — match positions grouped into consecutive runs
+    * (i - row_number), odd rank within a run is selected, the symbol
+    * after a selected position is dropped. Identical semantics to the
+    * Scala `aggregate`-accumulator (a match is skipped iff it starts
+    * where the previous selected match ended).
+    */
+  def t13BpeMerges(numMerges: Int = 8): String = {
+    val stepRows = (1 to numMerges)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS step, lhs, rhs, lhs || rhs AS merged, n AS pair_count FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeCtes(numMerges)}
+       |SELECT * FROM (
+       |  $stepRows) steps
+       |ORDER BY step""".stripMargin
+  }
+
+  /** t14: corpus BPE encoding replayed — the t13 chain's FINAL dict
+    * (d<N>) holds each word's fully-merged symbol list, so a doc's BPE
+    * token count is the per-word list length summed over its words.
+    * Mirrors [[graft.operators.Bpe.bpeEncode]].
+    */
+  def t14BpeEncode(numMerges: Int = 8): String =
+    s"""WITH ${bpeCtes(numMerges)},
+       |docw AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS word
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(d.t)) AS BIGINT) AS n_bpe_tokens
+       |FROM docw w JOIN d$numMerges d USING (word)
+       |WHERE w.word <> ''
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  private def bpeCtes(numMerges: Int): String = {
+    def round(r: Int): String = {
+      val prev = s"d${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT freq, unnest(t[1:len(t)-1]) AS lhs, unnest(t[2:len(t)]) AS rhs
+         |  FROM $prev WHERE len(t) >= 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, n FROM (
+         |    SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS n FROM p$r GROUP BY lhs, rhs) z
+         |  ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |m$r AS MATERIALIZED (
+         |  SELECT z.word, z.freq, z.i, z.t[z.i] AS sym,
+         |    (z.i < len(z.t) AND z.t[z.i] = b.lhs AND z.t[z.i+1] = b.rhs) AS is_m
+         |  FROM (SELECT word, freq, t, unnest(range(1, len(t) + 1)) AS i FROM $prev) z
+         |  CROSS JOIN b$r b),
+         |s$r AS MATERIALIZED (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) AS rn
+         |    FROM (SELECT word, i, i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+         |          FROM m$r WHERE is_m) g) h
+         |  WHERE rn % 2 = 1),
+         |d$r AS MATERIALIZED (
+         |  SELECT m.word, MAX(m.freq) AS freq,
+         |    list(CASE WHEN s.i IS NOT NULL THEN b.lhs || b.rhs ELSE m.sym END ORDER BY m.i) AS t
+         |  FROM m$r m
+         |  CROSS JOIN b$r b
+         |  LEFT JOIN s$r s  ON s.word = m.word AND s.i = m.i
+         |  LEFT JOIN s$r sp ON sp.word = m.word AND sp.i = m.i - 1
+         |  WHERE sp.i IS NULL
+         |  GROUP BY m.word)""".stripMargin
+    }
+    val rounds = (1 to numMerges).map(round).mkString(",\n")
+    s"""words AS (
+       |  SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS word
+       |    FROM documents) z
+       |  WHERE word <> '' GROUP BY word),
+       |d0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |    list_append(list_transform(range(1, len(word) + 1), i -> word[i]), '</w>') AS t
+       |  FROM words),
+       |$rounds""".stripMargin
+  }
 }

@@ -42,6 +42,7 @@ object SparkEntry {
     "q24_hist_quantiles" -> ((s, dir) => Relational.q24HistQuantiles(Tables(s, dir))),
     "q25_hll_rollup" -> ((s, dir) => Relational.q25HllRollup(Tables(s, dir))),
     "q26_retention" -> ((s, dir) => Relational.q26RetentionCohorts(Tables(s, dir))),
+    "q27_profile" -> ((s, dir) => Profile.lineitemProfile(Tables(s, dir))),
     // §2.2 dedup
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir))),
     "d2_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir))),
@@ -75,6 +76,9 @@ object SparkEntry {
     "t10_token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(Tables(s, dir))),
     "t11_dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(Tables(s, dir))),
     "t12_bigram_logprob" -> ((s, dir) => TextAnalysis.bigramLogprob(Tables(s, dir))),
+    "t13_bpe_merges" -> ((s, dir) => Bpe.bpeMerges(Tables(s, dir))),
+    "t14_bpe_encode" -> ((s, dir) => Bpe.bpeEncode(Tables(s, dir))),
+    "t15_cms_freq" -> ((s, dir) => TextAnalysis.cmsTokenFreq(Tables(s, dir))),
     // §2.7 corpus curation
     "dc1_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables(s, dir))),
     "dc2_sample_budget" -> ((s, dir) => Curation.sampleToBudget(Tables(s, dir))),
@@ -208,6 +212,9 @@ object SparkEntry {
         |FROM weeks JOIN cohorts USING (user_id)
         |GROUP BY cohort_week, week_offset
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // q27: per-column branches replayed with the operator's exact metric
+    // shapes (epoch-microsecond doubles for timestamps)
+    "q27_profile" -> OracleReplicas.q27Profile(),
     "p1_sequence_pack" ->
       s"""WITH $packCtes
         |SELECT doc_id, shard, ws_tokens, start_tok, seq_first, seq_last,
@@ -935,6 +942,16 @@ object SparkEntry {
         |FROM terms JOIN nt USING (doc_id)
         |GROUP BY doc_id, n_tokens
         |ORDER BY doc_id""".stripMargin,
+    // t13: BPE merge rounds replayed as generated CTE chains (the
+    // s2/s5 k-means precedent): per round, sliding pair counts, the
+    // (n DESC, lhs, rhs) best pair, and the greedy leftmost
+    // non-overlapping rewrite via run-grouped window parity
+    "t13_bpe_merges" -> OracleReplicas.t13BpeMerges(),
+    // t14: the t13 chain's final dict joined back to the corpus words
+    "t14_bpe_encode" -> OracleReplicas.t14BpeEncode(),
+    // t15: the CMS counter plane replayed (splitmix buckets, LEAST over
+    // rows), probes shared with the operator's probe list
+    "t15_cms_freq" -> OracleReplicas.t15CmsFreq(graft.operators.TextAnalysis.CmsProbes),
     // dc11: t11's chain + the budget cut — per-token score rounded to 4
     // decimals (the deterministic cross-engine rank key), md5 tie-break,
     // global running token sum, keep while within budget

@@ -111,6 +111,14 @@ object GraftFunctions {
   def bloom_hits(c: Column, filter: Seq[Byte]): Column =
     EU.column(BloomHits(EU.expression(c), filter))
 
+  /** Build a binary Count-Min frequency sketch (d rows × w counters). */
+  def cms_sketch(c: Column, d: Int = 4, w: Int = 512): Column =
+    EU.column(CmsSketchAgg(EU.expression(c), d, w).toAggregateExpression())
+
+  /** Estimated count of `key` in a CMS sketch (≥ the true count). */
+  def cms_estimate(sketch: Column, key: Column): Column =
+    EU.column(CmsEstimate(EU.expression(sketch), EU.expression(key)))
+
   /** Optional trailing INT argument (precision / shingle width): honor
     * it when present — silently ignoring a user-supplied literal would
     * produce wrong-precision results with no error.

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+import graft.sources.Tables
+
+/** t13: BPE merge training (Sennrich et al. 2016) — the tokenizer-training
+  * step of an LM data pipeline, run the way production BPE trainers run it:
+  * ONE corpus scan builds the word-frequency dictionary, then every merge
+  * round operates on the vocabulary-sized dict only (cached; the corpus is
+  * never rescanned). Re-expresses the reference's "derive compact lookup
+  * structures once, reuse per row" shape
+  * (/root/reference/loaders/base_loader.py:176-211) at tokenizer scale.
+  *
+  * Scale contract (100 TB corpus):
+  *  - the corpus-sized stage is the single word-count scan (explode of the
+  *    subword pre-tokenizer, map-side partial agg, one (word) exchange);
+  *    the dict that survives is vocabulary-sized (millions of rows, ~50 B
+  *    each) and is persisted across rounds;
+  *  - each merge round is one map-side pair explode over the dict + a
+  *    (pair) aggregation, followed by a 1-row `limit(1).collect()` (the
+  *    bounded two-action pattern dc5/t11 use) and a map-side rewrite of
+  *    the symbol arrays — no round touches the corpus;
+  *  - the merge itself is pure array arithmetic (codegen'd higher-order
+  *    functions), no UDF.
+  *
+  * Greedy-merge semantics are pinned so the DuckDB oracle can replay them
+  * exactly: pair counts are SLIDING adjacent pairs (overlapping runs count
+  * each adjacency, the classic dict-BPE convention), the best pair is
+  * (count DESC, lhs ASC, rhs ASC) — a total order, so `limit(1)` is
+  * deterministic — and a merge rewrites leftmost-first non-overlapping
+  * occurrences. Overlap only arises for lhs == rhs runs ("a a a a"); the
+  * accumulator in [[mergePair]] skips a match that starts where the
+  * previous selected match ended, which is exactly leftmost-first.
+  */
+object Bpe {
+
+  val EndMark = "</w>"
+
+  /** The t3 subword pre-tokenizer: letter runs / digit runs / single
+    * punctuation (shared convention with TextAnalysis.tokens; the regex is
+    * in the Java∩RE2 subset so DuckDB extracts identically).
+    */
+  private val PreTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** One corpus scan → (word, freq). The only corpus-sized stage. */
+  private[graft] def wordFreq(t: Tables): DataFrame =
+    t.documents
+      .select(explode(regexp_extract_all(lower(col("text")), lit(PreTokenRegex), lit(0))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** word → initial symbol sequence: its characters plus the end-of-word
+    * marker (so word-final merges stay distinct from word-internal ones).
+    */
+  private def initialSymbols(word: Column): Column =
+    concat(
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
+      array(lit(EndMark)))
+
+  /** Sliding adjacent pairs of a symbol array as (l, r) structs; empty for
+    * single-symbol words (explode then drops the row).
+    */
+  private def adjacentPairs(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))
+
+  /** Rewrite one merge into a symbol array: leftmost-first non-overlapping
+    * occurrences of (a, b) become a+b. Pure codegen'd array ops:
+    * match positions → greedy selection via `aggregate` (skip a match
+    * starting where the previous selected one ended) → rebuild.
+    */
+  private[graft] def mergePair(syms: Column, a: String, b: String): Column = {
+    val n = size(syms)
+    // 0-based positions p with syms[p]==a && syms[p+1]==b. Words always
+    // have n >= 2 (a character plus the end marker), but guard n < 2
+    // anyway: sequence(0, n-2) would DESCEND for n = 1.
+    val matches = when(n >= 2,
+      filter(sequence(lit(0), n - 2),
+        p => element_at(syms, p + 1) === lit(a) && element_at(syms, p + 2) === lit(b)))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    val sel = aggregate(
+      matches,
+      struct(array().cast(ArrayType(IntegerType)).as("sel"), lit(-2).cast(IntegerType).as("last")),
+      (acc, p) =>
+        when(p === acc.getField("last") + 1, acc)
+          .otherwise(struct(concat(acc.getField("sel"), array(p)).as("sel"), p.cast(IntegerType).as("last"))),
+      acc => acc.getField("sel"))
+    // drop the position right after a selected match, substitute the
+    // merged symbol at selected positions, keep the rest
+    transform(
+      filter(sequence(lit(0), n - 1), i => !array_contains(sel, i - 1)),
+      i => when(array_contains(sel, i), lit(a + b)).otherwise(element_at(syms, i + 1)))
+  }
+
+  /** Run the training loop: returns the merge steps (in order) and the
+    * post-merge dict as a LAZY plan (word, syms, freq) whose merge
+    * rewrites carry the collected pairs as literals — deterministic to
+    * recompute, nothing left cached. The per-round caches live only for
+    * the duration of training.
+    */
+  private[graft] def train(t: Tables, numMerges: Int): (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    var dict = wordFreq(t)
+      .withColumn("syms", initialSymbols(col("word")))
+      .select(col("word"), col("syms"), col("freq"))
+    var cached = dict.persist(StorageLevel.MEMORY_AND_DISK)
+    val steps = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    try {
+      for (step <- 1 to numMerges) {
+        val best = cached
+          .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
+          .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+          .agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("lhs"), col("rhs"))
+          .limit(1)
+          .collect() // 1 row by construction — the bounded-collect pattern
+        if (best.nonEmpty) {
+          val (a, bSym, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          steps += ((step.toLong, a, bSym, a + bSym, n))
+          dict = dict.withColumn("syms", mergePair(col("syms"), a, bSym))
+          val next = dict.persist(StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before dropping the parent
+          cached.unpersist()
+          cached = next
+        }
+      }
+    } finally cached.unpersist()
+    (steps.toSeq, dict)
+  }
+
+  /** The learned merge table: one row per merge step, in order. This is
+    * the artifact a tokenizer trainer persists (merges.txt).
+    */
+  def bpeMerges(t: Tables, numMerges: Int = 8): DataFrame = {
+    val spark = t.documents.sparkSession
+    val (steps, _) = train(t, numMerges)
+    spark.createDataFrame(steps)
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .orderBy(col("step"))
+  }
+
+  /** t14: ENCODE the corpus with the learned tokenizer — the operation a
+    * pipeline runs on every document forever after training once. A
+    * word's BPE token count is the length of its fully-merged symbol
+    * sequence, and the trained dict already holds exactly that — so
+    * encoding is the (doc, word) explode joined against the
+    * vocabulary-sized dict (un-hinted, t6's contract: AQE broadcasts
+    * the dict when it measures small) and a per-doc sum. Text dies at
+    * the explode; only (doc_id, word) rows shuffle.
+    *
+    * At 100 TB the dict would be trained once and persisted (a
+    * SnapshotTable / warehouse store, the d7 pattern) instead of
+    * re-derived per run; here the re-derivation is one extra word-count
+    * scan in the same job.
+    */
+  def bpeEncode(t: Tables, numMerges: Int = 8): DataFrame = {
+    val (_, dict) = train(t, numMerges)
+    val wordTokens = dict.select(col("word"), size(col("syms")).cast(LongType).as("word_bpe"))
+    t.documents
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit(PreTokenRegex), lit(0))).as("word"))
+      .filter(col("word") =!= "")
+      .join(wordTokens, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("word_bpe")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -24,6 +24,13 @@ object TextAnalysis {
 
   private def tokensCol: Column = ws_tokens(col("text"))
 
+  /** t15's probe keys — shared with [[graft.OracleReplicas]] like
+    * [[Stopwords]]: words the synthetic corpus actually uses, plus one
+    * key that never occurs (exercises the empty-bucket estimate).
+    */
+  private[graft] val CmsProbes = Seq("the", "a", "join", "table", "scan",
+    "merge", "row", "data", "query", "neverseenword")
+
   private def stopHits(lang: String): Column =
     stopword_hits(col("toks"), Stopwords(lang))
 
@@ -110,6 +117,33 @@ object TextAnalysis {
       .agg(approx_top_k_tokens(col("toks"), k).as("topk"))
       .select(explode(col("topk")).as("e"))
       .select(col("e.token").as("token"), col("e.cnt").as("n"))
+  }
+
+  /** t15: corpus token frequencies through the Count-Min sketch — the
+    * point-frequency companion of [[vocabSketch]]'s top-k: one map-side
+    * pass folds every token occurrence into a d×w counter plane (16 KiB
+    * partials, elementwise-sum merge — the token domain never
+    * shuffles), then any later key probes the plane in O(d). Probed
+    * with [[CmsProbes]] — nine common corpus words plus one
+    * deliberately absent key (the empty-bucket branch); `exact_count`
+    * joins the true counts so the CMS ≥-truth guarantee is visible in
+    * the output (and oracle-checked). The 1-row sketch attaches to the
+    * probe rows via the declared scalar-attach crossJoin (t6's idf
+    * pattern).
+    */
+  def cmsTokenFreq(t: Tables, d: Int = 4, w: Int = 512): DataFrame = {
+    val probes = CmsProbes
+    val toks = t.documents.select(explode(tokensCol).as("token")).filter(col("token") =!= "")
+    val sketch = toks.agg(cms_sketch(col("token"), d, w).as("sk"))
+    val exact = toks.filter(col("token").isin(probes: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+    val probeDf = t.documents.sparkSession
+      .createDataFrame(probes.map(Tuple1(_))).toDF("token")
+    probeDf.crossJoin(sketch)
+      .select(col("token"), cms_estimate(col("sk"), col("token")).as("est_count"))
+      .join(exact, Seq("token"), "left")
+      .na.fill(0L, Seq("exact_count"))
+      .orderBy(col("token"))
   }
 
   /** t6: TF-IDF top terms per document. Both aggregations are plain
