@@ -79,6 +79,7 @@ object SparkEntry {
     "t13_bpe_merges" -> ((s, dir) => Bpe.bpeMerges(Tables(s, dir))),
     "t14_bpe_encode" -> ((s, dir) => Bpe.bpeEncode(Tables(s, dir))),
     "t15_cms_freq" -> ((s, dir) => TextAnalysis.cmsTokenFreq(Tables(s, dir))),
+    "t16_pmi_collocations" -> ((s, dir) => TextAnalysis.pmiCollocations(Tables(s, dir))),
     // §2.7 corpus curation
     "dc1_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables(s, dir))),
     "dc2_sample_budget" -> ((s, dir) => Curation.sampleToBudget(Tables(s, dir))),
@@ -952,6 +953,28 @@ object SparkEntry {
     // t15: the CMS counter plane replayed (splitmix buckets, LEAST over
     // rows), probes shared with the operator's probe list
     "t15_cms_freq" -> OracleReplicas.t15CmsFreq(graft.operators.TextAnalysis.CmsProbes),
+    // t16: PMI over the same zipped-unnest bigrams as t12, multiplication
+    // order matched to the operator's left-associative expression
+    "t16_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |cu AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS cu FROM tok GROUP BY w),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+        |big AS (
+        |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM toks WHERE len(t) > 1),
+        |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count FROM big GROUP BY w1, w2),
+        |nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nb FROM big)
+        |SELECT w1, w2, pair_count,
+        |  ROUND(ln((CAST(pair_count AS DOUBLE) * n.n * n.n) / (nb.nb * cu1.cu * cu2.cu)), 6) AS pmi
+        |FROM cb
+        |JOIN cu cu1 ON cb.w1 = cu1.w
+        |JOIN cu cu2 ON cb.w2 = cu2.w
+        |CROSS JOIN n CROSS JOIN nb
+        |WHERE pair_count >= 5
+        |ORDER BY pmi DESC, w1, w2
+        |LIMIT 30""".stripMargin,
     // dc11: t11's chain + the budget cut — per-token score rounded to 4
     // decimals (the deterministic cross-engine rank key), md5 tie-break,
     // global running token sum, keep while within budget

@@ -81,6 +81,25 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     }
   }
 
+  /** The latest version committed at or before `tsMillis` — the
+    * manifest hard-link's mtime IS the commit instant (each tryCommit
+    * writes a fresh temp file immediately before linking). Time travel
+    * by wall clock: "what did this table look like when that run
+    * started". Among versions with mtime ≤ `tsMillis` the HIGHEST wins,
+    * so pathological clock skew between racing writers can widen but
+    * never un-order a pick; vacuumed versions are simply gone (their
+    * read fails loudly, same as `read(Some(v))`).
+    */
+  def versionAsOf(tsMillis: Long): Option[Long] =
+    listVersions().filter { v =>
+      Files.getLastModifiedTime(manifestPath(v)).toMillis <= tsMillis
+    }.lastOption
+
+  /** Read the table as of a wall-clock instant (see [[versionAsOf]]). */
+  def readAsOf(tsMillis: Long): DataFrame =
+    read(Some(versionAsOf(tsMillis).getOrElse(throw new IllegalStateException(
+      s"no version committed at or before $tsMillis at $root"))))
+
   /** Read the table at a snapshot. Every file in the manifest is
     * immutable, so the returned DataFrame is stable under concurrent
     * commits — snapshot isolation without any read lock.

@@ -162,11 +162,70 @@ object Bpe {
   def bpeEncode(t: Tables, numMerges: Int = 8): DataFrame = {
     val (_, dict) = train(t, numMerges)
     val wordTokens = dict.select(col("word"), size(col("syms")).cast(LongType).as("word_bpe"))
+    encodeAgainst(t, wordTokens)
+  }
+
+  private def corpusWords(t: Tables) =
     t.documents
       .select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit(PreTokenRegex), lit(0))).as("word"))
       .filter(col("word") =!= "")
+
+  private def encodeAgainst(t: Tables, wordTokens: DataFrame): DataFrame =
+    corpusWords(t)
       .join(wordTokens, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("word_bpe")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Persist the trained tokenizer as a warehouse store — the 100 TB
+    * train-once/encode-forever shape [[bpeEncode]]'s scaladoc promises,
+    * implemented with the dedup stores' generation protocol:
+    * `<name>_merges` (the merges.txt artifact) and `<name>_dict`
+    * (word → BPE token count, bucketed on `word` for shuffle-free
+    * probes) publish atomically; a failed build drops its half-written
+    * tables and burns its claim, leaving the prior generation live.
+    */
+  def buildDictStore(t: Tables, name: String, numMerges: Int = 8, buckets: Int = 32): Unit = {
+    import graft.sources.Warehouse
+    val spark = t.documents.sparkSession
+    val gen = Warehouse.claimGeneration(spark, name)
+    val dictT = Warehouse.storeTableName(name, gen, "dict")
+    val mergesT = Warehouse.storeTableName(name, gen, "merges")
+    try {
+      val (steps, dict) = train(t, numMerges)
+      Warehouse.writeBucketed(
+        dict.select(col("word"), size(col("syms")).cast(LongType).as("word_bpe")),
+        dictT, "word", buckets)
+      spark.createDataFrame(steps)
+        .toDF("step", "lhs", "rhs", "merged", "pair_count")
+        .write.format("parquet").saveAsTable(mergesT)
+      Warehouse.publishGeneration(spark, name, gen)
+    } catch {
+      case e: Throwable =>
+        Seq(dictT, mergesT).foreach(tb => scala.util.Try(Warehouse.drop(spark, tb)))
+        Warehouse.burnClaim(spark, name, gen)
+        throw e
+    }
+  }
+
+  /** t14 against the persisted store: the corpus is tokenized once, the
+    * probe side repartitions its (word) keys to the store's bucket
+    * layout, and the dict side never shuffles (the d7 ingest shape).
+    * Output equals [[bpeEncode]] at the same `numMerges` exactly
+    * (spec-asserted).
+    */
+  def bpeEncodeAgainstStore(t: Tables, name: String, buckets: Int = 32): DataFrame = {
+    import graft.sources.Warehouse
+    val spark = t.documents.sparkSession
+    val gen = Warehouse.resolveGeneration(spark, name)
+    val dict = Warehouse.table(spark, Warehouse.storeTableName(name, gen, "dict"))
+    // probe keys carry a distinct name so the plan (and its spec) can
+    // tell the batch-side exchange from a store-side one (d7's idiom)
+    corpusWords(t)
+      .withColumnRenamed("word", "pword")
+      .repartition(buckets, col("pword"))
+      .join(dict, col("pword") === col("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("word_bpe")).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))

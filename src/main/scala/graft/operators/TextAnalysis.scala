@@ -146,6 +146,39 @@ object TextAnalysis {
       .orderBy(col("token"))
   }
 
+  /** t16: PMI collocation mining — the phrase-discovery pass (Church &
+    * Hanks 1990) a corpus pipeline runs before building a phrase-aware
+    * vocabulary: for adjacent pair (w1, w2),
+    * pmi = ln(p(w1 w2) / (p(w1) p(w2))), keep pairs with count ≥
+    * `minCount` (rare-pair PMI is noise), top-k by the ROUNDED score
+    * (t6's cross-engine tie contract). Adjacency comes from t12's
+    * (doc_id)-keyed lead window — no token self-join; the unigram and
+    * bigram frequency joins are un-hinted (t6's contract) and the two
+    * 1-row totals attach via declared scalar-attach crossJoins.
+    */
+  def pmiCollocations(t: Tables, minCount: Long = 5, k: Int = 30): DataFrame = {
+    val docs = spreadIfNarrow(t.documents.select(col("doc_id"), col("text")))
+    val tok = docs.select(col("doc_id"), posexplode(tokensCol)).toDF("doc_id", "pos", "w")
+    val cu = tok.groupBy(col("w")).agg(count(lit(1)).cast("double").as("cu"))
+    val nTot = tok.agg(count(lit(1)).cast("double").as("n"))
+    val seq = tok.withColumn("w2",
+      lead(col("w"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val pairs = seq.filter(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+    val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_count"))
+    val nbTot = pairs.agg(count(lit(1)).cast("double").as("nb"))
+    cb.filter(col("pair_count") >= minCount)
+      .join(cu.withColumnRenamed("w", "w1").withColumnRenamed("cu", "cu1"), Seq("w1"))
+      .join(cu.withColumnRenamed("w", "w2").withColumnRenamed("cu", "cu2"), Seq("w2"))
+      .crossJoin(broadcast(nTot))
+      .crossJoin(broadcast(nbTot))
+      .select(col("w1"), col("w2"), col("pair_count"),
+        round(log(col("pair_count").cast("double") * col("n") * col("n")
+          / (col("nb") * col("cu1") * col("cu2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** t6: TF-IDF top terms per document. Both aggregations are plain
     * partial-agg shuffles on (doc, token) / (token); ranking uses the
     * ROUNDED score so cross-engine ties resolve identically.

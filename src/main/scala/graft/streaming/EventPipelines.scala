@@ -57,6 +57,25 @@ object EventPipelines {
         count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("est_users"), col("n"))
 
+  /** Streaming windowed per-key FREQUENCY sketch via the Count-Min
+    * plane (t15's kernel): the d·w-long counter plane is the entire
+    * per-window state — keyed counting over an endless stream in fixed
+    * memory where an exact per-key count would hold every key seen.
+    * Elementwise-sum merges are order independent, so the streamed
+    * sketch BYTES equal the batch sketch over the same rows exactly
+    * (spec-asserted), and any key can be probed later with
+    * `cms_estimate` — including keys nobody listed up front, which is
+    * what the sketch buys over a streaming groupBy(key).
+    */
+  def windowedFreqSketchStream(events: DataFrame, d: Int = 4, w: Int = 256): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        graft.functions.GraftFunctions.cms_sketch(col("user_id"), d, w).as("sk"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("sk"), col("n"))
+
   /** st2 (batch twin): sessionization with a 30-minute inactivity gap —
     * lag → new-session flag → running sum = session index → per-session
     * rollup. Two window passes over one (user_id)-keyed shuffle.

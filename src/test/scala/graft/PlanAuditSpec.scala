@@ -24,8 +24,9 @@ class PlanAuditSpec extends SparkSpecBase {
     "dc4_mixture", "dc9_full_curation", "dc10_curation_audit",
     "t6_tfidf", "t8_unigram_logprob", "t12_bigram_logprob",
     "s2_ann_ivf", "s6_ann_ivfpq", "s1_ann_brute",
-    // t15: the 1-row CMS sketch attaches to the 10 probe tokens
-    "t15_cms_freq")
+    // t15: the 1-row CMS sketch attaches to the 10 probe tokens;
+    // t16: the 1-row token and bigram totals attach to the pair table
+    "t15_cms_freq", "t16_pmi_collocations")
 
   test("no query plan contains a CartesianProduct; BNLJ only where declared scalar-attach") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -24,6 +24,22 @@ class SnapshotTableSpec extends SparkSpecBase {
     assert(t.read(Some(1L)).count() == 2, "overwrite does not destroy history")
   }
 
+  test("time travel by wall clock: readAsOf resolves the version live at that instant") {
+    val t = fresh()
+    t.append(Seq((1L, "a")).toDF("id", "v")) // v0
+    Thread.sleep(25)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(25)
+    t.append(Seq((2L, "b")).toDF("id", "v")) // v1
+    assert(t.versionAsOf(mid) == Some(0L))
+    assert(t.readAsOf(mid).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(t.versionAsOf(System.currentTimeMillis()) == Some(1L))
+    assert(t.readAsOf(System.currentTimeMillis()).count() == 2)
+    // before the first commit there is nothing to travel to
+    assert(t.versionAsOf(mid - 3600_000L).isEmpty)
+    intercept[IllegalStateException] { t.readAsOf(mid - 3600_000L) }
+  }
+
   test("a stale commit loses deterministically; the retry path composes changes") {
     val t = fresh()
     t.append(Seq((1L, "a")).toDF("id", "v")) // v0

@@ -66,6 +66,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming windowed CMS frequency sketch equals the batch plane byte-for-byte") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventPipelines.windowedFreqSketchStream(mem.toDF())
+      .writeStream.format("memory").queryName("cms_out").outputMode("append").start()
+    try {
+      // 30 events, user i%7, split across micro-batches so partial
+      // planes must sum in state
+      val evs = (1 to 30).map(i => Ev(i.toLong, ts(i % 50), i.toLong % 7, "click", 1.0))
+      mem.addData(evs.take(11): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(11): _*)
+      q.processAllAvailable()
+      mem.addData(Ev(99, java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("cms_out")
+        .filter(col("window_start") === java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+        .collect()
+      assert(out.length == 1)
+      val streamed = out(0).getAs[Array[Byte]]("sk")
+      val batch = evs.map(_.user_id).toDF("user_id")
+        .agg(graft.functions.GraftFunctions.cms_sketch(col("user_id"), 4, 256))
+        .collect()(0).getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(streamed, batch),
+        "stream and batch counter planes must agree byte-for-byte")
+      // probe a key after the fact: user 1 appears ceil(30/7)-ish times
+      val truth = evs.count(_.user_id == 1L)
+      assert(graft.functions.CmsWire.estimateLong(streamed, 1L) >= truth)
+      assert(out(0).getAs[Long]("n") == 30)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event_ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -80,6 +80,46 @@ class TextExtraSpec extends SparkSpecBase {
       s"bigram context should beat unigram scoring for most docs (won $wins/${t12.size})")
   }
 
+  test("t16 PMI matches the hand formula and ranks the glued pair first") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t16crafted").toString
+    // 'new york' always co-occurs (6 times); 'the' pairs freely with
+    // several continuations, so p(city|the) < 1 and its PMI is lower
+    val texts = Seq(
+      (0L, "new york the port the dock the fog", "en", "src0", 9L),
+      (1L, "new york the city the dock", "en", "src0", 9L),
+      (2L, "new york the city new york", "en", "src0", 9L),
+      (3L, "new york new york the city", "en", "src0", 9L))
+    texts.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val allToks = texts.flatMap(_._2.split(" "))
+    val n = allToks.size.toDouble
+    val bigrams = texts.flatMap(_._2.split(" ").sliding(2).map(p => (p(0), p(1))))
+    val nb = bigrams.size.toDouble
+    val cu = allToks.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val cbNY = bigrams.count(_ == ("new", "york")).toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = r6(math.log(cbNY * n * n / (nb * cu("new") * cu("york"))))
+    val rows = TextAnalysis.pmiCollocations(Tables(spark, dir), minCount = 2, k = 10).collect()
+    assert(rows.nonEmpty)
+    val top = rows.head
+    assert((top.getString(0), top.getString(1)) == (("new", "york")))
+    assert(top.getLong(2) == cbNY.toLong)
+    assert(top.getDouble(3) == expected)
+    // the free-floating 'the city' pair scores strictly lower
+    val theCity = rows.find(r => r.getString(0) == "the" && r.getString(1) == "city")
+    theCity.foreach(r => assert(r.getDouble(3) < top.getDouble(3)))
+  }
+
+  test("t16 on the real corpus: thresholded, descending, at most k rows") {
+    val rows = TextAnalysis.pmiCollocations(t).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    assert(rows.forall(_.getLong(2) >= 5L))
+    val pmis = rows.map(_.getDouble(3)).toSeq
+    assert(pmis == pmis.sorted.reverse)
+  }
+
   test("t10 token entropy matches hand-computed values and bounds") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("t10crafted").toString

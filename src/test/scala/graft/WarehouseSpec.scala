@@ -75,6 +75,36 @@ class WarehouseSpec extends SparkSpecBase {
       s"the batch side aligns to the store's bucket layout:\n$physical")
   }
 
+  test("persisted BPE dict store: encode equals t14 bit-identically and never shuffles the dict") {
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+    Warehouse.dropStore(spark, "bpestore", Seq("dict", "merges"))
+
+    graft.operators.Bpe.buildDictStore(t, "bpestore")
+    val probe = graft.operators.Bpe.bpeEncodeAgainstStore(t, "bpestore")
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.operators.Bpe.bpeEncode(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "store encode diverged from the in-job t14")
+    assert(got.nonEmpty)
+
+    // the persisted merge table is the same merges.txt artifact t13 emits
+    val gen = Warehouse.resolveGeneration(spark, "bpestore")
+    val merges = Warehouse.table(spark, Warehouse.storeTableName("bpestore", gen, "merges"))
+      .orderBy(col("step")).collect().map(_.toSeq).toSeq
+    val t13 = graft.operators.Bpe.bpeMerges(t).collect().map(_.toSeq).toSeq
+    assert(merges == t13)
+
+    // the dict is read co-partitioned: the only word-key exchange is the
+    // probe side's explicit repartition (pword)
+    val physical = probe.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange hashpartitioning(word"),
+      s"the dict store must never shuffle:\n$physical")
+    assert(physical.contains("hashpartitioning(pword"),
+      s"the probe side aligns to the store's bucket layout:\n$physical")
+  }
+
   test("persisted substring store: ingest probe equals d10 and never shuffles the store side") {
     import org.apache.spark.sql.functions.col
     val t = Tables(spark, sfDir)
