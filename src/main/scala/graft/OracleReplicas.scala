@@ -1089,7 +1089,7 @@ object OracleReplicas {
   def t14BpeEncode(numMerges: Int = 8): String =
     s"""WITH ${bpeCtes(numMerges)},
        |docw AS (
-       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS word
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '${graft.operators.TextAnalysis.SubwordRegex}')) AS word
        |  FROM documents)
        |SELECT doc_id,
        |  CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -1110,10 +1110,14 @@ object OracleReplicas {
          |    SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS n FROM p$r GROUP BY lhs, rhs) z
          |  ORDER BY n DESC, lhs, rhs LIMIT 1),
          |m$r AS MATERIALIZED (
+         |  -- LEFT JOIN ON TRUE, not CROSS JOIN: when a round finds no
+         |  -- pair (fully merged vocabulary) b$r is EMPTY, and a cross
+         |  -- join would empty the dict chain for every later round
+         |  -- while the Scala trainer keeps the dict unchanged
          |  SELECT z.word, z.freq, z.i, z.t[z.i] AS sym,
-         |    (z.i < len(z.t) AND z.t[z.i] = b.lhs AND z.t[z.i+1] = b.rhs) AS is_m
+         |    COALESCE(z.i < len(z.t) AND z.t[z.i] = b.lhs AND z.t[z.i+1] = b.rhs, FALSE) AS is_m
          |  FROM (SELECT word, freq, t, unnest(range(1, len(t) + 1)) AS i FROM $prev) z
-         |  CROSS JOIN b$r b),
+         |  LEFT JOIN b$r b ON TRUE),
          |s$r AS MATERIALIZED (
          |  SELECT word, i FROM (
          |    SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) AS rn
@@ -1124,7 +1128,7 @@ object OracleReplicas {
          |  SELECT m.word, MAX(m.freq) AS freq,
          |    list(CASE WHEN s.i IS NOT NULL THEN b.lhs || b.rhs ELSE m.sym END ORDER BY m.i) AS t
          |  FROM m$r m
-         |  CROSS JOIN b$r b
+         |  LEFT JOIN b$r b ON TRUE
          |  LEFT JOIN s$r s  ON s.word = m.word AND s.i = m.i
          |  LEFT JOIN s$r sp ON sp.word = m.word AND sp.i = m.i - 1
          |  WHERE sp.i IS NULL
@@ -1133,7 +1137,7 @@ object OracleReplicas {
     val rounds = (1 to numMerges).map(round).mkString(",\n")
     s"""words AS (
        |  SELECT word, COUNT(*) AS freq FROM (
-       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS word
+       |    SELECT unnest(regexp_extract_all(lower(text), '${graft.operators.TextAnalysis.SubwordRegex}')) AS word
        |    FROM documents) z
        |  WHERE word <> '' GROUP BY word),
        |d0 AS MATERIALIZED (

@@ -92,7 +92,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     */
   def versionAsOf(tsMillis: Long): Option[Long] =
     listVersions().filter { v =>
-      Files.getLastModifiedTime(manifestPath(v)).toMillis <= tsMillis
+      // a concurrent vacuum may unlink an old manifest between the
+      // listing and this stat — a vanished version simply doesn't
+      // qualify; it must not crash the lookup of versions that do
+      try Files.getLastModifiedTime(manifestPath(v)).toMillis <= tsMillis
+      catch { case _: java.io.IOException => false }
     }.lastOption
 
   /** Read the table as of a wall-clock instant (see [[versionAsOf]]). */

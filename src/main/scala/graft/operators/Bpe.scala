@@ -40,11 +40,10 @@ object Bpe {
 
   val EndMark = "</w>"
 
-  /** The t3 subword pre-tokenizer: letter runs / digit runs / single
-    * punctuation (shared convention with TextAnalysis.tokens; the regex is
-    * in the Java∩RE2 subset so DuckDB extracts identically).
+  /** The t3 subword pre-tokenizer — ONE definition shared with
+    * TextAnalysis (and, via interpolation, the SQL replicas).
     */
-  private val PreTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  private val PreTokenRegex = TextAnalysis.SubwordRegex
 
   /** One corpus scan → (word, freq). The only corpus-sized stage. */
   private[graft] def wordFreq(t: Tables): DataFrame =
@@ -100,18 +99,20 @@ object Bpe {
   }
 
   /** Run the training loop: returns the merge steps (in order) and the
-    * post-merge dict as a LAZY plan (word, syms, freq) whose merge
-    * rewrites carry the collected pairs as literals — deterministic to
-    * recompute, nothing left cached. The per-round caches live only for
-    * the duration of training.
+    * post-merge dict (word, syms, freq) STILL PERSISTED and already
+    * materialized — the caller consumes it (one action or a small
+    * projection) and unpersists; recomputing the whole chain here just
+    * to drop the cache would pay the corpus-sized word-count stage a
+    * second time. A failed round unpersists before rethrowing.
     */
   private[graft] def train(t: Tables, numMerges: Int): (Seq[(Long, String, String, String, Long)], DataFrame) = {
-    var dict = wordFreq(t)
+    var cached = wordFreq(t)
       .withColumn("syms", initialSymbols(col("word")))
       .select(col("word"), col("syms"), col("freq"))
-    var cached = dict.persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val steps = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     try {
+      cached.count()
       for (step <- 1 to numMerges) {
         val best = cached
           .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
@@ -123,15 +124,15 @@ object Bpe {
         if (best.nonEmpty) {
           val (a, bSym, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
           steps += ((step.toLong, a, bSym, a + bSym, n))
-          dict = dict.withColumn("syms", mergePair(col("syms"), a, bSym))
-          val next = dict.persist(StorageLevel.MEMORY_AND_DISK)
+          val next = cached.withColumn("syms", mergePair(col("syms"), a, bSym))
+            .persist(StorageLevel.MEMORY_AND_DISK)
           next.count() // materialize before dropping the parent
           cached.unpersist()
           cached = next
         }
       }
-    } finally cached.unpersist()
-    (steps.toSeq, dict)
+    } catch { case e: Throwable => cached.unpersist(); throw e }
+    (steps.toSeq, cached)
   }
 
   /** The learned merge table: one row per merge step, in order. This is
@@ -139,7 +140,8 @@ object Bpe {
     */
   def bpeMerges(t: Tables, numMerges: Int = 8): DataFrame = {
     val spark = t.documents.sparkSession
-    val (steps, _) = train(t, numMerges)
+    val (steps, dict) = train(t, numMerges)
+    dict.unpersist() // only the merge table is consumed here
     spark.createDataFrame(steps)
       .toDF("step", "lhs", "rhs", "merged", "pair_count")
       .orderBy(col("step"))
@@ -154,14 +156,18 @@ object Bpe {
     * the dict when it measures small) and a per-doc sum. Text dies at
     * the explode; only (doc_id, word) rows shuffle.
     *
-    * At 100 TB the dict would be trained once and persisted (a
-    * SnapshotTable / warehouse store, the d7 pattern) instead of
-    * re-derived per run; here the re-derivation is one extra word-count
-    * scan in the same job.
+    * The trained (word → count) map is snapshotted off the training
+    * cache via an eager localCheckpoint (vocabulary-sized, ~16 B/row)
+    * so the corpus-scale word-count stage is NOT recomputed when the
+    * returned plan executes; at 100 TB prefer [[buildDictStore]] +
+    * [[bpeEncodeAgainstStore]] (train once, encode forever).
     */
   def bpeEncode(t: Tables, numMerges: Int = 8): DataFrame = {
     val (_, dict) = train(t, numMerges)
-    val wordTokens = dict.select(col("word"), size(col("syms")).cast(LongType).as("word_bpe"))
+    val wordTokens = dict
+      .select(col("word"), size(col("syms")).cast(LongType).as("word_bpe"))
+      .localCheckpoint(true)
+    dict.unpersist()
     encodeAgainst(t, wordTokens)
   }
 
@@ -194,9 +200,11 @@ object Bpe {
     val mergesT = Warehouse.storeTableName(name, gen, "merges")
     try {
       val (steps, dict) = train(t, numMerges)
-      Warehouse.writeBucketed(
-        dict.select(col("word"), size(col("syms")).cast(LongType).as("word_bpe")),
-        dictT, "word", buckets)
+      try
+        Warehouse.writeBucketed(
+          dict.select(col("word"), size(col("syms")).cast(LongType).as("word_bpe")),
+          dictT, "word", buckets)
+      finally dict.unpersist()
       spark.createDataFrame(steps)
         .toDF("step", "lhs", "rhs", "merged", "pair_count")
         .write.format("parquet").saveAsTable(mergesT)
@@ -212,20 +220,42 @@ object Bpe {
   /** t14 against the persisted store: the corpus is tokenized once, the
     * probe side repartitions its (word) keys to the store's bucket
     * layout, and the dict side never shuffles (the d7 ingest shape).
-    * Output equals [[bpeEncode]] at the same `numMerges` exactly
-    * (spec-asserted).
+    * On the training corpus the output equals [[bpeEncode]] exactly
+    * (spec-asserted). Out-of-vocabulary words — the point of
+    * encode-forever is encoding corpora the store was NOT trained on —
+    * fall back to true BPE: the stored merge list (≤ numMerges rows,
+    * collected bounded) is applied in rank order to the unseen word's
+    * characters map-side, so nothing is silently dropped or
+    * undercounted (spec-asserted on an unseen-word corpus).
     */
   def bpeEncodeAgainstStore(t: Tables, name: String, buckets: Int = 32): DataFrame = {
     import graft.sources.Warehouse
     val spark = t.documents.sparkSession
+    // resolve ONCE so dict and merges pin to the same generation even
+    // if a rebuild publishes mid-plan
     val gen = Warehouse.resolveGeneration(spark, name)
     val dict = Warehouse.table(spark, Warehouse.storeTableName(name, gen, "dict"))
+    val merges = Warehouse.table(spark, Warehouse.storeTableName(name, gen, "merges"))
+      .orderBy(col("step")).collect() // ≤ numMerges rows — bounded
     // probe keys carry a distinct name so the plan (and its spec) can
     // tell the batch-side exchange from a store-side one (d7's idiom)
-    corpusWords(t)
+    var joined = corpusWords(t)
       .withColumnRenamed("word", "pword")
       .repartition(buckets, col("pword"))
-      .join(dict, col("pword") === col("word"))
+      .join(dict, col("pword") === col("word"), "left")
+      .withColumn("oov_syms", initialSymbols(col("pword")))
+    // one withColumn PER merge, not one folded Column: each rewrite
+    // references the previous round as an attribute, so the expression
+    // tree stays linear in numMerges (a nested fold references the
+    // child ~5× per level and the Column tree grows 5^N)
+    merges.foreach { m =>
+      joined = joined.withColumn("oov_syms",
+        when(col("word_bpe").isNull,
+          mergePair(col("oov_syms"), m.getString(1), m.getString(2)))
+          .otherwise(col("oov_syms")))
+    }
+    joined
+      .withColumn("word_bpe", coalesce(col("word_bpe"), size(col("oov_syms")).cast(LongType)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("word_bpe")).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))

@@ -24,6 +24,14 @@ object TextAnalysis {
 
   private def tokensCol: Column = ws_tokens(col("text"))
 
+  /** The t3 subword pre-tokenizer — letter runs / digit runs / single
+    * punctuation, in the Java∩RE2 subset so DuckDB extracts
+    * identically. ONE definition shared by t3, the BPE family and
+    * their oracles; a drifted copy would silently break the
+    * cross-operator tokenization contract.
+    */
+  private[graft] val SubwordRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
   /** t15's probe keys — shared with [[graft.OracleReplicas]] like
     * [[Stopwords]]: words the synthetic corpus actually uses, plus one
     * key that never occurs (exercises the empty-bucket estimate).
@@ -90,7 +98,7 @@ object TextAnalysis {
     t.documents
       .withColumn("ws_tokens", size(tokensCol).cast("long"))
       .withColumn("subword_tokens",
-        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long"))
+        size(regexp_extract_all(lower(col("text")), lit(SubwordRegex), lit(0))).cast("long"))
       .select(col("doc_id"), col("ws_tokens"), col("subword_tokens"))
       .orderBy(col("doc_id"))
 

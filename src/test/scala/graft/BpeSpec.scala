@@ -131,6 +131,19 @@ class BpeSpec extends SparkSpecBase {
     assert(shrank)
   }
 
+  test("a fully-merged vocabulary stops early: fewer steps than numMerges, 1 token per word") {
+    // 'ab' exhausts after 2 merges (a+b, ab+</w>); rounds 3..8 find no
+    // pair and must leave the dict unchanged (the oracle's LEFT JOIN ON
+    // TRUE branch covers the same edge engine-side)
+    val dir = writeDocs(Seq("ab ab", "ab"))
+    val steps = Bpe.bpeMerges(Tables(spark, dir), numMerges = 8).collect()
+    assert(steps.length == 2)
+    assert(steps.map(_.getString(3)).toSeq == Seq("ab", "ab</w>"))
+    val enc = Bpe.bpeEncode(Tables(spark, dir), numMerges = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(enc(0L) == ((2L, 2L)) && enc(1L) == ((1L, 1L)))
+  }
+
   test("t13 on the real corpus: deterministic, well-formed, non-increasing best counts") {
     val t = Tables(spark, sfDir)
     val first = Bpe.bpeMerges(t, numMerges = 8).collect()

@@ -105,6 +105,39 @@ class WarehouseSpec extends SparkSpecBase {
       s"the probe side aligns to the store's bucket layout:\n$physical")
   }
 
+  test("store encode falls back to true BPE for out-of-vocabulary words") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    Warehouse.dropStore(spark, "bpestore2", Seq("dict", "merges"))
+    graft.operators.Bpe.buildDictStore(Tables(spark, sfDir), "bpestore2")
+
+    val dir = java.nio.file.Files.createTempDirectory("bpeoov").toString
+    Seq((0L, "zzqx zzqx the", "en", "srcX", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Bpe.bpeEncodeAgainstStore(Tables(spark, dir), "bpestore2").collect()
+    assert(rows.length == 1, "a doc of unseen words must not vanish from the output")
+    assert(rows(0).getLong(1) == 3L, "OOV occurrences still count as words")
+
+    // reference: the stored merges applied in rank order to 'zzqx'
+    def scanMerge(s: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    val gen = Warehouse.resolveGeneration(spark, "bpestore2")
+    val merges = Warehouse.table(spark, Warehouse.storeTableName("bpestore2", gen, "merges"))
+      .orderBy(col("step")).collect()
+    var syms = "zzqx".map(_.toString).toVector :+ graft.operators.Bpe.EndMark
+    merges.foreach(m => syms = scanMerge(syms, m.getString(1), m.getString(2)))
+    val theBpe = Warehouse.table(spark, Warehouse.storeTableName("bpestore2", gen, "dict"))
+      .filter(col("word") === "the").collect()(0).getAs[Long]("word_bpe")
+    assert(rows(0).getLong(2) == 2L * syms.length + theBpe)
+  }
+
   test("persisted substring store: ingest probe equals d10 and never shuffles the store side") {
     import org.apache.spark.sql.functions.col
     val t = Tables(spark, sfDir)
