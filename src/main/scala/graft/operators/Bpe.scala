@@ -171,8 +171,10 @@ object Bpe {
     encodeAgainst(t, wordTokens)
   }
 
-  private def corpusWords(t: Tables) =
-    t.documents
+  private def corpusWords(t: Tables): DataFrame = docWords(t.documents)
+
+  private def docWords(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit(PreTokenRegex), lit(0))).as("word"))
       .filter(col("word") =!= "")
@@ -228,9 +230,15 @@ object Bpe {
     * characters map-side, so nothing is silently dropped or
     * undercounted (spec-asserted on an unseen-word corpus).
     */
-  def bpeEncodeAgainstStore(t: Tables, name: String, buckets: Int = 32): DataFrame = {
+  def bpeEncodeAgainstStore(t: Tables, name: String, buckets: Int = 32): DataFrame =
+    encodeDocsAgainstStore(t.documents, name, buckets)
+
+  /** [[bpeEncodeAgainstStore]] over any (doc_id, text) frame — shared
+    * with the streaming twin, whose micro-batches are not a Tables.
+    */
+  def encodeDocsAgainstStore(docs: DataFrame, name: String, buckets: Int = 32): DataFrame = {
     import graft.sources.Warehouse
-    val spark = t.documents.sparkSession
+    val spark = docs.sparkSession
     // resolve ONCE so dict and merges pin to the same generation even
     // if a rebuild publishes mid-plan
     val gen = Warehouse.resolveGeneration(spark, name)
@@ -239,7 +247,7 @@ object Bpe {
       .orderBy(col("step")).collect() // ≤ numMerges rows — bounded
     // probe keys carry a distinct name so the plan (and its spec) can
     // tell the batch-side exchange from a store-side one (d7's idiom)
-    var joined = corpusWords(t)
+    var joined = docWords(docs)
       .withColumnRenamed("word", "pword")
       .repartition(buckets, col("pword"))
       .join(dict, col("pword") === col("word"), "left")

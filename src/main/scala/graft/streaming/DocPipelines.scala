@@ -255,6 +255,27 @@ object DocPipelines {
           batchId)
       }
 
+  /** Streaming BPE encode — the t14 twin at ingest: each micro-batch of
+    * (doc_id, text) rows probes whatever dict-store generation is
+    * PUBLISHED when it runs
+    * ([[graft.operators.Bpe.encodeDocsAgainstStore]]), including the
+    * true-BPE fallback for words the tokenizer has never seen. ZERO
+    * streaming state — the tokenizer lives in the generation-versioned
+    * store, so a retrain+publish between micro-batches is picked up
+    * atomically and executors hold nothing vocabulary-sized across
+    * batches.
+    */
+  def bpeEncodeStream(docs: DataFrame, storeName: String,
+      onCounts: (DataFrame, Long) => Unit, buckets: Int = 32):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onCounts(
+          graft.operators.Bpe.encodeDocsAgainstStore(batch, storeName, buckets),
+          batchId)
+      }
+
   /** Streaming ANN probe — the online-serving twin of the persisted IVF
     * index: each micro-batch of query vectors (vec_id, embedding) probes
     * whatever index generation is PUBLISHED when it runs

@@ -527,6 +527,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming BPE encode probes the dict store and equals the batch encode, OOV included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.sources.Tables(spark, sfDir)
+    graft.sources.Warehouse.dropStore(spark, "bpestream", Seq("dict", "merges"))
+    graft.operators.Bpe.buildDictStore(t, "bpestream")
+
+    // two real docs plus one the tokenizer never saw (the OOV fallback
+    // must behave identically through the stream)
+    val docs: Seq[(Long, String)] = t.documents.filter(col("doc_id") < 2)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq :+
+      ((9999L, "zzqx zzqx the"))
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocPipelines.bpeEncodeStream(
+        mem.toDF().toDF("doc_id", "text"), "bpestream",
+        (counts, _) => counts.collect().foreach(r =>
+          got(r.getLong(0)) = (r.getLong(1), r.getLong(2))))
+      .start()
+    try {
+      val (first, second) = docs.splitAt(2)
+      mem.addData(first.toIndexedSeq); q.processAllAvailable()
+      mem.addData(second.toIndexedSeq); q.processAllAvailable()
+      val want = graft.operators.Bpe.encodeDocsAgainstStore(
+          docs.toDF("doc_id", "text"), "bpestream")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got.toMap == want, s"stream encode diverged: got $got want $want")
+      assert(got.contains(9999L), "the all-batch-side OOV doc must be encoded, not dropped")
+    } finally q.stop()
+  }
+
   test("streaming IVF probe equals the batch index search on the same query set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
