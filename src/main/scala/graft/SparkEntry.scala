@@ -43,6 +43,8 @@ object SparkEntry {
     "q25_hll_rollup" -> ((s, dir) => Relational.q25HllRollup(Tables(s, dir))),
     "q26_retention" -> ((s, dir) => Relational.q26RetentionCohorts(Tables(s, dir))),
     "q27_profile" -> ((s, dir) => Profile.lineitemProfile(Tables(s, dir))),
+    "q28_bloom_join" -> ((s, dir) => Relational.q28BloomJoin(Tables(s, dir))),
+    "q29_kmv_distinct" -> ((s, dir) => Relational.q29KmvDistinct(Tables(s, dir))),
     // §2.2 dedup
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir))),
     "d2_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir))),
@@ -102,6 +104,9 @@ object SparkEntry {
     "p1_sequence_pack" -> ((s, dir) => Packing.sequencePack(Tables(s, dir))),
     "p2_pack_stats" -> ((s, dir) => Packing.packStats(Tables(s, dir))),
     "p3_epoch_interleave" -> ((s, dir) => Packing.epochInterleave(Tables(s, dir))),
+    // §2.9 graph analytics
+    "g1_pagerank" -> ((s, dir) => Graph.pagerank(Tables(s, dir))),
+    "g2_triangle_count" -> ((s, dir) => Graph.triangleCounts(Tables(s, dir))),
   )
 
   import OracleReplicas.{fnv64Sql, signed64, jhashSql, signed32, charBytes}
@@ -1053,5 +1058,98 @@ object SparkEntry {
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // q28: the Bloom prefilter is exactness-preserving (no false
+    // negatives; the exact join kills false positives), so the oracle is
+    // the PLAIN three-way join
+    "q28_bloom_join" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey = 7
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 100""".stripMargin,
+    // q29: the KMV estimate replayed exactly — distinct splitmix hashes
+    // per group, unsigned order, k-th smallest, (k−1)·2^64 // h_k in
+    // HUGEINT with the same Long.MaxValue clamp
+    "q29_kmv_distinct" ->
+      s"""WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ${OracleReplicas.splitmixSql("CAST(user_id AS HUGEINT)")} AS hu
+        |  FROM events),
+        |ranked AS (
+        |  SELECT event_type, hu,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hu) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h),
+        |sel AS (
+        |  SELECT event_type, MAX(CASE WHEN rn = 256 THEN hu END) AS hk, MAX(nd) AS nd
+        |  FROM ranked WHERE rn <= 256 GROUP BY event_type),
+        |n AS (SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type)
+        |SELECT s.event_type,
+        |  CAST(CASE WHEN s.nd < 256 THEN s.nd
+        |       ELSE LEAST(255 * CAST(18446744073709551616 AS HUGEINT) // s.hk,
+        |                  CAST(9223372036854775807 AS HUGEINT)) END AS BIGINT) AS est_users,
+        |  n_events
+        |FROM sel s JOIN n USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "g1_pagerank" -> g1PagerankSql(iters = 5, topK = 100),
+    "g2_triangle_count" ->
+      s"""WITH $graphCtes,
+        |o AS (
+        |  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u.src < u.dst)
+        |              THEN u.src ELSE u.dst END AS lo,
+        |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u.src < u.dst)
+        |              THEN u.dst ELSE u.src END AS hi
+        |  FROM und u JOIN deg d1 ON d1.src = u.src JOIN deg d2 ON d2.src = u.dst),
+        |wedge AS (
+        |  SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+        |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+        |tri AS (
+        |  SELECT u, v, w FROM wedge
+        |  JOIN (SELECT LEAST(lo, hi) AS v, GREATEST(lo, hi) AS w FROM o) c USING (v, w))
+        |SELECT part_key, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM (SELECT unnest([u, v, w]) AS part_key FROM tri) z
+        |GROUP BY part_key
+        |ORDER BY part_key""".stripMargin,
   )
+
+  /** Shared CTE body for the graph oracles (g1/g2): the co-purchase
+    * edge list exactly as [[graft.operators.Graph.copurchaseEdges]]
+    * builds it, its symmetric closure, and per-node degrees.
+    */
+  private val graphCtes: String =
+    """op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+      |edges AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src)""".stripMargin
+
+  /** g1's oracle: the integer PageRank loop replayed as a generated CTE
+    * chain (one CTE per iteration — linear references, safe to inline),
+    * mirroring [[graft.operators.Graph.pagerank]]'s exact floor-division
+    * arithmetic (`//` ≡ Spark `div` on the all-positive ranks).
+    */
+  private def g1PagerankSql(iters: Int, topK: Int): String = {
+    import graft.operators.Graph.{Damping, Teleport, Rank0}
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST($Teleport + SUM(($Damping * (r.pr // d.deg)) // 100) AS BIGINT) AS pr
+         |  FROM r${i - 1} r
+         |  JOIN deg d ON d.src = r.node
+         |  JOIN edges e ON e.src = r.node
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |r0 AS (SELECT src AS node, CAST($Rank0 AS BIGINT) AS pr FROM deg),
+       |$rounds
+       |SELECT r.node AS part_key, d.deg, r.pr AS "rank"
+       |FROM r$iters r JOIN deg d ON d.src = r.node
+       |ORDER BY r.pr DESC, part_key
+       |LIMIT $topK""".stripMargin
+  }
 }

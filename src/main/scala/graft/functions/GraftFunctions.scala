@@ -111,6 +111,10 @@ object GraftFunctions {
   def bloom_hits(c: Column, filter: Seq[Byte]): Column =
     EU.column(BloomHits(EU.expression(c), filter))
 
+  /** KMV bottom-k distinct estimate over long keys (exact below k). */
+  def kmv_distinct(c: Column, k: Int = 256): Column =
+    EU.column(KmvDistinctAgg(EU.expression(c), k).toAggregateExpression())
+
   /** Build a binary Count-Min frequency sketch (d rows × w counters). */
   def cms_sketch(c: Column, d: Int = 4, w: Int = 512): Column =
     EU.column(CmsSketchAgg(EU.expression(c), d, w).toAggregateExpression())
@@ -151,7 +155,9 @@ object GraftFunctions {
       HllMergeAgg(exprs.head, intArg(exprs, 1, 6, "precision")).toAggregateExpression()),
     "graft_hll_estimate" -> (exprs => HllEstimate(exprs.head)),
     "graft_repetition_stats" -> (exprs =>
-      RepetitionStats(exprs.head, intArg(exprs, 1, 2, "shingle width"))))
+      RepetitionStats(exprs.head, intArg(exprs, 1, 2, "shingle width"))),
+    "graft_kmv_distinct" -> (exprs =>
+      KmvDistinctAgg(exprs.head, intArg(exprs, 1, 256, "k")).toAggregateExpression()))
 
   /** Register every graft function for SQL use. */
   def registerAll(spark: SparkSession): Unit = {

@@ -521,6 +521,64 @@ object Relational {
     * set — 3× the scan CPU and shuffle at 100 TB for measures that
     * decompose anyway.
     */
+  /** q29: KMV bottom-k distinct sketch — the family's fifth kernel
+    * ([[graft.functions.KmvDistinctAgg]]): per event type, the estimated
+    * distinct-user count from the k smallest distinct splitmix64 hashes.
+    * Exact below k; (k−1)·2^64 / h_k above (integer arithmetic, so the
+    * oracle replays it bit-for-bit: ORDER BY unsigned hash LIMIT k in
+    * HUGEINT). Versus q22's HLL: similar error at similar size, but the
+    * retained hashes are a mergeable uniform SAMPLE of the distinct
+    * keys — intersecting two groups' sketches estimates their overlap
+    * (join-size estimation), which HLL registers cannot do. One
+    * aggregation, map-side partials of ≤ 8k bytes per group.
+    */
+  def q29KmvDistinct(t: Tables, k: Int = 256): DataFrame = {
+    import GraftFunctions.kmv_distinct
+    t.events
+      .groupBy(col("event_type"))
+      .agg(
+        kmv_distinct(col("user_id"), k).as("est_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q28: runtime-filter join — the Bloom semi-join prefilter that makes
+    * a selective fact⋈dim join cheap at 100 TB. The build side (orders
+    * of one nation's customers) aggregates into a fixed-size Bloom
+    * filter ([[graft.functions.BloomBuildAgg]], 2 shuffle-free actions);
+    * the fact side probes it MAP-SIDE, so only (possibly-)matching rows
+    * ever enter the join exchange — the exact join then kills the false
+    * positives, which is why the oracle is the PLAIN join: the prefilter
+    * is exactness-preserving by the no-false-negatives contract. This is
+    * what Spark's own `runtimeFilter.bloomFilter` does when it fires;
+    * here it is explicit, deterministic, and available to any plan
+    * (including ones whose build side exceeds the broadcast threshold —
+    * the filter is 128 KiB regardless of build-side row count, where a
+    * broadcast hash table grows linearly). RfBench measures the win.
+    */
+  def q28BloomJoin(t: Tables, nationKey: Int = 7, nbits: Int = 1 << 20, kProbes: Int = 4,
+      topK: Int = 100): DataFrame = {
+    import GraftFunctions.{bloom_build, bloom_hits}
+    // built once: feeds the bloom aggregate AND the exact join
+    val selOrders = t.orders
+      .join(broadcast(t.customer.filter(col("c_nationkey") === nationKey)
+        .select(col("c_custkey"))), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"))
+      .localCheckpoint(true)
+    val filterBytes = selOrders
+      .agg(bloom_build(col("o_orderkey"), nbits, kProbes).as("f"))
+      .collect()(0).getAs[Array[Byte]](0) // fixed 5 + nbits/8 bytes, driver-safe
+    val pre = t.lineitem
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .filter(bloom_hits(array(col("l_orderkey")), filterBytes.toSeq) === 1)
+    pre.join(selOrders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D4))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(topK)
+  }
+
   def q17Rollup(t: Tables): DataFrame = {
     val finest = t.lineitem
       .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))

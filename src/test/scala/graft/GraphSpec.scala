@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Graph
+
+/** Crafted-graph checks for the §2.9 graph analytics (g1/g2); the
+  * co-purchase-graph forms are oracle-verified through the gate.
+  */
+class GraphSpec extends SparkSpecBase {
+
+  private def edges(pairs: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    pairs.toSeq.toDF("src", "dst")
+  }
+
+  test("g1: one integer PageRank round on the 3-node path, hand-computed") {
+    // a–b–c: deg a=1 b=2 c=1. r0 = 1_000_000 each.
+    // r1(a) = r1(c) = 150_000 + (85·(1_000_000 div 2)) div 100 = 575_000
+    // r1(b) = 150_000 + 2·((85·1_000_000) div 100)          = 1_850_000
+    val out = Graph.pagerankFromEdges(edges((1L, 2L), (2L, 3L)), iters = 1, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((2L, 2L, 1850000L), (1L, 1L, 575000L), (3L, 1L, 575000L)))
+  }
+
+  test("g1: rank mass is conserved up to floor loss, ordering is hub-first") {
+    // star: center 1 with leaves 2..6 plus a 2-path 6–7. 5 iterations.
+    val g = edges((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L), (6L, 7L))
+    val rows = Graph.pagerankFromEdges(g, iters = 5, topK = 10).collect()
+    assert(rows.head.getLong(0) == 1L, "the star center must rank first")
+    // un-normalized PageRank with teleport 0.15·1e6 per node: total mass
+    // stays within N·1e6 and above the pure-teleport floor
+    val total = rows.map(_.getLong(2)).sum
+    assert(total > 7L * 150000L && total <= 7L * 1000000L)
+  }
+
+  test("g1: result is invariant to input partitioning") {
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val a = Graph.pagerankFromEdges(g, iters = 3, topK = 10).collect().toSeq
+    val b = Graph.pagerankFromEdges(g.repartition(7), iters = 3, topK = 10).collect().toSeq
+    assert(a == b)
+  }
+
+  test("g2: K4 has four triangles, every node in three") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val out = Graph.triangleCountsFromEdges(k4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("g2: a triangle-free path yields no rows; a chorded cycle counts exactly") {
+    assert(Graph.triangleCountsFromEdges(edges((1L, 2L), (2L, 3L), (3L, 4L))).count() == 0L)
+    // 5-cycle 1..5 plus chord 1–3: exactly one triangle {1,2,3}
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L), (1L, 3L))
+    val out = Graph.triangleCountsFromEdges(g)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("g2: hub graph — degree ordering still counts each triangle once") {
+    // wheel: hub 0 connected to cycle 1..6 (hub degree 6, rim degree 3)
+    val rim = (1L to 6L).map(i => (i, if (i == 6L) 1L else i + 1L))
+    val g = edges(((1L to 6L).map(i => (0L, i)) ++ rim): _*)
+    val out = Graph.triangleCountsFromEdges(g).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // 6 hub triangles; hub in all 6, each rim node in 2
+    assert(out(0L) == 6L && (1L to 6L).forall(i => out(i) == 2L))
+    assert(out.values.sum == 3L * 6L)
+  }
+}
