@@ -45,6 +45,7 @@ object SparkEntry {
     "q27_profile" -> ((s, dir) => Profile.lineitemProfile(Tables(s, dir))),
     "q28_bloom_join" -> ((s, dir) => Relational.q28BloomJoin(Tables(s, dir))),
     "q29_kmv_distinct" -> ((s, dir) => Relational.q29KmvDistinct(Tables(s, dir))),
+    "q30_kmv_overlap" -> ((s, dir) => Relational.q30KmvOverlap(Tables(s, dir))),
     // §2.2 dedup
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir))),
     "d2_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir))),
@@ -1095,6 +1096,52 @@ object SparkEntry {
         |  n_events
         |FROM sel s JOIN n USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    // q30: the KMV intersection estimator replayed — per pair of event
+    // types, bottom-k of the sketch union (≡ bottom-k of A∪B), members
+    // present in both sketches, same union estimate and the same fixed
+    // (inter · est_union) / held double op order
+    "q30_kmv_overlap" ->
+      s"""WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ${OracleReplicas.splitmixSql("CAST(user_id AS HUGEINT)")} AS hu
+        |  FROM events),
+        |ranked AS (
+        |  SELECT event_type, hu,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hu) AS rn
+        |  FROM h),
+        |sk AS (SELECT event_type, hu FROM ranked WHERE rn <= 256),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |pairs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM types a JOIN types b ON a.event_type < b.event_type),
+        |uhash AS (
+        |  SELECT p.ta, p.tb, s.hu
+        |  FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+        |  GROUP BY p.ta, p.tb, s.hu),
+        |u AS (
+        |  SELECT ta, tb, hu,
+        |    ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hu) AS rn
+        |  FROM uhash QUALIFY rn <= 256),
+        |ustat AS (SELECT ta, tb, COUNT(*) AS held, MAX(hu) AS hk FROM u GROUP BY ta, tb),
+        |inter AS (
+        |  SELECT u.ta, u.tb, COUNT(*) AS cnt
+        |  FROM u
+        |  JOIN sk sa ON sa.event_type = u.ta AND sa.hu = u.hu
+        |  JOIN sk sb ON sb.event_type = u.tb AND sb.hu = u.hu
+        |  GROUP BY u.ta, u.tb),
+        |est AS (
+        |  SELECT ta, tb, held,
+        |    CAST(CASE WHEN held < 256 THEN held
+        |         ELSE LEAST(255 * CAST(18446744073709551616 AS HUGEINT) // hk,
+        |                    CAST(9223372036854775807 AS HUGEINT)) END AS BIGINT) AS est_union
+        |  FROM ustat)
+        |SELECT e.ta AS type_a, e.tb AS type_b,
+        |  CAST(COALESCE(i.cnt, 0) AS INT) AS inter_k,
+        |  e.est_union,
+        |  ROUND(CAST(COALESCE(i.cnt, 0) AS DOUBLE) * CAST(e.est_union AS DOUBLE) / e.held,
+        |        4) AS est_shared
+        |FROM est e LEFT JOIN inter i ON i.ta = e.ta AND i.tb = e.tb
+        |ORDER BY type_a, type_b""".stripMargin,
     "g1_pagerank" -> g1PagerankSql(iters = 5, topK = 100),
     "g2_triangle_count" ->
       s"""WITH $graphCtes,

@@ -115,6 +115,14 @@ object GraftFunctions {
   def kmv_distinct(c: Column, k: Int = 256): Column =
     EU.column(KmvDistinctAgg(EU.expression(c), k).toAggregateExpression())
 
+  /** Build a binary KMV sketch VALUE (store / intersect later). */
+  def kmv_sketch(c: Column, k: Int = 256): Column =
+    EU.column(KmvSketchAgg(EU.expression(c), k).toAggregateExpression())
+
+  /** STRUCT(inter_k, est_union, est_shared) from two kmv_sketch blobs. */
+  def kmv_overlap(a: Column, b: Column): Column =
+    EU.column(KmvOverlap(EU.expression(a), EU.expression(b)))
+
   /** Build a binary Count-Min frequency sketch (d rows × w counters). */
   def cms_sketch(c: Column, d: Int = 4, w: Int = 512): Column =
     EU.column(CmsSketchAgg(EU.expression(c), d, w).toAggregateExpression())

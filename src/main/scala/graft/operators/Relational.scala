@@ -542,6 +542,33 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** q30: KMV set-intersection — the capability that separates KMV from
+    * HLL (q29's doc): per PAIR of event types, the estimated number of
+    * shared users, from the groups' sketches alone. One aggregation
+    * builds the per-type sketches (group-count rows, ≤ 8·k bytes each);
+    * the pairwise non-equi self-join is group-count² rows — a declared
+    * scalar-attach BNLJ over a 5-row side, never data-sized. At 100 TB
+    * the raw keys are scanned ONCE; every pairwise overlap after that is
+    * sketch arithmetic — the join-size-estimation use a query planner
+    * needs, and re-runs cost nothing as sketches are storable values.
+    */
+  def q30KmvOverlap(t: Tables, k: Int = 256): DataFrame = {
+    import GraftFunctions.{kmv_sketch, kmv_overlap}
+    val sk = t.events
+      .groupBy(col("event_type"))
+      .agg(kmv_sketch(col("user_id"), k).as("sk"))
+      .localCheckpoint(true) // group-count rows; built once, joined twice
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .withColumn("o", kmv_overlap(col("sk_a"), col("sk_b")))
+      .select(col("type_a"), col("type_b"),
+        col("o.inter_k").as("inter_k"),
+        col("o.est_union").as("est_union"),
+        round(col("o.est_shared"), 4).as("est_shared"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** q28: runtime-filter join — the Bloom semi-join prefilter that makes
     * a selective fact⋈dim join cheap at 100 TB. The build side (orders
     * of one nation's customers) aggregates into a fixed-size Bloom

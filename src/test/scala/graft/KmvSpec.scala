@@ -72,4 +72,36 @@ class KmvSpec extends SparkSpecBase {
     assert(GraftKmv.estimate(k = 256, nHeld = 256, hk = 1L) == Long.MaxValue)
     assert(GraftKmv.estimate(k = 256, nHeld = 256, hk = -1L) == 255L) // h_k = 2^64−1
   }
+
+  test("q30 overlap: EXACT when both sketches are exhaustive (below k)") {
+    import spark.implicits._
+    // A = {0..99}, B = {50..149}: true |A∩B| = 50, |A∪B| = 150 < k
+    val df = ((0 until 100).map(i => ("a", i.toLong)) ++
+      (50 until 150).map(i => ("b", i.toLong))).toDF("g", "uid")
+    val sk = df.groupBy("g").agg(GraftFunctions.kmv_sketch(col("uid"), 256).as("sk"))
+    val row = sk.filter($"g" === "a").crossJoin(sk.filter($"g" === "b").select($"sk".as("sk2")))
+      .select(GraftFunctions.kmv_overlap($"sk", $"sk2").as("o"))
+      .select($"o.inter_k", $"o.est_union", $"o.est_shared").collect()(0)
+    assert(row.getInt(0) == 50 && row.getLong(1) == 150L && row.getDouble(2) == 50.0)
+  }
+
+  test("q30 overlap: above k the estimate lands near truth, invariant to partitioning") {
+    import spark.implicits._
+    // A = {0..9999}, B = {5000..14999}: truth |A∩B| = 5000
+    val df = ((0 until 10000).map(i => ("a", i.toLong)) ++
+      (5000 until 15000).map(i => ("b", i.toLong))).toDF("g", "uid")
+    def run(parts: Int): (Long, Double) = {
+      val sk = df.repartition(parts).groupBy("g")
+        .agg(GraftFunctions.kmv_sketch(col("uid"), 256).as("sk"))
+      val r = sk.filter($"g" === "a").crossJoin(sk.filter($"g" === "b").select($"sk".as("sk2")))
+        .select(GraftFunctions.kmv_overlap($"sk", $"sk2").as("o"))
+        .select($"o.est_union", $"o.est_shared").collect()(0)
+      (r.getLong(0), r.getDouble(1))
+    }
+    val (estU, estS) = run(4)
+    assert(run(11) == ((estU, estS)), "partitioning must not change the sketches")
+    assert(math.abs(estU - 15000L) < 15000 * 0.4, s"union est $estU vs 15000")
+    // ρ has binomial noise on top of the union estimate — generous 6σ-ish gate
+    assert(math.abs(estS - 5000.0) < 5000 * 0.6, s"overlap est $estS vs 5000")
+  }
 }

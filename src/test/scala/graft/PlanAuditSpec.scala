@@ -26,7 +26,10 @@ class PlanAuditSpec extends SparkSpecBase {
     "s2_ann_ivf", "s6_ann_ivfpq", "s1_ann_brute",
     // t15: the 1-row CMS sketch attaches to the 10 probe tokens;
     // t16: the 1-row token and bigram totals attach to the pair table
-    "t15_cms_freq", "t16_pmi_collocations")
+    "t15_cms_freq", "t16_pmi_collocations",
+    // q30: the pairwise type_a < type_b self-join of the per-event-type
+    // sketch table — group-count-sized both sides (5 rows), never data
+    "q30_kmv_overlap")
 
   test("no query plan contains a CartesianProduct; BNLJ only where declared scalar-attach") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
