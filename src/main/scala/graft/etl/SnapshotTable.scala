@@ -187,19 +187,38 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * stats pass reads the just-written files back (footer-cheap
     * min/max), so the input frame is evaluated exactly once.
     */
-  def appendIndexed(df: DataFrame, statsCols: Seq[String]): Long = {
+  def appendIndexed(df: DataFrame, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17, bloomK: Int = 4): Long = {
     val name = writeData(df)
     val dirPath = dataDir.resolve(name)
     val back = spark.read.parquet(dirPath.toString)
     if (!back.isEmpty) {
-      val aggs = statsCols.flatMap(c =>
-        Seq(org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col(c)).cast("long"),
-          org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col(c)).cast("long")))
-      val row = back.agg(aggs.head, aggs.tail: _*).head()
-      val json = statsCols.zipWithIndex.map { case (c, i) =>
-        s""""$c":{"min":${row.getLong(2 * i)},"max":${row.getLong(2 * i + 1)}}"""
-      }.mkString("{", ",", "}")
-      Files.write(dirPath.resolve("_stats.json"), json.getBytes("UTF-8"))
+      if (statsCols.nonEmpty) {
+        val aggs = statsCols.flatMap(c =>
+          Seq(org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col(c)).cast("long"),
+            org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col(c)).cast("long")))
+        val row = back.agg(aggs.head, aggs.tail: _*).head()
+        val json = statsCols.zipWithIndex.map { case (c, i) =>
+          s""""$c":{"min":${row.getLong(2 * i)},"max":${row.getLong(2 * i + 1)}}"""
+        }.mkString("{", ",", "}")
+        Files.write(dirPath.resolve("_stats.json"), json.getBytes("UTF-8"))
+      }
+      // Bloom sidecar per column: the equality-predicate complement of
+      // the zone map — min/max cannot prune a point lookup on a column
+      // whose values interleave across appends (ids, hashes); a 16 KiB
+      // filter per directory can. No false negatives, so skipping on a
+      // negative probe is always safe.
+      if (bloomCols.nonEmpty) {
+        import graft.functions.GraftFunctions.bloom_build
+        val aggs = bloomCols.map(c =>
+          bloom_build(org.apache.spark.sql.functions.col(c).cast("long"), bloomBits, bloomK))
+        val row = back.agg(aggs.head, aggs.tail: _*).head()
+        val json = bloomCols.zipWithIndex.map { case (c, i) =>
+          val b64 = java.util.Base64.getEncoder.encodeToString(row.getAs[Array[Byte]](i))
+          s""""$c":"$b64""""
+        }.mkString("{", ",", "}")
+        Files.write(dirPath.resolve("_bloom.json"), json.getBytes("UTF-8"))
+      }
     }
     commitRetry(name, (old, d) => old :+ d)
   }
@@ -241,6 +260,55 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       if (dirs.isEmpty) read(version).limit(0)
       else spark.read.parquet(dirs.map(d => dataDir.resolve(d).toString): _*)
     base.filter(col(colName) >= lo && col(colName) <= hi)
+  }
+
+  private val BloomEntryRe = """"([^"]+)":"([A-Za-z0-9+/=]+)"""".r
+
+  private def bloomsOf(dir: String): Map[String, Array[Byte]] = {
+    val p = dataDir.resolve(dir).resolve("_bloom.json")
+    if (!Files.exists(p)) Map.empty
+    else BloomEntryRe.findAllMatchIn(new String(Files.readAllBytes(p), "UTF-8"))
+      .map(m => m.group(1) -> java.util.Base64.getDecoder.decode(m.group(2))).toMap
+  }
+
+  /** The directories a point lookup `colName = value` must read at a
+    * snapshot: a directory is skipped when its zone map excludes the
+    * value OR its Bloom sidecar says the value is definitely absent
+    * (no false negatives ⇒ skipping is never unsafe). Directories with
+    * neither sidecar (plain appends, compaction rewrites) are always
+    * read. Exposed for specs to assert the pruning itself.
+    */
+  private[graft] def dirsMatchingEq(colName: String, value: Long,
+      version: Option[Long] = None): Seq[String] = {
+    val snap = snapshot(version)
+      .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
+    snap.dirs.filter { d =>
+      val zoneOk = statsOf(d).get(colName) match {
+        case Some((mn, mx)) => value >= mn && value <= mx
+        case None => true
+      }
+      zoneOk && (bloomsOf(d).get(colName) match {
+        case Some(bytes) =>
+          val (nbits, k, words) = graft.functions.GraftBloom.fromBytes(bytes)
+          graft.functions.GraftBloom.probe(words, nbits, k, value)
+        case None => true
+      })
+    }
+  }
+
+  /** Point lookup `colName = value` with zone-map AND Bloom-sidecar
+    * directory pruning, then the exact filter on the survivors — the
+    * needle-in-100-TB read: on object storage every skipped directory
+    * saves its LIST and footer round-trips, and for an id/hash column
+    * (where min/max spans everything) only the Bloom prunes at all.
+    */
+  def readWhereEq(colName: String, value: Long, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dirs = dirsMatchingEq(colName, value, version)
+    val base =
+      if (dirs.isEmpty) read(version).limit(0)
+      else spark.read.parquet(dirs.map(d => dataDir.resolve(d).toString): _*)
+    base.filter(col(colName) === value)
   }
 
   /** Replace the table contents with `df` at the next version.

@@ -164,6 +164,43 @@ class SnapshotTableSpec extends SparkSpecBase {
     assert(t.readWhere("id", 900L, 1000L).collect().map(_.getLong(0)).toSeq == Seq(999L))
   }
 
+  test("bloom sidecars: point lookups prune dirs a zone map cannot") {
+    val t = fresh()
+    // ids INTERLEAVE across appends (evens vs odds over the same range):
+    // every directory's [min,max] spans every probe value, so the zone
+    // map alone prunes NOTHING — the equality case the bloom exists for
+    t.appendIndexed((0L until 200L by 2).map(i => (i, "even")).toDF("id", "v"),
+      Seq("id"), bloomCols = Seq("id"))
+    t.appendIndexed((1L until 200L by 2).map(i => (i, "odd")).toDF("id", "v"),
+      Seq("id"), bloomCols = Seq("id"))
+    assert(t.dirsMatching("id", 42L, 42L).size == 2, "zone maps cannot split interleaved ids")
+    assert(t.dirsMatchingEq("id", 42L).size == 1, "the bloom must prune the odd dir")
+    assert(t.readWhereEq("id", 42L).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((42L, "even")))
+    // absent value: possibly zero dirs (false positives allowed), empty result always
+    assert(t.readWhereEq("id", 4242L).count() == 0)
+    // results identical to the unpruned filter for every probed value
+    (0L until 10L).foreach { v =>
+      val pruned = t.readWhereEq("id", v).collect().map(_.getLong(0)).toSeq
+      val full = t.read().filter(org.apache.spark.sql.functions.col("id") === v)
+        .collect().map(_.getLong(0)).toSeq
+      assert(pruned == full)
+    }
+  }
+
+  test("bloom sidecars: sidecar-less directories are never skipped") {
+    val t = fresh()
+    t.appendIndexed((0L until 10L).map(i => (i, "x")).toDF("id", "v"),
+      Seq("id"), bloomCols = Seq("id"))
+    t.append(Seq((999L, "plain")).toDF("id", "v")) // no sidecars at all
+    assert(t.dirsMatchingEq("id", 999L).size == 1,
+      "the sidecar-less dir must be read; the indexed dir is bloom- AND zone-skipped")
+    assert(t.readWhereEq("id", 999L).collect().map(_.getLong(0)).toSeq == Seq(999L))
+    t.compact() // rewrite has no sidecars — read everything, still exact
+    assert(t.readWhereEq("id", 999L).collect().map(_.getLong(0)).toSeq == Seq(999L))
+    assert(t.readWhereEq("id", 5L).collect().map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
   test("vacuum drops unreachable data but keeps retained versions intact") {
     val t = fresh()
     t.append(Seq((1L, "a")).toDF("id", "v")) // v0
