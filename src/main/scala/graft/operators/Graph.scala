@@ -83,19 +83,7 @@ object Graph {
     var ranks = deg.select(col("src").as("node"), lit(Rank0).as("rank"))
     var i = 0
     while (i < iters) {
-      // un-hinted: the node-sized ranks side broadcasts when it fits
-      // (AQE; always, here — parts are a dimension), so edges never
-      // shuffle and only compact (dst, contrib) longs do, with map-side
-      // partial sums. On a billion-node graph ranks exceeds broadcast
-      // and this becomes a shuffle join — co-located if the edge table
-      // is bucketed by src, which is the deployment note above.
-      ranks = ranks
-        .join(edgesDeg, col("node") === edgesDeg("src"))
-        .groupBy(col("dst"))
-        .agg((lit(Teleport) +
-          sum(expr(s"($Damping * (rank div deg)) div 100"))).as("rank"))
-        .select(col("dst").as("node"), col("rank"))
-        .localCheckpoint(eager = true)
+      ranks = pagerankRound(ranks, edgesDeg).localCheckpoint(eager = true)
       i += 1
     }
     ranks.join(deg, ranks("node") === deg("src"))
@@ -103,6 +91,27 @@ object Graph {
       .orderBy(col("rank").desc, col("part_key"))
       .limit(topK)
   }
+
+  /** One PageRank round. `broadcastRanks` (the default, correct while
+    * the node set is dimension-sized — here it's parts) pins the
+    * broadcast STATICALLY: the checkpointed inputs carry no stats, so
+    * without the hint the planner sort-merge-joins and AQE's late
+    * broadcast conversion still shuffle-WRITES the edge side every
+    * round before converting — the write the hint exists to avoid.
+    * With it, edges never enter an exchange and only compact
+    * (dst, contrib) longs shuffle, with map-side partial sums
+    * (PlanShapeSpec locks this). On a billion-node graph pass false:
+    * the shuffle join co-locates if the edge table is bucketed by src
+    * (the deployment note above). Package-visible for the plan lock.
+    */
+  private[graft] def pagerankRound(ranks: DataFrame, edgesDeg: DataFrame,
+      broadcastRanks: Boolean = true): DataFrame =
+    (if (broadcastRanks) broadcast(ranks) else ranks)
+      .join(edgesDeg, col("node") === edgesDeg("src"))
+      .groupBy(col("dst"))
+      .agg((lit(Teleport) +
+        sum(expr(s"($Damping * (rank div deg)) div 100"))).as("rank"))
+      .select(col("dst").as("node"), col("rank"))
 
   /** g2: exact per-node triangle counts via degree-ordered wedge
     * closing. Edges are directed low→high by (degree, id); a triangle

@@ -304,6 +304,48 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("q28 bloom join: the prefilter sits on the scan side of the fact's first exchange") {
+    // the operator's whole point: bloom_hits runs MAP-SIDE, so only
+    // (possibly-)matching lineitem rows enter any exchange. Locate every
+    // Exchange whose subtree scans lineitem and assert the bloom filter
+    // is INSIDE that subtree (scan side), not above it.
+    val plan = phys(Relational.q28BloomJoin(t))
+    val exchangesOverLineitem = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange
+        if scansOf(e, "lineitem").nonEmpty => e
+    }
+    val filterBelow = exchangesOverLineitem.forall(e =>
+      e.exists { case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.toString.contains("bloom_hits")
+      case _ => false })
+    assert(filterBelow,
+      s"bloom_hits must prefilter BELOW every lineitem exchange:\n$plan")
+    // and the scan is pruned to the three columns the query needs
+    val scan = scansOf(plan, "lineitem").head
+    assert(scan.schema.fieldNames.toSet
+      == Set("l_orderkey", "l_extendedprice", "l_discount"),
+      s"lineitem scan must read exactly the projected columns, got ${scan.schema.fieldNames.toSeq}")
+  }
+
+  test("g1 pagerank round: edges never enter an exchange — only (dst, contrib) longs do") {
+    import spark.implicits._
+    // edge-sized side large enough that a shuffle join would be visible;
+    // ranks node-sized (broadcasts). The round's ONLY exchange must be
+    // the (dst)-keyed partial-sum aggregation.
+    val und = (0L until 2000L).map(i => (i % 50, (i % 49) + 50)).toDF("src", "dst")
+    val edges = und.union(und.select($"dst".as("src"), $"src".as("dst")))
+    val deg = edges.groupBy("src").agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src").localCheckpoint(true)
+    val ranks = deg.select($"src".as("node"),
+      org.apache.spark.sql.functions.lit(1000000L).as("rank")).localCheckpoint(true)
+    val explain = finalExplain(graft.operators.Graph.pagerankRound(ranks, edgesDeg))
+    val inputs = exchangeInputs(explain)
+    assert(inputs.nonEmpty, s"expected the (dst) aggregation exchange:\n$explain")
+    assert(inputs.forall(i => !i.contains("src")),
+      s"an exchange carries edge rows (src column) — edges must never shuffle in a round:\n$explain")
+  }
+
   test("spreadIfNarrow: narrow scans spread to full parallelism, well-split scans pass through") {
     val cores = spark.sparkContext.defaultParallelism
     val narrow = spark.range(0, 100, 1, 1).toDF("id")
