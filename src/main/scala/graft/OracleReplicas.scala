@@ -347,6 +347,45 @@ object OracleReplicas {
        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
   }
 
+  /** q31: incremental-rollup parity — the maintained aggregate must
+    * equal a FULL recompute, so the replica IS the full recompute:
+    * per-event-type counts, decimal sums, and the q22 HLL estimator's
+    * registers built directly from every row (register max is
+    * associative, so history-partials merged with delta-partials give
+    * the same registers — [[graft.operators.Relational.q31IncrementalRollup]]).
+    */
+  def q31IncrementalRollup(p: Int = 6): String = {
+    val m = 1 << p
+    val k = graft.functions.HllDistinct.maxRank(p)
+    val num = graft.functions.HllDistinct.numerator(p)
+    val bucketDiv = u(1L << (64 - p))
+    s"""WITH h AS (
+       |  SELECT event_type, ${splitmixSql("CAST(user_id AS HUGEINT)")} AS hu
+       |  FROM events),
+       |rh AS (
+       |  SELECT event_type,
+       |    hu // $bucketDiv AS idx,
+       |    LEAST(65 - length(bin(CAST((hu * $m) % $Mod64 AS UBIGINT))), $k) AS rho
+       |  FROM h),
+       |regs AS (SELECT event_type, idx, MAX(rho) AS mr FROM rh GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT event_type,
+       |    SUM(CAST(power(2, $k - mr) AS HUGEINT)) +
+       |      ($m - COUNT(*)) * CAST(power(2, $k) AS HUGEINT) AS s_total,
+       |    $m - COUNT(*) AS zeros
+       |  FROM regs GROUP BY event_type),
+       |n AS (
+       |  SELECT event_type, COUNT(*) AS n_events,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       |  FROM events GROUP BY event_type)
+       |SELECT n.event_type, n.n_events, n.sum_value,
+       |  ROUND(CASE WHEN $num / CAST(s_total AS DOUBLE) <= 2.5 * $m AND zeros > 0
+       |             THEN $m * ln($m / zeros)
+       |             ELSE $num / CAST(s_total AS DOUBLE) END, 2) AS est_users
+       |FROM n JOIN agg USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** s3: LSH-bucketed ANN — d5's sign sketch (same inlined weights) on
     * both sides, 4-bit band collision gates candidates, exact cosine
     * rerank, top-k per query. Mirrors [[graft.operators.Similarity.lshTopK]].

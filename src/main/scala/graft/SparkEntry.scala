@@ -46,6 +46,7 @@ object SparkEntry {
     "q28_bloom_join" -> ((s, dir) => Relational.q28BloomJoin(Tables(s, dir))),
     "q29_kmv_distinct" -> ((s, dir) => Relational.q29KmvDistinct(Tables(s, dir))),
     "q30_kmv_overlap" -> ((s, dir) => Relational.q30KmvOverlap(Tables(s, dir))),
+    "q31_incremental_rollup" -> ((s, dir) => Relational.q31IncrementalRollup(Tables(s, dir))),
     // §2.2 dedup
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir))),
     "d2_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir))),
@@ -1059,6 +1060,10 @@ object SparkEntry {
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // q31: the maintained rollup must equal a full recompute — the
+    // oracle IS the full recompute (counts, decimal sums, HLL registers
+    // from every row)
+    "q31_incremental_rollup" -> OracleReplicas.q31IncrementalRollup(),
     // q28: the Bloom prefilter is exactness-preserving (no false
     // negatives; the exact join kills false positives), so the oracle is
     // the PLAIN three-way join

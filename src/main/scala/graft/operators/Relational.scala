@@ -542,6 +542,44 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** q31: incremental aggregate maintenance — the materialized-view
+    * pattern: a STORED rollup (per-type counts, decimal sums, HLL
+    * distinct sketches over history) absorbs a delta batch by merging
+    * partials, never rescanning history. Every measure is chosen
+    * mergeable — counts/sums are associative, HLL register-max is the
+    * q25 algebra — so the maintained result is BIT-IDENTICAL to a full
+    * recompute, which is exactly what the oracle checks (it recomputes
+    * from scratch; the operator merges). At 100 TB this is the
+    * difference between touching a day of data and touching years;
+    * the reference's watermark-incremental sync (`metadata.py:118-180`)
+    * is this pattern at row granularity, q31 is it at aggregate
+    * granularity.
+    */
+  def q31IncrementalRollup(t: Tables, p: Int = 6): DataFrame = {
+    import GraftFunctions.{hll_sketch, hll_merge, hll_estimate}
+    val cutoff = lit(java.time.Instant.parse("2024-01-15T00:00:00Z"))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(D4)).as("sum_v"),
+        hll_sketch(col("user_id"), p).as("sk"))
+    // the stored state: history's partials, materialized once — the
+    // delta merge below never touches history rows again
+    val state = partials(t.events.filter(col("ts") < cutoff)).localCheckpoint(true)
+    val delta = partials(t.events.filter(col("ts") >= cutoff))
+    state.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        sum(col("sum_v")).as("sum_vd"),
+        hll_merge(col("sk"), p).as("sk"))
+      .select(col("event_type"), col("n_events"),
+        col("sum_vd").cast("double").as("sum_value"),
+        round(hll_estimate(col("sk")), 2).as("est_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** q30: KMV set-intersection — the capability that separates KMV from
     * HLL (q29's doc): per PAIR of event types, the estimated number of
     * shared users, from the groups' sketches alone. One aggregation
