@@ -203,6 +203,76 @@ object EventPipelines {
     * moved a key to a new partition value would leave the stale row
     * alive in its old, untouched partition.
     */
+  /** Streaming incremental-rollup maintenance — q31's aggregate-level
+    * refresh as a stream: each micro-batch computes its PARTIALS
+    * (counts, decimal sums, HLL sketches per event type) and merges
+    * them into a [[graft.etl.SnapshotTable]] via `overwriteWith`, so
+    * the maintained state equals the batch rollup over everything that
+    * has arrived while history rows are never rescanned — per batch the
+    * work is (batch partials + state merge), state-table-sized, not
+    * history-sized. `overwriteWith` re-derives on conflict, so a racing
+    * maintainer (backfill job, second stream) composes instead of
+    * clobbering; every refresh is a version (time-travel to any past
+    * state). The estimator is read OFF the stored partials
+    * ([[readRollup]]), q25's stored-sketch pattern.
+    */
+  def incrementalRollupStream(events: DataFrame, tableRoot: String, checkpoint: String,
+      p: Int = 6): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val delta = rollupPartials(batch.toDF(), p).localCheckpoint(true)
+        if (!delta.isEmpty) {
+          val table = new graft.etl.SnapshotTable(spark, tableRoot)
+          table.overwriteWith { existing =>
+            existing match {
+              case Some(state) => mergeRollupPartials(state.unionByName(delta), p)
+              case None => delta
+            }
+          }
+          ()
+        }
+      }
+      .start()
+
+  /** Per-group mergeable partials of the q31 rollup (one batch's or the
+    * whole stored state's): counts, DECIMAL sums (exact under re-merge),
+    * binary HLL sketches.
+    */
+  def rollupPartials(events: DataFrame, p: Int = 6): DataFrame = {
+    import graft.functions.GraftFunctions.hll_sketch
+    events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_events"),
+      // pinned to the widest precision up front: re-merged sums would
+      // otherwise widen 28,4 → 38,4 across versions and the stored
+      // table's schema would drift between refreshes
+      sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 4)).as("sum_v"),
+      hll_sketch(col("user_id"), p).as("sk"))
+  }
+
+  private def mergeRollupPartials(partials: DataFrame, p: Int): DataFrame = {
+    import graft.functions.GraftFunctions.hll_merge
+    partials.groupBy(col("event_type")).agg(
+      sum(col("n_events")).as("n_events"),
+      sum(col("sum_v")).as("sum_v"),
+      hll_merge(col("sk"), p).as("sk"))
+  }
+
+  /** The presentation read of the maintained state — q31's output shape
+    * from the stored partials.
+    */
+  def readRollup(spark: org.apache.spark.sql.SparkSession, tableRoot: String): DataFrame = {
+    import graft.functions.GraftFunctions.hll_estimate
+    new graft.etl.SnapshotTable(spark, tableRoot).read()
+      .select(col("event_type"), col("n_events"),
+        col("sum_v").cast("double").as("sum_value"),
+        round(hll_estimate(col("sk")), 2).as("est_users"))
+      .orderBy(col("event_type"))
+  }
+
   def upsertStream(events: DataFrame, targetPath: String, checkpoint: String,
       keys: Seq[String] = Seq("event_id"), versionCol: String = "ts",
       partitionCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =

@@ -209,6 +209,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming incremental rollup equals the batch rollup, bit-for-bit, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_roll_").resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rollck_").toString
+    val mem = MemoryStream[Ev]
+    val q = EventPipelines.incrementalRollupStream(mem.toDF(), root, ckpt)
+    val fed = scala.collection.mutable.ListBuffer.empty[Ev]
+    def feed(evs: Ev*): Unit = { fed ++= evs; mem.addData(evs: _*); q.processAllAvailable() }
+    try {
+      feed(Ev(1, ts(1), 1, "click", 1.5), Ev(2, ts(2), 2, "click", 2.5),
+        Ev(3, ts(3), 1, "view", 4.0))
+      feed(Ev(4, ts(4), 3, "click", 0.5), Ev(5, ts(5), 1, "view", 1.0))
+      val streamed = EventPipelines.readRollup(spark, root).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+      // batch twin over everything fed, through the SAME partials+merge
+      // (q31's shape): must agree exactly, sketches included
+      val all = fed.toSeq
+        .map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val batch = EventPipelines.rollupPartials(all)
+        .select(col("event_type"), col("n_events"),
+          col("sum_v").cast("double").as("sum_value"),
+          round(graft.functions.GraftFunctions.hll_estimate(col("sk")), 2).as("est_users"))
+        .orderBy(col("event_type")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+      assert(streamed == batch)
+      assert(streamed.map(_._2).sum == fed.size.toLong, "every event counted once")
+      // each refresh was a version: the pre-merge state is still readable
+      val table = new graft.etl.SnapshotTable(spark, root)
+      assert(table.currentVersion.exists(_ >= 1L), "two refreshes → two versions")
+      val v0 = table.read(Some(0L)).agg(sum(col("n_events"))).collect()(0).getLong(0)
+      assert(v0 == 3L, "time travel reads the first batch's state")
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join matches purchases to in-window clicks only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
