@@ -99,6 +99,7 @@ object SparkEntry {
     // §2.5 multimodal plumbing
     "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
     "m2_frame_sample" -> ((s, dir) => Multimodal.frames(Tables(s, dir))),
+    "m3_binary_neardup" -> ((s, dir) => Multimodal.binaryNearDup(Tables(s, dir))),
     // §2.6 streaming (batch twins; streaming forms tested in StreamingSpec)
     "st1_stream_window" -> ((s, dir) => graft.streaming.EventPipelines.windowedCountsBatch(Tables(s, dir))),
     "st2_sessionize" -> ((s, dir) => graft.streaming.EventPipelines.sessionizeBatch(Tables(s, dir))),
@@ -1060,6 +1061,28 @@ object SparkEntry {
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // m3: char-domain replay of the thumbnail resample, band buckets,
+    // and Hamming verify (Spark ascii ≡ DuckDB unicode per codepoint)
+    "m3_binary_neardup" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 32),
+        |      i -> unicode(substr(text, CAST((i * length(text)) // 32 AS INT) + 1, 1))) AS thumb
+        |  FROM documents WHERE length(text) > 0),
+        |banded AS (
+        |  SELECT doc_id, thumb, z.b AS band, thumb[z.b * 8 + 1 : z.b * 8 + 8] AS key
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) z),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |h AS (
+        |  SELECT id_a, id_b,
+        |    CAST(list_sum(list_transform(range(1, 33),
+        |      i -> CASE WHEN sa.thumb[i] = sb.thumb[i] THEN 0 ELSE 1 END)) AS INT) AS hamming
+        |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, hamming, hamming <= 4 AS is_near FROM h
+        |ORDER BY id_a, id_b""".stripMargin,
     // q31: the maintained rollup must equal a full recompute — the
     // oracle IS the full recompute (counts, decimal sums, HLL registers
     // from every row)

@@ -78,6 +78,67 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame_bytes", "frame_hash", "thumb_hash")
   }
 
+  /** Codegen twin of [[resizeStub]]: the fixed-size byte-domain
+    * thumbnail as PURE column arithmetic (transform over a sequence —
+    * no UDF, no mapPartitions), byte i = payload[(i·len) div outLen].
+    * Returns (doc_id, thumb: array<int>). MultimodalSpec proves it
+    * byte-equal to [[resizeStub]] on ASCII payloads (the char-domain
+    * `ascii(substr)` equals the byte domain exactly there; the oracle
+    * replays the char domain on both engines, so cross-engine parity
+    * holds for ANY text). Staying in Catalyst keeps the signature pass
+    * inside whole-stage codegen AND makes it exactly replayable.
+    */
+  def thumbSignatures(t: Tables, outLen: Int = 32): DataFrame =
+    t.documents
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, ${outLen - 1}),
+           |  i -> ascii(substr(text, CAST((CAST(i AS BIGINT) * length(text)) DIV $outLen AS INT) + 1, 1)))"""
+          .stripMargin).as("thumb"))
+
+  /** m3: binary near-dup — the perceptual-hash dedup pipeline an image
+    * corpus runs (pHash → band buckets → verify), with the pixel decode
+    * stubbed as the byte-domain thumbnail ([[thumbSignatures]]) and
+    * everything else real: signatures band into `bands` sub-arrays,
+    * candidate pairs form ONLY on band equality (the d3 shape — never
+    * all-pairs), and survivors verify by exact Hamming distance over the
+    * full signature. A band-bucket size guard fails loudly before a
+    * degenerate bucket (e.g. a constant boilerplate payload) can go
+    * quadratic — the d8 `maxClusterSize` convention.
+    */
+  def binaryNearDup(t: Tables, outLen: Int = 32, bands: Int = 4,
+      maxHamming: Int = 4, maxBucket: Long = 500): DataFrame = {
+    val bandLen = outLen / bands
+    require(bands * bandLen == outLen, s"bands=$bands must divide outLen=$outLen")
+    val sig = thumbSignatures(t, outLen).localCheckpoint(true)
+    val banded = sig.select(col("doc_id"), col("thumb"),
+        explode(expr(s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, slice(thumb, b * $bandLen + 1, $bandLen) AS key))")).as("bk"))
+      .select(col("doc_id"), col("thumb"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val hot = banded.groupBy(col("band"), col("key")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).limit(1).collect()
+    require(hot.isEmpty, {
+      val r = hot.head
+      s"band bucket (band=${r.get(0)}, n=${r.getLong(2)}) exceeds maxBucket=$maxBucket — " +
+        "a degenerate constant payload would make the candidate join quadratic; raise " +
+        "maxBucket deliberately or pre-filter the payload class"
+    })
+    // output is the VERIFY AUDIT, not just survivors: every band-collision
+    // candidate with its exact hamming and the near verdict — the report a
+    // dedup run reviews to tune its threshold (false-positive collisions
+    // are visible instead of silently vanishing)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.thumb").as("ta"), col("b.thumb").as("tb"))
+      .distinct()
+      .withColumn("hamming",
+        expr("aggregate(zip_with(ta, tb, (x, y) -> CAST(IF(x = y, 0, 1) AS INT)), 0, (acc, v) -> acc + v)"))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        (col("hamming") <= maxHamming).as("is_near"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** m1: binary-column pipeline. Documents' text stands in for a media
     * payload: encode → (payload binary, metadata struct) → batched decode
     * per scan partition → per-source feature aggregation.

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+/** m3 binary near-dup and the codegen thumbnail twin; m1/m2's results
+  * are oracle-gated, their plan shapes locked in PlanShapeSpec.
+  */
+class MultimodalSpec extends SparkSpecBase {
+
+  private def docs(rows: (Long, String)*): Tables = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_m3_")
+    rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables(spark, dir.toString)
+  }
+
+  test("thumbSignatures is byte-equal to resizeStub on ASCII payloads") {
+    val texts = Seq("hello world this is a payload of some length",
+      "x", "abcdefghijklmnopqrstuvwxyz0123456789", "a b c d e f g h i j k")
+    val t = docs(texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }: _*)
+    val got = Multimodal.thumbSignatures(t, outLen = 32).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    texts.zipWithIndex.foreach { case (s, i) =>
+      val expect = Multimodal.resizeStub(s.getBytes("UTF-8"), 32).toSeq.map(_.toInt & 0xff)
+      assert(got(i.toLong) == expect, s"doc $i: ${got(i.toLong)} vs $expect")
+    }
+  }
+
+  test("m3: exact duplicates pair at hamming 0; near-dups within the band gate; unrelated don't") {
+    val base = "the quick brown fox jumps over the lazy dog again and again and again ok"
+    // same length, one SAMPLED character changed (position picked from
+    // the resample arithmetic, so the thumbnail actually differs) →
+    // ≥3 of 4 bands still equal, small positive hamming; the unrelated
+    // doc shares no band
+    val sampledPos = (4L * base.length / 32).toInt
+    val near = base.updated(sampledPos, 'X')
+    val t = docs(1L -> base, 2L -> base, 3L -> near,
+      4L -> "completely different content that resembles nothing in the others at all!")
+    val out = Multimodal.binaryNearDup(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3))).toSeq
+    assert(out.contains((1L, 2L, 0, true)), s"exact dup must pair at hamming 0: $out")
+    assert(out.exists(p => p._1 == 1L && p._2 == 3L && p._3 > 0 && p._4),
+      s"near dup must pair with small positive hamming: $out")
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc must not pair: $out")
+  }
+
+  test("m3: the band-bucket guard fails loudly on a degenerate constant corpus") {
+    val t = docs((1L to 30L).map(i => i -> "constant payload constant payload"): _*)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.binaryNearDup(t, maxBucket = 10)
+    }
+    assert(e.getMessage.contains("maxBucket"), e.getMessage)
+  }
+}
