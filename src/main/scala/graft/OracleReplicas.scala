@@ -805,6 +805,21 @@ object OracleReplicas {
        |FROM cand WHERE est >= $threshold
        |ORDER BY new_id, dup_of""".stripMargin
 
+  /** dc12: near-dup decontamination — the d7 one-sided replica with the
+    * roles flipped (benchmark = existing side, corpus = probe side) and
+    * a per-corpus-doc best-match pick, mirroring
+    * [[graft.operators.Curation.neardupDecontaminate]].
+    */
+  def dc12NeardupDecontaminate(benchSize: Long = 50, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.35, seed: Long = 42L): String =
+    s"""WITH ${minhashCtes(numHashes, bands, seed, s"a.doc_id < $benchSize AND b.doc_id >= $benchSize")}
+       |SELECT doc_id, matched_bench, ROUND(est, 4) AS est_jaccard FROM (
+       |  SELECT doc_b AS doc_id, doc_a AS matched_bench, est,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_b ORDER BY est DESC, doc_a) AS rn
+       |  FROM cand WHERE est >= $threshold) z
+       |WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   /** d9: substring-level exact dedup — positional k-shingle FNV inverted
     * index + alignment-diagonal gaps-and-islands, mirroring
     * [[graft.operators.Dedup.substringSpans]]. Same FNV shingle domain

@@ -96,6 +96,7 @@ object SparkEntry {
     "dc9_full_curation" -> ((s, dir) => Curation.fullCuration(Tables(s, dir))),
     "dc10_curation_audit" -> ((s, dir) => Curation.fullCurationAudit(Tables(s, dir))),
     "dc11_dsir_select" -> ((s, dir) => Curation.dsirSelect(Tables(s, dir))),
+    "dc12_neardup_decontaminate" -> ((s, dir) => Curation.neardupDecontaminate(Tables(s, dir))),
     // §2.5 multimodal plumbing
     "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
     "m2_frame_sample" -> ((s, dir) => Multimodal.frames(Tables(s, dir))),
@@ -484,6 +485,7 @@ object SparkEntry {
     "s3_ann_lsh" -> OracleReplicas.s3LshTopK(),
     "d2_dedup_minhash" -> OracleReplicas.d2MinhashLsh(),
     "d7_dedup_incremental" -> OracleReplicas.d7MinhashIncremental(),
+    "dc12_neardup_decontaminate" -> OracleReplicas.dc12NeardupDecontaminate(),
     "d9_substring_dedup" -> OracleReplicas.d9SubstringSpans(),
     "d10_substring_incremental" -> OracleReplicas.d10SubstringIncremental(),
     // d11: the synthesized crawl-noise URL (host case, www., default

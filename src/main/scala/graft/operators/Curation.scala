@@ -81,6 +81,57 @@ object Curation {
     sharedCounts(candidates, bench, minShared)
   }
 
+  /** dc12: NEAR-DUP decontamination — dc1/dc5 catch verbatim shingle
+    * overlap; this catches paraphrase/near-verbatim contamination (the
+    * kind a light rewrite of an eval item survives) with d2's MinHash
+    * kernel: a corpus document whose estimated Jaccard against ANY
+    * benchmark document reaches `threshold` is contaminated. The output
+    * is the removal audit — each contaminated doc with its best-matching
+    * benchmark item (highest estimate, lowest bench id on ties), the
+    * record an eval owner reviews before the anti-join drops the doc.
+    *
+    * Scale shape is d7's ONE-SIDED LSH probe with the roles flipped:
+    * corpus band keys join ONLY the benchmark's band keys — and the
+    * benchmark side is an eval suite, tiny by construction, so its
+    * (band_idx, band_hash, bench_id) table BROADCASTS and corpus bands
+    * are checked map-side. The corpus never self-pairs, history×history
+    * work never forms, and only (corpus_id, bench_id) hits reach the
+    * verify join. Signatures are checkpointed once (n×64 longs) and
+    * re-attached to the tiny surviving pair set, d2's contract.
+    */
+  def neardupDecontaminate(t: Tables, benchSize: Long = 50, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.35): DataFrame = {
+    val sigs = t.documents
+      .select(col("doc_id"), ws_tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 1)
+      .select(col("doc_id"), shingle_minhash(col("toks"), 2, numHashes, 42L).as("sig"))
+      .localCheckpoint(true)
+    val banded = sigs.select(col("doc_id"), posexplode(sig_bands(col("sig"), bands)))
+      .select(col("doc_id"), col("pos").as("band_idx"), col("col").as("band_hash"))
+    val benchBands = banded.filter(col("doc_id") < benchSize)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("bench_id"))
+    val hits = banded.filter(col("doc_id") >= benchSize)
+      .join(broadcast(benchBands), Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("bench_id"))
+      .distinct()
+    val verified = hits
+      .join(sigs.select(col("doc_id"), col("sig").as("sig_a")), Seq("doc_id"))
+      .join(sigs.select(col("doc_id").as("bench_id"), col("sig").as("sig_b")), Seq("bench_id"))
+      .withColumn("est_jaccard",
+        sig_agreement(col("sig_a"), col("sig_b")).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+    // pair set is contamination-sized; the per-doc best-match window is
+    // keyed on doc_id, never a global single partition
+    val best = Window.partitionBy(col("doc_id"))
+      .orderBy(col("est_jaccard").desc, col("bench_id"))
+    verified
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bench_id").as("matched_bench"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** dc7: contamination audit — the benchmark-side view of dc1. dc1
     * answers "which corpus documents must die"; this answers "which eval
     * items are compromised, how many corpus documents hit each, and

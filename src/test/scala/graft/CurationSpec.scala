@@ -132,6 +132,28 @@ class CurationSpec extends SparkSpecBase {
     assert(tiny.sameElements(dc1), "saturated filter degrades to dc1's plan, not dc1's answer")
   }
 
+  test("dc12 near-dup decontamination = best-match-per-doc of the one-sided LSH at the bench split") {
+    val dc12 = Curation.neardupDecontaminate(t).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("matched_bench"),
+        r.getAs[Double]("est_jaccard")))
+    assert(dc12.nonEmpty, "the corpus plants near-duplicates across the benchmark split")
+    assert(dc12.forall(_._1 >= 50) && dc12.forall(_._2 < 50),
+      "contaminated docs are corpus rows; matches are benchmark rows")
+    assert(dc12.map(_._1).distinct.length == dc12.length, "one best match per contaminated doc")
+    // same kernel, same split: d7's one-sided incremental pairs at
+    // (splitId = benchSize, threshold) reduced to the per-doc best
+    // (highest est, lowest bench id) must be exactly dc12
+    val pairs = graft.operators.Dedup.minhashIncremental(t, splitId = 50, threshold = 0.35)
+      .collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Double]("est_jaccard")))
+    val best = pairs.groupBy(_._1).map { case (_, ps) =>
+      ps.minBy(p => (-p._3, p._2))
+    }.toSeq.sortBy(_._1)
+    assert(dc12.toSeq.sortBy(_._1) == best,
+      "dc12 is d7's probe with the roles flipped — the results must agree pair for pair")
+  }
+
   test("dc7 contamination report matches brute-force pairwise overlap exactly") {
     val docs = t.documents.select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap

@@ -140,6 +140,21 @@ class PlanShapeSpec extends SparkSpecBase {
       s"corpus shingles must probe a broadcast, never sort-merge:\n$p")
   }
 
+  test("dc12: the bench band table broadcasts; corpus bands never sort-merge against it") {
+    // the eval suite is tiny by construction — its band keys must reach
+    // the corpus side as a broadcast so corpus bands are checked
+    // map-side and the corpus never self-pairs through an exchange
+    val df = Curation.neardupDecontaminate(t)
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.hint.leftHint.orElse(j.hint.rightHint).isDefined => j
+    }
+    assert(hinted.length == 1,
+      s"exactly one forced broadcast (the bench bands):\n${df.queryExecution.optimizedPlan}")
+    val p = phys(df)
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"the candidate probe must be a broadcast join:\n$p")
+  }
+
   test("dc6: zero shuffles before the presentation sort") {
     // all nine gate metrics are one map-side codegen projection over one
     // scan; the only exchange the plan may contain is the final orderBy's
