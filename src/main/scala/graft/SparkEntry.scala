@@ -52,6 +52,7 @@ object SparkEntry {
     "d2_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir))),
     "d3_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables(s, dir))),
     "d4_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables(s, dir))),
+    "d12_containment" -> ((s, dir) => Dedup.containment(Tables(s, dir))),
     "d5_dedup_embed" -> ((s, dir) => Dedup.embeddingNearDup(Tables(s, dir))),
     "d6_dedup_clusters" -> ((s, dir) => Dedup.clusters(Tables(s, dir))),
     "d7_dedup_incremental" -> ((s, dir) => Dedup.minhashIncremental(Tables(s, dir))),
@@ -294,6 +295,17 @@ object SparkEntry {
     "d4_ngram_jaccard" ->
       (s"WITH $jaccardCtes\n" +
         "SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM j WHERE jac >= 0.3 ORDER BY doc_a, doc_b"),
+    "d12_containment" ->
+      (s"WITH $jaccardCtes,\n" +
+        """cont AS (
+          |  SELECT doc_a AS doc_inner, doc_b AS doc_outer,
+          |    CAST(shared AS DOUBLE) / sa.nsh AS c
+          |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a
+          |  UNION ALL
+          |  SELECT doc_b, doc_a, CAST(shared AS DOUBLE) / sb.nsh
+          |  FROM shared JOIN sizes sb ON sb.doc_id = doc_b)
+          |SELECT doc_inner, doc_outer, ROUND(c, 4) AS containment
+          |FROM cont WHERE c >= 0.8 ORDER BY doc_inner, doc_outer""".stripMargin),
     "d6_dedup_clusters" -> OracleReplicas.d6Clusters(),
     "m1_multimodal" ->
       (s"""WITH f AS (

@@ -291,6 +291,45 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d12: asymmetric CONTAINMENT detection — C(A→B) = |A∩B| / |A| over
+    * distinct shingle sets (Broder 1997's second resemblance measure).
+    * Symmetric Jaccard (d2/d4) misses the quote-and-extend case: a short
+    * document wholly embedded in a much longer one scores
+    * |A|/|B| ≈ 0 Jaccard but containment 1.0. Output is one DIRECTED
+    * row per (inner, outer) pair with C(inner→outer) ≥ `minContainment`
+    * — an exact copy therefore appears in both directions at 1.0.
+    *
+    * Scale shape: d4's inverted-index blocking verbatim (shared
+    * shingle-hash join, Σdf² ground-truth cost, same mitigations —
+    * `maxDf`-style capping or LSH pre-gating); the directed expansion
+    * happens AFTER the pair aggregation, on the contamination-sized
+    * pair set. Note MinHash cannot stand in here: a symmetric MinHash
+    * signature estimates Jaccard, not containment, so the exact
+    * inverted index IS the scale path's verify stage.
+    */
+  def containment(t: Tables, minContainment: Double = 0.8): DataFrame = {
+    val sets = tokenized(t)
+      .filter(size(col("tokens")) > 1)
+      .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("tokens"), 2))).as("shingle"))
+      .localCheckpoint(true) // feeds the size agg and both join sides
+    val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val shared = sets.select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(sets.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), Seq("doc_b"))
+    val aInB = shared.select(col("doc_a").as("doc_inner"), col("doc_b").as("doc_outer"),
+      (col("shared").cast("double") / col("na")).as("containment"))
+    val bInA = shared.select(col("doc_b").as("doc_inner"), col("doc_a").as("doc_outer"),
+      (col("shared").cast("double") / col("nb")).as("containment"))
+    aInB.unionAll(bInA)
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_inner"), col("doc_outer"), round(col("containment"), 4).as("containment"))
+      .orderBy(col("doc_inner"), col("doc_outer"))
+  }
+
   /** d9: substring-level exact dedup (the Lee et al. 2022,
     * arXiv:2107.06499 "ExactSubstr" granularity) — maximal duplicated
     * token SPANS across documents, the one duplication d1 (whole-doc

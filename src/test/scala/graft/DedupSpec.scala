@@ -39,6 +39,32 @@ class DedupSpec extends SparkSpecBase {
     assert(rows.forall(_.getAs[Double]("jaccard") >= 0.3))
   }
 
+  test("d12 containment matches brute-force directed shingle-set containment") {
+    val rows = Dedup.containment(t).collect()
+      .map(r => (r.getAs[Long]("doc_inner"), r.getAs[Long]("doc_outer"),
+        r.getAs[Double]("containment"))).sorted
+    assert(rows.nonEmpty, "the corpus plants exact/near duplicates — containment-1.0 pairs exist")
+    // brute force over collected text: distinct word-2-gram sets
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.toLowerCase.split("\\s+").toSeq)
+      .filter(_._2.length > 1)
+      .map { case (id, toks) => id -> toks.sliding(2).map(_.mkString(" ")).toSet }
+    val expected = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs if ia != ib
+      shared = (sa intersect sb).size
+      c = shared.toDouble / sa.size if c >= 0.8
+      // Spark's round() is HALF_UP, not rint's HALF_EVEN
+      rounded = BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    } yield (ia, ib, rounded)).sorted
+    assert(rows.toSeq == expected.toSeq,
+      "directed containment must agree pair for pair with the brute-force sets")
+    // an exact duplicate pair appears in BOTH directions at 1.0
+    val ones = rows.filter(_._3 == 1.0).map(p => (p._1, p._2)).toSet
+    assert(ones.exists { case (i, o) => ones.contains((o, i)) },
+      "exact copies are mutually contained")
+  }
+
   test("d5 embedding near-dup returns ranked bucket-collision pairs") {
     val rows = Dedup.embeddingNearDup(t).collect()
     assert(rows.nonEmpty)
