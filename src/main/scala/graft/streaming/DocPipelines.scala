@@ -173,6 +173,58 @@ object DocPipelines {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Streaming NEAR-DUP decontamination — the dc12 twin: each arriving
+    * document MinHashes map-side and checks against the (static,
+    * eval-suite-sized) benchmark's signatures, emitting the same
+    * (doc_id, matched_bench, est_jaccard) audit rows as the batch
+    * operator. Fully STATELESS: the benchmark's (id, sig, bands)
+    * triples bake into the plan as one literal array
+    * (decontaminateStream's pattern) and the whole check — band
+    * collision, signature agreement, best-match pick — happens inside
+    * per-row higher-order expressions, so append mode needs no
+    * aggregation state and no shuffle.
+    *
+    * Batch equivalence is EXACT including the LSH precondition: a
+    * bench doc only scores when at least one band collides (the same
+    * candidate gate as the batch band join), so near-threshold pairs
+    * that LSH misses in batch are missed here identically.
+    */
+  def neardupDecontaminateStream(docs: DataFrame, benchmark: DataFrame,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.35): DataFrame = {
+    val bench: Seq[(Long, Seq[Long], Seq[Long])] = benchmark
+      .withColumn("toks", GraftFunctions.ws_tokens(col("text")))
+      .filter(size(col("toks")) > 1)
+      .select(col("doc_id"),
+        GraftFunctions.shingle_minhash(col("toks"), 2, numHashes, 42L).as("sig"))
+      .withColumn("bnd", GraftFunctions.sig_bands(col("sig"), bands))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Long]]("sig").toSeq,
+        r.getAs[scala.collection.Seq[Long]]("bnd").toSeq))
+    require(bench.size <= 100_000,
+      s"neardupDecontaminateStream: benchmark has ${bench.size} signatures (> 100k); " +
+        "this path embeds them in the plan — use the batch dc12 operator " +
+        "(Curation.neardupDecontaminate) for corpus-sized benchmark frames")
+    val benchLit = typedlit(bench) // array<struct<id, sig, bands>>
+    docs
+      .withColumn("toks", GraftFunctions.ws_tokens(col("text")))
+      .filter(size(col("toks")) > 1)
+      .withColumn("sig", GraftFunctions.shingle_minhash(col("toks"), 2, numHashes, 42L))
+      .withColumn("dbands", GraftFunctions.sig_bands(col("sig"), bands))
+      .withColumn("hits", filter(
+        transform(benchLit, b => struct(
+          (GraftFunctions.sig_agreement(col("sig"), b.getField("_2"))
+            .cast("double") / numHashes).as("est"),
+          (-b.getField("_1")).as("negid"),
+          exists(zip_with(col("dbands"), b.getField("_3"), (x, y) => x === y),
+            c => c).as("coll"))),
+        c => c.getField("coll") && c.getField("est") >= threshold))
+      .filter(size(col("hits")) > 0)
+      // struct max orders by (est, negid): highest estimate, lowest id
+      .withColumn("best", array_max(col("hits")))
+      .select(col("doc_id"), (-col("best.negid")).as("matched_bench"),
+        round(col("best.est"), 4).as("est_jaccard"))
+  }
+
   /** Stateless streaming LM-quality scoring — the t8 twin: each
     * arriving document scores against a PINNED corpus-frequency
     * snapshot (how a production feed scores against the previous corpus

@@ -402,6 +402,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup decontamination matches batch dc12 including the LSH gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.sources.Tables(spark, sfDir)
+    val benchmark = t.documents.filter(col("doc_id") < 50)
+    val corpusRows = t.documents.filter(col("doc_id") >= 50)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val audited = graft.streaming.DocPipelines.neardupDecontaminateStream(
+      mem.toDF().toDF("doc_id", "text"), benchmark)
+    val q = audited.writeStream.format("memory").queryName("dc12_stream_out")
+      .outputMode("append").start() // stateless: plan-literal benchmark, no aggregation
+    try {
+      val (first, second) = corpusRows.splitAt(corpusRows.length / 2)
+      mem.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("dc12_stream_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("matched_bench"),
+          r.getAs[Double]("est_jaccard"))).sortBy(_._1)
+      val batch = graft.operators.Curation.neardupDecontaminate(t).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("matched_bench"),
+          r.getAs[Double]("est_jaccard"))).sortBy(_._1)
+      assert(batch.nonEmpty && streamed.sameElements(batch),
+        "stream and batch near-dup decontamination must agree row for row")
+    } finally q.stop()
+  }
+
   test("streaming unigram logprob matches batch t8 against the same frequency snapshot") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
