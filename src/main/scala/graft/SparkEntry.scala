@@ -103,6 +103,7 @@ object SparkEntry {
     "m2_frame_sample" -> ((s, dir) => Multimodal.frames(Tables(s, dir))),
     "m3_binary_neardup" -> ((s, dir) => Multimodal.binaryNearDup(Tables(s, dir))),
     // §2.6 streaming (batch twins; streaming forms tested in StreamingSpec)
+    "q32_moving_window" -> ((s, dir) => Relational.movingWindow(Tables(s, dir))),
     "st1_stream_window" -> ((s, dir) => graft.streaming.EventPipelines.windowedCountsBatch(Tables(s, dir))),
     "st2_sessionize" -> ((s, dir) => graft.streaming.EventPipelines.sessionizeBatch(Tables(s, dir))),
     // §2.8 training-sequence assembly
@@ -1048,6 +1049,19 @@ object SparkEntry {
          |FROM red
          |ORDER BY doc_id""".stripMargin
     },
+    "q32_moving_window" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS dsum, COUNT(*) AS dn
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day,
+        |  CAST(SUM(dn) OVER w AS BIGINT) AS win_events,
+        |  ROUND(CAST(SUM(dsum) OVER w AS DOUBLE), 2) AS win_value,
+        |  ROUND(CAST(SUM(dsum) OVER w AS DOUBLE) / (SUM(dn) OVER w), 4) AS avg_per_event
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
     "st1_stream_window" ->
       """SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start, event_type,
         |  COUNT(*) AS n,

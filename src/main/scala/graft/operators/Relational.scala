@@ -444,6 +444,39 @@ object Relational {
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q32: trailing moving-window aggregation — per event type, each
+    * day's 7-day trailing event count, value total and per-event
+    * average, via a RANGE-frame window (the frame is defined by day
+    * DISTANCE, not row count, so gap days shorten the window instead of
+    * silently reaching further back — the property a rowsBetween frame
+    * gets wrong on sparse series).
+    *
+    * Scale shape: the raw-event work is ONE daily pre-aggregation
+    * (map-side partials, one (type, day) shuffle); the window then runs
+    * over the per-day grain — types × days rows, thousands at any
+    * corpus size — partitioned by event_type, never a global single
+    * partition. At 100 TB a moving window over raw events is
+    * unrunnable; over the pre-aggregated grain it is free, and the
+    * DECIMAL day-sums merge exactly so the two-level aggregation is
+    * bit-identical to a direct one.
+    */
+  def movingWindow(t: Tables, days: Int = 7): DataFrame = {
+    val daily = t.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast(D2)).as("dsum"), count(lit(1)).as("dn"))
+      .withColumn("dayn", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("dayn"))
+      .rangeBetween(-(days - 1), Window.currentRow)
+    daily
+      .withColumn("win_events", sum(col("dn")).over(w))
+      .withColumn("win_value", sum(col("dsum")).over(w).cast("double"))
+      .select(col("event_type"), col("day"), col("win_events"),
+        round(col("win_value"), 2).as("win_value"),
+        round(col("win_value") / col("win_events"), 4).as("avg_per_event"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** q26: weekly cohort retention over the events stream — the classic
     * warehouse engagement matrix: users cohorted by their first-activity
     * week, each later active week counted at its offset. Weeks are epoch

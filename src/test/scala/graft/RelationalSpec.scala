@@ -189,6 +189,34 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("q32 moving window: trailing frame matches brute-force day-distance recomputation") {
+    val rows = graft.operators.Relational.movingWindow(t).collect()
+      .map(r => ((r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString),
+        (r.getAs[Long]("win_events"), r.getAs[Double]("win_value"))))
+    assert(rows.nonEmpty)
+    // brute force from the daily grain: the frame is day DISTANCE ≤ 6,
+    // not "previous 7 rows" — on sparse series the two differ
+    val daily = t.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("dn"), sum(col("value").cast("decimal(18,2)")).as("dsum"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toLocalDate,
+        r.getAs[Long]("dn"), r.getAs[java.math.BigDecimal]("dsum")))
+    val expected = daily.map { case (ty, d, _, _) =>
+      val in = daily.filter { case (ty2, d2, _, _) =>
+        ty2 == ty && !d2.isAfter(d) && java.time.temporal.ChronoUnit.DAYS.between(d2, d) <= 6
+      }
+      val s = in.map(p => BigDecimal(p._4)).sum // exact decimal accumulation
+      ((ty, d.toString), (in.map(_._3).sum, s.toDouble))
+    }.toMap
+    assert(rows.toMap == expected, "range-frame trailing window must equal brute force")
+    // the window never falls back to a global single partition
+    val explain = graft.operators.Relational.movingWindow(t).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!explain.contains("SinglePartition") || !explain.contains("Window"),
+      s"window must be partitioned by event_type:\n$explain")
+  }
+
   test("q26 retention: offsets are non-negative and offset 0 holds the full cohort") {
     val rows = graft.operators.Relational.q26RetentionCohorts(t).collect()
     assert(rows.nonEmpty)
