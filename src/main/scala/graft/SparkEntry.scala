@@ -113,6 +113,7 @@ object SparkEntry {
     // §2.9 graph analytics
     "g1_pagerank" -> ((s, dir) => Graph.pagerank(Tables(s, dir))),
     "g2_triangle_count" -> ((s, dir) => Graph.triangleCounts(Tables(s, dir))),
+    "g3_edge_embeddedness" -> ((s, dir) => Graph.edgeEmbeddedness(Tables(s, dir))),
   )
 
   import OracleReplicas.{fnv64Sql, signed64, jhashSql, signed32, charBytes}
@@ -1217,6 +1218,28 @@ object SparkEntry {
         |FROM (SELECT unnest([u, v, w]) AS part_key FROM tri) z
         |GROUP BY part_key
         |ORDER BY part_key""".stripMargin,
+    "g3_edge_embeddedness" ->
+      s"""WITH $graphCtes,
+        |o AS (
+        |  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u.src < u.dst)
+        |              THEN u.src ELSE u.dst END AS lo,
+        |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u.src < u.dst)
+        |              THEN u.dst ELSE u.src END AS hi
+        |  FROM und u JOIN deg d1 ON d1.src = u.src JOIN deg d2 ON d2.src = u.dst),
+        |wedge AS (
+        |  SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+        |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+        |tri AS (
+        |  SELECT u, v, w FROM wedge
+        |  JOIN (SELECT LEAST(lo, hi) AS v, GREATEST(lo, hi) AS w FROM o) c USING (v, w)),
+        |ed3 AS (
+        |  SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM tri
+        |  UNION ALL SELECT LEAST(u, w), GREATEST(u, w) FROM tri
+        |  UNION ALL SELECT LEAST(v, w), GREATEST(v, w) FROM tri)
+        |SELECT a AS src, b AS dst, CAST(COUNT(*) AS BIGINT) AS n_common
+        |FROM ed3 GROUP BY a, b
+        |ORDER BY n_common DESC, src, dst
+        |LIMIT 100""".stripMargin,
   )
 
   /** Shared CTE body for the graph oracles (g1/g2): the co-purchase

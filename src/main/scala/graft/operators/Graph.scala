@@ -125,7 +125,18 @@ object Graph {
   /** Triangle counts over any undirected edge list (`src`, `dst`, one
     * row per unordered pair) — exposed for crafted-graph specs.
     */
-  def triangleCountsFromEdges(und: DataFrame): DataFrame = {
+  def triangleCountsFromEdges(und: DataFrame): DataFrame =
+    trianglesFromEdges(und)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("part_key"))
+      .groupBy("part_key")
+      .agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("part_key"))
+
+  /** Every triangle exactly once as (u, v, w): u first in the
+    * (degree, id) order, v < w by id — the shared degree-ordered wedge
+    * core of g2 and g3.
+    */
+  private def trianglesFromEdges(und: DataFrame): DataFrame = {
     val sym = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("n"), col("deg"))
@@ -148,10 +159,39 @@ object Graph {
     // in the degree order, but v<w by id — match both orientations)
     val closing = ordered.select(
       least(col("lo"), col("hi")).as("v"), greatest(col("lo"), col("hi")).as("w"))
-    val tris = wedges.join(closing, Seq("v", "w"))
-    tris.select(explode(array(col("u"), col("v"), col("w"))).as("part_key"))
-      .groupBy("part_key")
-      .agg(count(lit(1)).as("n_tri"))
-      .orderBy(col("part_key"))
+    wedges.join(closing, Seq("v", "w"))
   }
+
+  /** g3: per-edge EMBEDDEDNESS — the number of triangles through each
+    * edge (= common neighbors of its endpoints), the tie-strength
+    * metric graph sparsifiers and community detectors rank edges by:
+    * a co-purchase edge inside a dense cluster closes many triangles,
+    * a bridge between clusters closes none. Returns the topK edges by
+    * (n_common desc, src, dst), endpoints canonicalized src < dst.
+    *
+    * Scale shape: the triangle stream is g2's — each triangle
+    * generated exactly once by degree-ordered wedge closing (hub
+    * fan-out bounded, never Σdeg² over the raw orientation) — plus ONE
+    * (src, dst)-keyed count of compact id pairs and a top-K. The
+    * all-pairs common-neighbor variant (scores for NON-edges too) is
+    * deliberately not offered at this grain: without the closing-edge
+    * filter the wedge stream is Σdeg² with no ordering escape.
+    */
+  def edgeEmbeddedness(t: Tables, topK: Int = 100): DataFrame =
+    edgeEmbeddednessFromEdges(copurchaseEdges(t), topK)
+
+  /** Edge embeddedness over any undirected edge list — exposed for
+    * crafted-graph specs.
+    */
+  def edgeEmbeddednessFromEdges(und: DataFrame, topK: Int = 100): DataFrame =
+    trianglesFromEdges(und)
+      .select(explode(array(
+        struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b")))).as("e"))
+      .select(col("e.a").as("src"), col("e.b").as("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("n_common"))
+      .orderBy(col("n_common").desc, col("src"), col("dst"))
+      .limit(topK)
 }

@@ -57,6 +57,30 @@ class GraphSpec extends SparkSpecBase {
     assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("g3: edge embeddedness — K4 edges close two triangles each, a bridge closes none") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val out = Graph.edgeEmbeddednessFromEdges(k4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // every K4 edge lies in exactly 2 of the 4 triangles; ties order by (src, dst)
+    assert(out == Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (3L, 4L, 2L), (2L, 4L, 2L)).sortBy(p => (-p._3, p._1, p._2)))
+    // two triangles joined by a bridge: the bridge edge has no common
+    // neighbor, so it never appears; within-triangle edges score 1
+    val g = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val emb = Graph.edgeEmbeddednessFromEdges(g)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(!emb.contains((3L, 4L)), "the bridge closes no triangle")
+    assert(emb == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L,
+      (4L, 5L) -> 1L, (4L, 6L) -> 1L, (5L, 6L) -> 1L))
+    // cross-check vs g2: per-node triangle counts are recoverable as
+    // half the sum of embeddedness over incident edges
+    val tri = Graph.triangleCountsFromEdges(k4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val byNode = out.flatMap(e => Seq(e._1 -> e._3, e._2 -> e._3))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum / 2 }
+    assert(byNode == tri)
+  }
+
   test("g2: hub graph — degree ordering still counts each triangle once") {
     // wheel: hub 0 connected to cycle 1..6 (hub degree 6, rim degree 3)
     val rim = (1L to 6L).map(i => (i, if (i == 6L) 1L else i + 1L))
