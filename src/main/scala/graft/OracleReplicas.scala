@@ -842,6 +842,39 @@ object OracleReplicas {
        |  SELECT doc_id, unnest(xs) AS h, unnest(range(1, len(xs) + 1)) AS pos FROM sh)""".stripMargin
   }
 
+  /** d13: corpus boilerplate coverage — positional k-shingles, hot
+    * shingles by distinct-doc df, per-doc union of hot windows via the
+    * same gaps-and-islands merge. Mirrors
+    * [[graft.operators.Dedup.boilerplate]].
+    */
+  def d13Boilerplate(k: Int = 3, minDf: Long = 5): String =
+    s"""WITH ${substringCtes(k)},
+       |nt AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens FROM toks),
+       |hot AS (
+       |  SELECT h FROM (
+       |    SELECT h, COUNT(DISTINCT doc_id) AS df FROM psh GROUP BY h) z
+       |  WHERE df >= $minDf),
+       |hp AS (SELECT doc_id, pos FROM psh JOIN hot USING (h)),
+       |brks AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
+       |         THEN 0 ELSE 1 END AS brk
+       |  FROM hp),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM brks),
+       |cov AS (
+       |  SELECT doc_id, island, MAX(pos) - MIN(pos) + $k AS cov
+       |  FROM isl GROUP BY doc_id, island),
+       |pd AS (SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS bp_tokens FROM cov GROUP BY doc_id)
+       |SELECT n.doc_id, n.n_tokens,
+       |  COALESCE(pd.bp_tokens, 0) AS bp_tokens,
+       |  CASE WHEN n.n_tokens = 0 THEN 0.0
+       |       ELSE ROUND(COALESCE(pd.bp_tokens, 0) / CAST(n.n_tokens AS DOUBLE), 4) END AS bp_frac
+       |FROM nt n LEFT JOIN pd ON pd.doc_id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+
   def d9SubstringSpans(k: Int = 8, minSpanTokens: Int = 16): String =
     s"""WITH ${substringCtes(k)},
        |m AS (

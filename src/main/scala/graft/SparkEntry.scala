@@ -53,6 +53,7 @@ object SparkEntry {
     "d3_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables(s, dir))),
     "d4_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables(s, dir))),
     "d12_containment" -> ((s, dir) => Dedup.containment(Tables(s, dir))),
+    "d13_boilerplate" -> ((s, dir) => Dedup.boilerplate(Tables(s, dir))),
     "d5_dedup_embed" -> ((s, dir) => Dedup.embeddingNearDup(Tables(s, dir))),
     "d6_dedup_clusters" -> ((s, dir) => Dedup.clusters(Tables(s, dir))),
     "d7_dedup_incremental" -> ((s, dir) => Dedup.minhashIncremental(Tables(s, dir))),
@@ -501,6 +502,7 @@ object SparkEntry {
     "d7_dedup_incremental" -> OracleReplicas.d7MinhashIncremental(),
     "dc12_neardup_decontaminate" -> OracleReplicas.dc12NeardupDecontaminate(),
     "d9_substring_dedup" -> OracleReplicas.d9SubstringSpans(),
+    "d13_boilerplate" -> OracleReplicas.d13Boilerplate(),
     "d10_substring_incremental" -> OracleReplicas.d10SubstringIncremental(),
     // d11: the synthesized crawl-noise URL (host case, www., default
     // port, shuffled tracking params, fragment, trailing slash) and its

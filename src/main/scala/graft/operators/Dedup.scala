@@ -372,6 +372,57 @@ object Dedup {
     * [[substringSpansAgainstStore]] per ingest — which keeps nothing
     * corpus-sized in executor storage.
     */
+  /** d13: corpus BOILERPLATE coverage — the C4/CCNet cleaning signal at
+    * token granularity: a k-token shingle occurring in ≥ `minDf`
+    * distinct documents is boilerplate (navigation chrome, license
+    * headers, templated footers), and each document reports how much of
+    * it is covered by such shingles. Output per doc: token count,
+    * boilerplate-covered token count (union of hot-shingle windows,
+    * merged gaps-and-islands style), and the covered fraction — the
+    * number a quality gate thresholds on and a trimmer would cut.
+    *
+    * Relation to neighbors: d9 finds WHICH span is shared between WHICH
+    * pair; this asks the corpus-frequency question (how templated is
+    * each document overall) without materializing any pair — so its
+    * cost has no Σdf² term at all. Scale shape: one positional shingle
+    * pass, one (h)-keyed distinct-doc count to find hot shingles (tiny
+    * survivor set, broadcast-joined back), one per-doc window over hot
+    * positions only. Text never shuffles; (h, doc, pos) triples do.
+    */
+  def boilerplate(t: Tables, k: Int = 3, minDf: Long = 5): DataFrame = {
+    val toks = tokenized(t)
+    val nTok = toks.select(col("doc_id"), size(col("tokens")).as("n_tokens"))
+    val psh = toks.filter(size(col("tokens")) >= k)
+      .select(col("doc_id"), posexplode(shingle_hashes(col("tokens"), k)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+      .localCheckpoint(true) // feeds the df count and the hot-position probe
+    val hot = psh.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"))
+    // hot is the templated-shingle vocabulary — survivor-set sized
+    val hotPos = psh.join(broadcast(hot), Seq("h")).select(col("doc_id"), col("pos"))
+    // union of [pos, pos+k-1] windows per doc: merge when the next hot
+    // position starts within (or adjacent to) the running cover
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val covered = hotPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) - min(col("pos")) + k).as("cov"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cov")).as("bp_tokens"))
+    nTok.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("bp_tokens"), lit(0L)).as("bp_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("bp_tokens"), lit(0L)).cast("double") /
+            col("n_tokens"), 4)).as("bp_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def substringSpans(t: Tables, k: Int = 8, minSpanTokens: Int = 16,
       maxDf: Option[Long] = None): DataFrame = {
     val psh0 = tokenized(t)

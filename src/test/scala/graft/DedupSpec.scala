@@ -65,6 +65,41 @@ class DedupSpec extends SparkSpecBase {
       "exact copies are mutually contained")
   }
 
+  test("d13 boilerplate coverage matches brute-force hot-shingle interval union") {
+    val k = 3; val minDf = 5
+    val rows = Dedup.boilerplate(t).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Int]("n_tokens"), r.getAs[Long]("bp_tokens"), r.getAs[Double]("bp_frac"))))
+      .toMap
+    assert(rows.nonEmpty && rows.values.exists(_._3 > 0), "planted duplicates make hot shingles")
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.toLowerCase.split("\\s+").toSeq)
+    val shingles = docs.map { case (id, toks) =>
+      id -> (if (toks.length < k) Seq.empty
+             else toks.sliding(k).map(_.mkString(" ")).toSeq)
+    }
+    val hot = shingles.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.length >= minDf).keySet
+    docs.foreach { case (id, toks) =>
+      val positions = shingles.toMap.apply(id).zipWithIndex
+        .collect { case (s, i) if hot(s) => i + 1 }
+      // union of [p, p+k-1] windows
+      val covered = positions.foldLeft(Seq.empty[(Int, Int)]) { case (acc, p) =>
+        acc match {
+          case init :+ ((a, b)) if p <= b + 1 => init :+ (a, math.max(b, p + k - 1))
+          case _ => acc :+ (p, p + k - 1)
+        }
+      }.map { case (a, b) => b - a + 1 }.sum
+      val (n, bp, frac) = rows(id)
+      assert(n == toks.length, s"doc $id token count")
+      assert(bp == covered.toLong, s"doc $id covered tokens: got $bp, expected $covered")
+      val expFrac = if (n == 0) 0.0
+        else BigDecimal(covered.toDouble / n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(frac == expFrac, s"doc $id fraction")
+    }
+  }
+
   test("d5 embedding near-dup returns ranked bucket-collision pairs") {
     val rows = Dedup.embeddingNearDup(t).collect()
     assert(rows.nonEmpty)
