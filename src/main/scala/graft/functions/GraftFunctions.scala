@@ -39,6 +39,12 @@ object GraftFunctions {
   def long_set_hits(c: Column, values: Seq[Long]): Column =
     EU.column(LongSetHits(EU.expression(c), values))
 
+  /** array<long> positional k-shingle hashes → tokens covered by the
+    * union of hot-shingle windows (d13's kernel, one codegen pass).
+    */
+  def covered_tokens(c: Column, hotSet: Seq[Long], k: Int): Column =
+    EU.column(CoveredTokens(EU.expression(c), hotSet, k))
+
   /** The canonical whitespace tokenization every text operator AND its
     * DuckDB oracle mirror (`regexp_split_to_array(trim(lower(text)),
     * '\s+')`) — single definition so batch, streaming and oracle

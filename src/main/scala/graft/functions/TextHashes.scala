@@ -216,6 +216,32 @@ object GraftHash {
     hits
   }
 
+  /** Boilerplate-covered token count in one pass: for each position i
+    * (0-based) whose k-shingle hash is in the sorted hot set, the window
+    * [i+1, i+k] (1-based tokens) is covered; adjacent/overlapping
+    * windows merge as they stream by (positions arrive in order, so the
+    * interval union needs only the running end). The d13 kernel, usable
+    * map-side against a pinned hot set.
+    */
+  def coveredTokens(shingles: ArrayData, sorted: Array[Long], k: Int): Long = {
+    var total = 0L
+    var curStart = -1L
+    var curEnd = -1L
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(sorted, shingles.getLong(i)) >= 0) {
+        val p = i + 1L
+        if (curStart < 0) { curStart = p; curEnd = p + k - 1 }
+        else if (p <= curEnd + 1) { curEnd = p + k - 1 }
+        else { total += curEnd - curStart + 1; curStart = p; curEnd = p + k - 1 }
+      }
+      i += 1
+    }
+    if (curStart >= 0) total += curEnd - curStart + 1
+    total
+  }
+
   /** Σ weights[pmod(h, weights.length)] over an array<long> of feature
     * hashes — the map-side scoring kernel for hashed-feature linear
     * models (DSIR importance weights): one tight loop, no explode, no
@@ -420,6 +446,36 @@ case class LongSetHits(child: Expression, values: Seq[Long]) extends UnaryExpres
   }
   override protected def withNewChildInternal(newChild: Expression): LongSetHits = copy(child = newChild)
   override def prettyName: String = "long_set_hits"
+}
+
+/** Covered-token count expression: array<long> positional shingle hashes
+  * → tokens covered by the union of hot-shingle windows (the d13
+  * boilerplate kernel as ONE codegen pass — sorted-set membership and
+  * interval merge fused, for map-side scoring against a pinned hot set).
+  */
+case class CoveredTokens(child: Expression, hotSet: Seq[Long], k: Int) extends UnaryExpression {
+  // Seq, not Array: structural case-class equality (see LongSetHits)
+  require(k >= 1, s"shingle width must be positive, got $k")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val sorted: Array[Long] = {
+    val s = hotSet.toArray
+    java.util.Arrays.sort(s)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(GraftHash.coveredTokens(input.asInstanceOf[ArrayData], sorted, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = GraftHash.getClass.getName.stripSuffix("$")
+    val setRef = ctx.addReferenceObj("hotset", sorted, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $cls$$.MODULE$$.coveredTokens($c, (long[]) $setRef, $k);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CoveredTokens = copy(child = newChild)
+  override def prettyName: String = "covered_tokens"
 }
 
 /** Hashed-feature linear scoring expression: array<long> feature hashes →

@@ -225,6 +225,34 @@ object DocPipelines {
         round(col("best.est"), 4).as("est_jaccard"))
   }
 
+  /** Streaming boilerplate scoring — the d13 twin: arriving documents
+    * score their templated-content coverage against a PINNED hot-shingle
+    * set (the previous corpus generation's boilerplate vocabulary, how a
+    * production feed gates ingest). Fully stateless: the sorted hot set
+    * ships once per task inside the `covered_tokens` codegen expression
+    * (LongSetHits' pattern) and the whole membership-plus-interval-merge
+    * union runs in ONE pass per row — no shuffle, no aggregation state.
+    */
+  def boilerplateScoreStream(docs: DataFrame, hotShingles: Seq[Long],
+      k: Int = 3): DataFrame = {
+    require(hotShingles.size <= 2_000_000,
+      s"boilerplateScoreStream: hot set has ${hotShingles.size} shingles (> 2M); " +
+        "this path embeds the set in the plan — recompute the d13 batch operator " +
+        "for corpus-sized hot vocabularies")
+    docs
+      .withColumn("toks", GraftFunctions.ws_tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("bp_tokens",
+        when(col("n_tokens") >= k,
+          GraftFunctions.covered_tokens(
+            GraftFunctions.shingle_hashes(col("toks"), k), hotShingles, k))
+          .otherwise(lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("bp_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("bp_tokens").cast("double") / col("n_tokens"), 4))
+          .as("bp_frac"))
+  }
+
   /** Stateless streaming LM-quality scoring — the t8 twin: each
     * arriving document scores against a PINNED corpus-frequency
     * snapshot (how a production feed scores against the previous corpus

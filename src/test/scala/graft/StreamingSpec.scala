@@ -431,6 +431,43 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming boilerplate scoring matches batch d13 against the same hot set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.sources.Tables(spark, sfDir)
+    val k = 3
+    // pin the hot set exactly as batch d13 derives it (df >= 5)
+    val hot: Seq[Long] = t.documents
+      .select(col("doc_id"), graft.functions.GraftFunctions.ws_tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.GraftFunctions.shingle_hashes(col("toks"), k))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 5)
+      .select("h").collect().map(_.getLong(0)).toSeq
+    val docRows = t.documents.select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val scored = graft.streaming.DocPipelines.boilerplateScoreStream(
+      mem.toDF().toDF("doc_id", "text"), hot, k)
+    val q = scored.writeStream.format("memory").queryName("d13_stream_out")
+      .outputMode("append").start()
+    try {
+      val (first, second) = docRows.splitAt(docRows.length / 2)
+      mem.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("d13_stream_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"),
+          r.getAs[Long]("bp_tokens"), r.getAs[Double]("bp_frac"))).sortBy(_._1)
+      val batch = graft.operators.Dedup.boilerplate(t).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"),
+          r.getAs[Long]("bp_tokens"), r.getAs[Double]("bp_frac"))).sortBy(_._1)
+      assert(batch.exists(_._3 > 0) && streamed.sameElements(batch),
+        "stream and batch boilerplate scoring must agree row for row")
+    } finally q.stop()
+  }
+
   test("streaming unigram logprob matches batch t8 against the same frequency snapshot") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -12,6 +12,22 @@ class TextExtraSpec extends SparkSpecBase {
 
   private lazy val t = Tables(spark, sfDir)
 
+  test("covered_tokens: interval union edge cases (overlap, adjacency, gap, tail)") {
+    import spark.implicits._
+    // k=3 windows at 1-based positions of hot hashes; shingle i covers [i+1, i+3]
+    def cov(hashes: Seq[Long], hot: Seq[Long]): Long =
+      Seq(Tuple1(hashes)).toDF("sh")
+        .select(graft.functions.GraftFunctions.covered_tokens(col("sh"), hot, 3).as("c"))
+        .collect()(0).getLong(0)
+    assert(cov(Seq(1L, 2L, 3L), Seq()) == 0L, "empty hot set covers nothing")
+    assert(cov(Seq(9L, 9L, 9L), Seq(1L)) == 0L, "no hit covers nothing")
+    assert(cov(Seq(1L, 9L, 9L), Seq(1L)) == 3L, "single window covers k tokens")
+    assert(cov(Seq(1L, 1L, 9L), Seq(1L)) == 4L, "overlapping windows merge")
+    assert(cov(Seq(1L, 9L, 9L, 1L), Seq(1L)) == 6L, "adjacent windows [1,3][4,6] merge seamlessly")
+    assert(cov(Seq(1L, 9L, 9L, 9L, 1L), Seq(1L)) == 6L, "a gap splits islands: [1,3] + [5,7]")
+    assert(cov(Seq(9L, 9L, 9L, 1L), Seq(1L)) == 3L, "trailing island is flushed")
+  }
+
   // ---------------------------------------------------------------- t8
 
   test("t8 unigram logprob matches hand-computed values on a crafted corpus") {
