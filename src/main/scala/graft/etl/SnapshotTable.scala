@@ -115,6 +115,49 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     else spark.read.parquet(snap.dirs.map(d => dataDir.resolve(d).toString): _*)
   }
 
+  /** Row-level CHANGES between two committed versions (CDC/change-data-
+    * feed semantics without a key): multiset row differences tagged
+    * `change_type` = `insert` (in `to`, not in `from`) or `delete` (in
+    * `from`, not in `to`); an update surfaces as its delete+insert pair.
+    *
+    * Scale shape: manifests are DIRECTORY sets and data dirs are
+    * immutable, so any directory present in BOTH snapshots contributes
+    * identical rows to both sides and cancels exactly — the diff only
+    * READS directories added or removed between the versions. A small
+    * append's diff therefore scans just that append, never table
+    * history (the Delta/Iceberg CDF shortcut at file granularity). A
+    * compaction rewrite shares no dirs, so both rewritten sides are
+    * read — and cancel to an EMPTY diff, spec-pinned.
+    */
+  def diff(from: Long, to: Long): DataFrame = {
+    val sf = snapshot(Some(from)).getOrElse(
+      throw new IllegalStateException(s"no committed version $from at $root"))
+    val st = snapshot(Some(to)).getOrElse(
+      throw new IllegalStateException(s"no committed version $to at $root"))
+    val fromSet = sf.dirs.toSet
+    val toSet = st.dirs.toSet
+    def readDirs(dirs: Seq[String]): Option[DataFrame] =
+      if (dirs.isEmpty) None
+      else Some(spark.read.parquet(dirs.map(d => dataDir.resolve(d).toString): _*))
+    val added = readDirs(st.dirs.filterNot(fromSet))
+    val removed = readDirs(sf.dirs.filterNot(toSet))
+    import org.apache.spark.sql.functions.lit
+    (added, removed) match {
+      case (None, None) =>
+        // identical manifests (or both empty): an empty, SCHEMA-FUL diff
+        // when any side has data, else the canonical empty frame
+        readDirs(st.dirs).orElse(readDirs(sf.dirs)) match {
+          case Some(any) => any.limit(0).withColumn("change_type", lit(""))
+          case None => spark.emptyDataFrame
+        }
+      case (Some(a), None) => a.withColumn("change_type", lit("insert"))
+      case (None, Some(r)) => r.withColumn("change_type", lit("delete"))
+      case (Some(a), Some(r)) =>
+        a.exceptAll(r).withColumn("change_type", lit("insert"))
+          .unionByName(r.exceptAll(a).withColumn("change_type", lit("delete")))
+    }
+  }
+
   /** Write `df` as a new immutable data directory; returns its name.
     * Not yet visible — only a committed manifest publishes it.
     */

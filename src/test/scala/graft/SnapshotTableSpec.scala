@@ -90,6 +90,38 @@ class SnapshotTableSpec extends SparkSpecBase {
     assert(v0.sameElements(Array((1L, "a"), (2L, "b"))), "pre-merge snapshot still readable")
   }
 
+  test("diff: appends surface as inserts, overwrites as delete+insert, compaction as empty") {
+    val t = fresh()
+    val v0 = t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v1 = t.append(Seq((3L, "c")).toDF("id", "v"))
+    // append diff = exactly the appended rows, tagged insert
+    val d01 = t.diff(v0, v1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(d01 == Set((3L, "c", "insert")))
+    // reverse direction flips the tag
+    val d10 = t.diff(v1, v0).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(d10 == Set((3L, "c", "delete")))
+    // overwrite replacing (2,b) with (2,B): CDF shows the update as its
+    // delete+insert pair; untouched rows cancel
+    val v2 = t.overwrite(Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "v"))
+    val d12 = t.diff(v1, v2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(d12 == Set((2L, "b", "delete"), (2L, "B", "insert")))
+    // compaction rewrites every dir but changes no rows: diff is EMPTY
+    val v3 = t.compact()
+    assert(t.diff(v2, v3).count() == 0L, "a pure rewrite is not a change")
+    // self-diff shares every dir: empty, and schema-ful
+    val selfd = t.diff(v2, v2)
+    assert(selfd.count() == 0L && selfd.columns.toSeq == Seq("id", "v", "change_type"))
+    // duplicate rows diff with multiset semantics: adding a second copy
+    // of an existing row IS an insert
+    val v4 = t.append(Seq((1L, "a")).toDF("id", "v"))
+    val d34 = t.diff(v3, v4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(d34 == Seq((1L, "a", "insert")))
+  }
+
   test("compact rewrites many data dirs into one without changing content") {
     val t = fresh()
     (0 until 4).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
