@@ -101,6 +101,7 @@ object SparkEntry {
     "dc12_neardup_decontaminate" -> ((s, dir) => Curation.neardupDecontaminate(Tables(s, dir))),
     // §2.5 multimodal plumbing
     "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
+    "m4_payload_stats" -> ((s, dir) => Multimodal.payloadStats(Tables(s, dir))),
     "m2_frame_sample" -> ((s, dir) => Multimodal.frames(Tables(s, dir))),
     "m3_binary_neardup" -> ((s, dir) => Multimodal.binaryNearDup(Tables(s, dir))),
     // §2.6 streaming (batch twins; streaming forms tested in StreamingSpec)
@@ -310,6 +311,28 @@ object SparkEntry {
           |SELECT doc_inner, doc_outer, ROUND(c, 4) AS containment
           |FROM cont WHERE c >= 0.8 ORDER BY doc_inner, doc_outer""".stripMargin),
     "d6_dedup_clusters" -> OracleReplicas.d6Clusters(),
+    // m4: char-domain byte histogram (ASCII corpus ⇒ ascii(text[i]) ≡
+    // payload byte); every metric is integer counts + one exact division,
+    // so no cross-engine float drift is possible
+    "m4_payload_stats" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(text) + 1), i -> ascii(text[i]))) AS byte
+        |  FROM documents WHERE length(text) > 0),
+        |bc AS (SELECT doc_id, byte, COUNT(*) AS c FROM ch GROUP BY doc_id, byte),
+        |st AS (
+        |  SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd, SUM(c * c) AS ss
+        |  FROM bc GROUP BY doc_id),
+        |md AS (
+        |  SELECT doc_id, byte AS mode_byte, c AS mc FROM (
+        |    SELECT doc_id, byte, c,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, byte) AS rn
+        |    FROM bc) z WHERE rn = 1)
+        |SELECT s.doc_id, CAST(s.n AS BIGINT) AS byte_len, CAST(s.nd AS INT) AS n_distinct,
+        |  ROUND(CAST(s.ss AS DOUBLE) / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)), 6) AS collision_prob,
+        |  CAST(m.mode_byte AS INT) AS mode_byte,
+        |  ROUND(CAST(m.mc AS DOUBLE) / CAST(s.n AS DOUBLE), 6) AS mode_frac
+        |FROM st s JOIN md m ON m.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     "m1_multimodal" ->
       (s"""WITH f AS (
           |  SELECT source, length(text) AS blen,

@@ -139,6 +139,57 @@ object Multimodal {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** m4: payload byte-distribution stats — the pre-decode health screen
+    * a media pipeline runs before spending decoder cycles: per payload
+    * its byte length, distinct byte count, byte-collision probability
+    * (Σ(c/n)² — the Simpson index, the exact-arithmetic stand-in for
+    * entropy: healthy compressed media ≈ 1/256, truncated/zero-padded
+    * payloads spike toward 1), and the modal byte with its share
+    * (padding and corruption show up as one byte dominating).
+    *
+    * All metrics are integer counts plus ONE exact division each, so
+    * the result is bit-identical cross-engine (no logarithms — log2
+    * entropy would differ in ulps between libm implementations and make
+    * the oracle flaky). Per-row work in the m-family's batched
+    * mapPartitions decode contract; no shuffle before the
+    * presentation sort.
+    */
+  def payloadStats(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    t.documents
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, p) =>
+          val cnt = new Array[Long](256)
+          p.foreach(b => cnt(b & 0xff) += 1)
+          val n = p.length.toLong
+          var nd = 0
+          var mode = 0
+          var mc = 0L
+          var ss = 0L
+          var i = 0
+          while (i < 256) {
+            val c = cnt(i)
+            if (c > 0) {
+              nd += 1
+              if (c > mc) { mc = c; mode = i } // ascending i: ties keep the lowest byte
+              ss += c * c
+            }
+            i += 1
+          }
+          (id, n, nd, ss.toDouble / (n.toDouble * n), mode, mc.toDouble / n)
+        }
+      }
+      .toDF("doc_id", "byte_len", "n_distinct", "cp_raw", "mode_byte", "mf_raw")
+      .select(col("doc_id"), col("byte_len"), col("n_distinct"),
+        round(col("cp_raw"), 6).as("collision_prob"),
+        col("mode_byte"), round(col("mf_raw"), 6).as("mode_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** m1: binary-column pipeline. Documents' text stands in for a media
     * payload: encode → (payload binary, metadata struct) → batched decode
     * per scan partition → per-source feature aggregation.

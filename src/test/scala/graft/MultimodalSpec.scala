@@ -32,6 +32,35 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("m4: payload stats match brute-force byte accounting; degenerate payloads spike") {
+    // a healthy varied payload vs a padding-corrupted one
+    val t = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaab"), // 31×'a' + 'b'
+      (3L, "xy"))
+    val rows = Multimodal.payloadStats(t).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("byte_len"), r.getAs[Int]("n_distinct"),
+          r.getAs[Double]("collision_prob"), r.getAs[Int]("mode_byte"),
+          r.getAs[Double]("mode_frac")))).toMap
+    def brute(s: String): (Long, Int, Double, Int, Double) = {
+      val bytes = s.getBytes("UTF-8")
+      val cnt = bytes.groupBy(b => b & 0xff).view.mapValues(_.length.toLong).toMap
+      val n = bytes.length.toLong
+      val ss = cnt.values.map(c => c * c).sum
+      val (mode, mc) = cnt.toSeq.map { case (b, c) => (b, c) }
+        .sortBy { case (b, c) => (-c, b) }.head
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (n, cnt.size, r6(ss.toDouble / (n.toDouble * n)), mode, r6(mc.toDouble / n))
+    }
+    assert(rows(1L) == brute("the quick brown fox jumps over the lazy dog"))
+    assert(rows(2L) == brute("aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaab"))
+    assert(rows(3L) == brute("xy"))
+    // the corruption signal orders as designed: padding >> prose
+    assert(rows(2L)._3 > 0.9 && rows(2L)._5 > 0.9, "padding spikes collision prob and mode share")
+    assert(rows(1L)._3 < 0.2, "varied prose stays low")
+  }
+
   test("m3: exact duplicates pair at hamming 0; near-dups within the band gate; unrelated don't") {
     val base = "the quick brown fox jumps over the lazy dog again and again and again ok"
     // same length, one SAMPLED character changed (position picked from
