@@ -233,6 +233,23 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   def appendIndexed(df: DataFrame, statsCols: Seq[String],
       bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17, bloomK: Int = 4): Long = {
     val name = writeData(df)
+    writeSidecars(name, statsCols, bloomCols, bloomBits, bloomK)
+    commitRetry(name, (old, d) => old :+ d)
+  }
+
+  /** Record zone-map and Bloom sidecars for an already-written data
+    * directory (shared by [[appendIndexed]] and [[compactZordered]]).
+    * The stats pass reads the just-written files back (footer-cheap
+    * min/max), so the input frame is evaluated exactly once.
+    *
+    * Bloom sidecar per column: the equality-predicate complement of
+    * the zone map — min/max cannot prune a point lookup on a column
+    * whose values interleave across appends (ids, hashes); a 16 KiB
+    * filter per directory can. No false negatives, so skipping on a
+    * negative probe is always safe.
+    */
+  private def writeSidecars(name: String, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17, bloomK: Int = 4): Unit = {
     val dirPath = dataDir.resolve(name)
     val back = spark.read.parquet(dirPath.toString)
     if (!back.isEmpty) {
@@ -246,11 +263,6 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         }.mkString("{", ",", "}")
         Files.write(dirPath.resolve("_stats.json"), json.getBytes("UTF-8"))
       }
-      // Bloom sidecar per column: the equality-predicate complement of
-      // the zone map — min/max cannot prune a point lookup on a column
-      // whose values interleave across appends (ids, hashes); a 16 KiB
-      // filter per directory can. No false negatives, so skipping on a
-      // negative probe is always safe.
       if (bloomCols.nonEmpty) {
         import graft.functions.GraftFunctions.bloom_build
         val aggs = bloomCols.map(c =>
@@ -263,7 +275,6 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         Files.write(dirPath.resolve("_bloom.json"), json.getBytes("UTF-8"))
       }
     }
-    commitRetry(name, (old, d) => old :+ d)
   }
 
   private val StatsEntryRe = """"([^"]+)":\{"min":(-?\d+),"max":(-?\d+)\}""".r
@@ -439,6 +450,82 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       outer += 1
     }
     throw new IllegalStateException(s"compaction lost $maxAttempts races at $root")
+  }
+
+  /** Z-ORDER clustering rewrite: reorganize the whole table into
+    * `buckets` data directories ordered by the bit-interleaved
+    * (Morton) value of the given long columns, each directory carrying
+    * zone-map sidecars on ALL of them. After a linear sort only the
+    * leading column's zones are narrow; after a Z-order rewrite a
+    * range scan on ANY of the clustered columns prunes directories
+    * ([[readWhere]]), because the space-filling curve keeps every
+    * dimension locally bounded within each z-range — the
+    * OPTIMIZE ZORDER BY of the lakehouse formats, at directory
+    * granularity.
+    *
+    * Mechanics: each column is normalized to a 16-bit grid over its
+    * observed [min, max], grids interleave into one z value, directory
+    * cuts come from z quantiles (so dirs are balanced even under value
+    * skew), and the same stale-rewrite/race rules as [[compact]] apply
+    * (a concurrent overwrite discards this rewrite; concurrent appends
+    * fold in untouched). Content is unchanged — `diff` across the
+    * rewrite is empty, spec-pinned.
+    */
+  def compactZordered(cols: Seq[String], buckets: Int = 8,
+      maxAttempts: Int = 10): Long = {
+    require(cols.nonEmpty && cols.size <= 4, s"1-4 cluster columns, got ${cols.size}")
+    import org.apache.spark.sql.functions._
+    var outer = 0
+    while (outer < maxAttempts) {
+      val snap = snapshot()
+        .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
+      val base = read(Some(snap.version))
+      if (base.isEmpty) return snap.version
+      // per-column observed range → 16-bit grid → interleaved z
+      val mmAggs = cols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+      val mm = base.agg(mmAggs.head, mmAggs.tail: _*).head()
+      val grids = cols.zipWithIndex.map { case (c, j) =>
+        val (lo, hi) = (mm.getLong(2 * j), mm.getLong(2 * j + 1))
+        val span = math.max(1L, hi - lo)
+        (((col(c).cast("long") - lit(lo)) * lit(65535L)) / lit(span)).as(s"__g$j")
+      }
+      val nc = cols.size
+      val withG = base.select(col("*") +: grids: _*)
+      val z = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+        cols.indices.foldLeft(acc) { (a, j) =>
+          a.bitwiseOR(shiftleft(shiftright(col(s"__g$j"), i).bitwiseAND(lit(1L)),
+            i * nc + j))
+        }
+      }
+      val zdf = withG.withColumn("__z", z).localCheckpoint(true)
+      val cuts = zdf.stat
+        .approxQuantile("__z", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .map(_.toLong).distinct.sorted
+      val ranges = (Long.MinValue +: cuts.map(_ + 1)).zip(cuts :+ Long.MaxValue)
+      val newDirs = ranges.map { case (lo, hi) =>
+        val slice = zdf.filter(col("__z") >= lo && col("__z") <= hi)
+          .sortWithinPartitions(col("__z"))
+          .drop(("__z" +: cols.indices.map(j => s"__g$j")): _*)
+        val name = writeData(slice)
+        writeSidecars(name, cols)
+        name
+      }
+      // same stale/race rules as compact: a folded-in dir vanishing means
+      // a concurrent overwrite removed rows this rewrite would resurrect
+      var stale = false
+      var inner = 0
+      while (!stale && inner < maxAttempts) {
+        val cur = snapshot().get
+        if (!snap.dirs.forall(cur.dirs.contains)) stale = true
+        else {
+          val dirs = cur.dirs.filterNot(snap.dirs.contains) ++ newDirs
+          try return tryCommit(cur.version, dirs)
+          catch { case VersionConflictException(_) => inner += 1 }
+        }
+      }
+      outer += 1
+    }
+    throw new IllegalStateException(s"z-order rewrite lost $maxAttempts races at $root")
   }
 
   /** Drop data directories no committed manifest references and

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.{col, sum}
+
 import graft.etl.{SnapshotTable, VersionConflictException}
 
 class SnapshotTableSpec extends SparkSpecBase {
@@ -157,6 +159,35 @@ class SnapshotTableSpec extends SparkSpecBase {
     })
     assert(t.read().collect().map(_.getLong(0)).toSeq == Seq(7L),
       "the overwrite's deletion must not be resurrected by a stale compaction")
+  }
+
+  test("z-order rewrite: range scans on EITHER clustered column prune dirs; content unchanged") {
+    val t = fresh()
+    // 64×64 grid appended in row-major order: a linear layout keeps `a`
+    // zones narrow but every append spans the full `b` range
+    (0 until 8).foreach { chunk =>
+      val rows = (chunk * 512 until (chunk + 1) * 512)
+        .map(i => (i.toLong / 64L, i.toLong % 64L))
+      t.appendIndexed(rows.toDF("a", "b"), Seq("a", "b"))
+    }
+    val preDirsB = t.dirsMatching("b", 10, 12)
+    assert(preDirsB.size == 8, "row-major appends cannot prune on b")
+    val vPre = t.currentVersion.get
+    val vZ = t.compactZordered(Seq("a", "b"), buckets = 8)
+    // pruning now works on BOTH dimensions
+    val dirsA = t.dirsMatching("a", 10, 12)
+    val dirsB = t.dirsMatching("b", 10, 12)
+    val all = t.snapshot(Some(vZ)).get.dirs.size
+    assert(all >= 4, s"rewrite must produce multiple dirs, got $all")
+    assert(dirsA.size < all, s"a-scan must prune: ${dirsA.size} of $all")
+    assert(dirsB.size < all, s"b-scan must prune: ${dirsB.size} of $all")
+    // scans stay exact on both columns
+    assert(t.readWhere("a", 10, 12).count() == 3 * 64)
+    assert(t.readWhere("b", 10, 12).count() == 3 * 64)
+    assert(t.readWhere("a", 10, 12).agg(sum(col("b"))).head().getLong(0) ==
+      3L * (0 until 64).map(_.toLong).sum)
+    // a pure reorganization is not a change
+    assert(t.diff(vPre, vZ).count() == 0L, "z-order rewrite diffs empty")
   }
 
   test("zone maps: readWhere prunes whole directories and stays exact") {
