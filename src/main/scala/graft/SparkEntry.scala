@@ -106,6 +106,7 @@ object SparkEntry {
     "m3_binary_neardup" -> ((s, dir) => Multimodal.binaryNearDup(Tables(s, dir))),
     // §2.6 streaming (batch twins; streaming forms tested in StreamingSpec)
     "q32_moving_window" -> ((s, dir) => Relational.movingWindow(Tables(s, dir))),
+    "q33_scd2" -> ((s, dir) => Relational.scd2(Tables(s, dir))),
     "st1_stream_window" -> ((s, dir) => graft.streaming.EventPipelines.windowedCountsBatch(Tables(s, dir))),
     "st2_sessionize" -> ((s, dir) => graft.streaming.EventPipelines.sessionizeBatch(Tables(s, dir))),
     // §2.8 training-sequence assembly
@@ -1075,6 +1076,23 @@ object SparkEntry {
          |FROM red
          |ORDER BY doc_id""".stripMargin
     },
+    "q33_scd2" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w = event_type THEN 0 ELSE 1 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT user_id, ts, event_type,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, CAST(seq AS BIGINT) AS seq, event_type, MIN(ts) AS valid_from
+        |  FROM r GROUP BY user_id, seq, event_type)
+        |SELECT user_id, seq, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to
+        |FROM g
+        |ORDER BY user_id, seq""".stripMargin,
     "q32_moving_window" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

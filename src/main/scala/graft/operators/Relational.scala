@@ -444,6 +444,40 @@ object Relational {
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q33: TYPE-2 slowly-changing-dimension history — the warehouse
+    * pattern that turns an event feed into validity intervals: per
+    * user, consecutive runs of the same state (event_type) collapse
+    * into one row with `valid_from` = the run's first event time,
+    * `valid_to` = the next run's start (NULL = current), and `seq` the
+    * per-user version number. "What was each entity's state at time T"
+    * then answers with one BETWEEN predicate (or q15's as-of join).
+    *
+    * Determinism: events sharing a timestamp order by event_id, and the
+    * interval chain orders by the run number (not valid_from, which can
+    * tie when a state flips twice inside one timestamp). Scale shape:
+    * both windows and the run aggregation are (user_id)-keyed — one
+    * hash exchange of compact (user, ts, id, type) rows, never a global
+    * window; the classic two-pass gaps-and-islands, st2's machinery
+    * pointed at dimension history.
+    */
+  def scd2(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runs = t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w) === col("event_type"), 0).otherwise(1))
+      .withColumn("seq",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("seq"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"))
+    val chain = Window.partitionBy(col("user_id")).orderBy(col("seq"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(chain))
+      .select(col("user_id"), col("seq"), col("event_type"),
+        col("valid_from"), col("valid_to"))
+      .orderBy(col("user_id"), col("seq"))
+  }
+
   /** q32: trailing moving-window aggregation — per event type, each
     * day's 7-day trailing event count, value total and per-event
     * average, via a RANGE-frame window (the frame is defined by day

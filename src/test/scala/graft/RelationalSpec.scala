@@ -189,6 +189,48 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("q33 scd2: intervals chain gaplessly and match brute-force run collapsing") {
+    // ts surfaces as Timestamp or LocalDateTime depending on the parquet
+    // logical type — handle both (the round-9 testdata drift lesson)
+    def millis(x: Any): Long = x match {
+      case t: java.sql.Timestamp => t.getTime
+      case d: java.time.LocalDateTime => d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case other => fail(s"unexpected timestamp type: $other")
+    }
+    val rows = graft.operators.Relational.scd2(t).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("seq"),
+        r.getAs[String]("event_type"), r.getAs[Any]("valid_from"),
+        r.getAs[Any]("valid_to")))
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, ivs) =>
+      val sorted = ivs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"user $u: seq is 1..n")
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0), pair(1))
+        assert(a._5 == b._4, s"user $u: valid_to chains to the next valid_from")
+        assert(a._3 != b._3, s"user $u: consecutive runs never share a state")
+      }
+      assert(sorted.last._5 == null, s"user $u: current state is open-ended")
+    }
+    // brute force from raw events: collapse runs ordered by (ts, event_id)
+    val events = t.events.select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Any]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val expected = events.groupBy(_._1).flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (millis(e._2), e._3))
+      val runs = ordered.foldLeft(Vector.empty[(String, Any)]) {
+        case (acc, (_, ts, _, ty)) =>
+          if (acc.nonEmpty && acc.last._1 == ty) acc else acc :+ (ty, ts)
+      }
+      runs.zipWithIndex.map { case ((ty, from), i) =>
+        (u, (i + 1).toLong, ty, from,
+          if (i + 1 < runs.length) runs(i + 1)._2 else null)
+      }
+    }.toSet
+    assert(rows.toSet == expected, "scd2 must equal brute-force run collapsing")
+  }
+
   test("q32 moving window: trailing frame matches brute-force day-distance recomputation") {
     val rows = graft.operators.Relational.movingWindow(t).collect()
       .map(r => ((r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString),
