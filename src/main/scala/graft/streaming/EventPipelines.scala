@@ -273,6 +273,46 @@ object EventPipelines {
       .orderBy(col("event_type"))
   }
 
+  case class StateEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class Scd2State(seq: Long, eventType: String, fromMillis: Long)
+  case class Scd2Closed(user_id: Long, seq: Long, event_type: String,
+    valid_from_ms: Long, valid_to_ms: Long)
+
+  /** Streaming TYPE-2 SCD maintenance — the q33 twin as live CDC state
+    * tracking: one small state record per user (current state + its
+    * start + version number); a state CHANGE emits the closed interval
+    * and advances the record; the open interval lives only in state
+    * (exactly a warehouse's "current" dimension row). Within a batch
+    * events sort by (ts, event_id) — q33's total order; ACROSS batches
+    * the feed must deliver each user's events in order (the upsert-log
+    * contract; out-of-order feeds need a watermark buffer in front).
+    */
+  def scd2Stream(events: Dataset[StateEvent]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[StateEvent], state: GroupState[Scd2State]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Scd2Closed]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if s.eventType == e.event_type => // same state: no-op
+              case Some(s) =>
+                closed += Scd2Closed(userId, s.seq, s.eventType, s.fromMillis, t)
+                cur = Some(Scd2State(s.seq + 1, e.event_type, t))
+              case None =>
+                cur = Some(Scd2State(1L, e.event_type, t))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   def upsertStream(events: DataFrame, targetPath: String, checkpoint: String,
       keys: Seq[String] = Seq("event_id"), versionCol: String = "ts",
       partitionCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =

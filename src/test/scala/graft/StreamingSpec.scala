@@ -431,6 +431,46 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming SCD2 maintenance: closed intervals equal batch q33's across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.sources.Tables(spark, sfDir)
+    def millis(x: Any): Long = x match {
+      case ts: java.sql.Timestamp => ts.getTime
+      case d: java.time.LocalDateTime => d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case other => fail(s"unexpected timestamp type: $other")
+    }
+    // feed in global (ts, event_id) order so each user's events arrive
+    // in order across the two micro-batches (the documented contract)
+    val events = t.events.select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => graft.streaming.EventPipelines.StateEvent(
+        r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        new java.sql.Timestamp(millis(r.getAs[Any]("ts"))), r.getAs[String]("event_type")))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[graft.streaming.EventPipelines.StateEvent]
+    val out = graft.streaming.EventPipelines.scd2Stream(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("scd2_stream_out")
+      .outputMode("append").start()
+    try {
+      val (first, second) = events.splitAt(events.length / 2)
+      mem.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_stream_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("seq"),
+          r.getAs[String]("event_type"), r.getAs[Long]("valid_from_ms"),
+          r.getAs[Long]("valid_to_ms"))).toSet
+      val batch = graft.operators.Relational.scd2(t).collect()
+        .filter(_.getAs[Any]("valid_to") != null)
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("seq"),
+          r.getAs[String]("event_type"), millis(r.getAs[Any]("valid_from")),
+          millis(r.getAs[Any]("valid_to")))).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        "streamed closed intervals must equal the batch history's closed rows")
+    } finally q.stop()
+  }
+
   test("streaming boilerplate scoring matches batch d13 against the same hot set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
