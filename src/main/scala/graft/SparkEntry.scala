@@ -113,6 +113,7 @@ object SparkEntry {
     "p1_sequence_pack" -> ((s, dir) => Packing.sequencePack(Tables(s, dir))),
     "p2_pack_stats" -> ((s, dir) => Packing.packStats(Tables(s, dir))),
     "p3_epoch_interleave" -> ((s, dir) => Packing.epochInterleave(Tables(s, dir))),
+    "p4_length_buckets" -> ((s, dir) => Packing.lengthBuckets(Tables(s, dir))),
     // §2.9 graph analytics
     "g1_pagerank" -> ((s, dir) => Graph.pagerank(Tables(s, dir))),
     "g2_triangle_count" -> ((s, dir) => Graph.triangleCounts(Tables(s, dir))),
@@ -255,6 +256,24 @@ object SparkEntry {
         |  ROUND(CAST(fill_tokens AS DOUBLE) / 512, 6) AS fill_frac
         |FROM g
         |ORDER BY shard, seq_id""".stripMargin,
+    // p4: the −0.5 keeps log2 off every dyadic boundary, so the floored
+    // bucket exponent is ulp-robust cross-engine
+    "p4_length_buckets" ->
+      """WITH n AS (
+        |  SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    (CAST(1 AS BIGINT) << (CAST(FLOOR(LOG2(CAST(n_tokens AS DOUBLE) - 0.5)) AS INT) + 1)) AS bucket
+        |  FROM n WHERE n_tokens >= 1),
+        |g AS (
+        |  SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS real_tokens
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket, n_docs, real_tokens,
+        |  bucket * n_docs AS padded_tokens,
+        |  ROUND(CAST(bucket * n_docs - real_tokens AS DOUBLE) / (bucket * n_docs), 6) AS waste_frac
+        |FROM g
+        |ORDER BY bucket""".stripMargin,
     // p3: stride-scheduling keys (r − 0.5)/w are IEEE-exact doubles of
     // small integers, so the two engines' sort keys agree bit-for-bit;
     // the weight expression is dc4's convention verbatim

@@ -152,4 +152,36 @@ object Packing {
           .cast("long")).as("n_spanning"))
       .withColumn("fill_frac", round(col("fill_tokens").cast("double") / budget, 6))
       .orderBy(col("shard"), col("seq_id"))
+
+  /** p4: LENGTH-BUCKETED batching audit — the pad-don't-pack
+    * alternative to p1 quantified: group documents into power-of-two
+    * token-length buckets (the dynamic-batching scheme inference
+    * servers and seq2seq fine-tuning use, where every sequence in a
+    * batch pads to the bucket width) and report per bucket the doc
+    * count, real tokens, padded tokens and the padding WASTE fraction.
+    * Sums over the output reproduce the corpus-level pack-vs-pad
+    * comparison against p2's fill stats.
+    *
+    * Bucket edges are exact integer powers: 2^(⌊log2(n − 0.5)⌋ + 1) —
+    * the −0.5 keeps the log argument off every dyadic boundary, so the
+    * floor is ulp-robust cross-engine (an exact-power doc count can
+    * never flip buckets). One map-side token count, one bucket-keyed
+    * aggregation of scalars; text never shuffles.
+    */
+  def lengthBuckets(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), size(ws_tokens(col("text"))).as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("bucket",
+        expr("CAST(1 AS BIGINT) << (CAST(FLOOR(LOG2(CAST(n_tokens AS DOUBLE) - 0.5)) AS INT) + 1)"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("real_tokens"))
+      .withColumn("padded_tokens", col("bucket") * col("n_docs"))
+      .withColumn("waste_frac",
+        round((col("padded_tokens") - col("real_tokens")).cast("double") / col("padded_tokens"), 6))
+      .select(col("bucket"), col("n_docs"), col("real_tokens"),
+        col("padded_tokens"), col("waste_frac"))
+      .orderBy(col("bucket"))
 }

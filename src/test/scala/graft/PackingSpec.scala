@@ -61,6 +61,34 @@ class PackingSpec extends SparkSpecBase {
     assert(packed == filled, "every token lands in exactly one sequence's fill")
   }
 
+  test("p4: buckets are tight powers of two and totals reconcile with the corpus") {
+    import org.apache.spark.sql.functions._
+    val rows = Packing.lengthBuckets(t).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("real_tokens"), r.getAs[Long]("padded_tokens"),
+        r.getAs[Double]("waste_frac")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, nd, real, padded, waste) =>
+      assert(java.lang.Long.bitCount(b) == 1, s"bucket $b must be a power of two")
+      assert(padded == b * nd)
+      // tightness: every member fits the bucket and NOT the next one down
+      assert(real <= padded && real > (b / 2) * nd,
+        s"bucket $b holds ${real} real tokens for $nd docs — members must need THIS bucket")
+      val exp = BigDecimal((padded - real).toDouble / padded)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(waste == exp)
+    }
+    // per-doc assignment: n_tokens in (bucket/2, bucket]
+    val lens = t.documents
+      .select(size(graft.functions.GraftFunctions.ws_tokens(col("text"))).as("n"))
+      .collect().map(_.getInt(0)).filter(_ >= 1)
+    val byBucket = lens.groupBy { n =>
+      var b = 1L; while (b < n) b <<= 1; b
+    }.view.mapValues(ns => (ns.length.toLong, ns.map(_.toLong).sum)).toMap
+    assert(rows.map(r => r._1 -> ((r._2, r._3))).toMap == byBucket,
+      "bucket membership must equal the brute-force next-power-of-two assignment")
+  }
+
   test("p3: positions are a permutation, per-source order is preserved, prefixes track weights") {
     val rows = Packing.epochInterleave(t).collect()
     val n = rows.length
