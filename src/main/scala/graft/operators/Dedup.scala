@@ -320,11 +320,17 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), Seq("doc_b"))
-    val aInB = shared.select(col("doc_a").as("doc_inner"), col("doc_b").as("doc_outer"),
-      (col("shared").cast("double") / col("na")).as("containment"))
-    val bInA = shared.select(col("doc_b").as("doc_inner"), col("doc_a").as("doc_outer"),
-      (col("shared").cast("double") / col("nb")).as("containment"))
-    aInB.unionAll(bInA)
+    // both directions in ONE pass over the (Σdf²-sized, pre-filter)
+    // pair aggregation — a two-branch union would run the inverted-index
+    // join twice, and materializing it costs more than recomputing
+    shared
+      .select(explode(array(
+        struct(col("doc_a").as("doc_inner"), col("doc_b").as("doc_outer"),
+          (col("shared").cast("double") / col("na")).as("containment")),
+        struct(col("doc_b").as("doc_inner"), col("doc_a").as("doc_outer"),
+          (col("shared").cast("double") / col("nb")).as("containment")))).as("e"))
+      .select(col("e.doc_inner").as("doc_inner"), col("e.doc_outer").as("doc_outer"),
+        col("e.containment").as("containment"))
       .filter(col("containment") >= minContainment)
       .select(col("doc_inner"), col("doc_outer"), round(col("containment"), 4).as("containment"))
       .orderBy(col("doc_inner"), col("doc_outer"))
