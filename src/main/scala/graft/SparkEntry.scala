@@ -107,6 +107,7 @@ object SparkEntry {
     // §2.6 streaming (batch twins; streaming forms tested in StreamingSpec)
     "q32_moving_window" -> ((s, dir) => Relational.movingWindow(Tables(s, dir))),
     "q33_scd2" -> ((s, dir) => Relational.scd2(Tables(s, dir))),
+    "q34_attribution" -> ((s, dir) => Relational.q34Attribution(Tables(s, dir))),
     "st1_stream_window" -> ((s, dir) => graft.streaming.EventPipelines.windowedCountsBatch(Tables(s, dir))),
     "st2_sessionize" -> ((s, dir) => graft.streaming.EventPipelines.sessionizeBatch(Tables(s, dir))),
     // §2.8 training-sequence assembly
@@ -1095,6 +1096,21 @@ object SparkEntry {
          |FROM red
          |ORDER BY doc_id""".stripMargin
     },
+    "q34_attribution" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM (
+        |    SELECT event_id, user_id, ts,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click') z
+        |  WHERE rn = 1)
+        |SELECT a.event_id, a.user_id,
+        |  b.event_id AS click_id,
+        |  CAST(epoch_us(a.ts) - epoch_us(b.ts) AS BIGINT) AS gap_us,
+        |  CAST(ROUND(CAST(a.value AS DECIMAL(18,2)), 2) AS DOUBLE) AS value
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') a
+        |ASOF LEFT JOIN clicks b
+        |  ON a.user_id = b.user_id AND b.ts < a.ts
+        |ORDER BY a.event_id""".stripMargin,
     "q33_scd2" ->
       """WITH m AS (
         |  SELECT user_id, ts, event_id, event_type,

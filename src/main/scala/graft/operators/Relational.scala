@@ -444,6 +444,39 @@ object Relational {
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q34: LAST-TOUCH attribution — each purchase attributed to the
+    * user's most recent click STRICTLY before it (the marketing-
+    * attribution staple), with the click id, time and gap carried for
+    * the audit. This is q15's custom as-of join aimed at a second
+    * domain: the same sort-merge O(n+m)-per-partition SparkPlan
+    * resolves "latest prior event per key" without a window over the
+    * full event stream or a non-equi range join.
+    *
+    * Determinism: clicks sharing a (user, ts) slot dedup to the max
+    * event_id BEFORE the join (the as-of pick is otherwise ambiguous at
+    * equal times); purchases with no prior click keep NULLs (left
+    * semantics). The gap is exact integer microseconds — no float time
+    * arithmetic.
+    */
+  def q34Attribution(t: Tables): DataFrame = {
+    val ev = t.events.select(col("event_id"), col("user_id"),
+      col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val wDedup = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1).drop("rn")
+    graft.plans.AsOfJoinPlans
+      .asofJoin(purchases, clicks, on = Seq("user_id"), timeCol = "ts",
+        rightPrefix = "click_", strict = true)
+      .select(col("event_id"), col("user_id"),
+        col("click_event_id").as("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"),
+        round(col("value").cast(D2), 2).cast("double").as("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** q33: TYPE-2 slowly-changing-dimension history — the warehouse
     * pattern that turns an event feed into validity intervals: per
     * user, consecutive runs of the same state (event_type) collapse

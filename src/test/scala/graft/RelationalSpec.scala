@@ -189,6 +189,40 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("q34 attribution: every purchase gets its strictly-latest prior click, or nulls") {
+    def micros2(x: Any): Long = x match {
+      case ts: java.sql.Timestamp =>
+        ts.getTime / 1000 * 1000000L + ts.getNanos / 1000L
+      case d: java.time.LocalDateTime =>
+        d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000L
+      case other => fail(s"unexpected timestamp type: $other")
+    }
+    val rows = graft.operators.Relational.q34Attribution(t).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[Any]("click_id")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("gap_us")).map(_.asInstanceOf[Long])))).toMap
+    assert(rows.nonEmpty)
+    val events = t.events.select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        micros2(r.getAs[Any]("ts")), r.getAs[String]("event_type")))
+    val clicksByUser = events.filter(_._4 == "click").groupBy(_._2)
+    val purchases = events.filter(_._4 == "purchase")
+    assert(rows.keySet == purchases.map(_._1).toSet, "one output row per purchase")
+    purchases.foreach { case (pid, u, pts, _) =>
+      val prior = clicksByUser.getOrElse(u, Array.empty).filter(_._3 < pts)
+      val (gotClick, gotGap) = rows(pid)
+      if (prior.isEmpty) assert(gotClick.isEmpty && gotGap.isEmpty, s"purchase $pid: no prior click")
+      else {
+        // latest ts wins; ties at the same ts resolve to the max event_id
+        val best = prior.maxBy(c => (c._3, c._1))
+        assert(gotClick.contains(best._1), s"purchase $pid: wrong click")
+        assert(gotGap.contains(pts - best._3), s"purchase $pid: wrong gap")
+      }
+    }
+    assert(rows.values.exists(_._1.isEmpty) && rows.values.exists(_._1.nonEmpty),
+      "the corpus exercises both the matched and unmatched paths")
+  }
+
   test("q33 scd2: intervals chain gaplessly and match brute-force run collapsing") {
     // ts surfaces as Timestamp or LocalDateTime depending on the parquet
     // logical type — handle both (the round-9 testdata drift lesson)
