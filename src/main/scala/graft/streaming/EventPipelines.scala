@@ -313,6 +313,55 @@ object EventPipelines {
       }
   }
 
+  case class ClickEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+    event_type: String, value: Double)
+  case class LastClick(eventId: Long, tsMicros: Long)
+  case class Attribution(event_id: Long, user_id: Long, click_id: Option[Long],
+    gap_us: Option[Long], value: Double)
+
+  /** Streaming LAST-TOUCH attribution — the q34 twin as live state:
+    * one (last click id, time) record per user; an arriving click
+    * advances it, an arriving purchase emits its attribution against
+    * the CURRENT record (click strictly earlier — a same-instant click
+    * does not attribute, q34's strict as-of). Within a batch events
+    * sort by (ts, event_id); across batches the feed must deliver each
+    * user's events in order (scd2Stream's contract). The batch q15
+    * as-of machinery needs the full click history; the stream needs 16
+    * bytes per user — the state-size argument for running attribution
+    * at the edge.
+    */
+  def attributionStream(events: Dataset[ClickEvent]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastClick, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[ClickEvent], state: GroupState[LastClick]) =>
+          def micros(ts: java.sql.Timestamp): Long =
+            ts.getTime / 1000 * 1000000L + ts.getNanos / 1000L
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[Attribution]
+          sorted.foreach { e =>
+            val m = micros(e.ts)
+            e.event_type match {
+              case "click" =>
+                // ties at one instant resolve to the max event_id, q34's rule
+                if (!last.exists(l => l.tsMicros > m ||
+                    (l.tsMicros == m && l.eventId > e.event_id)))
+                  last = Some(LastClick(e.event_id, m))
+              case "purchase" =>
+                val prior = last.filter(_.tsMicros < m) // strict
+                out += Attribution(e.event_id, userId,
+                  prior.map(_.eventId), prior.map(m - _.tsMicros), e.value)
+              case _ => // views and other types don't touch attribution state
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   def upsertStream(events: DataFrame, targetPath: String, checkpoint: String,
       keys: Seq[String] = Seq("event_id"), versionCol: String = "ts",
       partitionCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =

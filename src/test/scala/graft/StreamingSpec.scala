@@ -431,6 +431,53 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming attribution: 16 bytes of state per user reproduce batch q34 exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.sources.Tables(spark, sfDir)
+    def micros(x: Any): Long = x match {
+      case ts: java.sql.Timestamp => ts.getTime / 1000 * 1000000L + ts.getNanos / 1000L
+      case d: java.time.LocalDateTime =>
+        d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000L
+      case other => fail(s"unexpected timestamp type: $other")
+    }
+    def toTs(us: Long): java.sql.Timestamp = {
+      val ts = new java.sql.Timestamp(us / 1000000L * 1000L)
+      ts.setNanos((us % 1000000L).toInt * 1000) // keep full microsecond precision
+      ts
+    }
+    val events = t.events.select("user_id", "event_id", "ts", "event_type", "value").collect()
+      .map(r => graft.streaming.EventPipelines.ClickEvent(
+        r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        toTs(micros(r.getAs[Any]("ts"))), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+      .sortBy(e => (micros(e.ts), e.event_id))
+    val mem = MemoryStream[graft.streaming.EventPipelines.ClickEvent]
+    val out = graft.streaming.EventPipelines.attributionStream(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("attr_stream_out")
+      .outputMode("append").start()
+    try {
+      val (first, second) = events.splitAt(events.length / 2)
+      mem.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      def r2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val streamed = spark.table("attr_stream_out").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+          Option(r.getAs[Any]("click_id")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("gap_us")).map(_.asInstanceOf[Long]),
+          r2(r.getAs[Double]("value")))).toSet
+      val batch = graft.operators.Relational.q34Attribution(t).collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+          Option(r.getAs[Any]("click_id")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("gap_us")).map(_.asInstanceOf[Long]),
+          r.getAs[Double]("value"))).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        "streamed attributions must equal the batch as-of join row for row")
+    } finally q.stop()
+  }
+
   test("streaming SCD2 maintenance: closed intervals equal batch q33's across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
