@@ -156,10 +156,18 @@ object Graph {
     val e2 = ordered.select(col("lo").as("u"), col("hi").as("w"))
     val wedges = e1.join(e2, Seq("u")).filter(col("v") < col("w"))
     // close the wedge: an ordered edge between v and w (either direction
-    // in the degree order, but v<w by id — match both orientations)
+    // in the degree order, but v<w by id — match both orientations).
+    // The edge side BROADCASTS, pinned statically: without the hint the
+    // planner sort-merges, exchanging AND sorting the Σ outdeg² wedge
+    // stream on (v, w) before the probe — ~1 GB of exchange for sf0.1's
+    // 41M wedges, which one host hides at page-cache speed but a
+    // cluster network pays in full (g1's pin argument one join further
+    // in). The wedge stream is always ≫ the edge list it probes; when
+    // the edge list outgrows broadcast, the right shape is bucketing
+    // both sides by (v, w), never sorting the wedge stream.
     val closing = ordered.select(
       least(col("lo"), col("hi")).as("v"), greatest(col("lo"), col("hi")).as("w"))
-    wedges.join(closing, Seq("v", "w"))
+    wedges.join(broadcast(closing), Seq("v", "w"))
   }
 
   /** g3: per-edge EMBEDDEDNESS — the number of triangles through each

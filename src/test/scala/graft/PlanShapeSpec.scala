@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Join, Repartition, Repartiti
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
 
-import graft.operators.{Curation, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Graph, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Plan-shape assertions for the scale-critical fixes: these lock the
@@ -153,6 +153,15 @@ class PlanShapeSpec extends SparkSpecBase {
     val p = phys(df)
     assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
       s"the candidate probe must be a broadcast join:\n$p")
+  }
+
+  test("g2/g3: the wedge-closing probe is a broadcast — the wedge stream never exchanges on (v, w)") {
+    Seq("g2" -> Graph.triangleCounts(t), "g3" -> Graph.edgeEmbeddedness(t)).foreach {
+      case (name, df) =>
+        val p = phys(df)
+        assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+          s"$name: the closing edge list must broadcast against the wedge stream:\n$p")
+    }
   }
 
   test("dc6: zero shuffles before the presentation sort") {
