@@ -40,6 +40,28 @@ object EventPipelines {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming SLIDING event-time windows — q32's trailing moving
+    * aggregation live: `window(ts, "7 days", "1 day")` assigns each
+    * event to the 7 overlapping day-aligned windows it falls in, the
+    * watermark bounds state to windows still open, and append mode
+    * emits each (window, type) row once final. A window ENDING at day
+    * d+1 covers days [d−6, d] — exactly batch q32's trailing frame for
+    * day d, StreamingSpec-verified equal on the aligned grain. Per-row
+    * fan-out is windows-per-slide (7), state is one aggregate buffer
+    * per open (window, type) — never raw events.
+    */
+  def slidingWindowStream(events: DataFrame, size: String = "7 days",
+      slide: String = "1 day", watermarkDelay: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("win_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("win_value_raw"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("win_events"),
+        round(col("win_value_raw"), 2).as("win_value"))
+
   /** Streaming windowed DISTINCT-user counts via the deterministic HLL
     * sketch: the aggregate's 2^p-byte buffer is exactly the per-window
     * state Structured Streaming keeps, so distinct counting over an
