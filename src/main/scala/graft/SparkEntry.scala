@@ -108,6 +108,7 @@ object SparkEntry {
     "q32_moving_window" -> ((s, dir) => Relational.movingWindow(Tables(s, dir))),
     "q33_scd2" -> ((s, dir) => Relational.scd2(Tables(s, dir))),
     "q34_attribution" -> ((s, dir) => Relational.q34Attribution(Tables(s, dir))),
+    "q35_unpivot" -> ((s, dir) => Relational.q35Unpivot(Tables(s, dir), EventTypes)),
     "st1_stream_window" -> ((s, dir) => graft.streaming.EventPipelines.windowedCountsBatch(Tables(s, dir))),
     "st2_sessionize" -> ((s, dir) => graft.streaming.EventPipelines.sessionizeBatch(Tables(s, dir))),
     // §2.8 training-sequence assembly
@@ -1096,6 +1097,13 @@ object SparkEntry {
          |FROM red
          |ORDER BY doc_id""".stripMargin
     },
+    // q35: the round-trip law — unpivot(pivot(events)) must equal the
+    // plain aggregation, so the oracle IS the plain aggregation
+    "q35_unpivot" ->
+      """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "q34_attribution" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM (

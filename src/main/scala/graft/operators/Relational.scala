@@ -239,6 +239,21 @@ object Relational {
       .na.fill(0L, eventTypes)
       .orderBy(col("user_id"))
 
+  /** q35: UNPIVOT (melt) — q12's inverse: the wide per-user event-type
+    * count matrix back to long (user_id, event_type, n) rows, zero
+    * cells dropped. Round-trip law: unpivot(pivot(events)) equals the
+    * plain (user, type) aggregation — the oracle IS that aggregation,
+    * so the gate proves the law cross-engine. Spark's native `unpivot`
+    * lowers to Expand (each row emits once per value column, map-side);
+    * the only exchange is q12's original groupBy.
+    */
+  def q35Unpivot(t: Tables, eventTypes: Seq[String]): DataFrame =
+    q12Pivot(t, eventTypes)
+      .unpivot(Array(col("user_id")),
+        eventTypes.map(col).toArray, "event_type", "n")
+      .filter(col("n") > 0)
+      .orderBy(col("user_id"), col("event_type"))
+
   /** q13: selective fact-dim join + agg + top-n — the dependency-ordered
     * fact load (/root/reference/main.py DAG) as TPC-H-Q3-style shipping
     * priority. Customer filter prunes before the join; dims broadcast.

@@ -189,6 +189,17 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("q35 unpivot: the pivot round-trip recovers the plain (user, type) aggregation") {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val melted = graft.operators.Relational.q35Unpivot(t, types).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"), r.getAs[Long]("n")))
+    assert(melted.nonEmpty)
+    val direct = t.events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"), r.getAs[Long]("n")))
+    assert(melted.toSet == direct.toSet, "unpivot(pivot(x)) == x with zero cells dropped")
+  }
+
   test("q34 attribution: every purchase gets its strictly-latest prior click, or nulls") {
     def micros2(x: Any): Long = x match {
       case ts: java.sql.Timestamp =>
