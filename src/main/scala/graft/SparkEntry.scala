@@ -108,6 +108,7 @@ object SparkEntry {
     "q32_moving_window" -> ((s, dir) => Relational.movingWindow(Tables(s, dir))),
     "q33_scd2" -> ((s, dir) => Relational.scd2(Tables(s, dir))),
     "q34_attribution" -> ((s, dir) => Relational.q34Attribution(Tables(s, dir))),
+    "dc13_contamination_panel" -> ((s, dir) => Curation.contaminationPanel(Tables(s, dir))),
     "q35_unpivot" -> ((s, dir) => Relational.q35Unpivot(Tables(s, dir), EventTypes)),
     "st1_stream_window" -> ((s, dir) => graft.streaming.EventPipelines.windowedCountsBatch(Tables(s, dir))),
     "st2_sessionize" -> ((s, dir) => graft.streaming.EventPipelines.sessionizeBatch(Tables(s, dir))),
@@ -378,6 +379,24 @@ object SparkEntry {
          |ORDER BY doc_id, frame_idx""".stripMargin
     },
     "dc1_decontaminate" -> dc1Sql,
+    // dc13: each branch is the corresponding granularity's full oracle
+    // reduced to its contaminated-doc count (CTE queries as scalar
+    // subqueries), composed in the same 4-row union as the Spark plan
+    "dc13_contamination_panel" ->
+      s"""SELECT 'exact' AS granularity,
+        |  (SELECT CAST(COUNT(DISTINCT c.doc_id) AS BIGINT)
+        |   FROM documents c
+        |   JOIN (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 50) b
+        |     ON md5(c.text) = b.h
+        |   WHERE c.doc_id >= 50) AS n_contaminated
+        |UNION ALL SELECT 'ngram',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ($dc1Sql) z)
+        |UNION ALL SELECT 'neardup',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (${OracleReplicas.dc12NeardupDecontaminate()}) z)
+        |UNION ALL SELECT 'substring',
+        |  (SELECT CAST(COUNT(DISTINCT new_id) AS BIGINT)
+        |   FROM (${OracleReplicas.d10SubstringIncremental(splitId = 50)}) z)
+        |ORDER BY granularity""".stripMargin,
     // dc5 is dc1 through a Bloom-prefiltered plan: no false negatives +
     // exact verify stage => identical output, same oracle
     "dc5_decontaminate_bloom" -> dc1Sql,

@@ -132,6 +132,47 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** dc13: the CONTAMINATION PANEL — one benchmark-overlap report
+    * across every granularity the engine detects, in severity order of
+    * what each one catches: EXACT copies (md5), NGRAM overlap (dc1's
+    * ≥ minShared distinct shingles), NEARDUP paraphrase (dc12's MinHash
+    * estimate ≥ threshold), and SUBSTRING verbatim spans (d10's
+    * one-sided positional index, ≥ minSpanTokens tokens). One row per
+    * granularity with its contaminated-corpus-doc count — the weekly
+    * eval-hygiene summary a lab reviews before any removal runs, and
+    * the composition proof that the four detectors agree on their
+    * domains (an exact copy necessarily trips all four).
+    *
+    * Scale shape is inherited: each branch is the corresponding
+    * operator's plan (broadcast bench shingles / broadcast bench bands /
+    * one-sided positional probe) reduced to a single count — compact
+    * scalar exchanges only, composed as a 4-row union.
+    */
+  def contaminationPanel(t: Tables, benchSize: Long = 50, k: Int = 3,
+      minShared: Long = 5, neardupThreshold: Double = 0.35,
+      minSpanTokens: Int = 16): DataFrame = {
+    val docs = t.documents
+    val benchHashes = docs.filter(col("doc_id") < benchSize)
+      .select(md5(col("text")).as("h")).distinct()
+    val exact = docs.filter(col("doc_id") >= benchSize)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(broadcast(benchHashes), Seq("h"))
+      .agg(countDistinct(col("doc_id")).as("n_contaminated"))
+      .select(lit("exact").as("granularity"), col("n_contaminated"))
+    val ngram = decontaminate(t, benchSize, k, minShared)
+      .agg(count(lit(1)).as("n_contaminated"))
+      .select(lit("ngram").as("granularity"), col("n_contaminated"))
+    val neardup = neardupDecontaminate(t, benchSize, threshold = neardupThreshold)
+      .agg(count(lit(1)).as("n_contaminated"))
+      .select(lit("neardup").as("granularity"), col("n_contaminated"))
+    val substring = Dedup.substringSpansIncremental(t, splitId = benchSize,
+        minSpanTokens = minSpanTokens)
+      .agg(countDistinct(col("new_id")).as("n_contaminated"))
+      .select(lit("substring").as("granularity"), col("n_contaminated"))
+    exact.unionAll(ngram).unionAll(neardup).unionAll(substring)
+      .orderBy(col("granularity"))
+  }
+
   /** dc7: contamination audit — the benchmark-side view of dc1. dc1
     * answers "which corpus documents must die"; this answers "which eval
     * items are compromised, how many corpus documents hit each, and

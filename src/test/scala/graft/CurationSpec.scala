@@ -154,6 +154,37 @@ class CurationSpec extends SparkSpecBase {
       "dc12 is d7's probe with the roles flipped — the results must agree pair for pair")
   }
 
+  test("dc13 panel counts equal each granularity's own operator; an exact copy trips all four") {
+    val panel = Curation.contaminationPanel(t).collect()
+      .map(r => r.getAs[String]("granularity") -> r.getAs[Long]("n_contaminated")).toMap
+    assert(panel.keySet == Set("exact", "ngram", "neardup", "substring"))
+    assert(panel("ngram") == Curation.decontaminate(t).count())
+    assert(panel("neardup") == Curation.neardupDecontaminate(t).count())
+    assert(panel("substring") ==
+      graft.operators.Dedup.substringSpansIncremental(t, splitId = 50)
+        .select("new_id").distinct().count())
+    // crafted corpus: doc 100 is an exact copy of bench doc 0 — every
+    // granularity must catch it (plus padding docs so shingle df stays low)
+    val benchText = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 4).trim
+    val rows = Seq(0L -> benchText) ++
+      (1L until 50L).map(i => i -> s"bench item $i unique ${"word" + i} content row") ++
+      Seq(100L -> benchText) ++
+      (101L until 120L).map(i => i -> s"corpus filler $i with its own ${"tok" + i} text body")
+    val crafted = {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_dc13_")
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      graft.sources.Tables(spark, dir.toString)
+    }
+    val p2 = Curation.contaminationPanel(crafted).collect()
+      .map(r => r.getAs[String]("granularity") -> r.getAs[Long]("n_contaminated")).toMap
+    assert(p2.forall(_._2 >= 1L),
+      s"an exact benchmark copy must trip every granularity: $p2")
+  }
+
   test("dc7 contamination report matches brute-force pairwise overlap exactly") {
     val docs = t.documents.select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
