@@ -110,6 +110,8 @@ object SparkEntry {
     "q34_attribution" -> ((s, dir) => Relational.q34Attribution(Tables(s, dir))),
     "dc13_contamination_panel" -> ((s, dir) => Curation.contaminationPanel(Tables(s, dir))),
     "q35_unpivot" -> ((s, dir) => Relational.q35Unpivot(Tables(s, dir), EventTypes)),
+    "q36_grouping_sets" -> ((s, dir) => Relational.q36GroupingSets(Tables(s, dir))),
+    "q37_outliers" -> ((s, dir) => Relational.q37Outliers(Tables(s, dir))),
     "st1_stream_window" -> ((s, dir) => graft.streaming.EventPipelines.windowedCountsBatch(Tables(s, dir))),
     "st2_sessionize" -> ((s, dir) => graft.streaming.EventPipelines.sessionizeBatch(Tables(s, dir))),
     // §2.8 training-sequence assembly
@@ -1123,6 +1125,36 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    // q36: CUBE = all four grains; gid bit order matches Spark's
+    // grouping_id() (first grouping column = high bit)
+    "q36_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // q37: fences rounded to 6 dp BEFORE the comparison so both engines
+    // classify boundary rows against the identical double
+    "q37_outliers" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    ROUND(quantile_cont(value, 0.25), 6) AS q1,
+        |    ROUND(quantile_cont(value, 0.75), 6) AS q3
+        |  FROM events GROUP BY event_type),
+        |f2 AS (
+        |  SELECT event_type,
+        |    ROUND(q1 - 1.5 * (q3 - q1), 6) AS lo_fence,
+        |    ROUND(q3 + 1.5 * (q3 - q1), 6) AS hi_fence
+        |  FROM f)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN value < lo_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_out_low,
+        |  CAST(SUM(CASE WHEN value > hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_out_high,
+        |  lo_fence, hi_fence
+        |FROM events e JOIN f2 USING (event_type)
+        |GROUP BY e.event_type, lo_fence, hi_fence
+        |ORDER BY event_type""".stripMargin,
     "q34_attribution" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM (

@@ -778,4 +778,64 @@ object Relational {
         grouping_id().as("gid"))
       .orderBy(col("gid"), col("r_name"), col("n_name"))
   }
+
+  /** q36: CUBE multi-grain aggregation — every grouping-set grain over
+    * (returnflag, linestatus), including the cross grain ROLLUP (q17)
+    * cannot express (linestatus alone). Scale shape: the raw fact
+    * collapses ONCE at the finest grain (map-side partials, one tiny
+    * (flag, status) shuffle), and the CUBE's 4-way Expand runs over
+    * those ~R×S partial rows — never over raw lineitem, where Expand
+    * would push 4× the fact table through the aggregation at 100 TB.
+    * Mergeable measures only (decimal sums, counts), so partials ≡
+    * direct, the q31 discipline.
+    */
+  def q36GroupingSets(t: Tables): DataFrame = {
+    val finest = t.lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D4)).as("rev_part"),
+        count(lit(1)).as("n_part"))
+    finest
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("rev_part")).cast("double").as("revenue"),
+        coalesce(sum(col("n_part")), lit(0L)).as("n_items"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q37: robust outlier screen — Tukey fences per event type: exact
+    * interpolated quartiles (q16's `percentile` ≡ `quantile_cont`
+    * contract), fences at 1.5·IQR, then the count of rows outside each
+    * fence. Fences are ROUNDED (6 dp) before the comparison so both
+    * engines classify against the identical double — the raw
+    * interpolation may differ in ulps cross-engine, and an unrounded
+    * fence would make a boundary row's classification engine-dependent.
+    * Scale shape: pass 1 computes the tiny per-type fence table (exact
+    * quantiles need a full pass — at 100 TB q24's histogram sketch is
+    * the single-pass approximation), pass 2 re-scans the fact with the
+    * fences BROADCAST, so raw events never shuffle in either pass; only
+    * per-type partial counts leave the scan.
+    */
+  def q37Outliers(t: Tables): DataFrame = {
+    val iqr = col("q3") - col("q1")
+    val fences = t.events
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 6).as("q1"),
+        round(expr("percentile(value, 0.75)"), 6).as("q3"))
+      .select(col("event_type"),
+        round(col("q1") - lit(1.5) * iqr, 6).as("lo_fence"),
+        round(col("q3") + lit(1.5) * iqr, 6).as("hi_fence"))
+    t.events
+      .join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo_fence"), 1L).otherwise(0L)).as("n_out_low"),
+        sum(when(col("value") > col("hi_fence"), 1L).otherwise(0L)).as("n_out_high"),
+        first(col("lo_fence")).as("lo_fence"),
+        first(col("hi_fence")).as("hi_fence"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -189,6 +189,56 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("q36 cube: all four grains present and every grain reconciles to the grand total") {
+    val rows = Relational.q36GroupingSets(t).collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L), "CUBE over 2 columns = exactly 4 grouping-set grains")
+    val grand = byGid(3L) // both columns grouped away
+    assert(grand.length == 1)
+    val grandN = grand.head.getAs[Long]("n_items")
+    val grandRev = grand.head.getAs[Double]("revenue")
+    // each grain's counts and revenues sum to the identical grand total
+    Seq(0L, 1L, 2L).foreach { gid =>
+      assert(byGid(gid).map(_.getAs[Long]("n_items")).sum == grandN, s"gid=$gid counts reconcile")
+      assert(math.abs(byGid(gid).map(_.getAs[Double]("revenue")).sum - grandRev) < 1e-6,
+        s"gid=$gid decimal-exact revenue reconciles")
+    }
+    // the cross grain ROLLUP cannot express: linestatus alone (gid=2, returnflag nulled)
+    assert(byGid(2L).forall(r => r.isNullAt(r.fieldIndex("l_returnflag")) &&
+      !r.isNullAt(r.fieldIndex("l_linestatus"))))
+  }
+
+  test("q37 outliers: fence counts match a brute-force recomputation per type") {
+    val rows = Relational.q37Outliers(t).collect()
+    assert(rows.nonEmpty)
+    val vals = t.events.select(col("event_type"), col("value")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Double]("value")))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val vs = vals(et)
+      assert(r.getAs[Long]("n") == vs.length)
+      val lo = r.getAs[Double]("lo_fence")
+      val hi = r.getAs[Double]("hi_fence")
+      assert(lo < hi)
+      assert(r.getAs[Long]("n_out_low") == vs.count(_ < lo))
+      assert(r.getAs[Long]("n_out_high") == vs.count(_ > hi))
+      // fences derive from the exact interpolated quartiles: recompute them
+      val sorted = vs.sorted
+      def pct(p: Double): Double = {
+        val rank = p * (sorted.length - 1)
+        val lo_i = rank.toInt
+        val frac = rank - lo_i
+        if (lo_i + 1 < sorted.length) sorted(lo_i) * (1 - frac) + sorted(lo_i + 1) * frac
+        else sorted(lo_i)
+      }
+      val q1 = BigDecimal(pct(0.25)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val q3 = BigDecimal(pct(0.75)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expLo = BigDecimal(q1 - 1.5 * (q3 - q1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(lo - expLo) < 2e-6, s"$et lo fence from exact quartiles")
+    }
+  }
+
   test("q35 unpivot: the pivot round-trip recovers the plain (user, type) aggregation") {
     val types = Seq("click", "error", "purchase", "signup", "view")
     val melted = graft.operators.Relational.q35Unpivot(t, types).collect()
