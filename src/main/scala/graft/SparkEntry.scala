@@ -123,6 +123,7 @@ object SparkEntry {
     "g1_pagerank" -> ((s, dir) => Graph.pagerank(Tables(s, dir))),
     "g2_triangle_count" -> ((s, dir) => Graph.triangleCounts(Tables(s, dir))),
     "g3_edge_embeddedness" -> ((s, dir) => Graph.edgeEmbeddedness(Tables(s, dir))),
+    "g4_components" -> ((s, dir) => Graph.connectedComponents(Tables(s, dir))),
   )
 
   import OracleReplicas.{fnv64Sql, signed64, jhashSql, signed32, charBytes}
@@ -1337,6 +1338,7 @@ object SparkEntry {
         |FROM est e LEFT JOIN inter i ON i.ta = e.ta AND i.tb = e.tb
         |ORDER BY type_a, type_b""".stripMargin,
     "g1_pagerank" -> g1PagerankSql(iters = 5, topK = 100),
+    "g4_components" -> g4ComponentsSql(iters = 10),
     "g2_triangle_count" ->
       s"""WITH $graphCtes,
         |o AS (
@@ -1414,5 +1416,42 @@ object SparkEntry {
        |FROM r$iters r JOIN deg d ON d.src = r.node
        |ORDER BY r.pr DESC, part_key
        |LIMIT $topK""".stripMargin
+  }
+
+  /** g4's oracle: min-label propagation WITH pointer jumping replayed
+    * as a generated CTE chain (one generation per round), mirroring the
+    * Spark side's `clustersOfPairs` step exactly: neighbor-min, fold
+    * into own label, then compress through the previous generation's
+    * label map. Both engines iterate to the same unique fixpoint (the
+    * true per-component min); jumping covers ≥2^iters hops, so
+    * `iters`=10 handles any component diameter ≤ 1024 — far beyond the
+    * co-purchase graph's. A naive reachability closure (d6's walk CTE)
+    * is V×V rows on this near-complete graph — measured 108 s at
+    * sf0.01, vs well under a second for the jumping chain. CTEs are
+    * MATERIALIZED: each generation is referenced three times, and
+    * DuckDB's default inlining would re-expand the chain 3^iters-fold
+    * (the t13 lesson).
+    */
+  private def g4ComponentsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""n$i AS MATERIALIZED (
+         |  SELECT e.src AS node, MIN(l.label) AS nmin
+         |  FROM edges e JOIN l${i - 1} l ON l.node = e.dst
+         |  GROUP BY e.src),
+         |m$i AS MATERIALIZED (
+         |  SELECT l.node, LEAST(l.label, COALESCE(n.nmin, l.label)) AS label
+         |  FROM l${i - 1} l LEFT JOIN n$i n ON n.node = l.node),
+         |l$i AS MATERIALIZED (
+         |  SELECT m.node, LEAST(m.label, COALESCE(j.label, m.label)) AS label
+         |  FROM m$i m LEFT JOIN l${i - 1} j ON j.node = m.label)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |verts AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |l0 AS MATERIALIZED (SELECT node, node AS label FROM verts),
+       |$rounds,
+       |allnodes AS (SELECT DISTINCT l_partkey AS node FROM lineitem)
+       |SELECT a.node, COALESCE(l.label, a.node) AS component_id
+       |FROM allnodes a LEFT JOIN l$iters l ON l.node = a.node
+       |ORDER BY component_id, a.node""".stripMargin
   }
 }

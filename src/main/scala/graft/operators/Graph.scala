@@ -202,4 +202,33 @@ object Graph {
       .agg(count(lit(1)).as("n_common"))
       .orderBy(col("n_common").desc, col("src"), col("dst"))
       .limit(topK)
+
+  /** g4: connected components over the full part node set — every part
+    * appearing in lineitem gets a component id (the component's minimum
+    * part key); parts never co-purchased with another are singleton
+    * components of themselves. The propagation core is d6's min-label +
+    * pointer-jumping loop ([[graft.operators.Dedup.clustersOfPairs]] —
+    * O(log diameter) rounds, each a fixed number of compact (node,
+    * label) shuffles regardless of graph size), applied to the
+    * co-purchase edge list instead of dedup candidate pairs: one
+    * propagation engine, two domains. Isolated nodes never enter the
+    * loop — they attach in a final map-side coalesce, so the iteration
+    * cost scales with EDGE-connected vertices only.
+    */
+  def connectedComponents(t: Tables): DataFrame =
+    componentsFromEdges(copurchaseEdges(t),
+      t.lineitem.select(col("l_partkey").as("node")).distinct())
+
+  /** g4 over any undirected edge list + node universe — exposed for
+    * crafted-graph specs.
+    */
+  def componentsFromEdges(und: DataFrame, nodes: DataFrame): DataFrame = {
+    val labeled = Dedup.clustersOfPairs(
+      und.select(col("src").as("doc_a"), col("dst").as("doc_b")))
+      .select(col("doc_id").as("node"), col("cluster_id").as("cid"))
+    nodes
+      .join(labeled, Seq("node"), "left")
+      .select(col("node"), coalesce(col("cid"), col("node")).as("component_id"))
+      .orderBy(col("component_id"), col("node"))
+  }
 }

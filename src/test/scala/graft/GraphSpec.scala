@@ -90,4 +90,31 @@ class GraphSpec extends SparkSpecBase {
     assert(out(0L) == 6L && (1L to 6L).forall(i => out(i) == 2L))
     assert(out.values.sum == 3L * 6L)
   }
+
+  test("g4: components — two paths and an isolated node label to their minima") {
+    import spark.implicits._
+    // path 1-2-3, pair 10-11; node 20 exists but has no edges
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("node")
+    val out = Graph.componentsFromEdges(edges((2L, 3L), (1L, 2L), (10L, 11L)), nodes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L)))
+  }
+
+  test("g4: co-purchase components match a brute-force union-find on the collected edges") {
+    val t = graft.sources.Tables(spark, sfDir)
+    val es = Graph.copurchaseEdges(t).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val out = Graph.connectedComponents(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (n, cid) => assert(cid == find(n), s"node $n component") }
+  }
 }
