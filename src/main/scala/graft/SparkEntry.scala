@@ -86,6 +86,8 @@ object SparkEntry {
     "t14_bpe_encode" -> ((s, dir) => Bpe.bpeEncode(Tables(s, dir))),
     "t15_cms_freq" -> ((s, dir) => TextAnalysis.cmsTokenFreq(Tables(s, dir))),
     "t16_pmi_collocations" -> ((s, dir) => TextAnalysis.pmiCollocations(Tables(s, dir))),
+    "t17_bm25" -> ((s, dir) => TextAnalysis.bm25(Tables(s, dir))),
+    "s7_hybrid_rrf" -> ((s, dir) => Similarity.hybridRrf(Tables(s, dir))),
     // §2.7 corpus curation
     "dc1_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables(s, dir))),
     "dc2_sample_budget" -> ((s, dir) => Curation.sampleToBudget(Tables(s, dir))),
@@ -1339,6 +1341,42 @@ object SparkEntry {
         |ORDER BY type_a, type_b""".stripMargin,
     "g1_pagerank" -> g1PagerankSql(iters = 5, topK = 100),
     "g4_components" -> g4ComponentsSql(iters = 10),
+    "t17_bm25" ->
+      (s"WITH ${bm25Ctes(graft.operators.TextAnalysis.Bm25QueryTerms)}\n" +
+        """SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+          |  doc_id, score
+          |FROM bm ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+    // s7: both legs rank with deterministic (rounded score, id) order;
+    // rrf = sum of per-leg 1/(60+r) terms rounded at 8 dp — ranks are
+    // integers, so the fusion is engine-exact
+    "s7_hybrid_rrf" ->
+      (s"WITH ${bm25Ctes(graft.operators.TextAnalysis.Bm25QueryTerms)},\n" +
+        """tr AS (
+          |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS r_text
+          |  FROM bm WHERE doc_id <> 0),
+          |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          |pr AS (
+          |  SELECT vec_id AS doc_id, unnest(qe) AS x, unnest(embedding) AS y
+          |  FROM qv CROSS JOIN embeddings WHERE vec_id <> 0),
+          |scv AS (
+          |  SELECT doc_id, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+          |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+          |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+          |  FROM pr GROUP BY doc_id),
+          |vr AS (
+          |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY
+          |    ROUND(CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END, 6) DESC,
+          |    doc_id) AS INT) AS r_vec
+          |  FROM scv),
+          |fused AS (
+          |  SELECT COALESCE(vr.doc_id, tr.doc_id) AS doc_id,
+          |    COALESCE(ROUND(1.0 / (60 + r_vec), 8), 0.0)
+          |      + COALESCE(ROUND(1.0 / (60 + r_text), 8), 0.0) AS rrf,
+          |    r_vec, r_text
+          |  FROM vr FULL OUTER JOIN tr ON vr.doc_id = tr.doc_id)
+          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+          |  doc_id, rrf, r_vec, r_text
+          |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin),
     "g2_triangle_count" ->
       s"""WITH $graphCtes,
         |o AS (
@@ -1416,6 +1454,32 @@ object SparkEntry {
        |FROM r$iters r JOIN deg d ON d.src = r.node
        |ORDER BY r.pr DESC, part_key
        |LIMIT $topK""".stripMargin
+  }
+
+  /** Shared t17/s7 BM25 CTE body: token arrays, per-(doc, term) tf via
+    * list_filter (mirroring the Spark side's map-side array kernel —
+    * the corpus is never exploded to a token table), per-term df, and
+    * the per-doc BM25 sum with per-term scores rounded at 6 dp before
+    * the sum (the cross-engine ulp guard). `k1 + 1` is written as the
+    * same two-literal addition both engines fold identically.
+    */
+  private def bm25Ctes(terms: Seq[String]): String = {
+    val vals = terms.map(t => s"('$t')").mkString(", ")
+    val (k1, b) = (graft.operators.TextAnalysis.Bm25K1, graft.operators.TextAnalysis.Bm25B)
+    s"""toksb AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+       |db AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, t FROM toksb),
+       |statsb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) / COUNT(*) AS avgdl FROM db),
+       |qb(term) AS (VALUES $vals),
+       |tfb25 AS (
+       |  SELECT doc_id, dl, term, CAST(len(list_filter(t, x -> x = term)) AS DOUBLE) AS tf
+       |  FROM db CROSS JOIN qb),
+       |posb AS (SELECT * FROM tfb25 WHERE tf > 0),
+       |dfb AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM posb GROUP BY term),
+       |bm AS (
+       |  SELECT doc_id, ROUND(SUM(ROUND(
+       |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * ($k1 + 1.0)) /
+       |    (tf + $k1 * (1.0 - $b + $b * dl / avgdl)), 6)), 6) AS score
+       |  FROM posb JOIN dfb USING (term) CROSS JOIN statsb GROUP BY doc_id)""".stripMargin
   }
 
   /** g4's oracle: min-label propagation WITH pointer jumping replayed

@@ -356,4 +356,45 @@ object Similarity {
         struct(col("embedding"), col("cid")),
         struct(col("ccos"), (-col("cid")).as("ncid"))).as("m"))
       .select(col("vec_id"), col("m.embedding").as("embedding"), col("m.cid").as("cid"))
+
+  /** s7: hybrid retrieval via reciprocal-rank fusion (Cormack 2009) —
+    * the keyword leg (t17's BM25 ranking over the pinned query terms)
+    * and the vector leg (cosine vs a pinned query embedding) fuse as
+    * rrf = Σ 1/(60 + rank_leg); a doc ranked by only one modality
+    * contributes that leg alone. Rank fusion beats score fusion here
+    * because BM25 and cosine live on incomparable scales — ranks are
+    * scale-free AND integer, which makes the whole fusion
+    * engine-exact (each 1/(60+r) term rounds at 8 dp; sums of two
+    * identical doubles are order-free).
+    *
+    * Scale shape: each leg ranks with the distributed range-partitioned
+    * row-number (never a single global window); the two rank tables are
+    * compact (id, int) rows, the join is co-keyed on doc_id, and only
+    * the fused top-k surfaces. The documents and embeddings corpora are
+    * scanned once each.
+    */
+  def hybridRrf(t: Tables, queryVecId: Long = 0L, topK: Int = 10, rrfK: Int = 60): DataFrame = {
+    val qv = t.embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("query_emb"))
+    val cosRanks = Ranking.globalRowNumber(
+      t.embeddings.filter(col("vec_id") =!= queryVecId)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(cosine_sim(col("embedding"), col("query_emb")), 6).as("cos")),
+      Seq(col("cos").desc, col("doc_id")), "r_vec")
+      .select(col("doc_id"), col("r_vec"))
+    val textRanks = TextAnalysis.bm25Ranks(t).filter(col("doc_id") =!= queryVecId)
+    val w = Window.orderBy(col("rrf").desc, col("doc_id"))
+    cosRanks
+      .join(textRanks, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(round(lit(1.0) / (lit(rrfK) + col("r_vec")), 8), lit(0.0)) +
+          coalesce(round(lit(1.0) / (lit(rrfK) + col("r_text")), 8), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+      // presentation rank over topK rows only, after the cut
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("rrf"), col("r_vec"), col("r_text"))
+      .orderBy(col("rank"))
+  }
 }

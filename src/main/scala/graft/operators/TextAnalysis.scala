@@ -489,4 +489,82 @@ object TextAnalysis {
       .withColumn("fp_bucket", pmod(col("fp64"), lit(1024)).cast("int"))
       .select(col("doc_id"), col("fp64"), col("fp_bucket"))
       .orderBy(col("doc_id"))
+
+  /** BM25 parameters (Robertson/Spärck Jones; the Lucene-default
+    * shape): k1 term-frequency saturation, b length normalization.
+    * Written as separate constants so both engines fold `k1 + 1`
+    * identically from the same double literal.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** The pinned retrieval query for t17/s7 — a fixed keyword set so the
+    * operator (and its oracle) is deterministic end to end.
+    */
+  val Bm25QueryTerms: Seq[String] = Seq("spark", "join", "window")
+
+  /** t17: BM25 keyword retrieval — top-k docs for a pinned query term
+    * set. Per-term scores round at 6 dp BEFORE the per-doc sum (and the
+    * sum rounds again) so cross-engine libm/summation ulps cannot
+    * reorder the ranking.
+    *
+    * Scale shape: tf for each query term is pure map-side array
+    * arithmetic over the token array (`filter` size — the corpus text
+    * is NEVER exploded to a token table for a |Q|-term query, unlike
+    * t6's full index); the only shuffles carry (doc_id, term, tf, dl)
+    * compacts — one tiny per-term df aggregation, a one-row
+    * (N, avgdl) aggregate, both broadcast back — plus the final
+    * per-doc sum. At 100 TB this is one scan + top-k; the persisted
+    * inverted-index variant (df/dl stored once, queries joining it)
+    * follows the warehouse-store pattern when query volume warrants.
+    */
+  def bm25(t: Tables, terms: Seq[String] = Bm25QueryTerms, topK: Int = 20): DataFrame = {
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    bm25Scores(t, terms)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+      // rank attaches AFTER the top-k cut: the single-partition window
+      // sees topK rows, never the corpus
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("rank"))
+  }
+
+  /** The (doc_id, score) BM25 scores for every doc with at least one
+    * query-term hit — shared by [[bm25]] (top-k presentation) and
+    * [[bm25Ranks]] (s7's full-corpus rank leg).
+    */
+  private[operators] def bm25Scores(t: Tables, terms: Seq[String]): DataFrame = {
+    val perTerm = spreadIfNarrow(t.documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), ws_tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(typedLit(terms)).as("term"), col("toks"))
+      .withColumn("tf", size(filter(col("toks"), x => x === col("term"))).cast("double"))
+      .drop("toks")
+    // one row per doc (the first term's rows) → corpus size + mean length
+    val stats = perTerm.filter(col("term") === lit(terms.head))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val dfT = perTerm.filter(col("tf") > 0)
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    perTerm.filter(col("tf") > 0)
+      .join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore", round(
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * (lit(Bm25K1) + lit(1.0))) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))),
+        6))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("tscore")), 6).as("score"))
+  }
+
+  /** t17's ranking over the FULL hit set (no top-k cut) — the retrieval
+    * leg s7's rank fusion consumes. Ranks come from the distributed
+    * range-partitioned row-number (never a single global window).
+    */
+  private[operators] def bm25Ranks(t: Tables, terms: Seq[String] = Bm25QueryTerms): DataFrame =
+    Ranking.globalRowNumber(bm25Scores(t, terms),
+      Seq(col("score").desc, col("doc_id")), "r_text")
+      .select(col("doc_id"), col("r_text"))
 }

@@ -29,7 +29,11 @@ class PlanAuditSpec extends SparkSpecBase {
     "t15_cms_freq", "t16_pmi_collocations",
     // q30: the pairwise type_a < type_b self-join of the per-event-type
     // sketch table — group-count-sized both sides (5 rows), never data
-    "q30_kmv_overlap")
+    "q30_kmv_overlap",
+    // t17: the 1-row (N, avgdl) corpus-stats aggregate attaches to the
+    // per-(doc, term) hit rows (s7's legs hide the same attach behind
+    // globalRowNumber's checkpoint)
+    "t17_bm25")
 
   test("no query plan contains a CartesianProduct; BNLJ only where declared scalar-attach") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

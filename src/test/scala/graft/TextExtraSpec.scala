@@ -324,4 +324,50 @@ class TextExtraSpec extends SparkSpecBase {
     mirrored.foreach(p => assert(cosOf(p) == cosOf((p._2, p._1)),
       s"cos asymmetry on $p"))
   }
+
+  test("t17 BM25 matches a brute-force recomputation on the collected corpus") {
+    val terms = TextAnalysis.Bm25QueryTerms
+    val docs = t.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").trim.toLowerCase.split("\\s+").toSeq))
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum.toDouble / n
+    val df = terms.map(q => q -> docs.count(_._2.contains(q)).toDouble).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs.flatMap { case (id, toks) =>
+      val s = terms.map { q =>
+        val tf = toks.count(_ == q).toDouble
+        if (tf == 0) 0.0
+        else r6(math.log((n - df(q) + 0.5) / (df(q) + 0.5) + 1.0) *
+          (tf * (TextAnalysis.Bm25K1 + 1.0)) /
+          (tf + TextAnalysis.Bm25K1 * (1.0 - TextAnalysis.Bm25B +
+            TextAnalysis.Bm25B * toks.length / avgdl)))
+      }.sum
+      if (s > 0) Some(id -> r6(s)) else None
+    }.sortBy { case (id, s) => (-s, id) }.take(20)
+    val got = TextAnalysis.bm25(t).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    assert(got == expected.toSeq, "top-20 BM25 ranking matches brute force")
+  }
+
+  test("s7 RRF fuses both legs, tolerates single-modality docs, and is rank-monotone") {
+    val rows = Similarity.hybridRrf(t).collect()
+    assert(rows.length == 10)
+    val rrfs = rows.map(_.getAs[Double]("rrf"))
+    assert(rrfs.sameElements(rrfs.sortBy(-(_: Double))), "presentation order is fused-score order")
+    rows.foreach { r =>
+      val rv = Option(r.getAs[Any]("r_vec")).map(_.asInstanceOf[Int])
+      val rt = Option(r.getAs[Any]("r_text")).map(_.asInstanceOf[Int])
+      val exp = rv.map(x => BigDecimal(1.0 / (60 + x)).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble).getOrElse(0.0) +
+        rt.map(x => BigDecimal(1.0 / (60 + x)).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - exp) < 1e-12,
+        s"doc ${r.getAs[Long]("doc_id")} rrf = sum of leg terms")
+      assert(rv.isDefined || rt.isDefined)
+    }
+    // the fused list must not be either single leg verbatim: a doc
+    // ranked high by BOTH legs should beat one ranked 1st by one leg
+    // only whenever both-leg terms dominate — structural sanity: at
+    // least one row carries both ranks
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("r_vec")) && !r.isNullAt(r.fieldIndex("r_text"))))
+  }
 }
