@@ -61,6 +61,7 @@ object SparkEntry {
     "d9_substring_dedup" -> ((s, dir) => Dedup.substringSpans(Tables(s, dir))),
     "d10_substring_incremental" -> ((s, dir) => Dedup.substringSpansIncremental(Tables(s, dir))),
     "d11_url_dedup" -> ((s, dir) => Urls.urlDedup(Tables(s, dir))),
+    "d14_fuzzy_join" -> ((s, dir) => Dedup.fuzzyJoin(Tables(s, dir))),
     // §2.3 similarity search
     "s1_ann_brute" -> ((s, dir) => Similarity.bruteForce(Tables(s, dir))),
     "s2_ann_ivf" -> ((s, dir) => Similarity.ivf(Tables(s, dir))),
@@ -101,6 +102,7 @@ object SparkEntry {
     "dc10_curation_audit" -> ((s, dir) => Curation.fullCurationAudit(Tables(s, dir))),
     "dc11_dsir_select" -> ((s, dir) => Curation.dsirSelect(Tables(s, dir))),
     "dc12_neardup_decontaminate" -> ((s, dir) => Curation.neardupDecontaminate(Tables(s, dir))),
+    "dc14_perplexity_gate" -> ((s, dir) => Curation.perplexityGate(Tables(s, dir))),
     // §2.5 multimodal plumbing
     "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
     "m4_payload_stats" -> ((s, dir) => Multimodal.payloadStats(Tables(s, dir))),
@@ -1012,32 +1014,32 @@ object SparkEntry {
     // build the adjacency pairs, term granularity matches the operator's
     // per-(doc, w1, w2) grouping exactly, λ=0.75 pinned
     "t12_bigram_logprob" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
-        |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
-        |cu AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS cu FROM tok GROUP BY w),
-        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
-        |big AS (
-        |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
-        |  FROM toks WHERE len(t) > 1),
-        |tfb AS (SELECT doc_id, w1, w2, COUNT(*) AS tfb FROM big GROUP BY doc_id, w1, w2),
-        |cb AS (SELECT w1, w2, CAST(SUM(tfb) AS DOUBLE) AS cb FROM tfb GROUP BY w1, w2),
-        |terms AS (
-        |  SELECT f.doc_id, ln(cu.cu / n.n) AS term
-        |  FROM (SELECT doc_id, t[1] AS w FROM toks) f JOIN cu USING (w) CROSS JOIN n
-        |  UNION ALL
-        |  SELECT tfb.doc_id,
-        |    tfb * ln(0.75 * cb.cb / cu1.cu + 0.25 * cu2.cu / n.n) AS term
-        |  FROM tfb
-        |  JOIN cb USING (w1, w2)
-        |  JOIN cu cu1 ON tfb.w1 = cu1.w
-        |  JOIN cu cu2 ON tfb.w2 = cu2.w
-        |  CROSS JOIN n),
-        |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
-        |SELECT doc_id, n_tokens, ROUND(SUM(term) / n_tokens, 6) AS avg_logprob
-        |FROM terms JOIN nt USING (doc_id)
-        |GROUP BY doc_id, n_tokens
-        |ORDER BY doc_id""".stripMargin,
+      (s"WITH $t12Ctes\n" +
+        """SELECT doc_id, n_tokens, avg_logprob FROM t12
+          |ORDER BY doc_id""".stripMargin),
+    // d14: plain levenshtein ≤ maxDist in the oracle equals the
+    // operator's threshold-bounded variant's kept set exactly
+    "d14_fuzzy_join" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(trim(lower(text)), 1, 80) AS p FROM documents),
+        |b AS (SELECT doc_id, p, split_part(p, ' ', 1) AS blk FROM d)
+        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |  CAST(levenshtein(a.p, b2.p) AS INT) AS dist
+        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+        |WHERE levenshtein(a.p, b2.p) <= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // dc14: the threshold compares t12's already-rounded score; kept
+    // scores sum as DECIMAL(18,6) so the mean is order-free both sides
+    "dc14_perplexity_gate" ->
+      (s"WITH $t12Ctes\n" +
+        """SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(CASE WHEN avg_logprob >= -3.41 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  ROUND(SUM(CASE WHEN avg_logprob >= -3.41 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS kept_frac,
+          |  ROUND(CAST(SUM(CASE WHEN avg_logprob >= -3.41 THEN CAST(avg_logprob AS DECIMAL(18,6)) END) AS DOUBLE)
+          |    / SUM(CASE WHEN avg_logprob >= -3.41 THEN 1 ELSE 0 END), 6) AS avg_kept_lp
+          |FROM t12 JOIN documents d USING (doc_id)
+          |GROUP BY d.source
+          |ORDER BY d.source""".stripMargin),
     // t13: BPE merge rounds replayed as generated CTE chains (the
     // s2/s5 k-means precedent): per round, sliding pair counts, the
     // (n DESC, lhs, rhs) best pair, and the greedy leftmost
@@ -1455,6 +1457,40 @@ object SparkEntry {
        |ORDER BY r.pr DESC, part_key
        |LIMIT $topK""".stripMargin
   }
+
+  /** Shared t12/dc14 CTE body: the Jelinek–Mercer interpolated bigram
+    * LM replica ending in `t12(doc_id, n_tokens, avg_logprob)` — the
+    * per-doc score already ROUNDED at 6 dp, so every downstream
+    * comparison (dc14's threshold) operates on the same hash-verified
+    * doubles in both engines.
+    */
+  private val t12Ctes: String =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+      |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+      |cu AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS cu FROM tok GROUP BY w),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+      |big AS (
+      |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      |  FROM toks WHERE len(t) > 1),
+      |tfb AS (SELECT doc_id, w1, w2, COUNT(*) AS tfb FROM big GROUP BY doc_id, w1, w2),
+      |cb AS (SELECT w1, w2, CAST(SUM(tfb) AS DOUBLE) AS cb FROM tfb GROUP BY w1, w2),
+      |terms AS (
+      |  SELECT f.doc_id, ln(cu.cu / n.n) AS term
+      |  FROM (SELECT doc_id, t[1] AS w FROM toks) f JOIN cu USING (w) CROSS JOIN n
+      |  UNION ALL
+      |  SELECT tfb.doc_id,
+      |    tfb * ln(0.75 * cb.cb / cu1.cu + 0.25 * cu2.cu / n.n) AS term
+      |  FROM tfb
+      |  JOIN cb USING (w1, w2)
+      |  JOIN cu cu1 ON tfb.w1 = cu1.w
+      |  JOIN cu cu2 ON tfb.w2 = cu2.w
+      |  CROSS JOIN n),
+      |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+      |t12 AS (
+      |  SELECT doc_id, n_tokens, ROUND(SUM(term) / n_tokens, 6) AS avg_logprob
+      |  FROM terms JOIN nt USING (doc_id)
+      |  GROUP BY doc_id, n_tokens)""".stripMargin
 
   /** Shared t17/s7 BM25 CTE body: token arrays, per-(doc, term) tf via
     * list_filter (mirroring the Spark side's map-side array kernel —

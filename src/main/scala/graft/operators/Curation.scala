@@ -562,4 +562,34 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"), col("score"), col("cum_tokens"))
       .orderBy(col("cum_tokens"))
   }
+
+  /** dc14: LM-perplexity gate — the CCNet/GPT-3-style fluency filter:
+    * keep documents whose t12 interpolated-bigram average logprob
+    * clears a threshold, reported as a per-source attrition panel
+    * (docs in, docs kept, kept fraction, mean kept score). The
+    * threshold compares against t12's ALREADY-ROUNDED per-doc score —
+    * the same hash-verified doubles in both engines — so a boundary
+    * doc can never classify differently cross-engine; kept scores
+    * accumulate as DECIMAL(18,6) (exact, order-free — the q31
+    * mergeability discipline) and divide once at the end.
+    *
+    * Scale shape: all the weight is t12's scoring pass (audited at its
+    * own key); the gate adds one co-keyed compact join ((doc_id, lp) ⋈
+    * (doc_id, source)) and a per-source aggregation of counters — text
+    * never enters this operator at all.
+    */
+  def perplexityGate(t: Tables, minAvgLogprob: Double = -3.41): DataFrame = {
+    val kept = col("avg_logprob") >= minAvgLogprob
+    TextAnalysis.bigramLogprob(t)
+      .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, col("avg_logprob").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)))).as("lp_sum"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 6).as("kept_frac"),
+        round(col("lp_sum").cast("double") / col("n_kept"), 6).as("avg_kept_lp"))
+      .orderBy(col("source"))
+  }
 }

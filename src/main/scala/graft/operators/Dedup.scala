@@ -781,4 +781,51 @@ object Dedup {
       .select(col("vec_id"), col("cluster_id"), col("kept_by"), col("cos_to_keeper"))
       .orderBy(col("vec_id"))
   }
+
+  /** d14: blocked fuzzy join — edit-distance near-matches over
+    * normalized document prefixes, the record-linkage primitive exact
+    * and shingle dedup both miss (a typo inside the first shingle
+    * breaks every exact k-gram, but moves Levenshtein by 1). Blocking
+    * key = the prefix's first token: candidate pairs exist ONLY within
+    * a block (never all-pairs), and Levenshtein runs ONLY on
+    * block-collided pairs. Two scale guards: the block-size quadratic
+    * guard (d8's pattern — a hot first token fails loudly before the
+    * within-block self-join goes quadratic) and Spark's
+    * threshold-bounded Levenshtein (the DP early-exits past `maxDist`
+    * — O(maxDist·n) instead of O(n²) per pair; -1 marks "over", which
+    * the post-filter drops, so results equal the plain distance's
+    * ≤ maxDist set exactly).
+    */
+  def fuzzyJoin(t: Tables, prefixLen: Int = 80, maxDist: Int = 10,
+      maxBlock: Option[Long] = Some(QuadraticGuardDefault)): DataFrame =
+    fuzzyJoinOf(t.documents, prefixLen, maxDist, maxBlock)
+
+  /** d14 over any (doc_id, text) frame — exposed for crafted-corpus
+    * specs.
+    */
+  def fuzzyJoinOf(docs: DataFrame, prefixLen: Int = 80, maxDist: Int = 10,
+      maxBlock: Option[Long] = Some(QuadraticGuardDefault)): DataFrame = {
+    val pre = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        substring(trim(lower(col("text"))), 1, prefixLen).as("p"))
+      .withColumn("blk", split_part(col("p"), lit(" "), lit(1)))
+    maxBlock.foreach { m =>
+      val hot = pre.groupBy(col("blk")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > m).orderBy(col("n").desc).limit(1).collect()
+      hot.headOption.foreach { r =>
+        throw new IllegalStateException(
+          s"fuzzy-join block '${r.getString(0)}' holds ${r.getAs[Long]("n")} docs" +
+            s" (> maxBlock=$m) — the within-block self-join would be quadratic;" +
+            " widen the blocking key or opt out with maxBlock = None")
+      }
+    }
+    val a = pre.select(col("doc_id").as("doc_a"), col("p").as("pa"), col("blk"))
+    val b = pre.select(col("doc_id").as("doc_b"), col("p").as("pb"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -321,4 +321,29 @@ class CurationSpec extends SparkSpecBase {
     assert(out(3L).getAs[Double]("dup_token_frac") == 0.75, "8 tokens, 2 distinct")
     assert(out(3L).getAs[Double]("dup_2gram_frac") > 0.5, "ababab alternates 2 shingles")
   }
+
+  test("dc14 perplexity gate reconciles per-source counters against the raw t12 scores") {
+    val thr = -3.41
+    val scores = graft.operators.TextAnalysis.bigramLogprob(t)
+      .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Double]("avg_logprob")))
+    val out = Curation.perplexityGate(t, thr).collect()
+    assert(out.nonEmpty)
+    val totalKept = out.map(_.getAs[Long]("n_kept")).sum
+    assert(totalKept > 0 && totalKept < scores.length, "the threshold actually splits the corpus")
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val mine = scores.filter(_._1 == src).map(_._2)
+      assert(r.getAs[Long]("n_docs") == mine.length)
+      val kept = mine.filter(_ >= thr)
+      assert(r.getAs[Long]("n_kept") == kept.length)
+      assert(math.abs(r.getAs[Double]("kept_frac") - kept.length.toDouble / mine.length) < 1e-6)
+      if (kept.nonEmpty) {
+        // decimal-exact sum of the already-rounded scores, then one division
+        val exp = BigDecimal(kept.map(BigDecimal(_)).sum.toDouble / kept.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getAs[Double]("avg_kept_lp") - exp) < 2e-6, s"$src mean kept score")
+      }
+    }
+  }
 }

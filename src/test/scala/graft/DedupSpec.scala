@@ -441,4 +441,61 @@ class DedupSpec extends SparkSpecBase {
     val expected = t.documents.select(sum(length(col("text")))).collect()(0).getLong(0)
     assert(totalBytes == expected, "UTF-8 payload bytes must equal total text length (ascii corpus)")
   }
+
+  test("d14 fuzzy join: typo pairs match within a block, cross-block and far pairs don't") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha red widget spins fast"),
+      (2L, "alpha red wdget spins fast"),      // 1 deletion from doc 1
+      (3L, "alpha completely different sentence here"), // same block, far
+      (4L, "beta red widget spins fast"),      // different first token: never paired
+      (5L, "alpha red widget spins last")      // 1 substitution from doc 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.fuzzyJoinOf(docs, prefixLen = 80, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out.contains((1L, 2L, 1)), "one-char typo at distance 1")
+    assert(out.contains((1L, 5L, 1)), "one substitution at distance 1")
+    assert(out.contains((2L, 5L, 2)), "typo chain at distance 2")
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L), "blocking excludes other first tokens")
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L), "over-threshold pair dropped")
+  }
+
+  test("d14 fuzzy join: brute-force Levenshtein agrees on the real corpus") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val cur = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(a.length)
+    }
+    val pre = t.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").trim.toLowerCase.take(80)))
+    val byBlock = pre.groupBy(_._2.split(" ", 2)(0))
+    val expected = byBlock.values.flatMap { ds =>
+      for {
+        (ia, pa) <- ds.toSeq; (ib, pb) <- ds.toSeq if ia < ib
+        dist = lev(pa, pb) if dist <= 10
+      } yield (ia, ib, dist)
+    }.toSet
+    val got = Dedup.fuzzyJoin(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("d14 fuzzy join: a hot block trips the quadratic guard loudly") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, s"hot block doc number $i")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.fuzzyJoinOf(docs, maxBlock = Some(10L)).collect()
+    }
+    assert(e.getMessage.contains("hot") && e.getMessage.contains("quadratic"))
+  }
 }

@@ -33,7 +33,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // t17: the 1-row (N, avgdl) corpus-stats aggregate attaches to the
     // per-(doc, term) hit rows (s7's legs hide the same attach behind
     // globalRowNumber's checkpoint)
-    "t17_bm25")
+    "t17_bm25",
+    // dc14: inherits t12's 1-row corpus-total attach (the gate itself
+    // adds only a co-keyed join + counters)
+    "dc14_perplexity_gate")
 
   test("no query plan contains a CartesianProduct; BNLJ only where declared scalar-attach") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
