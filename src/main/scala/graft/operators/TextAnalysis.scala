@@ -550,14 +550,24 @@ object TextAnalysis {
     perTerm.filter(col("tf") > 0)
       .join(broadcast(dfT), Seq("term"))
       .crossJoin(broadcast(stats))
-      .withColumn("tscore", round(
-        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-          (col("tf") * (lit(Bm25K1) + lit(1.0))) /
-          (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))),
-        6))
+      .withColumn("tscore",
+        bm25TermScore(col("tf"), col("dl"), col("df"), col("n_docs"), col("avgdl")))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("tscore")), 6).as("score"))
   }
+
+  /** One query term's BM25 contribution, rounded at 6 dp — the SAME
+    * expression tree serves batch t17 (columns from the df/stats
+    * aggregates) and the streaming twin (the model pinned as literals),
+    * so streamed scores are bit-equal to batch by construction.
+    */
+  private[graft] def bm25TermScore(tf: Column, dl: Column, dfC: Column,
+      nDocs: Column, avgdl: Column): Column =
+    round(
+      log((nDocs - dfC + lit(0.5)) / (dfC + lit(0.5)) + lit(1.0)) *
+        (tf * (lit(Bm25K1) + lit(1.0))) /
+        (tf + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * dl / avgdl)),
+      6)
 
   /** t17's ranking over the FULL hit set (no top-k cut) — the retrieval
     * leg s7's rank fusion consumes. Ranks come from the distributed

@@ -298,6 +298,33 @@ object DocPipelines {
       round(GraftFunctions.bucket_weight_sum(
         graft.operators.TextAnalysis.dsirFeats(col("text")), lambda.toSeq), 6).as("log_weight"))
 
+  /** Stateless streaming BM25 scoring — the t17 twin and the query-time
+    * half of train-once/apply-forever retrieval: arriving documents
+    * score against a PINNED model (per-term df, corpus size, mean doc
+    * length — |Q|+2 doubles baked into the plan). Each term's
+    * contribution goes through the SAME
+    * [[graft.operators.TextAnalysis.bm25TermScore]] expression as
+    * batch t17, with the per-doc sum accumulating in the same term
+    * order (zero contributions add exact +0.0), so streamed scores are
+    * bit-equal to batch. Zero state, zero shuffle — pure per-row
+    * projection over the token array.
+    */
+  def bm25ScoreStream(docs: DataFrame, termDf: Seq[(String, Double)],
+      nDocs: Double, avgdl: Double): DataFrame = {
+    val toks = GraftFunctions.ws_tokens(col("text"))
+    val dl = size(toks).cast("double")
+    val total = termDf.map { case (term, df) =>
+      val tf = size(filter(toks, x => x === lit(term))).cast("double")
+      when(tf > 0,
+        graft.operators.TextAnalysis.bm25TermScore(
+          tf, dl, lit(df), lit(nDocs), lit(avgdl)))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    docs
+      .select(col("doc_id"), round(total, 6).as("score"))
+      .filter(col("score") > 0)
+  }
+
   /** Stateless streaming PII scrubbing — the t9 redactor applied per
     * micro-batch: count + redact emails / phones / IPv4 in one map-side
     * codegen pass, zero state, append mode. The shape of an

@@ -866,4 +866,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(nSessions >= nUsers, "each user has at least one session")
     assert(sessions.filter(col("duration_sec") < 0).count() == 0)
   }
+
+  test("streaming BM25 scoring is bit-equal to batch t17 under a pinned model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.sources.Tables(spark, sfDir)
+    val terms = graft.operators.TextAnalysis.Bm25QueryTerms
+    // pin the model EXACTLY as batch computes it: df per term (doc
+    // frequency), corpus size, mean token length via sum(dl)/count
+    val toks = graft.functions.GraftFunctions.ws_tokens(col("text"))
+    val base = t.documents.select(col("doc_id"),
+      size(toks).cast("double").as("dl"), col("text"))
+    val statsRow = base.agg(count(lit(1)).cast("double"),
+      sum(col("dl")) / count(lit(1))).collect()(0)
+    val (nDocs, avgdl) = (statsRow.getDouble(0), statsRow.getDouble(1))
+    val termDf = terms.map { term =>
+      term -> base.filter(
+        size(filter(toks, x => x === lit(term))) > 0).count().toDouble
+    }
+    val docs = t.documents.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val scored = graft.streaming.DocPipelines.bm25ScoreStream(
+      mem.toDF().toDF("doc_id", "text"), termDf, nDocs, avgdl)
+    val q = scored.writeStream.format("memory").queryName("bm25_stream_out")
+      .outputMode("append").start() // stateless: per-doc projection
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      mem.addData(a.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("bm25_stream_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+      val batch = graft.operators.TextAnalysis.bm25(t, terms, topK = Int.MaxValue)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+      assert(streamed == batch, "streamed scores bit-equal batch BM25 on every hit doc")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
