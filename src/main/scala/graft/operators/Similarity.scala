@@ -383,7 +383,7 @@ object Similarity {
           round(cosine_sim(col("embedding"), col("query_emb")), 6).as("cos")),
       Seq(col("cos").desc, col("doc_id")), "r_vec")
       .select(col("doc_id"), col("r_vec"))
-    val textRanks = TextAnalysis.bm25Ranks(t).filter(col("doc_id") =!= queryVecId)
+    val textRanks = TextAnalysis.bm25Ranks(t, excludeDocId = queryVecId)
     val w = Window.orderBy(col("rrf").desc, col("doc_id"))
     cosRanks
       .join(textRanks, Seq("doc_id"), "full_outer")

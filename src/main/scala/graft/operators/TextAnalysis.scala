@@ -535,12 +535,18 @@ object TextAnalysis {
     * [[bm25Ranks]] (s7's full-corpus rank leg).
     */
   private[operators] def bm25Scores(t: Tables, terms: Seq[String]): DataFrame = {
+    // the compact (doc_id, dl, term, tf) frame feeds THREE branches
+    // (corpus stats, per-term df, the scoring join) — materialize it
+    // once so the corpus is scanned and tokenized once, not three times
+    // (Catalyst has no common-subplan reuse across differing exchanges;
+    // the clustersOfPairs discipline)
     val perTerm = spreadIfNarrow(t.documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ws_tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
         explode(typedLit(terms)).as("term"), col("toks"))
       .withColumn("tf", size(filter(col("toks"), x => x === col("term"))).cast("double"))
       .drop("toks")
+      .localCheckpoint(true)
     // one row per doc (the first term's rows) → corpus size + mean length
     val stats = perTerm.filter(col("term") === lit(terms.head))
       .agg(count(lit(1)).cast("double").as("n_docs"),
@@ -569,12 +575,16 @@ object TextAnalysis {
         (tf + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * dl / avgdl)),
       6)
 
-  /** t17's ranking over the FULL hit set (no top-k cut) — the retrieval
-    * leg s7's rank fusion consumes. Ranks come from the distributed
-    * range-partitioned row-number (never a single global window).
+  /** t17's ranking over the hit set with the query doc EXCLUDED BEFORE
+    * ranking (a post-rank filter would leave a gap at the query doc's
+    * rank and shift every doc below it) — the retrieval leg s7's rank
+    * fusion consumes. Ranks come from the distributed range-partitioned
+    * row-number (never a single global window).
     */
-  private[operators] def bm25Ranks(t: Tables, terms: Seq[String] = Bm25QueryTerms): DataFrame =
-    Ranking.globalRowNumber(bm25Scores(t, terms),
+  private[operators] def bm25Ranks(t: Tables, excludeDocId: Long,
+      terms: Seq[String] = Bm25QueryTerms): DataFrame =
+    Ranking.globalRowNumber(
+      bm25Scores(t, terms).filter(col("doc_id") =!= excludeDocId),
       Seq(col("score").desc, col("doc_id")), "r_text")
       .select(col("doc_id"), col("r_text"))
 }

@@ -313,16 +313,21 @@ object DocPipelines {
       nDocs: Double, avgdl: Double): DataFrame = {
     val toks = GraftFunctions.ws_tokens(col("text"))
     val dl = size(toks).cast("double")
+    def tfOf(term: String) = size(filter(toks, x => x === lit(term))).cast("double")
     val total = termDf.map { case (term, df) =>
-      val tf = size(filter(toks, x => x === lit(term))).cast("double")
+      val tf = tfOf(term)
       when(tf > 0,
         graft.operators.TextAnalysis.bm25TermScore(
           tf, dl, lit(df), lit(nDocs), lit(avgdl)))
         .otherwise(lit(0.0))
     }.reduce(_ + _)
+    // hit semantics must match batch exactly: batch keeps every doc with
+    // ANY tf > 0, including one whose score ROUNDS to 0.000000 — a
+    // score > 0 filter would silently drop those
+    val hasHit = termDf.map { case (term, _) => tfOf(term) > 0 }.reduce(_ || _)
     docs
+      .filter(hasHit)
       .select(col("doc_id"), round(total, 6).as("score"))
-      .filter(col("score") > 0)
   }
 
   /** Stateless streaming PII scrubbing — the t9 redactor applied per
