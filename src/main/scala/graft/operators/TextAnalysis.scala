@@ -534,23 +534,37 @@ object TextAnalysis {
     * query-term hit — shared by [[bm25]] (top-k presentation) and
     * [[bm25Ranks]] (s7's full-corpus rank leg).
     */
+  /** Occurrence count of `term` in a token array as pure CODEGEN
+    * column arithmetic: `size(toks) - size(array_remove(toks, term))`.
+    * A `filter(toks, lambda)` higher-order function computes the same
+    * number but runs INTERPRETED per element — measured 5× slower
+    * end-to-end at 1M docs (RETRIEVALBENCH.md), the repo-wide rule
+    * against lambdas on per-token paths.
+    */
+  private def termCount(toks: Column, term: Column): Column =
+    (size(toks) - size(array_remove(toks, term))).cast("double")
+
   private[operators] def bm25Scores(t: Tables, terms: Seq[String]): DataFrame = {
-    // the compact (doc_id, dl, term, tf) frame feeds THREE branches
-    // (corpus stats, per-term df, the scoring join) — materialize it
-    // once so the corpus is scanned and tokenized once, not three times
-    // (Catalyst has no common-subplan reuse across differing exchanges;
-    // the clustersOfPairs discipline)
-    val perTerm = spreadIfNarrow(t.documents.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), ws_tokens(col("text")).as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
-        explode(typedLit(terms)).as("term"), col("toks"))
-      .withColumn("tf", size(filter(col("toks"), x => x === col("term"))).cast("double"))
-      .drop("toks")
+    // ONE compact row per doc — (doc_id, dl, tf array) — materialized
+    // once and feeding all three branches (corpus stats, per-term df,
+    // the scoring join), so the corpus is scanned and tokenized once,
+    // not three times (Catalyst has no common-subplan reuse across
+    // differing exchanges; the clustersOfPairs discipline)
+    val toks = ws_tokens(col("text"))
+    val perDoc = spreadIfNarrow(t.documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), size(toks).cast("double").as("dl"),
+        array(terms.map(tm => termCount(toks, lit(tm))): _*).as("tfs"))
       .localCheckpoint(true)
-    // one row per doc (the first term's rows) → corpus size + mean length
-    val stats = perTerm.filter(col("term") === lit(terms.head))
+    val stats = perDoc
       .agg(count(lit(1)).cast("double").as("n_docs"),
         (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    // per-term rows explode AFTER the checkpoint, in terms order (the
+    // per-doc sum later accumulates in this order — the streaming twin
+    // mirrors it)
+    val perTerm = perDoc
+      .select(col("doc_id"), col("dl"), posexplode(col("tfs")))
+      .select(col("doc_id"), col("dl"),
+        element_at(typedLit(terms), col("pos") + 1).as("term"), col("col").as("tf"))
     val dfT = perTerm.filter(col("tf") > 0)
       .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     perTerm.filter(col("tf") > 0)

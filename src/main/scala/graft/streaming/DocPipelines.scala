@@ -313,7 +313,10 @@ object DocPipelines {
       nDocs: Double, avgdl: Double): DataFrame = {
     val toks = GraftFunctions.ws_tokens(col("text"))
     val dl = size(toks).cast("double")
-    def tfOf(term: String) = size(filter(toks, x => x === lit(term))).cast("double")
+    // codegen occurrence count (size minus size-after-remove), matching
+    // batch bm25Scores — a filter(toks, lambda) runs interpreted
+    def tfOf(term: String) =
+      (size(toks) - size(array_remove(toks, lit(term)))).cast("double")
     val total = termDf.map { case (term, df) =>
       val tf = tfOf(term)
       when(tf > 0,
