@@ -589,6 +589,76 @@ object TextAnalysis {
         (tf + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * dl / avgdl)),
       6)
 
+  /** The PERSISTED form of t17: a real inverted index under the
+    * warehouse generation protocol — `<name>_postings(token, doc_id,
+    * tf, dl)` written ONCE per corpus generation, bucketed AND sorted
+    * by token, plus a 1-row `<name>_stats(n_docs, avgdl)` table. The
+    * index build pays the full token explode once (the correct trade:
+    * t17's map-side arithmetic wins per query, the index wins per
+    * WORKLOAD); a query then reads only its terms' buckets (Spark
+    * prunes bucketed scans on IN-list predicates — spec-asserted via
+    * SelectedBucketsCount), aggregates df from the pruned postings,
+    * and scores with the SAME [[bm25TermScore]] expression as the
+    * in-job operator. Docs with no query-term hits are never read.
+    */
+  def buildBm25Store(docs: DataFrame, name: String, buckets: Int = 32): Unit = {
+    import graft.sources.Warehouse
+    val spark = docs.sparkSession
+    val gen = Warehouse.claimGeneration(spark, name)
+    val postingsT = Warehouse.storeTableName(name, gen, "postings")
+    val statsT = Warehouse.storeTableName(name, gen, "stats")
+    try {
+      val toks = ws_tokens(col("text"))
+      val perDoc = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), size(toks).cast("double").as("dl"), toks.as("toks"))
+        .localCheckpoint(true)
+      val postings = perDoc
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      Warehouse.writeBucketed(postings, postingsT, "token", buckets)
+      perDoc
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          (sum(col("dl")) / count(lit(1))).as("avgdl"))
+        .write.format("parquet").saveAsTable(statsT)
+      Warehouse.publishGeneration(spark, name, gen)
+    } catch {
+      case e: Throwable =>
+        Seq(postingsT, statsT).foreach(tb => scala.util.Try(Warehouse.drop(spark, tb)))
+        Warehouse.burnClaim(spark, name, gen)
+        throw e
+    }
+  }
+
+  /** Query the persisted BM25 index: same output contract as [[bm25]]
+    * on the indexed corpus (spec-asserted equal). Work per query is
+    * |Q| pruned bucket reads + a hit-sized (doc) aggregation — never a
+    * corpus scan.
+    */
+  def bm25AgainstStore(spark: org.apache.spark.sql.SparkSession, name: String,
+      terms: Seq[String] = Bm25QueryTerms, topK: Int = 20): DataFrame = {
+    import graft.sources.Warehouse
+    val gen = Warehouse.resolveGeneration(spark, name)
+    val hits = Warehouse.table(spark, Warehouse.storeTableName(name, gen, "postings"))
+      .filter(col("token").isin(terms: _*))
+    val stats = Warehouse.table(spark, Warehouse.storeTableName(name, gen, "stats"))
+    val dfT = hits.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    hits
+      .join(dfT, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore",
+        bm25TermScore(col("tf"), col("dl"), col("df"), col("n_docs"), col("avgdl")))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("tscore")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("rank"))
+  }
+
   /** t17's ranking over the hit set with the query doc EXCLUDED BEFORE
     * ranking (a post-rank filter would leave a gap at the query doc's
     * rank and shift every doc below it) — the retrieval leg s7's rank

@@ -343,4 +343,23 @@ class WarehouseSpec extends SparkSpecBase {
       "a tripped guard must burn its claim so the generation number is not leaked forever")
     Warehouse.dropStore(spark, "guardprobe", Seq("bands", "sigs"))
   }
+
+  test("persisted BM25 index: store query equals in-job t17 and prunes to the terms' buckets") {
+    import graft.operators.TextAnalysis
+    val t = Tables(spark, sfDir)
+    Warehouse.dropStore(spark, "bm25idx", Seq("postings", "stats"))
+    TextAnalysis.buildBm25Store(t.documents, "bm25idx", buckets = 8)
+    val probe = TextAnalysis.bm25AgainstStore(spark, "bm25idx")
+    // the scan must touch only the query terms' buckets, never all 8
+    val physical = probe.queryExecution.executedPlan.toString
+    val selected = "SelectedBucketsCount: (\\d+) out of 8".r
+      .findFirstMatchIn(physical).map(_.group(1).toInt)
+    assert(selected.exists(_ < 8),
+      s"postings scan must bucket-prune on the IN-list:\n$physical")
+    val got = probe.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exp = TextAnalysis.bm25(t).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == exp, "store query equals the in-job operator on the indexed corpus")
+    Warehouse.dropStore(spark, "bm25idx", Seq("postings", "stats"))
+  }
 }
