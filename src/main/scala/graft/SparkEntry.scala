@@ -103,6 +103,7 @@ object SparkEntry {
     "dc11_dsir_select" -> ((s, dir) => Curation.dsirSelect(Tables(s, dir))),
     "dc12_neardup_decontaminate" -> ((s, dir) => Curation.neardupDecontaminate(Tables(s, dir))),
     "dc14_perplexity_gate" -> ((s, dir) => Curation.perplexityGate(Tables(s, dir))),
+    "dc15_stratified_sample" -> ((s, dir) => Curation.stratifiedSample(Tables(s, dir))),
     // §2.5 multimodal plumbing
     "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
     "m4_payload_stats" -> ((s, dir) => Multimodal.payloadStats(Tables(s, dir))),
@@ -116,6 +117,7 @@ object SparkEntry {
     "q35_unpivot" -> ((s, dir) => Relational.q35Unpivot(Tables(s, dir), EventTypes)),
     "q36_grouping_sets" -> ((s, dir) => Relational.q36GroupingSets(Tables(s, dir))),
     "q37_outliers" -> ((s, dir) => Relational.q37Outliers(Tables(s, dir))),
+    "q38_deciles" -> ((s, dir) => Relational.q38Deciles(Tables(s, dir))),
     "st1_stream_window" -> ((s, dir) => graft.streaming.EventPipelines.windowedCountsBatch(Tables(s, dir))),
     "st2_sessionize" -> ((s, dir) => graft.streaming.EventPipelines.sessionizeBatch(Tables(s, dir))),
     // §2.8 training-sequence assembly
@@ -1017,6 +1019,29 @@ object SparkEntry {
       (s"WITH $t12Ctes\n" +
         """SELECT doc_id, n_tokens, avg_logprob FROM t12
           |ORDER BY doc_id""".stripMargin),
+    // dc15: two-level selection ≡ single window (k smallest md5 keys
+    // per stratum either way), so the oracle is the plain window
+    "dc15_stratified_sample" ->
+      """SELECT lang, CAST(rn AS INT) AS rn, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) z
+        |WHERE rn <= 25
+        |ORDER BY lang, rn""".stripMargin,
+    "q38_deciles" ->
+      """SELECT o_orderpriority, CAST(decile AS INT) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(MIN(o_totalprice), 2) AS lo,
+        |  ROUND(MAX(o_totalprice), 2) AS hi,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    NTILE(10) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders) z
+        |GROUP BY o_orderpriority, decile
+        |ORDER BY o_orderpriority, decile""".stripMargin,
     // d14: plain levenshtein ≤ maxDist in the oracle equals the
     // operator's threshold-bounded variant's kept set exactly
     "d14_fuzzy_join" ->

@@ -578,6 +578,32 @@ object Curation {
     * (doc_id, source)) and a per-source aggregation of counters — text
     * never enters this operator at all.
     */
+  /** dc15: deterministic stratified sampling — exactly `k` docs per
+    * stratum (language), chosen by the md5-priority rule dc2/dc4 use
+    * (seedless, engine-replayable, stable under re-runs and
+    * partitioning). TWO-LEVEL selection so a dominant stratum cannot
+    * funnel its whole population through one window task: pass 1 ranks
+    * within (stratum, shuffle-partition) — the heavy stratum fans out
+    * across the cluster and every partition keeps at most k candidates
+    * — pass 2 ranks the ≤ k·P survivors per stratum. "k smallest
+    * md5 keys per stratum" is selection-equivalent to the single-window
+    * form (spec-asserted) while the per-task row bound is k·P, not the
+    * stratum size.
+    */
+  def stratifiedSample(t: Tables, k: Int = 25): DataFrame = {
+    val key = Seq(md5(col("doc_id").cast("string")), col("doc_id"))
+    val w1 = Window.partitionBy(col("lang"), col("pid")).orderBy(key: _*)
+    val w2 = Window.partitionBy(col("lang")).orderBy(key: _*)
+    t.documents.select(col("doc_id"), col("lang"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= k)
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   def perplexityGate(t: Tables, minAvgLogprob: Double = -3.41): DataFrame = {
     val kept = col("avg_logprob") >= minAvgLogprob
     TextAnalysis.bigramLogprob(t)

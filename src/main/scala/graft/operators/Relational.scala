@@ -817,6 +817,30 @@ object Relational {
     * fences BROADCAST, so raw events never shuffle in either pass; only
     * per-type partial counts leave the scan.
     */
+  /** q38: per-group decile profile — NTILE(10) over order value within
+    * each priority, then per-decile count / bounds / decimal-exact
+    * total. Deterministic tile assignment via the (price, orderkey)
+    * tie-broken order; decimal sums so partials merge exactly (the q31
+    * discipline). This is the EXACT small-strata form (each stratum
+    * sorts in one task — priorities are a bounded enum); for deciles
+    * over an unbounded key at 100 TB use q24's histogram sketch or
+    * q16's percentiles instead of a full per-group sort.
+    */
+  def q38Deciles(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t.orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("o_orderpriority"), col("decile"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"),
+        sum(col("o_totalprice").cast(D4)).cast("double").as("total"))
+      .orderBy(col("o_orderpriority"), col("decile"))
+  }
+
   def q37Outliers(t: Tables): DataFrame = {
     val iqr = col("q3") - col("q1")
     val fences = t.events

@@ -322,6 +322,32 @@ class CurationSpec extends SparkSpecBase {
     assert(out(3L).getAs[Double]("dup_2gram_frac") > 0.5, "ababab alternates 2 shingles")
   }
 
+  test("dc15 stratified sample: two-level selection equals the single window, k per stratum, partition-invariant") {
+    val out = Curation.stratifiedSample(t, k = 10).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rn"), r.getAs[Long]("doc_id")))
+    // exactly k per stratum (every test stratum has ≥ k docs), ranks gapless
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1 to rows.length), s"$lang ranks gapless")
+      assert(rows.length <= 10)
+    }
+    // selection-equivalent to the plain single-window rule: k smallest
+    // md5 keys per stratum, recomputed driver-side
+    val all = t.documents.select(col("lang"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("key")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val expected = all.groupBy(_._1).flatMap { case (lang, rows) =>
+      rows.sortBy(r => (r._3, r._2)).take(10).zipWithIndex
+        .map { case (r, i) => (lang, i + 1, r._2) }.toSeq
+    }.toSet
+    assert(out.toSet == expected, "two-level ≡ single-window selection")
+    // and invariant to input partitioning (spark_partition_id appears
+    // only in the local prune, never in the selection rule)
+    val repart = Curation.stratifiedSample(
+      Tables(spark, sfDir), k = 10).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rn"), r.getAs[Long]("doc_id")))
+    assert(repart.toSet == out.toSet)
+  }
+
   test("dc14 perplexity gate reconciles per-source counters against the raw t12 scores") {
     val thr = -3.41
     val scores = graft.operators.TextAnalysis.bigramLogprob(t)

@@ -208,6 +208,24 @@ class RelationalSpec extends SparkSpecBase {
       !r.isNullAt(r.fieldIndex("l_linestatus"))))
   }
 
+  test("q38 deciles: balanced tiles, ordered ranges, totals reconcile per group") {
+    val rows = Relational.q38Deciles(t).collect()
+    val byGroup = rows.groupBy(_.getAs[String]("o_orderpriority"))
+    val orders = t.orders.select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    byGroup.foreach { case (prio, tiles) =>
+      assert(tiles.map(_.getAs[Int]("decile")).sorted.sameElements(1 to tiles.length))
+      // NTILE balance: tile sizes differ by at most one
+      val sizes = tiles.map(_.getAs[Long]("n"))
+      assert(sizes.max - sizes.min <= 1, s"$prio tile sizes $sizes")
+      assert(sizes.sum == orders(prio).length, s"$prio tiles cover the group")
+      // value ranges are ordered: each tile's hi <= next tile's lo is not
+      // guaranteed at ties, but lo must be non-decreasing across tiles
+      val los = tiles.sortBy(_.getAs[Int]("decile")).map(_.getAs[Double]("lo"))
+      assert(los.sameElements(los.sorted), s"$prio decile lower bounds ordered")
+    }
+  }
+
   test("q37 outliers: fence counts match a brute-force recomputation per type") {
     val rows = Relational.q37Outliers(t).collect()
     assert(rows.nonEmpty)
