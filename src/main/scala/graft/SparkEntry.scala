@@ -130,6 +130,7 @@ object SparkEntry {
     "g2_triangle_count" -> ((s, dir) => Graph.triangleCounts(Tables(s, dir))),
     "g3_edge_embeddedness" -> ((s, dir) => Graph.edgeEmbeddedness(Tables(s, dir))),
     "g4_components" -> ((s, dir) => Graph.connectedComponents(Tables(s, dir))),
+    "g5_personalized_pagerank" -> ((s, dir) => Graph.personalizedPagerank(Tables(s, dir))),
   )
 
   import OracleReplicas.{fnv64Sql, signed64, jhashSql, signed32, charBytes}
@@ -1368,6 +1369,7 @@ object SparkEntry {
         |ORDER BY type_a, type_b""".stripMargin,
     "g1_pagerank" -> g1PagerankSql(iters = 5, topK = 100),
     "g4_components" -> g4ComponentsSql(iters = 10),
+    "g5_personalized_pagerank" -> g5PersonalizedSql(iters = 4, topK = 50),
     "t17_bm25" ->
       (s"WITH ${bm25Ctes(graft.operators.TextAnalysis.Bm25QueryTerms)}\n" +
         """SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
@@ -1541,6 +1543,37 @@ object SparkEntry {
        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * ($k1 + 1.0)) /
        |    (tf + $k1 * (1.0 - $b + $b * dl / avgdl)), 6)), 6) AS score
        |  FROM posb JOIN dfb USING (term) CROSS JOIN statsb GROUP BY doc_id)""".stripMargin
+  }
+
+  /** g5's oracle: the personalized loop replayed exactly — seeded r0,
+    * per-round neighbor contributions (g1's floor arithmetic) UNION ALL
+    * the seed's teleport row, node-keyed sum. The seed is the hub
+    * (highest degree, lowest id), resolved inside the query.
+    */
+  private def g5PersonalizedSql(iters: Int, topK: Int): String = {
+    import graft.operators.Graph.{Damping, Teleport, Rank0}
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT node, CAST(SUM(pr) AS BIGINT) AS pr FROM (
+         |    SELECT e.dst AS node,
+         |      CAST(SUM(($Damping * (r.pr // d.deg)) // 100) AS BIGINT) AS pr
+         |    FROM r${i - 1} r
+         |    JOIN deg d ON d.src = r.node
+         |    JOIN edges e ON e.src = r.node
+         |    GROUP BY e.dst
+         |    UNION ALL
+         |    SELECT node, CAST($Teleport AS BIGINT) FROM seed) z
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |seed AS MATERIALIZED (SELECT src AS node FROM deg ORDER BY deg DESC, src LIMIT 1),
+       |r0 AS (SELECT node, CAST($Rank0 AS BIGINT) AS pr FROM seed),
+       |$rounds
+       |SELECT r.node AS part_key, d.deg, r.pr AS "rank"
+       |FROM r$iters r JOIN deg d ON d.src = r.node
+       |WHERE r.pr > 0
+       |ORDER BY r.pr DESC, part_key
+       |LIMIT $topK""".stripMargin
   }
 
   /** g4's oracle: min-label propagation WITH pointer jumping replayed

@@ -113,6 +113,62 @@ object Graph {
         sum(expr(s"($Damping * (rank div deg)) div 100"))).as("rank"))
       .select(col("dst").as("node"), col("rank"))
 
+  /** g5: PERSONALIZED PageRank from the graph's hub (highest-degree,
+    * lowest-id tie-break) — the "parts bought around X" recommendation
+    * primitive: teleport mass returns only to the SEED, so rank decays
+    * with distance from it instead of measuring global importance.
+    * Same integer floor-division arithmetic as g1 (bit-identical under
+    * any partitioning, exactly replayable as the oracle's CTE chain);
+    * the rank frontier starts seed-only and grows along reachability,
+    * so early rounds join a frontier-sized rank table, not the node
+    * set.
+    */
+  def personalizedPagerank(t: Tables, iters: Int = 4, topK: Int = 50): DataFrame =
+    personalizedFromEdges(copurchaseEdges(t), iters, topK)
+
+  def personalizedFromEdges(und: DataFrame, iters: Int, topK: Int): DataFrame = {
+    val edges = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    val edgesDeg = edges.join(deg, "src").localCheckpoint(eager = true)
+    // the hub seed: one driver-side row, bounded by construction
+    val seed = deg.orderBy(col("deg").desc, col("src")).limit(1)
+      .collect()(0).getLong(0)
+
+    val spark = und.sparkSession
+    def seedRow(amount: Long): DataFrame =
+      spark.range(1).select(lit(seed).as("node"), lit(amount).as("rank"))
+
+    var ranks = seedRow(Rank0)
+    var i = 0
+    while (i < iters) {
+      ranks = pprRound(ranks, edgesDeg, seedRow(Teleport)).localCheckpoint(eager = true)
+      i += 1
+    }
+    ranks.filter(col("rank") > 0)
+      .join(deg, ranks("node") === deg("src"))
+      .select(col("node").as("part_key"), col("deg"), col("rank"))
+      .orderBy(col("rank").desc, col("part_key"))
+      .limit(topK)
+  }
+
+  /** One personalized round: neighbor contributions (g1's floor
+    * arithmetic) plus teleport to the SEED ONLY, folded in one
+    * node-keyed sum. The seed row rides as a union so the seed exists
+    * in the output even on rounds where no neighbor returns mass.
+    */
+  private[graft] def pprRound(ranks: DataFrame, edgesDeg: DataFrame,
+      seedTeleport: DataFrame): DataFrame =
+    broadcast(ranks)
+      .join(edgesDeg, col("node") === edgesDeg("src"))
+      .groupBy(col("dst"))
+      .agg(sum(expr(s"($Damping * (rank div deg)) div 100")).as("rank"))
+      .select(col("dst").as("node"), col("rank"))
+      .unionByName(seedTeleport)
+      .groupBy(col("node"))
+      .agg(sum(col("rank")).as("rank"))
+
   /** g2: exact per-node triangle counts via degree-ordered wedge
     * closing. Edges are directed low→high by (degree, id); a triangle
     * {u,v,w} with u < v < w in that order is found exactly once as the

@@ -91,6 +91,31 @@ class GraphSpec extends SparkSpecBase {
     assert(out.values.sum == 3L * 6L)
   }
 
+  test("g5: personalized PageRank on a star, two rounds hand-computed, seeded at the hub") {
+    // star: center 1, leaves 2..5 → hub seed = 1 (deg 4).
+    // r1: leaves get (85·(1e6 div 4)) div 100 = 212_500; seed teleport 150_000.
+    // r2: center gets 4·((85·212_500) div 100) + 150_000 = 872_500;
+    //     leaves get (85·(150_000 div 4)) div 100 = 31_875.
+    val star = edges((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    val out = Graph.personalizedFromEdges(star, iters = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.head == ((1L, 4L, 872500L)), "hub rank, hand-computed")
+    assert(out.tail.toSet == (2L to 5L).map(i => (i, 1L, 31875L)).toSet)
+  }
+
+  test("g5: rank decays with distance from the seed (locality, unlike global g1)") {
+    // path 1-2-3-4-5-6-7 with an extra edge at 1 to make it the hub
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (1L, 8L))
+    val out = Graph.personalizedFromEdges(g, iters = 4, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // seed = node 1 (deg 2, tie-broken lowest id among deg-2 nodes)
+    assert(out.contains(1L))
+    val near = out.getOrElse(2L, 0L)
+    val far = out.getOrElse(5L, 0L)
+    assert(near > far, s"rank at distance 1 ($near) must exceed distance 4 ($far)")
+    assert(!out.contains(7L) || out(7L) < near, "frontier barely reaches distance 6")
+  }
+
   test("g4: components — two paths and an isolated node label to their minima") {
     import spark.implicits._
     // path 1-2-3, pair 10-11; node 20 exists but has no edges
