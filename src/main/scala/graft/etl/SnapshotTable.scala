@@ -115,6 +115,26 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     else spark.read.parquet(snap.dirs.map(d => dataDir.resolve(d).toString): _*)
   }
 
+  /** SCHEMA-EVOLUTION read: the union schema across every committed
+    * directory, with rows from pre-evolution appends null-filled in the
+    * columns they predate. Plain [[read]] samples ONE file for the
+    * schema, so after `append(df.withColumn("new_col", …))` a column
+    * added by a later append can silently VANISH from the result if the
+    * sampled file predates it — this read exists so evolution is an
+    * explicit, loud choice: widened schemas merge, and a TYPE conflict
+    * on a same-named column fails the read with Spark's merge error
+    * instead of returning either type silently (spec-asserted).
+    * Cost: one footer read per file instead of per sample — pay it on
+    * evolved tables, keep [[read]] for fixed-schema ones.
+    */
+  def readMerged(version: Option[Long] = None): DataFrame = {
+    val snap = snapshot(version)
+      .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
+    if (snap.dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.option("mergeSchema", "true")
+      .parquet(snap.dirs.map(d => dataDir.resolve(d).toString): _*)
+  }
+
   /** Row-level CHANGES between two committed versions (CDC/change-data-
     * feed semantics without a key): multiset row differences tagged
     * `change_type` = `insert` (in `to`, not in `from`) or `delete` (in

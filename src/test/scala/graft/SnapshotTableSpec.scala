@@ -304,4 +304,24 @@ class SnapshotTableSpec extends SparkSpecBase {
     assert(t.read().collect().map(_.getLong(0)).sorted.toSeq == (0L to 4L),
       "every writer's row must survive — a stale republish would drop some")
   }
+
+  test("schema evolution: readMerged unions schemas, null-fills old rows, and type conflicts fail loudly") {
+    val t = fresh()
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b", 7.5)).toDF("id", "v", "score"))
+    val merged = t.readMerged().collect().map(r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(r.fieldIndex("score"))) None else Some(r.getDouble(r.fieldIndex("score"))))).toSet
+    assert(merged == Set((1L, "a", None), (2L, "b", Some(7.5))),
+      "union schema with pre-evolution rows null-filled")
+    // history stays readable at each version's own schema
+    assert(!t.readMerged(Some(0L)).columns.contains("score"))
+    // a same-named column with a CONFLICTING type must fail the merged
+    // read loudly, never silently pick one type
+    val t2 = fresh()
+    t2.append(Seq((1L, 10L)).toDF("id", "x"))
+    t2.append(Seq((2L, "oops")).toDF("id", "x"))
+    val e = intercept[org.apache.spark.SparkException] { t2.readMerged().collect() }
+    assert(e.getMessage.toLowerCase.contains("merg"), s"expected a merge error, got: ${e.getMessage}")
+  }
 }
