@@ -88,6 +88,7 @@ object SparkEntry {
     "t15_cms_freq" -> ((s, dir) => TextAnalysis.cmsTokenFreq(Tables(s, dir))),
     "t16_pmi_collocations" -> ((s, dir) => TextAnalysis.pmiCollocations(Tables(s, dir))),
     "t17_bm25" -> ((s, dir) => TextAnalysis.bm25(Tables(s, dir))),
+    "t18_zipf" -> ((s, dir) => TextAnalysis.zipfFit(Tables(s, dir))),
     "s7_hybrid_rrf" -> ((s, dir) => Similarity.hybridRrf(Tables(s, dir))),
     // §2.7 corpus curation
     "dc1_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables(s, dir))),
@@ -1054,6 +1055,31 @@ object SparkEntry {
         |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
         |WHERE levenshtein(a.p, b2.p) <= 10
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // t18: per-point terms rounded at 8 dp then DECIMAL-summed (exact,
+    // order-free), so the closed-form OLS is engine-identical
+    "t18_zipf" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token FROM documents),
+        |tc AS (
+        |  SELECT token, COUNT(*) AS n FROM tok WHERE token <> ''
+        |  GROUP BY token ORDER BY n DESC, token LIMIT 1000),
+        |pts0 AS (
+        |  SELECT ROUND(ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS DOUBLE)), 8) AS x,
+        |         ROUND(ln(CAST(n AS DOUBLE)), 8) AS y
+        |  FROM tc),
+        |pts AS (
+        |  SELECT x, y, ROUND(x * x, 8) AS xx, ROUND(x * y, 8) AS xy FROM pts0),
+        |sums AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(xx AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(xy AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+        |  FROM pts)
+        |SELECT CAST(k AS BIGINT) AS n_types,
+        |  ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope,
+        |  ROUND((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6) AS intercept
+        |FROM sums""".stripMargin,
     // dc14: the threshold compares t12's already-rounded score; kept
     // scores sum as DECIMAL(18,6) so the mean is order-free both sides
     "dc14_perplexity_gate" ->

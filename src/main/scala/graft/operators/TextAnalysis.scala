@@ -490,6 +490,56 @@ object TextAnalysis {
       .select(col("doc_id"), col("fp64"), col("fp_bucket"))
       .orderBy(col("doc_id"))
 
+  /** t18: Zipf-law fit of the token frequency distribution — the
+    * corpus-health diagnostic that flags synthetic, templated or
+    * degenerate corpora (natural language fits ln f ≈ a − s·ln r with
+    * s ≈ 1; boilerplate floods flatten the head, dedup failures fatten
+    * it). OLS over (ln rank, ln freq) for the top `headK` types:
+    * per-point terms are ROUNDED at 8 dp then accumulated as
+    * DECIMAL(28,10) — exact and order-free — so the closed-form
+    * slope/intercept from those sums is engine-identical (the dc14
+    * discipline applied to regression).
+    *
+    * Scale shape: one token-count aggregation (t5's shape), a top-K
+    * cut, and a K-row regression — the corpus never shuffles past the
+    * (token) partial agg; at 100 TB swap the exact counts for t5's
+    * SpaceSaving sketch (the head is all the fit uses).
+    */
+  def zipfFit(t: Tables, headK: Int = 1000): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 10)
+    val ranked = t.documents
+      .select(explode(tokensCol).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(headK)
+    // rank within the K-row head only (the limit precedes the window)
+    val w = Window.orderBy(col("n").desc, col("token"))
+    val pts = ranked
+      .withColumn("r", row_number().over(w))
+      .select(
+        round(log(col("r").cast("double")), 8).as("x"),
+        round(log(col("n").cast("double")), 8).as("y"))
+      .select(col("x"), col("y"),
+        round(col("x") * col("x"), 8).as("xx"),
+        round(col("x") * col("y"), 8).as("xy"))
+    pts
+      .agg(
+        count(lit(1)).cast("double").as("k"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum(col("xx").cast(dec)).cast("double").as("sxx"),
+        sum(col("xy").cast(dec)).cast("double").as("sxy"))
+      .select(
+        col("k").cast("long").as("n_types"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+        round((col("sy") - ((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("k"), 6)
+          .as("intercept"))
+  }
+
   /** BM25 parameters (Robertson/Spärck Jones; the Lucene-default
     * shape): k1 term-frequency saturation, b length normalization.
     * Written as separate constants so both engines fold `k1 + 1`

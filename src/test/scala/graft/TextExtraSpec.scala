@@ -325,6 +325,30 @@ class TextExtraSpec extends SparkSpecBase {
       s"cos asymmetry on $p"))
   }
 
+  test("t18 Zipf fit matches a brute-force OLS and slopes downward on the real corpus") {
+    val row = TextAnalysis.zipfFit(t).collect()(0)
+    val slope = row.getAs[Double]("zipf_slope")
+    assert(slope < 0, "token frequencies must decay with rank")
+    // brute force: same rounding-then-exact-sum arithmetic driver-side
+    def r8(v: Double) = BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val counts = t.documents.select(col("text")).collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (tok, xs) => (tok, xs.length.toLong) }.toSeq
+    val head = counts.sortBy { case (tok, n) => (-n, tok) }.take(1000)
+    val pts = head.zipWithIndex.map { case ((_, n), i) =>
+      val x = r8(math.log((i + 1).toDouble)); val y = r8(math.log(n.toDouble))
+      (x, y, r8(x * x), r8(x * y))
+    }
+    val k = pts.length.toDouble
+    def s(f: ((Double, Double, Double, Double)) => Double) =
+      pts.map(p => BigDecimal(f(p))).sum.toDouble
+    val (sx, sy, sxx, sxy) = (s(_._1), s(_._2), s(_._3), s(_._4))
+    val expSlope = BigDecimal((k * sxy - sx * sy) / (k * sxx - sx * sx))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Long]("n_types") == pts.length)
+    assert(math.abs(slope - expSlope) < 2e-6, s"slope $slope vs brute $expSlope")
+  }
+
   test("t17 BM25 matches a brute-force recomputation on the collected corpus") {
     val terms = TextAnalysis.Bm25QueryTerms
     val docs = t.documents.select(col("doc_id"), col("text")).collect()
