@@ -82,12 +82,19 @@ object RetrievalBench {
     val explodeSec = timedNoop(explodePlan())
 
     // both plans must score identically — a speedup that changes the
-    // answer is a bug, not a win
+    // answer is a bug, not a win. Scores compare with a half-ulp-safe
+    // tolerance: the per-doc sum of the 6-dp-rounded term scores
+    // accumulates in terms order map-side but in shuffle order in the
+    // explode plan's groupBy, so an exact-double compare could flake at
+    // a rounding-tie boundary
     val a = TextAnalysis.bm25(t, terms, topK = 20).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
     val b = explodePlan().collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
-    require(a == b, s"plans disagree: $a vs $b")
+    require(a.length == b.length &&
+      a.zip(b).forall { case ((ra, ia, sa), (rb, ib, sb)) =>
+        ra == rb && ia == ib && math.abs(sa - sb) <= 1e-6
+      }, s"plans disagree: $a vs $b")
 
     println(s"""{"metric":"bm25_mapside_vs_explode","docs":$nDocs,""" +
       s""""mapside_sec":$mapSideSec,"explode_sec":$explodeSec,"cpus":$cpus}""")

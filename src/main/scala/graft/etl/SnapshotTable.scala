@@ -108,11 +108,17 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * immutable, so the returned DataFrame is stable under concurrent
     * commits — snapshot isolation without any read lock.
     */
-  def read(version: Option[Long] = None): DataFrame = {
+  def read(version: Option[Long] = None): DataFrame =
+    readWith(version, mergeSchema = false)
+
+  private def readWith(version: Option[Long], mergeSchema: Boolean): DataFrame = {
     val snap = snapshot(version)
       .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
     if (snap.dirs.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(snap.dirs.map(d => dataDir.resolve(d).toString): _*)
+    else {
+      val r = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+      r.parquet(snap.dirs.map(d => dataDir.resolve(d).toString): _*)
+    }
   }
 
   /** SCHEMA-EVOLUTION read: the union schema across every committed
@@ -127,13 +133,8 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * Cost: one footer read per file instead of per sample — pay it on
     * evolved tables, keep [[read]] for fixed-schema ones.
     */
-  def readMerged(version: Option[Long] = None): DataFrame = {
-    val snap = snapshot(version)
-      .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
-    if (snap.dirs.isEmpty) spark.emptyDataFrame
-    else spark.read.option("mergeSchema", "true")
-      .parquet(snap.dirs.map(d => dataDir.resolve(d).toString): _*)
-  }
+  def readMerged(version: Option[Long] = None): DataFrame =
+    readWith(version, mergeSchema = true)
 
   /** Row-level CHANGES between two committed versions (CDC/change-data-
     * feed semantics without a key): multiset row differences tagged

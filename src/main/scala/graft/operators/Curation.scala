@@ -590,11 +590,17 @@ object Curation {
     * form (spec-asserted) while the per-task row bound is k·P, not the
     * stratum size.
     */
-  def stratifiedSample(t: Tables, k: Int = 25): DataFrame = {
+  def stratifiedSample(t: Tables, k: Int = 25): DataFrame =
+    stratifiedSampleOf(t.documents, k)
+
+  /** dc15 over any (doc_id, lang) frame — exposed so specs can vary the
+    * input partitioning and prove the selection invariant to it.
+    */
+  def stratifiedSampleOf(docs: DataFrame, k: Int): DataFrame = {
     val key = Seq(md5(col("doc_id").cast("string")), col("doc_id"))
     val w1 = Window.partitionBy(col("lang"), col("pid")).orderBy(key: _*)
     val w2 = Window.partitionBy(col("lang")).orderBy(key: _*)
-    t.documents.select(col("doc_id"), col("lang"))
+    docs.select(col("doc_id"), col("lang"))
       .withColumn("pid", spark_partition_id())
       .withColumn("rn1", row_number().over(w1))
       .filter(col("rn1") <= k)

@@ -126,31 +126,39 @@ object Graph {
   def personalizedPagerank(t: Tables, iters: Int = 4, topK: Int = 50): DataFrame =
     personalizedFromEdges(copurchaseEdges(t), iters, topK)
 
-  def personalizedFromEdges(und: DataFrame, iters: Int, topK: Int): DataFrame = {
+  def personalizedFromEdges(und: DataFrame, iters: Int, topK: Int,
+      broadcastRanks: Boolean = true): DataFrame = {
     val edges = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(eager = true)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = true)
     val edgesDeg = edges.join(deg, "src").localCheckpoint(eager = true)
-    // the hub seed: one driver-side row, bounded by construction
-    val seed = deg.orderBy(col("deg").desc, col("src")).limit(1)
-      .collect()(0).getLong(0)
-
     val spark = und.sparkSession
-    def seedRow(amount: Long): DataFrame =
-      spark.range(1).select(lit(seed).as("node"), lit(amount).as("rank"))
-
-    var ranks = seedRow(Rank0)
-    var i = 0
-    while (i < iters) {
-      ranks = pprRound(ranks, edgesDeg, seedRow(Teleport)).localCheckpoint(eager = true)
-      i += 1
+    // the hub seed: one driver-side row, bounded by construction; an
+    // empty graph yields an empty result like pagerankFromEdges, not a
+    // crash
+    val seedOpt = deg.orderBy(col("deg").desc, col("src")).limit(1)
+      .collect().headOption.map(_.getLong(0))
+    seedOpt match {
+      case None =>
+        spark.range(0).select(col("id").as("part_key"),
+          col("id").as("deg"), col("id").as("rank"))
+      case Some(seed) =>
+        def seedRow(amount: Long): DataFrame =
+          spark.range(1).select(lit(seed).as("node"), lit(amount).as("rank"))
+        var ranks = seedRow(Rank0)
+        var i = 0
+        while (i < iters) {
+          ranks = pprRound(ranks, edgesDeg, seedRow(Teleport), broadcastRanks)
+            .localCheckpoint(eager = true)
+          i += 1
+        }
+        ranks.filter(col("rank") > 0)
+          .join(deg, ranks("node") === deg("src"))
+          .select(col("node").as("part_key"), col("deg"), col("rank"))
+          .orderBy(col("rank").desc, col("part_key"))
+          .limit(topK)
     }
-    ranks.filter(col("rank") > 0)
-      .join(deg, ranks("node") === deg("src"))
-      .select(col("node").as("part_key"), col("deg"), col("rank"))
-      .orderBy(col("rank").desc, col("part_key"))
-      .limit(topK)
   }
 
   /** One personalized round: neighbor contributions (g1's floor
@@ -159,8 +167,8 @@ object Graph {
     * in the output even on rounds where no neighbor returns mass.
     */
   private[graft] def pprRound(ranks: DataFrame, edgesDeg: DataFrame,
-      seedTeleport: DataFrame): DataFrame =
-    broadcast(ranks)
+      seedTeleport: DataFrame, broadcastRanks: Boolean = true): DataFrame =
+    (if (broadcastRanks) broadcast(ranks) else ranks)
       .join(edgesDeg, col("node") === edgesDeg("src"))
       .groupBy(col("dst"))
       .agg(sum(expr(s"($Damping * (rank div deg)) div 100")).as("rank"))

@@ -341,11 +341,14 @@ class CurationSpec extends SparkSpecBase {
     }.toSet
     assert(out.toSet == expected, "two-level ≡ single-window selection")
     // and invariant to input partitioning (spark_partition_id appears
-    // only in the local prune, never in the selection rule)
-    val repart = Curation.stratifiedSample(
-      Tables(spark, sfDir), k = 10).collect()
-      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rn"), r.getAs[Long]("doc_id")))
-    assert(repart.toSet == out.toSet)
+    // only in the local prune, never in the selection rule) — ACTUALLY
+    // vary the partitioning, don't re-run the identical plan
+    Seq(1, 7).foreach { p =>
+      val repart = Curation.stratifiedSampleOf(t.documents.repartition(p), k = 10)
+        .collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rn"), r.getAs[Long]("doc_id")))
+      assert(repart.toSet == out.toSet, s"selection invariant at $p partitions")
+    }
   }
 
   test("dc14 perplexity gate reconciles per-source counters against the raw t12 scores") {
