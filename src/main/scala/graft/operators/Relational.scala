@@ -811,11 +811,12 @@ object Relational {
     * engines classify against the identical double — the raw
     * interpolation may differ in ulps cross-engine, and an unrounded
     * fence would make a boundary row's classification engine-dependent.
-    * Scale shape: pass 1 computes the tiny per-type fence table (exact
-    * quantiles need a full pass — at 100 TB q24's histogram sketch is
-    * the single-pass approximation), pass 2 re-scans the fact with the
-    * fences BROADCAST, so raw events never shuffle in either pass; only
-    * per-type partial counts leave the scan.
+    * Scale shape: pass 1 computes the tiny per-type fence table —
+    * exact quantiles buffer the grouped values through their partial
+    * aggregation (inherent; at 100 TB q24's histogram sketch is the
+    * fixed-memory substitute) — and pass 2 re-scans the fact with the
+    * fences BROADCAST, so the counting pass joins map-side and only
+    * per-type partial counts leave its scan.
     */
   /** q38: per-group decile profile — NTILE(10) over order value within
     * each priority, then per-decile count / bounds / decimal-exact

@@ -370,6 +370,48 @@ class PlanShapeSpec extends SparkSpecBase {
       s"an exchange carries edge rows (src column) — edges must never shuffle in a round:\n$explain")
   }
 
+  test("q36 cube: the 4-way Expand runs over finest-grain partials, never raw lineitem") {
+    val plan = phys(Relational.q36GroupingSets(t)).toString
+    val expandIdx = plan.indexOf("Expand")
+    assert(expandIdx >= 0, s"cube must plan an Expand:\n$plan")
+    // an aggregate must sit BETWEEN the Expand and the parquet scan
+    // (plan strings print root-first): Expand over raw rows would push
+    // 4x the fact through the aggregation at 100 TB
+    val below = plan.substring(expandIdx)
+    val aggBelow = below.indexOf("HashAggregate")
+    val scanBelow = below.indexOf("Scan parquet")
+    assert(aggBelow >= 0 && scanBelow >= 0 && aggBelow < scanBelow,
+      s"Expand must consume the finest-grain pre-aggregation, not the raw scan:\n$plan")
+  }
+
+  test("q37 outliers: the fence table broadcasts — pass 2 never sort-merges the fact") {
+    // pass 1's exact-percentile partial buffers legitimately carry the
+    // grouped values (inherent to exact quantiles, q16's shape); the
+    // lock is on pass 2: fences must come back as a BROADCAST, so the
+    // counting re-scan joins map-side instead of shuffling events
+    val explain = finalExplain(Relational.q37Outliers(t))
+    assert(explain.contains("BroadcastExchange"),
+      s"the per-type fence table must broadcast back:\n$explain")
+    assert(!explain.contains("SortMergeJoin"),
+      s"the fence join must never sort-merge (that shuffles the fact):\n$explain")
+  }
+
+  test("dc15: the partition-local prune window executes before the per-stratum window") {
+    val plan = phys(Curation.stratifiedSample(t)).toString
+    // root-first print order: the (lang)-only selection window prints
+    // FIRST, the (lang, pid) prune window prints below it — a dominant
+    // stratum reaches one task only after every task was bounded at k.
+    val firstWin = plan.indexOf("Window")
+    val lastWin = plan.lastIndexOf("Window")
+    assert(firstWin >= 0 && lastWin > firstWin, s"two window stages must survive planning:\n$plan")
+    val selectionWin = plan.substring(firstWin, lastWin)
+    val pruneWin = plan.substring(lastWin)
+    assert(!selectionWin.split("\n").head.contains("pid"),
+      s"the top (selection) window must partition by the stratum alone:\n$plan")
+    assert(pruneWin.split("\n").head.contains("pid"),
+      s"the bottom (prune) window must partition by (stratum, pid):\n$plan")
+  }
+
   test("spreadIfNarrow: narrow scans spread to full parallelism, well-split scans pass through") {
     val cores = spark.sparkContext.defaultParallelism
     val narrow = spark.range(0, 100, 1, 1).toDF("id")
