@@ -132,6 +132,7 @@ object SparkEntry {
     "g3_edge_embeddedness" -> ((s, dir) => Graph.edgeEmbeddedness(Tables(s, dir))),
     "g4_components" -> ((s, dir) => Graph.connectedComponents(Tables(s, dir))),
     "g5_personalized_pagerank" -> ((s, dir) => Graph.personalizedPagerank(Tables(s, dir))),
+    "g6_hop_distance" -> ((s, dir) => Graph.hopDistance(Tables(s, dir))),
   )
 
   import OracleReplicas.{fnv64Sql, signed64, jhashSql, signed32, charBytes}
@@ -1396,6 +1397,7 @@ object SparkEntry {
     "g1_pagerank" -> g1PagerankSql(iters = 5, topK = 100),
     "g4_components" -> g4ComponentsSql(iters = 10),
     "g5_personalized_pagerank" -> g5PersonalizedSql(iters = 4, topK = 50),
+    "g6_hop_distance" -> g6HopSql(maxHops = 6),
     "t17_bm25" ->
       (s"WITH ${bm25Ctes(graft.operators.TextAnalysis.Bm25QueryTerms)}\n" +
         """SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
@@ -1600,6 +1602,28 @@ object SparkEntry {
        |WHERE r.pr > 0
        |ORDER BY r.pr DESC, part_key
        |LIMIT $topK""".stripMargin
+  }
+
+  /** g6's oracle: the bounded-BFS relaxation replayed round for round —
+    * fixed `maxHops` rounds by CONTRACT (identical in both engines, no
+    * convergence detection), each one neighbor join + node-keyed min.
+    */
+  private def g6HopSql(maxHops: Int): String = {
+    val rounds = (1 to maxHops).map { i =>
+      s"""h$i AS MATERIALIZED (
+         |  SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+         |    SELECT e.dst AS node, h.hops + 1 AS hops
+         |    FROM h${i - 1} h JOIN edges e ON e.src = h.node
+         |    UNION ALL
+         |    SELECT node, hops FROM h${i - 1}) z
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |seed AS MATERIALIZED (SELECT src AS node FROM deg ORDER BY deg DESC, src LIMIT 1),
+       |h0 AS (SELECT node, CAST(0 AS BIGINT) AS hops FROM seed),
+       |$rounds
+       |SELECT node, hops FROM h$maxHops
+       |ORDER BY hops, node""".stripMargin
   }
 
   /** g4's oracle: min-label propagation WITH pointer jumping replayed

@@ -161,6 +161,46 @@ object Graph {
     }
   }
 
+  /** g6: bounded BFS — exact hop distance from the hub seed for every
+    * node within `maxHops`, the shortest-path layer structure g5's
+    * rank decay approximates. FIXED-round semantics by contract (nodes
+    * beyond `maxHops` are absent, not ∞): both engines run the
+    * identical `maxHops` relaxation rounds, so equality holds by
+    * construction with no convergence-detection asymmetry. Per round
+    * ONE frontier⋈edges join + a node-keyed min — compact (node, hop)
+    * longs shuffle, never adjacency lists; the distance table grows
+    * with the reached set, so early rounds are frontier-sized.
+    */
+  def hopDistance(t: Tables, maxHops: Int = 6): DataFrame =
+    hopDistanceFromEdges(copurchaseEdges(t), maxHops)
+
+  def hopDistanceFromEdges(und: DataFrame, maxHops: Int): DataFrame = {
+    val edges = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    val spark = und.sparkSession
+    val seedOpt = deg.orderBy(col("deg").desc, col("src")).limit(1)
+      .collect().headOption.map(_.getLong(0))
+    seedOpt match {
+      case None =>
+        spark.range(0).select(col("id").as("node"), col("id").as("hops"))
+      case Some(seed) =>
+        var dist = spark.range(1).select(lit(seed).as("node"), lit(0L).as("hops"))
+        var i = 0
+        while (i < maxHops) {
+          val relaxed = dist
+            .join(edges, dist("node") === edges("src"))
+            .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
+          dist = dist.unionByName(relaxed)
+            .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+            .localCheckpoint(eager = true)
+          i += 1
+        }
+        dist.orderBy(col("hops"), col("node"))
+    }
+  }
+
   /** One personalized round: neighbor contributions (g1's floor
     * arithmetic) plus teleport to the SEED ONLY, folded in one
     * node-keyed sum. The seed row rides as a union so the seed exists

@@ -116,6 +116,19 @@ class GraphSpec extends SparkSpecBase {
     assert(!out.contains(7L) || out(7L) < near, "frontier barely reaches distance 6")
   }
 
+  test("g6: bounded BFS — exact layers on a path, the bound truncates, star is all-ones") {
+    // path 1-2-3-4-5 seeded at hub 2 (deg 2, lowest id among deg-2)
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val out = Graph.hopDistanceFromEdges(path, maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(2L -> 0L, 1L -> 1L, 3L -> 1L, 4L -> 2L),
+      "node 5 is 3 hops out and must be ABSENT at maxHops = 2")
+    val star = edges((1L, 2L), (1L, 3L), (1L, 4L))
+    val s = Graph.hopDistanceFromEdges(star, maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("g4: components — two paths and an isolated node label to their minima") {
     import spark.implicits._
     // path 1-2-3, pair 10-11; node 20 exists but has no edges
