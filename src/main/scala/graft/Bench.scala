@@ -71,7 +71,20 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(full)
+    // the driver records only the LAST ~2000 chars of stdout; with 100+
+    // queries the full line above overflows that window and the headline
+    // total is cut off. Persist the full line to a file, then end stdout
+    // with a compact summary (total + errors + slowest queries) that
+    // always fits inside the tail window together with sbt's epilog.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_full.json"), full + "\n")
+    catch { case _: Throwable => () }
+    val slowest = results.sortBy(-_._2).take(15)
+      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${results.size},"errors":$errs,"slowest":$slowest,"sf":"$sfDir","full":"target/bench_full.json"}""")
     spark.stop()
   }
 }

@@ -121,7 +121,7 @@ object OracleReplicas {
     val bandCond = (0 until 4)
       .map(b => s"((a.sk // ${1L << (4 * b)}) % 16 = (b.sk // ${1L << (4 * b)}) % 16)")
       .mkString(" OR ")
-    s"""sk AS (SELECT vec_id, embedding, $sketch AS sk FROM embeddings),
+    s"""sk AS MATERIALIZED (SELECT vec_id, embedding, $sketch AS sk FROM embeddings),
        |cand AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
        |  FROM sk a JOIN sk b ON a.vec_id < b.vec_id
@@ -134,7 +134,7 @@ object OracleReplicas {
        |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
        |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
        |  FROM pairs GROUP BY id_a, id_b),
-       |cosd AS (
+       |cosd AS MATERIALIZED (
        |  SELECT id_a, id_b,
        |    ROUND(CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END, 4) AS cos
        |  FROM scored
@@ -162,28 +162,63 @@ object OracleReplicas {
        |FROM cand WHERE est >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The pointer-jumping replay budget shared by every min-label oracle
+    * chain below AND the Spark operators' gate-path convergence asserts
+    * (`Dedup.clustersOfPairsOracle`): jumping covers component diameters
+    * up to 2^iters, and the operator asserts it converged within the
+    * budget so a pathological long-chain graph fails loudly instead of
+    * producing a spurious gate divergence.
+    */
+  val PointerJumpIters = 16
+
+  /** Min-label propagation WITH pointer jumping over `edges(s, d)` (both
+    * directions present) + `verts(doc_id)`, as a generated CTE chain —
+    * one (neighbor-min, fold, compress) generation per round, mirroring
+    * `Dedup.clustersOfPairsCounted` exactly; emits `labels(doc_id,
+    * cluster_id)`. Replaces the naive transitive-closure recursive walk,
+    * which is V×V rows on dense pair graphs (the g4 lesson — 108 s vs
+    * sub-second at sf0.01; dc8's cosine graph measured 300+ s). CTEs are
+    * MATERIALIZED: each generation is referenced three times, and
+    * default inlining re-expands the chain 3^iters-fold (the t13
+    * lesson).
+    */
+  private def pointerJumpLabels(iters: Int = PointerJumpIters): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""pjn$i AS MATERIALIZED (
+         |  SELECT e.s AS doc_id, MIN(l.label) AS nmin
+         |  FROM edges e JOIN pjl${i - 1} l ON l.doc_id = e.d
+         |  GROUP BY e.s),
+         |pjm$i AS MATERIALIZED (
+         |  SELECT l.doc_id, LEAST(l.label, COALESCE(n.nmin, l.label)) AS label
+         |  FROM pjl${i - 1} l LEFT JOIN pjn$i n ON n.doc_id = l.doc_id),
+         |pjl$i AS MATERIALIZED (
+         |  SELECT m.doc_id, LEAST(m.label, COALESCE(j.label, m.label)) AS label
+         |  FROM pjm$i m LEFT JOIN pjl${i - 1} j ON j.doc_id = m.label)""".stripMargin
+    }.mkString(",\n")
+    s"""pjl0 AS MATERIALIZED (SELECT doc_id, doc_id AS label FROM verts),
+       |$rounds,
+       |labels AS MATERIALIZED (SELECT doc_id, label AS cluster_id FROM pjl$iters)""".stripMargin
+  }
+
   /** d6: connected components (min-label per component) over the d2 LSH
-    * pair graph, via transitive-closure recursive CTE. Mirrors
+    * pair graph, via the pointer-jumping generation chain. Mirrors
     * [[graft.operators.Dedup.clusters]].
     */
   def d6Clusters(numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5, seed: Long = 42L): String =
-    s"""WITH RECURSIVE ${minhashCtes(numHashes, bands, seed)},
-       |p AS (SELECT doc_a, doc_b FROM cand WHERE est >= $threshold),
-       |edges AS (SELECT doc_a AS s, doc_b AS d FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+    s"""WITH ${minhashCtes(numHashes, bands, seed)},
+       |p AS MATERIALIZED (SELECT doc_a, doc_b FROM cand WHERE est >= $threshold),
+       |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM p UNION ALL SELECT doc_b, doc_a FROM p),
        |verts AS (SELECT DISTINCT s AS doc_id FROM edges),
-       |walk(doc_id, label) AS (
-       |  SELECT doc_id, doc_id FROM verts
-       |  UNION
-       |  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.doc_id)
-       |SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id ORDER BY cluster_id, doc_id""".stripMargin
+       |${pointerJumpLabels()}
+       |SELECT doc_id, cluster_id FROM labels ORDER BY cluster_id, doc_id""".stripMargin
 
   /** dc3: canonical doc per near-dup cluster — the d6 closure joined
     * with t2's quality formula, keeper = highest score then lowest id.
     * Mirrors [[graft.operators.Curation.canonicalPerCluster]].
     */
   def dc3Canonical(numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5, seed: Long = 42L): String =
-    s"""WITH RECURSIVE ${minhashCtes(numHashes, bands, seed)},
-       |p AS (SELECT doc_a, doc_b FROM cand WHERE est >= $threshold),
+    s"""WITH ${minhashCtes(numHashes, bands, seed)},
+       |p AS MATERIALIZED (SELECT doc_a, doc_b FROM cand WHERE est >= $threshold),
        |${canonicalClosureTail()}""".stripMargin
 
   /** dc8: dc3's closure+keeper tail over d5's embedding-cosine pair
@@ -191,8 +226,8 @@ object OracleReplicas {
     * [[graft.operators.Curation.semanticCanonical]].
     */
   def dc8SemanticCanonical(minCosine: Double = 0.3): String =
-    s"""WITH RECURSIVE ${d5PairCtes(minCosine)},
-       |p AS (SELECT id_a AS doc_a, id_b AS doc_b FROM cosd),
+    s"""WITH ${d5PairCtes(minCosine)},
+       |p AS MATERIALIZED (SELECT id_a AS doc_a, id_b AS doc_b FROM cosd),
        |${canonicalClosureTail()}""".stripMargin
 
   /** Shared dc3/dc8 tail: min-label transitive closure over the `p`
@@ -203,13 +238,9 @@ object OracleReplicas {
     // word list derived from the operator's own constant, not a copy
     val enStopwords = graft.operators.TextAnalysis.Stopwords("en")
       .map(w => s"'$w'").mkString("[", ",", "]")
-    s"""edges AS (SELECT doc_a AS s, doc_b AS d FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+    s"""edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM p UNION ALL SELECT doc_b, doc_a FROM p),
        |verts AS (SELECT DISTINCT s AS doc_id FROM edges),
-       |walk(doc_id, label) AS (
-       |  SELECT doc_id, doc_id FROM verts
-       |  UNION
-       |  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.doc_id),
-       |labels AS (SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id),
+       |${pointerJumpLabels()},
        |qbase AS (
        |  SELECT doc_id,
        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
@@ -764,7 +795,7 @@ object OracleReplicas {
     val bandCond = (0 until nbits / 4)
       .map(b => s"((a.sk // ${1L << (4 * b)}) % 16 = (b.sk // ${1L << (4 * b)}) % 16)")
       .mkString(" OR ")
-    s"""WITH sk AS (SELECT vec_id, embedding, $sketch AS sk FROM embeddings),
+    s"""WITH sk AS MATERIALIZED (SELECT vec_id, embedding, $sketch AS sk FROM embeddings),
        |cand AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
        |  FROM sk a JOIN sk b ON a.vec_id < b.vec_id
@@ -776,7 +807,7 @@ object OracleReplicas {
        |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
        |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
        |  FROM pairs GROUP BY id_a, id_b),
-       |cosd AS (
+       |cosd AS MATERIALIZED (
        |  SELECT id_a, id_b,
        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END AS cosf
        |  FROM scored),
@@ -925,7 +956,7 @@ object OracleReplicas {
   def dc9FullCuration(benchSize: Long = 50, shingleK: Int = 3, minShared: Long = 5,
       totalBudget: Long = 60000, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, seed: Long = 42L): String =
-    s"""WITH RECURSIVE
+    s"""WITH
        |${dc9Ctes(benchSize, shingleK, minShared, totalBudget, numHashes, bands, threshold, seed)}
        |SELECT doc_id, source, ws_tokens, cum_tokens, src_budget FROM sel
        |WHERE cum_tokens <= src_budget
@@ -938,7 +969,7 @@ object OracleReplicas {
   def dc10CurationAudit(benchSize: Long = 50, shingleK: Int = 3, minShared: Long = 5,
       totalBudget: Long = 60000, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, seed: Long = 42L): String =
-    s"""WITH RECURSIVE
+    s"""WITH
        |${dc9Ctes(benchSize, shingleK, minShared, totalBudget, numHashes, bands, threshold, seed)}
        |SELECT * FROM (
        |  SELECT 0 AS stage_ord, 'corpus' AS stage, (SELECT COUNT(*) FROM corpus) AS survivors
@@ -969,7 +1000,7 @@ object OracleReplicas {
          |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
          |        FROM $from) zt
          |  WHERE len(t) >= $shingleK) z)""".stripMargin
-    s"""corpus AS (SELECT * FROM documents WHERE doc_id >= $benchSize),
+    s"""corpus AS MATERIALIZED (SELECT * FROM documents WHERE doc_id >= $benchSize),
        |gtoks AS (
        |  SELECT doc_id, source, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
        |  FROM corpus),
@@ -994,35 +1025,31 @@ object OracleReplicas {
        |    ROUND(topc / GREATEST(n_tokens, 1), 6) AS top_token_frac,
        |    ROUND(CASE WHEN nsh > 0 THEN 1.0 - dsh / nsh ELSE 0.0 END, 6) AS dup_2gram_frac
        |  FROM gbase),
-       |s1 AS (
+       |s1 AS MATERIALIZED (
        |  SELECT doc_id, source, text, quality_score FROM gm
        |  WHERE n_tokens >= 16 AND punct_ratio <= 0.10 AND stop_ratio >= 0.01
        |    AND dup_token_frac <= 0.68 AND top_token_frac <= 0.16 AND dup_2gram_frac <= 0.08),
        |ex AS (SELECT MIN(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
-       |s2 AS (SELECT s1.* FROM s1 JOIN ex USING (doc_id)),
+       |s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN ex USING (doc_id)),
        |${minhashCtes(numHashes, bands, seed, source = "s2")},
-       |p AS (SELECT doc_a, doc_b FROM cand WHERE est >= $threshold),
-       |edges AS (SELECT doc_a AS s, doc_b AS d FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+       |p AS MATERIALIZED (SELECT doc_a, doc_b FROM cand WHERE est >= $threshold),
+       |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM p UNION ALL SELECT doc_b, doc_a FROM p),
        |verts AS (SELECT DISTINCT s AS doc_id FROM edges),
-       |walk(doc_id, label) AS (
-       |  SELECT doc_id, doc_id FROM verts
-       |  UNION
-       |  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.doc_id),
-       |labels AS (SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id),
+       |${pointerJumpLabels()},
        |rk AS (
        |  SELECT l.cluster_id, l.doc_id,
        |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
        |      ORDER BY s2.quality_score DESC, l.doc_id) AS rn
        |  FROM labels l JOIN s2 USING (doc_id)),
        |drops AS (SELECT doc_id FROM rk WHERE rn > 1),
-       |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+       |s3 AS MATERIALIZED (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
        |${shingleCte("bsh", s"documents WHERE doc_id < $benchSize")},
        |bench AS (SELECT DISTINCT shingle FROM bsh),
        |${shingleCte("csh", "s3")},
        |cont AS (
        |  SELECT doc_id FROM csh JOIN bench USING (shingle)
        |  GROUP BY doc_id HAVING COUNT(*) >= $minShared),
-       |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |s4 AS MATERIALIZED (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
        |c AS (
        |  SELECT doc_id, source,
        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS ws_tokens
@@ -1033,7 +1060,7 @@ object OracleReplicas {
        |b AS (
        |  SELECT source, CAST(FLOOR($totalBudget.0 * w / (SELECT SUM(w) FROM wt)) AS BIGINT) AS src_budget
        |  FROM wt),
-       |sel AS (
+       |sel AS MATERIALIZED (
        |  SELECT doc_id, c.source, ws_tokens, src_budget,
        |    CAST(SUM(ws_tokens) OVER (PARTITION BY c.source
        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
@@ -1049,28 +1076,39 @@ object OracleReplicas {
   private def minhashCtes(numHashes: Int, bands: Int, seed: Long,
       pairCond: String = "a.doc_id < b.doc_id",
       source: String = "documents"): String = {
-    val shingleFnv = fnv64Sql("t[i] || chr(31) || t[i+1] || chr(31)")
-    val sigElems = (0 until numHashes).map { j =>
+    val shingleFnv = fnv64Sql("s")
+    // universal-hash coefficients as a VALUES table instead of 64 inlined
+    // expression columns: the per-(shingle, j) work becomes ONE generic
+    // vectorized HUGEINT expression over the exploded cross product (a
+    // per-doc lambda form ran the whole pass single-threaded inside one
+    // row group and was 7× slower end-to-end); power-of-two mods are
+    // bitwise AND masks (an order of magnitude cheaper than HUGEINT
+    // division, identical on these non-negative values)
+    val coefRows = (0 until numHashes).map { j =>
       val a = GraftHash.splitmix64(seed + 2L * j) | 1L
       val b = GraftHash.splitmix64(seed + 2L * j + 1)
-      val aHi = a >>> 32
-      val aLo = a & 0xffffffffL
-      val tu = s"(((($aHi * x) % 4294967296) * 4294967296 + $aLo * x + ${u(b)}) % $Mod64)"
-      val ts = s"(CASE WHEN $tu >= 9223372036854775808 THEN $tu - 18446744073709551616 ELSE $tu END)"
-      val fm = s"((($ts % $P61) + $P61) % $P61)"
-      s"CAST(list_aggregate(list_transform(xs, x -> $fm), 'min') AS BIGINT)"
-    }
-    val sigList = sigElems.mkString("[", ", ", "]")
+      s"($j, CAST(${a >>> 32} AS HUGEINT), CAST(${a & 0xffffffffL} AS HUGEINT), CAST(${u(b)} AS HUGEINT))"
+    }.mkString(", ")
+    val tu = s"((((ahi * x) & 4294967295) * 4294967296 + alo * x + cb) & CAST(18446744073709551615 AS HUGEINT))"
+    val ts = s"(CASE WHEN tu >= 9223372036854775808 THEN tu - 18446744073709551616 ELSE tu END)"
     val per = numHashes / bands
     val bandCond = (0 until bands)
       .map(b => s"(a.sig[${per * b + 1}:${per * b + per}] = b.sig[${per * b + 1}:${per * b + per}])")
       .mkString(" OR ")
-    s"""toks AS (
+    s"""mhc(j, ahi, alo, cb) AS MATERIALIZED (SELECT * FROM (VALUES $coefRows)),
+       |toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM $source),
-       |sh AS (
-       |  SELECT doc_id, list_transform(range(1, len(t)), i -> $shingleFnv) AS xs
-       |  FROM toks WHERE len(t) > 1),
-       |sigs AS (SELECT doc_id, $sigList AS sig FROM sh),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id, $shingleFnv AS x
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(t)), i -> t[i] || chr(31) || t[i+1] || chr(31))) AS s
+       |        FROM toks WHERE len(t) > 1)),
+       |mhx AS MATERIALIZED (
+       |  SELECT doc_id, j, MIN((($ts % $P61) + $P61) % $P61) AS m
+       |  FROM (SELECT doc_id, j, $tu AS tu FROM sh, mhc)
+       |  GROUP BY doc_id, j),
+       |sigs AS MATERIALIZED (
+       |  SELECT doc_id, list(CAST(m AS BIGINT) ORDER BY j) AS sig FROM mhx GROUP BY doc_id),
        |cand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    len(list_filter(range($numHashes), i -> a.sig[i+1] = b.sig[i+1])) / $numHashes.0 AS est

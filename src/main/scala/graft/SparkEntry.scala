@@ -55,7 +55,8 @@ object SparkEntry {
     "d12_containment" -> ((s, dir) => Dedup.containment(Tables(s, dir))),
     "d13_boilerplate" -> ((s, dir) => Dedup.boilerplate(Tables(s, dir))),
     "d5_dedup_embed" -> ((s, dir) => Dedup.embeddingNearDup(Tables(s, dir))),
-    "d6_dedup_clusters" -> ((s, dir) => Dedup.clusters(Tables(s, dir))),
+    "d6_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Tables(s, dir), oracleRounds = Some(OracleReplicas.PointerJumpIters))),
     "d7_dedup_incremental" -> ((s, dir) => Dedup.minhashIncremental(Tables(s, dir))),
     "d8_semdedup" -> ((s, dir) => Dedup.semDedup(Tables(s, dir))),
     "d9_substring_dedup" -> ((s, dir) => Dedup.substringSpans(Tables(s, dir))),
@@ -93,14 +94,18 @@ object SparkEntry {
     // §2.7 corpus curation
     "dc1_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables(s, dir))),
     "dc2_sample_budget" -> ((s, dir) => Curation.sampleToBudget(Tables(s, dir))),
-    "dc3_canonical" -> ((s, dir) => Curation.canonicalPerCluster(Tables(s, dir))),
+    "dc3_canonical" -> ((s, dir) =>
+      Curation.canonicalPerCluster(Tables(s, dir), oracleRounds = Some(OracleReplicas.PointerJumpIters))),
     "dc4_mixture" -> ((s, dir) => Curation.sampleToMixture(Tables(s, dir))),
     "dc5_decontaminate_bloom" -> ((s, dir) => Curation.decontaminateBloom(Tables(s, dir))),
     "dc6_quality_gate" -> ((s, dir) => Curation.qualityGate(Tables(s, dir))),
     "dc7_contamination_report" -> ((s, dir) => Curation.contaminationReport(Tables(s, dir))),
-    "dc8_semantic_canonical" -> ((s, dir) => Curation.semanticCanonical(Tables(s, dir))),
-    "dc9_full_curation" -> ((s, dir) => Curation.fullCuration(Tables(s, dir))),
-    "dc10_curation_audit" -> ((s, dir) => Curation.fullCurationAudit(Tables(s, dir))),
+    "dc8_semantic_canonical" -> ((s, dir) =>
+      Curation.semanticCanonical(Tables(s, dir), oracleRounds = Some(OracleReplicas.PointerJumpIters))),
+    "dc9_full_curation" -> ((s, dir) =>
+      Curation.fullCuration(Tables(s, dir), oracleRounds = Some(OracleReplicas.PointerJumpIters))),
+    "dc10_curation_audit" -> ((s, dir) =>
+      Curation.fullCurationAudit(Tables(s, dir), oracleRounds = Some(OracleReplicas.PointerJumpIters))),
     "dc11_dsir_select" -> ((s, dir) => Curation.dsirSelect(Tables(s, dir))),
     "dc12_neardup_decontaminate" -> ((s, dir) => Curation.neardupDecontaminate(Tables(s, dir))),
     "dc14_perplexity_gate" -> ((s, dir) => Curation.perplexityGate(Tables(s, dir))),
@@ -130,7 +135,8 @@ object SparkEntry {
     "g1_pagerank" -> ((s, dir) => Graph.pagerank(Tables(s, dir))),
     "g2_triangle_count" -> ((s, dir) => Graph.triangleCounts(Tables(s, dir))),
     "g3_edge_embeddedness" -> ((s, dir) => Graph.edgeEmbeddedness(Tables(s, dir))),
-    "g4_components" -> ((s, dir) => Graph.connectedComponents(Tables(s, dir))),
+    "g4_components" -> ((s, dir) =>
+      Graph.connectedComponents(Tables(s, dir), oracleRounds = Some(G4OracleIters))),
     "g5_personalized_pagerank" -> ((s, dir) => Graph.personalizedPagerank(Tables(s, dir))),
     "g6_hop_distance" -> ((s, dir) => Graph.hopDistance(Tables(s, dir))),
   )
@@ -1395,7 +1401,7 @@ object SparkEntry {
         |FROM est e LEFT JOIN inter i ON i.ta = e.ta AND i.tb = e.tb
         |ORDER BY type_a, type_b""".stripMargin,
     "g1_pagerank" -> g1PagerankSql(iters = 5, topK = 100),
-    "g4_components" -> g4ComponentsSql(iters = 10),
+    "g4_components" -> g4ComponentsSql(iters = G4OracleIters),
     "g5_personalized_pagerank" -> g5PersonalizedSql(iters = 4, topK = 50),
     "g6_hop_distance" -> g6HopSql(maxHops = 6),
     "t17_bm25" ->
@@ -1625,6 +1631,15 @@ object SparkEntry {
        |SELECT node, hops FROM h$maxHops
        |ORDER BY hops, node""".stripMargin
   }
+
+  /** g4's oracle-replay round budget — ONE constant shared by the query
+    * (which asserts the propagation converged within it, see
+    * `Graph.componentsFromEdges`) and the generated CTE chain below, so
+    * the two can never silently drift. Aliases the d6-family chains'
+    * budget: every min-label oracle replay in the gate uses the same
+    * generation count.
+    */
+  private val G4OracleIters = OracleReplicas.PointerJumpIters
 
   /** g4's oracle: min-label propagation WITH pointer jumping replayed
     * as a generated CTE chain (one generation per round), mirroring the

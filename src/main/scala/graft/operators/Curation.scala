@@ -218,8 +218,8 @@ object Curation {
     * to the corpus, quality is a map-side pass, and the argmax shuffles
     * one row per member.
     */
-  def canonicalPerCluster(t: Tables): DataFrame = {
-    val clusters = Dedup.clusters(t)
+  def canonicalPerCluster(t: Tables, oracleRounds: Option[Int] = None): DataFrame = {
+    val clusters = Dedup.clusters(t, oracleRounds = oracleRounds)
     val quality = TextAnalysis.quality(t).select(col("doc_id"), col("quality_score"))
     clusters
       .join(quality, Seq("doc_id"))
@@ -247,10 +247,11 @@ object Curation {
     * shuffles (id, label) rows, quality is one map-side pass, and the
     * argmax is one partial-agg shuffle of (cluster, id, score) rows.
     */
-  def semanticCanonical(t: Tables, minCosine: Double = 0.3): DataFrame = {
+  def semanticCanonical(t: Tables, minCosine: Double = 0.3,
+      oracleRounds: Option[Int] = None): DataFrame = {
     val pairs = Dedup.embeddingPairs(t, minCosine)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    val clusters = Dedup.clustersOfPairs(pairs)
+    val clusters = Dedup.clustersOfPairs(pairs, oracleRounds = oracleRounds)
     val quality = TextAnalysis.quality(t).select(col("doc_id"), col("quality_score"))
     clusters
       .join(quality, Seq("doc_id"))
@@ -403,9 +404,10 @@ object Curation {
   def fullCuration(t: Tables, benchSize: Long = 50, shingleK: Int = 3,
       minShared: Long = 5, totalBudget: Long = 60000, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.5,
-      weight: Column = expr("try_cast(substr(source, 4) as int)") % 3 + 1): DataFrame =
+      weight: Column = expr("try_cast(substr(source, 4) as int)") % 3 + 1,
+      oracleRounds: Option[Int] = None): DataFrame =
     curationStages(t, benchSize, shingleK, minShared, totalBudget, numHashes,
-      bands, threshold, weight).mixture
+      bands, threshold, weight, oracleRounds = oracleRounds).mixture
 
   /** dc10: the attrition audit of [[fullCuration]] — per-stage survivor
     * counts (corpus → quality gate → exact dedup → near-dup → decon →
@@ -425,7 +427,8 @@ object Curation {
   def fullCurationAudit(t: Tables, benchSize: Long = 50, shingleK: Int = 3,
       minShared: Long = 5, totalBudget: Long = 60000, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.5,
-      weight: Column = expr("try_cast(substr(source, 4) as int)") % 3 + 1): DataFrame = {
+      weight: Column = expr("try_cast(substr(source, 4) as int)") % 3 + 1,
+      oracleRounds: Option[Int] = None): DataFrame = {
     // checkpointStages: without it the audit's six count branches would
     // re-run the LSH-pair + propagation stage THREE times (Catalyst does
     // no common-subtree elimination across union branches) — with it,
@@ -433,7 +436,8 @@ object Curation {
     // frame. dc9 itself keeps the checkpoint-free plan: its stages feed
     // exactly one consumer each, so a barrier would only add cost.
     val st = curationStages(t, benchSize, shingleK, minShared, totalBudget,
-      numHashes, bands, threshold, weight, checkpointStages = true)
+      numHashes, bands, threshold, weight, checkpointStages = true,
+      oracleRounds = oracleRounds)
     Seq(
       (0, "corpus", st.corpus),
       (1, "quality_gate", st.gated),
@@ -460,7 +464,8 @@ object Curation {
   private def curationStages(t: Tables, benchSize: Long, shingleK: Int,
       minShared: Long, totalBudget: Long, numHashes: Int,
       bands: Int, threshold: Double, weight: Column,
-      checkpointStages: Boolean = false): CurationStages = {
+      checkpointStages: Boolean = false,
+      oracleRounds: Option[Int] = None): CurationStages = {
     // identity barrier when auditing (multi-consumer stages), no-op for
     // the single-consumer dc9 chain — same logic either way, so the
     // audit still audits exactly the shipped pipeline
@@ -501,7 +506,7 @@ object Curation {
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .filter(sig_agreement(col("sig_a"), col("sig_b")).cast("double") / numHashes >= threshold)
       .select(col("doc_a"), col("doc_b"))
-    val clusters = Dedup.clustersOfPairs(pairs)
+    val clusters = Dedup.clustersOfPairs(pairs, oracleRounds = oracleRounds)
     val keepers = clusters
       .join(s2.select(col("doc_id"), col("quality_score")), Seq("doc_id"))
       .groupBy(col("cluster_id"))

@@ -590,18 +590,32 @@ object Dedup {
     * orchestrates — per-round work is joins/aggregations on the cluster;
     * this is the GraphX/GraphFrames pattern without the dependency.
     */
-  def clusters(t: Tables, maxIter: Int = 100): DataFrame =
+  def clusters(t: Tables, maxIter: Int = 100,
+      oracleRounds: Option[Int] = None): DataFrame =
     // edges from the LSH pair graph — the pair source that scales (d4's
     // exact graph costs Σdf² and is the ground-truth/verify path, not the
     // production one). The propagation is identical for any edge source.
-    clustersOfPairs(minhashLsh(t).select(col("doc_a"), col("doc_b")), maxIter)
+    clustersOfPairs(minhashLsh(t).select(col("doc_a"), col("doc_b")), maxIter,
+      oracleRounds)
 
   /** The d6 propagation over ANY undirected pair graph (doc_a, doc_b) —
     * minhash pairs (d6 itself), embedding-cosine pairs (dc8's semantic
     * clusters), or any candidate source with the same two columns.
+    * `oracleRounds`: the gate's DuckDB oracle replays a FIXED number of
+    * pointer-jumping generations; when set, the operator asserts it
+    * converged within that budget instead of silently assuming it (a
+    * pathological long-chain graph would otherwise surface as a
+    * spurious gate divergence instead of this loud error).
     */
-  def clustersOfPairs(pairGraph: DataFrame, maxIter: Int = 100): DataFrame =
-    clustersOfPairsCounted(pairGraph, maxIter)._1
+  def clustersOfPairs(pairGraph: DataFrame, maxIter: Int = 100,
+      oracleRounds: Option[Int] = None): DataFrame = {
+    val (df, rounds) = clustersOfPairsCounted(pairGraph, maxIter)
+    oracleRounds.foreach(b => require(rounds <= b,
+      s"min-label propagation ran $rounds rounds > the oracle's " +
+        s"$b-generation replay budget — regenerate the pointer-jump chain " +
+        "with more iters (OracleReplicas.PointerJumpIters)"))
+    df
+  }
 
   /** [[clustersOfPairs]] plus the number of propagation rounds actually
     * run — the observable the adversarial convergence spec pins: pointer
@@ -809,6 +823,7 @@ object Dedup {
       .select(col("doc_id"),
         substring(trim(lower(col("text"))), 1, prefixLen).as("p"))
       .withColumn("blk", split_part(col("p"), lit(" "), lit(1)))
+      .localCheckpoint(true) // feeds the hot-block guard and BOTH join sides
     maxBlock.foreach { m =>
       val hot = pre.groupBy(col("blk")).agg(count(lit(1)).as("n"))
         .filter(col("n") > m).orderBy(col("n").desc).limit(1).collect()

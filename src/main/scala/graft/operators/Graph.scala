@@ -319,16 +319,26 @@ object Graph {
     * loop — they attach in a final map-side coalesce, so the iteration
     * cost scales with EDGE-connected vertices only.
     */
-  def connectedComponents(t: Tables): DataFrame =
+  def connectedComponents(t: Tables, oracleRounds: Option[Int] = None): DataFrame =
     componentsFromEdges(copurchaseEdges(t),
-      t.lineitem.select(col("l_partkey").as("node")).distinct())
+      t.lineitem.select(col("l_partkey").as("node")).distinct(), oracleRounds)
 
   /** g4 over any undirected edge list + node universe — exposed for
-    * crafted-graph specs.
+    * crafted-graph specs. `oracleRounds`: the gate's DuckDB oracle
+    * replays a FIXED number of pointer-jumping generations; when set,
+    * the operator asserts it converged within that budget (the round
+    * count `clustersOfPairsCounted` exposes) instead of silently
+    * assuming it — on a pathological long-chain graph the fixed-budget
+    * oracle would otherwise report a spurious divergence.
     */
-  def componentsFromEdges(und: DataFrame, nodes: DataFrame): DataFrame = {
-    val labeled = Dedup.clustersOfPairs(
+  def componentsFromEdges(und: DataFrame, nodes: DataFrame,
+      oracleRounds: Option[Int] = None): DataFrame = {
+    val (clusters, rounds) = Dedup.clustersOfPairsCounted(
       und.select(col("src").as("doc_a"), col("dst").as("doc_b")))
+    oracleRounds.foreach(b => require(rounds <= b,
+      s"g4 propagation ran $rounds rounds > the oracle's $b-generation " +
+        "replay budget — regenerate g4ComponentsSql with more iters"))
+    val labeled = clusters
       .select(col("doc_id").as("node"), col("cluster_id").as("cid"))
     nodes
       .join(labeled, Seq("node"), "left")

@@ -5,7 +5,7 @@ parquet output plus oracle_sql.json, executes the oracle SQL in DuckDB
 against the same testdata parquet tables, sorts columns by name and rows
 by value, and compares. Dev tool only — not part of the Spark library.
 """
-import json, sys, glob, os
+import json, sys, glob, os, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -26,6 +26,7 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
+        t0 = time.time()
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
@@ -52,7 +53,7 @@ def main(sf_dir, out_dir):
         dt_mine = [str(d) for d in mine.dtypes]
         dt_ref = [str(d) for d in ref.dtypes]
         note = "" if dt_mine == dt_ref else f"  [dtype diff: {list(zip(mine.columns, dt_mine, dt_ref))}]"
-        print(f"PASS {name} ({len(mine)} rows){note}")
+        print(f"PASS {name} ({len(mine)} rows, {time.time()-t0:.1f}s){note}")
         n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
