@@ -63,6 +63,7 @@ object SparkEntry {
     "d10_substring_incremental" -> ((s, dir) => Dedup.substringSpansIncremental(Tables(s, dir))),
     "d11_url_dedup" -> ((s, dir) => Urls.urlDedup(Tables(s, dir))),
     "d14_fuzzy_join" -> ((s, dir) => Dedup.fuzzyJoin(Tables(s, dir))),
+    "d15_shingle_novelty" -> ((s, dir) => Dedup.shingleNovelty(Tables(s, dir))),
     // §2.3 similarity search
     "s1_ann_brute" -> ((s, dir) => Similarity.bruteForce(Tables(s, dir))),
     "s2_ann_ivf" -> ((s, dir) => Similarity.ivf(Tables(s, dir))),
@@ -90,6 +91,7 @@ object SparkEntry {
     "t16_pmi_collocations" -> ((s, dir) => TextAnalysis.pmiCollocations(Tables(s, dir))),
     "t17_bm25" -> ((s, dir) => TextAnalysis.bm25(Tables(s, dir))),
     "t18_zipf" -> ((s, dir) => TextAnalysis.zipfFit(Tables(s, dir))),
+    "t19_kl_drift" -> ((s, dir) => TextAnalysis.klDrift(Tables(s, dir))),
     "s7_hybrid_rrf" -> ((s, dir) => Similarity.hybridRrf(Tables(s, dir))),
     // §2.7 corpus curation
     "dc1_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables(s, dir))),
@@ -110,6 +112,7 @@ object SparkEntry {
     "dc12_neardup_decontaminate" -> ((s, dir) => Curation.neardupDecontaminate(Tables(s, dir))),
     "dc14_perplexity_gate" -> ((s, dir) => Curation.perplexityGate(Tables(s, dir))),
     "dc15_stratified_sample" -> ((s, dir) => Curation.stratifiedSample(Tables(s, dir))),
+    "dc16_language_balance" -> ((s, dir) => Curation.languageBalance(Tables(s, dir))),
     // §2.5 multimodal plumbing
     "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
     "m4_payload_stats" -> ((s, dir) => Multimodal.payloadStats(Tables(s, dir))),
@@ -139,6 +142,8 @@ object SparkEntry {
       Graph.connectedComponents(Tables(s, dir), oracleRounds = Some(G4OracleIters))),
     "g5_personalized_pagerank" -> ((s, dir) => Graph.personalizedPagerank(Tables(s, dir))),
     "g6_hop_distance" -> ((s, dir) => Graph.hopDistance(Tables(s, dir))),
+    "g7_label_communities" -> ((s, dir) => Graph.labelCommunities(Tables(s, dir))),
+    "s8_range_search" -> ((s, dir) => Similarity.rangeSearch(Tables(s, dir))),
   )
 
   import OracleReplicas.{fnv64Sql, signed64, jhashSql, signed32, charBytes}
@@ -337,6 +342,25 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id, ROUND(cosf, 6) AS cos
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // s8: s1's cosine replay with the rank window replaced by the
+    // threshold filter (applied on the UNROUNDED value, matching the
+    // Spark filter — the d5 discipline)
+    "s8_range_search" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT query_id, vec_id AS match_id, unnest(qe) AS x, unnest(embedding) AS y
+        |  FROM q CROSS JOIN embeddings WHERE vec_id <> query_id),
+        |scored AS (
+        |  SELECT query_id, match_id,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |  FROM pairs GROUP BY query_id, match_id)
+        |SELECT query_id, match_id,
+        |  ROUND(CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END, 6) AS cos
+        |FROM scored
+        |WHERE (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END) >= 0.2
+        |ORDER BY query_id, cos DESC, match_id""".stripMargin,
     "d4_ngram_jaccard" ->
       (s"WITH $jaccardCtes\n" +
         "SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM j WHERE jac >= 0.3 ORDER BY doc_a, doc_b"),
@@ -585,6 +609,28 @@ object SparkEntry {
     "dc12_neardup_decontaminate" -> OracleReplicas.dc12NeardupDecontaminate(),
     "d9_substring_dedup" -> OracleReplicas.d9SubstringSpans(),
     "d13_boilerplate" -> OracleReplicas.d13Boilerplate(),
+    // d15: text-shingle replica (FNV hashing is distinctness-preserving
+    // on this corpus — the dc1/dc9 shingle-oracle precedent)
+    "d15_shingle_novelty" ->
+      """WITH dsh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |          FROM documents) z
+        |    WHERE len(t) >= 3) y),
+        |dfc AS (SELECT shingle, COUNT(*) AS sdf FROM dsh GROUP BY shingle),
+        |pd AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh,
+        |    SUM(CASE WHEN sdf = 1 THEN 1 ELSE 0 END) AS novel
+        |  FROM dsh JOIN dfc USING (shingle) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n_sh, 0) AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(novel, 0) AS BIGINT) AS novel_shingles,
+        |  CASE WHEN COALESCE(n_sh, 0) = 0 THEN 0.0
+        |       ELSE ROUND(CAST(novel AS DOUBLE) / n_sh, 4) END AS novelty_frac
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "d10_substring_incremental" -> OracleReplicas.d10SubstringIncremental(),
     // d11: the synthesized crawl-noise URL (host case, www., default
     // port, shuffled tracking params, fragment, trailing slash) and its
@@ -883,32 +929,12 @@ object SparkEntry {
         |GROUP BY md5(text)
         |ORDER BY content_hash""".stripMargin,
     "t1_langid" ->
-      """WITH scored AS (
-        |  SELECT doc_id, lang,
-        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |        x -> list_contains(['der','die','und','das','ist','ein','den','von','zu','mit'], x))) AS s_de,
-        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |        x -> list_contains(['the','and','of','to','in','is','a','on','for','with'], x))) AS s_en,
-        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |        x -> list_contains(['el','la','de','que','y','en','los','del','las','un'], x))) AS s_es,
-        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |        x -> list_contains(['le','la','de','et','les','des','un','une','du','est'], x))) AS s_fr
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CASE
-        |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
-        |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
-        |    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
-        |    WHEN s_fr > 0 THEN 'fr'
-        |    ELSE 'und' END AS pred_lang,
-        |  (CASE
-        |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
-        |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
-        |    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
-        |    WHEN s_fr > 0 THEN 'fr'
-        |    ELSE 'und' END = lang) AS is_match
-        |FROM scored
-        |ORDER BY doc_id""".stripMargin,
+      (s"WITH $langScoredCte\n" +
+        s"""SELECT doc_id,
+           |  $langCaseSql AS pred_lang,
+           |  ($langCaseSql = lang) AS is_match
+           |FROM scored
+           |ORDER BY doc_id""".stripMargin),
     "t2_quality" ->
       """WITH base AS (
         |  SELECT doc_id,
@@ -1051,6 +1077,25 @@ object SparkEntry {
         |  FROM orders) z
         |GROUP BY o_orderpriority, decile
         |ORDER BY o_orderpriority, decile""".stripMargin,
+    // dc16: t1's replayed prediction rule feeding dc4's window machinery
+    // with equal per-language weights
+    "dc16_language_balance" ->
+      (s"WITH $langScoredCte,\n" +
+        s"""lg AS (SELECT doc_id, ws_tokens, $langCaseSql AS pred_lang FROM scored),
+           |wt AS (SELECT pred_lang, 1.0 AS w FROM (SELECT DISTINCT pred_lang FROM lg) z),
+           |b AS (
+           |  SELECT pred_lang,
+           |    CAST(FLOOR(12000.0 * w / (SELECT SUM(w) FROM wt)) AS BIGINT) AS lang_budget
+           |  FROM wt),
+           |s AS (
+           |  SELECT doc_id, lg.pred_lang, ws_tokens, lang_budget,
+           |    CAST(SUM(ws_tokens) OVER (PARTITION BY lg.pred_lang
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           |  FROM lg JOIN b USING (pred_lang))
+           |SELECT doc_id, pred_lang, ws_tokens, cum_tokens, lang_budget FROM s
+           |WHERE cum_tokens <= lang_budget
+           |ORDER BY pred_lang, cum_tokens""".stripMargin),
     // d14: plain levenshtein ≤ maxDist in the oracle equals the
     // operator's threshold-bounded variant's kept set exactly
     "d14_fuzzy_join" ->
@@ -1087,6 +1132,26 @@ object SparkEntry {
         |  ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope,
         |  ROUND((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6) AS intercept
         |FROM sums""".stripMargin,
+    // t19: ln factor rounded 8 dp, per-token term 10 dp, DECIMAL(28,12)
+    // accumulation (the t18 discipline) — order-free both sides
+    "t19_kl_drift" ->
+      """WITH st AS MATERIALIZED (
+        |  SELECT source, token, COUNT(*) AS c_st FROM (
+        |    SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) z
+        |  WHERE token <> '' GROUP BY source, token),
+        |ns AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source),
+        |ct AS (SELECT token, SUM(c_st) AS c_t FROM st GROUP BY token),
+        |tot AS (SELECT SUM(c_st) AS n FROM st),
+        |terms AS (
+        |  SELECT st.source, n_s,
+        |    ROUND((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+        |      ROUND(ln((CAST(c_st AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |        (CAST(n_s AS DOUBLE) * CAST(c_t AS DOUBLE))), 8), 10) AS term
+        |  FROM st JOIN ns USING (source) JOIN ct USING (token) CROSS JOIN tot)
+        |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_divergence
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     // dc14: the threshold compares t12's already-rounded score; kept
     // scores sum as DECIMAL(18,6) so the mean is order-free both sides
     "dc14_perplexity_gate" ->
@@ -1404,6 +1469,7 @@ object SparkEntry {
     "g4_components" -> g4ComponentsSql(iters = G4OracleIters),
     "g5_personalized_pagerank" -> g5PersonalizedSql(iters = 4, topK = 50),
     "g6_hop_distance" -> g6HopSql(maxHops = 6),
+    "g7_label_communities" -> g7CommunitiesSql(rounds = 4),
     "t17_bm25" ->
       (s"WITH ${bm25Ctes(graft.operators.TextAnalysis.Bm25QueryTerms)}\n" +
         """SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
@@ -1614,6 +1680,64 @@ object SparkEntry {
     * fixed `maxHops` rounds by CONTRACT (identical in both engines, no
     * convergence detection), each one neighbor join + node-keyed min.
     */
+  /** t1's stopword-vote CTE + prediction CASE, shared by the t1 oracle
+    * and dc16's language-balanced sampler so the replayed rule exists
+    * exactly once (lists mirror `TextAnalysis.Stopwords`).
+    */
+  private val langScoredCte: String =
+    """scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        x -> list_contains(['der','die','und','das','ist','ein','den','von','zu','mit'], x))) AS s_de,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        x -> list_contains(['the','and','of','to','in','is','a','on','for','with'], x))) AS s_en,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        x -> list_contains(['el','la','de','que','y','en','los','del','las','un'], x))) AS s_es,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        x -> list_contains(['le','la','de','et','les','des','un','une','du','est'], x))) AS s_fr
+      |  FROM documents)""".stripMargin
+
+  private val langCaseSql: String =
+    """CASE
+      |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+      |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+      |    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+      |    WHEN s_fr > 0 THEN 'fr'
+      |    ELSE 'und' END""".stripMargin
+
+  /** g7's oracle: the fixed-round synchronous label propagation
+    * replayed as a generated CTE chain (one (count, argmax) pair per
+    * round), mirroring [[graft.operators.Graph.labelCommunities]] —
+    * neighbor-label frequency vote, ties to the smallest label, seed
+    * labels = node ids. Fixed rounds both sides ⇒ equality by
+    * construction (the g6 contract). CTEs are MATERIALIZED: each
+    * generation is referenced by both the count and the next round.
+    */
+  private def g7CommunitiesSql(rounds: Int): String = {
+    val gens = (1 to rounds).map { i =>
+      s"""lc$i AS MATERIALIZED (
+         |  SELECT e.src AS node, l.label, COUNT(*) AS c
+         |  FROM edges e JOIN lp${i - 1} l ON l.node = e.dst
+         |  GROUP BY e.src, l.label),
+         |lp$i AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+         |    FROM lc$i) z
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |verts AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |lp0 AS MATERIALIZED (SELECT node, node AS label FROM verts),
+       |$gens,
+       |sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+       |          FROM lp$rounds GROUP BY label)
+       |SELECT l.node AS part_key, l.label AS community_id, s.community_size
+       |FROM lp$rounds l JOIN sizes s USING (label)
+       |ORDER BY community_id, part_key""".stripMargin
+  }
+
   private def g6HopSql(maxHops: Int): String = {
     val rounds = (1 to maxHops).map { i =>
       s"""h$i AS MATERIALIZED (

@@ -281,6 +281,29 @@ object Curation {
         size(ws_tokens(col("text"))).cast("long").as("ws_tokens")),
       totalBudget, weight)
 
+  /** dc16: LANGUAGE-balanced sampling — dc4's deterministic
+    * budget-and-cut machinery stratified by t1's PREDICTED language
+    * instead of the ingest source: every predicted language gets an
+    * equal floor(budget/n_langs) token share, filled by the same
+    * md5-priority greedy prefix. The multilingual-pretraining staple
+    * (raw crawls are English-dominated; the training mixture is not) —
+    * and the strata come from a MODEL of the data rather than its
+    * provenance metadata, which is the usual production twist on dc4.
+    *
+    * Scale shape: dc4's exactly — language ID and token counts are one
+    * map-side projection (shared rule, [[TextAnalysis.langSignals]]),
+    * the per-language budget table is enum-sized and broadcast, and only
+    * (doc_id, lang, count) rows enter the per-stratum window.
+    */
+  def languageBalance(t: Tables, totalBudget: Long = 12000): DataFrame =
+    mixtureOf(
+      TextAnalysis.langSignals(t)
+        .select(col("doc_id"), col("pred_lang").as("source"),
+          size(col("toks")).cast("long").as("ws_tokens")),
+      totalBudget, lit(1.0))
+      .withColumnRenamed("source", "pred_lang")
+      .withColumnRenamed("src_budget", "lang_budget")
+
   /** dc4's core over an explicit `(doc_id, source, ws_tokens)` frame —
     * shared with the composed pipeline ([[fullCuration]]'s final stage).
     */

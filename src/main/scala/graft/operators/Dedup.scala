@@ -429,6 +429,43 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d15: per-doc shingle NOVELTY — the dual of d13's boilerplate
+    * coverage: the fraction of a document's DISTINCT k-shingles that
+    * appear in NO other document (corpus doc-frequency 1). High novelty
+    * marks genuinely fresh content; a novelty collapse across an ingest
+    * batch is the earliest template-flood/dup-leak signal, and the
+    * per-doc score is the memorization-risk complement dedup thresholds
+    * are tuned against. Docs with fewer than k tokens have no shingles
+    * and score 0 over 0 → novelty 0.0 (explicit, not NULL).
+    *
+    * Scale shape: d13's exactly — text dies at the map-side shingle
+    * hash; one (doc, h) distinct + one (h) df aggregation + the join
+    * back, all on compact (h, doc_id) longs; no pair term anywhere (the
+    * corpus-frequency question, not d9's which-pair question). The df
+    * join is un-hinted: the df table is vocabulary-sized and AQE
+    * broadcasts it only when it measures small.
+    */
+  def shingleNovelty(t: Tables, k: Int = 3): DataFrame = {
+    val dsh = tokenized(t)
+      .filter(size(col("tokens")) >= k)
+      .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("tokens"), k))).as("h"))
+      .localCheckpoint(true) // feeds the df count and the join back
+    val df = dsh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val perDoc = dsh.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel_shingles"))
+    t.documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("novel_shingles"), lit(0L)).as("novel_shingles"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("novel_shingles").cast("double") /
+            col("n_shingles"), 4)).as("novelty_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def substringSpans(t: Tables, k: Int = 8, minSpanTokens: Int = 16,
       maxDf: Option[Long] = None): DataFrame = {
     val psh0 = tokenized(t)

@@ -201,6 +201,52 @@ object Graph {
     }
   }
 
+  /** g7: deterministic label-propagation communities (Raghavan et al.
+    * 2007, the synchronous form made engine-exact): every node's next
+    * label is the MOST FREQUENT label among its neighbors (ties → the
+    * smallest label value), run for a FIXED `rounds` rounds — g6's
+    * fixed-round contract, so equality with the replayed oracle holds
+    * by construction and synchronous LPA's possible label oscillation
+    * needs no convergence-detection asymmetry. Seed labels are node
+    * ids; only edge-connected vertices participate (the d6/g4
+    * convention). Communities are the densely-linked part clusters the
+    * co-purchase graph's components are too coarse to show.
+    *
+    * Scale shape: per round ONE ranks-sized join against the edge list
+    * + a (node, label) count + a node-keyed argmax — compact longs
+    * shuffle, never adjacency lists; the label table is node-sized and
+    * the argmax is `max_by` partial aggregation (no per-node sort).
+    */
+  def labelCommunities(t: Tables, rounds: Int = 4): DataFrame =
+    labelCommunitiesFromEdges(copurchaseEdges(t), rounds)
+
+  /** g7 over any undirected edge list — exposed for crafted-graph
+    * specs.
+    */
+  def labelCommunitiesFromEdges(und: DataFrame, rounds: Int): DataFrame = {
+    val edges = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(eager = true)
+    var i = 0
+    while (i < rounds) {
+      labels = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(edges("src"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max_by(col("label"), struct(col("c"), (-col("label")).as("nl"))).as("label"))
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint(eager = true)
+      i += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("node").as("part_key"), col("label").as("community_id"),
+        col("community_size"))
+      .orderBy(col("community_id"), col("part_key"))
+  }
+
   /** One personalized round: neighbor contributions (g1's floor
     * arithmetic) plus teleport to the SEED ONLY, folded in one
     * node-keyed sum. The seed row rides as a union so the seed exists

@@ -41,6 +41,33 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s8: RANGE (radius) search — every corpus vector within cosine ≥
+    * `minCos` of each query, the THRESHOLD-query twin of s1's top-k:
+    * dedup sweeps, recall audits and "everything this similar" retrieval
+    * want the full admissible set, not a fixed k. Exact by construction
+    * (the s1 kernel with the rank window replaced by the threshold
+    * filter), so the oracle is a direct cosine replay; per-query hit
+    * counts vary and a `rank` would hide that — matches order by score
+    * under each query instead.
+    *
+    * Scale shape: s1's — the tiny query set broadcasts, the corpus
+    * STREAMS through the codegen'd cosine kernel map-side and only
+    * threshold survivors (plus the per-query presentation sort of that
+    * survivor set) ever shuffle. At 100 TB the same threshold probe
+    * runs against the s2 IVF cells (radius-bounded probe set) — the
+    * exact form here is also that path's verify stage.
+    */
+  def rangeSearch(t: Tables, nQueries: Int = 10, minCos: Double = 0.2): DataFrame = {
+    val corpus = t.embeddings.select(col("vec_id").as("match_id"), col("embedding"))
+    querySet(t, nQueries)
+      .crossJoin(corpus)
+      .filter(col("query_id") =!= col("match_id"))
+      .withColumn("cos", cosine_sim(col("query_emb"), col("embedding")))
+      .filter(col("cos") >= minCos)
+      .select(col("query_id"), col("match_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("cos").desc, col("match_id"))
+  }
+
   /** Quantization scale for centroid arithmetic: 2^12 (power of two, so
     * the float→scaled-long mapping is exact IEEE and engine-portable).
     * Chosen so every cosine intermediate in the k-means build is an

@@ -46,7 +46,11 @@ object TextAnalysis {
     * per-language stopword hit counts with fixed preference order; 'und'
     * when no evidence. `is_match` compares to the corpus label.
     */
-  def langId(t: Tables): DataFrame =
+  /** t1's per-doc language signals with the token array kept — shared by
+    * [[langId]] and dc16's language-balanced sampler so the prediction
+    * rule exists exactly once.
+    */
+  private[graft] def langSignals(t: Tables): DataFrame =
     t.documents
       .withColumn("toks", tokensCol)
       .withColumn("s_de", stopHits("de"))
@@ -59,6 +63,9 @@ object TextAnalysis {
           .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
           .when(col("s_fr") > 0, "fr")
           .otherwise("und"))
+
+  def langId(t: Tables): DataFrame =
+    langSignals(t)
       .select(col("doc_id"), col("pred_lang"),
         (col("pred_lang") === col("lang")).as("is_match"))
       .orderBy(col("doc_id"))
@@ -538,6 +545,55 @@ object TextAnalysis {
         round((col("sy") - ((col("k") * col("sxy") - col("sx") * col("sy")) /
           (col("k") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("k"), 6)
           .as("intercept"))
+  }
+
+  /** t19: per-source distribution drift — KL(source ‖ corpus) over the
+    * whitespace-unigram distributions: Σ_tok p_s(tok)·ln(p_s(tok)/q(tok))
+    * with p_s = c_st/N_s and q = c_t/N. The corpus-health monitor a
+    * training-data pipeline runs per ingest source: a source whose token
+    * distribution drifts from the blend (new boilerplate, language mix
+    * shift, scraper breakage) spikes its KL before any downstream metric
+    * moves. Every source token is in the corpus by construction, so q is
+    * never zero and KL is finite.
+    *
+    * Cross-engine determinism (the t18/dc14 discipline): the ln factor
+    * is ROUNDED at 8 dp, the per-token term at 10 dp, terms accumulate
+    * as DECIMAL(28,12) — exact and order-free — and the final divergence
+    * rounds at 6 dp.
+    *
+    * Scale shape: raw text dies at the ONE (source, token) partial
+    * aggregation; everything after re-aggregates that vocabulary-sized
+    * frame (checkpointed once, three consumers) — per-source totals are
+    * enum-sized and broadcast, the corpus token margin is a
+    * vocabulary-keyed join AQE resolves, and the final sum shuffles one
+    * row per (source, token). The corpus never shuffles past the first
+    * partial agg.
+    */
+  def klDrift(t: Tables): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)
+    val st = t.documents
+      .select(col("source"), explode(tokensCol).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(true) // vocabulary-sized; feeds totals, margin, join
+    val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val tokTot = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val total = st.agg(sum(col("c_st")).as("n"))
+    st
+      .join(tokTot, Seq("token"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_s"),
+        round(
+          (col("c_st").cast("double") / col("n_s").cast("double")) *
+            round(log((col("c_st").cast("double") * col("n").cast("double")) /
+              (col("n_s").cast("double") * col("c_t").cast("double"))), 8),
+          10).as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        round(sum(col("term").cast(dec)).cast("double"), 6).as("kl_divergence"))
+      .orderBy(col("source"))
   }
 
   /** BM25 parameters (Robertson/Spärck Jones; the Lucene-default

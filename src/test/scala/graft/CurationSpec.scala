@@ -375,4 +375,39 @@ class CurationSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("dc16 language balance: equal budgets, greedy md5 prefix per language, binding cut") {
+    import graft.operators.TextAnalysis
+    val rows = Curation.languageBalance(t).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("pred_lang"),
+        r.getAs[Long]("ws_tokens"), r.getAs[Long]("cum_tokens"), r.getAs[Long]("lang_budget")))
+    assert(rows.nonEmpty)
+    // every predicted language present in the corpus gets the SAME budget
+    val langs = TextAnalysis.langId(t).collect().map(_.getAs[String]("pred_lang")).distinct
+    val budgets = rows.map(_._5).distinct
+    assert(budgets.length == 1 && budgets.head == 12000L / langs.length,
+      s"equal floor(budget/n_langs) share, got $budgets for ${langs.length} langs")
+    // the cut binds: not every doc survives, and cums respect the budget
+    assert(rows.length < t.documents.count())
+    assert(rows.forall { case (_, _, _, cum, b) => cum <= b })
+    // per language: selected docs are exactly the greedy md5-priority
+    // prefix of that language's docs
+    val byLang = TextAnalysis.langId(t).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang"))
+    val toks = t.documents.select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def md5(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val selected = rows.map(r => (r._1, r._2)).toSet
+    byLang.groupBy(_._2).foreach { case (lang, docs) =>
+      val budget = 12000L / langs.length
+      var cum = 0L
+      docs.map(_._1).sortBy(id => (md5(id.toString), id)).foreach { id =>
+        cum += toks(id)
+        assert(selected.contains((id, lang)) == (cum <= budget),
+          s"doc $id in $lang: greedy prefix membership")
+      }
+    }
+  }
 }

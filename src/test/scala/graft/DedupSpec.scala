@@ -498,4 +498,89 @@ class DedupSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("hot") && e.getMessage.contains("quadratic"))
   }
+
+  // ---------------------------------------------------------------- d15
+
+  test("d15 shingle novelty matches a brute-force text-shingle recompute on the corpus") {
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(s: String): Set[Seq[String]] = {
+      val toks = s.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty else toks.sliding(3).map(_.toSeq).toSet
+    }
+    val perDoc = docs.map { case (id, s) => id -> shingles(s) }
+    val df = perDoc.values.flatten
+      .groupBy(identity).map { case (sh, o) => sh -> o.size }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = perDoc.map { case (id, sh) =>
+      val novel = sh.count(df(_) == 1).toLong
+      id -> ((sh.size.toLong, novel,
+        if (sh.isEmpty) 0.0 else r4(novel.toDouble / sh.size)))
+    }
+    val got = Dedup.shingleNovelty(t).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._3 > 0) && got.values.exists(_._3 < 1),
+      "the corpus exercises both novel and shared shingles")
+  }
+
+  test("d15: sub-k docs score explicit zero, a pure-duplicate pair scores zero novelty") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("d15crafted").toString
+    Seq(
+      (0L, "alpha beta gamma delta", "en", "s", 20L), // "b g d" novel, "a b g" shared w/ 1
+      (1L, "alpha beta gamma", "en", "s", 15L),       // its one shingle shared with 0
+      (2L, "tiny", "en", "s", 4L),                    // < k tokens: 0 shingles
+      (3L, "x y z w", "en", "s", 7L),
+      (4L, "x y z w", "en", "s", 7L))                 // exact dup of 3: novelty 0
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.shingleNovelty(Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((2L, 1L, 0.5)) && got(1L) == ((1L, 0L, 0.0)))
+    assert(got(2L) == ((0L, 0L, 0.0)), "sub-k doc is present with explicit zeros")
+    assert(got(3L) == ((2L, 0L, 0.0)) && got(4L) == ((2L, 0L, 0.0)),
+      "exact duplicates annihilate each other's novelty")
+  }
+
+  // ---------------------------------------------------------------- s8
+
+  test("s8 range search equals a driver-side cosine threshold recompute") {
+    val embs = t.embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val expected = (for {
+      (q, qe) <- embs.toSeq if q < 10
+      (m, me) <- embs.toSeq if m != q
+      c = cos(qe, me) if c >= 0.2
+    } yield (q, m)).toSet
+    val got = Similarity.rangeSearch(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "the threshold admits matches on this corpus")
+    // presentation order: per query, cosine descending
+    val rows = Similarity.rangeSearch(t).collect()
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val cs = g.map(_.getAs[Double]("cos"))
+      assert(cs.sameElements(cs.sortBy(-(_: Double))))
+    }
+  }
+
+  test("s8: a higher threshold returns a subset of a lower one") {
+    val lo = Similarity.rangeSearch(t, minCos = 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hi = Similarity.rangeSearch(t, minCos = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hi.subsetOf(lo) && hi.size < lo.size)
+  }
 }

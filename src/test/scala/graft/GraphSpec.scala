@@ -155,4 +155,45 @@ class GraphSpec extends SparkSpecBase {
     assert(out.nonEmpty)
     out.foreach { case (n, cid) => assert(cid == find(n), s"node $n component") }
   }
+
+  /** Driver-side replay of g7's exact vote rule: next label = most
+    * frequent among neighbors, ties → smallest label, fixed rounds.
+    */
+  private def lpaSim(pairs: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val nbrs = (pairs ++ pairs.map(_.swap))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var labels = nbrs.keys.map(n => n -> n).toMap
+    (1 to rounds).foreach { _ =>
+      labels = nbrs.map { case (n, ns) =>
+        val votes = ns.map(labels).groupBy(identity)
+          .map { case (l, o) => (l, o.size) }
+        n -> votes.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }
+    }
+    labels
+  }
+
+  test("g7: two cliques over a bridge separate into two communities; sizes are right") {
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val out = Graph.labelCommunitiesFromEdges(g, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byNode = out.map { case (n, c, _) => n -> c }.toMap
+    assert(byNode == lpaSim(Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)), 4))
+    assert(Set(byNode(1L), byNode(2L), byNode(3L)).size == 1, "left clique agrees")
+    assert(Set(byNode(10L), byNode(11L), byNode(12L)).size == 1, "right clique agrees")
+    assert(byNode(1L) != byNode(10L), "the bridge does not merge the cliques")
+    assert(out.forall { case (_, c, s) => s == byNode.values.count(_ == c) },
+      "community_size counts members")
+  }
+
+  test("g7: co-purchase communities match the driver-side vote replay") {
+    val t = graft.sources.Tables(spark, sfDir)
+    val es = Graph.copurchaseEdges(t).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = lpaSim(es, 4)
+    val got = Graph.labelCommunities(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }

@@ -36,7 +36,16 @@ class PlanAuditSpec extends SparkSpecBase {
     "t17_bm25",
     // dc14: inherits t12's 1-row corpus-total attach (the gate itself
     // adds only a co-keyed join + counters)
-    "dc14_perplexity_gate")
+    "dc14_perplexity_gate",
+    // t19: the 1-row corpus-token total attaches to the vocabulary-sized
+    // (source, token) frame
+    "t19_kl_drift",
+    // s8: s1's query-set crossJoin — the 10-row query side broadcasts,
+    // the corpus streams through the cosine kernel
+    "s8_range_search",
+    // dc16: dc4's 1-row total-weight attach to the enum-sized language
+    // budget table
+    "dc16_language_balance")
 
   test("no query plan contains a CartesianProduct; BNLJ only where declared scalar-attach") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

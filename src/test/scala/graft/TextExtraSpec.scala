@@ -394,4 +394,40 @@ class TextExtraSpec extends SparkSpecBase {
     // least one row carries both ranks
     assert(rows.exists(r => !r.isNullAt(r.fieldIndex("r_vec")) && !r.isNullAt(r.fieldIndex("r_text"))))
   }
+
+  // --------------------------------------------------------------- t19
+
+  test("t19 KL drift matches hand-computed divergence on a crafted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t19crafted").toString
+    Seq(
+      (0L, "a a b", "en", "src0", 5L),
+      (1L, "b c", "en", "src1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // src0: a:2 b:1 (n_s=3); src1: b:1 c:1 (n_s=2); corpus: a:2 b:2 c:1 (N=5)
+    def rd(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def term(cst: Long, ns: Long, ct: Long, n: Long): Double =
+      rd(cst.toDouble / ns.toDouble *
+        rd(math.log(cst.toDouble * n.toDouble / (ns.toDouble * ct.toDouble)), 8), 10)
+    val exp0 = rd(term(2, 3, 2, 5) + term(1, 3, 2, 5), 6)
+    val exp1 = rd(term(1, 2, 2, 5) + term(1, 2, 1, 5), 6)
+    val got = TextAnalysis.klDrift(Tables(spark, dir)).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("kl_divergence"))).toMap
+    assert(got == Map("src0" -> ((3L, exp0)), "src1" -> ((2L, exp1))))
+    assert(exp0 > 0 && exp1 > 0, "drifted sources diverge strictly")
+  }
+
+  test("t19 KL drift is zero when one source IS the corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t19single").toString
+    Seq((0L, "x y z x", "en", "only", 7L), (1L, "y x", "en", "only", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.klDrift(Tables(spark, dir)).collect()
+    assert(rows.length == 1 && rows(0).getAs[Double]("kl_divergence") == 0.0 &&
+      rows(0).getAs[Long]("n_tokens") == 6L)
+  }
 }
