@@ -471,6 +471,40 @@ object OracleReplicas {
     */
   def s2Ivf(nQueries: Int = 10, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
       iters: Int = 2, scale: Long = 4096): String = {
+    val cosOf = "CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END"
+    s"""WITH ${s2IvfCtes(nQueries, nlist, nprobe, iters, scale)},
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    ($cosOf) AS cosf,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ($cosOf) DESC, neighbor_id) AS INT) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, neighbor_id, ROUND(cosf, 6) AS cos
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** s9: the s2 chain with the rank tail swapped for the radius
+    * threshold (applied on the UNROUNDED cosine — the d5/s8 discipline),
+    * mirroring [[graft.operators.Similarity.ivfRange]]: the oracle
+    * replays the SAME cell pruning, so the admitted set is pinned
+    * exactly, recall trade included.
+    */
+  def s9IvfRange(nQueries: Int = 10, minCos: Double = 0.2, nlist: Int = 16,
+      nprobe: Int = 4, iters: Int = 2, scale: Long = 4096): String = {
+    val cosOf = "CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END"
+    s"""WITH ${s2IvfCtes(nQueries, nlist, nprobe, iters, scale)}
+       |SELECT query_id, neighbor_id AS match_id, ROUND(cosf, 6) AS cos
+       |FROM (SELECT query_id, neighbor_id, ($cosOf) AS cosf FROM sc) z
+       |WHERE cosf >= $minCos
+       |ORDER BY query_id, cos DESC, match_id""".stripMargin
+  }
+
+  /** Shared s2/s9 CTE chain: quantized k-means rounds, per-query nprobe
+    * cell admission, exact dot/na/nb sums for the admitted (query,
+    * candidate) pairs (terminal CTE `sc`).
+    */
+  private def s2IvfCtes(nQueries: Int, nlist: Int, nprobe: Int,
+      iters: Int, scale: Long): String = {
     // cosine from exact dot/na/nb columns (identical CASE/sqrt/div ops
     // to GraftVec.cosine2 on identical inputs)
     val cosOf = "CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END"
@@ -494,7 +528,7 @@ object OracleReplicas {
          |  SELECT a.cid, v.pos, SUM(v.x) AS s
          |  FROM a$i a JOIN vx v USING (vec_id) GROUP BY a.cid, v.pos)""".stripMargin
     val rounds = (1 to iters).map(i => round(i, if (i == 1) "g0" else s"g${i - 1}")).mkString(",\n")
-    s"""WITH qv AS (
+    s"""qv AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * $scale.0 + 0.5) AS BIGINT)) AS q
        |  FROM embeddings),
@@ -531,15 +565,7 @@ object OracleReplicas {
        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
        |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
        |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
-       |  FROM pr GROUP BY query_id, neighbor_id),
-       |ranked AS (
-       |  SELECT query_id, neighbor_id,
-       |    ($cosOf) AS cosf,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ($cosOf) DESC, neighbor_id) AS INT) AS rank
-       |  FROM sc)
-       |SELECT query_id, rank, neighbor_id, ROUND(cosf, 6) AS cos
-       |FROM ranked WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
+       |  FROM pr GROUP BY query_id, neighbor_id)""".stripMargin
   }
 
   /** s5: product-quantization ANN — s2's quantized integer-sum k-means

@@ -127,6 +127,7 @@ object SparkEntry {
     "q36_grouping_sets" -> ((s, dir) => Relational.q36GroupingSets(Tables(s, dir))),
     "q37_outliers" -> ((s, dir) => Relational.q37Outliers(Tables(s, dir))),
     "q38_deciles" -> ((s, dir) => Relational.q38Deciles(Tables(s, dir))),
+    "q39_mom_revenue" -> ((s, dir) => Relational.momRevenue(Tables(s, dir))),
     "st1_stream_window" -> ((s, dir) => graft.streaming.EventPipelines.windowedCountsBatch(Tables(s, dir))),
     "st2_sessionize" -> ((s, dir) => graft.streaming.EventPipelines.sessionizeBatch(Tables(s, dir))),
     // §2.8 training-sequence assembly
@@ -144,6 +145,7 @@ object SparkEntry {
     "g6_hop_distance" -> ((s, dir) => Graph.hopDistance(Tables(s, dir))),
     "g7_label_communities" -> ((s, dir) => Graph.labelCommunities(Tables(s, dir))),
     "s8_range_search" -> ((s, dir) => Similarity.rangeSearch(Tables(s, dir))),
+    "s9_ivf_range" -> ((s, dir) => Similarity.ivfRange(Tables(s, dir))),
   )
 
   import OracleReplicas.{fnv64Sql, signed64, jhashSql, signed32, charBytes}
@@ -601,6 +603,7 @@ object SparkEntry {
     "q22_hll_distinct" -> OracleReplicas.q22HllDistinct(),
     "q25_hll_rollup" -> OracleReplicas.q25HllRollup(),
     "s2_ann_ivf" -> OracleReplicas.s2Ivf(),
+    "s9_ivf_range" -> OracleReplicas.s9IvfRange(),
     "s5_ann_pq" -> OracleReplicas.s5Pq(),
     "s6_ann_ivfpq" -> OracleReplicas.s6IvfPq(),
     "s3_ann_lsh" -> OracleReplicas.s3LshTopK(),
@@ -1096,6 +1099,19 @@ object SparkEntry {
            |SELECT doc_id, pred_lang, ws_tokens, cum_tokens, lang_budget FROM s
            |WHERE cum_tokens <= lang_budget
            |ORDER BY pred_lang, cum_tokens""".stripMargin),
+    // q39: monthly DECIMAL revenue, lag over the calendar-bounded month
+    // grain, delta stays DECIMAL, only the final ratio is floating point
+    "q39_mom_revenue" ->
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1, 2),
+        |d AS (SELECT yr, mo, rev, n_orders, LAG(rev) OVER (ORDER BY yr, mo) AS prev FROM m)
+        |SELECT yr, mo, CAST(rev AS DOUBLE) AS revenue, n_orders,
+        |  CAST(prev AS DOUBLE) AS prev_revenue,
+        |  CASE WHEN prev IS NULL THEN NULL
+        |       ELSE ROUND(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE) * 100, 4) END AS mom_pct
+        |FROM d ORDER BY yr, mo""".stripMargin,
     // d14: plain levenshtein ≤ maxDist in the oracle equals the
     // operator's threshold-bounded variant's kept set exactly
     "d14_fuzzy_join" ->

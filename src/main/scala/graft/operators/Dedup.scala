@@ -466,6 +466,60 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The PERSISTED form of d15's corpus shingle-frequency index: the
+    * distinct-doc df per k-shingle hash, written once per generation as
+    * a warehouse table bucketed on the hash (`<name>_shdf`), under the
+    * dedup stores' claim/publish protocol. An ingest batch probes it
+    * co-partitioned — corpus text is never re-tokenized and the store
+    * side never shuffles.
+    */
+  def buildNoveltyStore(docs: DataFrame, name: String, k: Int = 3,
+      buckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    val gen = Warehouse.claimGeneration(spark, name)
+    val dfT = Warehouse.storeTableName(name, gen, "shdf")
+    val dsh = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
+      .filter(size(col("tokens")) >= k)
+      .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("tokens"), k))).as("h"))
+    Warehouse.writeBucketed(
+      dsh.groupBy(col("h")).agg(count(lit(1)).as("df")), dfT, "h", buckets)
+    Warehouse.publishGeneration(spark, name, gen)
+  }
+
+  /** d15 at ingest: the NEW batch's novelty AGAINST the persisted
+    * corpus index — a shingle is novel when the corpus has never seen
+    * it (no store row), the incremental twin of d15's within-corpus
+    * df = 1 rule. The batch's distinct (doc, h) rows repartition to the
+    * store's bucket layout and LEFT-join the df table co-partitioned;
+    * work per ingest is O(batch shingles) plus a pruned store read.
+    */
+  def noveltyAgainstStore(name: String, newDocs: DataFrame, k: Int = 3,
+      buckets: Int = 32): DataFrame = {
+    val spark = newDocs.sparkSession
+    val fresh = spreadIfNarrow(newDocs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
+      .filter(size(col("tokens")) >= k)
+      .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("tokens"), k))).as("fh"))
+      .repartition(buckets, col("fh"))
+    val existing = Warehouse.table(spark,
+      Warehouse.storeTableName(name, Warehouse.resolveGeneration(spark, name), "shdf"))
+      .select(col("h"), col("df"))
+    val perDoc = fresh.join(existing, col("fh") === col("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df").isNull, 1L).otherwise(0L)).as("novel_shingles"))
+    newDocs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("novel_shingles"), lit(0L)).as("novel_shingles"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("novel_shingles").cast("double") /
+            col("n_shingles"), 4)).as("novelty_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def substringSpans(t: Tables, k: Int = 8, minSpanTokens: Int = 16,
       maxDf: Option[Long] = None): DataFrame = {
     val psh0 = tokenized(t)

@@ -863,4 +863,34 @@ object Relational {
         first(col("hi_fence")).as("hi_fence"))
       .orderBy(col("event_type"))
   }
+
+  /** q39: month-over-month revenue — the period-over-period comparison
+    * every reporting layer ships (MoM/WoW/YoY deltas): monthly order
+    * revenue (exact DECIMAL sums), previous month via `lag`, percent
+    * change rounded at 4 dp. The delta subtraction stays in DECIMAL
+    * (exact), only the final ratio is floating point, and the division/
+    * multiplication order is pinned left-associative to match the
+    * oracle.
+    *
+    * Scale shape: the fact collapses MAP-SIDE in the monthly partial
+    * aggregation; the lag window then runs over the CALENDAR-BOUNDED
+    * month grain (~84 rows for seven years — bounded by time, not data,
+    * at any corpus size), so the unpartitioned window is a non-issue by
+    * construction (same argument as q32's day grain, one level up).
+    */
+  def momRevenue(t: Tables): DataFrame = {
+    val monthly = t.orders
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(sum(col("o_totalprice").cast(D2)).as("rev"), count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("yr"), col("mo"))
+    monthly
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("yr"), col("mo"),
+        col("rev").cast("double").as("revenue"), col("n_orders"),
+        col("prev").cast("double").as("prev_revenue"),
+        when(col("prev").isNull, lit(null).cast("double"))
+          .otherwise(round((col("rev") - col("prev")).cast("double") /
+            col("prev").cast("double") * 100, 4)).as("mom_pct"))
+      .orderBy(col("yr"), col("mo"))
+  }
 }

@@ -123,6 +123,38 @@ object Similarity {
     * seeds; queries search the union of their `nprobe` closest clusters.
     */
   def ivf(t: Tables, nQueries: Int = 10, k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    ivfAdmitted(t, nQueries, nlist, nprobe)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s9: IVF RANGE search — s8's threshold semantics through s2's
+    * cell-pruned probe: candidates come only from each query's nprobe
+    * cells, and every admitted candidate with cosine ≥ `minCos` is
+    * returned (no fixed k). The production radius query at scale — the
+    * probe reads nprobe/nlist of the corpus (the persisted-index form
+    * prunes the same cells at directory level), while s8's exact scan is
+    * the verify stage. An out-of-probed-cell vector within the radius is
+    * deliberately absent (IVF's recall trade); the ORACLE replays the
+    * same cell pruning, so the gate pins the exact admitted set.
+    */
+  def ivfRange(t: Tables, nQueries: Int = 10, minCos: Double = 0.2,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfAdmitted(t, nQueries, nlist, nprobe)
+      .filter(col("cos") >= minCos)
+      .select(col("query_id"), col("neighbor_id").as("match_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("cos").desc, col("match_id"))
+
+  /** The shared s2/s9 probe core: k-means, per-query nprobe cell
+    * admission, exact cosine on the admitted (query, candidate) pairs —
+    * (query_id, neighbor_id, cos) with the UNROUNDED cosine, tail
+    * (top-k rank vs radius threshold) chosen by the caller.
+    */
+  private def ivfAdmitted(t: Tables, nQueries: Int, nlist: Int, nprobe: Int): DataFrame = {
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
     val refined = kmeansCentroids(emb, nlist)
     val assigned = assignNearest(emb, refined)
@@ -138,7 +170,6 @@ object Similarity {
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("query_emb"), col("cid"))
 
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     // the probe set (queries × nprobe) broadcasts; without the hint the
     // planner sort-merge-joins and SHUFFLES THE CORPUS on cid — the
     // exact cost IVF exists to avoid
@@ -146,10 +177,7 @@ object Similarity {
       .join(assigned, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine_sim(col("query_emb"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
-      .orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
   }
 
   /** Persist the IVF layout: cluster assignments written

@@ -370,6 +370,27 @@ object DocPipelines {
           batchId)
       }
 
+  /** Streaming novelty scoring — the d15 twin at ingest: each
+    * micro-batch of (doc_id, text) rows scores its shingle novelty
+    * against whatever novelty-store generation is PUBLISHED when it
+    * runs ([[graft.operators.Dedup.noveltyAgainstStore]]). ZERO
+    * streaming state — the corpus's shingle-frequency index lives in
+    * the generation-versioned store, a rebuild+publish between
+    * micro-batches is picked up atomically, and executors hold nothing
+    * corpus-sized. The per-batch frame handed to `onScores` equals the
+    * batch probe on the same rows (StreamingSpec).
+    */
+  def noveltyScoreStream(docs: DataFrame, storeName: String,
+      onScores: (DataFrame, Long) => Unit, k: Int = 3, buckets: Int = 32):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onScores(
+          graft.operators.Dedup.noveltyAgainstStore(storeName, batch, k, buckets),
+          batchId)
+      }
+
   /** Streaming BPE encode — the t14 twin at ingest: each micro-batch of
     * (doc_id, text) rows probes whatever dict-store generation is
     * PUBLISHED when it runs

@@ -583,4 +583,27 @@ class DedupSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(hi.subsetOf(lo) && hi.size < lo.size)
   }
+
+  // ---------------------------------------------------------------- s9
+
+  test("s9 IVF range is a subset of exact s8 with identical scores, and covers s2's in-radius hits") {
+    val exact = Similarity.rangeSearch(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
+    val ivf = Similarity.ivfRange(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (pair, c) =>
+      assert(exact.get(pair).contains(c),
+        s"IVF-admitted pair $pair must appear in the exact radius set with the same score")
+    }
+    // s2 and s9 share the admitted-candidate set, so every s2 top-k
+    // neighbor whose cosine clears the radius must be in s9
+    Similarity.ivf(t).collect().foreach { r =>
+      val pair = (r.getLong(0), r.getAs[Long]("neighbor_id"))
+      // strictly above the rounding envelope: a displayed 0.2 could be
+      // an unrounded 0.1999996 the radius filter legitimately excludes
+      if (r.getAs[Double]("cos") >= 0.200001)
+        assert(ivf.contains(pair), s"s2 hit $pair clears the radius but is missing from s9")
+    }
+  }
 }

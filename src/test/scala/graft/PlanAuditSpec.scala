@@ -45,7 +45,9 @@ class PlanAuditSpec extends SparkSpecBase {
     "s8_range_search",
     // dc16: dc4's 1-row total-weight attach to the enum-sized language
     // budget table
-    "dc16_language_balance")
+    "dc16_language_balance",
+    // s9: s2's query-by-centroid crossJoin (nlist-row broadcast)
+    "s9_ivf_range")
 
   test("no query plan contains a CartesianProduct; BNLJ only where declared scalar-attach") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -424,4 +424,35 @@ class RelationalSpec extends SparkSpecBase {
     val plan = out.queryExecution.executedPlan.toString.toLowerCase
     assert(!plan.contains("window [row_number"), "data rows must not pass through a ranking window")
   }
+
+  test("q39 MoM revenue matches a driver-side decimal recompute; first month has no prior") {
+    import org.apache.spark.sql.functions.col
+    val t = graft.sources.Tables(spark, sfDir)
+    val orders = t.orders.select(col("o_orderdate"), col("o_totalprice")).collect()
+      .map { r =>
+        val d = r.get(0) match {
+          case ts: java.sql.Timestamp => ts.toLocalDateTime.toLocalDate
+          case ldt: java.time.LocalDateTime => ldt.toLocalDate
+        }
+        ((d.getYear, d.getMonthValue),
+          BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      }
+    val monthly = orders.groupBy(_._1).map { case (ym, rs) =>
+      ym -> ((rs.map(_._2).sum, rs.size.toLong))
+    }.toSeq.sortBy(_._1)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = monthly.zipWithIndex.map { case (((yr, mo), (rev, n)), i) =>
+      val prev = if (i == 0) None else Some(monthly(i - 1)._2._1)
+      (yr, mo, rev.toDouble, n, prev.map(_.toDouble),
+        prev.map(p => r4((rev - p).toDouble / p.toDouble * 100)))
+    }
+    val got = graft.operators.Relational.momRevenue(t).collect().map { r =>
+      (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))
+    }
+    assert(got.toSeq == want, "month-over-month chain must match the decimal recompute")
+    assert(got.head._5.isEmpty && got.tail.forall(_._5.isDefined),
+      "exactly the first month lacks a prior")
+  }
 }

@@ -763,6 +763,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming novelty scoring probes the persisted store and equals the batch probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.sources.Tables(spark, sfDir)
+    graft.sources.Warehouse.dropStore(spark, "novstream", Seq("shdf"))
+    graft.operators.Dedup.buildNoveltyStore(
+      t.documents.filter(col("doc_id") < 250), "novstream")
+    val increment = t.documents.filter(col("doc_id") >= 250)
+      .select("doc_id", "text").as[(Long, String)].collect()
+
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Long, Double)]
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocPipelines.noveltyScoreStream(
+        mem.toDF().toDF("doc_id", "text"), "novstream",
+        (scores, _) => got ++= scores.collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))))
+      .start()
+    try {
+      // per-doc scoring is batch-independent, so the union over two
+      // micro-batches must equal the one-shot batch probe
+      val (first, second) = increment.splitAt(increment.length / 2)
+      mem.addData(first.toIndexedSeq); q.processAllAvailable()
+      mem.addData(second.toIndexedSeq); q.processAllAvailable()
+      val want = graft.operators.Dedup.noveltyAgainstStore(
+          "novstream", t.documents.filter(col("doc_id") >= 250)).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(got.toMap == want, "stream novelty diverged from the batch probe")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming BPE encode probes the dict store and equals the batch encode, OOV included") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -163,6 +163,41 @@ class WarehouseSpec extends SparkSpecBase {
       s"the batch side aligns to the store's bucket layout:\n$physical")
   }
 
+  test("persisted novelty store: ingest probe equals an absent-from-corpus recompute, store never shuffles") {
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+    Warehouse.dropStore(spark, "novstore", Seq("shdf"))
+    graft.operators.Dedup.buildNoveltyStore(
+      t.documents.filter(col("doc_id") < 250), "novstore")
+    val probe = graft.operators.Dedup.noveltyAgainstStore(
+      "novstore", t.documents.filter(col("doc_id") >= 250))
+
+    // brute force: a new doc's shingle is novel iff NO corpus doc has it
+    def shingles(s: String): Set[Seq[String]] = {
+      val toks = s.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty else toks.sliding(3).map(_.toSeq).toSet
+    }
+    val all = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1)))
+    val corpusSh = all.filter(_._1 < 250).flatMap(_._2).toSet
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = all.filter(_._1 >= 250).map { case (id, sh) =>
+      val novel = sh.count(!corpusSh.contains(_)).toLong
+      id -> ((sh.size.toLong, novel, if (sh.isEmpty) 0.0 else r4(novel.toDouble / sh.size)))
+    }.toMap
+    val got = probe.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want, "store probe diverged from the absent-from-corpus recompute")
+    assert(got.values.exists(_._2 > 0), "the increment carries genuinely novel shingles")
+    assert(got.values.exists(v => v._2 < v._1), "the increment shares shingles with the corpus")
+
+    val physical = probe.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange hashpartitioning(h#"),
+      s"store df table must never shuffle:\n$physical")
+    assert(physical.contains("hashpartitioning(fh#"),
+      s"the batch side aligns to the store's bucket layout:\n$physical")
+  }
+
   test("store rebuild publishes a new generation; a probe racing it reads the old one bit-identically") {
     import org.apache.spark.sql.functions.col
     val t = Tables(spark, sfDir)
