@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Radius-search benchmark main: measures s9's scale claim — an IVF
+  * cell-pruned radius probe touches nprobe/nlist of the corpus, so its
+  * probe cost should grow far slower than s8's exact full scan — on a
+  * synthetic clustered embedding corpus (64-dim vectors around 32
+  * well-separated hash-derived centers plus noise, so cell pruning has
+  * real structure to exploit and the recall trade is visible).
+  *
+  * Reported per corpus size: exact s8 wall, one-time k-means build
+  * wall, s9 probe wall (build excluded — it amortizes over probes),
+  * exact/ivf hit counts and the radius recall. The claim holds when
+  * probe_sec / exact_sec trends toward nprobe/nlist as the corpus
+  * grows; recall is the documented IVF trade (out-of-probed-cell
+  * vectors inside the radius are deliberately absent), NOT an error —
+  * the gate pins the admitted set exactly via the replayed oracle.
+  *
+  * Prints ONE JSON line; RANGEBENCH.md records a quiet run.
+  */
+object RangeBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sizes = sys.env.getOrElse("SPARK_GRAFT_RANGE_SIZES", "100000,300000,1000000")
+      .split(",").map(_.trim.toLong).toSeq
+    val minCos = sys.env.getOrElse("SPARK_GRAFT_RANGE_MINCOS", "0.6").toDouble
+    val spark = GraftSession.builder(s"local[$cpus]", shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // clustered corpus: center(c)[d] from a hash of (c, d) in [-1, 1];
+    // vec(id) = center(id % 32) + 0.35 * noise(id, d). Deterministic —
+    // no rand() (the dc2 discipline), repeatable across runs/engines.
+    def corpus(n: Long): DataFrame = {
+      def unitHash(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        pmod(xxhash64(seed), lit(2001L)).cast("double") / 1000.0 - 1.0
+      spark.range(0, n).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          (unitHash(col("id") % 32 * 64 + d) +
+            unitHash(col("id") * 64 + d + lit(987654321L)) * 0.35).cast("float"))
+          .as("embedding"))
+        .localCheckpoint(true)
+    }
+
+    val results = sizes.map { n =>
+      val emb = corpus(n)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+        .localCheckpoint(true)
+      val (exactHits, exactSec) = timed(
+        Similarity.rangeSearchOf(emb, nQueries = 10, minCos = minCos).count())
+      // build = k-means + assignment, persisted partitionBy(cid) — the
+      // one-time cost a real deployment amortizes over every probe
+      val idxPath = java.nio.file.Files
+        .createTempDirectory(s"rangebench_$n").toString + "/idx"
+      val (_, buildSec) = timed(Similarity.buildIvfIndexOf(emb, idxPath, nlist = 16))
+      // the probe against the published index: centroid routing + the
+      // nprobe admitted cluster DIRECTORIES only (partition pruning)
+      val (ivfHits, probeSec) = timed(
+        Similarity.searchIvfIndexRange(queries, idxPath, minCos = minCos, nprobe = 4)
+          .count())
+      // honesty row: the in-job s9 (no persisted index) re-assigns the
+      // corpus per run — its cost sits near exact+build, which is WHY
+      // the persisted layout exists
+      val (_, inJobSec) = timed(
+        Similarity.ivfRangeOf(emb, nQueries = 10, minCos = minCos).count())
+      val recall = if (exactHits == 0) 1.0 else ivfHits.toDouble / exactHits
+      emb.unpersist()
+      Map("n" -> n.toString, "exact_sec" -> f"$exactSec%.2f",
+        "build_sec" -> f"$buildSec%.2f", "probe_sec" -> f"$probeSec%.2f",
+        "injob_sec" -> f"$inJobSec%.2f",
+        "exact_hits" -> exactHits.toString, "ivf_hits" -> ivfHits.toString,
+        "radius_recall" -> f"$recall%.3f",
+        "probe_over_exact" -> f"${probeSec / exactSec}%.3f")
+    }
+    val rows = results.map(_.map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")).mkString("[", ",", "]")
+    println(s"""{"metric":"range_search","min_cos":$minCos,"nprobe":4,"nlist":16,"rows":$rows,"cpus":$cpus}""")
+    spark.stop()
+  }
+}

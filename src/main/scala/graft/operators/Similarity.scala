@@ -57,9 +57,16 @@ object Similarity {
     * runs against the s2 IVF cells (radius-bounded probe set) — the
     * exact form here is also that path's verify stage.
     */
-  def rangeSearch(t: Tables, nQueries: Int = 10, minCos: Double = 0.2): DataFrame = {
-    val corpus = t.embeddings.select(col("vec_id").as("match_id"), col("embedding"))
-    querySet(t, nQueries)
+  def rangeSearch(t: Tables, nQueries: Int = 10, minCos: Double = 0.2): DataFrame =
+    rangeSearchOf(t.embeddings, nQueries, minCos)
+
+  /** s8 over any (vec_id, embedding) frame — exposed for RangeBench's
+    * synthetic corpora.
+    */
+  def rangeSearchOf(embAll: DataFrame, nQueries: Int, minCos: Double): DataFrame = {
+    val corpus = embAll.select(col("vec_id").as("match_id"), col("embedding"))
+    embAll.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
       .crossJoin(corpus)
       .filter(col("query_id") =!= col("match_id"))
       .withColumn("cos", cosine_sim(col("query_emb"), col("embedding")))
@@ -123,8 +130,9 @@ object Similarity {
     * seeds; queries search the union of their `nprobe` closest clusters.
     */
   def ivf(t: Tables, nQueries: Int = 10, k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    ivfAdmitted(t, nQueries, nlist, nprobe)
+    ivfAdmitted(emb, kmeansCentroids(emb, nlist), nQueries, nprobe)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
@@ -143,25 +151,41 @@ object Similarity {
     */
   def ivfRange(t: Tables, nQueries: Int = 10, minCos: Double = 0.2,
       nlist: Int = 16, nprobe: Int = 4): DataFrame =
-    ivfAdmitted(t, nQueries, nlist, nprobe)
+    ivfRangeOf(t.embeddings.select(col("vec_id"), col("embedding")),
+      nQueries, minCos, nlist, nprobe)
+
+  /** s9 over any (vec_id, embedding) frame — exposed for RangeBench's
+    * synthetic corpora.
+    */
+  def ivfRangeOf(emb: DataFrame, nQueries: Int, minCos: Double,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfRangeWith(emb, kmeansCentroids(emb, nlist), nQueries, minCos, nprobe)
+
+  /** s9 with a pre-built centroid table — exposed so RangeBench can
+    * time the probe separately from the (amortized) index build.
+    */
+  private[graft] def ivfRangeWith(emb: DataFrame, refined: DataFrame,
+      nQueries: Int, minCos: Double, nprobe: Int): DataFrame =
+    ivfAdmitted(emb, refined, nQueries, nprobe)
       .filter(col("cos") >= minCos)
       .select(col("query_id"), col("neighbor_id").as("match_id"),
         round(col("cos"), 6).as("cos"))
       .orderBy(col("query_id"), col("cos").desc, col("match_id"))
 
-  /** The shared s2/s9 probe core: k-means, per-query nprobe cell
-    * admission, exact cosine on the admitted (query, candidate) pairs —
-    * (query_id, neighbor_id, cos) with the UNROUNDED cosine, tail
-    * (top-k rank vs radius threshold) chosen by the caller.
+  /** The shared s2/s9 probe core: per-query nprobe cell admission over
+    * a built centroid table, exact cosine on the admitted (query,
+    * candidate) pairs — (query_id, neighbor_id, cos) with the UNROUNDED
+    * cosine, tail (top-k rank vs radius threshold) chosen by the
+    * caller.
     */
-  private def ivfAdmitted(t: Tables, nQueries: Int, nlist: Int, nprobe: Int): DataFrame = {
-    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
-    val refined = kmeansCentroids(emb, nlist)
+  private def ivfAdmitted(emb: DataFrame, refined: DataFrame,
+      nQueries: Int, nprobe: Int): DataFrame = {
     val assigned = assignNearest(emb, refined)
       .select(col("vec_id").as("neighbor_id"), col("embedding"), col("cid"))
 
     // probe lists per query: nprobe nearest refined centroids
-    val q = querySet(t, nQueries)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid"))
     val probes = q.crossJoin(broadcast(refined))
       .withColumn("ccos", cosine_sim(
@@ -193,8 +217,13 @@ object Similarity {
     * [[graft.sources.Warehouse.vacuumPathGenerations]]. Returns the
     * centroid table.
     */
-  def buildIvfIndex(t: Tables, path: String, nlist: Int = 16): DataFrame = {
-    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+  def buildIvfIndex(t: Tables, path: String, nlist: Int = 16): DataFrame =
+    buildIvfIndexOf(t.embeddings.select(col("vec_id"), col("embedding")), path, nlist)
+
+  /** [[buildIvfIndex]] over any (vec_id, embedding) frame — exposed for
+    * RangeBench's synthetic corpora.
+    */
+  def buildIvfIndexOf(emb: DataFrame, path: String, nlist: Int = 16): DataFrame = {
     val refined = kmeansCentroids(emb, nlist)
     val gen = Warehouse.claimPathGeneration(path)
     val genPath = Warehouse.pathGenData(path, gen)
@@ -236,6 +265,33 @@ object Similarity {
     */
   def searchIvfIndexWith(q: DataFrame, path: String,
       k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    indexAdmitted(q, path, nprobe)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s9 against the PERSISTED index: radius search where the probe
+    * reads ONLY the nprobe admitted cluster directories (partition
+    * pruning at the parquet layout level) — the at-scale form of
+    * [[ivfRange]], whose in-job variant must re-assign the corpus per
+    * run. Same cell-admission semantics, threshold tail.
+    */
+  def searchIvfIndexRange(q: DataFrame, path: String,
+      minCos: Double = 0.2, nprobe: Int = 4): DataFrame =
+    indexAdmitted(q, path, nprobe)
+      .filter(col("cos") >= minCos)
+      .select(col("query_id"), col("neighbor_id").as("match_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("cos").desc, col("match_id"))
+
+  /** Shared persisted-index probe core: centroid routing, directory
+    * pruning to the admitted cells, exact cosine on admitted pairs —
+    * (query_id, neighbor_id, cos) with the UNROUNDED cosine.
+    */
+  private def indexAdmitted(q: DataFrame, path: String, nprobe: Int): DataFrame = {
     val spark = q.sparkSession
     val genPath = Warehouse.pathGenData(path, Warehouse.resolvePathGeneration(path))
     val centroids = spark.read.parquet(s"$genPath/_centroids")
@@ -250,17 +306,13 @@ object Similarity {
       .localCheckpoint(true) // probes feed both the cid collect and the join
     val neededClusters = probes.select(col("cid")).distinct().collect().map(_.getInt(0))
     val pruned = index.filter(col("cid").isin(neededClusters.map(_.asInstanceOf[Any]).toSeq: _*))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     // probes broadcast: the pruned index partitions are read in place,
     // never shuffled on cid
     broadcast(probes)
       .join(pruned.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cid")), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine_sim(col("query_emb"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
-      .orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
   }
 
   /** s3: LSH-bucketed ANN — the deterministic scale path that the DuckDB

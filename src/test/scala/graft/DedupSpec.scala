@@ -408,6 +408,16 @@ class DedupSpec extends SparkSpecBase {
     val a = fromIndex.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
     val b = Similarity.ivf(t).collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
     assert(a.sameElements(b))
+    // the radius probe against the same index equals in-job s9 (same
+    // deterministic k-means => same cells => same admitted set)
+    val q = t.embeddings.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("query_emb"))
+    val ri = Similarity.searchIvfIndexRange(q, path).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("match_id"), r.getAs[Double]("cos"))).toSet
+    val rj = Similarity.ivfRange(t).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("match_id"), r.getAs[Double]("cos"))).toSet
+    assert(ri == rj && ri.nonEmpty, "index radius probe must equal in-job s9")
   }
 
   test("t4 fingerprint is shift-stable: shared window survives a prefix edit") {
