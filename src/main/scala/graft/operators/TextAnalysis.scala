@@ -596,6 +596,58 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** The pinned reference model for [[klDriftAgainst]]: the corpus's
+    * unigram counts (one token-keyed aggregation, checkpointed) plus
+    * the total — built once, then probed by every monitored batch.
+    */
+  def klReferenceModel(t: Tables): (DataFrame, Double) = {
+    val counts = t.documents
+      .select(explode(tokensCol).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("c_ref"))
+      .localCheckpoint(true)
+    val total = counts.agg(sum(col("c_ref"))).collect()(0).getLong(0).toDouble
+    (counts, total)
+  }
+
+  /** t19 against a PINNED reference — the production drift monitor's
+    * shape: an incoming batch's per-source unigram distribution scored
+    * against a FIXED corpus model instead of the batch's own blend
+    * (which a small batch would skew). Tokens the reference has never
+    * seen cannot enter a KL term (q = 0); they are counted honestly in
+    * `oov_tokens` and excluded from the sum — a rising OOV share is
+    * itself the drift signal. Same rounding discipline as [[klDrift]],
+    * and when the reference IS the scored corpus the result equals
+    * klDrift exactly with zero OOV (spec-pinned).
+    */
+  def klDriftAgainst(docs: DataFrame, refCounts: DataFrame,
+      refTotal: Double): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)
+    val st = docs
+      .select(col("source"), explode(ws_tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(true)
+    val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    st
+      .join(refCounts, Seq("token"), "left")
+      .join(broadcast(srcTot), Seq("source"))
+      .select(col("source"), col("n_s"),
+        round(
+          (col("c_st").cast("double") / col("n_s").cast("double")) *
+            round(log((col("c_st").cast("double") * lit(refTotal)) /
+              (col("n_s").cast("double") * col("c_ref").cast("double"))), 8),
+          10).as("term"), // NULL when c_ref is NULL — sum skips it
+        when(col("c_ref").isNull, col("c_st")).otherwise(lit(0L)).as("oov"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        sum(col("oov")).as("oov_tokens"),
+        round(coalesce(sum(col("term").cast(dec)).cast("double"), lit(0.0)), 6)
+          .as("kl_vs_ref"))
+      .orderBy(col("source"))
+  }
+
   /** BM25 parameters (Robertson/Spärck Jones; the Lucene-default
     * shape): k1 term-frequency saturation, b length normalization.
     * Written as separate constants so both engines fold `k1 + 1`

@@ -391,6 +391,29 @@ object DocPipelines {
           batchId)
       }
 
+  /** Streaming drift monitoring — the t19 twin at ingest: each
+    * micro-batch of (doc_id, source, text) rows scores its per-source
+    * unigram distribution against a PINNED reference model
+    * ([[graft.operators.TextAnalysis.klDriftAgainst]] — KL vs the
+    * reference plus the honest OOV count), emitting one drift row per
+    * (batch, source). ZERO streaming state: the reference counts are a
+    * checkpointed batch frame joined per micro-batch, so a model
+    * refresh between batches is just handing the stream a new frame on
+    * restart. Per-batch granularity is the point — the monitor flags
+    * WHICH ingest batch drifted; a single-batch run equals the batch
+    * scorer on the same rows (StreamingSpec).
+    */
+  def klDriftStream(docs: DataFrame, refCounts: DataFrame, refTotal: Double,
+      onDrift: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onDrift(
+          graft.operators.TextAnalysis.klDriftAgainst(batch, refCounts, refTotal),
+          batchId)
+      }
+
   /** Streaming BPE encode — the t14 twin at ingest: each micro-batch of
     * (doc_id, text) rows probes whatever dict-store generation is
     * PUBLISHED when it runs

@@ -763,6 +763,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming KL drift scores each micro-batch against the pinned reference like batch t19") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.sources.Tables(spark, sfDir)
+    val (refCounts, refTotal) = graft.operators.TextAnalysis.klReferenceModel(t)
+    val rows = t.documents.select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+
+    val perBatch = scala.collection.mutable.Map.empty[Long, Map[String, (Long, Long, Double)]]
+    val mem = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.DocPipelines.klDriftStream(
+        mem.toDF().toDF("doc_id", "source", "text"), refCounts, refTotal,
+        (drift, id) => perBatch(id) = drift.collect()
+          .map(r => r.getAs[String]("source") ->
+            ((r.getAs[Long]("n_tokens"), r.getAs[Long]("oov_tokens"),
+              r.getAs[Double]("kl_vs_ref")))).toMap)
+      .start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toIndexedSeq); q.processAllAvailable()
+      mem.addData(second.toIndexedSeq); q.processAllAvailable()
+      // drift is per-BATCH by design: each emitted frame must equal the
+      // batch scorer run on exactly that micro-batch's rows
+      def want(part: Array[(Long, String, String)]) =
+        graft.operators.TextAnalysis.klDriftAgainst(
+            part.toSeq.toDF("doc_id", "source", "text"), refCounts, refTotal)
+          .collect().map(r => r.getAs[String]("source") ->
+            ((r.getAs[Long]("n_tokens"), r.getAs[Long]("oov_tokens"),
+              r.getAs[Double]("kl_vs_ref")))).toMap
+      assert(perBatch(0L) == want(first), "batch 0 drift equals the batch scorer")
+      assert(perBatch(1L) == want(second), "batch 1 drift equals the batch scorer")
+    } finally q.stop()
+  }
+
   test("streaming novelty scoring probes the persisted store and equals the batch probe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

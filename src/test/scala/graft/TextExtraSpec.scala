@@ -420,6 +420,34 @@ class TextExtraSpec extends SparkSpecBase {
     assert(exp0 > 0 && exp1 > 0, "drifted sources diverge strictly")
   }
 
+  test("t19 drift-vs-reference equals klDrift when the reference IS the corpus; OOV counted honestly") {
+    import spark.implicits._
+    val (refCounts, refTotal) = TextAnalysis.klReferenceModel(t)
+    val got = TextAnalysis.klDriftAgainst(
+        t.documents.select(col("doc_id"), col("source"), col("text")), refCounts, refTotal)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("oov_tokens"), r.getAs[Double]("kl_vs_ref"))))
+      .toMap
+    val want = TextAnalysis.klDrift(t).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("kl_divergence")))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (src, (n, oov, kl)) =>
+      assert(oov == 0L, s"$src: reference covers its own corpus")
+      assert((n, kl) == want(src), s"$src: self-reference drift must equal klDrift")
+    }
+    // a batch with tokens the reference never saw: OOV counted, seen-token KL finite
+    val seen = t.documents
+      .select(explode(graft.functions.GraftFunctions.ws_tokens(col("text"))).as("tk"))
+      .filter(col("tk") =!= "").limit(1).collect()(0).getString(0)
+    val batch = Seq((9000L, "srcX", s"$seen $seen zzznever zzzseen"))
+      .toDF("doc_id", "source", "text")
+    val row = TextAnalysis.klDriftAgainst(batch, refCounts, refTotal).collect()(0)
+    assert(row.getAs[Long]("n_tokens") == 4L && row.getAs[Long]("oov_tokens") == 2L)
+    assert(!row.isNullAt(row.fieldIndex("kl_vs_ref")))
+  }
+
   test("t19 KL drift is zero when one source IS the corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("t19single").toString
