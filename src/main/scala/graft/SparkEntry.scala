@@ -144,6 +144,25 @@ object SparkEntry {
     "g5_personalized_pagerank" -> ((s, dir) => Graph.personalizedPagerank(Tables(s, dir))),
     "g6_hop_distance" -> ((s, dir) => Graph.hopDistance(Tables(s, dir))),
     "g7_label_communities" -> ((s, dir) => Graph.labelCommunities(Tables(s, dir))),
+    "g8_clustering_coeff" -> ((s, dir) => Graph.clusteringCoeff(Tables(s, dir))),
+    // m5's plants: bytes differ (2nd char flipped) but the decoded
+    // thumbnail is IDENTICAL — for len > 64 the sampler touches
+    // positions 1 and ≥3 only, so the flip is representation-invisible
+    // and byte-hash dedup provably misses what m5 catches
+    "m5_thumb_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, expr, length, lit, substring}
+      val base = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val plants = base.filter(col("doc_id") < 50 && length(col("text")) > 64)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(substring(col("text"), 1, 1), lit("~"),
+            expr("substring(text, 3)")).as("text"))
+      // eager checkpoint: Union's constraint rewriting trips over the
+      // plants branch's filtered-then-projected lineage (Spark maps the
+      // propagated length(text) constraint against the projected-away
+      // attribute); the checkpoint starts the downstream thumbnail plan
+      // from a clean scan
+      Multimodal.thumbDedupOf(base.unionByName(plants).localCheckpoint(true))
+    }),
     "s8_range_search" -> ((s, dir) => Similarity.rangeSearch(Tables(s, dir))),
     "s9_ivf_range" -> ((s, dir) => Similarity.ivfRange(Tables(s, dir))),
   )
@@ -1540,6 +1559,51 @@ object SparkEntry {
         |FROM (SELECT unnest([u, v, w]) AS part_key FROM tri) z
         |GROUP BY part_key
         |ORDER BY part_key""".stripMargin,
+    // g8: g2's triangle chain + the degree table, coefficient computed
+    // with the identical left-associative 2.0·n/(deg·(deg−1)) shape
+    "g8_clustering_coeff" ->
+      s"""WITH $graphCtes,
+        |o AS (
+        |  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u.src < u.dst)
+        |              THEN u.src ELSE u.dst END AS lo,
+        |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u.src < u.dst)
+        |              THEN u.dst ELSE u.src END AS hi
+        |  FROM und u JOIN deg d1 ON d1.src = u.src JOIN deg d2 ON d2.src = u.dst),
+        |wedge AS (
+        |  SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+        |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+        |tri AS (
+        |  SELECT u, v, w FROM wedge
+        |  JOIN (SELECT LEAST(lo, hi) AS v, GREATEST(lo, hi) AS w FROM o) c USING (v, w)),
+        |tc AS (
+        |  SELECT part_key, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |  FROM (SELECT unnest([u, v, w]) AS part_key FROM tri) z
+        |  GROUP BY part_key)
+        |SELECT d.src AS part_key, d.deg, COALESCE(tc.n_tri, 0) AS n_tri,
+        |  ROUND(2.0 * COALESCE(tc.n_tri, 0) / (d.deg * (d.deg - 1)), 6) AS clustering_coeff
+        |FROM deg d LEFT JOIN tc ON tc.part_key = d.src
+        |WHERE d.deg >= 2
+        |ORDER BY part_key""".stripMargin,
+    // m5: m3's replayed char-domain thumbnail as a string signature key,
+    // keep-min-id per identical representation
+    "m5_thumb_dedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, substr(text, 1, 1) || '~' || substr(text, 3)
+        |  FROM documents WHERE doc_id < 50 AND length(text) > 64),
+        |sig AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(0, 32),
+        |      i -> CAST(unicode(substr(text, CAST((i * length(text)) // 32 AS INT) + 1, 1)) AS VARCHAR)), ',') AS tk
+        |  FROM aug WHERE length(text) > 0),
+        |k AS (
+        |  SELECT tk, MIN(doc_id) AS dup_of, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |  FROM sig GROUP BY tk)
+        |SELECT s.doc_id, k.dup_of, k.n_copies
+        |FROM sig s JOIN k USING (tk)
+        |WHERE s.doc_id <> k.dup_of
+        |ORDER BY doc_id""".stripMargin,
     "g3_edge_embeddedness" ->
       s"""WITH $graphCtes,
         |o AS (

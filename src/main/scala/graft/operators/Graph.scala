@@ -353,6 +353,35 @@ object Graph {
       .orderBy(col("n_common").desc, col("src"), col("dst"))
       .limit(topK)
 
+  /** g8: per-node LOCAL CLUSTERING COEFFICIENT — c(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)) for deg ≥ 2: the graph-health panel metric
+    * (how clique-like each node's neighborhood is; the global average
+    * is the classic small-world diagnostic). Composes g2's
+    * degree-ordered triangle stream with the degree table — the
+    * triangle count is the only non-trivial term and it reuses the
+    * bounded wedge-close core unchanged; the final join is compact
+    * (node, count) rows.
+    */
+  def clusteringCoeff(t: Tables): DataFrame =
+    clusteringCoeffFromEdges(copurchaseEdges(t))
+
+  /** g8 over any undirected edge list — exposed for crafted-graph
+    * specs.
+    */
+  def clusteringCoeffFromEdges(und: DataFrame): DataFrame = {
+    val tri = triangleCountsFromEdges(und)
+      .select(col("part_key"), col("n_tri"))
+    val deg = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(tri, deg("src") === tri("part_key"), "left")
+      .select(deg("src").as("part_key"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double"), 6).as("clustering_coeff"))
+      .orderBy(col("part_key"))
+  }
+
   /** g4: connected components over the full part node set — every part
     * appearing in lineitem gets a component id (the component's minimum
     * part key); parts never co-purchased with another are singleton

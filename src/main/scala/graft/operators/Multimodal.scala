@@ -96,6 +96,43 @@ object Multimodal {
            |  i -> ascii(substr(text, CAST((CAST(i AS BIGINT) * length(text)) DIV $outLen AS INT) + 1, 1)))"""
           .stripMargin).as("thumb"))
 
+  /** m5: REPRESENTATION-level exact media dedup — group documents by
+    * their full decoded-thumbnail signature and keep the minimum id per
+    * group: the media analog of canonical-form dedup (byte-hash dedup
+    * misses a re-encoded or resized identical image; the normalized
+    * decoded representation is what recurs). Complements m3: m3 finds
+    * NEAR-dups via banded Hamming pairs, m5 collapses EXACT
+    * representation duplicates with no pair term at all — one
+    * signature-keyed aggregation, d1's shape in the decoded domain.
+    * Decode is the stubbed byte-domain thumbnail ([[thumbSignatures]] —
+    * pure codegen, exactly replayable).
+    */
+  def thumbDedup(t: Tables, outLen: Int = 32): DataFrame =
+    thumbDedupOf(t.documents.select(col("doc_id"), col("text")), outLen)
+
+  /** m5 over any (doc_id, text-as-payload) frame — the `queries()` row
+    * feeds it the corpus plus PLANTED re-encodes (bytes differ, decoded
+    * representation identical), since the synthetic corpus carries no
+    * natural representation duplicates (the t9/d11 synthesis pattern).
+    */
+  def thumbDedupOf(docs: DataFrame, outLen: Int = 32): DataFrame = {
+    val sigs = docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, ${outLen - 1}),
+           |  i -> ascii(substr(text, CAST((CAST(i AS BIGINT) * length(text)) DIV $outLen AS INT) + 1, 1)))"""
+          .stripMargin).as("thumb"))
+      .withColumn("tk", concat_ws(",", transform(col("thumb"), _.cast("string"))))
+      .select(col("doc_id"), col("tk"))
+      .localCheckpoint(true) // feeds the keeper aggregation AND the join back
+    val keep = sigs.groupBy(col("tk"))
+      .agg(min(col("doc_id")).as("dup_of"), count(lit(1)).as("n_copies"))
+    sigs.join(keep, Seq("tk"))
+      .filter(col("doc_id") =!= col("dup_of"))
+      .select(col("doc_id"), col("dup_of"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   /** m3: binary near-dup — the perceptual-hash dedup pipeline an image
     * corpus runs (pHash → band buckets → verify), with the pixel decode
     * stubbed as the byte-domain thumbnail ([[thumbSignatures]]) and

@@ -187,6 +187,34 @@ class GraphSpec extends SparkSpecBase {
       "community_size counts members")
   }
 
+  test("g8: K4 coefficients are 1, a path center is 0, leaves are excluded") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val out = Graph.clusteringCoeffFromEdges(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 3L, 3L, 1.0), (2L, 3L, 3L, 1.0),
+      (3L, 3L, 3L, 1.0), (4L, 3L, 3L, 1.0)))
+    val path = edges((1L, 2L), (2L, 3L))
+    val p = Graph.clusteringCoeffFromEdges(path).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(p.toSeq == Seq((2L, 0.0)), "only the degree-2 center qualifies, and it closes nothing")
+  }
+
+  test("g8: co-purchase coefficients reconcile with g2 triangles and degrees") {
+    val t = graft.sources.Tables(spark, sfDir)
+    val tri = Graph.triangleCounts(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val out = Graph.clusteringCoeff(t).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, deg, nt, c) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nt == tri.getOrElse(n, 0L), s"node $n triangle count")
+      val exp = BigDecimal(2.0 * nt / (deg * (deg - 1.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(c == exp, s"node $n coefficient")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
   test("g7: co-purchase communities match the driver-side vote replay") {
     val t = graft.sources.Tables(spark, sfDir)
     val es = Graph.copurchaseEdges(t).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -86,4 +86,21 @@ class MultimodalSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("maxBucket"), e.getMessage)
   }
+
+  test("m5: representation-equal re-encodes collapse (bytes differ), byte-identical too, unique stays") {
+    val long = ("the quick brown fox jumps over the lazy dog " * 3).trim // > 64 chars
+    // same length, 2nd char flipped: for len > 64 the 32-slot sampler
+    // touches positions 1 and >= 3 only, so the representation is equal
+    val reenc = long.charAt(0) + "~" + long.substring(2)
+    assert(reenc != long && reenc.length == long.length)
+    val t = docs(
+      1L -> long, 2L -> reenc,          // representation dup, bytes differ
+      3L -> "some other document entirely different content here ok then",
+      4L -> "byte identical pair payload text with enough length in it yes",
+      5L -> "byte identical pair payload text with enough length in it yes")
+    val got = Multimodal.thumbDedup(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((2L, 1L, 2L), (5L, 4L, 2L)),
+      s"expected the re-encode and the byte copy to collapse, got $got")
+  }
 }
