@@ -223,7 +223,8 @@ object Graph {
   /** g7 over any undirected edge list — exposed for crafted-graph
     * specs.
     */
-  def labelCommunitiesFromEdges(und: DataFrame, rounds: Int): DataFrame = {
+  def labelCommunitiesFromEdges(und: DataFrame, rounds: Int,
+      broadcastLabels: Boolean = true): DataFrame = {
     val edges = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(eager = true)
     var labels = edges.select(col("src").as("node")).distinct()
@@ -231,7 +232,15 @@ object Graph {
       .localCheckpoint(eager = true)
     var i = 0
     while (i < rounds) {
-      labels = edges.join(labels, edges("dst") === labels("node"))
+      // the label table is node-sized and the checkpointed loop inputs
+      // carry no stats: without the static broadcast pin the planner
+      // sort-merge-joins and shuffle-WRITES the edge side every round
+      // before AQE converts (g1's measured lesson — pagerankRound). On
+      // a billion-node graph pass broadcastLabels = false and bucket
+      // the edge table by dst.
+      labels = edges.join(
+          if (broadcastLabels) broadcast(labels) else labels,
+          edges("dst") === labels("node"))
         .groupBy(edges("src"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("src"))
