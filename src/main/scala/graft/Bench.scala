@@ -82,9 +82,12 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"), full + "\n")
     catch { case _: Throwable => () }
+    // Locale.ROOT: the f-interpolator's %.2f is locale-dependent (a
+    // comma decimal separator would corrupt the JSON line)
+    def d2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val slowest = results.sortBy(-_._2).take(15)
-      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${results.size},"errors":$errs,"slowest":$slowest,"sf":"$sfDir","full":"target/bench_full.json"}""")
+      .map { case (k, v) => s""""$k":${d2(v)}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${d2(total)},"unit":"sec","nq":${results.size},"errors":$errs,"slowest":$slowest,"sf":"$sfDir","full":"target/bench_full.json"}""")
     spark.stop()
   }
 }

@@ -153,7 +153,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions.{col, concat, expr, length, lit, substring}
       val base = Tables(s, dir).documents.select(col("doc_id"), col("text"))
       val plants = base.filter(col("doc_id") < 50 && length(col("text")) > 64)
-        .select((col("doc_id") + 10000).as("doc_id"),
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
           concat(substring(col("text"), 1, 1), lit("~"),
             expr("substring(text, 3)")).as("text"))
       // eager checkpoint: Union's constraint rewriting trips over the
@@ -1590,7 +1590,7 @@ object SparkEntry {
       """WITH aug AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000, substr(text, 1, 1) || '~' || substr(text, 3)
+        |  SELECT doc_id + 1000000000, substr(text, 1, 1) || '~' || substr(text, 3)
         |  FROM documents WHERE doc_id < 50 AND length(text) > 64),
         |sig AS (
         |  SELECT doc_id,
