@@ -412,6 +412,20 @@ class PlanShapeSpec extends SparkSpecBase {
       s"the bottom (prune) window must partition by (stratum, pid):\n$plan")
   }
 
+  test("q39: the MoM window consumes the monthly aggregate, never raw orders") {
+    val plan = phys(Relational.momRevenue(t)).toString
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, s"q39 must plan a lag window:\n$plan")
+    // an aggregate must sit BETWEEN the window and the parquet scan
+    // (root-first print): a window over raw orders would single-task
+    // the fact at 100 TB; over the ~84-row calendar grain it is free
+    val below = plan.substring(winIdx)
+    val aggBelow = below.indexOf("HashAggregate")
+    val scanBelow = below.indexOf("Scan parquet")
+    assert(aggBelow >= 0 && scanBelow >= 0 && aggBelow < scanBelow,
+      s"the lag window must run over the monthly pre-aggregation:\n$plan")
+  }
+
   test("spreadIfNarrow: narrow scans spread to full parallelism, well-split scans pass through") {
     val cores = spark.sparkContext.defaultParallelism
     val narrow = spark.range(0, 100, 1, 1).toDF("id")
