@@ -92,6 +92,7 @@ object SparkEntry {
     "t17_bm25" -> ((s, dir) => TextAnalysis.bm25(Tables(s, dir))),
     "t18_zipf" -> ((s, dir) => TextAnalysis.zipfFit(Tables(s, dir))),
     "t19_kl_drift" -> ((s, dir) => TextAnalysis.klDrift(Tables(s, dir))),
+    "t20_textrank" -> ((s, dir) => TextAnalysis.textrankKeywords(Tables(s, dir))),
     "s7_hybrid_rrf" -> ((s, dir) => Similarity.hybridRrf(Tables(s, dir))),
     // §2.7 corpus curation
     "dc1_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables(s, dir))),
@@ -1169,6 +1170,7 @@ object SparkEntry {
         |FROM sums""".stripMargin,
     // t19: ln factor rounded 8 dp, per-token term 10 dp, DECIMAL(28,12)
     // accumulation (the t18 discipline) — order-free both sides
+    "t20_textrank" -> t20TextrankSql(iters = 5, topK = 30),
     "t19_kl_drift" ->
       """WITH st AS MATERIALIZED (
         |  SELECT source, token, COUNT(*) AS c_st FROM (
@@ -1645,6 +1647,49 @@ object SparkEntry {
     * mirroring [[graft.operators.Graph.pagerank]]'s exact floor-division
     * arithmetic (`//` ≡ Spark `div` on the all-positive ranks).
     */
+  /** t20's oracle: g1's replayed integer-PageRank chain over the word
+    * co-occurrence graph — lexical-pair dedup BEFORE hashing (matching
+    * the operator), word ids = the signed k=1 FNV shingle hash (t11's
+    * unigram feature domain), ranks in exact micro-units.
+    */
+  private def t20TextrankSql(iters: Int, topK: Int): String = {
+    import graft.operators.Graph.{Damping, Teleport, Rank0}
+    def wid(e: String) = signed64(fnv64Sql(s"$e || chr(31)"))
+    val rounds = (1 to iters).map { i =>
+      s"""tr$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST($Teleport + SUM(($Damping * (r.pr // d.deg)) // 100) AS BIGINT) AS pr
+         |  FROM tr${i - 1} r
+         |  JOIN tdeg d ON d.src = r.node
+         |  JOIN tedges e ON e.src = r.node
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toksr AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+       |adjr AS (
+       |  SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+       |  FROM toksr WHERE len(t) > 1),
+       |undw AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(w1, w2) AS wa, GREATEST(w1, w2) AS wb
+       |  FROM adjr WHERE w1 <> '' AND w2 <> '' AND w1 <> w2),
+       |tund AS MATERIALIZED (SELECT ${wid("wa")} AS src, ${wid("wb")} AS dst FROM undw),
+       |tedges AS MATERIALIZED (SELECT src, dst FROM tund UNION ALL SELECT dst, src FROM tund),
+       |tdeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM tedges GROUP BY src),
+       |twords AS (
+       |  SELECT DISTINCT ${wid("w")} AS part_key, w FROM (
+       |    SELECT wa AS w FROM undw UNION ALL SELECT wb FROM undw) z),
+       |tr0 AS (SELECT src AS node, CAST($Rank0 AS BIGINT) AS pr FROM tdeg),
+       |$rounds,
+       |top AS (
+       |  SELECT r.node AS part_key, d.deg, r.pr AS rnk
+       |  FROM tr$iters r JOIN tdeg d ON d.src = r.node
+       |  ORDER BY r.pr DESC, part_key
+       |  LIMIT $topK)
+       |SELECT w.w AS word, t.deg, t.rnk AS "rank"
+       |FROM top t JOIN twords w USING (part_key)
+       |ORDER BY "rank" DESC, word""".stripMargin
+  }
+
   private def g1PagerankSql(iters: Int, topK: Int): String = {
     import graft.operators.Graph.{Damping, Teleport, Rank0}
     val rounds = (1 to iters).map { i =>

@@ -648,6 +648,48 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** t20: TextRank keyword extraction (Mihalcea & Tarau 2004) — g1's
+    * integer-arithmetic PageRank run over the word CO-OCCURRENCE graph
+    * (distinct adjacent-token pairs; t12's adjacency domain): the
+    * corpus's structurally central vocabulary, the unsupervised
+    * keyword/keyphrase seed every tagging pipeline starts from. One
+    * propagation engine, third domain (dedup pairs, co-purchase edges,
+    * now word adjacency).
+    *
+    * Words enter the rank loop as FNV-64 ids (collision-negligible;
+    * compact longs shuffle, never strings) and join back to strings
+    * only for the topK presentation rows. The undirected edge set
+    * dedups on the LEXICAL pair before hashing, so both engines build
+    * the identical graph; ranks are g1's exact Long floor-division
+    * micro-units — bit-identical under any partitioning and exactly
+    * replayable as a CTE chain.
+    */
+  def textrankKeywords(t: Tables, topK: Int = 30, iters: Int = 5): DataFrame = {
+    val toks = t.documents.select(col("doc_id"), tokensCol.as("t"))
+    val adj = toks
+      .select(posexplode(col("t")).as(Seq("pos", "w1")), col("doc_id"))
+      .withColumn("w2", lead(col("w1"), 1)
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w1") =!= "" && col("w2") =!= "" &&
+        col("w2").isNotNull && col("w1") =!= col("w2"))
+    val und = adj
+      .select(least(col("w1"), col("w2")).as("wa"),
+        greatest(col("w1"), col("w2")).as("wb"))
+      .distinct()
+      .localCheckpoint(true) // feeds the edge build AND the id→word map
+    // word id = the k=1 FNV shingle hash (t11's unigram feature domain,
+    // fnv64(word ‖ 0x1f) — exactly replayable in the oracle)
+    def wid(c: Column): Column = element_at(shingle_hashes(array(c), 1), 1)
+    val edges = und.select(wid(col("wa")).as("src"), wid(col("wb")).as("dst"))
+    val words = und.select(col("wa").as("w")).unionByName(und.select(col("wb").as("w")))
+      .distinct()
+      .select(wid(col("w")).as("part_key"), col("w"))
+    Graph.pagerankFromEdges(edges, iters, topK)
+      .join(words, Seq("part_key"))
+      .select(col("w").as("word"), col("deg"), col("rank"))
+      .orderBy(col("rank").desc, col("word"))
+  }
+
   /** BM25 parameters (Robertson/Spärck Jones; the Lucene-default
     * shape): k1 term-frequency saturation, b length normalization.
     * Written as separate constants so both engines fold `k1 + 1`

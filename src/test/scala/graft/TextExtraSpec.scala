@@ -448,6 +448,35 @@ class TextExtraSpec extends SparkSpecBase {
     assert(!row.isNullAt(row.fieldIndex("kl_vs_ref")))
   }
 
+  test("t20 textrank: the hub word of a star-shaped co-occurrence graph ranks first") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t20crafted").toString
+    // adjacency pairs: (a,b) (a,c) (a,d) after lexical dedup — a star
+    // centered on 'a'; plus an isolated pair (x,y) off to the side
+    Seq((0L, "a b a c a d", "en", "s", 11L), (1L, "x y", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.textrankKeywords(Tables(spark, dir), topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.head._1 == "a", s"the star hub must rank first, got ${rows.toSeq}")
+    val byWord = rows.map(r => r._1 -> r._2).toMap
+    assert(byWord("a") == 3L && byWord("b") == 1L && byWord("x") == 1L,
+      "degrees count distinct co-occurrence partners")
+    val ranks = rows.map(_._3)
+    assert(ranks.sameElements(ranks.sortBy(-(_: Long))), "presentation is rank-descending")
+    assert(byWord("x") == byWord("y"), "symmetric pair words tie in degree")
+  }
+
+  test("t20 textrank on the corpus: topK rows, distinct words, rank-ordered") {
+    val rows = TextAnalysis.textrankKeywords(t).collect()
+    assert(rows.length == 30)
+    val words = rows.map(_.getString(0))
+    assert(words.distinct.length == words.length)
+    val ranks = rows.map(_.getLong(2))
+    assert(ranks.sameElements(ranks.sortBy(-(_: Long))))
+    assert(rows.forall(_.getLong(1) >= 1L))
+  }
+
   test("t19 KL drift is zero when one source IS the corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("t19single").toString
