@@ -200,6 +200,23 @@ object OracleReplicas {
        |labels AS MATERIALIZED (SELECT doc_id, label AS cluster_id FROM pjl$iters)""".stripMargin
   }
 
+  /** dc17: the d2 pair replica rolled up to the order-normalized
+    * (source_a, source_b) matrix. Mirrors
+    * [[graft.operators.Curation.sourceOverlap]].
+    */
+  def dc17SourceOverlap(numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 42L): String =
+    s"""WITH ${minhashCtes(numHashes, bands, seed)},
+       |p AS (SELECT doc_a, doc_b FROM cand WHERE est >= $threshold)
+       |SELECT LEAST(sa.source, sb.source) AS source_a,
+       |  GREATEST(sa.source, sb.source) AS source_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM p
+       |JOIN documents sa ON sa.doc_id = p.doc_a
+       |JOIN documents sb ON sb.doc_id = p.doc_b
+       |GROUP BY 1, 2
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** d6: connected components (min-label per component) over the d2 LSH
     * pair graph, via the pointer-jumping generation chain. Mirrors
     * [[graft.operators.Dedup.clusters]].

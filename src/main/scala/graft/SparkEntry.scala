@@ -114,6 +114,7 @@ object SparkEntry {
     "dc14_perplexity_gate" -> ((s, dir) => Curation.perplexityGate(Tables(s, dir))),
     "dc15_stratified_sample" -> ((s, dir) => Curation.stratifiedSample(Tables(s, dir))),
     "dc16_language_balance" -> ((s, dir) => Curation.languageBalance(Tables(s, dir))),
+    "dc17_source_overlap" -> ((s, dir) => Curation.sourceOverlap(Tables(s, dir))),
     // §2.5 multimodal plumbing
     "m1_multimodal" -> ((s, dir) => Multimodal.pipeline(Tables(s, dir))),
     "m4_payload_stats" -> ((s, dir) => Multimodal.payloadStats(Tables(s, dir))),
@@ -398,6 +399,7 @@ object SparkEntry {
           |SELECT doc_inner, doc_outer, ROUND(c, 4) AS containment
           |FROM cont WHERE c >= 0.8 ORDER BY doc_inner, doc_outer""".stripMargin),
     "d6_dedup_clusters" -> OracleReplicas.d6Clusters(),
+    "dc17_source_overlap" -> OracleReplicas.dc17SourceOverlap(),
     // m4: char-domain byte histogram (ASCII corpus ⇒ ascii(text[i]) ≡
     // payload byte); every metric is integer counts + one exact division,
     // so no cross-engine float drift is possible

@@ -304,6 +304,32 @@ object Curation {
       .withColumnRenamed("source", "pred_lang")
       .withColumnRenamed("src_budget", "lang_budget")
 
+  /** dc17: cross-source OVERLAP matrix — d2's near-dup pairs rolled up
+    * to (source_a, source_b, n_pairs): how much each ingest feed
+    * duplicates each other feed (and itself, the diagonal). The
+    * diagnostic that decides which scrape to drop when two feeds cover
+    * the same sites — dedup tells you THAT documents repeat, this tells
+    * you WHERE the repetition comes from. Source pairs are
+    * order-normalized so (a, b) and (b, a) collapse.
+    *
+    * Scale shape: d2's band-bucket self-join does all the heavy work;
+    * the source attach joins one enum-valued column onto the pair-sized
+    * result, and the matrix aggregation shuffles (src, src) pairs — an
+    * enum² grain.
+    */
+  def sourceOverlap(t: Tables, threshold: Double = 0.5): DataFrame = {
+    val src = t.documents.select(col("doc_id"), col("source"))
+    Dedup.minhashLsh(t, threshold = threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** dc4's core over an explicit `(doc_id, source, ws_tokens)` frame —
     * shared with the composed pipeline ([[fullCuration]]'s final stage).
     */

@@ -376,6 +376,23 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("dc17 source overlap reconciles with d2's pairs rolled up by source") {
+    import graft.operators.Dedup
+    val srcOf = t.documents.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.minhashLsh(t).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val want = pairs.map { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    val got = Curation.sourceOverlap(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want, "the matrix must be exactly d2's pairs rolled up by source")
+    assert(got.values.sum == pairs.length.toLong, "every pair is counted exactly once")
+    assert(got.keys.forall { case (a, b) => a <= b }, "source pairs are order-normalized")
+  }
+
   test("dc16 language balance: equal budgets, greedy md5 prefix per language, binding cut") {
     import graft.operators.TextAnalysis
     val rows = Curation.languageBalance(t).collect()
