@@ -147,6 +147,7 @@ object SparkEntry {
     "g6_hop_distance" -> ((s, dir) => Graph.hopDistance(Tables(s, dir))),
     "g7_label_communities" -> ((s, dir) => Graph.labelCommunities(Tables(s, dir))),
     "g8_clustering_coeff" -> ((s, dir) => Graph.clusteringCoeff(Tables(s, dir))),
+    "g9_weighted_pagerank" -> ((s, dir) => Graph.weightedPagerank(Tables(s, dir))),
     // m5's plants: bytes differ (2nd char flipped) but the decoded
     // thumbnail is IDENTICAL — for len > 64 the sampler touches
     // positions 1 and ≥3 only, so the flip is representation-invisible
@@ -1509,6 +1510,7 @@ object SparkEntry {
     "g5_personalized_pagerank" -> g5PersonalizedSql(iters = 4, topK = 50),
     "g6_hop_distance" -> g6HopSql(maxHops = 6),
     "g7_label_communities" -> g7CommunitiesSql(rounds = 4),
+    "g9_weighted_pagerank" -> g9WeightedPagerankSql(iters = 5, topK = 100),
     "t17_bm25" ->
       (s"WITH ${bm25Ctes(graft.operators.TextAnalysis.Bm25QueryTerms)}\n" +
         """SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
@@ -1690,6 +1692,36 @@ object SparkEntry {
        |SELECT w.w AS word, t.deg, t.rnk AS "rank"
        |FROM top t JOIN twords w USING (part_key)
        |ORDER BY "rank" DESC, word""".stripMargin
+  }
+
+  /** g9's oracle: g1's replayed chain with mass split by edge weight —
+    * `(Damping · ((pr · w) // wdeg)) // 100`, Long-exact like g1.
+    */
+  private def g9WeightedPagerankSql(iters: Int, topK: Int): String = {
+    import graft.operators.Graph.{Damping, Teleport, Rank0}
+    val rounds = (1 to iters).map { i =>
+      s"""wr$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST($Teleport + SUM(($Damping * ((r.pr * e.w) // d.wdeg)) // 100) AS BIGINT) AS pr
+         |  FROM wr${i - 1} r
+         |  JOIN wdeg d ON d.src = r.node
+         |  JOIN wedges e ON e.src = r.node
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wop AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |wund AS (
+       |  SELECT a.pk AS src, b.pk AS dst, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM wop a JOIN wop b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY a.pk, b.pk),
+       |wedges AS MATERIALIZED (
+       |  SELECT src, dst, w FROM wund UNION ALL SELECT dst, src, w FROM wund),
+       |wdeg AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg FROM wedges GROUP BY src),
+       |wr0 AS (SELECT src AS node, CAST($Rank0 AS BIGINT) AS pr FROM wdeg),
+       |$rounds
+       |SELECT r.node AS part_key, d.wdeg, r.pr AS "rank"
+       |FROM wr$iters r JOIN wdeg d ON d.src = r.node
+       |ORDER BY r.pr DESC, part_key
+       |LIMIT $topK""".stripMargin
   }
 
   private def g1PagerankSql(iters: Int, topK: Int): String = {

@@ -113,6 +113,60 @@ object Graph {
         sum(expr(s"($Damping * (rank div deg)) div 100"))).as("rank"))
       .select(col("dst").as("node"), col("rank"))
 
+  /** Weighted undirected co-purchase edges: one row per unordered part
+    * pair with `w` = the number of distinct orders the pair shares —
+    * the tie-strength signal the unweighted graph discards.
+    */
+  def weightedCopurchaseEdges(t: Tables): DataFrame = {
+    val op = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    op.as("a").join(op.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** g9: WEIGHTED PageRank — g1 with rank mass split proportionally to
+    * edge weight instead of equally: contribution u→v per round is
+    * `(Damping · ((rank_u · w_uv) div W_u)) div 100` with W_u = Σ_v
+    * w_uv, so frequently-co-purchased neighbors inherit more mass (the
+    * multiplicity the unweighted graph flattens to 1). Same exact Long
+    * floor-division discipline as g1: every intermediate is a positive
+    * Long, so results are bit-identical under any partitioning and the
+    * oracle replays the chain round for round. Per round ONE
+    * (ranks ⋈ weighted-edges) join + a (dst)-keyed partial agg —
+    * compact longs shuffle; ranks broadcast statically (g1's pin).
+    */
+  def weightedPagerank(t: Tables, iters: Int = 5, topK: Int = 100): DataFrame =
+    weightedPagerankFromEdges(weightedCopurchaseEdges(t), iters, topK)
+
+  /** g9 over any weighted undirected edge list (src, dst, w) — exposed
+    * for crafted-graph specs.
+    */
+  def weightedPagerankFromEdges(wund: DataFrame, iters: Int, topK: Int,
+      broadcastRanks: Boolean = true): DataFrame = {
+    val edges = wund.select(col("src"), col("dst"), col("w"))
+      .union(wund.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .localCheckpoint(eager = true)
+    val wdeg = edges.groupBy("src").agg(sum(col("w")).as("wdeg"))
+      .localCheckpoint(eager = true)
+    val edgesW = edges.join(wdeg, "src").localCheckpoint(eager = true)
+    var ranks = wdeg.select(col("src").as("node"), lit(Rank0).as("rank"))
+    var i = 0
+    while (i < iters) {
+      ranks = (if (broadcastRanks) broadcast(ranks) else ranks)
+        .join(edgesW, col("node") === edgesW("src"))
+        .groupBy(col("dst"))
+        .agg((lit(Teleport) +
+          sum(expr(s"($Damping * ((rank * w) div wdeg)) div 100"))).as("rank"))
+        .select(col("dst").as("node"), col("rank"))
+        .localCheckpoint(eager = true)
+      i += 1
+    }
+    ranks.join(wdeg, ranks("node") === wdeg("src"))
+      .select(col("node").as("part_key"), col("wdeg"), col("rank"))
+      .orderBy(col("rank").desc, col("part_key"))
+      .limit(topK)
+  }
+
   /** g5: PERSONALIZED PageRank from the graph's hub (highest-degree,
     * lowest-id tie-break) — the "parts bought around X" recommendation
     * primitive: teleport mass returns only to the SEED, so rank decays

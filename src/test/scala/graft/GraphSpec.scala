@@ -187,6 +187,30 @@ class GraphSpec extends SparkSpecBase {
       "community_size counts members")
   }
 
+  test("g9: one weighted round hand-computed — heavier edges inherit more mass") {
+    import spark.implicits._
+    // a–b w=3, b–c w=1. wdeg a=3 b=4 c=1, r0=1e6. Contributions divide
+    // by the SENDER's weighted out-degree:
+    // r1(a) = 150k + (85·((1e6·3) div 4)) div 100 (from b)   =   787_500
+    // r1(b) = 150k + 850_000 (from a, 3/3) + 850_000 (from c, 1/1) = 1_850_000
+    // r1(c) = 150k + (85·((1e6·1) div 4)) div 100 (from b)   =   362_500
+    val g = Seq((1L, 2L, 3L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val out = Graph.weightedPagerankFromEdges(g, iters = 1, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((2L, 4L, 1850000L), (1L, 3L, 787500L), (3L, 1L, 362500L)))
+  }
+
+  test("g9 with unit weights equals unweighted g1 exactly") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (2L, 5L))
+    val unw = Graph.pagerankFromEdges(pairs.toDF("src", "dst"), iters = 4, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val w1 = Graph.weightedPagerankFromEdges(
+        pairs.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w"), iters = 4, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(w1 == unw, "w=1 must degenerate to g1's exact ranks")
+  }
+
   test("g8: K4 coefficients are 1, a path center is 0, leaves are excluded") {
     val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
     val out = Graph.clusteringCoeffFromEdges(k4).collect()
