@@ -200,6 +200,20 @@ class GraphSpec extends SparkSpecBase {
     assert(out == Seq((2L, 4L, 1850000L), (1L, 3L, 787500L), (3L, 1L, 362500L)))
   }
 
+  test("g9: mass stays within the teleport floor and total-input ceiling; heavier edge wins") {
+    import spark.implicits._
+    // star with one heavy spoke: center 1, leaves 2..5, extra weight to 2
+    val g = Seq((1L, 2L, 5L), (1L, 3L, 1L), (1L, 4L, 1L), (1L, 5L, 1L)).toDF("src", "dst", "w")
+    val rows = Graph.weightedPagerankFromEdges(g, iters = 3, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val byNode = rows.toMap
+    assert(byNode(2L) > byNode(3L), "the heavy spoke outranks the light ones")
+    assert(byNode(3L) == byNode(4L) && byNode(4L) == byNode(5L), "symmetric spokes tie")
+    val total = rows.map(_._2).sum
+    assert(total > 5L * 150000L && total <= 5L * 1000000L,
+      s"mass $total must sit between the teleport floor and the conserved input")
+  }
+
   test("g9 with unit weights equals unweighted g1 exactly") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (2L, 5L))

@@ -477,6 +477,19 @@ class TextExtraSpec extends SparkSpecBase {
     assert(rows.forall(_.getLong(1) >= 1L))
   }
 
+  test("t19: corpus KL divergences are non-negative (Gibbs) within the rounding envelope") {
+    val rows = TextAnalysis.klDrift(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val kl = r.getAs[Double]("kl_divergence")
+      // exact KL >= 0; the 8/10-dp term rounding can introduce at most
+      // vocabulary-size x 5e-11 of signed error
+      assert(kl >= -1e-5, s"${r.getString(0)}: KL $kl below the rounding floor")
+    }
+    assert(rows.exists(_.getAs[Double]("kl_divergence") > 0),
+      "sources genuinely differ from the blend")
+  }
+
   test("t19 KL drift is zero when one source IS the corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("t19single").toString
