@@ -52,6 +52,8 @@ object RangeBench {
         .localCheckpoint(true)
     }
 
+    val runRoot = java.nio.file.Files.createTempDirectory("rangebench").toString
+
     val results = sizes.map { n =>
       val emb = corpus(n)
       val queries = emb.filter(col("vec_id") < 10)
@@ -60,9 +62,11 @@ object RangeBench {
       val (exactHits, exactSec) = timed(
         Similarity.rangeSearchOf(emb, nQueries = 10, minCos = minCos).count())
       // build = k-means + assignment, persisted partitionBy(cid) — the
-      // one-time cost a real deployment amortizes over every probe
-      val idxPath = java.nio.file.Files
-        .createTempDirectory(s"rangebench_$n").toString + "/idx"
+      // one-time cost a real deployment amortizes over every probe.
+      // All index layouts live under one run-scoped root, removed after
+      // the probes — a bench must not leave ~1M-vector parquet trees in
+      // the temp dir per invocation
+      val idxPath = s"$runRoot/idx_$n"
       val (_, buildSec) = timed(Similarity.buildIvfIndexOf(emb, idxPath, nlist = 16))
       // the probe against the published index: centroid routing + the
       // nprobe admitted cluster DIRECTORIES only (partition pruning)
@@ -86,6 +90,11 @@ object RangeBench {
     val rows = results.map(_.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")).mkString("[", ",", "]")
     println(s"""{"metric":"range_search","min_cos":$minCos,"nprobe":4,"nlist":16,"rows":$rows,"cpus":$cpus}""")
+    // remove the run-scoped index layouts (timings are already taken)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(runRoot))
     spark.stop()
   }
 }

@@ -701,10 +701,14 @@ object Dedup {
   def clustersOfPairs(pairGraph: DataFrame, maxIter: Int = 100,
       oracleRounds: Option[Int] = None): DataFrame = {
     val (df, rounds) = clustersOfPairsCounted(pairGraph, maxIter)
-    oracleRounds.foreach(b => require(rounds <= b,
-      s"min-label propagation ran $rounds rounds > the oracle's " +
-        s"$b-generation replay budget — regenerate the pointer-jump chain " +
-        "with more iters (OracleReplicas.PointerJumpIters)"))
+    // `rounds` counts the final no-change DETECTION iteration too, so a
+    // graph converging in exactly `b` productive generations (which the
+    // b-generation oracle chain replays correctly) reports b+1 — compare
+    // the converged-by round, not the loop count
+    oracleRounds.foreach(b => require(rounds - 1 <= b,
+      s"min-label propagation converged in ${rounds - 1} productive rounds > " +
+        s"the oracle's $b-generation replay budget — regenerate the " +
+        "pointer-jump chain with more iters (OracleReplicas.PointerJumpIters)"))
     df
   }
 

@@ -332,14 +332,16 @@ object Graph {
     * wedge (u→v, u→w) closed by the edge v→w. Each of its three nodes
     * is credited. Returns nodes with ≥1 triangle: (part_key, n_tri).
     */
-  def triangleCounts(t: Tables): DataFrame =
-    triangleCountsFromEdges(copurchaseEdges(t))
+  def triangleCounts(t: Tables, broadcastClosing: Boolean = true): DataFrame =
+    triangleCountsFromEdges(copurchaseEdges(t), broadcastClosing)
 
   /** Triangle counts over any undirected edge list (`src`, `dst`, one
     * row per unordered pair) — exposed for crafted-graph specs.
+    * `broadcastClosing` — see [[trianglesFromEdges]].
     */
-  def triangleCountsFromEdges(und: DataFrame): DataFrame =
-    trianglesFromEdges(und)
+  def triangleCountsFromEdges(und: DataFrame,
+      broadcastClosing: Boolean = true): DataFrame =
+    trianglesFromEdges(und, broadcastClosing)
       .select(explode(array(col("u"), col("v"), col("w"))).as("part_key"))
       .groupBy("part_key")
       .agg(count(lit(1)).as("n_tri"))
@@ -347,9 +349,23 @@ object Graph {
 
   /** Every triangle exactly once as (u, v, w): u first in the
     * (degree, id) order, v < w by id — the shared degree-ordered wedge
-    * core of g2 and g3.
+    * core of g2, g3 and g8.
+    *
+    * `broadcastClosing` is g1's `broadcastRanks` escape hatch for the
+    * closing-edge probe: the default (true) is correct while the edge
+    * list fits a broadcast (it is the co-purchase pair table here —
+    * dimension-sized), but the edge list GROWS WITH THE CORPUS, and at
+    * 100× it passes Spark's 8 GB broadcast hard cap and driver memory —
+    * the job fails, not slows. Pass false to probe via a SHUFFLE-HASH
+    * join instead: both sides exchange on (v, w) — on a real cluster
+    * the edge table would be bucketed by (v, w) so only the wedge
+    * stream moves — and the hash build is on the closing side, so the
+    * Σ outdeg² wedge stream streams through the probe WITHOUT ever
+    * being sorted (a sort-merge of the wedge stream is the shape this
+    * parameter exists to forbid; PlanShapeSpec locks both shapes).
     */
-  private def trianglesFromEdges(und: DataFrame): DataFrame = {
+  private[graft] def trianglesFromEdges(und: DataFrame,
+      broadcastClosing: Boolean = true): DataFrame = {
     val sym = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("n"), col("deg"))
@@ -370,17 +386,20 @@ object Graph {
     val wedges = e1.join(e2, Seq("u")).filter(col("v") < col("w"))
     // close the wedge: an ordered edge between v and w (either direction
     // in the degree order, but v<w by id — match both orientations).
-    // The edge side BROADCASTS, pinned statically: without the hint the
-    // planner sort-merges, exchanging AND sorting the Σ outdeg² wedge
-    // stream on (v, w) before the probe — ~1 GB of exchange for sf0.1's
-    // 41M wedges, which one host hides at page-cache speed but a
-    // cluster network pays in full (g1's pin argument one join further
-    // in). The wedge stream is always ≫ the edge list it probes; when
-    // the edge list outgrows broadcast, the right shape is bucketing
-    // both sides by (v, w), never sorting the wedge stream.
+    // Default shape: the edge side BROADCASTS, pinned statically —
+    // without the hint the planner sort-merges, exchanging AND sorting
+    // the Σ outdeg² wedge stream on (v, w) before the probe — ~1 GB of
+    // exchange for sf0.1's 41M wedges, which one host hides at
+    // page-cache speed but a cluster network pays in full (g1's pin
+    // argument one join further in). The wedge stream is always ≫ the
+    // edge list it probes; when the edge list outgrows broadcast
+    // (broadcastClosing = false), the probe is a SHUFFLE-HASH join with
+    // the hash build on the closing side — the wedge stream exchanges
+    // but is never sorted.
     val closing = ordered.select(
       least(col("lo"), col("hi")).as("v"), greatest(col("lo"), col("hi")).as("w"))
-    wedges.join(broadcast(closing), Seq("v", "w"))
+    if (broadcastClosing) wedges.join(broadcast(closing), Seq("v", "w"))
+    else wedges.join(closing.hint("shuffle_hash"), Seq("v", "w"))
   }
 
   /** g3: per-edge EMBEDDEDNESS — the number of triangles through each
@@ -398,14 +417,16 @@ object Graph {
     * deliberately not offered at this grain: without the closing-edge
     * filter the wedge stream is Σdeg² with no ordering escape.
     */
-  def edgeEmbeddedness(t: Tables, topK: Int = 100): DataFrame =
-    edgeEmbeddednessFromEdges(copurchaseEdges(t), topK)
+  def edgeEmbeddedness(t: Tables, topK: Int = 100,
+      broadcastClosing: Boolean = true): DataFrame =
+    edgeEmbeddednessFromEdges(copurchaseEdges(t), topK, broadcastClosing)
 
   /** Edge embeddedness over any undirected edge list — exposed for
-    * crafted-graph specs.
+    * crafted-graph specs. `broadcastClosing` — see [[trianglesFromEdges]].
     */
-  def edgeEmbeddednessFromEdges(und: DataFrame, topK: Int = 100): DataFrame =
-    trianglesFromEdges(und)
+  def edgeEmbeddednessFromEdges(und: DataFrame, topK: Int = 100,
+      broadcastClosing: Boolean = true): DataFrame =
+    trianglesFromEdges(und, broadcastClosing)
       .select(explode(array(
         struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
         struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
@@ -425,14 +446,15 @@ object Graph {
     * bounded wedge-close core unchanged; the final join is compact
     * (node, count) rows.
     */
-  def clusteringCoeff(t: Tables): DataFrame =
-    clusteringCoeffFromEdges(copurchaseEdges(t))
+  def clusteringCoeff(t: Tables, broadcastClosing: Boolean = true): DataFrame =
+    clusteringCoeffFromEdges(copurchaseEdges(t), broadcastClosing)
 
   /** g8 over any undirected edge list — exposed for crafted-graph
-    * specs.
+    * specs. `broadcastClosing` — see [[trianglesFromEdges]].
     */
-  def clusteringCoeffFromEdges(und: DataFrame): DataFrame = {
-    val tri = triangleCountsFromEdges(und)
+  def clusteringCoeffFromEdges(und: DataFrame,
+      broadcastClosing: Boolean = true): DataFrame = {
+    val tri = triangleCountsFromEdges(und, broadcastClosing)
       .select(col("part_key"), col("n_tri"))
     val deg = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
       .groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -473,9 +495,12 @@ object Graph {
       oracleRounds: Option[Int] = None): DataFrame = {
     val (clusters, rounds) = Dedup.clustersOfPairsCounted(
       und.select(col("src").as("doc_a"), col("dst").as("doc_b")))
-    oracleRounds.foreach(b => require(rounds <= b,
-      s"g4 propagation ran $rounds rounds > the oracle's $b-generation " +
-        "replay budget — regenerate g4ComponentsSql with more iters"))
+    // rounds includes the final no-change detection iteration (see
+    // Dedup.clustersOfPairs): budget-compare the converged-by round
+    oracleRounds.foreach(b => require(rounds - 1 <= b,
+      s"g4 propagation converged in ${rounds - 1} productive rounds > the " +
+        s"oracle's $b-generation replay budget — regenerate g4ComponentsSql " +
+        "with more iters"))
     val labeled = clusters
       .select(col("doc_id").as("node"), col("cluster_id").as("cid"))
     nodes

@@ -57,6 +57,21 @@ class GraphSpec extends SparkSpecBase {
     assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("g2/g3/g8: the shuffle-hash closing probe (broadcastClosing=false) is result-identical") {
+    // the at-scale escape hatch must be a pure plan-shape change: same
+    // triangles, same counts, on a graph with hubs, chords and bridges
+    val g = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
+      (4L, 5L), (5L, 6L), (6L, 7L), (5L, 7L), // tail with one triangle
+      (8L, 9L)) // disconnected bridge, closes nothing
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(Graph.triangleCountsFromEdges(g, broadcastClosing = false)) ==
+      rows(Graph.triangleCountsFromEdges(g)))
+    assert(rows(Graph.edgeEmbeddednessFromEdges(g, broadcastClosing = false)) ==
+      rows(Graph.edgeEmbeddednessFromEdges(g)))
+    assert(rows(Graph.clusteringCoeffFromEdges(g, broadcastClosing = false)) ==
+      rows(Graph.clusteringCoeffFromEdges(g)))
+  }
+
   test("g3: edge embeddedness — K4 edges close two triangles each, a bridge closes none") {
     val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
     val out = Graph.edgeEmbeddednessFromEdges(k4)

@@ -164,6 +164,37 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("g2/g3/g8 at-scale shape: broadcastClosing=false probes a shuffle-hash build, never sorts the wedge stream") {
+    // when the edge list outgrows broadcast (it grows with the corpus —
+    // past the 8 GB broadcast cap the default shape FAILS, not slows),
+    // the escape hatch must produce a shuffle-hash probe: the Σ outdeg²
+    // wedge stream may exchange on (v, w) but must never be SORTED for
+    // a merge join — a sort of the wedge stream is the quadratic-cost
+    // shape this parameter exists to forbid
+    Seq(
+      "g2" -> Graph.triangleCounts(t, broadcastClosing = false),
+      "g3" -> Graph.edgeEmbeddedness(t, broadcastClosing = false),
+      "g8" -> Graph.clusteringCoeff(t, broadcastClosing = false)
+    ).foreach { case (name, df) =>
+      val p = phys(df)
+      // the closing probe is the triangle core's ONLY 2-key join (the
+      // wedge build joins on u alone; g8's copurchase self-join and the
+      // degree attach are single-key) — key all three assertions on
+      // join-key arity so planner-chosen broadcasts of genuinely tiny
+      // single-key sides don't false-positive
+      assert(p.collect {
+        case b: BroadcastHashJoinExec if b.leftKeys.length >= 2 => b
+      }.isEmpty, s"$name(false): the closing probe must not broadcast:\n$p")
+      assert(p.collect {
+        case h: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if h.leftKeys.length >= 2 => h
+      }.nonEmpty, s"$name(false): the closing probe must be a shuffle-hash join:\n$p")
+      val smj2 = p.collect { case s: SortMergeJoinExec if s.leftKeys.length >= 2 => s }
+      assert(smj2.isEmpty,
+        s"$name(false): the (v, w) probe must never sort the wedge stream:\n$p")
+    }
+  }
+
   test("dc6: zero shuffles before the presentation sort") {
     // all nine gate metrics are one map-side codegen projection over one
     // scan; the only exchange the plan may contain is the final orderBy's
