@@ -1,0 +1,95 @@
+package graft.etl
+
+/** The reference's HTTP extract error contract
+  * (/root/reference/api_client.py:48-89), modeled as a pure, transport-
+  * free policy so the four branches are spec-testable without a network
+  * (this container has none — a real deployment plugs an actual client
+  * into `get`):
+  *
+  *   - 200          → parse the body
+  *   - 404          → the EMPTY result, immediately (no data is not a
+  *                    failure — the reference maps it to an empty MRData
+  *                    envelope, api_client.py:67-70)
+  *   - other 4xx    → fatal immediately, never retried (the caller's
+  *                    request is wrong; retrying cannot fix it,
+  *                    api_client.py:71-73)
+  *   - 5xx, timeout,
+  *     transport    → retry with exponential backoff `delay ** attempt`
+  *                    (api_client.py:60-64,75-84); exhausting
+  *                    `maxAttempts` raises the terminal error
+  *
+  * `Fatal` surfaces as [[Pipeline.FatalExtractException]] so a
+  * [[Pipeline.withRetry]]-wrapped extract built on this layer keeps the
+  * no-retry discrimination end to end.
+  */
+object HttpExtract {
+
+  /** One response from the transport — what a fake (or a real client)
+    * hands the policy per attempt.
+    */
+  sealed trait Response
+  /** 2xx with a body. */
+  final case class Ok(body: String) extends Response
+  /** Any non-2xx HTTP status. */
+  final case class Status(code: Int, message: String = "") extends Response
+  /** Timeout or transport failure — no status line ever arrived. */
+  final case class Failed(message: String) extends Response
+
+  /** Terminal failure after retries were exhausted (the reference's
+    * JolpicaAPIError on the retry paths).
+    */
+  final case class ExhaustedException(message: String) extends RuntimeException(message)
+
+  /** Run one logical request under the contract. `get` is invoked once
+    * per attempt (a fake scripts a response sequence; a real client
+    * issues the HTTP call). `parse` maps a 2xx body to the result;
+    * `empty` is the 404 mapping. `sleep`/`backoffMs` are injectable so
+    * specs record the backoff schedule instead of waiting it out;
+    * the default backoff is the reference's `API_RETRY_DELAY ** attempt`
+    * shape (base 2, in units of 100 ms).
+    */
+  def request[A](
+      get: () => Response,
+      parse: String => A,
+      empty: => A,
+      maxAttempts: Int = 3,
+      backoffMs: Int => Long = a => 100L * math.round(math.pow(2, a)),
+      sleep: Long => Unit = Thread.sleep): A = {
+    require(maxAttempts >= 1, "maxAttempts must be at least 1")
+    var attempt = 0
+    while (true) {
+      val retryable: Option[String] = get() match {
+        case Ok(body) => return parse(body)
+        case Status(404, _) => return empty
+        case Status(code, msg) if code >= 400 && code < 500 =>
+          throw Pipeline.FatalExtractException(s"client error $code: $msg")
+        case Status(code, msg) => Some(s"server error $code: $msg")
+        case Failed(msg) => Some(s"request failed: $msg")
+      }
+      attempt += 1
+      if (attempt >= maxAttempts)
+        throw ExhaustedException(s"${retryable.get} (after $maxAttempts attempts)")
+      sleep(backoffMs(attempt))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** A [[Pipeline.Extract]] whose per-run fetch obeys the contract:
+    * `fetch` produces the raw payload under retry/404/4xx discrimination,
+    * then `load` turns it into the extract's DataFrame (`None` = the 404
+    * empty-result branch — the loader decides what "empty" means for its
+    * schema, as the reference's loaders do with the empty MRData).
+    */
+  def extract(
+      fetch: Option[Long] => () => Response,
+      load: (org.apache.spark.sql.SparkSession, Option[String]) => org.apache.spark.sql.DataFrame,
+      maxAttempts: Int = 3,
+      backoffMs: Int => Long = a => 100L * math.round(math.pow(2, a)),
+      sleep: Long => Unit = Thread.sleep): Pipeline.Extract =
+    (spark, since) =>
+      request[org.apache.spark.sql.DataFrame](
+        fetch(since),
+        body => load(spark, Some(body)),
+        load(spark, None),
+        maxAttempts, backoffMs, sleep)
+}

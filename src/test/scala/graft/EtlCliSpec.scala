@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{HttpExtract, Main, MetadataStore, Pipeline, PipelineRunner}
+
+/** The CLI entrypoint (reference main.py:282-407's argparse + branch
+  * order) and the HTTP extract error contract (api_client.py:48-89's
+  * 404/4xx/5xx/timeout discrimination) — both pure layers, pinned
+  * without a process or a network.
+  */
+class EtlCliSpec extends SparkSpecBase {
+
+  // ---- Main.parse: the argparse block ----
+
+  test("parse: the reference's flag surface round-trips") {
+    val cfg = Main.parse(Array("--mode", "post_race", "--year", "2024", "--force")).toOption.get
+    assert(cfg.mode.contains(Pipeline.PostRace) && cfg.year.contains(2024) && cfg.force)
+    val t = Main.parse(Array("--table", "orders", "--year", "1995", "--round", "3")).toOption.get
+    assert(t.table.contains("orders") && t.year.contains(1995) && t.round.contains(3))
+    val w = Main.parse(Array("--table", "region", "--warehouse", "/tmp/w", "--source", "/tmp/s",
+      "--snapshot")).toOption.get
+    assert(w.warehouse == "/tmp/w" && w.source == "/tmp/s" && w.snapshot)
+  }
+
+  test("parse: usage errors are loud, never silent no-ops") {
+    assert(Main.parse(Array("--mode", "mid_season")).isLeft, "bad mode choice")
+    assert(Main.parse(Array("--year", "2024")).isLeft, "neither --mode nor --table")
+    assert(Main.parse(Array()).isLeft, "empty invocation")
+    assert(Main.parse(Array("--mode", "pre_season", "--frobnicate")).isLeft, "unknown flag")
+    assert(Main.parse(Array("--table", "orders", "--year", "twenty")).isLeft, "non-int year")
+    assert(Main.parse(Array("--mode", "pre_season", "--round", "3")).isLeft,
+      "--round without --table")
+    assert(Main.parse(Array("--table", "orders", "--round", "3")).isLeft,
+      "--round without --year")
+    assert(Main.parse(Array("--table", "--force")).isLeft, "--table missing its value")
+  }
+
+  // ---- Main.execute: the branch order against a real runner ----
+
+  private def cliRunner(): (PipelineRunner, String, MetadataStore) = {
+    val wh = Files.createTempDirectory("graft_cli_wh_").toString
+    val store = new MetadataStore(spark, s"$wh/_metadata")
+    val runner = new PipelineRunner(spark, wh, store, Main.specs,
+      Main.extracts(sfDir), scopedExtracts = Main.scopedExtracts(sfDir))
+    (runner, wh, store)
+  }
+
+  test("cli: --mode pre_season loads the dimension DAG in order, exit 0") {
+    val (runner, wh, _) = cliRunner()
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val code = Main.execute(Main.parse(Array("--mode", "pre_season")).toOption.get,
+      runner, out.append(_))
+    assert(code == 0)
+    // region → nation → customer all published
+    assert(spark.read.parquet(s"$wh/customer").count() ==
+      spark.read.parquet(s"$sfDir/customer.parquet").count())
+    assert(out.count(_.startsWith("loaded")) == 3)
+  }
+
+  test("cli: --table wins over --mode (the reference's branch order); rows land") {
+    val (runner, wh, _) = cliRunner()
+    val code = Main.execute(
+      Main.parse(Array("--mode", "pre_season", "--table", "region")).toOption.get, runner)
+    assert(code == 0)
+    assert(Files.exists(java.nio.file.Paths.get(s"$wh/region")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$wh/nation")),
+      "--table must run exactly one entity, not the mode DAG")
+  }
+
+  test("cli: --table --year --round is a period-scoped backfill, watermark untouched") {
+    val (runner, wh, store) = cliRunner()
+    // establish a full orders load + its watermark first
+    assert(Main.execute(Main.parse(Array("--mode", "post_race")).toOption.get, runner) == 0)
+    val before = spark.read.parquet(s"$wh/orders").count()
+    val wmBefore = store.watermark("orders")
+    val cfg = Main.parse(Array("--table", "orders", "--year", "1995", "--round", "3")).toOption.get
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    assert(Main.execute(cfg, runner, out.append(_)) == 0)
+    // idempotent repair: same rows, nothing duplicated, watermark unchanged
+    assert(spark.read.parquet(s"$wh/orders").count() == before)
+    assert(store.watermark("orders") == wmBefore)
+    // backfill reports the MERGED table count (its API contract: full
+    // table for unpartitioned targets), and the repaired slice must be
+    // non-empty for the test to mean anything
+    assert(out.head == s"backfilled orders (round,3), (year,1995): $before rows")
+    assert(spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(year(col("o_orderdate")) === 1995 && month(col("o_orderdate")) === 3)
+      .count() > 0, "the 1995-03 slice must exist in the testdata")
+  }
+
+  test("cli: a failing extract exits 1 (the reference's tables_failed contract)") {
+    val wh = Files.createTempDirectory("graft_cli_wh_").toString
+    val poison: Map[String, Pipeline.Extract] =
+      Main.extracts(sfDir) + ("region" -> ((_, _) => throw new RuntimeException("boom")))
+    val runner = new PipelineRunner(spark, wh,
+      new MetadataStore(spark, s"$wh/_metadata"), Main.specs, poison)
+    assert(Main.execute(Main.parse(Array("--mode", "pre_season")).toOption.get,
+      runner, _ => ()) == 1)
+  }
+
+  // ---- HttpExtract: the four branches of api_client.py:48-89 ----
+
+  private def scripted(rs: HttpExtract.Response*): () => HttpExtract.Response = {
+    val it = rs.iterator
+    () => if (it.hasNext) it.next() else fail("transport called past its script")
+  }
+
+  test("http 200: body parses; no sleeps") {
+    val slept = scala.collection.mutable.ListBuffer.empty[Long]
+    val r = HttpExtract.request(scripted(HttpExtract.Ok("payload")),
+      identity[String], "EMPTY", sleep = slept.append(_))
+    assert(r == "payload" && slept.isEmpty)
+  }
+
+  test("http 404: the empty result, immediately — no retry, no failure") {
+    val slept = scala.collection.mutable.ListBuffer.empty[Long]
+    val r = HttpExtract.request(scripted(HttpExtract.Status(404)),
+      identity[String], "EMPTY", sleep = slept.append(_))
+    assert(r == "EMPTY" && slept.isEmpty)
+  }
+
+  test("http 4xx: fatal on the first attempt, never retried") {
+    val slept = scala.collection.mutable.ListBuffer.empty[Long]
+    val e = intercept[Pipeline.FatalExtractException] {
+      HttpExtract.request(scripted(HttpExtract.Status(403, "forbidden")),
+        identity[String], "EMPTY", sleep = slept.append(_))
+    }
+    assert(e.getMessage.contains("403") && slept.isEmpty)
+  }
+
+  test("http 5xx: retries with the reference's exponential backoff, then succeeds") {
+    val slept = scala.collection.mutable.ListBuffer.empty[Long]
+    val r = HttpExtract.request(
+      scripted(HttpExtract.Status(500), HttpExtract.Status(503), HttpExtract.Ok("ok")),
+      identity[String], "EMPTY", maxAttempts = 3, sleep = slept.append(_))
+    // delay ** attempt: 100·2¹, 100·2² — strictly growing, one per retry
+    assert(r == "ok" && slept.toSeq == Seq(200L, 400L))
+  }
+
+  test("http timeout/transport: exhausting maxAttempts raises the terminal error") {
+    val slept = scala.collection.mutable.ListBuffer.empty[Long]
+    val e = intercept[HttpExtract.ExhaustedException] {
+      HttpExtract.request(
+        scripted(HttpExtract.Failed("timed out"), HttpExtract.Failed("timed out"),
+          HttpExtract.Failed("timed out")),
+        identity[String], "EMPTY", maxAttempts = 3, sleep = slept.append(_))
+    }
+    assert(e.getMessage.contains("timed out") && e.getMessage.contains("3 attempts"))
+    assert(slept.toSeq == Seq(200L, 400L), "no sleep after the final attempt")
+  }
+
+  test("http extract: the 404 branch flows into a DataFrame-producing Extract as the empty table") {
+    import spark.implicits._
+    val ex = HttpExtract.extract(
+      _ => scripted(HttpExtract.Status(404)),
+      (s, body) => body match {
+        case Some(b) => Seq(b).toDF("payload")
+        case None => s.emptyDataset[String].toDF("payload") // the empty-MRData mapping
+      })
+    assert(ex(spark, None).count() == 0)
+    val ok = HttpExtract.extract(
+      _ => scripted(HttpExtract.Ok("row1")),
+      (_, body) => Seq(body.get).toDF("payload"))
+    assert(ok(spark, None).collect().map(_.getString(0)).toSeq == Seq("row1"))
+  }
+}
