@@ -64,6 +64,21 @@ object SparkEntry {
     "d11_url_dedup" -> ((s, dir) => Urls.urlDedup(Tables(s, dir))),
     "d14_fuzzy_join" -> ((s, dir) => Dedup.fuzzyJoin(Tables(s, dir))),
     "d15_shingle_novelty" -> ((s, dir) => Dedup.shingleNovelty(Tables(s, dir))),
+    "d16_store_probe" -> ((s, dir) => {
+      // the persisted-store path through the DuckDB gate: rebuild the
+      // corpus-half signature store from scratch (drop → build →
+      // publish), then probe it with the fresh half. Output ≡ d7's
+      // in-job recompute, so the whole warehouse-store layer (bucketed
+      // write, generation claim/publish/resolve, co-partitioned
+      // store-side read) is ORACLE-verified end to end, not just
+      // spec-verified bit-equal (WarehouseSpec)
+      import org.apache.spark.sql.functions.col
+      val t = Tables(s, dir)
+      graft.sources.Warehouse.dropStore(s, "d16_store", Seq("bands", "sigs"))
+      Dedup.buildSignatureStore(t.documents.filter(col("doc_id") < 250), "d16_store")
+      Dedup.minhashIncrementalAgainstStore("d16_store",
+        t.documents.filter(col("doc_id") >= 250))
+    }),
     // §2.3 similarity search
     "s1_ann_brute" -> ((s, dir) => Similarity.bruteForce(Tables(s, dir))),
     "s2_ann_ivf" -> ((s, dir) => Similarity.ivf(Tables(s, dir))),
@@ -632,6 +647,11 @@ object SparkEntry {
     "s3_ann_lsh" -> OracleReplicas.s3LshTopK(),
     "d2_dedup_minhash" -> OracleReplicas.d2MinhashLsh(),
     "d7_dedup_incremental" -> OracleReplicas.d7MinhashIncremental(),
+    // d16 probes the PERSISTED store instead of recomputing in-job; the
+    // declared contract is output-identity with d7, so it shares d7's
+    // replica SQL — a store-layer bug (stale generation, bucket-layout
+    // corruption, lost rows) now fails the DuckDB gate, not only a spec
+    "d16_store_probe" -> OracleReplicas.d7MinhashIncremental(),
     "dc12_neardup_decontaminate" -> OracleReplicas.dc12NeardupDecontaminate(),
     "d9_substring_dedup" -> OracleReplicas.d9SubstringSpans(),
     "d13_boilerplate" -> OracleReplicas.d13Boilerplate(),

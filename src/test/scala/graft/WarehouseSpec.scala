@@ -397,4 +397,13 @@ class WarehouseSpec extends SparkSpecBase {
     assert(got == exp, "store query equals the in-job operator on the indexed corpus")
     Warehouse.dropStore(spark, "bm25idx", Seq("postings", "stats"))
   }
+
+  test("d16 gate row: the registered store-probe query is row-identical to d7's recompute") {
+    // the queries() entry owns drop -> build -> publish -> probe; its
+    // declared oracle contract is output-identity with d7, pinned here
+    // at spec scale before the DuckDB gate sees it at sf0.01
+    val d16 = SparkEntry.queries("d16_store_probe")(spark, sfDir).collect().map(_.toSeq).toSet
+    val d7 = SparkEntry.queries("d7_dedup_incremental")(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(d16 == d7 && d16.nonEmpty)
+  }
 }
