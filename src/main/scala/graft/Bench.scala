@@ -105,7 +105,12 @@ object Bench {
     // almost always neighbor contention on this host, not regressions —
     // re-measure them (best-of-2) now that the first pass's ~20-min
     // window has passed, and report min(first, rerun) tagged "rerun"
-    val floors = baselineFloors()
+    // the floors are defined AT sf0.1 — against any other scale factor
+    // every key would look contended and the whole suite would re-run;
+    // adjudicate only at the baseline's scale (override via env)
+    val adjudicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJUDICATE",
+      if (sfDir.contains("sf0.1")) "1" else "0") == "1"
+    val floors = if (adjudicate) baselineFloors() else Map.empty[String, Double]
     val suspects = firstPass.filter { case (name, sec) =>
       !failures.contains(name) && floors.get(name).exists(b => sec > 2.0 * b)
     }.map(_._1).toSet

@@ -159,6 +159,23 @@ object Pipeline {
     out.getOrElse(throw lastErr)
   }
 
+  /** The merge-publish seam (reference: `loaders/__init__.py:253-276`'s
+    * `ON CONFLICT (key) DO UPDATE` — the loader's write side is a
+    * pluggable destination, not always a parquet directory). The runner's
+    * built-in paths (partitioned dynamic-overwrite, snapshot-manifest
+    * commit, whole-table atomic swap) stay the default; a warehouse-bound
+    * user plugs a sink that pushes the upsert down to their store (a JDBC
+    * sink issues the actual ON CONFLICT statement — which is why the
+    * interface hands over the FRESH increment and the spec, not a
+    * pre-merged table: conflict resolution belongs to the destination).
+    * Implementations own idempotence (re-publishing the same increment
+    * must not duplicate) and the atomicity of their publish. Returns the
+    * merged row count recorded in the sync log.
+    */
+  trait MergeSink {
+    def publish(spec: TableSpec, fresh: DataFrame): Long
+  }
+
   /** Idempotent merge: last-write-wins per business key — the distributed
     * form of `INSERT ... ON CONFLICT (key) DO UPDATE`
     * (/root/reference/loaders/__init__.py:253-276). One shuffle on the
@@ -321,7 +338,14 @@ final class PipelineRunner(
     // back to the full extract filtered to the period (correct, but
     // re-fetches history — provide a scoped extract where the source
     // supports period queries, as the reference API does)
-    scopedExtracts: Map[String, Pipeline.ScopedExtract] = Map.empty) {
+    scopedExtracts: Map[String, Pipeline.ScopedExtract] = Map.empty,
+    // destination override (reference: the Postgres ON CONFLICT loaders)
+    // — when set, EVERY publish (mode runs, targeted runs, backfills)
+    // routes through it instead of the built-in parquet/snapshot paths;
+    // extract ordering, freshness gating, watermarks and the sync log
+    // are unchanged, so a migrating user keeps the orchestration and
+    // swaps only the warehouse
+    mergeSink: Option[Pipeline.MergeSink] = None) {
 
   private def targetPath(name: String) = s"$warehouseRoot/$name"
 
@@ -485,6 +509,12 @@ final class PipelineRunner(
     * partitions for partitioned tables, full table otherwise).
     */
   private def mergeAndPublish(spec: Pipeline.TableSpec, fresh: DataFrame): Long =
+    mergeSink match {
+      case Some(sink) => sink.publish(spec, fresh)
+      case None => builtinPublish(spec, fresh)
+    }
+
+  private def builtinPublish(spec: Pipeline.TableSpec, fresh: DataFrame): Long =
     spec.partitionColumn match {
       case Some(pc) =>
         Pipeline.mergeIntoPartitioned(spark, targetPath(spec.name), fresh,

@@ -787,18 +787,43 @@ object Dedup {
   /** d5's full threshold pair set — (id_a, id_b, cos) with the cosine
     * cut applied but NO presentation ordering/limit: the pair-graph form
     * dc8's semantic clustering consumes.
+    *
+    * `nbits`/`bandBits` size the LSH: `nbits/bandBits` bands of
+    * `bandBits` bits each. Band WIDTH is the scale lever (SCALECHECK):
+    * a band collapses the corpus into 2^bandBits buckets, so candidate
+    * pairs grow ~bands · N²/2^bandBits for uncorrelated vectors —
+    * CONSTANT bucket space means quadratic growth no matter how the
+    * corpus shards. The 4-bit default is right for thousands of
+    * vectors (and is the gate-pinned arithmetic); at millions, widen
+    * the bands (e.g. nbits = 64, bandBits = 16: 4096× fewer random
+    * collisions per band) and accept the documented recall trade at
+    * LOW thresholds — near-identical vectors (the dedup targets) still
+    * collide with high probability.
     */
-  private[graft] def embeddingPairs(t: Tables, minCosine: Double): DataFrame = {
-    val sk = t.embeddings.select(col("vec_id"),
-      sign_sketch(col("embedding"), 16, 7L).as("sketch"))
+  private[graft] def embeddingPairs(t: Tables, minCosine: Double,
+      nbits: Int = 16, bandBits: Int = 4, seed: Long = 7L): DataFrame =
+    embeddingPairsOf(t.embeddings, minCosine, nbits, bandBits, seed)
+
+  /** [[embeddingPairs]] over an explicit `(vec_id, embedding)` frame —
+    * the unit crafted-input specs drive (the semDedupOf pattern).
+    */
+  private[graft] def embeddingPairsOf(embeddings: DataFrame, minCosine: Double,
+      nbits: Int = 16, bandBits: Int = 4, seed: Long = 7L): DataFrame = {
+    require(nbits >= bandBits && nbits <= 64 && nbits % bandBits == 0,
+      s"nbits=$nbits must be a multiple of bandBits=$bandBits, at most 64")
+    val bands = nbits / bandBits
+    val mask = (1L << bandBits) - 1
+    val sk = embeddings.select(col("vec_id"),
+      sign_sketch(col("embedding"), nbits, seed).as("sketch"))
     // plain column expressions, not a transform() lambda (see simhash)
-    val bandCols = (0 until 4).map(b => shiftright(col("sketch"), b * 4).bitwiseAND(lit(15L)))
+    val bandCols = (0 until bands).map(b =>
+      shiftright(col("sketch"), b * bandBits).bitwiseAND(lit(mask)))
     val banded = sk.select(col("vec_id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
     val a = banded.select(col("band_idx"), col("band_val"), col("vec_id").as("id_a"))
     val b = banded.select(col("band_idx"), col("band_val"), col("vec_id").as("id_b"))
-    val emb = t.embeddings
+    val emb = embeddings
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))

@@ -381,11 +381,21 @@ object Similarity {
     * explicitly opts out with `None`.
     */
   def knnGraph(t: Tables, k: Int = 3, nbits: Int = 16, seed: Long = 7L,
-      maxBucketSize: Option[Long] = Some(QuadraticGuardDefault)): DataFrame = {
-    require(nbits % 4 == 0 && nbits >= 4, s"nbits=$nbits must be a positive multiple of 4")
+      maxBucketSize: Option[Long] = Some(QuadraticGuardDefault),
+      bandBits: Int = 4): DataFrame = {
+    // band WIDTH is the scale lever, not band count: a band collapses
+    // the corpus into 2^bandBits buckets, so candidates grow
+    // ~bands · N²/2^bandBits for uncorrelated vectors — adding more
+    // 4-bit bands only multiplies the quadratic. At millions of vectors
+    // use nbits = 64, bandBits = 16 (4096× fewer random collisions per
+    // band; near-identical vectors still collide) — SCALECHECK measures
+    // both configs at sf1.
+    require(bandBits >= 1 && nbits <= 64 && nbits % bandBits == 0,
+      s"nbits=$nbits must be a multiple of bandBits=$bandBits, at most 64")
+    val mask = (1L << bandBits) - 1
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
-    val bandCols = (0 until nbits / 4).map(b =>
-      shiftright(col("sketch"), b * 4).bitwiseAND(lit(15L)))
+    val bandCols = (0 until nbits / bandBits).map(b =>
+      shiftright(col("sketch"), b * bandBits).bitwiseAND(lit(mask)))
     val banded = emb
       .select(col("vec_id"), sign_sketch(col("embedding"), nbits, seed).as("sketch"))
       .select(col("vec_id"), posexplode(array(bandCols: _*)))

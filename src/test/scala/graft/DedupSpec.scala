@@ -616,4 +616,29 @@ class DedupSpec extends SparkSpecBase {
         assert(ivf.contains(pair), s"s2 hit $pair clears the radius but is missing from s9")
     }
   }
+
+  test("d5 band-width lever: exact twins collide at EVERY band width; guards reject bad configs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 64-dim crafted corpus: vectors 1 and 2 identical (the dedup
+    // target), the rest deterministic pseudo-noise — identical vectors
+    // have identical sketches at any width, so the pair must survive
+    // every (nbits, bandBits) config including the at-scale 64x16
+    def vec(seed: Long): Seq[Float] =
+      (0 until 64).map(i => (((seed * 2654435761L + i * 40503L) % 997).toFloat / 997f) - 0.5f)
+    val emb = (Seq(1L -> vec(42L), 2L -> vec(42L)) ++
+      (3L to 40L).map(i => i -> vec(i))).toDF("vec_id", "embedding")
+    for ((nb, bb) <- Seq((16, 4), (64, 8), (64, 16))) {
+      val pairs = graft.operators.Dedup.embeddingPairsOf(emb, 0.99, nb, bb)
+        .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.contains((1L, 2L)), s"config ($nb, $bb) must find the exact twin pair")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.embeddingPairsOf(emb, 0.5, nbits = 16, bandBits = 5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.knnGraph(graft.sources.Tables(spark, sfDir),
+        nbits = 128, bandBits = 16)
+    }
+  }
 }

@@ -460,4 +460,54 @@ class EtlSpec extends SparkSpecBase {
     assert(clean(2).getAs[Boolean]("active"), "'1' -> true")
     assert(!clean(1).getAs[Boolean]("active"), "'f' -> false")
   }
+
+  test("mergeSink seam: every publish routes through the sink; orchestration is unchanged") {
+    // a fake ON CONFLICT (key) DO UPDATE destination: an in-memory keyed
+    // map the sink upserts into — the JDBC-warehouse stand-in the seam
+    // exists for (reference loaders/__init__.py:253-276)
+    val (wh, md) = freshDirs()
+    val store = new MetadataStore(spark, md)
+    val upserted = scala.collection.mutable.Map.empty[(String, Seq[Any]), Seq[Any]]
+    val published = scala.collection.mutable.ListBuffer.empty[String]
+    val sink = new Pipeline.MergeSink {
+      def publish(spec: Pipeline.TableSpec, fresh: org.apache.spark.sql.DataFrame): Long = {
+        published += spec.name
+        val cols = fresh.columns.toSeq
+        val keyIdx = spec.keyColumns.map(cols.indexOf)
+        // last-write-wins within the increment by versionColumn, like the
+        // DB would resolve successive ON CONFLICT updates
+        val verIdx = spec.versionColumn.map(cols.indexOf)
+        val rows = fresh.collect().toSeq.sortBy(r =>
+          verIdx.map(i => r.get(i).toString).getOrElse(""))
+        rows.foreach { r =>
+          upserted(spec.name -> keyIdx.map(r.get)) = r.toSeq
+        }
+        upserted.count(_._1._1 == spec.name).toLong
+      }
+    }
+    val runner = new PipelineRunner(spark, wh, store, specs, extracts(),
+      mergeSink = Some(sink))
+    val counts = runner.run(Pipeline.PreSeason)
+    assert(published.toSet == Set("dim_customer", "dim_nation"))
+    assert(counts("dim_customer") == Tables(spark, sfDir).customer.count())
+    // the built-in parquet path must NOT have produced tables
+    assert(!Files.exists(java.nio.file.Paths.get(s"$wh/dim_customer")),
+      "with a sink, nothing may be written to the parquet warehouse")
+    // metadata flow unchanged: success rows + watermark logic still run
+    assert(store.currentStatus("dim_customer").contains("success"))
+
+    // incremental fact run: only past-watermark rows reach the sink
+    runner.run(Pipeline.PostRace, newWatermark = Some(1705276800L))
+    val afterFirst = upserted.count(_._1._1 == "fact_events")
+    runner.run(Pipeline.PostRace)
+    val afterSecond = upserted.count(_._1._1 == "fact_events")
+    assert(afterSecond > afterFirst, "the second increment upserts new keys")
+    assert(store.watermark("fact_events").contains(1705276800L))
+
+    // idempotence is the sink's contract: replaying an increment must
+    // not change the keyed state (the fake's upsert makes it so)
+    val snapshot = upserted.toMap
+    runner.run(Pipeline.PostRace, force = true)
+    assert(upserted.toMap.keySet == snapshot.keySet)
+  }
 }
