@@ -248,8 +248,12 @@ object Curation {
     * argmax is one partial-agg shuffle of (cluster, id, score) rows.
     */
   def semanticCanonical(t: Tables, minCosine: Double = 0.3,
-      oracleRounds: Option[Int] = None): DataFrame = {
-    val pairs = Dedup.embeddingPairs(t, minCosine)
+      oracleRounds: Option[Int] = None,
+      nbits: Int = 16, bandBits: Int = 4): DataFrame = {
+    // nbits/bandBits = d5's band-width scale lever (SCALECHECK): the
+    // 4-bit default is the gate-pinned arithmetic; at millions of
+    // vectors widen the bands (64×16) so the pair graph stays linear
+    val pairs = Dedup.embeddingPairs(t, minCosine, nbits, bandBits)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val clusters = Dedup.clustersOfPairs(pairs, oracleRounds = oracleRounds)
     val quality = TextAnalysis.quality(t).select(col("doc_id"), col("quality_score"))
