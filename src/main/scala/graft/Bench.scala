@@ -26,9 +26,17 @@ object Bench {
   private def baselineFloors(): Map[String, Double] = {
     val row = """\|\s*([a-z][a-z0-9_]+)\s*\|\s*([0-9]+(?:\.[0-9]+)?)\s*\|""".r
     try {
-      val text = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BASELINE.md")), java.nio.charset.StandardCharsets.UTF_8)
-      row.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("BASELINE.md")).toArray(Array.empty[String])
+      // scope the parse to the query-floor table itself: the contiguous
+      // `|`-prefixed block after the `| query | sec |` header — any
+      // `| word | number |` row in a LATER table must not become a floor
+      val header = lines.indexWhere(_.replace(" ", "") == "|query|sec|")
+      val body =
+        if (header < 0) Array.empty[String]
+        else lines.drop(header + 1).takeWhile(_.trim.startsWith("|"))
+      body.flatMap(l => row.findFirstMatchIn(l))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
   }
 
@@ -64,8 +72,12 @@ object Bench {
     // neighbor's workload. successful and crashed reps are kept apart: a
     // query that succeeds once but crashes quickly on another rep must
     // report a successful rep's time, not the fast crash's.
+    // returns (seconds, anyRepSucceeded): the flag lets the adjudication
+    // pass keep the invariant ACROSS passes too — a rerun where every rep
+    // crashed must not min() its fast-crash time into a successful
+    // first-pass measurement
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        nReps: Int): Double = {
+        nReps: Int): (Double, Boolean) = {
       val ok = scala.collection.mutable.ListBuffer.empty[Double]
       val crashed = scala.collection.mutable.ListBuffer.empty[Double]
       (1 to nReps).foreach { _ =>
@@ -90,7 +102,8 @@ object Bench {
           }
         }
       }
-      if (ok.nonEmpty) ok.min else if (crashed.nonEmpty) crashed.min else 0.0
+      (if (ok.nonEmpty) ok.min else if (crashed.nonEmpty) crashed.min else 0.0,
+        ok.nonEmpty)
     }
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -98,7 +111,7 @@ object Bench {
     val loads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val firstPass = selected.map { case (name, fn) =>
       loads(name) = loadAvg()
-      name -> measure(name, fn, reps)
+      name -> measure(name, fn, reps)._1
     }
 
     // adjudication pass: keys over 2× their published quiet floor are
@@ -108,19 +121,31 @@ object Bench {
     // the floors are defined AT sf0.1 — against any other scale factor
     // every key would look contended and the whole suite would re-run;
     // adjudicate only at the baseline's scale (override via env)
+    // exact-basename match: a path merely CONTAINING the fragment (e.g.
+    // .../sf0.1-exp or .../sf0.10) is a different scale and must not
+    // adjudicate against sf0.1's floors
     val adjudicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJUDICATE",
-      if (sfDir.contains("sf0.1")) "1" else "0") == "1"
+      if (new java.io.File(sfDir).getName == "sf0.1") "1" else "0") == "1"
     val floors = if (adjudicate) baselineFloors() else Map.empty[String, Double]
     val suspects = firstPass.filter { case (name, sec) =>
       !failures.contains(name) && floors.get(name).exists(b => sec > 2.0 * b)
     }.map(_._1).toSet
     val rerunLoads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val reruns = selected.filter(kv => suspects.contains(kv._1)).map { case (name, fn) =>
+    // a suspect rerun only counts if it had a successful rep: a query
+    // that succeeded in the first pass but crashed quickly in the rerun
+    // must keep its successful first-pass time, not the crash time (the
+    // crash is still visible: the key lands in `errors` and the rerun
+    // record shows the crash-pass seconds)
+    val rerunRaw = selected.filter(kv => suspects.contains(kv._1)).map { case (name, fn) =>
       rerunLoads(name) = loadAvg()
       name -> measure(name, fn, 2)
     }.toMap
+    val reruns = rerunRaw.map { case (name, (sec, _)) => name -> sec }
     val results = firstPass.map { case (name, first) =>
-      name -> math.min(first, reruns.getOrElse(name, first))
+      name -> (rerunRaw.get(name) match {
+        case Some((sec, true)) => math.min(first, sec)
+        case _ => first
+      })
     }
 
     // Locale.ROOT: the f-interpolator's %.2f is locale-dependent (a
@@ -132,8 +157,9 @@ object Bench {
     val errs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // per-key rerun record: [first-pass sec, rerun sec, adjudicated sec]
+    val resultByKey = results.toMap
     val rerunJson = reruns.toSeq.sortBy(_._1).map { case (k, r) =>
-      s""""$k":[${d2(firstByKey(k))},${d2(r)},${d2(math.min(firstByKey(k), r))}]"""
+      s""""$k":[${d2(firstByKey(k))},${d2(r)},${d2(resultByKey(k))}]"""
     }.mkString("{", ",", "}")
     val loadJson = loads.map { case (k, v) => s""""$k":${d2(v)}""" }.mkString("{", ",", "}")
     val full =
@@ -166,7 +192,7 @@ object Bench {
     val rerunSummary = reruns.toSeq
       .sortBy { case (k, r) => -(firstByKey(k) - r) }.take(8)
       .map { case (k, r) =>
-        s""""$k":[${d2(firstByKey(k))},${d2(r)},${d2(math.min(firstByKey(k), r))}]"""
+        s""""$k":[${d2(firstByKey(k))},${d2(r)},${d2(resultByKey(k))}]"""
       }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${d2(total)},"unit":"sec","nq":${results.size},"errors":$errs,"nrerun":${reruns.size},"rerun":$rerunSummary,"load":$loadStats,"slowest":$slowest,"sf":"$sfDir","full":$fullField}""")
     spark.stop()

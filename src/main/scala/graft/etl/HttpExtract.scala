@@ -69,7 +69,10 @@ object HttpExtract {
       attempt += 1
       if (attempt >= maxAttempts)
         throw ExhaustedException(s"${retryable.get} (after $maxAttempts attempts)")
-      sleep(backoffMs(attempt))
+      // the reference sleeps delay ** attempt with attempt COUNTING FROM 0
+      // (api_client.py:63 — first retry waits delay^0), so the k-th retry
+      // sleeps backoffMs(k - 1)
+      sleep(backoffMs(attempt - 1))
     }
     throw new IllegalStateException("unreachable")
   }
@@ -92,4 +95,23 @@ object HttpExtract {
         body => load(spark, Some(body)),
         load(spark, None),
         maxAttempts, backoffMs, sleep)
+
+  /** The reference's `test_connection` (api_client.py:173-185): issue one
+    * cheap probe request under the full contract and report reachability
+    * as a Boolean — `true` when the probe parses (or maps to the 404
+    * empty result, which proves the endpoint answered), `false` on any
+    * terminal failure (retries exhausted, or a fatal 4xx — the reference
+    * catches its JolpicaAPIError and returns False rather than raising).
+    */
+  def testConnection(
+      get: () => Response,
+      maxAttempts: Int = 3,
+      backoffMs: Int => Long = a => 100L * math.round(math.pow(2, a)),
+      sleep: Long => Unit = Thread.sleep): Boolean =
+    try {
+      request[Boolean](get, _ => true, true, maxAttempts, backoffMs, sleep)
+    } catch {
+      case _: ExhaustedException => false
+      case _: Pipeline.FatalExtractException => false
+    }
 }

@@ -700,11 +700,16 @@ object Dedup {
     */
   def clustersOfPairs(pairGraph: DataFrame, maxIter: Int = 100,
       oracleRounds: Option[Int] = None): DataFrame = {
-    val (df, rounds) = clustersOfPairsCounted(pairGraph, maxIter)
+    val (df, rounds, converged) = clustersOfPairsCounted(pairGraph, maxIter)
     // `rounds` counts the final no-change DETECTION iteration too, so a
     // graph converging in exactly `b` productive generations (which the
     // b-generation oracle chain replays correctly) reports b+1 — compare
-    // the converged-by round, not the loop count
+    // the converged-by round, not the loop count. The subtraction is only
+    // sound when the last round WAS the detection round: a maxIter exit
+    // while still productive must fail the budget gate, not undercount.
+    oracleRounds.foreach(b => require(converged,
+      s"min-label propagation hit maxIter=$maxIter unconverged — the " +
+        s"$b-generation oracle replay cannot match an unconverged labeling"))
     oracleRounds.foreach(b => require(rounds - 1 <= b,
       s"min-label propagation converged in ${rounds - 1} productive rounds > " +
         s"the oracle's $b-generation replay budget — regenerate the " +
@@ -718,7 +723,7 @@ object Dedup {
     * the `maxIter` backstop must never be the terminator on real shapes.
     */
   private[graft] def clustersOfPairsCounted(pairGraph: DataFrame,
-      maxIter: Int = 100): (DataFrame, Int) = {
+      maxIter: Int = 100): (DataFrame, Int, Boolean) = {
     // maxIter is a runaway cap, not the expected round count: min-label
     // propagation needs O(min-label distance) rounds, so a 10-cap could
     // stop a >10-hop chain before the true component min arrives (real
@@ -771,7 +776,7 @@ object Dedup {
     }
     (labels
       .select(col("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("cluster_id"), col("doc_id")), iter)
+      .orderBy(col("cluster_id"), col("doc_id")), iter, converged)
   }
 
   /** d5: embedding-cosine near-dup. Random-hyperplane sign sketch (16
@@ -809,8 +814,11 @@ object Dedup {
     */
   private[graft] def embeddingPairsOf(embeddings: DataFrame, minCosine: Double,
       nbits: Int = 16, bandBits: Int = 4, seed: Long = 7L): DataFrame = {
-    require(nbits >= bandBits && nbits <= 64 && nbits % bandBits == 0,
-      s"nbits=$nbits must be a multiple of bandBits=$bandBits, at most 64")
+    // bandBits capped at 63: (1L << 64) - 1 wraps to 0 on the JVM, which
+    // would mask every band value to 0 — a silent full cross-product
+    require(bandBits >= 1 && bandBits <= 63 && nbits >= bandBits && nbits <= 64 &&
+      nbits % bandBits == 0,
+      s"need 1 <= bandBits=$bandBits <= 63, bandBits <= nbits=$nbits <= 64, nbits % bandBits == 0")
     val bands = nbits / bandBits
     val mask = (1L << bandBits) - 1
     val sk = embeddings.select(col("vec_id"),

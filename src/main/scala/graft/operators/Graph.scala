@@ -493,10 +493,15 @@ object Graph {
     */
   def componentsFromEdges(und: DataFrame, nodes: DataFrame,
       oracleRounds: Option[Int] = None): DataFrame = {
-    val (clusters, rounds) = Dedup.clustersOfPairsCounted(
+    val (clusters, rounds, converged) = Dedup.clustersOfPairsCounted(
       und.select(col("src").as("doc_a"), col("dst").as("doc_b")))
     // rounds includes the final no-change detection iteration (see
-    // Dedup.clustersOfPairs): budget-compare the converged-by round
+    // Dedup.clustersOfPairs): budget-compare the converged-by round —
+    // valid only when the loop actually converged (maxIter exit while
+    // still productive would undercount by one and mask divergence)
+    oracleRounds.foreach(b => require(converged,
+      s"g4 propagation hit its round cap unconverged — the $b-generation " +
+        "oracle replay cannot match an unconverged labeling"))
     oracleRounds.foreach(b => require(rounds - 1 <= b,
       s"g4 propagation converged in ${rounds - 1} productive rounds > the " +
         s"oracle's $b-generation replay budget — regenerate g4ComponentsSql " +

@@ -390,8 +390,12 @@ object Similarity {
     // use nbits = 64, bandBits = 16 (4096× fewer random collisions per
     // band; near-identical vectors still collide) — SCALECHECK measures
     // both configs at sf1.
-    require(bandBits >= 1 && nbits <= 64 && nbits % bandBits == 0,
-      s"nbits=$nbits must be a multiple of bandBits=$bandBits, at most 64")
+    // same degenerate-config guard as Dedup.embeddingPairsOf: bandBits=64
+    // would wrap the mask to 0 (silent cross-product); nbits < bandBits
+    // would mean zero bands (silently empty graph)
+    require(bandBits >= 1 && bandBits <= 63 && nbits >= bandBits && nbits <= 64 &&
+      nbits % bandBits == 0,
+      s"need 1 <= bandBits=$bandBits <= 63, bandBits <= nbits=$nbits <= 64, nbits % bandBits == 0")
     val mask = (1L << bandBits) - 1
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
     val bandCols = (0 until nbits / bandBits).map(b =>

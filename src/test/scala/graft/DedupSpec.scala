@@ -309,7 +309,8 @@ class DedupSpec extends SparkSpecBase {
     // so this is a performance contract, not just a correctness one.
     val path = spark.range(0, 99)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-    val (labels, rounds) = Dedup.clustersOfPairsCounted(path)
+    val (labels, rounds, converged) = Dedup.clustersOfPairsCounted(path)
+    assert(converged, "the 99-hop path must converge, not hit maxIter")
     val rows = labels.collect()
     assert(rows.length == 100 && rows.forall(_.getAs[Long]("cluster_id") == 0L),
       "every path node must reach the component minimum label 0")
@@ -639,6 +640,24 @@ class DedupSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       graft.operators.Similarity.knnGraph(graft.sources.Tables(spark, sfDir),
         nbits = 128, bandBits = 16)
+    }
+    // degenerate configs the arithmetic would accept silently:
+    // bandBits=64 → (1L << 64) - 1 wraps to mask 0 (full cross-product);
+    // negative bandBits → zero bands (empty result); nbits < bandBits in
+    // knnGraph → zero bands (empty graph)
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.embeddingPairsOf(emb, 0.5, nbits = 64, bandBits = 64)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.embeddingPairsOf(emb, 0.5, nbits = 16, bandBits = -4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.knnGraph(graft.sources.Tables(spark, sfDir),
+        nbits = 0, bandBits = 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.knnGraph(graft.sources.Tables(spark, sfDir),
+        nbits = 64, bandBits = 64)
     }
   }
 }

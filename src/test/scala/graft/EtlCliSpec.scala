@@ -136,8 +136,9 @@ class EtlCliSpec extends SparkSpecBase {
     val r = HttpExtract.request(
       scripted(HttpExtract.Status(500), HttpExtract.Status(503), HttpExtract.Ok("ok")),
       identity[String], "EMPTY", maxAttempts = 3, sleep = slept.append(_))
-    // delay ** attempt: 100·2¹, 100·2² — strictly growing, one per retry
-    assert(r == "ok" && slept.toSeq == Seq(200L, 400L))
+    // delay ** attempt with attempt from 0 (api_client.py:63): the first
+    // retry waits 100·2⁰, the second 100·2¹ — one sleep per retry
+    assert(r == "ok" && slept.toSeq == Seq(100L, 200L))
   }
 
   test("http timeout/transport: exhausting maxAttempts raises the terminal error") {
@@ -149,7 +150,7 @@ class EtlCliSpec extends SparkSpecBase {
         identity[String], "EMPTY", maxAttempts = 3, sleep = slept.append(_))
     }
     assert(e.getMessage.contains("timed out") && e.getMessage.contains("3 attempts"))
-    assert(slept.toSeq == Seq(200L, 400L), "no sleep after the final attempt")
+    assert(slept.toSeq == Seq(100L, 200L), "no sleep after the final attempt")
   }
 
   test("http extract: the 404 branch flows into a DataFrame-producing Extract as the empty table") {
@@ -165,5 +166,24 @@ class EtlCliSpec extends SparkSpecBase {
       _ => scripted(HttpExtract.Ok("row1")),
       (_, body) => Seq(body.get).toDF("payload"))
     assert(ok(spark, None).collect().map(_.getString(0)).toSeq == Seq("row1"))
+  }
+
+  test("testConnection: reachable endpoints (incl. 404) are true; terminal failures are false") {
+    // 200 → true; 404 proves the endpoint answered → true (reference
+    // test_connection only checks the envelope arrived)
+    assert(HttpExtract.testConnection(scripted(HttpExtract.Ok("{}")),
+      sleep = _ => ()))
+    assert(HttpExtract.testConnection(scripted(HttpExtract.Status(404)),
+      sleep = _ => ()))
+    // a 5xx that recovers within the retry budget is reachable
+    assert(HttpExtract.testConnection(
+      scripted(HttpExtract.Status(500), HttpExtract.Ok("{}")), sleep = _ => ()))
+    // exhausted retries and fatal 4xx map to false, not an exception
+    // (the reference catches JolpicaAPIError and returns False)
+    assert(!HttpExtract.testConnection(
+      scripted(HttpExtract.Failed("t"), HttpExtract.Failed("t"), HttpExtract.Failed("t")),
+      maxAttempts = 3, sleep = _ => ()))
+    assert(!HttpExtract.testConnection(scripted(HttpExtract.Status(403, "forbidden")),
+      sleep = _ => ()))
   }
 }
