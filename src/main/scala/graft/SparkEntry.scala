@@ -79,6 +79,20 @@ object SparkEntry {
       Dedup.minhashIncrementalAgainstStore("d16_store",
         t.documents.filter(col("doc_id") >= 250))
     }),
+    "d17_substr_store_probe" -> ((s, dir) => {
+      // d16's pattern for the SUBSTRING store: drop → build the corpus
+      // half's positional-shingle occurrence table (bucketed on the
+      // hash, generation claim/publish) → probe with the fresh half.
+      // Output ≡ d10's in-job recompute, so a store-layer failure
+      // (stale generation, lost occurrence rows, broken bucket layout)
+      // fails the DuckDB gate itself, not only WarehouseSpec
+      import org.apache.spark.sql.functions.col
+      val t = Tables(s, dir)
+      graft.sources.Warehouse.dropStore(s, "d17_store", Seq("shingles"))
+      Dedup.buildSubstringStore(t.documents.filter(col("doc_id") < 250), "d17_store")
+      Dedup.substringSpansAgainstStore("d17_store",
+        t.documents.filter(col("doc_id") >= 250))
+    }),
     // §2.3 similarity search
     "s1_ann_brute" -> ((s, dir) => Similarity.bruteForce(Tables(s, dir))),
     "s2_ann_ivf" -> ((s, dir) => Similarity.ivf(Tables(s, dir))),
@@ -86,6 +100,19 @@ object SparkEntry {
     "s4_knn_graph" -> ((s, dir) => Similarity.knnGraph(Tables(s, dir))),
     "s5_ann_pq" -> ((s, dir) => ProductQuant.pqTopK(Tables(s, dir))),
     "s6_ann_ivfpq" -> ((s, dir) => ProductQuant.ivfPqTopK(Tables(s, dir))),
+    "s10_ivf_index_probe" -> ((s, dir) => {
+      // the persisted-IVF-index path through the DuckDB gate: rebuild
+      // the partitioned index (generation claim → partitionBy(cid)
+      // write → publish, old generations vacuumed), then probe it.
+      // Output ≡ s2's in-job IVF (same deterministic k-means), so an
+      // index-layout bug — wrong partition pruning, stale generation
+      // resolve, centroid/assignment mismatch — fails correctness
+      val t = Tables(s, dir)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s10_ivf"
+      Similarity.buildIvfIndex(t, root)
+      graft.sources.Warehouse.vacuumPathGenerations(root, keep = 1, minAgeMs = 0L)
+      Similarity.searchIvfIndex(t, root)
+    }),
     // §2.4 text analysis
     "t1_langid" -> ((s, dir) => TextAnalysis.langId(Tables(s, dir))),
     "t2_quality" -> ((s, dir) => TextAnalysis.quality(Tables(s, dir))),
@@ -652,6 +679,12 @@ object SparkEntry {
     // replica SQL — a store-layer bug (stale generation, bucket-layout
     // corruption, lost rows) now fails the DuckDB gate, not only a spec
     "d16_store_probe" -> OracleReplicas.d7MinhashIncremental(),
+    // d17 probes the PERSISTED positional-shingle store; declared
+    // contract is output-identity with d10, so it shares d10's replica
+    "d17_substr_store_probe" -> OracleReplicas.d10SubstringIncremental(),
+    // s10 probes the PERSISTED cid-partitioned IVF index; declared
+    // contract is output-identity with s2, so it shares s2's replica
+    "s10_ivf_index_probe" -> OracleReplicas.s2Ivf(),
     "dc12_neardup_decontaminate" -> OracleReplicas.dc12NeardupDecontaminate(),
     "d9_substring_dedup" -> OracleReplicas.d9SubstringSpans(),
     "d13_boilerplate" -> OracleReplicas.d13Boilerplate(),

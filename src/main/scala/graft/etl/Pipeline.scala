@@ -307,6 +307,24 @@ final class MetadataStore(spark: SparkSession, root: String,
 
   def history(entity: String): Seq[MetadataStore.LogRow] =
     readLog().as[MetadataStore.LogRow].collect().toSeq.filter(_.entity == entity).sortBy(_.id)
+
+  /** The reference's `get_next_round_to_load` (metadata.py:150-190),
+    * generalized to graft's Long period keys: the first calendar period
+    * no successful sync has covered yet. A never-loaded entity starts at
+    * the calendar's first period (the reference's "start from round 1" —
+    * which also covers its season-rollover branch, since a new season's
+    * absolute period keys all sort after the old watermark); a
+    * mid-calendar watermark resolves to the smallest period AFTER it;
+    * a watermark at or past the calendar's end returns None — the
+    * scheduler loop's "all loaded, stop" signal.
+    */
+  def nextPeriod(entity: String, calendar: Seq[Long]): Option[Long] = {
+    val sorted = calendar.distinct.sorted
+    watermark(entity) match {
+      case None => sorted.headOption
+      case Some(w) => sorted.find(_ > w)
+    }
+  }
 }
 
 object MetadataStore {
@@ -479,10 +497,40 @@ final class PipelineRunner(
     * only because merges are idempotent — but it forces the next
     * incremental to re-extract the increment).
     */
-  def backfill(name: String, period: Map[String, Any]): Long = {
+  def backfill(name: String, period: Map[String, Any]): Long =
+    runSlice(name, period, advanceTo = None)
+
+  /** One scheduler step over a period calendar (the reference's
+    * `get_next_round_to_load` docstring loop, metadata.py:159-163:
+    * resolve the next round, fetch exactly that round, repeat): the
+    * first `periods` entry past the watermark is extracted as a
+    * `periodColumn`-bound slice (scoped extract when one exists, the
+    * backfill path), merged, and — unlike [[backfill]], which repairs
+    * history without touching sync state — the watermark ADVANCES to
+    * the loaded period, so the next call resolves the period after it.
+    * Returns (period, mergedCount); None = calendar exhausted, the
+    * loop's stop signal:
+    * {{{
+    * var step = runner.runNextPeriod("fact_results", rounds, "round")
+    * while (step.isDefined) step = runner.runNextPeriod("fact_results", rounds, "round")
+    * }}}
+    */
+  def runNextPeriod(name: String, periods: Seq[Long],
+      periodColumn: String): Option[(Long, Long)] =
+    metadata.nextPeriod(name, periods).map { p =>
+      p -> runSlice(name, Map(periodColumn -> p), advanceTo = Some(p))
+    }
+
+  /** Shared body of [[backfill]] and [[runNextPeriod]]: extract one
+    * period slice, merge-publish it, close the sync-log entry.
+    * `advanceTo` distinguishes the two callers' watermark semantics —
+    * a repair leaves the watermark untouched, a scheduler step moves it.
+    */
+  private def runSlice(name: String, period: Map[String, Any],
+      advanceTo: Option[Long]): Long = {
     val spec = specs.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"unknown table $name"))
-    require(period.nonEmpty, "backfill needs at least one period binding")
+    require(period.nonEmpty, "a period slice needs at least one binding")
     val logId = metadata.startSync(name)
     try {
       val slice = period.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
@@ -492,7 +540,8 @@ final class PipelineRunner(
       }
       val fresh = extracted.filter(slice)
       val n = mergeAndPublish(spec, fresh)
-      metadata.completeSync(name, logId, success = true, n, metadata.watermark(name))
+      metadata.completeSync(name, logId, success = true, n,
+        advanceTo.orElse(metadata.watermark(name)))
       n
     } catch {
       case e: Exception =>

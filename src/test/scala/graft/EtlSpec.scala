@@ -510,4 +510,45 @@ class EtlSpec extends SparkSpecBase {
     runner.run(Pipeline.PostRace, force = true)
     assert(upserted.toMap.keySet == snapshot.keySet)
   }
+
+  test("nextPeriod mirrors get_next_round_to_load; runNextPeriod loops the calendar to exhaustion") {
+    val (wh, md) = freshDirs()
+    val store = new MetadataStore(spark, md)
+    val rounds = Seq(1L, 2L, 3L)
+    // fresh entity (no watermark) → the calendar's first period
+    assert(store.nextPeriod("fact_rounds", rounds).contains(1L))
+
+    val pspec = Seq(Pipeline.TableSpec("fact_rounds", Pipeline.PostRace, Nil, Seq("event_id")))
+    val ex: Map[String, Pipeline.Extract] = Map(
+      "fact_rounds" -> ((s, _) => Tables(s, sfDir).events
+        .withColumn("round", pmod(col("event_id"), lit(3)) + 1)))
+    val runner = new PipelineRunner(spark, wh, store, pspec, ex)
+
+    // scheduler loop: each step loads exactly one period slice and
+    // ADVANCES the watermark (backfill's repair path never moves it)
+    val s1 = runner.runNextPeriod("fact_rounds", rounds, "round")
+    assert(s1.map(_._1).contains(1L))
+    assert(store.watermark("fact_rounds").contains(1L))
+    val r1Expected = Tables(spark, sfDir).events
+      .withColumn("round", pmod(col("event_id"), lit(3)) + 1)
+      .filter(col("round") === 1).count()
+    assert(s1.map(_._2).contains(r1Expected))
+
+    // mid-calendar watermark → last + 1
+    assert(store.nextPeriod("fact_rounds", rounds).contains(2L))
+    assert(runner.runNextPeriod("fact_rounds", rounds, "round").map(_._1).contains(2L))
+    assert(runner.runNextPeriod("fact_rounds", rounds, "round").map(_._1).contains(3L))
+
+    // exhausted calendar → None from both the resolver and the step
+    assert(store.nextPeriod("fact_rounds", rounds).isEmpty)
+    assert(runner.runNextPeriod("fact_rounds", rounds, "round").isEmpty)
+
+    // the per-period slices reassembled the full keyed table exactly
+    assert(runner.table("fact_rounds").count() == Tables(spark, sfDir).events.count())
+
+    // season rollover (the reference's last_season < current_season → 1):
+    // absolute period keys of a NEW calendar all sort past the watermark,
+    // so its first period resolves — no special-case branch needed
+    assert(store.nextPeriod("fact_rounds", Seq(202401L, 202402L)).contains(202401L))
+  }
 }
