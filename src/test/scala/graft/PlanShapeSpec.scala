@@ -457,6 +457,85 @@ class PlanShapeSpec extends SparkSpecBase {
       s"the lag window must run over the monthly pre-aggregation:\n$plan")
   }
 
+  test("every unpartitioned window is limit- or grain-bounded on its own input chain") {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Month, Year}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LeafNode, LogicalPlan, UnaryNode, Window => LWindow}
+
+    // Window.orderBy with no partitionBy single-tasks its input — safe
+    // ONLY when something upstream caps the row count. Each declared
+    // site relies on one of three bounds; this spec asserts the bound is
+    // STRUCTURAL (on the window's own input chain), so a future edit
+    // that reorders a limit after its window, or swaps a calendar grain
+    // for a data-sized key, fails here instead of silently single-
+    // tasking the corpus at scale.
+    //
+    // the walk passes through row-preserving/reducing unary nodes only —
+    // a limit below a join or union does not cap the window's input
+    @annotation.tailrec
+    def boundOf(p: LogicalPlan): Option[Either[Long, Aggregate]] = p match {
+      case g: GlobalLimit => Some(Left(g.maxRows.getOrElse(Long.MaxValue)))
+      case a: Aggregate => Some(Right(a))
+      case u: UnaryNode => boundOf(u.child)
+      case _ => None
+    }
+    def assertBounded(df: DataFrame, name: String, cap: Long): Unit = {
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(wins.nonEmpty, s"$name: the declared unpartitioned window vanished — update this spec")
+      wins.foreach { w =>
+        boundOf(w.child) match {
+          case Some(Left(n)) =>
+            assert(n <= cap, s"$name: unpartitioned window's limit-bound $n exceeds $cap")
+          case Some(Right(agg)) =>
+            // alias definitions below the aggregate, so a grain computed
+            // in a pre-projection (year(d) AS yr) still resolves
+            val defs = agg.child.collect { case n => n.expressions }.flatten
+              .flatMap(_.collect { case al: Alias => al.exprId -> al.child }).toMap
+            def isBoundedGrain(e: Expression): Boolean = e match {
+              case a: AttributeReference =>
+                // the distributed-ranking partition grain (≤ shuffle
+                // partitions rows) — defined behind a checkpoint, so it
+                // resolves by its reserved name
+                a.name == "__pid" || defs.get(a.exprId).exists(isBoundedGrain)
+              case _ =>
+                e.collectFirst { case _: Year => (); case _: Month => () }.isDefined
+            }
+            assert(agg.groupingExpressions.nonEmpty &&
+              agg.groupingExpressions.forall(isBoundedGrain),
+              s"$name: unpartitioned window runs over a DATA-SIZED aggregate grain " +
+                s"(${agg.groupingExpressions.mkString(", ")}) — calendar/partition grains only")
+          case None =>
+            fail(s"$name: unpartitioned window has NO row-count bound on its input chain")
+        }
+      }
+    }
+
+    assertBounded(TextAnalysis.zipfFit(t), "t18 zipf head rank", 1000L)
+    assertBounded(TextAnalysis.bm25(t), "t17 bm25 top-k rank", 20L)
+    assertBounded(Similarity.hybridRrf(t), "s7 rrf top-k rank", 10L)
+    assertBounded(Relational.momRevenue(t), "q39 month-grain lag", Long.MaxValue)
+    graft.sources.Warehouse.dropStore(spark, "planshape_bm25", Seq("postings", "stats"))
+    TextAnalysis.buildBm25Store(t.documents, "planshape_bm25", buckets = 8)
+    assertBounded(TextAnalysis.bm25AgainstStore(spark, "planshape_bm25"),
+      "t17 store-probe top-k rank", 20L)
+
+    // negative controls — the checker must actually reject (a) a window
+    // with no bound at all and (b) a data-sized aggregate grain
+    import org.apache.spark.sql.expressions.{Window => EWindow}
+    import org.apache.spark.sql.functions.{col, count, lit, row_number}
+    val noBound = t.documents.withColumn("r",
+      row_number().over(EWindow.orderBy(col("doc_id"))))
+    intercept[org.scalatest.exceptions.TestFailedException] {
+      assertBounded(noBound, "negative control (unbounded)", Long.MaxValue)
+    }
+    val dataGrain = t.documents.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(EWindow.orderBy(col("n").desc)))
+    intercept[org.scalatest.exceptions.TestFailedException] {
+      assertBounded(dataGrain, "negative control (data-sized grain)", Long.MaxValue)
+    }
+  }
+
   test("spreadIfNarrow: narrow scans spread to full parallelism, well-split scans pass through") {
     val cores = spark.sparkContext.defaultParallelism
     val narrow = spark.range(0, 100, 1, 1).toDF("id")
