@@ -10,7 +10,19 @@ import org.apache.spark.sql.SparkSession
   * session time so event-time semantics are stable across executors.
   */
 object GraftSession {
-  def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
+  /** `shufflePartitions` is the AQE coalesce FLOOR (and the static plan
+    * width when AQE can't apply); `initialPartitions` is where every
+    * shuffle STARTS before AQE coalesces — sized well above the core
+    * count so a heavy partial aggregation (the declared Σdf² ground-truth
+    * ops at sf1+) spreads its spill across many small sorters instead of
+    * starving at 32 fixed partitions, while small inputs coalesce
+    * straight back down to the floor. On a real cluster, scale
+    * `initialPartitions` with input splits (rule of thumb: total input
+    * bytes / 128 MB, min 2× total cores) — it is the one knob here that
+    * must grow with data volume.
+    */
+  def builder(master: String = "local[32]", shufflePartitions: Int = 32,
+      initialPartitions: Int = 256): SparkSession.Builder =
     SparkSession
       .builder()
       .master(master)
@@ -18,6 +30,8 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(initialPartitions, shufflePartitions).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
