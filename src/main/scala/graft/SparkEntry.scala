@@ -135,6 +135,27 @@ object SparkEntry {
     "t18_zipf" -> ((s, dir) => TextAnalysis.zipfFit(Tables(s, dir))),
     "t19_kl_drift" -> ((s, dir) => TextAnalysis.klDrift(Tables(s, dir))),
     "t20_textrank" -> ((s, dir) => TextAnalysis.textrankKeywords(Tables(s, dir))),
+    "t21_bpe_store_probe" -> ((s, dir) => {
+      // the persisted BPE dictionary through the gate (d16's pattern):
+      // drop → buildDictStore (train merges once, dict + merges tables
+      // published under a generation) → encode against the stored dict.
+      // Output ≡ t14's in-job train+encode, so a corrupted dict row or
+      // stale generation fails correctness, not only WarehouseSpec
+      val t = Tables(s, dir)
+      graft.sources.Warehouse.dropStore(s, "t21_store", Seq("dict", "merges"))
+      Bpe.buildDictStore(t, "t21_store")
+      Bpe.bpeEncodeAgainstStore(t, "t21_store")
+    }),
+    "t22_bm25_store_probe" -> ((s, dir) => {
+      // the persisted BM25 inverted index through the gate: drop →
+      // buildBm25Store (postings bucketed on token + 1-row stats) →
+      // query against the stored index (bucket-pruned IN-list scan).
+      // Output ≡ t17's in-job scoring over the same corpus
+      val t = Tables(s, dir)
+      graft.sources.Warehouse.dropStore(s, "t22_store", Seq("postings", "stats"))
+      TextAnalysis.buildBm25Store(t.documents, "t22_store")
+      TextAnalysis.bm25AgainstStore(s, "t22_store")
+    }),
     "s7_hybrid_rrf" -> ((s, dir) => Similarity.hybridRrf(Tables(s, dir))),
     // §2.7 corpus curation
     "dc1_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables(s, dir))),
@@ -1564,11 +1585,12 @@ object SparkEntry {
     "g6_hop_distance" -> g6HopSql(maxHops = 6),
     "g7_label_communities" -> g7CommunitiesSql(rounds = 4),
     "g9_weighted_pagerank" -> g9WeightedPagerankSql(iters = 5, topK = 100),
-    "t17_bm25" ->
-      (s"WITH ${bm25Ctes(graft.operators.TextAnalysis.Bm25QueryTerms)}\n" +
-        """SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
-          |  doc_id, score
-          |FROM bm ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+    "t17_bm25" -> t17Bm25Sql,
+    // t21/t22 probe the PERSISTED BPE dict / BM25 inverted index;
+    // declared contract is output-identity with t14 / t17, so each
+    // shares its in-job twin's oracle (the d16/d17/s10 pattern)
+    "t21_bpe_store_probe" -> OracleReplicas.t14BpeEncode(),
+    "t22_bm25_store_probe" -> t17Bm25Sql,
     // s7: both legs rank with deterministic (rounded score, id) order;
     // rrf = sum of per-leg 1/(60+r) terms rounded at 8 dp — ranks are
     // integers, so the fusion is engine-exact
@@ -1838,6 +1860,15 @@ object SparkEntry {
     * the sum (the cross-engine ulp guard). `k1 + 1` is written as the
     * same two-literal addition both engines fold identically.
     */
+  /** t17's oracle — shared verbatim by t22's persisted-index probe
+    * (output-identity contract, the d16 pattern).
+    */
+  private lazy val t17Bm25Sql: String =
+    s"WITH ${bm25Ctes(graft.operators.TextAnalysis.Bm25QueryTerms)}\n" +
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+        |  doc_id, score
+        |FROM bm ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   private def bm25Ctes(terms: Seq[String]): String = {
     val vals = terms.map(t => s"('$t')").mkString(", ")
     val (k1, b) = (graft.operators.TextAnalysis.Bm25K1, graft.operators.TextAnalysis.Bm25B)
