@@ -22,7 +22,8 @@ object GraftSession {
     * must grow with data volume.
     */
   def builder(master: String = "local[32]", shufflePartitions: Int = 32,
-      initialPartitions: Int = 256): SparkSession.Builder =
+      initialPartitions: Int =
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", "256").toInt): SparkSession.Builder =
     SparkSession
       .builder()
       .master(master)

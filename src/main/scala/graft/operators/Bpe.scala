@@ -106,10 +106,38 @@ object Bpe {
     * second time. A failed round unpersists before rethrowing.
     */
   private[graft] def train(t: Tables, numMerges: Int): (Seq[(Long, String, String, String, Long)], DataFrame) = {
-    var cached = wordFreq(t)
-      .withColumn("syms", initialSymbols(col("word")))
-      .select(col("word"), col("syms"), col("freq"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = t.documents.sparkSession
+    // the session-wide wide-start shuffle (AQE initialPartitionNum,
+    // GraftSession) exists for corpus-sized partial aggregations; this
+    // loop persists a VOCABULARY-sized cache and runs 2 actions x
+    // numMerges sequential rounds over it. A cached plan does NOT apply
+    // AQE output coalescing (canChangeCachedPlanOutputPartitioning is
+    // off), so under the wide start every round iterates 256 mostly-
+    // empty cached partitions — measured t13 2.44 s -> 6.04 s quiet at
+    // sf0.1. Scope the loop back to the coalesce floor; the override
+    // must be in force BEFORE the first persist() below, because
+    // persist() bakes the cached plan's conf at call time.
+    val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    // an UNSET optional conf reads back as null (not an exception) on a
+    // session that never configured it — Option() folds both the null
+    // and the throwing path to None so restore unsets instead of
+    // attempting set(key, null), which requires a non-null value
+    val prevInit = Option(try spark.conf.get(initKey) catch { case _: Exception => null })
+    // read spark.sql.shuffle.partitions DIRECTLY: SQLConf's
+    // numShufflePartitions getter returns initialPartitionNum itself
+    // when AQE coalescing is on, which would make this set a no-op
+    spark.conf.set(initKey, spark.conf.get("spark.sql.shuffle.partitions"))
+    def restoreInit(): Unit = prevInit match {
+      case Some(v) => spark.conf.set(initKey, v)
+      case None => spark.conf.unset(initKey)
+    }
+    var cached =
+      try {
+        wordFreq(t)
+          .withColumn("syms", initialSymbols(col("word")))
+          .select(col("word"), col("syms"), col("freq"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      } catch { case e: Throwable => restoreInit(); throw e }
     val steps = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     try {
       cached.count()
@@ -131,7 +159,8 @@ object Bpe {
           cached = next
         }
       }
-    } catch { case e: Throwable => cached.unpersist(); throw e }
+      restoreInit()
+    } catch { case e: Throwable => restoreInit(); cached.unpersist(); throw e }
     (steps.toSeq, cached)
   }
 
