@@ -34,6 +34,9 @@ class PlanAuditSpec extends SparkSpecBase {
     // per-(doc, term) hit rows (s7's legs hide the same attach behind
     // globalRowNumber's checkpoint)
     "t17_bm25",
+    // t22: the same 1-row (n_docs, avgdl) attach, read from the
+    // persisted index's stats table instead of recomputed
+    "t22_bm25_store_probe",
     // dc14: inherits t12's 1-row corpus-total attach (the gate itself
     // adds only a co-keyed join + counters)
     "dc14_perplexity_gate",
