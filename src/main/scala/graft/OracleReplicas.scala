@@ -487,9 +487,9 @@ object OracleReplicas {
     * on the ORIGINAL float embeddings (the s1/s3-precedented pattern).
     */
   def s2Ivf(nQueries: Int = 10, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
-      iters: Int = 2, scale: Long = 4096): String = {
+      iters: Int = 2, scale: Long = 4096, trainPred: String = "TRUE"): String = {
     val cosOf = "CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END"
-    s"""WITH ${s2IvfCtes(nQueries, nlist, nprobe, iters, scale)},
+    s"""WITH ${s2IvfCtes(nQueries, nlist, nprobe, iters, scale, trainPred)},
        |ranked AS (
        |  SELECT query_id, neighbor_id,
        |    ($cosOf) AS cosf,
@@ -518,10 +518,15 @@ object OracleReplicas {
 
   /** Shared s2/s9 CTE chain: quantized k-means rounds, per-query nprobe
     * cell admission, exact dot/na/nb sums for the admitted (query,
-    * candidate) pairs (terminal CTE `sc`).
+    * candidate) pairs (terminal CTE `sc`). `trainPred` (a predicate on
+    * bare `vec_id`) restricts the k-means TRAINING set — seeds and every
+    * assign→sum round — while the final assignment, probes and
+    * candidates still run over the whole corpus: exactly the
+    * frozen-centroid contract of the s11 segment-append probe
+    * ([[graft.operators.Similarity.appendToIvfIndex]]).
     */
   private def s2IvfCtes(nQueries: Int, nlist: Int, nprobe: Int,
-      iters: Int, scale: Long): String = {
+      iters: Int, scale: Long, trainPred: String = "TRUE"): String = {
     // cosine from exact dot/na/nb columns (identical CASE/sqrt/div ops
     // to GraftVec.cosine2 on identical inputs)
     val cosOf = "CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END"
@@ -534,7 +539,8 @@ object OracleReplicas {
          |    SUM(CAST(v.x AS DOUBLE) * CAST(g.s AS DOUBLE)) AS dot,
          |    SUM(CAST(v.x AS DOUBLE) * CAST(v.x AS DOUBLE)) AS na,
          |    SUM(CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)) AS nb
-         |  FROM vx v JOIN $prevCentroids g USING (pos)
+         |  FROM (SELECT * FROM vx WHERE ($trainPred)) v
+         |  JOIN $prevCentroids g USING (pos)
          |  GROUP BY v.vec_id, g.cid),
          |a$i AS (
          |  SELECT vec_id, cid FROM (
@@ -553,7 +559,7 @@ object OracleReplicas {
        |  SELECT vec_id, unnest(q) AS x, unnest(range(1, len(q) + 1)) AS pos FROM qv),
        |g0 AS (
        |  SELECT CAST(vec_id AS INT) AS cid, pos, CAST(x AS HUGEINT) AS s
-       |  FROM vx WHERE vec_id < $nlist),
+       |  FROM vx WHERE vec_id < $nlist AND ($trainPred)),
        |$rounds,
        |fs AS (
        |  SELECT v.vec_id, g.cid,

@@ -113,6 +113,28 @@ object SparkEntry {
       graft.sources.Warehouse.vacuumPathGenerations(root, keep = 1, minAgeMs = 0L)
       Similarity.searchIvfIndex(t, root)
     }),
+    "s11_ivf_append_probe" -> ((s, dir) => {
+      // the segment-append ingest path through the gate: build the index
+      // on the FIRST HALF of the corpus (k-means trains there, centroids
+      // freeze), append the second half as a published segment routed by
+      // the frozen centroids, then probe base ∪ segment. The oracle
+      // replays the same frozen-centroid chain (training restricted to
+      // the first half, assignment over everything), so a segment-layout
+      // bug — lost segment rows, stale base resolve, a segment of a
+      // superseded base leaking in — fails correctness
+      val t = Tables(s, dir)
+      val emb = t.embeddings.select(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      val half = emb.count() / 2 // one bounded driver scalar (split point)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s11_ivf"
+      Similarity.buildIvfIndexOf(
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < half), root)
+      Similarity.appendToIvfIndex(
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") >= half), root)
+      Similarity.vacuumIvfIndex(root, minAgeMs = 0L)
+      Similarity.searchIvfIndex(t, root)
+    }),
     // §2.4 text analysis
     "t1_langid" -> ((s, dir) => TextAnalysis.langId(Tables(s, dir))),
     "t2_quality" -> ((s, dir) => TextAnalysis.quality(Tables(s, dir))),
@@ -156,6 +178,25 @@ object SparkEntry {
       TextAnalysis.buildBm25Store(t.documents, "t22_store")
       TextAnalysis.bm25AgainstStore(s, "t22_store")
     }),
+    "t23_bm25_append_probe" -> ((s, dir) => {
+      // the BM25 segment-append ingest path through the gate: build the
+      // index on the FIRST HALF of the corpus, append the second half as
+      // a published segment (additive df/stats, same bucket layout),
+      // then query base ∪ segment. Scores are bit-identical to a
+      // one-shot build over the union, so the output ≡ t17's in-job
+      // scoring over the FULL corpus — a segment bug (lost postings,
+      // double-counted stats, stale base resolve) fails correctness
+      val t = Tables(s, dir)
+      val half = t.documents.count() / 2 // one bounded driver scalar
+      graft.sources.Warehouse.dropStore(s, "t23_store", Seq("postings", "stats"))
+      TextAnalysis.buildBm25Store(
+        t.documents.filter(org.apache.spark.sql.functions.col("doc_id") < half), "t23_store")
+      TextAnalysis.appendToBm25Store(
+        t.documents.filter(org.apache.spark.sql.functions.col("doc_id") >= half), "t23_store")
+      graft.sources.Warehouse.vacuumSegmentedStore(
+        s, "t23_store", Seq("postings", "stats"), minAgeMs = 0L)
+      TextAnalysis.bm25AgainstStore(s, "t23_store")
+    }),
     "s7_hybrid_rrf" -> ((s, dir) => Similarity.hybridRrf(Tables(s, dir))),
     // §2.7 corpus curation
     "dc1_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables(s, dir))),
@@ -198,6 +239,7 @@ object SparkEntry {
     // §2.8 training-sequence assembly
     "p1_sequence_pack" -> ((s, dir) => Packing.sequencePack(Tables(s, dir))),
     "p2_pack_stats" -> ((s, dir) => Packing.packStats(Tables(s, dir))),
+    "p5_shard_manifest" -> ((s, dir) => Packing.shardManifest(Tables(s, dir))),
     "p3_epoch_interleave" -> ((s, dir) => Packing.epochInterleave(Tables(s, dir))),
     "p4_length_buckets" -> ((s, dir) => Packing.lengthBuckets(Tables(s, dir))),
     // §2.9 graph analytics
@@ -369,6 +411,25 @@ object SparkEntry {
         |  ROUND(CAST(fill_tokens AS DOUBLE) / 512, 6) AS fill_frac
         |FROM g
         |ORDER BY shard, seq_id""".stripMargin,
+    // p5: the checksum folds each md5 prefix's 15 hex chars to HUGEINT
+    // (≡ Spark's conv(…,16,10) inside unsigned-64 exactness) and sums
+    // as DECIMAL — order-free exact integers, so the manifests agree
+    // bit-for-bit
+    "p5_shard_manifest" ->
+      s"""WITH $packCtes,
+        |m AS (
+        |  SELECT shard, COUNT(*) AS n_docs, CAST(SUM(ws_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(string_split(substr(pri, 1, 15), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT))),
+        |      (h, d) -> h * 16 + d)) AS DECIMAL(38,0)) AS manifest_hash
+        |  FROM s GROUP BY shard)
+        |SELECT shard, n_docs, n_tokens, (n_tokens + 511) // 512 AS n_seqs,
+        |  ROUND(CAST(n_tokens - ((n_tokens + 511) // 512 - 1) * 512 AS DOUBLE) / 512, 6)
+        |    AS tail_fill_frac,
+        |  manifest_hash
+        |FROM m
+        |ORDER BY shard""".stripMargin,
     // p4: the −0.5 keeps log2 off every dyadic boundary, so the floored
     // bucket exponent is ulp-robust cross-engine
     "p4_length_buckets" ->
@@ -706,6 +767,11 @@ object SparkEntry {
     // s10 probes the PERSISTED cid-partitioned IVF index; declared
     // contract is output-identity with s2, so it shares s2's replica
     "s10_ivf_index_probe" -> OracleReplicas.s2Ivf(),
+    // s11 probes base ∪ appended segment; the frozen-centroid contract
+    // is s2's replica with k-means TRAINING restricted to the base half
+    // (final assignment/probes/candidates still span the whole corpus)
+    "s11_ivf_append_probe" -> OracleReplicas.s2Ivf(
+      trainPred = "vec_id < (SELECT COUNT(*) FROM embeddings) // 2"),
     "dc12_neardup_decontaminate" -> OracleReplicas.dc12NeardupDecontaminate(),
     "d9_substring_dedup" -> OracleReplicas.d9SubstringSpans(),
     "d13_boilerplate" -> OracleReplicas.d13Boilerplate(),
@@ -1591,6 +1657,10 @@ object SparkEntry {
     // shares its in-job twin's oracle (the d16/d17/s10 pattern)
     "t21_bpe_store_probe" -> OracleReplicas.t14BpeEncode(),
     "t22_bm25_store_probe" -> t17Bm25Sql,
+    // t23 queries base ∪ appended segment; the additive-merge contract
+    // makes it bit-identical to a one-shot full-corpus build, so it
+    // shares t17's SQL verbatim (the d16/d17/s10/t21/t22 pattern)
+    "t23_bm25_append_probe" -> t17Bm25Sql,
     // s7: both legs rank with deterministic (rounded score, id) order;
     // rrf = sum of per-leg 1/(60+r) terms rounded at 8 dp — ranks are
     // integers, so the fusion is engine-exact

@@ -153,6 +153,46 @@ object Packing {
       .withColumn("fill_frac", round(col("fill_tokens").cast("double") / budget, 6))
       .orderBy(col("shard"), col("seq_id"))
 
+  /** p5: per-SHARD manifest — the integrity record a shard writer
+    * emits next to the data (the WebDataset/StreamingDataset index
+    * pattern): doc and token counts, the sequence count the shard
+    * materializes under p1's layout, the ragged tail's fill, and an
+    * ORDER-FREE content checksum — the DECIMAL sum of each member
+    * doc's 60-bit md5 prefix, exact and mergeable, so per-file partial
+    * manifests roll up to the shard manifest without a rescan, and a
+    * lost, duplicated or foreign doc changes the value. Downstream
+    * loaders verify a shard against its manifest before training
+    * starts; a resumed or re-run writer must reproduce it bit-for-bit.
+    *
+    * Scale shape: one map-side projection (token count + md5 — the
+    * SAME `shardedTokenCounts` prep as p1, so the manifest audits
+    * exactly the layout the packer ships), one shard-count-row
+    * aggregation with map-side partials; text never shuffles.
+    */
+  def shardManifest(t: Tables, budget: Long = DefaultBudget): DataFrame =
+    shardManifestOf(t.documents, budget)
+
+  /** [[shardManifest]] over any (doc_id, text) frame — the partial-
+    * manifest form an incremental writer rolls up.
+    */
+  def shardManifestOf(docs: DataFrame, budget: Long = DefaultBudget): DataFrame = {
+    requirePow2(budget)
+    shardedTokenCounts(docs)
+      // 15 hex chars = 60 bits: inside conv()'s unsigned-64 exactness,
+      // and 38 decimal digits hold the sum at any corpus size
+      .withColumn("chk", conv(substring(col("pri"), 1, 15), 16, 10).cast("decimal(38,0)"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("n_tokens"),
+        sum(col("chk")).cast("decimal(38,0)").as("manifest_hash"))
+      .withColumn("n_seqs", expr(s"(n_tokens + $budget - 1) div $budget"))
+      .withColumn("tail_fill_frac",
+        round((col("n_tokens") - (col("n_seqs") - lit(1L)) * budget).cast("double") / budget, 6))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_seqs"),
+        col("tail_fill_frac"), col("manifest_hash"))
+      .orderBy(col("shard"))
+  }
+
   /** p4: LENGTH-BUCKETED batching audit — the pad-don't-pack
     * alternative to p1 quantified: group documents into power-of-two
     * token-length buckets (the dynamic-batching scheme inference

@@ -246,6 +246,94 @@ object Similarity {
     refined
   }
 
+  /** s11: INCREMENTAL index ingest — append a batch of new vectors to a
+    * published IVF index WITHOUT rebuilding it. The batch is assigned to
+    * the live base generation's FIXED centroids and published as a
+    * SEGMENT generation (the Lucene/FAISS segment model): a cid-
+    * partitioned directory carrying a `_base_gen` marker naming the base
+    * whose centroids routed it. Probes read base ∪ segments — at 100 TB
+    * the corpus is k-means-assigned ONCE per rebuild and every ingest
+    * batch costs only its own assignment (one broadcast cross-score over
+    * the increment) plus a directory-sized write; nothing corpus-sized
+    * moves. Quantization error accumulates as the data drifts from the
+    * frozen centroids, so periodic rebuilds supersede segments (a new
+    * base orphans them; [[vacuumIvfIndex]] reclaims).
+    *
+    * The declared contract (spec- and gate-pinned): probing after
+    * append ≡ probing a one-shot index over the union corpus whose
+    * k-means trained only on the base rows. Same claim/publish
+    * protocol as the build — a failed append burns its claim and a
+    * racing probe never sees a partial segment.
+    */
+  def appendToIvfIndex(inc: DataFrame, path: String): Long = {
+    val spark = inc.sparkSession
+    val base = resolveIvfBase(path)
+    val centroids = spark.read.parquet(
+      s"${Warehouse.pathGenData(path, base)}/_centroids")
+    val gen = Warehouse.claimPathGeneration(path)
+    val genPath = Warehouse.pathGenData(path, gen)
+    try {
+      assignNearest(inc, centroids)
+        .write.mode("overwrite").partitionBy("cid").parquet(genPath)
+      // underscore prefix: invisible to parquet readers of the segment
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(genPath, "_base_gen"), base.toString)
+    } catch { case e: Throwable =>
+      Warehouse.deletePathGenData(path, gen)
+      Warehouse.burnPathClaim(path, gen)
+      throw e
+    }
+    Warehouse.publishPathGeneration(path, gen)
+    gen
+  }
+
+  /** A published generation is a SEGMENT iff it carries the
+    * `_base_gen` marker [[appendToIvfIndex]] writes; base generations
+    * (full builds) carry `_centroids` instead.
+    */
+  private def segmentBaseOf(path: String, gen: Long): Option[Long] = {
+    val m = java.nio.file.Paths.get(Warehouse.pathGenData(path, gen), "_base_gen")
+    if (java.nio.file.Files.exists(m))
+      Some(java.nio.file.Files.readString(m).trim.toLong)
+    else None
+  }
+
+  /** The live BASE generation: the latest published full build. Probes
+    * and appends pin to it; segments published by a racing appender
+    * against an older base are simply ignored (and later vacuumed).
+    */
+  private def resolveIvfBase(path: String): Long =
+    Warehouse.publishedPathGenerations(path).reverse
+      .find(g => segmentBaseOf(path, g).isEmpty)
+      .getOrElse(throw new IllegalStateException(
+        s"IVF index '$path' has no published base generation — run buildIvfIndex first"))
+
+  /** The live read set: the base generation's data dir plus every
+    * published segment THAT NAMES IT (a segment of a superseded base
+    * never leaks into the probe).
+    */
+  private def liveIvfDataPaths(path: String): (Long, Seq[String]) = {
+    val base = resolveIvfBase(path)
+    val segs = Warehouse.publishedPathGenerations(path)
+      .filter(g => segmentBaseOf(path, g).contains(base))
+    (base, (base +: segs).map(g => Warehouse.pathGenData(path, g)))
+  }
+
+  /** Reclaim superseded IVF generations: everything OLDER than the live
+    * base goes (prior bases and their segments); the live base, its
+    * segments, and in-flight claims survive (the Warehouse age/claim
+    * safety rules apply underneath). Orphan segments NEWER than the live
+    * base (a racing appender that lost to a rebuild) are left for the
+    * next vacuum after a further rebuild passes them.
+    */
+  def vacuumIvfIndex(path: String, minAgeMs: Long = 3600_000L): Unit = {
+    val pubs = Warehouse.publishedPathGenerations(path)
+    pubs.reverse.find(g => segmentBaseOf(path, g).isEmpty).foreach { base =>
+      Warehouse.vacuumPathGenerations(path, keep = pubs.count(_ >= base),
+        minAgeMs = minAgeMs)
+    }
+  }
+
   /** Probe the persisted index: nearest `nprobe` centroids per query,
     * then search ONLY those cluster partitions (`cid IN (...)` prunes at
     * the directory level — verified via PartitionFilters in the plan).
@@ -293,9 +381,19 @@ object Similarity {
     */
   private def indexAdmitted(q: DataFrame, path: String, nprobe: Int): DataFrame = {
     val spark = q.sparkSession
-    val genPath = Warehouse.pathGenData(path, Warehouse.resolvePathGeneration(path))
-    val centroids = spark.read.parquet(s"$genPath/_centroids")
-    val index = spark.read.parquet(genPath)
+    // segment-aware resolve: the live base build plus its published
+    // append segments ([[appendToIvfIndex]]). Each generation dir is
+    // read as its OWN partition-discovery root and the scans union —
+    // one multi-root read trips Spark's conflicting-directory check
+    // (sibling g<N> dirs under one inferred base path), while the union
+    // pushes the cid IN-list into EACH scan's PartitionFilters, so
+    // directory pruning holds across segments. A no-append index reads
+    // exactly its base as before; the set is pinned at plan time — a
+    // concurrent rebuild/append changes nothing this plan reads.
+    val (baseGen, dataPaths) = liveIvfDataPaths(path)
+    val centroids = spark.read.parquet(
+      s"${Warehouse.pathGenData(path, baseGen)}/_centroids")
+    val index = dataPaths.map(p => spark.read.parquet(p)).reduce(_ unionAll _)
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid"))
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("ccos", cosine_sim(

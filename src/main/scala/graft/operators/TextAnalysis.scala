@@ -818,11 +818,64 @@ object TextAnalysis {
         .groupBy(col("token"), col("doc_id"), col("dl"))
         .agg(count(lit(1)).cast("double").as("tf"))
       Warehouse.writeBucketed(postings, postingsT, "token", buckets)
+      // dl_sum rides along for SEGMENT merges: dl values are
+      // integer-valued doubles, so the sum is exact (< 2^53) and
+      // order-free — merged avgdl = Σdl_sum / Σn_docs is bit-identical
+      // to a one-shot build's sum(dl)/count over the union corpus
       perDoc
         .agg(count(lit(1)).cast("double").as("n_docs"),
-          (sum(col("dl")) / count(lit(1))).as("avgdl"))
+          (sum(col("dl")) / count(lit(1))).as("avgdl"),
+          sum(col("dl")).as("dl_sum"))
         .write.format("parquet").saveAsTable(statsT)
       Warehouse.publishGeneration(spark, name, gen)
+    } catch {
+      case e: Throwable =>
+        Seq(postingsT, statsT).foreach(tb => scala.util.Try(Warehouse.drop(spark, tb)))
+        Warehouse.burnClaim(spark, name, gen)
+        throw e
+    }
+  }
+
+  /** t23: INCREMENTAL index ingest — append a batch of new documents to
+    * a published BM25 store WITHOUT rebuilding it (the Lucene segment
+    * model, [[graft.operators.Similarity.appendToIvfIndex]]'s table-store
+    * sibling). The batch's postings land as a SEGMENT generation (same
+    * bucket layout as the base, so per-term pruning holds across both),
+    * its (n_docs, dl_sum) stats merge additively at query time, and df
+    * aggregates over base ∪ segments — so scores after an append are
+    * BIT-IDENTICAL to a one-shot build over the union corpus (both
+    * avgdl divisions see the same exact integers; spec- and
+    * gate-pinned). At 100 TB the corpus is tokenized/exploded once per
+    * rebuild and every ingest batch pays only its own postings write;
+    * callers append NEW doc_ids only (the d7/d16 ingest contract).
+    * `buckets` must match the base build's layout.
+    */
+  def appendToBm25Store(docs: DataFrame, name: String, buckets: Int = 32): Long = {
+    import graft.sources.Warehouse
+    val spark = docs.sparkSession
+    val (base, _) = Warehouse.resolveSegmented(spark, name)
+    val gen = Warehouse.claimGeneration(spark, name)
+    val postingsT = Warehouse.storeTableName(name, gen, "postings")
+    val statsT = Warehouse.storeTableName(name, gen, "stats")
+    try {
+      val toks = ws_tokens(col("text"))
+      val perDoc = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), size(toks).cast("double").as("dl"), toks.as("toks"))
+        .localCheckpoint(true)
+      val postings = perDoc
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      Warehouse.writeBucketed(postings, postingsT, "token", buckets)
+      perDoc
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          (sum(col("dl")) / count(lit(1))).as("avgdl"),
+          sum(col("dl")).as("dl_sum"))
+        .write.format("parquet").saveAsTable(statsT)
+      Warehouse.markSegment(spark, name, gen, base)
+      Warehouse.publishGeneration(spark, name, gen)
+      gen
     } catch {
       case e: Throwable =>
         Seq(postingsT, statsT).foreach(tb => scala.util.Try(Warehouse.drop(spark, tb)))
@@ -839,10 +892,21 @@ object TextAnalysis {
   def bm25AgainstStore(spark: org.apache.spark.sql.SparkSession, name: String,
       terms: Seq[String] = Bm25QueryTerms, topK: Int = 20): DataFrame = {
     import graft.sources.Warehouse
-    val gen = Warehouse.resolveGeneration(spark, name)
-    val hits = Warehouse.table(spark, Warehouse.storeTableName(name, gen, "postings"))
-      .filter(col("token").isin(terms: _*))
-    val stats = Warehouse.table(spark, Warehouse.storeTableName(name, gen, "stats"))
+    // segment-aware resolve: the live full build plus its published
+    // append segments ([[appendToBm25Store]]); a no-append store reads
+    // exactly its base as before. Bucket pruning applies to EACH
+    // postings table before the union; stats merge additively from the
+    // exact (n_docs, dl_sum) integers
+    val (base, segs) = Warehouse.resolveSegmented(spark, name)
+    val hits = (base +: segs)
+      .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "postings"))
+        .filter(col("token").isin(terms: _*)))
+      .reduce(_ unionAll _)
+    val stats = (base +: segs)
+      .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "stats")))
+      .reduce(_ unionAll _)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        (sum(col("dl_sum")) / sum(col("n_docs"))).as("avgdl"))
     val dfT = hits.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
     val w = Window.orderBy(col("score").desc, col("doc_id"))
     hits

@@ -103,6 +103,43 @@ object Warehouse {
   def currentGeneration(spark: SparkSession, store: String): Option[Long] =
     listGens(genDir(spark, store), "ready-").lastOption
 
+  /** ALL published generations of a table store, ascending — the
+    * segment-aware readers' view (see [[markSegment]]).
+    */
+  def publishedGenerations(spark: SparkSession, store: String): Seq[Long] =
+    listGens(genDir(spark, store), "ready-")
+
+  /** Mark a claimed generation as an APPEND SEGMENT of `base` (the
+    * Lucene-style incremental-ingest model): the generation's tables
+    * hold only an increment routed/scored against the base build, and
+    * segment-aware probes read base ∪ its segments instead of the
+    * latest generation alone. Written BEFORE publish, so a published
+    * segment is never mistaken for a full build.
+    */
+  def markSegment(spark: SparkSession, store: String, gen: Long, base: Long): Unit =
+    Files.writeString(genDir(spark, store).resolve(s"segof-$gen"), base.toString)
+
+  /** The base generation `gen` is a segment of, or None for full
+    * builds.
+    */
+  def segmentBase(spark: SparkSession, store: String, gen: Long): Option[Long] = {
+    val m = genDir(spark, store).resolve(s"segof-$gen")
+    if (Files.exists(m)) Some(Files.readString(m).trim.toLong) else None
+  }
+
+  /** The live read set of a segment-aware table store: the latest
+    * published FULL build plus every published segment that names it
+    * (a racing appender's segment of a superseded base never leaks
+    * in). Fails with the build hint when nothing full is published.
+    */
+  def resolveSegmented(spark: SparkSession, store: String): (Long, Seq[Long]) = {
+    val pubs = publishedGenerations(spark, store)
+    val base = pubs.reverse.find(g => segmentBase(spark, store, g).isEmpty)
+      .getOrElse(throw new IllegalStateException(
+        s"store '$store' has no published full build — run its build first"))
+    (base, pubs.filter(g => segmentBase(spark, store, g).contains(base)))
+  }
+
   /** Resolve the latest published generation or fail with a build hint. */
   def resolveGeneration(spark: SparkSession, store: String): Long =
     currentGeneration(spark, store).getOrElse(throw new IllegalStateException(
@@ -153,6 +190,22 @@ object Warehouse {
       suffixes.foreach(s => drop(spark, storeTableName(store, g, s)))
     }
 
+  /** Vacuum a SEGMENT-AWARE table store: everything older than the live
+    * full build goes (superseded bases and their segments); the live
+    * base, its published segments, and in-flight claims survive (the
+    * [[vacuumStoreGenerations]] safety rules apply underneath). Orphan
+    * segments newer than the live base — a racing appender that lost to
+    * a rebuild — are kept until a further rebuild passes them.
+    */
+  def vacuumSegmentedStore(spark: SparkSession, store: String,
+      suffixes: Seq[String], minAgeMs: Long = 3600_000L): Unit = {
+    val pubs = publishedGenerations(spark, store)
+    pubs.reverse.find(g => segmentBase(spark, store, g).isEmpty).foreach { base =>
+      vacuumStoreGenerations(spark, store, suffixes,
+        keep = pubs.count(_ >= base), minAgeMs = minAgeMs)
+    }
+  }
+
   /** The shared vacuum core (table stores and path stores differ only
     * in `deleteGen`, the per-generation data delete action — the safety
     * rules documented on [[vacuumStoreGenerations]] live HERE, once).
@@ -168,6 +221,7 @@ object Warehouse {
     dropGens.foreach { g =>
       Files.deleteIfExists(dir.resolve(s"ready-$g"))
       Files.deleteIfExists(dir.resolve(s"claim-$g"))
+      Files.deleteIfExists(dir.resolve(s"segof-$g"))
     }
     // burned claims (no ready marker), above or below the kept floor
     val readyLeft = listGens(dir, "ready-")
@@ -213,6 +267,14 @@ object Warehouse {
   /** Latest PUBLISHED generation of a directory store, if any. */
   def currentPathGeneration(root: String): Option[Long] =
     listGens(pathGenDir(root), "ready-").lastOption
+
+  /** ALL published generations of a directory store, ascending — the
+    * segment-aware readers' view (an IVF index is one base build plus
+    * its published append segments, see
+    * [[graft.operators.Similarity.appendToIvfIndex]]).
+    */
+  def publishedPathGenerations(root: String): Seq[Long] =
+    listGens(pathGenDir(root), "ready-")
 
   /** Resolve the latest published generation or fail with a build hint. */
   def resolvePathGeneration(root: String): Long =

@@ -61,6 +61,65 @@ class PackingSpec extends SparkSpecBase {
     assert(packed == filled, "every token lands in exactly one sequence's fill")
   }
 
+  test("p5: manifest reconciles with p1's layout; checksum is order-free, mergeable, and tamper-evident") {
+    val manifest = Packing.shardManifest(t).collect()
+      .map(r => r.getAs[Int]("shard") -> r).toMap
+    val layout = Packing.sequencePack(t).collect().groupBy(_.getAs[Int]("shard"))
+    assert(manifest.keySet == layout.keySet)
+    layout.foreach { case (sh, docs) =>
+      val m = manifest(sh)
+      assert(m.getAs[Long]("n_docs") == docs.length)
+      assert(m.getAs[Long]("n_tokens") == docs.map(_.getAs[Long]("ws_tokens")).sum)
+      assert(m.getAs[Long]("n_seqs") == docs.map(_.getAs[Long]("seq_last")).max + 1,
+        "the manifest's sequence count must match the layout's last sequence")
+      val tail = m.getAs[Long]("n_tokens") - (m.getAs[Long]("n_seqs") - 1) * B
+      assert(math.abs(m.getAs[Double]("tail_fill_frac") - tail.toDouble / B) < 5e-7)
+    }
+
+    // checksum: driver recompute from per-doc md5 prefixes (order-free
+    // exact integer sum), tamper-evidence via a dropped doc
+    val perDoc = t.documents
+      .select(col("doc_id"), conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("decimal(38,0)").as("chk"),
+        size(graft.functions.GraftFunctions.ws_tokens(col("text"))).as("n"))
+      .filter(col("n") > 0)
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10).cast("int"))
+      .collect()
+    val expected = perDoc.groupBy(_.getAs[Int]("shard"))
+      .map { case (sh, rs) => sh -> rs.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("chk"))).sum }
+    manifest.foreach { case (sh, m) =>
+      assert(BigDecimal(m.getAs[java.math.BigDecimal]("manifest_hash")) == expected(sh),
+        s"shard $sh checksum must equal the order-free per-doc sum")
+    }
+    // mergeability: two partial manifests roll up to the full one
+    // (counts and checksum add; n_seqs/tail are layout-level, recomputed)
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      Packing.shardManifestOf(df).collect()
+        .map(r => r.getAs[Int]("shard") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+            BigDecimal(r.getAs[java.math.BigDecimal]("manifest_hash"))))).toMap
+    val lo = partial(t.documents.filter(col("doc_id") < 50L))
+    val hi = partial(t.documents.filter(col("doc_id") >= 50L))
+    manifest.foreach { case (sh, m) =>
+      val (ld, lt, lh) = lo.getOrElse(sh, (0L, 0L, BigDecimal(0)))
+      val (hd, ht, hh) = hi.getOrElse(sh, (0L, 0L, BigDecimal(0)))
+      assert(m.getAs[Long]("n_docs") == ld + hd &&
+        m.getAs[Long]("n_tokens") == lt + ht &&
+        BigDecimal(m.getAs[java.math.BigDecimal]("manifest_hash")) == lh + hh,
+        s"shard $sh partial manifests must merge to the full manifest")
+    }
+
+    val tampered = Packing.shardManifestOf(t.documents.filter(col("doc_id") =!= 0L))
+    val sh0 = perDoc.find(_.getAs[Long]("doc_id") == 0L).map(_.getAs[Int]("shard"))
+    sh0.foreach { sh =>
+      val after = tampered.collect().map(r => r.getAs[Int]("shard") -> r).toMap
+      assert(BigDecimal(after(sh).getAs[java.math.BigDecimal]("manifest_hash")) !=
+        BigDecimal(manifest(sh).getAs[java.math.BigDecimal]("manifest_hash")),
+        "dropping a doc must change its shard's checksum")
+    }
+  }
+
   test("p4: buckets are tight powers of two and totals reconcile with the corpus") {
     import org.apache.spark.sql.functions._
     val rows = Packing.lengthBuckets(t).collect()

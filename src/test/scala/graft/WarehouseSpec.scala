@@ -344,6 +344,57 @@ class WarehouseSpec extends SparkSpecBase {
       "the surviving generation reads back identically after vacuum")
   }
 
+  test("IVF segment append: probe spans base ∪ segments, layout-invariant; rebuild supersedes; vacuum keeps the live set") {
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val half = emb.count() / 2
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))
+
+    // one-segment layout: base = first half, one appended segment
+    val root1 = java.nio.file.Files.createTempDirectory("graft_ivfseg1_").resolve("idx").toString
+    graft.operators.Similarity.buildIvfIndexOf(emb.filter(col("vec_id") < half), root1)
+    val pre = graft.operators.Similarity.searchIvfIndex(t, root1).collect().map(key).toSeq
+    val seg = graft.operators.Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") >= half), root1)
+    assert(seg == 2L, "the append claims and publishes the next generation")
+    val one = graft.operators.Similarity.searchIvfIndex(t, root1).collect().map(key).toSeq
+    assert(one != pre && one.exists(_._3 >= half),
+      "appended vectors must be reachable through the probe")
+
+    // two-segment layout over the same rows must probe IDENTICALLY:
+    // the read set is base ∪ segments regardless of how ingest batched
+    val root2 = java.nio.file.Files.createTempDirectory("graft_ivfseg2_").resolve("idx").toString
+    graft.operators.Similarity.buildIvfIndexOf(emb.filter(col("vec_id") < half), root2)
+    val mid = half + (emb.count() - half) / 2
+    graft.operators.Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") >= half && col("vec_id") < mid), root2)
+    graft.operators.Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") >= mid), root2)
+    assert(graft.operators.Similarity.searchIvfIndex(t, root2).collect().map(key).toSeq == one,
+      "segment batching must not change probe results")
+
+    // a rebuild over the full corpus supersedes the segments: the old
+    // base's segment must NOT leak into the new base's probe (equality
+    // with the in-job full-corpus IVF pins both absence and content)
+    graft.operators.Similarity.buildIvfIndexOf(emb, root1)
+    val rebuilt = graft.operators.Similarity.searchIvfIndex(t, root1).collect().map(key).toSeq
+    assert(rebuilt == graft.operators.Similarity.ivf(t).collect().map(key).toSeq,
+      "after a rebuild the probe equals the one-shot full-corpus IVF — superseded segments are ignored")
+
+    // vacuum keeps the live base (and would keep its segments), reclaims
+    // the superseded base + segment chain
+    graft.operators.Similarity.vacuumIvfIndex(root1, minAgeMs = 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(graft.sources.Warehouse.pathGenData(root1, 1L))) &&
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(graft.sources.Warehouse.pathGenData(root1, 2L))),
+      "vacuumIvfIndex reclaims the superseded base and its segment")
+    assert(graft.operators.Similarity.searchIvfIndex(t, root1).collect().map(key).toSeq == rebuilt,
+      "the live base reads back identically after vacuum")
+  }
+
   test("a guard-tripped rebuild burns its claim and a fresh probe resolves the prior generation") {
     import org.apache.spark.sql.functions.col
     val t = Tables(spark, sfDir)
@@ -396,6 +447,55 @@ class WarehouseSpec extends SparkSpecBase {
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == exp, "store query equals the in-job operator on the indexed corpus")
     Warehouse.dropStore(spark, "bm25idx", Seq("postings", "stats"))
+  }
+
+  test("BM25 segment append: probe equals a one-shot build over the union, batching-invariant; rebuild supersedes") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+    val half = t.documents.count() / 2
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // base on the first half, one appended segment = bit-identity with
+    // the full one-shot store (t22's probe) AND the in-job t17
+    Warehouse.dropStore(spark, "bm25seg", Seq("postings", "stats"))
+    TextAnalysis.buildBm25Store(t.documents.filter(col("doc_id") < half), "bm25seg", buckets = 8)
+    val pre = key(TextAnalysis.bm25AgainstStore(spark, "bm25seg"))
+    val seg = TextAnalysis.appendToBm25Store(
+      t.documents.filter(col("doc_id") >= half), "bm25seg", buckets = 8)
+    assert(seg == 2L, "the append claims and publishes the next generation")
+    val one = key(TextAnalysis.bm25AgainstStore(spark, "bm25seg"))
+    assert(one != pre, "appended documents must be reachable (and shift df/avgdl)")
+    assert(one == key(TextAnalysis.bm25(t)),
+      "after the append the probe is bit-identical to in-job t17 over the union corpus")
+
+    // two-segment batching over the same rows probes identically
+    Warehouse.dropStore(spark, "bm25seg2", Seq("postings", "stats"))
+    val mid = half + (t.documents.count() - half) / 2
+    TextAnalysis.buildBm25Store(t.documents.filter(col("doc_id") < half), "bm25seg2", buckets = 8)
+    TextAnalysis.appendToBm25Store(
+      t.documents.filter(col("doc_id") >= half && col("doc_id") < mid), "bm25seg2", buckets = 8)
+    TextAnalysis.appendToBm25Store(
+      t.documents.filter(col("doc_id") >= mid), "bm25seg2", buckets = 8)
+    assert(key(TextAnalysis.bm25AgainstStore(spark, "bm25seg2")) == one,
+      "segment batching must not change probe results")
+
+    // a rebuild over a DIFFERENT corpus slice supersedes the segments:
+    // the old base's segment must not leak into the new base's probe
+    TextAnalysis.buildBm25Store(t.documents.filter(col("doc_id") < half), "bm25seg", buckets = 8)
+    assert(key(TextAnalysis.bm25AgainstStore(spark, "bm25seg")) == pre,
+      "after a rebuild the probe reads the new full build alone — superseded segments are ignored")
+
+    // vacuum keeps the live base, reclaims the superseded chain
+    Warehouse.vacuumSegmentedStore(spark, "bm25seg", Seq("postings", "stats"), minAgeMs = 0L)
+    assert(!spark.catalog.tableExists(Warehouse.storeTableName("bm25seg", 1L, "postings")) &&
+      !spark.catalog.tableExists(Warehouse.storeTableName("bm25seg", 2L, "postings")),
+      "vacuumSegmentedStore reclaims the superseded base and its segment")
+    assert(key(TextAnalysis.bm25AgainstStore(spark, "bm25seg")) == pre,
+      "the live base reads back identically after vacuum")
+    Warehouse.dropStore(spark, "bm25seg", Seq("postings", "stats"))
+    Warehouse.dropStore(spark, "bm25seg2", Seq("postings", "stats"))
   }
 
   test("d16 gate row: the registered store-probe query is row-identical to d7's recompute") {
