@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TextAnalysis}
+import graft.sources.Warehouse
+
+/** Index-ingest benchmark main: measures absorbing a new batch into a
+  * PUBLISHED index via segment append ([[TextAnalysis.appendToBm25Store]],
+  * [[Similarity.appendToIvfIndex]]) against the full rebuild a
+  * segment-less store would need, on synthetic corpora large enough
+  * that the rebuild's corpus-sized work dominates.
+  *
+  * This is the claim the append APIs exist for: ingest cost should
+  * track the BATCH, not the corpus. For BM25 the two layouts are
+  * bit-identical by contract (asserted here on the top-k probe); for
+  * IVF they differ by design (a rebuild retrains centroids, an append
+  * freezes them), so only the probe SHAPE is asserted. Prints ONE JSON
+  * line; STOREBENCH.md records a quiet run.
+  */
+object AppendBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nCorpus = sys.env.getOrElse("SPARK_GRAFT_APPEND_CORPUS", "500000").toLong
+    val nBatch = sys.env.getOrElse("SPARK_GRAFT_APPEND_BATCH", "25000").toLong
+    val nVec = sys.env.getOrElse("SPARK_GRAFT_APPEND_VECS", "200000").toLong
+    val spark = GraftSession.builder(s"local[$cpus]", shufflePartitions = cpus.toInt).getOrCreate()
+    functions.GraftFunctions.registerAll(spark)
+    spark.sparkContext.setLogLevel("WARN")
+
+    // StoreBench's deterministic ~30-token docs over a 5000-word
+    // vocabulary, materialized once so scan cost is identical for both
+    // paths; query terms are guaranteed present (w0/w1/w2 are hot)
+    def words(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat_ws(" ", (0 until 30).map(i =>
+        concat(lit("w"), pmod(xxhash64(seed * 31 + lit(i)), lit(5000)))): _*)
+    val dir = java.nio.file.Files.createTempDirectory("appendbench").toString
+    spark.range(0, nCorpus + nBatch)
+      .select(col("id").as("doc_id"), words(col("id")).as("text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpusDocs = docs.filter(col("doc_id") < nCorpus)
+    val batchDocs = docs.filter(col("doc_id") >= nCorpus)
+    val terms = Seq("w0", "w1", "w2")
+
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    // ---- BM25: segment append vs full rebuild --------------------------
+    // untimed warm-up build over a small slice: JIT + codegen + writer
+    // paths, so ordering doesn't tax whichever timed phase runs first
+    Warehouse.dropStore(spark, "ab_warm", Seq("postings", "stats"))
+    TextAnalysis.buildBm25Store(docs.filter(col("doc_id") < 5000), "ab_warm")
+    Warehouse.dropStore(spark, "ab_warm", Seq("postings", "stats"))
+    Warehouse.dropStore(spark, "ab_base", Seq("postings", "stats"))
+    Warehouse.dropStore(spark, "ab_rebuild", Seq("postings", "stats"))
+    val (rebuildSec, _) = timed(TextAnalysis.buildBm25Store(docs, "ab_rebuild"))
+    val (baseBuildSec, _) = timed(TextAnalysis.buildBm25Store(corpusDocs, "ab_base"))
+    val (appendSec, _) = timed(TextAnalysis.appendToBm25Store(batchDocs, "ab_base"))
+    val viaAppend = TextAnalysis.bm25AgainstStore(spark, "ab_base", terms)
+      .collect().map(_.toSeq).toSeq
+    val viaRebuild = TextAnalysis.bm25AgainstStore(spark, "ab_rebuild", terms)
+      .collect().map(_.toSeq).toSeq
+    assert(viaAppend == viaRebuild && viaAppend.nonEmpty,
+      "segment append must be bit-identical to the full rebuild")
+
+    // ---- IVF: segment append vs full rebuild ---------------------------
+    // deterministic 64-dim vectors in [-1, 1)
+    def vec(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array((0 until 64).map(i =>
+        ((pmod(xxhash64(seed * 131 + lit(i)), lit(2000)).cast("double") / 1000) - 1)
+          .cast("float")): _*)
+    spark.range(0, nVec + nVec / 10)
+      .select(col("id").as("vec_id"), vec(col("id")).as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val baseEmb = emb.filter(col("vec_id") < nVec)
+    val incEmb = emb.filter(col("vec_id") >= nVec)
+    val ivfRebuildRoot = s"$dir/ivf_idx2"
+    val (ivfRebuildSec, _) = timed(Similarity.buildIvfIndexOf(emb, ivfRebuildRoot, nlist = 64))
+    val ivfRoot = s"$dir/ivf_idx"
+    val (ivfBuildSec, _) = timed(Similarity.buildIvfIndexOf(baseEmb, ivfRoot, nlist = 64))
+    val (ivfAppendSec, _) = timed(Similarity.appendToIvfIndex(incEmb, ivfRoot))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val viaIvfAppend = Similarity.searchIvfIndexWith(q, ivfRoot)
+    assert(viaIvfAppend.count() == 50, "segment-union probe must return 10 queries x top-5")
+
+    println(s"""{"metric":"append_vs_rebuild","corpus_docs":$nCorpus,"batch_docs":$nBatch,""" +
+      s""""bm25_base_build_sec":$baseBuildSec,"bm25_append_sec":$appendSec,""" +
+      s""""bm25_rebuild_sec":$rebuildSec,"vecs":$nVec,"ivf_build_sec":$ivfBuildSec,""" +
+      s""""ivf_append_sec":$ivfAppendSec,"ivf_rebuild_sec":$ivfRebuildSec,"cpus":$cpus}""")
+    spark.stop()
+  }
+}

@@ -458,6 +458,49 @@ object DocPipelines {
           batchId)
       }
 
+  /** Streaming BM25 INDEX ingest — the WRITE-side twin of the probe
+    * streams (the continuous-indexer shape: Lucene soft commits, a
+    * crawl feed indexed as it lands): every non-empty micro-batch of
+    * new documents is published as a SEGMENT generation of the live
+    * BM25 store ([[graft.operators.TextAnalysis.appendToBm25Store]] —
+    * claim/publish per batch, so queries see each batch atomically and
+    * a crash mid-batch publishes nothing). The store must have a
+    * published full build; after any prefix of batches the store is
+    * bit-identical to a one-shot build over everything ingested so far
+    * (the additive-merge contract, StreamingSpec-pinned). ZERO
+    * streaming state — the index IS the state, on disk.
+    */
+  def bm25IngestStream(docs: DataFrame, storeName: String, buckets: Int = 32):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.TextAnalysis.appendToBm25Store(batch, storeName, buckets)
+          ()
+        }
+      }
+
+  /** Streaming IVF INDEX ingest — [[bm25IngestStream]]'s vector-side
+    * sibling: each non-empty micro-batch of (vec_id, embedding) rows is
+    * assigned to the live base's frozen centroids and published as a
+    * cid-partitioned segment
+    * ([[graft.operators.Similarity.appendToIvfIndex]]); a concurrent
+    * [[ivfProbeStream]] picks each segment up atomically on publish.
+    * The index must have a published base build.
+    */
+  def ivfIngestStream(vectors: DataFrame, indexPath: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Similarity.appendToIvfIndex(
+            batch.select(col("vec_id"), col("embedding")), indexPath)
+          ()
+        }
+      }
+
   case class PackInDoc(shard: Int, doc_id: Long, ws_tokens: Long, pri: String)
   case class PackedOut(doc_id: Long, shard: Int, ws_tokens: Long,
       start_tok: Long, seq_first: Long, seq_last: Long)

@@ -889,6 +889,78 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming BM25 ingest: each micro-batch publishes a segment; the store equals a one-shot build after every prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val t = graft.sources.Tables(spark, sfDir)
+    val half = t.documents.count() / 2
+    graft.sources.Warehouse.dropStore(spark, "bm25ing", Seq("postings", "stats"))
+    TextAnalysis.buildBm25Store(t.documents.filter(col("doc_id") < half), "bm25ing", buckets = 8)
+    val arrivals = t.documents.filter(col("doc_id") >= half)
+      .select("doc_id", "text").as[(Long, String)].collect()
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocPipelines.bm25IngestStream(
+      mem.toDF().toDF("doc_id", "text"), "bm25ing", buckets = 8).start()
+    try {
+      val (first, second) = arrivals.splitAt(arrivals.length / 2)
+      mem.addData(first.toIndexedSeq); q.processAllAvailable()
+      // after the first batch the store must equal a one-shot build over
+      // base + first batch — the mid-stream prefix is already consistent
+      val ids = first.map(_._1).toSet
+      graft.sources.Warehouse.dropStore(spark, "bm25ing_ref", Seq("postings", "stats"))
+      TextAnalysis.buildBm25Store(
+        t.documents.filter(col("doc_id") < half || col("doc_id").isin(ids.toSeq: _*)),
+        "bm25ing_ref", buckets = 8)
+      assert(key(TextAnalysis.bm25AgainstStore(spark, "bm25ing")) ==
+        key(TextAnalysis.bm25AgainstStore(spark, "bm25ing_ref")),
+        "mid-stream store must equal a one-shot build over everything ingested so far")
+      mem.addData(second.toIndexedSeq); q.processAllAvailable()
+      assert(key(TextAnalysis.bm25AgainstStore(spark, "bm25ing")) ==
+        key(TextAnalysis.bm25(t)),
+        "after the full stream the store must equal in-job t17 over the whole corpus")
+    } finally q.stop()
+    graft.sources.Warehouse.dropStore(spark, "bm25ing", Seq("postings", "stats"))
+    graft.sources.Warehouse.dropStore(spark, "bm25ing_ref", Seq("postings", "stats"))
+  }
+
+  test("streaming IVF ingest: appended segments become probe-visible per batch, equal to batch appends") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val t = graft.sources.Tables(spark, sfDir)
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val half = emb.count() / 2
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_ing_").resolve("idx").toString
+    Similarity.buildIvfIndexOf(emb.filter(col("vec_id") < half), path)
+    val arrivals = emb.filter(col("vec_id") >= half)
+      .as[(Long, Array[Float])].collect()
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.DocPipelines.ivfIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), path).start()
+    try {
+      val (first, second) = arrivals.splitAt(arrivals.length / 2)
+      mem.addData(first.toIndexedSeq); q.processAllAvailable()
+      mem.addData(second.toIndexedSeq); q.processAllAvailable()
+      // two streamed segments ≡ the same rows appended in one batch call
+      // (segment-batching invariance, proven against a fresh twin index)
+      val twin = java.nio.file.Files.createTempDirectory("graft_ivf_ing2_").resolve("idx").toString
+      Similarity.buildIvfIndexOf(emb.filter(col("vec_id") < half), twin)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") >= half), twin)
+      assert(key(Similarity.searchIvfIndex(t, path)) == key(Similarity.searchIvfIndex(t, twin)),
+        "streamed segments must probe identically to a batch append of the same rows")
+      assert(key(Similarity.searchIvfIndex(t, path)).exists(_._3 >= half),
+        "streamed vectors must be reachable")
+    } finally q.stop()
+  }
+
   test("streaming sequence packing equals batch p1 on a single batch and appends across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

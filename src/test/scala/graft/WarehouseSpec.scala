@@ -395,6 +395,37 @@ class WarehouseSpec extends SparkSpecBase {
       "the live base reads back identically after vacuum")
   }
 
+  test("segment probes keep their pruning: cid PartitionFilters on EVERY IVF scan, bucket pruning on EVERY postings scan") {
+    import graft.operators.{Similarity, TextAnalysis}
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+
+    // IVF: base + one segment = two index data scans, each must carry
+    // the cid IN-list in PartitionFilters (an unpruned segment scan
+    // would silently read the whole segment at 100 TB)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfprune_").resolve("idx").toString
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val half = emb.count() / 2
+    graft.operators.Similarity.buildIvfIndexOf(emb.filter(col("vec_id") < half), root)
+    graft.operators.Similarity.appendToIvfIndex(emb.filter(col("vec_id") >= half), root)
+    val plan = Similarity.searchIvfIndex(t, root).queryExecution.executedPlan.toString
+    val cidPruned = "PartitionFilters: \\[[^\\]]*cid[^\\]]*\\]".r.findAllIn(plan).size
+    assert(cidPruned >= 2, s"both the base and the segment scan must prune on cid:\n$plan")
+
+    // BM25: base + one segment = two postings scans, each must
+    // bucket-prune to the query terms' buckets
+    Warehouse.dropStore(spark, "bm25prune", Seq("postings", "stats"))
+    TextAnalysis.buildBm25Store(t.documents.filter(col("doc_id") < half), "bm25prune", buckets = 8)
+    TextAnalysis.appendToBm25Store(t.documents.filter(col("doc_id") >= half), "bm25prune", buckets = 8)
+    val bplan = TextAnalysis.bm25AgainstStore(spark, "bm25prune")
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+      .findAllMatchIn(bplan).map(_.group(1).toInt).toSeq
+    assert(sel.size >= 2 && sel.forall(_ < 8),
+      s"both postings scans must bucket-prune on the IN-list (got $sel):\n$bplan")
+    Warehouse.dropStore(spark, "bm25prune", Seq("postings", "stats"))
+  }
+
   test("a guard-tripped rebuild burns its claim and a fresh probe resolves the prior generation") {
     import org.apache.spark.sql.functions.col
     val t = Tables(spark, sfDir)
