@@ -37,6 +37,9 @@ class PlanAuditSpec extends SparkSpecBase {
     // t22: the same 1-row (n_docs, avgdl) attach, read from the
     // persisted index's stats table instead of recomputed
     "t22_bm25_store_probe",
+    // t23: t22's attach with the stats MERGED across base + segments —
+    // the union aggregates to one row before the crossJoin
+    "t23_bm25_append_probe",
     // dc14: inherits t12's 1-row corpus-total attach (the gate itself
     // adds only a co-keyed join + counters)
     "dc14_perplexity_gate",
