@@ -93,6 +93,20 @@ object SparkEntry {
       Dedup.substringSpansAgainstStore("d17_store",
         t.documents.filter(col("doc_id") >= 250))
     }),
+    "d18_novelty_store_probe" -> ((s, dir) => {
+      // d16's pattern for the NOVELTY index — the last persisted store
+      // promoted to the gate: drop → build the corpus half's distinct-doc
+      // df per k-shingle hash (bucketed on h, generation claim/publish) →
+      // score the fresh half against it co-partitioned. Novel = absent
+      // from the CORPUS (d15's df = 1 rule at ingest); a store-layer
+      // failure now fails correctness, not only WarehouseSpec
+      import org.apache.spark.sql.functions.col
+      val t = Tables(s, dir)
+      graft.sources.Warehouse.dropStore(s, "d18_store", Seq("shdf"))
+      Dedup.buildNoveltyStore(t.documents.filter(col("doc_id") < 250), "d18_store")
+      Dedup.noveltyAgainstStore("d18_store",
+        t.documents.filter(col("doc_id") >= 250))
+    }),
     // §2.3 similarity search
     "s1_ann_brute" -> ((s, dir) => Similarity.bruteForce(Tables(s, dir))),
     "s2_ann_ivf" -> ((s, dir) => Similarity.ivf(Tables(s, dir))),
@@ -798,6 +812,32 @@ object SparkEntry {
         |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "d10_substring_incremental" -> OracleReplicas.d10SubstringIncremental(),
+    // d18: d15's text-shingle replica split at the d16/d17 boundary —
+    // the fresh half's shingles LEFT-join the corpus half's distinct
+    // shingle set; novel = no corpus row (the absent-from-corpus rule)
+    "d18_novelty_store_probe" ->
+      """WITH sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |          FROM documents) z
+        |    WHERE len(t) >= 3) y),
+        |corp AS MATERIALIZED (SELECT DISTINCT shingle FROM sh WHERE doc_id < 250),
+        |pd AS (
+        |  SELECT f.doc_id, COUNT(*) AS n_sh,
+        |    SUM(CASE WHEN c.shingle IS NULL THEN 1 ELSE 0 END) AS novel
+        |  FROM (SELECT * FROM sh WHERE doc_id >= 250) f
+        |  LEFT JOIN corp c ON f.shingle = c.shingle
+        |  GROUP BY f.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n_sh, 0) AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(novel, 0) AS BIGINT) AS novel_shingles,
+        |  CASE WHEN COALESCE(n_sh, 0) = 0 THEN 0.0
+        |       ELSE ROUND(CAST(novel AS DOUBLE) / n_sh, 4) END AS novelty_frac
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+        |LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // d11: the synthesized crawl-noise URL (host case, www., default
     // port, shuffled tracking params, fragment, trailing slash) and its
     // canonicalization replayed step for step; the tracking-param list
