@@ -265,74 +265,40 @@ object Similarity {
     * protocol as the build — a failed append burns its claim and a
     * racing probe never sees a partial segment.
     */
-  def appendToIvfIndex(inc: DataFrame, path: String): Long = {
+  def appendToIvfIndex(inc: DataFrame, path: String): Option[Long] = {
     val spark = inc.sparkSession
-    val base = resolveIvfBase(path)
+    val (base, _) = Warehouse.resolvePathSegmented(path)
     val centroids = spark.read.parquet(
       s"${Warehouse.pathGenData(path, base)}/_centroids")
+    // an empty increment must publish NOTHING: a schema-less parquet dir
+    // would poison every subsequent probe's read. Assignments are
+    // pinned once so the emptiness check and the write see the same rows
+    val assigned = assignNearest(inc, centroids).localCheckpoint(true)
+    if (assigned.isEmpty) return None
     val gen = Warehouse.claimPathGeneration(path)
     val genPath = Warehouse.pathGenData(path, gen)
     try {
-      assignNearest(inc, centroids)
-        .write.mode("overwrite").partitionBy("cid").parquet(genPath)
-      // underscore prefix: invisible to parquet readers of the segment
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(genPath, "_base_gen"), base.toString)
+      assigned.write.mode("overwrite").partitionBy("cid").parquet(genPath)
+      // marked BEFORE publish, so a published segment is never mistaken
+      // for a full build; the catch burns the mark with the claim
+      Warehouse.markPathSegment(path, gen, base)
     } catch { case e: Throwable =>
       Warehouse.deletePathGenData(path, gen)
       Warehouse.burnPathClaim(path, gen)
       throw e
     }
     Warehouse.publishPathGeneration(path, gen)
-    gen
+    Some(gen)
   }
 
-  /** A published generation is a SEGMENT iff it carries the
-    * `_base_gen` marker [[appendToIvfIndex]] writes; base generations
-    * (full builds) carry `_centroids` instead.
+  /** Reclaim superseded IVF generations — the fixed-floor segmented
+    * vacuum ([[graft.sources.Warehouse.vacuumPathSegmented]]): prior
+    * bases and their segments go, the live base + its segments +
+    * in-flight claims survive, and a racing segment publish can never
+    * shift the live base into the dropped window.
     */
-  private def segmentBaseOf(path: String, gen: Long): Option[Long] = {
-    val m = java.nio.file.Paths.get(Warehouse.pathGenData(path, gen), "_base_gen")
-    if (java.nio.file.Files.exists(m))
-      Some(java.nio.file.Files.readString(m).trim.toLong)
-    else None
-  }
-
-  /** The live BASE generation: the latest published full build. Probes
-    * and appends pin to it; segments published by a racing appender
-    * against an older base are simply ignored (and later vacuumed).
-    */
-  private def resolveIvfBase(path: String): Long =
-    Warehouse.publishedPathGenerations(path).reverse
-      .find(g => segmentBaseOf(path, g).isEmpty)
-      .getOrElse(throw new IllegalStateException(
-        s"IVF index '$path' has no published base generation — run buildIvfIndex first"))
-
-  /** The live read set: the base generation's data dir plus every
-    * published segment THAT NAMES IT (a segment of a superseded base
-    * never leaks into the probe).
-    */
-  private def liveIvfDataPaths(path: String): (Long, Seq[String]) = {
-    val base = resolveIvfBase(path)
-    val segs = Warehouse.publishedPathGenerations(path)
-      .filter(g => segmentBaseOf(path, g).contains(base))
-    (base, (base +: segs).map(g => Warehouse.pathGenData(path, g)))
-  }
-
-  /** Reclaim superseded IVF generations: everything OLDER than the live
-    * base goes (prior bases and their segments); the live base, its
-    * segments, and in-flight claims survive (the Warehouse age/claim
-    * safety rules apply underneath). Orphan segments NEWER than the live
-    * base (a racing appender that lost to a rebuild) are left for the
-    * next vacuum after a further rebuild passes them.
-    */
-  def vacuumIvfIndex(path: String, minAgeMs: Long = 3600_000L): Unit = {
-    val pubs = Warehouse.publishedPathGenerations(path)
-    pubs.reverse.find(g => segmentBaseOf(path, g).isEmpty).foreach { base =>
-      Warehouse.vacuumPathGenerations(path, keep = pubs.count(_ >= base),
-        minAgeMs = minAgeMs)
-    }
-  }
+  def vacuumIvfIndex(path: String, minAgeMs: Long = 3600_000L): Unit =
+    Warehouse.vacuumPathSegmented(path, minAgeMs)
 
   /** Probe the persisted index: nearest `nprobe` centroids per query,
     * then search ONLY those cluster partitions (`cid IN (...)` prunes at
@@ -390,10 +356,11 @@ object Similarity {
     // directory pruning holds across segments. A no-append index reads
     // exactly its base as before; the set is pinned at plan time — a
     // concurrent rebuild/append changes nothing this plan reads.
-    val (baseGen, dataPaths) = liveIvfDataPaths(path)
+    val (baseGen, segs) = Warehouse.resolvePathSegmented(path)
     val centroids = spark.read.parquet(
       s"${Warehouse.pathGenData(path, baseGen)}/_centroids")
-    val index = dataPaths.map(p => spark.read.parquet(p)).reduce(_ unionAll _)
+    val index = (baseGen +: segs).map(g => spark.read.parquet(Warehouse.pathGenData(path, g)))
+      .reduce(_ unionAll _)
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid"))
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("ccos", cosine_sim(

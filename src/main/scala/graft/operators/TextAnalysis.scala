@@ -805,35 +805,54 @@ object TextAnalysis {
     import graft.sources.Warehouse
     val spark = docs.sparkSession
     val gen = Warehouse.claimGeneration(spark, name)
-    val postingsT = Warehouse.storeTableName(name, gen, "postings")
-    val statsT = Warehouse.storeTableName(name, gen, "stats")
     try {
-      val toks = ws_tokens(col("text"))
-      val perDoc = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
-        .select(col("doc_id"), size(toks).cast("double").as("dl"), toks.as("toks"))
-        .localCheckpoint(true)
-      val postings = perDoc
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
-        .filter(col("token") =!= "")
-        .groupBy(col("token"), col("doc_id"), col("dl"))
-        .agg(count(lit(1)).cast("double").as("tf"))
-      Warehouse.writeBucketed(postings, postingsT, "token", buckets)
-      // dl_sum rides along for SEGMENT merges: dl values are
-      // integer-valued doubles, so the sum is exact (< 2^53) and
-      // order-free — merged avgdl = Σdl_sum / Σn_docs is bit-identical
-      // to a one-shot build's sum(dl)/count over the union corpus
-      perDoc
-        .agg(count(lit(1)).cast("double").as("n_docs"),
-          (sum(col("dl")) / count(lit(1))).as("avgdl"),
-          sum(col("dl")).as("dl_sum"))
-        .write.format("parquet").saveAsTable(statsT)
+      writeBm25Generation(docs, name, gen, buckets)
       Warehouse.publishGeneration(spark, name, gen)
     } catch {
       case e: Throwable =>
-        Seq(postingsT, statsT).foreach(tb => scala.util.Try(Warehouse.drop(spark, tb)))
+        dropBm25Generation(spark, name, gen)
         Warehouse.burnClaim(spark, name, gen)
         throw e
     }
+  }
+
+  /** ONE definition of a BM25 generation's content — postings bucketed
+    * on token plus the (n_docs, avgdl, dl_sum) stats row — shared by the
+    * full build and the segment append so the tokenize→postings→stats
+    * chain cannot drift between them (the append ≡ one-shot contract
+    * rests on both writing EXACTLY this). dl_sum rides along for
+    * SEGMENT merges: dl values are integer-valued doubles, so the sum
+    * is exact (< 2^53) and order-free — merged avgdl = Σdl_sum / Σn_docs
+    * is bit-identical to a one-shot build's sum(dl)/count over the
+    * union corpus.
+    */
+  private def writeBm25Generation(docs: DataFrame, name: String, gen: Long,
+      buckets: Int): Unit = {
+    import graft.sources.Warehouse
+    val toks = ws_tokens(col("text"))
+    val perDoc = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), size(toks).cast("double").as("dl"), toks.as("toks"))
+      .localCheckpoint(true)
+    val postings = perDoc
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    Warehouse.writeBucketed(postings,
+      Warehouse.storeTableName(name, gen, "postings"), "token", buckets)
+    perDoc
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl")) / count(lit(1))).as("avgdl"),
+        sum(col("dl")).as("dl_sum"))
+      .write.format("parquet")
+      .saveAsTable(Warehouse.storeTableName(name, gen, "stats"))
+  }
+
+  private def dropBm25Generation(spark: org.apache.spark.sql.SparkSession,
+      name: String, gen: Long): Unit = {
+    import graft.sources.Warehouse
+    Seq("postings", "stats").foreach(sfx =>
+      scala.util.Try(Warehouse.drop(spark, Warehouse.storeTableName(name, gen, sfx))))
   }
 
   /** t23: INCREMENTAL index ingest — append a batch of new documents to
@@ -850,35 +869,24 @@ object TextAnalysis {
     * callers append NEW doc_ids only (the d7/d16 ingest contract).
     * `buckets` must match the base build's layout.
     */
-  def appendToBm25Store(docs: DataFrame, name: String, buckets: Int = 32): Long = {
+  def appendToBm25Store(docs: DataFrame, name: String, buckets: Int = 32): Option[Long] = {
     import graft.sources.Warehouse
     val spark = docs.sparkSession
     val (base, _) = Warehouse.resolveSegmented(spark, name)
+    // an empty increment publishes nothing — a zero-row segment would be
+    // harmless here (catalog tables keep their schema) but inconsistent
+    // with the IVF append's contract, and each empty segment still costs
+    // every future query a scan
+    if (docs.isEmpty) return None
     val gen = Warehouse.claimGeneration(spark, name)
-    val postingsT = Warehouse.storeTableName(name, gen, "postings")
-    val statsT = Warehouse.storeTableName(name, gen, "stats")
     try {
-      val toks = ws_tokens(col("text"))
-      val perDoc = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
-        .select(col("doc_id"), size(toks).cast("double").as("dl"), toks.as("toks"))
-        .localCheckpoint(true)
-      val postings = perDoc
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
-        .filter(col("token") =!= "")
-        .groupBy(col("token"), col("doc_id"), col("dl"))
-        .agg(count(lit(1)).cast("double").as("tf"))
-      Warehouse.writeBucketed(postings, postingsT, "token", buckets)
-      perDoc
-        .agg(count(lit(1)).cast("double").as("n_docs"),
-          (sum(col("dl")) / count(lit(1))).as("avgdl"),
-          sum(col("dl")).as("dl_sum"))
-        .write.format("parquet").saveAsTable(statsT)
+      writeBm25Generation(docs, name, gen, buckets)
       Warehouse.markSegment(spark, name, gen, base)
       Warehouse.publishGeneration(spark, name, gen)
-      gen
+      Some(gen)
     } catch {
       case e: Throwable =>
-        Seq(postingsT, statsT).foreach(tb => scala.util.Try(Warehouse.drop(spark, tb)))
+        dropBm25Generation(spark, name, gen)
         Warehouse.burnClaim(spark, name, gen)
         throw e
     }

@@ -109,36 +109,51 @@ object Warehouse {
   def publishedGenerations(spark: SparkSession, store: String): Seq[Long] =
     listGens(genDir(spark, store), "ready-")
 
-  /** Mark a claimed generation as an APPEND SEGMENT of `base` (the
-    * Lucene-style incremental-ingest model): the generation's tables
-    * hold only an increment routed/scored against the base build, and
-    * segment-aware probes read base ∪ its segments instead of the
-    * latest generation alone. Written BEFORE publish, so a published
-    * segment is never mistaken for a full build.
+  // --- segment markers (shared by table stores and path stores) --------
+  // A `segof-<gen>` marker beside the claim/ready markers names the base
+  // a segment generation belongs to (the Lucene-style incremental-ingest
+  // model): the generation holds only an increment routed/scored against
+  // that base build, and segment-aware probes read base ∪ its segments
+  // instead of the latest generation alone. Written BEFORE publish, so a
+  // published segment is never mistaken for a full build; burned with the
+  // claim on failure, so a re-issued generation number can never be
+  // misclassified as a segment of a long-gone base.
+
+  private def markSegmentIn(dir: Path, gen: Long, base: Long): Unit =
+    Files.writeString(dir.resolve(s"segof-$gen"), base.toString)
+
+  private def segmentBaseIn(dir: Path, gen: Long): Option[Long] = {
+    val m = dir.resolve(s"segof-$gen")
+    if (Files.exists(m)) Some(Files.readString(m).trim.toLong) else None
+  }
+
+  private def resolveSegmentedIn(dir: Path, what: String): (Long, Seq[Long]) = {
+    val pubs = listGens(dir, "ready-")
+    val base = pubs.reverse.find(g => segmentBaseIn(dir, g).isEmpty)
+      .getOrElse(throw new IllegalStateException(
+        s"$what has no published full build — run its build first"))
+    (base, pubs.filter(g => segmentBaseIn(dir, g).contains(base)))
+  }
+
+  /** Mark a claimed table-store generation as an APPEND SEGMENT of
+    * `base` — see the segment-marker notes above.
     */
   def markSegment(spark: SparkSession, store: String, gen: Long, base: Long): Unit =
-    Files.writeString(genDir(spark, store).resolve(s"segof-$gen"), base.toString)
+    markSegmentIn(genDir(spark, store), gen, base)
 
   /** The base generation `gen` is a segment of, or None for full
     * builds.
     */
-  def segmentBase(spark: SparkSession, store: String, gen: Long): Option[Long] = {
-    val m = genDir(spark, store).resolve(s"segof-$gen")
-    if (Files.exists(m)) Some(Files.readString(m).trim.toLong) else None
-  }
+  def segmentBase(spark: SparkSession, store: String, gen: Long): Option[Long] =
+    segmentBaseIn(genDir(spark, store), gen)
 
   /** The live read set of a segment-aware table store: the latest
     * published FULL build plus every published segment that names it
     * (a racing appender's segment of a superseded base never leaks
     * in). Fails with the build hint when nothing full is published.
     */
-  def resolveSegmented(spark: SparkSession, store: String): (Long, Seq[Long]) = {
-    val pubs = publishedGenerations(spark, store)
-    val base = pubs.reverse.find(g => segmentBase(spark, store, g).isEmpty)
-      .getOrElse(throw new IllegalStateException(
-        s"store '$store' has no published full build — run its build first"))
-    (base, pubs.filter(g => segmentBase(spark, store, g).contains(base)))
-  }
+  def resolveSegmented(spark: SparkSession, store: String): (Long, Seq[Long]) =
+    resolveSegmentedIn(genDir(spark, store), s"store '$store'")
 
   /** Resolve the latest published generation or fail with a build hint. */
   def resolveGeneration(spark: SparkSession, store: String): Long =
@@ -156,12 +171,16 @@ object Warehouse {
     if (Files.exists(dir)) rmTree(dir.toFile)
   }
 
-  /** Delete a claimed-but-unpublished generation's claim marker (after
-    * its tables are dropped) — the guard-trip/build-failure cleanup, so
-    * a refused build doesn't permanently burn its generation number.
+  /** Delete a claimed-but-unpublished generation's claim marker AND any
+    * segment mark it wrote (after its tables are dropped) — the
+    * guard-trip/build-failure cleanup, so a refused build doesn't
+    * permanently burn its generation number and a re-issued number
+    * never inherits a dead append's segment mark.
     */
-  def burnClaim(spark: SparkSession, store: String, gen: Long): Unit =
+  def burnClaim(spark: SparkSession, store: String, gen: Long): Unit = {
+    Files.deleteIfExists(genDir(spark, store).resolve(s"segof-$gen"))
     Files.deleteIfExists(genDir(spark, store).resolve(s"claim-$gen"))
+  }
 
   /** Drop published generations older than the newest `keep`, and
     * burned claims (a failed build's leftovers) that are provably dead.
@@ -190,40 +209,57 @@ object Warehouse {
       suffixes.foreach(s => drop(spark, storeTableName(store, g, s)))
     }
 
-  /** Vacuum a SEGMENT-AWARE table store: everything older than the live
-    * full build goes (superseded bases and their segments); the live
-    * base, its published segments, and in-flight claims survive (the
-    * [[vacuumStoreGenerations]] safety rules apply underneath). Orphan
-    * segments newer than the live base — a racing appender that lost to
-    * a rebuild — are kept until a further rebuild passes them.
+  /** Vacuum a SEGMENT-AWARE table store: every published generation
+    * STRICTLY OLDER than the live full build goes (superseded bases and
+    * their segments); the live base, its published segments, and
+    * in-flight claims survive (the [[vacuumStoreGenerations]] safety
+    * rules apply underneath). The live base is passed to the core as a
+    * FIXED FLOOR, not a keep-count — a segment published between this
+    * resolve and the core's fresh listing (the streaming ingest shape)
+    * widens the kept set but can never shift the live base into the
+    * dropped window. Orphan segments newer than the live base — a
+    * racing appender that lost to a rebuild — are kept until a further
+    * rebuild passes them.
     */
   def vacuumSegmentedStore(spark: SparkSession, store: String,
       suffixes: Seq[String], minAgeMs: Long = 3600_000L): Unit = {
-    val pubs = publishedGenerations(spark, store)
-    pubs.reverse.find(g => segmentBase(spark, store, g).isEmpty).foreach { base =>
-      vacuumStoreGenerations(spark, store, suffixes,
-        keep = pubs.count(_ >= base), minAgeMs = minAgeMs)
-    }
+    val dir = genDir(spark, store)
+    listGens(dir, "ready-").reverse.find(g => segmentBaseIn(dir, g).isEmpty)
+      .foreach { base =>
+        vacuumCore(dir, _.filter(_ < base), minAgeMs) { g =>
+          suffixes.foreach(s => drop(spark, storeTableName(store, g, s)))
+        }
+      }
   }
 
   /** The shared vacuum core (table stores and path stores differ only
     * in `deleteGen`, the per-generation data delete action — the safety
     * rules documented on [[vacuumStoreGenerations]] live HERE, once).
+    * `dropSelect` picks the reclaimable subset from the FRESH ascending
+    * ready list: keep-count callers drop all but the newest N; segmented
+    * callers drop below a fixed base floor (count-based selection is
+    * race-prone there — see [[vacuumSegmentedStore]]).
     */
-  private def vacuumIn(dir: Path, keep: Int, minAgeMs: Long)(deleteGen: Long => Unit): Unit = {
+  private def vacuumIn(dir: Path, keep: Int, minAgeMs: Long)(deleteGen: Long => Unit): Unit =
+    vacuumCore(dir, _.dropRight(keep), minAgeMs)(deleteGen)
+
+  private def vacuumCore(dir: Path, dropSelect: Seq[Long] => Seq[Long],
+      minAgeMs: Long)(deleteGen: Long => Unit): Unit = {
     val cutoff = System.currentTimeMillis() - minAgeMs
     def oldEnough(marker: String): Boolean =
       scala.util.Try(Files.getLastModifiedTime(dir.resolve(marker)).toMillis)
         .toOption.forall(_ <= cutoff)
     val ready = listGens(dir, "ready-")
-    val dropGens = ready.dropRight(keep).filter(g => oldEnough(s"ready-$g"))
+    val dropGens = dropSelect(ready).filter(g => oldEnough(s"ready-$g"))
     dropGens.foreach(deleteGen)
     dropGens.foreach { g =>
       Files.deleteIfExists(dir.resolve(s"ready-$g"))
       Files.deleteIfExists(dir.resolve(s"claim-$g"))
       Files.deleteIfExists(dir.resolve(s"segof-$g"))
     }
-    // burned claims (no ready marker), above or below the kept floor
+    // burned claims (no ready marker), above or below the kept floor;
+    // their segof markers go too — a re-issued generation number must
+    // never inherit a dead append's segment mark
     val readyLeft = listGens(dir, "ready-")
     if (readyLeft.nonEmpty) {
       val claims = listGens(dir, "claim-")
@@ -233,6 +269,7 @@ object Warehouse {
         .foreach { g =>
           deleteGen(g)
           Files.deleteIfExists(dir.resolve(s"claim-$g"))
+          Files.deleteIfExists(dir.resolve(s"segof-$g"))
         }
     }
   }
@@ -281,12 +318,46 @@ object Warehouse {
     currentPathGeneration(root).getOrElse(throw new IllegalStateException(
       s"path store '$root' has no published generation — run its build first"))
 
+  /** Mark a claimed directory-store generation as an APPEND SEGMENT of
+    * `base` — the table-store [[markSegment]] semantics on the path
+    * protocol (one marker medium for both store kinds, so the resolve
+    * and vacuum rules live once).
+    */
+  def markPathSegment(root: String, gen: Long, base: Long): Unit =
+    markSegmentIn(pathGenDir(root), gen, base)
+
+  /** The base generation a directory-store segment names, or None for
+    * full builds.
+    */
+  def pathSegmentBase(root: String, gen: Long): Option[Long] =
+    segmentBaseIn(pathGenDir(root), gen)
+
+  /** The live read set of a segment-aware directory store — the
+    * [[resolveSegmented]] rules on the path protocol.
+    */
+  def resolvePathSegmented(root: String): (Long, Seq[Long]) =
+    resolveSegmentedIn(pathGenDir(root), s"path store '$root'")
+
+  /** Vacuum a SEGMENT-AWARE directory store — [[vacuumSegmentedStore]]'s
+    * fixed-floor rules (a racing segment publish can never shift the
+    * live base into the dropped window), deleting data directories.
+    */
+  def vacuumPathSegmented(root: String, minAgeMs: Long = 3600_000L): Unit = {
+    val dir = pathGenDir(root)
+    listGens(dir, "ready-").reverse.find(g => segmentBaseIn(dir, g).isEmpty)
+      .foreach { base =>
+        vacuumCore(dir, _.filter(_ < base), minAgeMs)(g => deletePathGenData(root, g))
+      }
+  }
+
   /** Delete a claimed-but-unpublished directory generation's claim
     * marker (after its data dir is removed via [[deletePathGenData]]) —
     * build-failure cleanup.
     */
-  def burnPathClaim(root: String, gen: Long): Unit =
+  def burnPathClaim(root: String, gen: Long): Unit = {
+    Files.deleteIfExists(pathGenDir(root).resolve(s"segof-$gen"))
     Files.deleteIfExists(pathGenDir(root).resolve(s"claim-$gen"))
+  }
 
   /** Delete a directory generation's data dir (recursive). Builders call
     * this on failure BEFORE [[burnPathClaim]]: a marker-less partial dir

@@ -358,7 +358,12 @@ class WarehouseSpec extends SparkSpecBase {
     val pre = graft.operators.Similarity.searchIvfIndex(t, root1).collect().map(key).toSeq
     val seg = graft.operators.Similarity.appendToIvfIndex(
       emb.filter(col("vec_id") >= half), root1)
-    assert(seg == 2L, "the append claims and publishes the next generation")
+    assert(seg.contains(2L), "the append claims and publishes the next generation")
+    // an EMPTY increment publishes nothing: no schema-less parquet dir
+    // may ever enter the probe's read set
+    assert(graft.operators.Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") < 0), root1).isEmpty,
+      "an empty increment must not publish a segment")
     val one = graft.operators.Similarity.searchIvfIndex(t, root1).collect().map(key).toSeq
     assert(one != pre && one.exists(_._3 >= half),
       "appended vectors must be reachable through the probe")
@@ -495,7 +500,10 @@ class WarehouseSpec extends SparkSpecBase {
     val pre = key(TextAnalysis.bm25AgainstStore(spark, "bm25seg"))
     val seg = TextAnalysis.appendToBm25Store(
       t.documents.filter(col("doc_id") >= half), "bm25seg", buckets = 8)
-    assert(seg == 2L, "the append claims and publishes the next generation")
+    assert(seg.contains(2L), "the append claims and publishes the next generation")
+    assert(TextAnalysis.appendToBm25Store(
+      t.documents.filter(col("doc_id") < 0), "bm25seg", buckets = 8).isEmpty,
+      "an empty increment must not publish a segment")
     val one = key(TextAnalysis.bm25AgainstStore(spark, "bm25seg"))
     assert(one != pre, "appended documents must be reachable (and shift df/avgdl)")
     assert(one == key(TextAnalysis.bm25(t)),
@@ -527,6 +535,36 @@ class WarehouseSpec extends SparkSpecBase {
       "the live base reads back identically after vacuum")
     Warehouse.dropStore(spark, "bm25seg", Seq("postings", "stats"))
     Warehouse.dropStore(spark, "bm25seg2", Seq("postings", "stats"))
+  }
+
+  test("a failed append burns its segment mark: the re-issued generation number is a clean full build") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+    Warehouse.dropStore(spark, "bm25burn", Seq("postings", "stats"))
+    TextAnalysis.buildBm25Store(t.documents.filter(col("doc_id") < 100), "bm25burn", buckets = 8)
+
+    // the append fails mid-write (invalid bucket count); its claim AND
+    // its would-be segment mark must both burn
+    intercept[Throwable] {
+      TextAnalysis.appendToBm25Store(
+        t.documents.filter(col("doc_id") >= 100), "bm25burn", buckets = -1)
+    }
+    assert(Warehouse.segmentBase(spark, "bm25burn", 2L).isEmpty,
+      "the failed append's segment mark must not survive its burned claim")
+
+    // gen 2 is re-issuable; a FULL rebuild published under it must
+    // resolve as the live base — NOT as a segment of gen 1 (which would
+    // double-count the base corpus in every probe)
+    TextAnalysis.buildBm25Store(t.documents, "bm25burn", buckets = 8)
+    val (base, segs) = Warehouse.resolveSegmented(spark, "bm25burn")
+    assert(base == 2L && segs.isEmpty,
+      s"the re-issued generation must be a clean full build, got base=$base segs=$segs")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(key(TextAnalysis.bm25AgainstStore(spark, "bm25burn")) == key(TextAnalysis.bm25(t)),
+      "probes of the re-issued generation must score the full corpus exactly once")
+    Warehouse.dropStore(spark, "bm25burn", Seq("postings", "stats"))
   }
 
   test("d16 gate row: the registered store-probe query is row-identical to d7's recompute") {
