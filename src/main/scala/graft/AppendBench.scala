@@ -28,12 +28,11 @@ object AppendBench {
     functions.GraftFunctions.registerAll(spark)
     spark.sparkContext.setLogLevel("WARN")
 
-    // StoreBench's deterministic ~30-token docs over a 5000-word
-    // vocabulary, materialized once so scan cost is identical for both
-    // paths; query terms are guaranteed present (w0/w1/w2 are hot)
+    // StoreBench's shared corpus generator, materialized once so scan
+    // cost is identical for both paths; query terms are guaranteed
+    // present (w0/w1/w2 are hot)
     def words(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      concat_ws(" ", (0 until 30).map(i =>
-        concat(lit("w"), pmod(xxhash64(seed * 31 + lit(i)), lit(5000)))): _*)
+      StoreBench.syntheticWords(seed)
     val dir = java.nio.file.Files.createTempDirectory("appendbench").toString
     spark.range(0, nCorpus + nBatch)
       .select(col("id").as("doc_id"), words(col("id")).as("text"))

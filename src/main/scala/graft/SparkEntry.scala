@@ -122,7 +122,10 @@ object SparkEntry {
       // index-layout bug — wrong partition pruning, stale generation
       // resolve, centroid/assignment mismatch — fails correctness
       val t = Tables(s, dir)
-      val root = s"${sys.props("java.io.tmpdir")}/graft_s10_ivf"
+      // per-SF root: a bench at one scale and a gate run at another must
+      // not resolve each other's published generations (the vacuum here
+      // also runs ungated at minAge 0)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s10_ivf_${new java.io.File(dir).getName}"
       Similarity.buildIvfIndex(t, root)
       graft.sources.Warehouse.vacuumPathGenerations(root, keep = 1, minAgeMs = 0L)
       Similarity.searchIvfIndex(t, root)
@@ -141,7 +144,8 @@ object SparkEntry {
         org.apache.spark.sql.functions.col("vec_id"),
         org.apache.spark.sql.functions.col("embedding"))
       val half = emb.count() / 2 // one bounded driver scalar (split point)
-      val root = s"${sys.props("java.io.tmpdir")}/graft_s11_ivf"
+      // per-SF root — the s10 cross-scale isolation argument
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s11_ivf_${new java.io.File(dir).getName}"
       Similarity.buildIvfIndexOf(
         emb.filter(org.apache.spark.sql.functions.col("vec_id") < half), root)
       Similarity.appendToIvfIndex(

@@ -19,6 +19,16 @@ import graft.sources.Tables
   * quiet run.
   */
 object StoreBench {
+  /** Deterministic ~30-token docs over a 5000-word vocabulary — ONE
+    * generator shared by StoreBench and [[AppendBench]] so the two
+    * benches' corpora stay formula-identical (their numbers are
+    * compared against each other in STOREBENCH.md).
+    */
+  private[graft] def syntheticWords(seed: org.apache.spark.sql.Column,
+      from: Int = 0): org.apache.spark.sql.Column =
+    concat_ws(" ", (from until 30).map(i =>
+      concat(lit("w"), pmod(xxhash64(seed * 31 + lit(i)), lit(5000)))): _*)
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nCorpus = sys.env.getOrElse("SPARK_GRAFT_STORE_CORPUS", "200000").toLong
@@ -27,15 +37,13 @@ object StoreBench {
     functions.GraftFunctions.registerAll(spark)
     spark.sparkContext.setLogLevel("WARN")
 
-    // deterministic ~30-token docs over a 5000-word vocabulary; every
-    // 20th batch doc is a NEAR-dup of a corpus doc — one fresh token
-    // prepended to the corpus doc's 29-token suffix (2-gram shingle
-    // Jaccard ≈ 0.9), so the pairs that survive banding exercise the
-    // near-dup path rather than trivial exact copies — while the bulk
-    // of the batch is fresh text
+    // every 20th batch doc is a NEAR-dup of a corpus doc — one fresh
+    // token prepended to the corpus doc's 29-token suffix (2-gram
+    // shingle Jaccard ≈ 0.9), so the pairs that survive banding exercise
+    // the near-dup path rather than trivial exact copies — while the
+    // bulk of the batch is fresh text
     def words(seed: org.apache.spark.sql.Column, from: Int = 0): org.apache.spark.sql.Column =
-      concat_ws(" ", (from until 30).map(i =>
-        concat(lit("w"), pmod(xxhash64(seed * 31 + lit(i)), lit(5000)))): _*)
+      syntheticWords(seed, from)
     val corpus = spark.range(0, nCorpus)
       .select(col("id").as("doc_id"), words(col("id")).as("text"))
     val batch = spark.range(nCorpus, nCorpus + nBatch)

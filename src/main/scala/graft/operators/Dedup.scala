@@ -478,13 +478,21 @@ object Dedup {
     val spark = docs.sparkSession
     val gen = Warehouse.claimGeneration(spark, name)
     val dfT = Warehouse.storeTableName(name, gen, "shdf")
-    val dsh = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
-      .filter(size(col("tokens")) >= k)
-      .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("tokens"), k))).as("h"))
-    Warehouse.writeBucketed(
-      dsh.groupBy(col("h")).agg(count(lit(1)).as("df")), dfT, "h", buckets)
-    Warehouse.publishGeneration(spark, name, gen)
+    try {
+      val dsh = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
+        .filter(size(col("tokens")) >= k)
+        .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("tokens"), k))).as("h"))
+      Warehouse.writeBucketed(
+        dsh.groupBy(col("h")).agg(count(lit(1)).as("df")), dfT, "h", buckets)
+      Warehouse.publishGeneration(spark, name, gen)
+    } catch { case e: Throwable =>
+      // the sibling builders' failure contract: drop the partial table,
+      // burn the claim, leave the previous generation resolvable
+      scala.util.Try(Warehouse.drop(spark, dfT))
+      Warehouse.burnClaim(spark, name, gen)
+      throw e
+    }
   }
 
   /** d15 at ingest: the NEW batch's novelty AGAINST the persisted

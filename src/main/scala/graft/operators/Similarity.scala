@@ -232,6 +232,10 @@ object Similarity {
         .write.mode("overwrite").partitionBy("cid").parquet(genPath)
       // underscore prefix: parquet readers of the index root skip it
       refined.write.mode("overwrite").parquet(s"$genPath/_centroids")
+      // publish INSIDE the try: a failed publish must clean up like a
+      // failed write, not leak an orphaned data dir behind the highest
+      // claim (which vacuum never sweeps)
+      Warehouse.publishPathGeneration(path, gen)
     } catch { case e: Throwable =>
       // delete the partial data dir BEFORE burning the claim: a marker-
       // less g<gen> dir would be invisible to vacuum (markers drive it)
@@ -242,7 +246,6 @@ object Similarity {
       Warehouse.burnPathClaim(path, gen)
       throw e
     }
-    Warehouse.publishPathGeneration(path, gen)
     refined
   }
 
@@ -265,8 +268,15 @@ object Similarity {
     * protocol as the build — a failed append burns its claim and a
     * racing probe never sees a partial segment.
     */
-  def appendToIvfIndex(inc: DataFrame, path: String): Option[Long] = {
+  def appendToIvfIndex(inc: DataFrame, path: String,
+      dedupeTag: Option[String] = None): Option[Long] = {
     val spark = inc.sparkSession
+    // at-least-once appenders (streaming foreachBatch replays a
+    // micro-batch after crash recovery) pass a dedupeTag; a tag already
+    // on a PUBLISHED segment means this batch committed — skip. The tag
+    // rides the segof marker written before publish, so publish is the
+    // atomic exactly-once commit point
+    if (dedupeTag.exists(Warehouse.pathSegmentTagPublished(path, _))) return None
     val (base, _) = Warehouse.resolvePathSegmented(path)
     val centroids = spark.read.parquet(
       s"${Warehouse.pathGenData(path, base)}/_centroids")
@@ -281,13 +291,13 @@ object Similarity {
       assigned.write.mode("overwrite").partitionBy("cid").parquet(genPath)
       // marked BEFORE publish, so a published segment is never mistaken
       // for a full build; the catch burns the mark with the claim
-      Warehouse.markPathSegment(path, gen, base)
+      Warehouse.markPathSegment(path, gen, base, dedupeTag)
+      Warehouse.publishPathGeneration(path, gen)
     } catch { case e: Throwable =>
       Warehouse.deletePathGenData(path, gen)
       Warehouse.burnPathClaim(path, gen)
       throw e
     }
-    Warehouse.publishPathGeneration(path, gen)
     Some(gen)
   }
 

@@ -869,10 +869,22 @@ object TextAnalysis {
     * callers append NEW doc_ids only (the d7/d16 ingest contract).
     * `buckets` must match the base build's layout.
     */
-  def appendToBm25Store(docs: DataFrame, name: String, buckets: Int = 32): Option[Long] = {
+  def appendToBm25Store(docs: DataFrame, name: String, buckets: Int = 32,
+      dedupeTag: Option[String] = None): Option[Long] = {
     import graft.sources.Warehouse
     val spark = docs.sparkSession
+    // at-least-once appenders pass a dedupeTag; a tag already on a
+    // PUBLISHED segment means this batch committed — skip (the tag rides
+    // the segof marker written before publish, so publish is the atomic
+    // exactly-once commit point)
+    if (dedupeTag.exists(Warehouse.segmentTagPublished(spark, name, _))) return None
     val (base, _) = Warehouse.resolveSegmented(spark, name)
+    // the segment MUST share the base's bucket layout for per-term
+    // pruning to hold across the union — derive it from the base's
+    // catalog metadata; `buckets` is only the fallback when the
+    // metadata is unreadable
+    val layout = Warehouse.bucketCount(spark,
+      Warehouse.storeTableName(name, base, "postings")).getOrElse(buckets)
     // an empty increment publishes nothing — a zero-row segment would be
     // harmless here (catalog tables keep their schema) but inconsistent
     // with the IVF append's contract, and each empty segment still costs
@@ -880,8 +892,8 @@ object TextAnalysis {
     if (docs.isEmpty) return None
     val gen = Warehouse.claimGeneration(spark, name)
     try {
-      writeBm25Generation(docs, name, gen, buckets)
-      Warehouse.markSegment(spark, name, gen, base)
+      writeBm25Generation(docs, name, gen, layout)
+      Warehouse.markSegment(spark, name, gen, base, dedupeTag)
       Warehouse.publishGeneration(spark, name, gen)
       Some(gen)
     } catch {

@@ -30,6 +30,16 @@ object Warehouse {
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
+  /** The bucket count a table was written with, from catalog metadata
+    * (None for unbucketed/unknown) — appenders derive the base build's
+    * layout from this instead of trusting a caller-repeated parameter.
+    */
+  def bucketCount(spark: SparkSession, name: String): Option[Int] =
+    scala.util.Try(
+      spark.sql(s"DESCRIBE EXTENDED $name")
+        .filter(org.apache.spark.sql.functions.col("col_name") === "Num Buckets")
+        .head().getString(1).trim.toInt).toOption
+
   // ---------------------------------------------------------------------
   // Store generations — atomic publish for multi-table bucketed stores.
   //
@@ -103,12 +113,6 @@ object Warehouse {
   def currentGeneration(spark: SparkSession, store: String): Option[Long] =
     listGens(genDir(spark, store), "ready-").lastOption
 
-  /** ALL published generations of a table store, ascending — the
-    * segment-aware readers' view (see [[markSegment]]).
-    */
-  def publishedGenerations(spark: SparkSession, store: String): Seq[Long] =
-    listGens(genDir(spark, store), "ready-")
-
   // --- segment markers (shared by table stores and path stores) --------
   // A `segof-<gen>` marker beside the claim/ready markers names the base
   // a segment generation belongs to (the Lucene-style incremental-ingest
@@ -119,13 +123,41 @@ object Warehouse {
   // claim on failure, so a re-issued generation number can never be
   // misclassified as a segment of a long-gone base.
 
-  private def markSegmentIn(dir: Path, gen: Long, base: Long): Unit =
-    Files.writeString(dir.resolve(s"segof-$gen"), base.toString)
+  // The marker's first token is the base generation; an optional second
+  // token is the appender's idempotence TAG (e.g. "<streamId>:<batchId>"
+  // from a streaming ingest) — since the marker is written before
+  // publish and burned with a failed claim, a tag is durable exactly
+  // when its segment is published, which makes the publish the atomic
+  // exactly-once commit point for at-least-once callers (foreachBatch
+  // replays a micro-batch after crash recovery; the replay sees its tag
+  // on a published segment and skips).
+  private def markSegmentIn(dir: Path, gen: Long, base: Long, tag: Option[String]): Unit =
+    Files.writeString(dir.resolve(s"segof-$gen"),
+      base.toString + tag.fold("")(t => s" $t"))
 
   private def segmentBaseIn(dir: Path, gen: Long): Option[Long] = {
     val m = dir.resolve(s"segof-$gen")
-    if (Files.exists(m)) Some(Files.readString(m).trim.toLong) else None
+    if (Files.exists(m))
+      Some(Files.readString(m).trim.split("\\s+")(0).toLong)
+    else None
   }
+
+  private def segmentTagIn(dir: Path, gen: Long): Option[String] = {
+    val m = dir.resolve(s"segof-$gen")
+    if (!Files.exists(m)) None
+    else Files.readString(m).trim.split("\\s+") match {
+      case Array(_, tag) => Some(tag)
+      case _ => None
+    }
+  }
+
+  /** True iff ANY published generation carries `tag` — the replay check
+    * an at-least-once appender runs before claiming. Spans superseded
+    * bases too: a batch id once published is never re-appended, even
+    * across a rebuild.
+    */
+  private def tagPublishedIn(dir: Path, tag: String): Boolean =
+    listGens(dir, "ready-").exists(g => segmentTagIn(dir, g).contains(tag))
 
   private def resolveSegmentedIn(dir: Path, what: String): (Long, Seq[Long]) = {
     val pubs = listGens(dir, "ready-")
@@ -136,10 +168,18 @@ object Warehouse {
   }
 
   /** Mark a claimed table-store generation as an APPEND SEGMENT of
-    * `base` — see the segment-marker notes above.
+    * `base` — see the segment-marker notes above. `tag` is the optional
+    * appender idempotence key checked by [[segmentTagPublished]].
     */
-  def markSegment(spark: SparkSession, store: String, gen: Long, base: Long): Unit =
-    markSegmentIn(genDir(spark, store), gen, base)
+  def markSegment(spark: SparkSession, store: String, gen: Long, base: Long,
+      tag: Option[String] = None): Unit =
+    markSegmentIn(genDir(spark, store), gen, base, tag)
+
+  /** True iff any published generation of the table store carries the
+    * appender tag — the at-least-once replay check.
+    */
+  def segmentTagPublished(spark: SparkSession, store: String, tag: String): Boolean =
+    tagPublishedIn(genDir(spark, store), tag)
 
   /** The base generation `gen` is a segment of, or None for full
     * builds.
@@ -250,7 +290,15 @@ object Warehouse {
       scala.util.Try(Files.getLastModifiedTime(dir.resolve(marker)).toMillis)
         .toOption.forall(_ <= cutoff)
     val ready = listGens(dir, "ready-")
-    val dropGens = dropSelect(ready).filter(g => oldEnough(s"ready-$g"))
+    val selected = dropSelect(ready).filter(g => oldEnough(s"ready-$g"))
+    // segment-aware base protection for EVERY vacuum flavor: a base
+    // named by a KEPT published segment must survive even when the
+    // caller's keep-count window would drop it — a keep=1 vacuum of
+    // [base 1, segment 2] keeping only gen 2 must not delete gen 1's
+    // data out from under it (segments are useless without their base)
+    val keptSegBases = ready.filterNot(selected.contains)
+      .flatMap(g => segmentBaseIn(dir, g)).toSet
+    val dropGens = selected.filterNot(keptSegBases.contains)
     dropGens.foreach(deleteGen)
     dropGens.foreach { g =>
       Files.deleteIfExists(dir.resolve(s"ready-$g"))
@@ -305,14 +353,6 @@ object Warehouse {
   def currentPathGeneration(root: String): Option[Long] =
     listGens(pathGenDir(root), "ready-").lastOption
 
-  /** ALL published generations of a directory store, ascending — the
-    * segment-aware readers' view (an IVF index is one base build plus
-    * its published append segments, see
-    * [[graft.operators.Similarity.appendToIvfIndex]]).
-    */
-  def publishedPathGenerations(root: String): Seq[Long] =
-    listGens(pathGenDir(root), "ready-")
-
   /** Resolve the latest published generation or fail with a build hint. */
   def resolvePathGeneration(root: String): Long =
     currentPathGeneration(root).getOrElse(throw new IllegalStateException(
@@ -321,10 +361,18 @@ object Warehouse {
   /** Mark a claimed directory-store generation as an APPEND SEGMENT of
     * `base` — the table-store [[markSegment]] semantics on the path
     * protocol (one marker medium for both store kinds, so the resolve
-    * and vacuum rules live once).
+    * and vacuum rules live once). `tag` is the optional appender
+    * idempotence key checked by [[pathSegmentTagPublished]].
     */
-  def markPathSegment(root: String, gen: Long, base: Long): Unit =
-    markSegmentIn(pathGenDir(root), gen, base)
+  def markPathSegment(root: String, gen: Long, base: Long,
+      tag: Option[String] = None): Unit =
+    markSegmentIn(pathGenDir(root), gen, base, tag)
+
+  /** True iff any published generation of the directory store carries
+    * the appender tag — the at-least-once replay check.
+    */
+  def pathSegmentTagPublished(root: String, tag: String): Boolean =
+    tagPublishedIn(pathGenDir(root), tag)
 
   /** The base generation a directory-store segment names, or None for
     * full builds.

@@ -469,14 +469,24 @@ object DocPipelines {
     * bit-identical to a one-shot build over everything ingested so far
     * (the additive-merge contract, StreamingSpec-pinned). ZERO
     * streaming state — the index IS the state, on disk.
+    *
+    * EXACTLY-ONCE under foreachBatch's at-least-once replay: each
+    * publish carries a `streamId:batchId` dedupe tag on its segment
+    * marker, so a micro-batch replayed after crash recovery (committed
+    * segment, uncommitted streaming checkpoint) sees its tag published
+    * and skips instead of double-appending. `streamId` must be stable
+    * across restarts of the same query (it scopes the batchId sequence)
+    * and distinct between different queries ingesting one store.
     */
-  def bm25IngestStream(docs: DataFrame, storeName: String, buckets: Int = 32):
+  def bm25IngestStream(docs: DataFrame, storeName: String, buckets: Int = 32,
+      streamId: String = "bm25-ingest"):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.operators.TextAnalysis.appendToBm25Store(batch, storeName, buckets)
+          graft.operators.TextAnalysis.appendToBm25Store(batch, storeName, buckets,
+            dedupeTag = Some(s"$streamId:$batchId"))
           ()
         }
       }
@@ -487,16 +497,19 @@ object DocPipelines {
     * cid-partitioned segment
     * ([[graft.operators.Similarity.appendToIvfIndex]]); a concurrent
     * [[ivfProbeStream]] picks each segment up atomically on publish.
-    * The index must have a published base build.
+    * The index must have a published base build. Replay-safe via the
+    * same `streamId:batchId` dedupe tag as [[bm25IngestStream]].
     */
-  def ivfIngestStream(vectors: DataFrame, indexPath: String):
+  def ivfIngestStream(vectors: DataFrame, indexPath: String,
+      streamId: String = "ivf-ingest"):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vectors.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           graft.operators.Similarity.appendToIvfIndex(
-            batch.select(col("vec_id"), col("embedding")), indexPath)
+            batch.select(col("vec_id"), col("embedding")), indexPath,
+            dedupeTag = Some(s"$streamId:$batchId"))
           ()
         }
       }

@@ -537,6 +537,56 @@ class WarehouseSpec extends SparkSpecBase {
     Warehouse.dropStore(spark, "bm25seg2", Seq("postings", "stats"))
   }
 
+  test("dedupe-tagged appends are replay-idempotent; keep-count vacuums protect a kept segment's base") {
+    import graft.operators.{Similarity, TextAnalysis}
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+    val half = t.documents.count() / 2
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // BM25: the same streamId:batchId tag appended twice publishes once
+    // (foreachBatch's at-least-once replay after crash recovery)
+    Warehouse.dropStore(spark, "bm25replay", Seq("postings", "stats"))
+    TextAnalysis.buildBm25Store(t.documents.filter(col("doc_id") < half), "bm25replay", buckets = 8)
+    val inc = t.documents.filter(col("doc_id") >= half)
+    val first = TextAnalysis.appendToBm25Store(inc, "bm25replay",
+      dedupeTag = Some("q1:7"))
+    assert(first.nonEmpty)
+    val scores = key(TextAnalysis.bm25AgainstStore(spark, "bm25replay"))
+    assert(TextAnalysis.appendToBm25Store(inc, "bm25replay",
+      dedupeTag = Some("q1:7")).isEmpty,
+      "a replayed batch (same tag) must not publish a second segment")
+    assert(key(TextAnalysis.bm25AgainstStore(spark, "bm25replay")) == scores,
+      "the store must be unchanged after the replayed append")
+    // the derived bucket layout: the segment must carry the BASE's 8
+    // buckets even though the append call left the 32-bucket default
+    assert(Warehouse.bucketCount(spark,
+      Warehouse.storeTableName("bm25replay", first.get, "postings")).contains(8),
+      "the segment must inherit the base build's bucket layout")
+    Warehouse.dropStore(spark, "bm25replay", Seq("postings", "stats"))
+
+    // IVF: same replay rule, and the keep-count vacuum cannot drop a
+    // base that a kept segment names
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfreplay_").resolve("idx").toString
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    Similarity.buildIvfIndexOf(emb.filter(col("vec_id") < half), root)
+    val inc2 = emb.filter(col("vec_id") >= half)
+    assert(Similarity.appendToIvfIndex(inc2, root, dedupeTag = Some("q2:3")).nonEmpty)
+    val probe = Similarity.searchIvfIndex(t, root).collect().length
+    assert(Similarity.appendToIvfIndex(inc2, root, dedupeTag = Some("q2:3")).isEmpty,
+      "a replayed vector batch must not publish a second segment")
+    assert(Similarity.searchIvfIndex(t, root).collect().length == probe)
+    // keep=1 would keep only the segment (gen 2) — the base it names
+    // must survive anyway
+    Warehouse.vacuumPathGenerations(root, keep = 1, minAgeMs = 0L)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(Warehouse.pathGenData(root, 1L))),
+      "a keep-count vacuum must never delete the live base out from under its kept segment")
+    assert(Similarity.searchIvfIndex(t, root).collect().length == probe,
+      "the probe still spans base ∪ segment after the vacuum")
+  }
+
   test("a failed append burns its segment mark: the re-issued generation number is a clean full build") {
     import graft.operators.TextAnalysis
     import org.apache.spark.sql.functions.col
@@ -544,11 +594,12 @@ class WarehouseSpec extends SparkSpecBase {
     Warehouse.dropStore(spark, "bm25burn", Seq("postings", "stats"))
     TextAnalysis.buildBm25Store(t.documents.filter(col("doc_id") < 100), "bm25burn", buckets = 8)
 
-    // the append fails mid-write (invalid bucket count); its claim AND
-    // its would-be segment mark must both burn
+    // the append fails mid-write (the text column is missing, so the
+    // generation writer's plan fails to resolve); its claim AND its
+    // would-be segment mark must both burn
     intercept[Throwable] {
       TextAnalysis.appendToBm25Store(
-        t.documents.filter(col("doc_id") >= 100), "bm25burn", buckets = -1)
+        t.documents.filter(col("doc_id") >= 100).drop("text"), "bm25burn", buckets = 8)
     }
     assert(Warehouse.segmentBase(spark, "bm25burn", 2L).isEmpty,
       "the failed append's segment mark must not survive its burned claim")
