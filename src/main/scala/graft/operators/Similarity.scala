@@ -253,8 +253,10 @@ object Similarity {
     * published IVF index WITHOUT rebuilding it. The batch is assigned to
     * the live base generation's FIXED centroids and published as a
     * SEGMENT generation (the Lucene/FAISS segment model): a cid-
-    * partitioned directory carrying a `_base_gen` marker naming the base
-    * whose centroids routed it. Probes read base ∪ segments — at 100 TB
+    * partitioned directory whose `segof` marker (beside the claim/ready
+    * markers in `_generations`, see
+    * [[graft.sources.Warehouse.markPathSegment]]) names the base whose
+    * centroids routed it. Probes read base ∪ segments — at 100 TB
     * the corpus is k-means-assigned ONCE per rebuild and every ingest
     * batch costs only its own assignment (one broadcast cross-score over
     * the increment) plus a directory-sized write; nothing corpus-sized
@@ -277,14 +279,15 @@ object Similarity {
     // rides the segof marker written before publish, so publish is the
     // atomic exactly-once commit point
     if (dedupeTag.exists(Warehouse.pathSegmentTagPublished(path, _))) return None
+    // an empty increment must publish NOTHING: a schema-less parquet dir
+    // would poison every subsequent probe's read. Checked on the raw
+    // increment (assignNearest is row-preserving), BEFORE any base
+    // resolve/centroid read — the streaming wrapper's per-batch hot path
+    if (inc.isEmpty) return None
     val (base, _) = Warehouse.resolvePathSegmented(path)
     val centroids = spark.read.parquet(
       s"${Warehouse.pathGenData(path, base)}/_centroids")
-    // an empty increment must publish NOTHING: a schema-less parquet dir
-    // would poison every subsequent probe's read. Assignments are
-    // pinned once so the emptiness check and the write see the same rows
-    val assigned = assignNearest(inc, centroids).localCheckpoint(true)
-    if (assigned.isEmpty) return None
+    val assigned = assignNearest(inc, centroids)
     val gen = Warehouse.claimPathGeneration(path)
     val genPath = Warehouse.pathGenData(path, gen)
     try {

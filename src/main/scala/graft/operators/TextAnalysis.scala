@@ -878,6 +878,10 @@ object TextAnalysis {
     // the segof marker written before publish, so publish is the atomic
     // exactly-once commit point)
     if (dedupeTag.exists(Warehouse.segmentTagPublished(spark, name, _))) return None
+    // an empty increment publishes nothing — checked BEFORE the base
+    // resolve and the bucket-metadata lookup (the streaming wrapper's
+    // per-batch hot path pays one first-row job, nothing else)
+    if (docs.isEmpty) return None
     val (base, _) = Warehouse.resolveSegmented(spark, name)
     // the segment MUST share the base's bucket layout for per-term
     // pruning to hold across the union — derive it from the base's
@@ -885,11 +889,6 @@ object TextAnalysis {
     // metadata is unreadable
     val layout = Warehouse.bucketCount(spark,
       Warehouse.storeTableName(name, base, "postings")).getOrElse(buckets)
-    // an empty increment publishes nothing — a zero-row segment would be
-    // harmless here (catalog tables keep their schema) but inconsistent
-    // with the IVF append's contract, and each empty segment still costs
-    // every future query a scan
-    if (docs.isEmpty) return None
     val gen = Warehouse.claimGeneration(spark, name)
     try {
       writeBm25Generation(docs, name, gen, layout)

@@ -131,9 +131,15 @@ object Warehouse {
   // exactly-once commit point for at-least-once callers (foreachBatch
   // replays a micro-batch after crash recovery; the replay sees its tag
   // on a published segment and skips).
-  private def markSegmentIn(dir: Path, gen: Long, base: Long, tag: Option[String]): Unit =
+  private def markSegmentIn(dir: Path, gen: Long, base: Long, tag: Option[String]): Unit = {
+    // the marker is space-delimited and the tag echoes into a marker
+    // FILENAME on vacuum — whitespace or path characters would silently
+    // break replay detection (a 3-token marker parses as untagged)
+    tag.foreach(t => require(t.nonEmpty && t.matches("[A-Za-z0-9._:-]+"),
+      s"dedupe tag '$t' must match [A-Za-z0-9._:-]+"))
     Files.writeString(dir.resolve(s"segof-$gen"),
       base.toString + tag.fold("")(t => s" $t"))
+  }
 
   private def segmentBaseIn(dir: Path, gen: Long): Option[Long] = {
     val m = dir.resolve(s"segof-$gen")
@@ -151,13 +157,17 @@ object Warehouse {
     }
   }
 
-  /** True iff ANY published generation carries `tag` — the replay check
-    * an at-least-once appender runs before claiming. Spans superseded
-    * bases too: a batch id once published is never re-appended, even
-    * across a rebuild.
+  /** True iff `tag` ever committed — on a live published segment OR as a
+    * `tagdone-` echo left by vacuum before it reclaimed the tagged
+    * segment's markers. The echo is what keeps "a batch id once
+    * published is never re-appended, even across a rebuild" true after
+    * the superseded segment itself is vacuumed: without it, a replay
+    * arriving after rebuild+vacuum would find no trace of its batch and
+    * double-append onto the new base.
     */
   private def tagPublishedIn(dir: Path, tag: String): Boolean =
-    listGens(dir, "ready-").exists(g => segmentTagIn(dir, g).contains(tag))
+    Files.exists(dir.resolve(s"tagdone-$tag")) ||
+      listGens(dir, "ready-").exists(g => segmentTagIn(dir, g).contains(tag))
 
   private def resolveSegmentedIn(dir: Path, what: String): (Long, Seq[Long]) = {
     val pubs = listGens(dir, "ready-")
@@ -291,16 +301,26 @@ object Warehouse {
         .toOption.forall(_ <= cutoff)
     val ready = listGens(dir, "ready-")
     val selected = dropSelect(ready).filter(g => oldEnough(s"ready-$g"))
-    // segment-aware base protection for EVERY vacuum flavor: a base
-    // named by a KEPT published segment must survive even when the
-    // caller's keep-count window would drop it — a keep=1 vacuum of
-    // [base 1, segment 2] keeping only gen 2 must not delete gen 1's
-    // data out from under it (segments are useless without their base)
-    val keptSegBases = ready.filterNot(selected.contains)
-      .flatMap(g => segmentBaseIn(dir, g)).toSet
-    val dropGens = selected.filterNot(keptSegBases.contains)
+    // segment-aware protection for EVERY vacuum flavor: the LIVE GROUP
+    // (the latest full build plus every published segment naming it)
+    // survives regardless of the caller's window — a keep=1 vacuum of
+    // [base 1, seg 2, seg 3] must drop NONE of them (keeping only gen 3
+    // would delete live index data out from under the resolver)
+    val liveGroup: Set[Long] =
+      ready.reverse.find(g => segmentBaseIn(dir, g).isEmpty) match {
+        case Some(b) => ready.filter(g => segmentBaseIn(dir, g).contains(b)).toSet + b
+        case None => Set.empty
+      }
+    val dropGens = selected.filterNot(liveGroup.contains)
     dropGens.foreach(deleteGen)
     dropGens.foreach { g =>
+      // a reclaimed PUBLISHED segment's dedupe tag echoes to a durable
+      // `tagdone-` marker BEFORE its segof goes, so replay detection
+      // survives the vacuum (unpublished claims below get no echo —
+      // their batches never committed and SHOULD re-append)
+      segmentTagIn(dir, g).foreach { t =>
+        scala.util.Try(Files.createFile(dir.resolve(s"tagdone-$t")))
+      }
       Files.deleteIfExists(dir.resolve(s"ready-$g"))
       Files.deleteIfExists(dir.resolve(s"claim-$g"))
       Files.deleteIfExists(dir.resolve(s"segof-$g"))

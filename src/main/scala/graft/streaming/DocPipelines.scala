@@ -472,11 +472,16 @@ object DocPipelines {
     *
     * EXACTLY-ONCE under foreachBatch's at-least-once replay: each
     * publish carries a `streamId:batchId` dedupe tag on its segment
-    * marker, so a micro-batch replayed after crash recovery (committed
-    * segment, uncommitted streaming checkpoint) sees its tag published
-    * and skips instead of double-appending. `streamId` must be stable
-    * across restarts of the same query (it scopes the batchId sequence)
-    * and distinct between different queries ingesting one store.
+    * marker (vacuum-proof — reclaimed segments echo their tags), so a
+    * micro-batch replayed after crash recovery (committed segment,
+    * uncommitted streaming checkpoint) sees its tag published and skips
+    * instead of double-appending. `streamId` scopes the batchId
+    * sequence: it must be STABLE across restarts of the same query
+    * (same checkpoint) and DISTINCT for every other writer of the store
+    * — including a relaunch of "the same" query after its checkpoint is
+    * deleted or moved, because batchIds restart at 0 and a reused
+    * streamId would silently skip the new batches as replays. Retire
+    * checkpoint and streamId together.
     */
   def bm25IngestStream(docs: DataFrame, storeName: String, buckets: Int = 32,
       streamId: String = "bm25-ingest"):
@@ -484,11 +489,11 @@ object DocPipelines {
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.operators.TextAnalysis.appendToBm25Store(batch, storeName, buckets,
-            dedupeTag = Some(s"$streamId:$batchId"))
-          ()
-        }
+        // empty batches are the append's own fast no-op (it publishes
+        // nothing and returns None)
+        graft.operators.TextAnalysis.appendToBm25Store(batch, storeName, buckets,
+          dedupeTag = Some(s"$streamId:$batchId"))
+        ()
       }
 
   /** Streaming IVF INDEX ingest — [[bm25IngestStream]]'s vector-side
@@ -498,7 +503,9 @@ object DocPipelines {
     * ([[graft.operators.Similarity.appendToIvfIndex]]); a concurrent
     * [[ivfProbeStream]] picks each segment up atomically on publish.
     * The index must have a published base build. Replay-safe via the
-    * same `streamId:batchId` dedupe tag as [[bm25IngestStream]].
+    * same `streamId:batchId` dedupe tag as [[bm25IngestStream]] —
+    * including its streamId lifecycle rules (retire checkpoint and
+    * streamId together).
     */
   def ivfIngestStream(vectors: DataFrame, indexPath: String,
       streamId: String = "ivf-ingest"):
@@ -506,12 +513,10 @@ object DocPipelines {
     vectors.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.operators.Similarity.appendToIvfIndex(
-            batch.select(col("vec_id"), col("embedding")), indexPath,
-            dedupeTag = Some(s"$streamId:$batchId"))
-          ()
-        }
+        graft.operators.Similarity.appendToIvfIndex(
+          batch.select(col("vec_id"), col("embedding")), indexPath,
+          dedupeTag = Some(s"$streamId:$batchId"))
+        ()
       }
 
   case class PackInDoc(shard: Int, doc_id: Long, ws_tokens: Long, pri: String)

@@ -577,6 +577,22 @@ class WarehouseSpec extends SparkSpecBase {
     assert(Similarity.appendToIvfIndex(inc2, root, dedupeTag = Some("q2:3")).isEmpty,
       "a replayed vector batch must not publish a second segment")
     assert(Similarity.searchIvfIndex(t, root).collect().length == probe)
+    // a SECOND live segment: a keep=1 vacuum must drop NEITHER the base
+    // nor either sibling segment (the whole live group is protected)
+    val mid = half + (emb.count() - half) / 2
+    // (re-split the original increment so ids stay disjoint)
+    Similarity.buildIvfIndexOf(emb.filter(col("vec_id") < half), root + "2")
+    Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") >= half && col("vec_id") < mid), root + "2", Some("s:0"))
+    Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") >= mid), root + "2", Some("s:1"))
+    val full = Similarity.searchIvfIndex(t, root + "2").collect().length
+    Warehouse.vacuumPathGenerations(root + "2", keep = 1, minAgeMs = 0L)
+    assert((1L to 3L).forall(g => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(Warehouse.pathGenData(root + "2", g)))),
+      "a keep-count vacuum must never delete any member of the live group (base + its segments)")
+    assert(Similarity.searchIvfIndex(t, root + "2").collect().length == full)
+
     // keep=1 would keep only the segment (gen 2) — the base it names
     // must survive anyway
     Warehouse.vacuumPathGenerations(root, keep = 1, minAgeMs = 0L)
@@ -585,6 +601,15 @@ class WarehouseSpec extends SparkSpecBase {
       "a keep-count vacuum must never delete the live base out from under its kept segment")
     assert(Similarity.searchIvfIndex(t, root).collect().length == probe,
       "the probe still spans base ∪ segment after the vacuum")
+
+    // the tag survives the segment's vacuum: after a rebuild supersedes
+    // it and the segmented vacuum reclaims it, a replay of the same
+    // batch must STILL skip (the tagdone echo), not double-append onto
+    // the new base
+    Similarity.buildIvfIndexOf(emb, root)
+    Similarity.vacuumIvfIndex(root, minAgeMs = 0L)
+    assert(Similarity.appendToIvfIndex(inc2, root, dedupeTag = Some("q2:3")).isEmpty,
+      "a committed batch id must never re-append, even across rebuild + vacuum")
   }
 
   test("a failed append burns its segment mark: the re-issued generation number is a clean full build") {
