@@ -93,6 +93,26 @@ object SparkEntry {
       Dedup.substringSpansAgainstStore("d17_store",
         t.documents.filter(col("doc_id") >= 250))
     }),
+    "d19_cluster_maintenance" -> ((s, dir) => {
+      // the dedup ingest loop's CLUSTER layer through the gate: build
+      // the corpus half's signature store AND its persisted labeling,
+      // then absorb the fresh half — old connectivity re-enters as star
+      // edges (doc → cluster min), the batch contributes cross pairs
+      // (store probe) + batch-internal pairs, and the maintained
+      // labeling must equal d6's full-corpus recompute EXACTLY (its
+      // oracle verbatim). History is never re-paired: a wrong star
+      // edge, lost label row, or missed cross pair fails correctness
+      import org.apache.spark.sql.functions.col
+      val t = Tables(s, dir)
+      graft.sources.Warehouse.dropStore(s, "d19_sigs", Seq("bands", "sigs"))
+      graft.sources.Warehouse.dropStore(s, "d19_clusters", Seq("labels"))
+      val half = t.documents.filter(col("doc_id") < 250)
+      Dedup.buildSignatureStore(half, "d19_sigs")
+      Dedup.buildClusterStore(half, "d19_clusters")
+      Dedup.maintainClustersAgainstStore("d19_clusters", "d19_sigs",
+        t.documents.filter(col("doc_id") >= 250),
+        oracleRounds = Some(OracleReplicas.PointerJumpIters))
+    }),
     "d18_novelty_store_probe" -> ((s, dir) => {
       // d16's pattern for the NOVELTY index — the last persisted store
       // promoted to the gate: drop → build the corpus half's distinct-doc
@@ -542,6 +562,11 @@ object SparkEntry {
           |SELECT doc_inner, doc_outer, ROUND(c, 4) AS containment
           |FROM cont WHERE c >= 0.8 ORDER BY doc_inner, doc_outer""".stripMargin),
     "d6_dedup_clusters" -> OracleReplicas.d6Clusters(),
+    // d19's declared contract is output identity with d6's full-corpus
+    // recompute (star edges carry the old components exactly), so it
+    // shares d6's replica verbatim — the d16/d17/s10/t21-t23 pattern at
+    // the cluster layer
+    "d19_cluster_maintenance" -> OracleReplicas.d6Clusters(),
     "dc17_source_overlap" -> OracleReplicas.dc17SourceOverlap(),
     // m4: char-domain byte histogram (ASCII corpus ⇒ ascii(text[i]) ≡
     // payload byte); every metric is integer counts + one exact division,

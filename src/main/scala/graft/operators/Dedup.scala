@@ -59,12 +59,21 @@ object Dedup {
       .distinct()
   }
 
-  def minhashLsh(t: Tables, numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+  def minhashLsh(t: Tables, numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame =
+    minhashPairsOf(t.documents, numHashes, bands, threshold)
+
+  /** d2 over any (doc_id, text) frame — also the batch-internal pair
+    * source for d19's cluster maintenance (the new×new side the d7
+    * cross-probe cannot see) and StoreBench's synthetic corpora.
+    */
+  def minhashPairsOf(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
     // signatures feed three plan branches (banding + both sig-attach
     // joins); materialize once instead of recomputing the scan+hash per
     // branch (at scale: a checkpoint of n×(64 longs), tiny next to the
     // corpus text)
-    val sigs = tokenized(t)
+    val sigs = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
       .filter(size(col("tokens")) > 1)
       .select(col("doc_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig"))
       .localCheckpoint(true)
@@ -226,6 +235,89 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("new_id"), col("dup_of"), round(col("est_jaccard"), 4).as("est_jaccard"))
       .orderBy(col("new_id"), col("dup_of"))
+  }
+
+  /** The PERSISTED cluster store — the third layer of the dedup ingest
+    * stack (signatures d16, spans d17, LABELS here): the corpus's
+    * connected-component labeling (d6's output, min doc_id per
+    * component) written once per generation as `<name>_labels(doc_id,
+    * cluster_id)` bucketed on doc_id, under the claim/publish protocol.
+    * [[maintainClustersAgainstStore]] absorbs each ingest batch against
+    * it without ever re-pairing history.
+    */
+  def buildClusterStore(docs: DataFrame, name: String, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5, buckets: Int = 32,
+      maxIter: Int = 100): Unit = {
+    val spark = docs.sparkSession
+    val gen = Warehouse.claimGeneration(spark, name)
+    val labelsT = Warehouse.storeTableName(name, gen, "labels")
+    try {
+      Warehouse.writeBucketed(
+        clustersOfPairs(minhashPairsOf(docs, numHashes, bands, threshold)
+          .select(col("doc_a"), col("doc_b")), maxIter),
+        labelsT, "doc_id", buckets)
+      Warehouse.publishGeneration(spark, name, gen)
+    } catch { case e: Throwable =>
+      scala.util.Try(Warehouse.drop(spark, labelsT))
+      Warehouse.burnClaim(spark, name, gen)
+      throw e
+    }
+  }
+
+  /** d19: cluster MAINTENANCE — absorb a new batch into the persisted
+    * clustering without recomputing history. The stored labeling
+    * re-enters the propagation as STAR EDGES (each doc → its cluster
+    * min): two longs per historical doc carrying EXACTLY the old pair
+    * graph's connectivity, so history×history pairs never re-form. The
+    * batch contributes its cross pairs (the d7/d16 signature-store
+    * probe) and its batch-internal pairs (d2 over the batch alone);
+    * min-label components of (star ∪ cross ∪ batch) equal d6's
+    * components over the FULL union pair graph — the declared,
+    * gate-pinned contract (d6's oracle verbatim). New clusters merging
+    * two old clusters relabel correctly: the star edges put both old
+    * components in one connected region and the min wins.
+    *
+    * Scale shape: the batch's text is hashed once; the store sides read
+    * bucketed tables; the propagation loop moves only (doc_id, label)
+    * longs. At 100 TB the cost is O(batch + corpus-doc-count scalars) —
+    * the corpus TEXT is never touched. The returned labeling is the
+    * next generation: publish it with [[buildClusterStore]]'s writer via
+    * [[publishMaintainedClusters]] to continue the ingest loop.
+    */
+  def maintainClustersAgainstStore(clusterStore: String, sigStore: String,
+      batch: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxIter: Int = 100,
+      oracleRounds: Option[Int] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val gen = Warehouse.resolveGeneration(spark, clusterStore)
+    val starEdges = Warehouse
+      .table(spark, Warehouse.storeTableName(clusterStore, gen, "labels"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val cross = minhashIncrementalAgainstStore(sigStore, batch, numHashes, bands, threshold)
+      .select(col("new_id").as("doc_a"), col("dup_of").as("doc_b"))
+    val fresh = minhashPairsOf(batch, numHashes, bands, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    clustersOfPairs(starEdges.unionByName(cross).unionByName(fresh),
+      maxIter, oracleRounds)
+  }
+
+  /** Publish a maintained labeling as the cluster store's next FULL
+    * generation (labels are a complete snapshot, not a segment) —
+    * the write half of the d19 ingest loop.
+    */
+  def publishMaintainedClusters(labels: DataFrame, name: String,
+      buckets: Int = 32): Unit = {
+    val spark = labels.sparkSession
+    val gen = Warehouse.claimGeneration(spark, name)
+    val labelsT = Warehouse.storeTableName(name, gen, "labels")
+    try {
+      Warehouse.writeBucketed(labels, labelsT, "doc_id", buckets)
+      Warehouse.publishGeneration(spark, name, gen)
+    } catch { case e: Throwable =>
+      scala.util.Try(Warehouse.drop(spark, labelsT))
+      Warehouse.burnClaim(spark, name, gen)
+      throw e
+    }
   }
 
   /** d3: SimHash near-dup. 64-bit signature map-side; pigeonhole banding

@@ -643,6 +643,70 @@ class WarehouseSpec extends SparkSpecBase {
     Warehouse.dropStore(spark, "bm25burn", Seq("postings", "stats"))
   }
 
+  test("cluster maintenance equals the full recompute, composes across batches, and relabels merged clusters") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val t = Tables(spark, sfDir)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSeq
+
+    // identity with d6 on the real corpus (the gate's contract at spec scale)
+    Warehouse.dropStore(spark, "d19s_sigs", Seq("bands", "sigs"))
+    Warehouse.dropStore(spark, "d19s_cl", Seq("labels"))
+    Dedup.buildSignatureStore(t.documents.filter(col("doc_id") < 50), "d19s_sigs")
+    Dedup.buildClusterStore(t.documents.filter(col("doc_id") < 50), "d19s_cl")
+    val maintained = Dedup.maintainClustersAgainstStore(
+      "d19s_cl", "d19s_sigs", t.documents.filter(col("doc_id") >= 50))
+    assert(key(maintained) == key(Dedup.clusters(t)) && key(maintained).nonEmpty,
+      "maintenance must equal d6's full recompute bit-for-bit")
+
+    // the INGEST LOOP composes: publish the maintained labeling, rebuild
+    // the signature store over the grown corpus, absorb a second batch —
+    // still identical to the one-shot recompute. A crafted corpus makes
+    // the interesting event certain: batch 2's bridge doc (jaccard 0.5
+    // to each side at threshold 0.3) MERGES two previously separate
+    // clusters, so old docs must RELABEL to the merged min
+    val c1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val c2 = "one two three four five six seven eight nine ten"
+    val crafted = Seq(
+      (0L, c1), (1L, c1 + " extra"),                    // cluster {0,1}
+      (2L, c2), (3L, c2 + " more"),                     // cluster {2,3}
+      (4L, c1 + " " + c2))                              // batch-2 bridge
+      .toDF("doc_id", "text")
+    // 32 two-hash bands: at the bridge's true jaccard ≈ 0.47 a band
+    // collision is near-certain (1 − (1 − 0.47²)³² ≈ 1), where the
+    // default 4-hash bands collide only ~55% — the craft must not
+    // depend on seed luck
+    val full = Dedup.clustersOfPairs(
+      Dedup.minhashPairsOf(crafted, bands = 32, threshold = 0.3)
+        .select(col("doc_a"), col("doc_b")))
+    val fullRows = full.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fullRows.map(_._2).distinct == Seq(0L),
+      s"crafting precondition: the bridge doc must merge everything into cluster 0, got $fullRows")
+
+    Warehouse.dropStore(spark, "d19c_sigs", Seq("bands", "sigs"))
+    Warehouse.dropStore(spark, "d19c_cl", Seq("labels"))
+    Dedup.buildSignatureStore(crafted.filter(col("doc_id") < 4), "d19c_sigs",
+      bands = 32, maxBandBucket = None)
+    Dedup.buildClusterStore(crafted.filter(col("doc_id") < 4), "d19c_cl",
+      bands = 32, threshold = 0.3)
+    val before = Dedup.maintainClustersAgainstStore("d19c_cl", "d19c_sigs",
+      crafted.filter(col("doc_id") < 0), bands = 32, threshold = 0.3) // empty batch: unchanged labeling
+    assert(before.collect().map(_.getLong(1)).distinct.sorted.toSeq == Seq(0L, 2L),
+      "precondition: two separate clusters before the bridge arrives")
+    Dedup.publishMaintainedClusters(before, "d19c_cl")
+    // the next batch probes a REBUILT signature store over the grown corpus
+    Dedup.buildSignatureStore(crafted.filter(col("doc_id") < 4), "d19c_sigs",
+      bands = 32, maxBandBucket = None)
+    val after = Dedup.maintainClustersAgainstStore("d19c_cl", "d19c_sigs",
+      crafted.filter(col("doc_id") === 4L), bands = 32, threshold = 0.3)
+    assert(after.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == fullRows,
+      "the bridge batch must merge and RELABEL the old clusters to the one-shot recompute's labels")
+    Seq("d19s_sigs", "d19c_sigs").foreach(Warehouse.dropStore(spark, _, Seq("bands", "sigs")))
+    Seq("d19s_cl", "d19c_cl").foreach(Warehouse.dropStore(spark, _, Seq("labels")))
+  }
+
   test("d16 gate row: the registered store-probe query is row-identical to d7's recompute") {
     // the queries() entry owns drop -> build -> publish -> probe; its
     // declared oracle contract is output-identity with d7, pinned here
