@@ -451,16 +451,17 @@ object SparkEntry {
         |ORDER BY shard, seq_id""".stripMargin,
     // p5: the checksum folds each md5 prefix's 15 hex chars to HUGEINT
     // (≡ Spark's conv(…,16,10) inside unsigned-64 exactness) and sums
-    // as DECIMAL — order-free exact integers, so the manifests agree
-    // bit-for-bit
+    // as DECIMAL — order-free exact integers. Emitted as a digit STRING:
+    // the sum exceeds 2^53, so a float-path canonicalization would be
+    // lossy on a numeric column; a string is representation-proof.
     "p5_shard_manifest" ->
       s"""WITH $packCtes,
         |m AS (
         |  SELECT shard, COUNT(*) AS n_docs, CAST(SUM(ws_tokens) AS BIGINT) AS n_tokens,
-        |    CAST(SUM(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |    CAST(CAST(SUM(list_reduce(list_prepend(CAST(0 AS HUGEINT),
         |      list_transform(string_split(substr(pri, 1, 15), ''),
         |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT))),
-        |      (h, d) -> h * 16 + d)) AS DECIMAL(38,0)) AS manifest_hash
+        |      (h, d) -> h * 16 + d)) AS DECIMAL(38,0)) AS VARCHAR) AS manifest_hash
         |  FROM s GROUP BY shard)
         |SELECT shard, n_docs, n_tokens, (n_tokens + 511) // 512 AS n_seqs,
         |  ROUND(CAST(n_tokens - ((n_tokens + 511) // 512 - 1) * 512 AS DOUBLE) / 512, 6)

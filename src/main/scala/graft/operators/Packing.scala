@@ -160,7 +160,13 @@ object Packing {
     * ORDER-FREE content checksum — the DECIMAL sum of each member
     * doc's 60-bit md5 prefix, exact and mergeable, so per-file partial
     * manifests roll up to the shard manifest without a rescan, and a
-    * lost, duplicated or foreign doc changes the value. Downstream
+    * lost, duplicated or foreign doc changes the value. The checksum
+    * column is EMITTED as its decimal-digit STRING: the sum exceeds
+    * float64's 2^53 exact-integer range, so any consumer that
+    * canonicalizes numerics through doubles would silently corrupt a
+    * DECIMAL representation — a digit string survives every
+    * serialization boundary bit-for-bit (parse back to a big integer
+    * to merge partials). Downstream
     * loaders verify a shard against its manifest before training
     * starts; a resumed or re-run writer must reproduce it bit-for-bit.
     *
@@ -184,7 +190,7 @@ object Packing {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ws_tokens")).as("n_tokens"),
-        sum(col("chk")).cast("decimal(38,0)").as("manifest_hash"))
+        sum(col("chk")).cast("decimal(38,0)").cast("string").as("manifest_hash"))
       .withColumn("n_seqs", expr(s"(n_tokens + $budget - 1) div $budget"))
       .withColumn("tail_fill_frac",
         round((col("n_tokens") - (col("n_seqs") - lit(1L)) * budget).cast("double") / budget, 6))

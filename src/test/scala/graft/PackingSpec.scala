@@ -89,7 +89,11 @@ class PackingSpec extends SparkSpecBase {
     val expected = perDoc.groupBy(_.getAs[Int]("shard"))
       .map { case (sh, rs) => sh -> rs.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("chk"))).sum }
     manifest.foreach { case (sh, m) =>
-      assert(BigDecimal(m.getAs[java.math.BigDecimal]("manifest_hash")) == expected(sh),
+      val hash = m.getAs[String]("manifest_hash")
+      assert(hash.matches("\\d+"),
+        "the checksum must be a plain digit string — representation-proof " +
+          "through any float-path canonicalization")
+      assert(BigDecimal(hash) == expected(sh),
         s"shard $sh checksum must equal the order-free per-doc sum")
     }
     // mergeability: two partial manifests roll up to the full one
@@ -98,7 +102,7 @@ class PackingSpec extends SparkSpecBase {
       Packing.shardManifestOf(df).collect()
         .map(r => r.getAs[Int]("shard") ->
           ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
-            BigDecimal(r.getAs[java.math.BigDecimal]("manifest_hash"))))).toMap
+            BigDecimal(r.getAs[String]("manifest_hash"))))).toMap
     val lo = partial(t.documents.filter(col("doc_id") < 50L))
     val hi = partial(t.documents.filter(col("doc_id") >= 50L))
     manifest.foreach { case (sh, m) =>
@@ -106,7 +110,7 @@ class PackingSpec extends SparkSpecBase {
       val (hd, ht, hh) = hi.getOrElse(sh, (0L, 0L, BigDecimal(0)))
       assert(m.getAs[Long]("n_docs") == ld + hd &&
         m.getAs[Long]("n_tokens") == lt + ht &&
-        BigDecimal(m.getAs[java.math.BigDecimal]("manifest_hash")) == lh + hh,
+        BigDecimal(m.getAs[String]("manifest_hash")) == lh + hh,
         s"shard $sh partial manifests must merge to the full manifest")
     }
 
@@ -114,8 +118,8 @@ class PackingSpec extends SparkSpecBase {
     val sh0 = perDoc.find(_.getAs[Long]("doc_id") == 0L).map(_.getAs[Int]("shard"))
     sh0.foreach { sh =>
       val after = tampered.collect().map(r => r.getAs[Int]("shard") -> r).toMap
-      assert(BigDecimal(after(sh).getAs[java.math.BigDecimal]("manifest_hash")) !=
-        BigDecimal(manifest(sh).getAs[java.math.BigDecimal]("manifest_hash")),
+      assert(BigDecimal(after(sh).getAs[String]("manifest_hash")) !=
+        BigDecimal(manifest(sh).getAs[String]("manifest_hash")),
         "dropping a doc must change its shard's checksum")
     }
   }
