@@ -95,7 +95,9 @@ object SparkEntry {
     }),
     "d19_cluster_maintenance" -> ((s, dir) => {
       // the dedup ingest loop's CLUSTER layer through the gate: build
-      // the corpus half's signature store AND its persisted labeling,
+      // the corpus half's signature store, DERIVE its persisted labeling
+      // from that store (the text is hashed exactly once — the labeling
+      // reads the bucketed sigs/bands tables, production's composition),
       // then absorb the fresh half — old connectivity re-enters as star
       // edges (doc → cluster min), the batch contributes cross pairs
       // (store probe) + batch-internal pairs, and the maintained
@@ -108,7 +110,7 @@ object SparkEntry {
       graft.sources.Warehouse.dropStore(s, "d19_clusters", Seq("labels"))
       val half = t.documents.filter(col("doc_id") < 250)
       Dedup.buildSignatureStore(half, "d19_sigs")
-      Dedup.buildClusterStore(half, "d19_clusters")
+      Dedup.buildClusterStoreFromSignatureStore(s, "d19_sigs", "d19_clusters")
       Dedup.maintainClustersAgainstStore("d19_clusters", "d19_sigs",
         t.documents.filter(col("doc_id") >= 250),
         oracleRounds = Some(OracleReplicas.PointerJumpIters))

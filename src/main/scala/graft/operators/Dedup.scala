@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -256,6 +256,51 @@ object Dedup {
         clustersOfPairs(minhashPairsOf(docs, numHashes, bands, threshold)
           .select(col("doc_a"), col("doc_b")), maxIter),
         labelsT, "doc_id", buckets)
+      Warehouse.publishGeneration(spark, name, gen)
+    } catch { case e: Throwable =>
+      scala.util.Try(Warehouse.drop(spark, labelsT))
+      Warehouse.burnClaim(spark, name, gen)
+      throw e
+    }
+  }
+
+  /** [[buildClusterStore]] FROM an already-published signature store —
+    * the composition a real ingest loop runs: the corpus's signatures
+    * and band index are already on disk (d16's build), so the labeling
+    * derives from a band self-join over the PERSISTED bucketed tables
+    * and the corpus text is never read, let alone re-hashed. The band
+    * count is whatever the store was built with (it is baked into the
+    * bands table), which removes a parameter-drift risk the
+    * text-sourced build has. Output is bit-identical to
+    * [[buildClusterStore]] over the same documents (same kernels, same
+    * seed, spec-pinned).
+    *
+    * Scale shape: the self-join reads two co-partitioned streams of the
+    * SAME bucketed table (3 longs/row) — zero text, zero re-hash; the
+    * signature attach joins the bucketed sigs table twice on its bucket
+    * key. At 100 TB this is the only affordable way to (re)derive the
+    * labeling layer.
+    */
+  def buildClusterStoreFromSignatureStore(spark: SparkSession, sigStore: String,
+      name: String, numHashes: Int = 64, threshold: Double = 0.5,
+      buckets: Int = 32, maxIter: Int = 100): Unit = {
+    val sgen = Warehouse.resolveGeneration(spark, sigStore)
+    val storeBands = Warehouse.table(spark, Warehouse.storeTableName(sigStore, sgen, "bands"))
+    val storeSigs = Warehouse.table(spark, Warehouse.storeTableName(sigStore, sgen, "sigs"))
+    val a = storeBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = storeBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+      .join(storeSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(storeSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .filter(sig_agreement(col("sig_a"), col("sig_b")).cast("double") / numHashes >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val gen = Warehouse.claimGeneration(spark, name)
+    val labelsT = Warehouse.storeTableName(name, gen, "labels")
+    try {
+      Warehouse.writeBucketed(clustersOfPairs(pairs, maxIter), labelsT, "doc_id", buckets)
       Warehouse.publishGeneration(spark, name, gen)
     } catch { case e: Throwable =>
       scala.util.Try(Warehouse.drop(spark, labelsT))

@@ -661,6 +661,20 @@ class WarehouseSpec extends SparkSpecBase {
     assert(key(maintained) == key(Dedup.clusters(t)) && key(maintained).nonEmpty,
       "maintenance must equal d6's full recompute bit-for-bit")
 
+    // the store-derived build (the gate row's composition: labels from
+    // the PERSISTED sigs/bands, text hashed exactly once) is
+    // bit-identical to the text-sourced build over the same docs
+    Warehouse.dropStore(spark, "d19s_cl2", Seq("labels"))
+    Dedup.buildClusterStoreFromSignatureStore(spark, "d19s_sigs", "d19s_cl2")
+    def storeLabels(name: String) = {
+      val g = Warehouse.resolveGeneration(spark, name)
+      Warehouse.table(spark, Warehouse.storeTableName(name, g, "labels"))
+        .orderBy(col("cluster_id"), col("doc_id"))
+    }
+    assert(key(storeLabels("d19s_cl2")) == key(storeLabels("d19s_cl")) &&
+      key(storeLabels("d19s_cl2")).nonEmpty,
+      "labels derived from the signature store must equal the text-sourced build")
+
     // the INGEST LOOP composes: publish the maintained labeling, rebuild
     // the signature store over the grown corpus, absorb a second batch —
     // still identical to the one-shot recompute. A crafted corpus makes
@@ -704,7 +718,7 @@ class WarehouseSpec extends SparkSpecBase {
     assert(after.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == fullRows,
       "the bridge batch must merge and RELABEL the old clusters to the one-shot recompute's labels")
     Seq("d19s_sigs", "d19c_sigs").foreach(Warehouse.dropStore(spark, _, Seq("bands", "sigs")))
-    Seq("d19s_cl", "d19c_cl").foreach(Warehouse.dropStore(spark, _, Seq("labels")))
+    Seq("d19s_cl", "d19s_cl2", "d19c_cl").foreach(Warehouse.dropStore(spark, _, Seq("labels")))
   }
 
   test("d16 gate row: the registered store-probe query is row-identical to d7's recompute") {
