@@ -115,3 +115,64 @@ object HttpExtract {
       case _: Pipeline.FatalExtractException => false
     }
 }
+
+/** Typed per-endpoint accessors — the reference's named wrappers over its
+  * generic request (api_client.py:94-166: race/qualifying/sprint results
+  * and the two standings endpoints with their optional-round overload).
+  * Each method resolves the reference's exact endpoint path and runs ONE
+  * request under the full [[HttpExtract.request]] contract, returning
+  * `Some(body)` on 2xx and `None` on the 404 empty branch. `transport`
+  * is path → response (a fake scripts it; a real client issues the GET),
+  * so a ported caller keeps the reference's call sites
+  * (`client.raceResults(2024, 5)`) while the retry/4xx/404 policy stays
+  * in one place.
+  */
+final class EndpointClient(
+    transport: String => HttpExtract.Response,
+    maxAttempts: Int = 3,
+    backoffMs: Int => Long = a => 100L * math.round(math.pow(2, a)),
+    sleep: Long => Unit = Thread.sleep) {
+  import HttpExtract._
+
+  private def getOpt(path: String): Option[String] =
+    request[Option[String]](() => transport(path), Some(_), None,
+      maxAttempts, backoffMs, sleep)
+
+  /** api_client.py:94-106 — `/{year}/{round}/results.json`. */
+  def raceResults(year: Int, round: Int): Option[String] =
+    getOpt(EndpointClient.raceResultsPath(year, round))
+
+  /** api_client.py:108-118 — `/{year}/{round}/qualifying.json`. */
+  def qualifyingResults(year: Int, round: Int): Option[String] =
+    getOpt(EndpointClient.qualifyingResultsPath(year, round))
+
+  /** api_client.py:120-131 — `/{year}/{round}/sprint.json` (404 → None,
+    * the no-sprint-at-this-round case).
+    */
+  def sprintResults(year: Int, round: Int): Option[String] =
+    getOpt(EndpointClient.sprintResultsPath(year, round))
+
+  /** api_client.py:137-151 — round-scoped or season-final standings. */
+  def driverStandings(year: Int, round: Option[Int] = None): Option[String] =
+    getOpt(EndpointClient.driverStandingsPath(year, round))
+
+  /** api_client.py:153-166 — round-scoped or season-final standings. */
+  def constructorStandings(year: Int, round: Option[Int] = None): Option[String] =
+    getOpt(EndpointClient.constructorStandingsPath(year, round))
+
+  /** api_client.py:173-185 — one cheap seasons probe, Boolean verdict. */
+  def testConnection(): Boolean =
+    HttpExtract.testConnection(() => transport(EndpointClient.seasonsPath(1)),
+      maxAttempts, backoffMs, sleep)
+}
+
+object EndpointClient {
+  def raceResultsPath(year: Int, round: Int): String = s"/$year/$round/results.json"
+  def qualifyingResultsPath(year: Int, round: Int): String = s"/$year/$round/qualifying.json"
+  def sprintResultsPath(year: Int, round: Int): String = s"/$year/$round/sprint.json"
+  def driverStandingsPath(year: Int, round: Option[Int] = None): String =
+    round.map(r => s"/$year/$r/driverStandings.json").getOrElse(s"/$year/driverStandings.json")
+  def constructorStandingsPath(year: Int, round: Option[Int] = None): String =
+    round.map(r => s"/$year/$r/constructorStandings.json").getOrElse(s"/$year/constructorStandings.json")
+  def seasonsPath(limit: Int): String = s"/seasons.json?limit=$limit"
+}

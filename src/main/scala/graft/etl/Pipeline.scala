@@ -176,6 +176,48 @@ object Pipeline {
     def publish(spec: TableSpec, fresh: DataFrame): Long
   }
 
+  /** One table's outcome in an execution summary (reference:
+    * main.py:191-237 `_process_table`'s per-table result record).
+    */
+  final case class TableRun(table: String, status: String, records: Long,
+      durationSec: Long, error: Option[String] = None)
+
+  /** The reference's execution summary (main.py:239-280 `_print_summary`)
+    * as a RETURNED structure instead of console side effects: mode, run
+    * duration, the succeeded/failed/skipped counts and the per-table
+    * records/duration/error details. [[toDF]] exposes the details as one
+    * frame; [[render]] reproduces the report text for CLI use.
+    */
+  final case class RunSummary(mode: String, durationSec: Long, details: Seq[TableRun]) {
+    def processed: Int = details.size
+    def succeeded: Int = details.count(_.status == "success")
+    def failed: Int = details.count(_.status == "failed")
+    def skipped: Int = details.count(_.status == "skipped")
+
+    def toDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      details.map(d => (d.table, d.status, d.records, d.durationSec, d.error))
+        .toDF("table", "status", "records", "duration_sec", "error")
+    }
+
+    def render: String = {
+      val header = Seq(
+        s"Mode: $mode",
+        s"Duration: ${durationSec}s",
+        s"Tables Processed: $processed",
+        s"  Succeeded: $succeeded",
+        s"  Failed: $failed",
+        s"  Skipped: $skipped")
+      val lines = details.flatMap { d =>
+        Seq(f"  [${d.status}%-7s] ${d.table}%-25s | ${d.records}%6d records | ${d.durationSec}%3ds") ++
+          d.error.map(e => s"     Error: $e")
+      }
+      val verdict = if (failed == 0) "Pipeline completed successfully"
+        else "Pipeline completed with failures"
+      (header ++ lines :+ verdict).mkString("\n")
+    }
+  }
+
   /** Idempotent merge: last-write-wins per business key — the distributed
     * form of `INSERT ... ON CONFLICT (key) DO UPDATE`
     * (/root/reference/loaders/__init__.py:253-276). One shuffle on the
@@ -463,6 +505,40 @@ final class PipelineRunner(
     val ordered = Pipeline.loadOrder(specs).filter(selected.contains)
     ordered.flatMap(name => runOne(specs.find(_.name == name).get, force, newWatermark))
       .toMap
+  }
+
+  /** [[run]] plus the reference's execution summary (main.py:239-280):
+    * per-table status/records/duration/error as a returned
+    * [[Pipeline.RunSummary]]. Errors are caught PER TABLE and recorded
+    * (`status = failed`) while the run CONTINUES to the next table —
+    * `_process_table`'s contract (main.py:229-237) — where [[run]]
+    * itself stays fail-fast. Durations come from the metadata clock, so
+    * specs with an injected clock get deterministic summaries.
+    */
+  def runSummarized(strategy: Pipeline.Strategy, force: Boolean = false,
+      newWatermark: Option[Long] = None): Pipeline.RunSummary = {
+    val t0 = metadata.nowSec
+    val mode = strategy match {
+      case Pipeline.PreSeason => "pre_season"
+      case Pipeline.PostRace => "post_race"
+    }
+    val selected = specs.filter(_.strategy == strategy).map(_.name).toSet
+    val ordered = Pipeline.loadOrder(specs).filter(selected.contains)
+    val details = ordered.map { name =>
+      val spec = specs.find(_.name == name).get
+      val s0 = metadata.nowSec
+      try {
+        runOne(spec, force, newWatermark) match {
+          case Some((_, n)) => Pipeline.TableRun(name, "success", n, metadata.nowSec - s0)
+          case None => Pipeline.TableRun(name, "skipped", 0L, metadata.nowSec - s0)
+        }
+      } catch {
+        case e: Exception =>
+          Pipeline.TableRun(name, "failed", 0L, metadata.nowSec - s0,
+            Option(e.getMessage).orElse(Some(e.getClass.getName)))
+      }
+    }
+    Pipeline.RunSummary(mode, metadata.nowSec - t0, details)
   }
 
   /** Targeted single-table run (reference: main.py run_table / --table):

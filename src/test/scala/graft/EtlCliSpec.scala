@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.etl.{HttpExtract, Main, MetadataStore, Pipeline, PipelineRunner}
+import graft.etl.{EndpointClient, HttpExtract, Main, MetadataStore, Pipeline, PipelineRunner}
 
 /** The CLI entrypoint (reference main.py:282-407's argparse + branch
   * order) and the HTTP extract error contract (api_client.py:48-89's
@@ -185,5 +185,44 @@ class EtlCliSpec extends SparkSpecBase {
       maxAttempts = 3, sleep = _ => ()))
     assert(!HttpExtract.testConnection(scripted(HttpExtract.Status(403, "forbidden")),
       sleep = _ => ()))
+  }
+
+  test("EndpointClient: typed accessors hit the reference's exact paths under the request contract") {
+    // path resolution is the accessors' whole job — pin each wrapper to
+    // the reference's endpoint string (api_client.py:94-166)
+    assert(EndpointClient.raceResultsPath(2024, 5) == "/2024/5/results.json")
+    assert(EndpointClient.qualifyingResultsPath(2024, 5) == "/2024/5/qualifying.json")
+    assert(EndpointClient.sprintResultsPath(2024, 5) == "/2024/5/sprint.json")
+    assert(EndpointClient.driverStandingsPath(2024, Some(5)) == "/2024/5/driverStandings.json")
+    assert(EndpointClient.driverStandingsPath(2024) == "/2024/driverStandings.json")
+    assert(EndpointClient.constructorStandingsPath(2024, Some(5)) == "/2024/5/constructorStandings.json")
+    assert(EndpointClient.constructorStandingsPath(2024) == "/2024/constructorStandings.json")
+    assert(EndpointClient.seasonsPath(1) == "/seasons.json?limit=1")
+
+    // a recording transport proves each method requests ITS path and
+    // flows through the shared contract (404 -> None = the reference's
+    // empty branch, e.g. a round with no sprint)
+    val hits = scala.collection.mutable.ListBuffer.empty[String]
+    val client = new EndpointClient(
+      path => { hits += path
+        if (path.contains("sprint")) HttpExtract.Status(404) else HttpExtract.Ok(s"body:$path") },
+      sleep = _ => ())
+    assert(client.raceResults(2024, 5).contains("body:/2024/5/results.json"))
+    assert(client.qualifyingResults(2024, 5).contains("body:/2024/5/qualifying.json"))
+    assert(client.sprintResults(2024, 5).isEmpty, "404 sprint -> the empty branch")
+    assert(client.driverStandings(2024).contains("body:/2024/driverStandings.json"))
+    assert(client.constructorStandings(2024, Some(5)).contains("body:/2024/5/constructorStandings.json"))
+    assert(client.testConnection())
+    assert(hits.head == "/2024/5/results.json" && hits.last == "/seasons.json?limit=1")
+
+    // the retry policy reaches the typed surface: 500 then 200 recovers
+    var calls = 0
+    val flaky = new EndpointClient(
+      _ => { calls += 1; if (calls == 1) HttpExtract.Status(500) else HttpExtract.Ok("ok") },
+      sleep = _ => ())
+    assert(flaky.raceResults(2023, 1).contains("ok") && calls == 2)
+    // and a fatal 4xx is never retried
+    val fatal = new EndpointClient(_ => HttpExtract.Status(403, "forbidden"), sleep = _ => ())
+    intercept[Pipeline.FatalExtractException] { fatal.raceResults(2023, 1) }
   }
 }

@@ -511,6 +511,45 @@ class EtlSpec extends SparkSpecBase {
     assert(upserted.toMap.keySet == snapshot.keySet)
   }
 
+  test("runSummarized returns the reference's execution summary and continues past a failed table") {
+    val (wh, md) = freshDirs()
+    val store = new MetadataStore(spark, md)
+    // dim_customer's extract blows up; dim_nation sorts AFTER it in load
+    // order, so its success proves the run continued (main.py:229-237)
+    val failing: Map[String, Pipeline.Extract] = extracts() +
+      ("dim_customer" -> ((_, _) => throw new RuntimeException("boom")))
+    val runner = new PipelineRunner(spark, wh, store, specs, failing)
+    val sum = runner.runSummarized(Pipeline.PreSeason)
+    assert(sum.mode == "pre_season")
+    assert(sum.processed == 2 && sum.succeeded == 1 && sum.failed == 1 && sum.skipped == 0)
+    val byName = sum.details.map(d => d.table -> d).toMap
+    assert(byName("dim_customer").status == "failed" &&
+      byName("dim_customer").error.exists(_.contains("boom")))
+    assert(byName("dim_nation").status == "success" &&
+      byName("dim_nation").records == Tables(spark, sfDir).nation.count())
+    assert(sum.details.forall(_.durationSec >= 0) && sum.durationSec >= 0)
+    // the failed table's sync log still records the failure (two-phase)
+    assert(store.currentStatus("dim_customer").contains("failed"))
+
+    // the details expose as ONE frame with the reference's record shape
+    val df = sum.toDF(spark)
+    assert(df.columns.toSeq == Seq("table", "status", "records", "duration_sec", "error"))
+    assert(df.count() == 2)
+    assert(sum.render.contains("Failed: 1") &&
+      sum.render.contains("Pipeline completed with failures"))
+
+    // freshness-gated tables surface as skipped, not absent
+    val (wh2, md2) = freshDirs()
+    val runner2 = new PipelineRunner(spark, wh2, new MetadataStore(spark, md2),
+      specs.filter(_.strategy == Pipeline.PreSeason), extracts(),
+      calendar = Some(_ => Seq(0L)))
+    assert(runner2.runSummarized(Pipeline.PreSeason).succeeded == 2)
+    val sum2 = runner2.runSummarized(Pipeline.PreSeason)
+    assert(sum2.skipped == 2 && sum2.succeeded == 0 && sum2.failed == 0,
+      "a same-period re-run must report the gate's skips")
+    assert(sum2.render.contains("Pipeline completed successfully"))
+  }
+
   test("nextPeriod mirrors get_next_round_to_load; runNextPeriod loops the calendar to exhaustion") {
     val (wh, md) = freshDirs()
     val store = new MetadataStore(spark, md)
