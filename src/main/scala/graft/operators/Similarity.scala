@@ -271,37 +271,67 @@ object Similarity {
     * racing probe never sees a partial segment.
     */
   def appendToIvfIndex(inc: DataFrame, path: String,
-      dedupeTag: Option[String] = None): Option[Long] = {
+      dedupeTag: Option[String] = None): Option[Long] =
+    appendToIvfIndexHooked(inc, path, dedupeTag)
+
+  /** [[appendToIvfIndex]] with a test seam: `beforeRecheck` runs between
+    * the segment publish and the post-publish base re-check, where a
+    * concurrent rebuild's publish would land.
+    */
+  private[graft] def appendToIvfIndexHooked(inc: DataFrame, path: String,
+      dedupeTag: Option[String] = None,
+      beforeRecheck: () => Unit = () => ()): Option[Long] = {
     val spark = inc.sparkSession
     // at-least-once appenders (streaming foreachBatch replays a
     // micro-batch after crash recovery) pass a dedupeTag; a tag already
-    // on a PUBLISHED segment means this batch committed — skip. The tag
-    // rides the segof marker written before publish, so publish is the
-    // atomic exactly-once commit point
+    // COMMITTED (on a live-group segment, or echoed by vacuum) means
+    // this batch landed — skip. The tag rides the segof marker written
+    // before publish, so publish is the atomic commit point
     if (dedupeTag.exists(Warehouse.pathSegmentTagPublished(path, _))) return None
     // an empty increment must publish NOTHING: a schema-less parquet dir
     // would poison every subsequent probe's read. Checked on the raw
     // increment (assignNearest is row-preserving), BEFORE any base
     // resolve/centroid read — the streaming wrapper's per-batch hot path
     if (inc.isEmpty) return None
-    val (base, _) = Warehouse.resolvePathSegmented(path)
-    val centroids = spark.read.parquet(
-      s"${Warehouse.pathGenData(path, base)}/_centroids")
-    val assigned = assignNearest(inc, centroids)
-    val gen = Warehouse.claimPathGeneration(path)
-    val genPath = Warehouse.pathGenData(path, gen)
-    try {
-      assigned.write.mode("overwrite").partitionBy("cid").parquet(genPath)
-      // marked BEFORE publish, so a published segment is never mistaken
-      // for a full build; the catch burns the mark with the claim
-      Warehouse.markPathSegment(path, gen, base, dedupeTag)
-      Warehouse.publishPathGeneration(path, gen)
-    } catch { case e: Throwable =>
+    // append-vs-rebuild race: a rebuild publishing between our base
+    // resolve and our publish ORPHANS the segment (probes only read
+    // segments naming the live base), and its rows may predate the
+    // rebuild's corpus snapshot. The post-publish re-check detects the
+    // lost race, RETRACTS the orphan (safe — no probe can resolve a
+    // superseded-base segment) and re-appends against the winner's
+    // centroids, so the batch is never silently dropped. A crash inside
+    // the residual window leaves an orphan whose tag does NOT count as
+    // committed ([[graft.sources.Warehouse.segmentTagPublished]]), so
+    // the replay re-appends: at-least-once, never lost.
+    var attempt = 0
+    while (true) {
+      val (base, _) = Warehouse.resolvePathSegmented(path)
+      val centroids = spark.read.parquet(
+        s"${Warehouse.pathGenData(path, base)}/_centroids")
+      val assigned = assignNearest(inc, centroids)
+      val gen = Warehouse.claimPathGeneration(path)
+      val genPath = Warehouse.pathGenData(path, gen)
+      try {
+        assigned.write.mode("overwrite").partitionBy("cid").parquet(genPath)
+        // marked BEFORE publish, so a published segment is never mistaken
+        // for a full build; the catch burns the mark with the claim
+        Warehouse.markPathSegment(path, gen, base, dedupeTag)
+        Warehouse.publishPathGeneration(path, gen)
+      } catch { case e: Throwable =>
+        Warehouse.deletePathGenData(path, gen)
+        Warehouse.burnPathClaim(path, gen)
+        throw e
+      }
+      beforeRecheck()
+      if (Warehouse.resolvePathSegmented(path)._1 == base) return Some(gen)
       Warehouse.deletePathGenData(path, gen)
-      Warehouse.burnPathClaim(path, gen)
-      throw e
+      Warehouse.retractPathSegment(path, gen)
+      attempt += 1
+      require(attempt < 5,
+        s"appendToIvfIndex('$path') lost to $attempt consecutive concurrent " +
+          "rebuilds — aborting (the batch is safe to replay)")
     }
-    Some(gen)
+    None // unreachable
   }
 
   /** Reclaim superseded IVF generations — the fixed-floor segmented

@@ -867,40 +867,72 @@ object TextAnalysis {
     * gate-pinned). At 100 TB the corpus is tokenized/exploded once per
     * rebuild and every ingest batch pays only its own postings write;
     * callers append NEW doc_ids only (the d7/d16 ingest contract).
-    * `buckets` must match the base build's layout.
+    * The segment's bucket layout always derives from the base build's
+    * catalog metadata (a diverging layout would silently void
+    * cross-segment pruning, so unreadable metadata fails loudly).
     */
-  def appendToBm25Store(docs: DataFrame, name: String, buckets: Int = 32,
-      dedupeTag: Option[String] = None): Option[Long] = {
+  def appendToBm25Store(docs: DataFrame, name: String,
+      dedupeTag: Option[String] = None): Option[Long] =
+    appendToBm25StoreHooked(docs, name, dedupeTag)
+
+  /** [[appendToBm25Store]] with a test seam: `beforeRecheck` runs between
+    * the segment publish and the post-publish base re-check, where a
+    * concurrent rebuild's publish would land.
+    */
+  private[graft] def appendToBm25StoreHooked(docs: DataFrame, name: String,
+      dedupeTag: Option[String] = None,
+      beforeRecheck: () => Unit = () => ()): Option[Long] = {
     import graft.sources.Warehouse
     val spark = docs.sparkSession
-    // at-least-once appenders pass a dedupeTag; a tag already on a
-    // PUBLISHED segment means this batch committed — skip (the tag rides
-    // the segof marker written before publish, so publish is the atomic
-    // exactly-once commit point)
+    // at-least-once appenders pass a dedupeTag; a tag already COMMITTED
+    // (on a live-group segment, or echoed by vacuum) means this batch
+    // landed — skip (the tag rides the segof marker written before
+    // publish, so publish is the atomic commit point)
     if (dedupeTag.exists(Warehouse.segmentTagPublished(spark, name, _))) return None
     // an empty increment publishes nothing — checked BEFORE the base
     // resolve and the bucket-metadata lookup (the streaming wrapper's
     // per-batch hot path pays one first-row job, nothing else)
     if (docs.isEmpty) return None
-    val (base, _) = Warehouse.resolveSegmented(spark, name)
-    // the segment MUST share the base's bucket layout for per-term
-    // pruning to hold across the union — derive it from the base's
-    // catalog metadata; `buckets` is only the fallback when the
-    // metadata is unreadable
-    val layout = Warehouse.bucketCount(spark,
-      Warehouse.storeTableName(name, base, "postings")).getOrElse(buckets)
-    val gen = Warehouse.claimGeneration(spark, name)
-    try {
-      writeBm25Generation(docs, name, gen, layout)
-      Warehouse.markSegment(spark, name, gen, base, dedupeTag)
-      Warehouse.publishGeneration(spark, name, gen)
-      Some(gen)
-    } catch {
-      case e: Throwable =>
-        dropBm25Generation(spark, name, gen)
-        Warehouse.burnClaim(spark, name, gen)
-        throw e
+    // append-vs-rebuild race: same protocol as
+    // [[graft.operators.Similarity.appendToIvfIndex]] — publish, then
+    // re-check the live base; a lost race retracts the orphan and
+    // re-appends against the winner, so the batch is never silently
+    // dropped (an orphan's tag never counts as committed)
+    var attempt = 0
+    while (true) {
+      val (base, _) = Warehouse.resolveSegmented(spark, name)
+      // the segment MUST share the base's bucket layout for per-term
+      // pruning to hold across the union — derived from the base's
+      // catalog metadata, never a caller-repeated parameter; unreadable
+      // metadata refuses the append instead of guessing
+      val layout = Warehouse.bucketCount(spark,
+        Warehouse.storeTableName(name, base, "postings"))
+        .getOrElse(throw new IllegalStateException(
+          s"BM25 store '$name' base generation $base has unreadable bucket " +
+            "metadata — refusing to append a segment whose layout could " +
+            "diverge from the base (cross-segment pruning would silently " +
+            "void); rebuild the base or drop the store"))
+      val gen = Warehouse.claimGeneration(spark, name)
+      try {
+        writeBm25Generation(docs, name, gen, layout)
+        Warehouse.markSegment(spark, name, gen, base, dedupeTag)
+        Warehouse.publishGeneration(spark, name, gen)
+      } catch {
+        case e: Throwable =>
+          dropBm25Generation(spark, name, gen)
+          Warehouse.burnClaim(spark, name, gen)
+          throw e
+      }
+      beforeRecheck()
+      if (Warehouse.resolveSegmented(spark, name)._1 == base) return Some(gen)
+      dropBm25Generation(spark, name, gen)
+      Warehouse.retractSegment(spark, name, gen)
+      attempt += 1
+      require(attempt < 5,
+        s"appendToBm25Store('$name') lost to $attempt consecutive concurrent " +
+          "rebuilds — aborting (the batch is safe to replay)")
     }
+    None // unreachable
   }
 
   /** Query the persisted BM25 index: same output contract as [[bm25]]
@@ -921,11 +953,23 @@ object TextAnalysis {
       .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "postings"))
         .filter(col("token").isin(terms: _*)))
       .reduce(_ unionAll _)
-    val stats = (base +: segs)
+    val statsTables = (base +: segs)
       .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "stats")))
-      .reduce(_ unionAll _)
-      .agg(sum(col("n_docs")).as("n_docs"),
-        (sum(col("dl_sum")) / sum(col("n_docs"))).as("avgdl"))
+    // back-compat: stores persisted before dl_sum existed carry only
+    // (n_docs, avgdl). A single-generation legacy store uses its stored
+    // avgdl verbatim (exact); a legacy table inside a multi-generation
+    // union reconstructs dl_sum = avgdl × n_docs (the one lossy float
+    // product its own build already performed, inverted)
+    val stats =
+      if (statsTables.size == 1 && !statsTables.head.columns.contains("dl_sum"))
+        statsTables.head.select(col("n_docs"), col("avgdl"))
+      else statsTables
+        .map(st =>
+          if (st.columns.contains("dl_sum")) st.select(col("n_docs"), col("dl_sum"))
+          else st.select(col("n_docs"), (col("avgdl") * col("n_docs")).as("dl_sum")))
+        .reduce(_ unionAll _)
+        .agg(sum(col("n_docs")).as("n_docs"),
+          (sum(col("dl_sum")) / sum(col("n_docs"))).as("avgdl"))
     val dfT = hits.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
     val w = Window.orderBy(col("score").desc, col("doc_id"))
     hits

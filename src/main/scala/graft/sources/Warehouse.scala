@@ -157,17 +157,76 @@ object Warehouse {
     }
   }
 
-  /** True iff `tag` ever committed — on a live published segment OR as a
-    * `tagdone-` echo left by vacuum before it reclaimed the tagged
-    * segment's markers. The echo is what keeps "a batch id once
-    * published is never re-appended, even across a rebuild" true after
-    * the superseded segment itself is vacuumed: without it, a replay
-    * arriving after rebuild+vacuum would find no trace of its batch and
-    * double-append onto the new base.
+  /** Did segment `g` (naming base `b`) join its base's group BEFORE a
+    * later full build superseded it? `fulls` is the full-build set from
+    * the same listing `g` came from. A segment published AFTER a rebuild
+    * that races it is an ORPHAN — it names a base some full build in
+    * `(b, g)` already superseded, its rows were never guaranteed to be
+    * absorbed by that rebuild, and its batch must therefore NOT count as
+    * committed (a replay re-appends it: at-least-once duplicates beat
+    * silent loss). Committed segments (no full build between their base
+    * and them) were live group members, and a later rebuild reading the
+    * grown corpus absorbed them.
+    */
+  private def segmentCommitted(fulls: Set[Long], b: Long, g: Long): Boolean =
+    !fulls.exists(f => f > b && f < g)
+
+  /** The durable committed-tag manifest — vacuum folds `tagdone-` marker
+    * files into this single file so a long-lived streaming ingest store
+    * does not accumulate one marker per micro-batch forever.
+    */
+  private def tagLog(dir: Path): Path = dir.resolve("tagdone.log")
+
+  private def manifestTags(dir: Path): Set[String] =
+    if (Files.exists(tagLog(dir)))
+      Files.readAllLines(tagLog(dir)).asScala.iterator.map(_.trim).filter(_.nonEmpty).toSet
+    else Set.empty
+
+  private def listTagMarkers(dir: Path): Seq[String] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toSeq.map(_.getFileName.toString)
+        .filter(_.startsWith("tagdone-")).map(_.stripPrefix("tagdone-"))
+      finally s.close()
+    }
+
+  /** Fold `tagdone-` marker files into the manifest (atomic temp+move;
+    * union-with-existing, so a crash between the move and the marker
+    * deletes loses nothing — both sources are consulted by
+    * [[tagPublishedIn]]).
+    */
+  private def compactTagMarkers(dir: Path): Unit = {
+    val markers = listTagMarkers(dir)
+    if (markers.nonEmpty) {
+      val union = (manifestTags(dir) ++ markers).toSeq.sorted
+      val tmp = dir.resolve(s"tagdone.log.tmp-${System.nanoTime()}")
+      Files.write(tmp, union.asJava)
+      Files.move(tmp, tagLog(dir),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      markers.foreach(t => Files.deleteIfExists(dir.resolve(s"tagdone-$t")))
+    }
+  }
+
+  /** True iff `tag` ever COMMITTED — on a published segment that was a
+    * live group member ([[segmentCommitted]]: orphans left by an
+    * append-vs-rebuild race do NOT count, so their batches re-append on
+    * replay), as a `tagdone-` echo left by vacuum before it reclaimed
+    * the tagged segment's markers, or in the folded manifest. The echo
+    * is what keeps "a batch id once published is never re-appended,
+    * even across a rebuild" true after the superseded segment itself is
+    * vacuumed: without it, a replay arriving after rebuild+vacuum would
+    * find no trace of its batch and double-append onto the new base.
     */
   private def tagPublishedIn(dir: Path, tag: String): Boolean =
     Files.exists(dir.resolve(s"tagdone-$tag")) ||
-      listGens(dir, "ready-").exists(g => segmentTagIn(dir, g).contains(tag))
+      manifestTags(dir).contains(tag) || {
+        val ready = listGens(dir, "ready-")
+        val fulls = ready.filter(g => segmentBaseIn(dir, g).isEmpty).toSet
+        ready.exists(g => segmentTagIn(dir, g).contains(tag) &&
+          segmentBaseIn(dir, g).exists(b => segmentCommitted(fulls, b, g)))
+      }
 
   private def resolveSegmentedIn(dir: Path, what: String): (Long, Seq[Long]) = {
     val pubs = listGens(dir, "ready-")
@@ -230,6 +289,27 @@ object Warehouse {
   def burnClaim(spark: SparkSession, store: String, gen: Long): Unit = {
     Files.deleteIfExists(genDir(spark, store).resolve(s"segof-$gen"))
     Files.deleteIfExists(genDir(spark, store).resolve(s"claim-$gen"))
+  }
+
+  /** Retract a just-published ORPHANED segment — the appender's post-
+    * publish re-check found a rebuild won the race, so this segment
+    * names a superseded base. Deleting the ready marker is safe:
+    * [[resolveSegmented]] never returns a segment whose base is not the
+    * live full build, so no probe can have planned against it. The
+    * caller drops the segment's tables first, then retracts, then
+    * re-appends against the new base.
+    */
+  def retractSegment(spark: SparkSession, store: String, gen: Long): Unit = {
+    Files.deleteIfExists(genDir(spark, store).resolve(s"ready-$gen"))
+    burnClaim(spark, store, gen)
+  }
+
+  /** [[retractSegment]] for path stores (caller deletes the data dir
+    * first via [[deletePathGenData]]).
+    */
+  def retractPathSegment(root: String, gen: Long): Unit = {
+    Files.deleteIfExists(pathGenDir(root).resolve(s"ready-$gen"))
+    burnPathClaim(root, gen)
   }
 
   /** Drop published generations older than the newest `keep`, and
@@ -312,34 +392,48 @@ object Warehouse {
         case None => Set.empty
       }
     val dropGens = selected.filterNot(liveGroup.contains)
+    // full-build set from the PRE-SWEEP listing: the commit test below
+    // must see any intermediate full build being retired in this same
+    // pass, or an orphan swept alongside it would look committed
+    val fulls = ready.filter(g => segmentBaseIn(dir, g).isEmpty).toSet
     dropGens.foreach(deleteGen)
     dropGens.foreach { g =>
-      // a reclaimed PUBLISHED segment's dedupe tag echoes to a durable
+      // a reclaimed COMMITTED segment's dedupe tag echoes to a durable
       // `tagdone-` marker BEFORE its segof goes, so replay detection
-      // survives the vacuum (unpublished claims below get no echo —
-      // their batches never committed and SHOULD re-append)
-      segmentTagIn(dir, g).foreach { t =>
-        scala.util.Try(Files.createFile(dir.resolve(s"tagdone-$t")))
+      // survives the vacuum. No echo for unpublished claims below OR for
+      // orphans of an append-vs-rebuild race ([[segmentCommitted]]) —
+      // neither batch made it into the live index, and both SHOULD
+      // re-append on replay
+      segmentBaseIn(dir, g).filter(b => segmentCommitted(fulls, b, g)).foreach { _ =>
+        segmentTagIn(dir, g).foreach { t =>
+          scala.util.Try(Files.createFile(dir.resolve(s"tagdone-$t")))
+        }
       }
       Files.deleteIfExists(dir.resolve(s"ready-$g"))
       Files.deleteIfExists(dir.resolve(s"claim-$g"))
       Files.deleteIfExists(dir.resolve(s"segof-$g"))
     }
-    // burned claims (no ready marker), above or below the kept floor;
-    // their segof markers go too — a re-issued generation number must
-    // never inherit a dead append's segment mark
+    // burned claims (no ready marker) BELOW the newest published
+    // generation; their segof markers go too — a re-issued generation
+    // number must never inherit a dead append's segment mark. Every
+    // claim ABOVE the newest ready marker is protected regardless of
+    // age: each one may be an in-flight build or append (two concurrent
+    // appenders hold two such claims — protecting only the maximum
+    // would fail the lower append mid-write under a minAgeMs=0 vacuum).
     val readyLeft = listGens(dir, "ready-")
     if (readyLeft.nonEmpty) {
-      val claims = listGens(dir, "claim-")
-      val highest = claims.foldLeft(Long.MinValue)(math.max)
-      claims
-        .filter(g => g != highest && !readyLeft.contains(g) && oldEnough(s"claim-$g"))
+      val newestReady = readyLeft.max
+      listGens(dir, "claim-")
+        .filter(g => g < newestReady && !readyLeft.contains(g) && oldEnough(s"claim-$g"))
         .foreach { g =>
           deleteGen(g)
           Files.deleteIfExists(dir.resolve(s"claim-$g"))
           Files.deleteIfExists(dir.resolve(s"segof-$g"))
         }
     }
+    // fold tagdone marker files into the single manifest so a streaming
+    // ingest store does not grow one marker file per micro-batch forever
+    compactTagMarkers(dir)
   }
 
   // ---------------------------------------------------------------------

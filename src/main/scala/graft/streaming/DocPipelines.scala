@@ -483,7 +483,7 @@ object DocPipelines {
     * streamId would silently skip the new batches as replays. Retire
     * checkpoint and streamId together.
     */
-  def bm25IngestStream(docs: DataFrame, storeName: String, buckets: Int = 32,
+  def bm25IngestStream(docs: DataFrame, storeName: String,
       streamId: String = "bm25-ingest"):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
@@ -491,7 +491,7 @@ object DocPipelines {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // empty batches are the append's own fast no-op (it publishes
         // nothing and returns None)
-        graft.operators.TextAnalysis.appendToBm25Store(batch, storeName, buckets,
+        graft.operators.TextAnalysis.appendToBm25Store(batch, storeName,
           dedupeTag = Some(s"$streamId:$batchId"))
         ()
       }

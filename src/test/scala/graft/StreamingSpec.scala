@@ -904,7 +904,7 @@ class StreamingSpec extends SparkSpecBase {
       df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
     val mem = MemoryStream[(Long, String)]
     val q = graft.streaming.DocPipelines.bm25IngestStream(
-      mem.toDF().toDF("doc_id", "text"), "bm25ing", buckets = 8).start()
+      mem.toDF().toDF("doc_id", "text"), "bm25ing").start()
     try {
       val (first, second) = arrivals.splitAt(arrivals.length / 2)
       mem.addData(first.toIndexedSeq); q.processAllAvailable()

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.sources.{Tables, Warehouse}
@@ -292,19 +294,25 @@ class WarehouseSpec extends SparkSpecBase {
     assert(spark.catalog.tableExists(Warehouse.storeTableName("claimstore", g1, "x")),
       "the in-flight build's tables must survive the claim sweep")
 
-    // after the first publish: a dead claim BELOW the newest claim is
-    // reclaimed (a later build claimed past it, so its build is gone),
-    // but the highest claim could still publish and is never swept
+    // after the first publish: EVERY claim above the newest published
+    // generation is protected — with two concurrent appenders both hold
+    // such claims, and sweeping the lower one would fail that append
+    // mid-write under a minAgeMs=0 vacuum
     Warehouse.publishGeneration(spark, "claimstore", g1)
-    val dead = Warehouse.claimGeneration(spark, "claimstore")
-    val inflight = Warehouse.claimGeneration(spark, "claimstore")
+    val lower = Warehouse.claimGeneration(spark, "claimstore")
+    val upper = Warehouse.claimGeneration(spark, "claimstore")
     Warehouse.vacuumStoreGenerations(spark, "claimstore", Seq("x"), keep = 1, minAgeMs = 0L)
-    assert(!java.nio.file.Files.exists(genMarker("claimstore", s"claim-$dead")),
-      "a burned claim below the newest claim must be reclaimed (even above the ready floor)")
-    assert(java.nio.file.Files.exists(genMarker("claimstore", s"claim-$inflight")),
-      "the highest claim is never swept — its build may still publish")
+    assert(java.nio.file.Files.exists(genMarker("claimstore", s"claim-$lower")) &&
+      java.nio.file.Files.exists(genMarker("claimstore", s"claim-$upper")),
+      "claims above the newest ready marker may all be in-flight builds — none is swept")
     assert(java.nio.file.Files.exists(genMarker("claimstore", s"ready-$g1")),
       "the kept generation stays published")
+    // once a later build PUBLISHES past a claim, that claim is provably
+    // dead (its number can never be the live generation) and reclaimed
+    Warehouse.publishGeneration(spark, "claimstore", upper)
+    Warehouse.vacuumStoreGenerations(spark, "claimstore", Seq("x"), keep = 1, minAgeMs = 0L)
+    assert(!java.nio.file.Files.exists(genMarker("claimstore", s"claim-$lower")),
+      "a claim surpassed by a published generation is dead and reclaimed")
     Warehouse.dropStore(spark, "claimstore", Seq("x"))
   }
 
@@ -421,7 +429,7 @@ class WarehouseSpec extends SparkSpecBase {
     // bucket-prune to the query terms' buckets
     Warehouse.dropStore(spark, "bm25prune", Seq("postings", "stats"))
     TextAnalysis.buildBm25Store(t.documents.filter(col("doc_id") < half), "bm25prune", buckets = 8)
-    TextAnalysis.appendToBm25Store(t.documents.filter(col("doc_id") >= half), "bm25prune", buckets = 8)
+    TextAnalysis.appendToBm25Store(t.documents.filter(col("doc_id") >= half), "bm25prune")
     val bplan = TextAnalysis.bm25AgainstStore(spark, "bm25prune")
       .queryExecution.executedPlan.toString
     val sel = "SelectedBucketsCount: (\\d+) out of 8".r
@@ -499,10 +507,10 @@ class WarehouseSpec extends SparkSpecBase {
     TextAnalysis.buildBm25Store(t.documents.filter(col("doc_id") < half), "bm25seg", buckets = 8)
     val pre = key(TextAnalysis.bm25AgainstStore(spark, "bm25seg"))
     val seg = TextAnalysis.appendToBm25Store(
-      t.documents.filter(col("doc_id") >= half), "bm25seg", buckets = 8)
+      t.documents.filter(col("doc_id") >= half), "bm25seg")
     assert(seg.contains(2L), "the append claims and publishes the next generation")
     assert(TextAnalysis.appendToBm25Store(
-      t.documents.filter(col("doc_id") < 0), "bm25seg", buckets = 8).isEmpty,
+      t.documents.filter(col("doc_id") < 0), "bm25seg").isEmpty,
       "an empty increment must not publish a segment")
     val one = key(TextAnalysis.bm25AgainstStore(spark, "bm25seg"))
     assert(one != pre, "appended documents must be reachable (and shift df/avgdl)")
@@ -514,9 +522,9 @@ class WarehouseSpec extends SparkSpecBase {
     val mid = half + (t.documents.count() - half) / 2
     TextAnalysis.buildBm25Store(t.documents.filter(col("doc_id") < half), "bm25seg2", buckets = 8)
     TextAnalysis.appendToBm25Store(
-      t.documents.filter(col("doc_id") >= half && col("doc_id") < mid), "bm25seg2", buckets = 8)
+      t.documents.filter(col("doc_id") >= half && col("doc_id") < mid), "bm25seg2")
     TextAnalysis.appendToBm25Store(
-      t.documents.filter(col("doc_id") >= mid), "bm25seg2", buckets = 8)
+      t.documents.filter(col("doc_id") >= mid), "bm25seg2")
     assert(key(TextAnalysis.bm25AgainstStore(spark, "bm25seg2")) == one,
       "segment batching must not change probe results")
 
@@ -624,7 +632,7 @@ class WarehouseSpec extends SparkSpecBase {
     // would-be segment mark must both burn
     intercept[Throwable] {
       TextAnalysis.appendToBm25Store(
-        t.documents.filter(col("doc_id") >= 100).drop("text"), "bm25burn", buckets = 8)
+        t.documents.filter(col("doc_id") >= 100).drop("text"), "bm25burn")
     }
     assert(Warehouse.segmentBase(spark, "bm25burn", 2L).isEmpty,
       "the failed append's segment mark must not survive its burned claim")
@@ -728,5 +736,138 @@ class WarehouseSpec extends SparkSpecBase {
     val d16 = SparkEntry.queries("d16_store_probe")(spark, sfDir).collect().map(_.toSeq).toSet
     val d7 = SparkEntry.queries("d7_dedup_incremental")(spark, sfDir).collect().map(_.toSeq).toSet
     assert(d16 == d7 && d16.nonEmpty)
+  }
+
+  test("append-vs-rebuild race: the appender retracts its orphan and re-appends against the winner") {
+    import graft.operators.{Similarity, TextAnalysis}
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+    val half = t.documents.count() / 2
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // BM25: a rebuild publishes between the segment publish and the
+    // post-publish re-check (the race window) — the appender must
+    // retract gen 2 and re-append as a segment of the winner
+    Warehouse.dropStore(spark, "bm25race", Seq("postings", "stats"))
+    TextAnalysis.buildBm25Store(t.documents.filter(col("doc_id") < half), "bm25race", buckets = 8)
+    val batch = t.documents.filter(col("doc_id") >= half)
+    var rebuilt = false
+    val seg = TextAnalysis.appendToBm25StoreHooked(batch, "bm25race", Some("r:1"), () => {
+      if (!rebuilt) { rebuilt = true
+        TextAnalysis.buildBm25Store(t.documents.filter(col("doc_id") < half), "bm25race", buckets = 8)
+      }
+    })
+    assert(seg.contains(4L),
+      "attempt 1 (gen 2) lost to the rebuild (gen 3); the re-append must publish gen 4")
+    assert(Warehouse.resolveSegmented(spark, "bm25race") == ((3L, Seq(4L))),
+      "the live read set is the winning rebuild plus the re-appended segment")
+    assert(Warehouse.segmentTagPublished(spark, "bm25race", "r:1"))
+    assert(TextAnalysis.appendToBm25Store(batch, "bm25race", dedupeTag = Some("r:1")).isEmpty,
+      "the re-appended batch's tag commits exactly once")
+    assert(key(TextAnalysis.bm25AgainstStore(spark, "bm25race")) == key(TextAnalysis.bm25(t)),
+      "after the lost race the batch is in the index — never silently dropped")
+    assert(!spark.catalog.tableExists(Warehouse.storeTableName("bm25race", 2L, "postings")),
+      "the orphan's tables are gone")
+    Warehouse.dropStore(spark, "bm25race", Seq("postings", "stats"))
+
+    // IVF: same protocol on the path store
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfrace_").resolve("idx").toString
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val vhalf = emb.count() / 2
+    Similarity.buildIvfIndexOf(emb.filter(col("vec_id") < vhalf), root)
+    var vrebuilt = false
+    val vseg = Similarity.appendToIvfIndexHooked(
+      emb.filter(col("vec_id") >= vhalf), root, Some("v:1"), () => {
+        if (!vrebuilt) { vrebuilt = true
+          Similarity.buildIvfIndexOf(emb.filter(col("vec_id") < vhalf), root)
+        }
+      })
+    assert(vseg.contains(4L))
+    assert(Warehouse.resolvePathSegmented(root) == ((3L, Seq(4L))))
+    assert(Warehouse.pathSegmentTagPublished(root, "v:1"))
+    assert(Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") >= vhalf), root, Some("v:1")).isEmpty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(Warehouse.pathGenData(root, 2L))),
+      "the orphan segment's data dir is gone")
+  }
+
+  test("orphan tags never commit; vacuum echoes only committed tags and folds them into one manifest") {
+    val store = "tagproto"
+    Warehouse.dropStore(spark, store, Seq("x"))
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "_generations", store)
+
+    val g1 = Warehouse.claimGeneration(spark, store) // full build
+    Warehouse.publishGeneration(spark, store, g1)
+    val g2 = Warehouse.claimGeneration(spark, store) // committed segment of g1
+    Warehouse.markSegment(spark, store, g2, g1, Some("commit:1"))
+    Warehouse.publishGeneration(spark, store, g2)
+    val g3 = Warehouse.claimGeneration(spark, store) // rebuild
+    Warehouse.publishGeneration(spark, store, g3)
+    val g4 = Warehouse.claimGeneration(spark, store) // ORPHAN: names g1 AFTER g3 superseded it
+    Warehouse.markSegment(spark, store, g4, g1, Some("orphan:1"))
+    Warehouse.publishGeneration(spark, store, g4)
+
+    assert(Warehouse.segmentTagPublished(spark, store, "commit:1"),
+      "a segment that joined its base before the rebuild is committed (the rebuild absorbed it)")
+    assert(!Warehouse.segmentTagPublished(spark, store, "orphan:1"),
+      "an orphan's batch never landed in the live index — its replay must re-append")
+
+    // a further rebuild passes the orphan; the segmented vacuum reclaims
+    // the superseded chain and the orphan with it
+    val g5 = Warehouse.claimGeneration(spark, store)
+    Warehouse.publishGeneration(spark, store, g5)
+    Warehouse.vacuumSegmentedStore(spark, store, Seq("x"), minAgeMs = 0L)
+    assert(Warehouse.segmentTagPublished(spark, store, "commit:1"),
+      "the committed tag survives its segment's vacuum")
+    assert(!Warehouse.segmentTagPublished(spark, store, "orphan:1"),
+      "the orphan's tag is NOT echoed by vacuum")
+    // and the echo lives in the single folded manifest, not loose markers
+    val loose = {
+      val st = java.nio.file.Files.list(dir)
+      try st.iterator().asScala.toSeq.map(_.getFileName.toString).filter(_.startsWith("tagdone-"))
+      finally st.close()
+    }
+    assert(loose.isEmpty && java.nio.file.Files.exists(dir.resolve("tagdone.log")),
+      "vacuum folds tagdone markers into one manifest file")
+
+    // claim protection: EVERY claim above the newest published generation
+    // survives a minAgeMs=0 vacuum (two concurrent in-flight appends)
+    val c6 = Warehouse.claimGeneration(spark, store)
+    val c7 = Warehouse.claimGeneration(spark, store)
+    Warehouse.vacuumSegmentedStore(spark, store, Seq("x"), minAgeMs = 0L)
+    assert(java.nio.file.Files.exists(dir.resolve(s"claim-$c6")) &&
+      java.nio.file.Files.exists(dir.resolve(s"claim-$c7")),
+      "in-flight claims above the newest ready marker are never swept")
+    // once a later build PUBLISHES, a dead lower claim is reclaimed
+    Warehouse.publishGeneration(spark, store, c7)
+    Warehouse.vacuumSegmentedStore(spark, store, Seq("x"), minAgeMs = 0L)
+    assert(!java.nio.file.Files.exists(dir.resolve(s"claim-$c6")),
+      "a claim surpassed by a published generation is dead and reclaimed")
+    Warehouse.dropStore(spark, store, Seq("x"))
+  }
+
+  test("bm25AgainstStore reads stores persisted before dl_sum existed") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val t = Tables(spark, sfDir)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    Warehouse.dropStore(spark, "bm25legacy", Seq("postings", "stats"))
+    TextAnalysis.buildBm25Store(t.documents, "bm25legacy", buckets = 8)
+    val gen = Warehouse.resolveGeneration(spark, "bm25legacy")
+    val statsT = Warehouse.storeTableName("bm25legacy", gen, "stats")
+    // rewrite the stats table in the pre-dl_sum shape (n_docs, avgdl)
+    val old = spark.table(statsT).select(col("n_docs"), col("avgdl")).collect()(0)
+    Warehouse.drop(spark, statsT)
+    Seq((old.getDouble(0), old.getDouble(1))).toDF("n_docs", "avgdl")
+      .write.format("parquet").saveAsTable(statsT)
+    assert(key(TextAnalysis.bm25AgainstStore(spark, "bm25legacy")) == key(TextAnalysis.bm25(t)),
+      "a single-generation legacy store must score with its stored avgdl, not fail")
+    Warehouse.dropStore(spark, "bm25legacy", Seq("postings", "stats"))
   }
 }
