@@ -870,4 +870,50 @@ class WarehouseSpec extends SparkSpecBase {
       "a single-generation legacy store must score with its stored avgdl, not fail")
     Warehouse.dropStore(spark, "bm25legacy", Seq("postings", "stats"))
   }
+
+  test("PlanAudit surfaces the store layer's plan shape as data") {
+    import graft.operators.{Dedup, Similarity, TextAnalysis}
+    import graft.sources.PlanAudit
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+
+    // BM25 probe: the postings scan must show bucket pruning (|terms|
+    // of 8 buckets) and the term filter pushed to parquet
+    Warehouse.dropStore(spark, "auditbm25", Seq("postings", "stats"))
+    TextAnalysis.buildBm25Store(t.documents, "auditbm25", buckets = 8)
+    val bmAudit = PlanAudit.planAudit(
+      TextAnalysis.bm25AgainstStore(spark, "auditbm25")).collect()
+    val postingScans = bmAudit.filter(r => r.getString(0) == "scan" &&
+      r.getString(1).contains("auditbm25") && r.getString(1).contains("postings"))
+    assert(postingScans.nonEmpty, "the probe must scan the postings table")
+    assert(postingScans.forall(_.getString(5).matches("\\d+ out of 8")),
+      s"bucket pruning must select from the base's 8 buckets: ${postingScans.mkString}")
+    assert(postingScans.exists(_.getString(3).contains("In(token")),
+      "the term filter must reach the parquet scan")
+    Warehouse.dropStore(spark, "auditbm25", Seq("postings", "stats"))
+
+    // signature-store ingest probe: NO shuffle moves store-side band
+    // keys; the only band-key exchange is the batch side's explicit
+    // alignment (fband_hash) — WarehouseSpec's string assertion, as data
+    Warehouse.dropStore(spark, "auditsig", Seq("bands", "sigs"))
+    Dedup.buildSignatureStore(t.documents.filter(col("doc_id") < 250), "auditsig")
+    val sigAudit = PlanAudit.planAudit(Dedup.minhashIncrementalAgainstStore(
+      "auditsig", t.documents.filter(col("doc_id") >= 250))).collect()
+    val shuffles = sigAudit.filter(_.getString(0) == "shuffle").map(_.getString(6))
+    assert(!shuffles.exists(_.contains("(band_hash#")),
+      s"store bands must never shuffle: ${shuffles.mkString("; ")}")
+    assert(shuffles.exists(_.contains("fband_hash")),
+      "the batch side aligns to the store's bucket layout")
+    Warehouse.dropStore(spark, "auditsig", Seq("bands", "sigs"))
+
+    // IVF probe: the index scan must carry a cid partition filter
+    // (directory pruning — the index's load-bearing scale property)
+    val root = java.nio.file.Files.createTempDirectory("graft_audit_").resolve("idx").toString
+    Similarity.buildIvfIndex(t, root)
+    val ivfAudit = PlanAudit.planAudit(Similarity.searchIvfIndex(t, root)).collect()
+    val idxScans = ivfAudit.filter(r => r.getString(0) == "scan" &&
+      r.getString(1).contains("/idx/"))
+    assert(idxScans.nonEmpty && idxScans.forall(_.getString(4).contains("cid")),
+      s"the IVF index scan must prune on cid: ${idxScans.mkString}")
+  }
 }
