@@ -24,6 +24,11 @@ package graft.etl
   */
 object HttpExtract {
 
+  /** The reference's retry schedule `API_RETRY_DELAY ** attempt` (base 2,
+    * 100 ms units) — the ONE definition every layer defaults to.
+    */
+  val defaultBackoff: Int => Long = a => 100L * math.round(math.pow(2, a))
+
   /** One response from the transport — what a fake (or a real client)
     * hands the policy per attempt.
     */
@@ -53,7 +58,7 @@ object HttpExtract {
       parse: String => A,
       empty: => A,
       maxAttempts: Int = 3,
-      backoffMs: Int => Long = a => 100L * math.round(math.pow(2, a)),
+      backoffMs: Int => Long = defaultBackoff,
       sleep: Long => Unit = Thread.sleep): A = {
     require(maxAttempts >= 1, "maxAttempts must be at least 1")
     var attempt = 0
@@ -87,7 +92,7 @@ object HttpExtract {
       fetch: Option[Long] => () => Response,
       load: (org.apache.spark.sql.SparkSession, Option[String]) => org.apache.spark.sql.DataFrame,
       maxAttempts: Int = 3,
-      backoffMs: Int => Long = a => 100L * math.round(math.pow(2, a)),
+      backoffMs: Int => Long = defaultBackoff,
       sleep: Long => Unit = Thread.sleep): Pipeline.Extract =
     (spark, since) =>
       request[org.apache.spark.sql.DataFrame](
@@ -106,7 +111,7 @@ object HttpExtract {
   def testConnection(
       get: () => Response,
       maxAttempts: Int = 3,
-      backoffMs: Int => Long = a => 100L * math.round(math.pow(2, a)),
+      backoffMs: Int => Long = defaultBackoff,
       sleep: Long => Unit = Thread.sleep): Boolean =
     try {
       request[Boolean](get, _ => true, true, maxAttempts, backoffMs, sleep)
@@ -130,7 +135,7 @@ object HttpExtract {
 final class EndpointClient(
     transport: String => HttpExtract.Response,
     maxAttempts: Int = 3,
-    backoffMs: Int => Long = a => 100L * math.round(math.pow(2, a)),
+    backoffMs: Int => Long = HttpExtract.defaultBackoff,
     sleep: Long => Unit = Thread.sleep) {
   import HttpExtract._
 

@@ -27,27 +27,30 @@ import org.apache.spark.sql.functions.col
   *     by the spec's version column), so the destination never sees an
   *     intra-batch key conflict and the upsert order within the batch
   *     cannot matter;
-  *   - the deduped increment is repartitioned ON the key columns, so a
-  *     given key is written by exactly one connection — concurrent
-  *     UPDATE/INSERT races on the same key cannot occur within a publish
-  *     (two-statement dialects would otherwise be racy);
+  *   - the deduped increment is repartitioned ON the key columns into at
+  *     most `maxConnections` partitions, so a given key is written by
+  *     exactly one connection (two-statement dialects would otherwise be
+  *     racy) and a 3-row increment does not open 32 transactions;
   *   - each partition writes in ONE transaction (autoCommit off, commit
   *     at partition end, rollback on failure), so a task retry re-runs
   *     a clean slate and the upsert itself makes re-publishing the same
   *     increment a no-op — idempotence, the seam's contract.
   *
   * Scale shape: only the increment moves (one shuffle on the key);
-  * per-partition JDBC writes parallelize across executors exactly like
-  * the reference's per-batch psycopg2 `execute_batch`, and the
-  * destination's own conflict resolution runs destination-side. This is
-  * the sanctioned imperative-per-partition RDD use — there is no
-  * declarative Spark operator for a JDBC upsert.
+  * per-partition writes go through JDBC BATCHES of `batchSize` rows
+  * (addBatch/executeBatch — the reference's psycopg2 `execute_batch`
+  * round-trip amortization), parallel across `maxConnections`
+  * connections, and the destination's own conflict resolution runs
+  * destination-side. This is the sanctioned imperative-per-partition
+  * RDD use — there is no declarative Spark operator for a JDBC upsert.
   */
 final class JdbcMergeSink(
     url: String,
     tableFor: String => String,
     dialect: JdbcMergeSink.Dialect = JdbcMergeSink.UpdateThenInsert,
-    connectionProperties: Properties = new Properties)
+    connectionProperties: Properties = new Properties,
+    maxConnections: Int = 16,
+    batchSize: Int = 500)
   extends Pipeline.MergeSink with Serializable {
 
   def this(url: String, table: String) = this(url, (_: String) => table)
@@ -55,6 +58,8 @@ final class JdbcMergeSink(
   override def publish(spec: Pipeline.TableSpec, fresh: DataFrame): Long = {
     require(spec.keyColumns.nonEmpty,
       s"JdbcMergeSink needs key columns to upsert '${spec.name}'")
+    require(maxConnections >= 1 && batchSize >= 1,
+      "maxConnections and batchSize must be positive")
     val deduped = Pipeline.merge(None, fresh, spec.keyColumns, spec.versionColumn)
     val columns = deduped.columns.toSeq
     val plan = dialect.plan(tableFor(spec.name), columns, spec.keyColumns)
@@ -64,8 +69,9 @@ final class JdbcMergeSink(
     val stopOnFirstChange = plan.stopOnFirstChange
     val jdbcUrl = url
     val props = connectionProperties
+    val chunk = batchSize
     deduped
-      .repartition(spec.keyColumns.map(col): _*)
+      .repartition(maxConnections, spec.keyColumns.map(col): _*)
       .rdd
       .mapPartitions { rows =>
         if (rows.isEmpty) Iterator(0L)
@@ -76,18 +82,33 @@ final class JdbcMergeSink(
             conn.setAutoCommit(false)
             val stmts = sqls.map(conn.prepareStatement)
             var n = 0L
-            rows.foreach { row =>
-              var done = false
+            rows.grouped(chunk).foreach { group =>
+              // each statement consumes the rows its predecessor did not
+              // settle: a single-statement upsert settles everything in
+              // one batch; update-then-insert batch-updates, then
+              // batch-inserts exactly the rows whose update matched none
+              var pending: Seq[org.apache.spark.sql.Row] = group
               stmts.zip(binds).foreach { case (ps, idxs) =>
-                if (!done) {
-                  idxs.zipWithIndex.foreach { case (ci, i) =>
-                    ps.setObject(i + 1, JdbcMergeSink.jdbcValue(row.get(ci)))
+                if (pending.nonEmpty) {
+                  pending.foreach { row =>
+                    idxs.zipWithIndex.foreach { case (ci, i) =>
+                      ps.setObject(i + 1, JdbcMergeSink.jdbcValue(row.get(ci)))
+                    }
+                    ps.addBatch()
                   }
-                  val changed = ps.executeUpdate()
-                  if (stopOnFirstChange && changed > 0) done = true
+                  val counts = ps.executeBatch()
+                  pending =
+                    if (!stopOnFirstChange) Seq.empty
+                    else {
+                      require(!counts.contains(java.sql.Statement.SUCCESS_NO_INFO),
+                        "driver reports SUCCESS_NO_INFO for batched updates — " +
+                          "update-then-insert needs exact counts; use a " +
+                          "single-statement upsert dialect for this destination")
+                      pending.zip(counts).collect { case (r, c) if c == 0 => r }
+                    }
                 }
               }
-              n += 1
+              n += group.size
             }
             stmts.foreach(_.close())
             conn.commit()

@@ -500,11 +500,16 @@ final class PipelineRunner(
     * record counts.
     */
   def run(strategy: Pipeline.Strategy, force: Boolean = false,
-      newWatermark: Option[Long] = None): Map[String, Long] = {
+      newWatermark: Option[Long] = None): Map[String, Long] =
+    orderedSpecs(strategy).flatMap(runOne(_, force, newWatermark)).toMap
+
+  /** The mode's table specs in dependency load order — the single
+    * definition [[run]] and [[runSummarized]] share.
+    */
+  private def orderedSpecs(strategy: Pipeline.Strategy): Seq[Pipeline.TableSpec] = {
     val selected = specs.filter(_.strategy == strategy).map(_.name).toSet
-    val ordered = Pipeline.loadOrder(specs).filter(selected.contains)
-    ordered.flatMap(name => runOne(specs.find(_.name == name).get, force, newWatermark))
-      .toMap
+    Pipeline.loadOrder(specs).filter(selected.contains)
+      .map(name => specs.find(_.name == name).get)
   }
 
   /** [[run]] plus the reference's execution summary (main.py:239-280):
@@ -522,19 +527,16 @@ final class PipelineRunner(
       case Pipeline.PreSeason => "pre_season"
       case Pipeline.PostRace => "post_race"
     }
-    val selected = specs.filter(_.strategy == strategy).map(_.name).toSet
-    val ordered = Pipeline.loadOrder(specs).filter(selected.contains)
-    val details = ordered.map { name =>
-      val spec = specs.find(_.name == name).get
+    val details = orderedSpecs(strategy).map { spec =>
       val s0 = metadata.nowSec
       try {
         runOne(spec, force, newWatermark) match {
-          case Some((_, n)) => Pipeline.TableRun(name, "success", n, metadata.nowSec - s0)
-          case None => Pipeline.TableRun(name, "skipped", 0L, metadata.nowSec - s0)
+          case Some((_, n)) => Pipeline.TableRun(spec.name, "success", n, metadata.nowSec - s0)
+          case None => Pipeline.TableRun(spec.name, "skipped", 0L, metadata.nowSec - s0)
         }
       } catch {
         case e: Exception =>
-          Pipeline.TableRun(name, "failed", 0L, metadata.nowSec - s0,
+          Pipeline.TableRun(spec.name, "failed", 0L, metadata.nowSec - s0,
             Option(e.getMessage).orElse(Some(e.getClass.getName)))
       }
     }

@@ -268,9 +268,10 @@ object Dedup {
     * the composition a real ingest loop runs: the corpus's signatures
     * and band index are already on disk (d16's build), so the labeling
     * derives from a band self-join over the PERSISTED bucketed tables
-    * and the corpus text is never read, let alone re-hashed. The band
-    * count is whatever the store was built with (it is baked into the
-    * bands table), which removes a parameter-drift risk the
+    * and the corpus text is never read, let alone re-hashed. BOTH scale
+    * constants come from the store itself — the band count is baked
+    * into the bands table and the signature length is the stored
+    * array's size — which removes the parameter-drift risk the
     * text-sourced build has. Output is bit-identical to
     * [[buildClusterStore]] over the same documents (same kernels, same
     * seed, spec-pinned).
@@ -282,7 +283,7 @@ object Dedup {
     * labeling layer.
     */
   def buildClusterStoreFromSignatureStore(spark: SparkSession, sigStore: String,
-      name: String, numHashes: Int = 64, threshold: Double = 0.5,
+      name: String, threshold: Double = 0.5,
       buckets: Int = 32, maxIter: Int = 100): Unit = {
     val sgen = Warehouse.resolveGeneration(spark, sigStore)
     val storeBands = Warehouse.table(spark, Warehouse.storeTableName(sigStore, sgen, "bands"))
@@ -295,7 +296,11 @@ object Dedup {
       .distinct()
       .join(storeSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(storeSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-      .filter(sig_agreement(col("sig_a"), col("sig_b")).cast("double") / numHashes >= threshold)
+      // the signature length comes from the stored array, never a
+      // caller-repeated parameter (a mismatched divisor would silently
+      // shift the Jaccard threshold)
+      .filter(sig_agreement(col("sig_a"), col("sig_b")).cast("double") /
+        size(col("sig_a")) >= threshold)
       .select(col("doc_a"), col("doc_b"))
     val gen = Warehouse.claimGeneration(spark, name)
     val labelsT = Warehouse.storeTableName(name, gen, "labels")

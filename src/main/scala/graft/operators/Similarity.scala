@@ -323,7 +323,14 @@ object Similarity {
         throw e
       }
       beforeRecheck()
-      if (Warehouse.resolvePathSegmented(path)._1 == base) return Some(gen)
+      if (Warehouse.resolvePathSegmented(path)._1 == base) {
+        // confirmed live: durably record the tag as committed (the only
+        // record that survives a later rebuild superseding this segment;
+        // a crash before this line leaves the tag uncommitted, so the
+        // replay re-appends — duplicates over loss)
+        dedupeTag.foreach(Warehouse.confirmPathSegmentTag(path, _))
+        return Some(gen)
+      }
       Warehouse.deletePathGenData(path, gen)
       Warehouse.retractPathSegment(path, gen)
       attempt += 1

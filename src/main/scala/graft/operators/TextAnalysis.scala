@@ -924,7 +924,14 @@ object TextAnalysis {
           throw e
       }
       beforeRecheck()
-      if (Warehouse.resolveSegmented(spark, name)._1 == base) return Some(gen)
+      if (Warehouse.resolveSegmented(spark, name)._1 == base) {
+        // confirmed live: durably record the tag as committed (the only
+        // record that survives a later rebuild superseding this segment;
+        // a crash before this line leaves the tag uncommitted, so the
+        // replay re-appends — duplicates over loss)
+        dedupeTag.foreach(Warehouse.confirmSegmentTag(spark, name, _))
+        return Some(gen)
+      }
       dropBm25Generation(spark, name, gen)
       Warehouse.retractSegment(spark, name, gen)
       attempt += 1

@@ -49,6 +49,10 @@ object PlanAudit {
   def planAudit(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    auditRows(df).toDF()
+  }
+
+  private def auditRows(df: DataFrame): Seq[AuditRow] =
     flatten(df.queryExecution.executedPlan).collect {
       case s: FileSourceScanExec =>
         val m = s.metadata
@@ -66,13 +70,13 @@ object PlanAudit {
         AuditRow("broadcast", "", "", "", "", "", b.outputPartitioning.toString)
       case r: ReusedExchangeExec =>
         AuditRow("reused_exchange", "", "", "", "", "", r.outputPartitioning.toString)
-    }.toDF()
-  }
+    }
 
-  /** Convenience: (shuffles, broadcasts) in `df`'s current plan. */
+  /** Convenience: (shuffles, broadcasts) in `df`'s current plan —
+    * counted driver-side on the walked plan, no Spark job.
+    */
   def exchangeCounts(df: DataFrame): (Long, Long) = {
-    val a = planAudit(df).collect()
-    (a.count(_.getString(0) == "shuffle").toLong,
-      a.count(_.getString(0) == "broadcast").toLong)
+    val a = auditRows(df)
+    (a.count(_.op == "shuffle").toLong, a.count(_.op == "broadcast").toLong)
   }
 }

@@ -157,20 +157,6 @@ object Warehouse {
     }
   }
 
-  /** Did segment `g` (naming base `b`) join its base's group BEFORE a
-    * later full build superseded it? `fulls` is the full-build set from
-    * the same listing `g` came from. A segment published AFTER a rebuild
-    * that races it is an ORPHAN — it names a base some full build in
-    * `(b, g)` already superseded, its rows were never guaranteed to be
-    * absorbed by that rebuild, and its batch must therefore NOT count as
-    * committed (a replay re-appends it: at-least-once duplicates beat
-    * silent loss). Committed segments (no full build between their base
-    * and them) were live group members, and a later rebuild reading the
-    * grown corpus absorbed them.
-    */
-  private def segmentCommitted(fulls: Set[Long], b: Long, g: Long): Boolean =
-    !fulls.exists(f => f > b && f < g)
-
   /** The durable committed-tag manifest — vacuum folds `tagdone-` marker
     * files into this single file so a long-lived streaming ingest store
     * does not accumulate one marker per micro-batch forever.
@@ -194,11 +180,23 @@ object Warehouse {
   /** Fold `tagdone-` marker files into the manifest (atomic temp+move;
     * union-with-existing, so a crash between the move and the marker
     * deletes loses nothing — both sources are consulted by
-    * [[tagPublishedIn]]).
+    * [[tagPublishedIn]]). The read-union-write is guarded by a
+    * create-new lock so two racing vacuums cannot clobber each other's
+    * fold (the loser skips — markers stay, the next vacuum folds them);
+    * a crash-stale lock past `lockTtlMs` is broken, and orphaned tmp
+    * files are swept under the lock.
     */
-  private def compactTagMarkers(dir: Path): Unit = {
+  private def compactTagMarkers(dir: Path, lockTtlMs: Long = 3600_000L): Unit = {
     val markers = listTagMarkers(dir)
-    if (markers.nonEmpty) {
+    if (markers.isEmpty) return
+    val lock = dir.resolve("tagdone.log.lock")
+    scala.util.Try(Files.getLastModifiedTime(lock).toMillis).toOption
+      .filter(_ < System.currentTimeMillis() - lockTtlMs)
+      .foreach(_ => Files.deleteIfExists(lock))
+    val locked = try { Files.createFile(lock); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!locked) return
+    try {
       val union = (manifestTags(dir) ++ markers).toSeq.sorted
       val tmp = dir.resolve(s"tagdone.log.tmp-${System.nanoTime()}")
       Files.write(tmp, union.asJava)
@@ -206,26 +204,50 @@ object Warehouse {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       markers.foreach(t => Files.deleteIfExists(dir.resolve(s"tagdone-$t")))
-    }
+      // sweep tmp files a crashed predecessor leaked
+      val s = Files.list(dir)
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("tagdone.log.tmp-"))
+        .foreach(p => Files.deleteIfExists(p))
+      finally s.close()
+    } finally Files.deleteIfExists(lock)
   }
 
-  /** True iff `tag` ever COMMITTED — on a published segment that was a
-    * live group member ([[segmentCommitted]]: orphans left by an
-    * append-vs-rebuild race do NOT count, so their batches re-append on
-    * replay), as a `tagdone-` echo left by vacuum before it reclaimed
-    * the tagged segment's markers, or in the folded manifest. The echo
-    * is what keeps "a batch id once published is never re-appended,
-    * even across a rebuild" true after the superseded segment itself is
-    * vacuumed: without it, a replay arriving after rebuild+vacuum would
-    * find no trace of its batch and double-append onto the new base.
+  /** Record that `tag`'s batch is COMMITTED — its segment is published
+    * and, per the appender's post-publish re-check, a member of the live
+    * group. This durable marker (folded into the manifest by vacuum) is
+    * the ONLY thing that keeps the tag honored after a later rebuild
+    * supersedes the segment; commitment is never inferred from
+    * generation numbers (claim order is not publish order, so interval
+    * heuristics misclassify a crashed appender's orphan as committed —
+    * silent data loss).
+    */
+  private def confirmTagIn(dir: Path, tag: String): Unit =
+    scala.util.Try(Files.createFile(dir.resolve(s"tagdone-$tag"))): Unit
+
+  /** True iff `tag` COMMITTED:
+    *
+    *   - an appender-confirmed `tagdone-` marker or its folded manifest
+    *     entry — the durable record, written only after the post-publish
+    *     re-check proved the segment joined the live group; or
+    *   - the tag rides a published segment of the CURRENT live group —
+    *     covers the instant between publish and confirmation for
+    *     concurrent readers (such a segment's rows ARE in the live read
+    *     set).
+    *
+    * A tag on a published segment naming a SUPERSEDED base with no
+    * confirmation counts as NOT committed: that is a crashed appender's
+    * orphan, its rows are in no live index, and its replay must
+    * re-append. At-least-once duplicates beat silent loss.
     */
   private def tagPublishedIn(dir: Path, tag: String): Boolean =
     Files.exists(dir.resolve(s"tagdone-$tag")) ||
       manifestTags(dir).contains(tag) || {
         val ready = listGens(dir, "ready-")
-        val fulls = ready.filter(g => segmentBaseIn(dir, g).isEmpty).toSet
-        ready.exists(g => segmentTagIn(dir, g).contains(tag) &&
-          segmentBaseIn(dir, g).exists(b => segmentCommitted(fulls, b, g)))
+        ready.reverse.find(g => segmentBaseIn(dir, g).isEmpty).exists { live =>
+          ready.exists(g => segmentTagIn(dir, g).contains(tag) &&
+            segmentBaseIn(dir, g).contains(live))
+        }
       }
 
   private def resolveSegmentedIn(dir: Path, what: String): (Long, Seq[Long]) = {
@@ -249,6 +271,13 @@ object Warehouse {
     */
   def segmentTagPublished(spark: SparkSession, store: String, tag: String): Boolean =
     tagPublishedIn(genDir(spark, store), tag)
+
+  /** Durably confirm a table-store segment tag as committed — called by
+    * the appender AFTER its post-publish re-check proved the segment
+    * joined the live group (see [[segmentTagPublished]]'s commit rules).
+    */
+  def confirmSegmentTag(spark: SparkSession, store: String, tag: String): Unit =
+    confirmTagIn(genDir(spark, store), tag)
 
   /** The base generation `gen` is a segment of, or None for full
     * builds.
@@ -392,23 +421,14 @@ object Warehouse {
         case None => Set.empty
       }
     val dropGens = selected.filterNot(liveGroup.contains)
-    // full-build set from the PRE-SWEEP listing: the commit test below
-    // must see any intermediate full build being retired in this same
-    // pass, or an orphan swept alongside it would look committed
-    val fulls = ready.filter(g => segmentBaseIn(dir, g).isEmpty).toSet
     dropGens.foreach(deleteGen)
     dropGens.foreach { g =>
-      // a reclaimed COMMITTED segment's dedupe tag echoes to a durable
-      // `tagdone-` marker BEFORE its segof goes, so replay detection
-      // survives the vacuum. No echo for unpublished claims below OR for
-      // orphans of an append-vs-rebuild race ([[segmentCommitted]]) —
-      // neither batch made it into the live index, and both SHOULD
-      // re-append on replay
-      segmentBaseIn(dir, g).filter(b => segmentCommitted(fulls, b, g)).foreach { _ =>
-        segmentTagIn(dir, g).foreach { t =>
-          scala.util.Try(Files.createFile(dir.resolve(s"tagdone-$t")))
-        }
-      }
+      // no tag echo here: commitment is the APPENDER's durable
+      // `tagdone-` record ([[confirmTagIn]], written on confirmed-live
+      // publish), never inferred at sweep time — generation numbers
+      // cannot distinguish a committed segment from a crashed appender's
+      // orphan (claim order is not publish order), and echoing an
+      // orphan's tag would turn its replay's re-append into silent loss
       Files.deleteIfExists(dir.resolve(s"ready-$g"))
       Files.deleteIfExists(dir.resolve(s"claim-$g"))
       Files.deleteIfExists(dir.resolve(s"segof-$g"))
@@ -487,6 +507,10 @@ object Warehouse {
     */
   def pathSegmentTagPublished(root: String, tag: String): Boolean =
     tagPublishedIn(pathGenDir(root), tag)
+
+  /** [[confirmSegmentTag]] for path stores. */
+  def confirmPathSegmentTag(root: String, tag: String): Unit =
+    confirmTagIn(pathGenDir(root), tag)
 
   /** The base generation a directory-store segment names, or None for
     * full builds.

@@ -793,7 +793,7 @@ class WarehouseSpec extends SparkSpecBase {
       "the orphan segment's data dir is gone")
   }
 
-  test("orphan tags never commit; vacuum echoes only committed tags and folds them into one manifest") {
+  test("orphan tags never commit; appender confirmation is the durable record and folds into one manifest") {
     val store = "tagproto"
     Warehouse.dropStore(spark, store, Seq("x"))
     val dir = java.nio.file.Paths.get(
@@ -802,29 +802,49 @@ class WarehouseSpec extends SparkSpecBase {
 
     val g1 = Warehouse.claimGeneration(spark, store) // full build
     Warehouse.publishGeneration(spark, store, g1)
-    val g2 = Warehouse.claimGeneration(spark, store) // committed segment of g1
+    val g2 = Warehouse.claimGeneration(spark, store) // segment of g1
     Warehouse.markSegment(spark, store, g2, g1, Some("commit:1"))
     Warehouse.publishGeneration(spark, store, g2)
+    // a LIVE-group segment's tag counts even before the appender's
+    // confirmation lands (its rows are in the live read set)
+    assert(Warehouse.segmentTagPublished(spark, store, "commit:1"))
+    // ... and the appender's post-re-check confirmation makes it durable
+    Warehouse.confirmSegmentTag(spark, store, "commit:1")
     val g3 = Warehouse.claimGeneration(spark, store) // rebuild
     Warehouse.publishGeneration(spark, store, g3)
+    // the reviewer scenario: claim order is NOT publish order — a
+    // crashed appender's segment with a LOWER number than the rebuild
+    // that published first is an orphan all the same. Craft both
+    // shapes: g4 (orphan above the rebuild) and, below, a no-confirm
+    // live-base segment later superseded
     val g4 = Warehouse.claimGeneration(spark, store) // ORPHAN: names g1 AFTER g3 superseded it
     Warehouse.markSegment(spark, store, g4, g1, Some("orphan:1"))
     Warehouse.publishGeneration(spark, store, g4)
 
     assert(Warehouse.segmentTagPublished(spark, store, "commit:1"),
-      "a segment that joined its base before the rebuild is committed (the rebuild absorbed it)")
+      "a confirmed tag stays committed after the rebuild (the rebuild absorbed its batch)")
     assert(!Warehouse.segmentTagPublished(spark, store, "orphan:1"),
       "an orphan's batch never landed in the live index — its replay must re-append")
 
-    // a further rebuild passes the orphan; the segmented vacuum reclaims
-    // the superseded chain and the orphan with it
+    // an UNCONFIRMED live-base segment (appender crashed between publish
+    // and confirm): committed while its base is live ...
     val g5 = Warehouse.claimGeneration(spark, store)
+    Warehouse.markSegment(spark, store, g5, g3, Some("unconf:1"))
     Warehouse.publishGeneration(spark, store, g5)
+    assert(Warehouse.segmentTagPublished(spark, store, "unconf:1"))
+
+    // a further rebuild supersedes everything; the segmented vacuum
+    // reclaims the old chain and the orphan with it
+    val g6 = Warehouse.claimGeneration(spark, store)
+    Warehouse.publishGeneration(spark, store, g6)
+    assert(!Warehouse.segmentTagPublished(spark, store, "unconf:1"),
+      "... but without confirmation it stops counting once superseded — " +
+        "its replay re-appends (duplicates over loss)")
     Warehouse.vacuumSegmentedStore(spark, store, Seq("x"), minAgeMs = 0L)
     assert(Warehouse.segmentTagPublished(spark, store, "commit:1"),
-      "the committed tag survives its segment's vacuum")
+      "the confirmed tag survives its segment's vacuum")
     assert(!Warehouse.segmentTagPublished(spark, store, "orphan:1"),
-      "the orphan's tag is NOT echoed by vacuum")
+      "vacuum never resurrects an orphan's tag")
     // and the echo lives in the single folded manifest, not loose markers
     val loose = {
       val st = java.nio.file.Files.list(dir)
@@ -832,7 +852,7 @@ class WarehouseSpec extends SparkSpecBase {
       finally st.close()
     }
     assert(loose.isEmpty && java.nio.file.Files.exists(dir.resolve("tagdone.log")),
-      "vacuum folds tagdone markers into one manifest file")
+      "vacuum folds the appender's tagdone markers into one manifest file")
 
     // claim protection: EVERY claim above the newest published generation
     // survives a minAgeMs=0 vacuum (two concurrent in-flight appends)
