@@ -29,9 +29,10 @@ object Bench {
       val lines = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get("BASELINE.md")).toArray(Array.empty[String])
       // scope the parse to the query-floor table itself: the contiguous
-      // `|`-prefixed block after the `| query | sec |` header — any
-      // `| word | number |` row in a LATER table must not become a floor
-      val header = lines.indexWhere(_.replace(" ", "") == "|query|sec|")
+      // `|`-prefixed block after the `| query | sec | ... |` header (the
+      // round-14 table carries a history column) — any `| word | number |`
+      // row in a LATER table must not become a floor
+      val header = lines.indexWhere(_.replace(" ", "").startsWith("|query|sec|"))
       val body =
         if (header < 0) Array.empty[String]
         else lines.drop(header + 1).takeWhile(_.trim.startsWith("|"))

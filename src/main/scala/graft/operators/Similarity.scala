@@ -284,7 +284,7 @@ object Similarity {
     val spark = inc.sparkSession
     // at-least-once appenders (streaming foreachBatch replays a
     // micro-batch after crash recovery) pass a dedupeTag; a tag already
-    // COMMITTED (on a live-group segment, or echoed by vacuum) means
+    // COMMITTED (appender-confirmed, or on a live-group segment) means
     // this batch landed — skip. The tag rides the segof marker written
     // before publish, so publish is the atomic commit point
     if (dedupeTag.exists(Warehouse.pathSegmentTagPublished(path, _))) return None

@@ -885,7 +885,7 @@ object TextAnalysis {
     import graft.sources.Warehouse
     val spark = docs.sparkSession
     // at-least-once appenders pass a dedupeTag; a tag already COMMITTED
-    // (on a live-group segment, or echoed by vacuum) means this batch
+    // (appender-confirmed, or on a live-group segment) means this batch
     // landed — skip (the tag rides the segof marker written before
     // publish, so publish is the atomic commit point)
     if (dedupeTag.exists(Warehouse.segmentTagPublished(spark, name, _))) return None

@@ -132,8 +132,8 @@ object Warehouse {
   // replays a micro-batch after crash recovery; the replay sees its tag
   // on a published segment and skips).
   private def markSegmentIn(dir: Path, gen: Long, base: Long, tag: Option[String]): Unit = {
-    // the marker is space-delimited and the tag echoes into a marker
-    // FILENAME on vacuum — whitespace or path characters would silently
+    // the marker is space-delimited and the tag becomes a confirmation
+    // marker FILENAME — whitespace or path characters would silently
     // break replay detection (a 3-token marker parses as untagged)
     tag.foreach(t => require(t.nonEmpty && t.matches("[A-Za-z0-9._:-]+"),
       s"dedupe tag '$t' must match [A-Za-z0-9._:-]+"))

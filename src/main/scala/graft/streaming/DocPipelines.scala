@@ -471,11 +471,14 @@ object DocPipelines {
     * streaming state — the index IS the state, on disk.
     *
     * EXACTLY-ONCE under foreachBatch's at-least-once replay: each
-    * publish carries a `streamId:batchId` dedupe tag on its segment
-    * marker (vacuum-proof — reclaimed segments echo their tags), so a
-    * micro-batch replayed after crash recovery (committed segment,
-    * uncommitted streaming checkpoint) sees its tag published and skips
-    * instead of double-appending. `streamId` scopes the batchId
+    * publish carries a `streamId:batchId` dedupe tag; the appender
+    * durably CONFIRMS it after proving the segment joined the live
+    * group (vacuum folds confirmations into a manifest, so they outlive
+    * the segment), and a micro-batch replayed after crash recovery
+    * (committed segment, uncommitted streaming checkpoint) sees its tag
+    * committed and skips instead of double-appending. A batch whose
+    * segment lost an append-vs-rebuild race re-appends instead of being
+    * silently dropped. `streamId` scopes the batchId
     * sequence: it must be STABLE across restarts of the same query
     * (same checkpoint) and DISTINCT for every other writer of the store
     * — including a relaunch of "the same" query after its checkpoint is

@@ -46,7 +46,7 @@ class ContractSpec extends AnyFunSuite {
     // hand-added row that forgets to update it silently misstates the
     // within-2x envelope
     val rows = read("BASELINE.md").linesIterator
-      .filter(_.matches("""\| [a-z0-9_]+ \| [0-9.]+ \|"""))
+      .filter(_.matches("""\| [a-z0-9_]+ \| [0-9.]+ \|.*"""))
       .map(_.split("\\|")(2).trim.toDouble).toSeq
     assert(rows.size == SparkEntry.queries.size,
       s"baseline table has ${rows.size} measured rows for ${SparkEntry.queries.size} queries")
