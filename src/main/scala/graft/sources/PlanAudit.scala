@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
 
@@ -18,7 +18,10 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExc
   * ReadSchema, PushedFilters, PartitionFilters, SelectedBucketsCount),
   * `shuffle` / `broadcast` (one per exchange: its output partitioning),
   * `reused_exchange` (a reused subtree — its scans already counted once;
-  * not descended, mirroring the actual single read).
+  * not descended, mirroring the actual single read), and `codegen` (one
+  * per WholeStageCodegen span: its root operator and fused node count —
+  * a hot path that fragments into many small spans has fallen out of
+  * codegen somewhere).
   */
 object PlanAudit {
 
@@ -70,7 +73,19 @@ object PlanAudit {
         AuditRow("broadcast", "", "", "", "", "", b.outputPartitioning.toString)
       case r: ReusedExchangeExec =>
         AuditRow("reused_exchange", "", "", "", "", "", r.outputPartitioning.toString)
+      case w: WholeStageCodegenExec =>
+        AuditRow("codegen", w.child.nodeName, "", "", "", "",
+          s"fused=${fusedCount(w.child)}")
     }
+
+  /** Operators fused inside one codegen span — descent stops at
+    * InputAdapter (the boundary to the span's inputs, which are other
+    * spans or exchanges and report themselves).
+    */
+  private def fusedCount(p: SparkPlan): Int = p match {
+    case _: org.apache.spark.sql.execution.InputAdapter => 0
+    case other => 1 + other.children.map(fusedCount).sum
+  }
 
   /** Convenience: (shuffles, broadcasts) in `df`'s current plan —
     * counted driver-side on the walked plan, no Spark job.

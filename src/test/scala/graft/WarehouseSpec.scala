@@ -930,10 +930,18 @@ class WarehouseSpec extends SparkSpecBase {
     // (directory pruning — the index's load-bearing scale property)
     val root = java.nio.file.Files.createTempDirectory("graft_audit_").resolve("idx").toString
     Similarity.buildIvfIndex(t, root)
-    val ivfAudit = PlanAudit.planAudit(Similarity.searchIvfIndex(t, root)).collect()
+    val ivfProbe = Similarity.searchIvfIndex(t, root)
+    ivfProbe.collect() // execute THIS plan: AQE inserts codegen per stage
+    val ivfAudit = PlanAudit.planAudit(ivfProbe).collect()
     val idxScans = ivfAudit.filter(r => r.getString(0) == "scan" &&
       r.getString(1).contains("/idx/"))
     assert(idxScans.nonEmpty && idxScans.forall(_.getString(4).contains("cid")),
       s"the IVF index scan must prune on cid: ${idxScans.mkString}")
+
+    // codegen rows: every audited plan runs at least one whole-stage
+    // span, and spans report their fused operator count
+    val spans = ivfAudit.filter(_.getString(0) == "codegen")
+    assert(spans.nonEmpty && spans.forall(_.getString(6).matches("fused=[1-9]\\d*")),
+      s"codegen spans must surface with their fused sizes: ${spans.mkString}")
   }
 }
