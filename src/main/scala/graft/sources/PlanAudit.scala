@@ -47,7 +47,10 @@ object PlanAudit {
   /** Audit `df`'s physical plan. Call BEFORE or AFTER an action — under
     * AQE the pre-execution audit reads the initial plan (static shape:
     * scans, pushdowns, bucket selection); after an action it reads the
-    * final adaptively-replanned tree (true exchange count).
+    * final adaptively-replanned tree (true exchange count). `codegen`
+    * rows exist only AFTER an action when AQE is on — codegen collapse
+    * runs at stage materialization, so their pre-execution absence
+    * means "not executed yet", never "fell out of codegen".
     */
   def planAudit(df: DataFrame): DataFrame = {
     val spark = df.sparkSession

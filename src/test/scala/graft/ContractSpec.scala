@@ -45,9 +45,15 @@ class ContractSpec extends AnyFunSuite {
     // the total is what BENCH_r{N} is compared against at a glance; a
     // hand-added row that forgets to update it silently misstates the
     // within-2x envelope
-    val rows = read("BASELINE.md").linesIterator
+    // scoped to the contiguous floor-table block after its header, the
+    // same rule Bench.baselineFloors applies — a `| word | number |` row
+    // in a LATER table must not pollute the sum
+    val lines = read("BASELINE.md").linesIterator.toSeq
+    val header = lines.indexWhere(_.replace(" ", "").startsWith("|query|sec|"))
+    assert(header >= 0, "BASELINE.md has no | query | sec | table header")
+    val rows = lines.drop(header + 1).takeWhile(_.trim.startsWith("|"))
       .filter(_.matches("""\| [a-z0-9_]+ \| [0-9.]+ \|.*"""))
-      .map(_.split("\\|")(2).trim.toDouble).toSeq
+      .map(_.split("\\|")(2).trim.toDouble)
     assert(rows.size == SparkEntry.queries.size,
       s"baseline table has ${rows.size} measured rows for ${SparkEntry.queries.size} queries")
     val total = read("BASELINE.md").linesIterator
