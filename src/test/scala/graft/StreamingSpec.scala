@@ -927,6 +927,54 @@ class StreamingSpec extends SparkSpecBase {
     graft.sources.Warehouse.dropStore(spark, "bm25ing_ref", Seq("postings", "stats"))
   }
 
+  test("streaming BM25 ingest survives a mid-stream rebuild: committed batches never replay, later batches append to the new base") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    import graft.sources.Warehouse
+    val t = graft.sources.Tables(spark, sfDir)
+    val half = t.documents.count() / 2
+    Warehouse.dropStore(spark, "bm25reb", Seq("postings", "stats"))
+    TextAnalysis.buildBm25Store(t.documents.filter(col("doc_id") < half), "bm25reb", buckets = 8)
+    val arrivals = t.documents.filter(col("doc_id") >= half)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocPipelines.bm25IngestStream(
+      mem.toDF().toDF("doc_id", "text"), "bm25reb").start()
+    try {
+      val (first, second) = arrivals.splitAt(arrivals.length / 2)
+      mem.addData(first.toIndexedSeq); q.processAllAvailable()
+
+      // the production maintenance cycle: a REBUILD over everything
+      // ingested so far publishes mid-stream, superseding the segment
+      val firstIds = first.map(_._1).toSet
+      TextAnalysis.buildBm25Store(
+        t.documents.filter(col("doc_id") < half || col("doc_id").isin(firstIds.toSeq: _*)),
+        "bm25reb", buckets = 8)
+
+      // batch 0 committed BEFORE the rebuild (appender-confirmed tag) —
+      // an at-least-once replay arriving AFTER the rebuild must skip,
+      // even though its segment is now superseded
+      assert(TextAnalysis.appendToBm25Store(
+        first.toSeq.toDF("doc_id", "text"), "bm25reb",
+        dedupeTag = Some("bm25-ingest:0")).isEmpty,
+        "a committed batch must never re-append across a rebuild")
+
+      // the stream continues: the next micro-batch appends as a segment
+      // of the NEW base, and the store equals in-job t17 over everything
+      mem.addData(second.toIndexedSeq); q.processAllAvailable()
+      val (base, segs) = Warehouse.resolveSegmented(spark, "bm25reb")
+      assert(base == 3L && segs == Seq(4L),
+        s"the post-rebuild batch must land as a segment of the rebuilt base, got ($base, $segs)")
+      assert(key(TextAnalysis.bm25AgainstStore(spark, "bm25reb")) == key(TextAnalysis.bm25(t)),
+        "after rebuild + continued ingest the store equals the one-shot over the whole corpus")
+    } finally q.stop()
+    Warehouse.dropStore(spark, "bm25reb", Seq("postings", "stats"))
+  }
+
   test("streaming IVF ingest: appended segments become probe-visible per batch, equal to batch appends") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
