@@ -1006,6 +1006,20 @@ class StreamingSpec extends SparkSpecBase {
         "streamed segments must probe identically to a batch append of the same rows")
       assert(key(Similarity.searchIvfIndex(t, path)).exists(_._3 >= half),
         "streamed vectors must be reachable")
+
+      // mid-stream rebuild (the s11 maintenance cycle, BM25's twin test):
+      // a rebuild over everything ingested so far supersedes the streamed
+      // segments; a replay of a committed batch still skips, and the
+      // probe reads the rebuilt base alone
+      Similarity.buildIvfIndexOf(emb, path)
+      assert(Similarity.appendToIvfIndex(
+        first.toSeq.toDF("vec_id", "embedding"), path,
+        dedupeTag = Some("ivf-ingest:0")).isEmpty,
+        "a committed vector batch must never re-append across a rebuild")
+      val rebuilt = java.nio.file.Files.createTempDirectory("graft_ivf_ing3_").resolve("idx").toString
+      Similarity.buildIvfIndexOf(emb, rebuilt)
+      assert(key(Similarity.searchIvfIndex(t, path)) == key(Similarity.searchIvfIndex(t, rebuilt)),
+        "after the rebuild the probe reads the full-corpus base alone")
     } finally q.stop()
   }
 
