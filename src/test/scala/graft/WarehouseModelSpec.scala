@@ -89,4 +89,67 @@ class WarehouseModelSpec extends SparkSpecBase {
       Warehouse.dropStore(spark, store, Seq("x"))
     }
   }
+
+  test("the PATH-store protocol preserves the same invariants under random interleavings") {
+    Seq(5, 23).foreach { seed =>
+      val rnd = new Random(seed)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_pathmodel$seed").resolve("idx").toString
+
+      var liveBase: Option[Long] = None
+      var liveSegs: Vector[Long] = Vector.empty
+      var fullBuilds: Vector[Long] = Vector.empty
+      var tags = Map.empty[String, Tag]
+      var nextTag = 0
+
+      def checkInvariants(): Unit = {
+        liveBase.foreach { b =>
+          val (gotBase, gotSegs) = Warehouse.resolvePathSegmented(root)
+          assert(gotBase == b && gotSegs == liveSegs,
+            s"[seed $seed] resolve=(${gotBase}, $gotSegs) model=($b, $liveSegs)")
+        }
+        tags.foreach { case (t, m) =>
+          val expected = m.confirmed || liveBase.contains(m.base)
+          assert(Warehouse.pathSegmentTagPublished(root, t) == expected,
+            s"[seed $seed] tag $t: expected committed=$expected")
+        }
+      }
+
+      (1 to 60).foreach { _ =>
+        rnd.nextInt(10) match {
+          case 0 | 1 | 2 =>
+            val g = Warehouse.claimPathGeneration(root)
+            Warehouse.publishPathGeneration(root, g)
+            liveBase = Some(g); liveSegs = Vector.empty; fullBuilds :+= g
+          case 3 | 4 | 5 =>
+            liveBase.foreach { b =>
+              val g = Warehouse.claimPathGeneration(root)
+              val t = s"s:$nextTag"; nextTag += 1
+              Warehouse.markPathSegment(root, g, b, Some(t))
+              Warehouse.publishPathGeneration(root, g)
+              val confirmed = rnd.nextInt(10) < 7
+              if (confirmed) Warehouse.confirmPathSegmentTag(root, t)
+              liveSegs :+= g; tags += t -> Tag(b, confirmed)
+            }
+          case 6 =>
+            fullBuilds.filterNot(liveBase.contains) match {
+              case old if old.nonEmpty =>
+                val b = old(rnd.nextInt(old.size))
+                val g = Warehouse.claimPathGeneration(root)
+                val t = s"s:$nextTag"; nextTag += 1
+                Warehouse.markPathSegment(root, g, b, Some(t))
+                Warehouse.publishPathGeneration(root, g)
+                tags += t -> Tag(b, confirmed = false)
+              case _ =>
+            }
+          case 7 =>
+            val g = Warehouse.claimPathGeneration(root)
+            Warehouse.burnPathClaim(root, g)
+          case _ =>
+            Warehouse.vacuumPathSegmented(root, minAgeMs = 0L)
+        }
+        checkInvariants()
+      }
+    }
+  }
 }
