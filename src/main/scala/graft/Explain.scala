@@ -3,6 +3,9 @@ package graft
 /** Plan-audit tool: `runMain graft.Explain <sfDir> <queryName> [fmt]` —
   * prints the formatted physical plan and wall time for one query, so
   * shuffle/broadcast/pushdown regressions are visible per operator.
+  * `fmt` = `audit` prints [[graft.sources.PlanAudit]]'s row form
+  * instead of EXPLAIN text (post-execution, so AQE's final exchanges
+  * and codegen spans are included).
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -22,10 +25,14 @@ object Explain {
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"\n===== $name =====")
-      if (mode != "none") df.explain(mode)
+      if (mode != "none" && mode != "audit") df.explain(mode)
       val t0 = System.nanoTime()
       val n = df.count()
       println(f"[$name] rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      if (mode == "audit") {
+        df.collect() // execute THIS plan so AQE exchanges/codegen are final
+        graft.sources.PlanAudit.planAudit(df).show(200, truncate = false)
+      }
     }
     spark.stop()
   }
