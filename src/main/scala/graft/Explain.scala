@@ -27,12 +27,13 @@ object Explain {
       println(s"\n===== $name =====")
       if (mode != "none" && mode != "audit") df.explain(mode)
       val t0 = System.nanoTime()
-      val n = df.count()
+      // audit mode executes THIS df's plan (toRdd finalizes AQE without
+      // materializing rows on the driver) so the audit sees the final
+      // exchanges and codegen spans; other modes keep the count shortcut
+      val n = if (mode == "audit") df.queryExecution.toRdd.count() else df.count()
       println(f"[$name] rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
-      if (mode == "audit") {
-        df.collect() // execute THIS plan so AQE exchanges/codegen are final
+      if (mode == "audit")
         graft.sources.PlanAudit.planAudit(df).show(200, truncate = false)
-      }
     }
     spark.stop()
   }
