@@ -63,8 +63,25 @@ final class JdbcMergeSink(
     val deduped = Pipeline.merge(None, fresh, spec.keyColumns, spec.versionColumn)
     val columns = deduped.columns.toSeq
     val plan = dialect.plan(tableFor(spec.name), columns, spec.keyColumns)
+    // the single-writer-per-key guarantee below is void when Spark runs
+    // two attempts of the same partition concurrently (speculative
+    // execution, or a zombie retry): both attempts UPDATE zero rows and
+    // both INSERT — silent duplicates unless the destination enforces a
+    // unique/PK constraint on the keys. Two-statement dialects therefore
+    // refuse to run under speculation; single-statement upserts are
+    // destination-side atomic and stay safe.
+    JdbcMergeSink.assertSpeculationSafe(plan, spec.name, dialect,
+      fresh.sparkSession.sparkContext.getConf.getBoolean("spark.speculation", false))
     val colIdx = columns.zipWithIndex.toMap
+    // JDBC type per bind slot, derived from the Spark schema: null values
+    // must bind through setNull(i, type) — several drivers (embedded
+    // Derby included) reject an untyped setObject(i, null) with "unable
+    // to determine parameter type", failing the whole partition's
+    // transaction on the first nullable column
+    val typeOf = deduped.schema.fields
+      .map(f => f.name -> JdbcMergeSink.sqlTypeOf(f.dataType)).toMap
     val binds = plan.statements.map { case (_, cols) => cols.map(colIdx) }
+    val bindTypes = plan.statements.map { case (_, cols) => cols.map(typeOf) }
     val sqls = plan.statements.map(_._1)
     val stopOnFirstChange = plan.stopOnFirstChange
     val jdbcUrl = url
@@ -88,11 +105,13 @@ final class JdbcMergeSink(
               // one batch; update-then-insert batch-updates, then
               // batch-inserts exactly the rows whose update matched none
               var pending: Seq[org.apache.spark.sql.Row] = group
-              stmts.zip(binds).foreach { case (ps, idxs) =>
+              stmts.lazyZip(binds).lazyZip(bindTypes).foreach { (ps, idxs, types) =>
                 if (pending.nonEmpty) {
                   pending.foreach { row =>
                     idxs.zipWithIndex.foreach { case (ci, i) =>
-                      ps.setObject(i + 1, JdbcMergeSink.jdbcValue(row.get(ci)))
+                      val v = row.get(ci)
+                      if (v == null) ps.setNull(i + 1, types(i))
+                      else ps.setObject(i + 1, JdbcMergeSink.jdbcValue(v))
                     }
                     ps.addBatch()
                   }
@@ -135,6 +154,51 @@ object JdbcMergeSink {
     case i: java.time.Instant => java.sql.Timestamp.from(i)
     case ld: java.time.LocalDate => java.sql.Date.valueOf(ld)
     case other => other.asInstanceOf[AnyRef]
+  }
+
+  /** The single-writer-per-key guarantee the class doc relies on is void
+    * when Spark runs two attempts of one partition concurrently
+    * (speculative execution, or a zombie retry racing its replacement):
+    * both attempts pass the UPDATE-matched-nothing probe and both
+    * INSERT — silent duplicates unless the destination enforces a
+    * unique/PK constraint on the keys. Two-statement dialects therefore
+    * refuse to run under speculation; single-statement upserts resolve
+    * the conflict destination-side atomically and stay safe.
+    */
+  private[graft] def assertSpeculationSafe(plan: Plan, table: String,
+      dialect: Dialect, speculation: Boolean): Unit =
+    if (plan.stopOnFirstChange && speculation)
+      throw new IllegalStateException(
+        s"JdbcMergeSink(${dialect.getClass.getSimpleName.stripSuffix("$")}) cannot " +
+          "upsert '" + table + "' with spark.speculation enabled: concurrent " +
+          "attempts of one partition both pass the UPDATE-matched-nothing probe and " +
+          "both INSERT. Use a single-statement dialect (PostgresOnConflict) or " +
+          "disable speculation; a unique key constraint on the destination is " +
+          "required either way for update-then-insert to be retry-safe")
+
+  /** The java.sql.Types code a null in this Spark column binds as.
+    * Drivers that reject an untyped setObject(i, null) (Derby) accept
+    * setNull(i, type) for any concrete code; the mapping below follows
+    * Spark's own JdbcUtils type assignments.
+    */
+  private[etl] def sqlTypeOf(dt: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    import java.sql.Types
+    dt match {
+      case IntegerType => Types.INTEGER
+      case LongType => Types.BIGINT
+      case DoubleType => Types.DOUBLE
+      case FloatType => Types.FLOAT
+      case ShortType => Types.SMALLINT
+      case ByteType => Types.TINYINT
+      case BooleanType => Types.BOOLEAN
+      case StringType => Types.VARCHAR
+      case BinaryType => Types.BINARY
+      case TimestampType | TimestampNTZType => Types.TIMESTAMP
+      case DateType => Types.DATE
+      case _: DecimalType => Types.DECIMAL
+      case _ => Types.VARCHAR
+    }
   }
 
   /** How one destination expresses "upsert one row": prepared-statement

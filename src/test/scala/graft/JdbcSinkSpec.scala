@@ -117,6 +117,63 @@ class JdbcSinkSpec extends SparkSpecBase {
       "the destination must only ever see the latest version per key")
   }
 
+  test("null column values bind through setNull and round-trip Derby (insert AND conflict-update legs)") {
+    import spark.implicits._
+    withConn { c =>
+      c.createStatement().executeUpdate(
+        "CREATE TABLE nullable_t (k BIGINT PRIMARY KEY, s VARCHAR(16), " +
+          "n BIGINT, d DOUBLE, ts TIMESTAMP, ver BIGINT)")
+    }
+    val spec = Pipeline.TableSpec("nullable_t", Pipeline.PreSeason, Nil,
+      Seq("k"), versionColumn = Some("ver"))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // row 1 carries nulls in every nullable slot type (string, long,
+    // double, timestamp) — Derby rejects untyped setObject(i, null),
+    // so this row fails the whole partition unless nulls bind typed
+    val fresh = Seq(
+      (1L, Option.empty[String], Option.empty[Long], Option.empty[Double],
+        Option.empty[java.sql.Timestamp], 1L),
+      (2L, Some("two"), Some(2L), Some(2.0), Some(t0), 1L))
+      .toDF("k", "s", "n", "d", "ts", "ver")
+    val sink = new JdbcMergeSink(url, "nullable_t")
+    assert(sink.publish(spec, fresh) == 2L)
+    assert(queryLong("SELECT COUNT(*) FROM nullable_t WHERE s IS NULL AND n IS NULL " +
+      "AND d IS NULL AND ts IS NULL") == 1L, "nulls must land as SQL NULLs")
+    // conflict-update leg: flip which row holds the nulls — the UPDATE
+    // statement also binds nulls, exercising setNull on the other leg
+    val flipped = Seq(
+      (1L, Some("one"), Some(1L), Some(1.0), Some(t0), 2L),
+      (2L, Option.empty[String], Option.empty[Long], Option.empty[Double],
+        Option.empty[java.sql.Timestamp], 2L))
+      .toDF("k", "s", "n", "d", "ts", "ver")
+    assert(sink.publish(spec, flipped) == 2L)
+    assert(queryString("SELECT s FROM nullable_t WHERE k = 1") == "one")
+    assert(queryLong("SELECT COUNT(*) FROM nullable_t WHERE k = 2 AND s IS NULL") == 1L,
+      "a conflict-update must be able to write NULL over a value")
+  }
+
+  test("UpdateThenInsert refuses to run under spark.speculation (duplicate-insert hazard)") {
+    // spark.speculation is a static conf — the session under test cannot
+    // flip it live, so the guard is asserted at its seam: the same call
+    // publish() makes, with the speculation bit forced both ways
+    val cols = Seq("k", "v")
+    val upPlan = JdbcMergeSink.UpdateThenInsert.plan("spec_t", cols, Seq("k"))
+    val ex = intercept[IllegalStateException] {
+      JdbcMergeSink.assertSpeculationSafe(upPlan, "spec_t",
+        JdbcMergeSink.UpdateThenInsert, speculation = true)
+    }
+    assert(ex.getMessage.contains("speculation") &&
+      ex.getMessage.contains("UpdateThenInsert"))
+    // speculation off → no complaint
+    JdbcMergeSink.assertSpeculationSafe(upPlan, "spec_t",
+      JdbcMergeSink.UpdateThenInsert, speculation = false)
+    // the single-statement dialect resolves conflicts destination-side
+    // atomically — safe under speculation, the guard must not trip
+    val pgPlan = JdbcMergeSink.PostgresOnConflict.plan("spec_t", cols, Seq("k"))
+    JdbcMergeSink.assertSpeculationSafe(pgPlan, "spec_t",
+      JdbcMergeSink.PostgresOnConflict, speculation = true)
+  }
+
   test("PostgresOnConflict emits the reference's statement shape; UpdateThenInsert binds in statement order") {
     val pg = JdbcMergeSink.PostgresOnConflict.plan("t", Seq("k", "a", "b"), Seq("k"))
     assert(pg.statements.size == 1 && !pg.stopOnFirstChange)
