@@ -274,13 +274,16 @@ object Similarity {
       dedupeTag: Option[String] = None): Option[Long] =
     appendToIvfIndexHooked(inc, path, dedupeTag)
 
-  /** [[appendToIvfIndex]] with a test seam: `beforeRecheck` runs between
-    * the segment publish and the post-publish base re-check, where a
-    * concurrent rebuild's publish would land.
+  /** [[appendToIvfIndex]] with test seams: `beforeRecheck` runs between
+    * the segment publish and the post-publish base re-check;
+    * `beforeConfirm` runs between a PASSED re-check and the tag
+    * confirmation — the TOCTOU window where a rebuild's publish would
+    * leave a durable tag on a superseded segment.
     */
   private[graft] def appendToIvfIndexHooked(inc: DataFrame, path: String,
       dedupeTag: Option[String] = None,
-      beforeRecheck: () => Unit = () => ()): Option[Long] = {
+      beforeRecheck: () => Unit = () => (),
+      beforeConfirm: () => Unit = () => ()): Option[Long] = {
     val spark = inc.sparkSession
     // at-least-once appenders (streaming foreachBatch replays a
     // micro-batch after crash recovery) pass a dedupeTag; a tag already
@@ -324,14 +327,25 @@ object Similarity {
       }
       beforeRecheck()
       if (Warehouse.resolvePathSegmented(path)._1 == base) {
+        beforeConfirm()
         // confirmed live: durably record the tag as committed (the only
         // record that survives a later rebuild superseding this segment;
         // a crash before this line leaves the tag uncommitted, so the
         // replay re-appends — duplicates over loss)
         dedupeTag.foreach(Warehouse.confirmPathSegmentTag(path, _))
-        return Some(gen)
+        // SECOND liveness observation: a rebuild publishing between the
+        // re-check above and the confirm supersedes the segment while
+        // its tag reads committed — a later replay would skip and the
+        // rows would live only in the superseded segment (the loss class
+        // this protocol closes). If the base moved, withdraw the
+        // confirmation and fall through to retract/re-append.
+        if (Warehouse.resolvePathSegmented(path)._1 == base) return Some(gen)
+        dedupeTag.foreach(Warehouse.unconfirmPathSegmentTag(path, _))
       }
-      Warehouse.deletePathGenData(path, gen)
+      // lost race: retract MARKERS only — a probe that resolved in the
+      // publish window may still be scanning the segment's parquet, so
+      // its data survives under the burned claim until the age-gated
+      // vacuum sweep reclaims it ([[Warehouse.retractPathSegment]])
       Warehouse.retractPathSegment(path, gen)
       attempt += 1
       require(attempt < 5,

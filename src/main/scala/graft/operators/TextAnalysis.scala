@@ -875,13 +875,16 @@ object TextAnalysis {
       dedupeTag: Option[String] = None): Option[Long] =
     appendToBm25StoreHooked(docs, name, dedupeTag)
 
-  /** [[appendToBm25Store]] with a test seam: `beforeRecheck` runs between
-    * the segment publish and the post-publish base re-check, where a
-    * concurrent rebuild's publish would land.
+  /** [[appendToBm25Store]] with test seams: `beforeRecheck` runs between
+    * the segment publish and the post-publish base re-check;
+    * `beforeConfirm` runs between a PASSED re-check and the tag
+    * confirmation — the TOCTOU window where a rebuild's publish would
+    * leave a durable tag on a superseded segment.
     */
   private[graft] def appendToBm25StoreHooked(docs: DataFrame, name: String,
       dedupeTag: Option[String] = None,
-      beforeRecheck: () => Unit = () => ()): Option[Long] = {
+      beforeRecheck: () => Unit = () => (),
+      beforeConfirm: () => Unit = () => ()): Option[Long] = {
     import graft.sources.Warehouse
     val spark = docs.sparkSession
     // at-least-once appenders pass a dedupeTag; a tag already COMMITTED
@@ -925,14 +928,26 @@ object TextAnalysis {
       }
       beforeRecheck()
       if (Warehouse.resolveSegmented(spark, name)._1 == base) {
+        beforeConfirm()
         // confirmed live: durably record the tag as committed (the only
         // record that survives a later rebuild superseding this segment;
         // a crash before this line leaves the tag uncommitted, so the
         // replay re-appends — duplicates over loss)
         dedupeTag.foreach(Warehouse.confirmSegmentTag(spark, name, _))
-        return Some(gen)
+        // SECOND liveness observation: a rebuild publishing between the
+        // re-check above and the confirm supersedes the segment while
+        // its tag reads committed — a later replay would skip and the
+        // rows would live only in the superseded segment. If the base
+        // moved, withdraw the confirmation and fall through to
+        // retract/re-append (same protocol as
+        // [[graft.operators.Similarity.appendToIvfIndex]]).
+        if (Warehouse.resolveSegmented(spark, name)._1 == base) return Some(gen)
+        dedupeTag.foreach(Warehouse.unconfirmSegmentTag(spark, name, _))
       }
-      dropBm25Generation(spark, name, gen)
+      // lost race: retract MARKERS only — a probe that resolved in the
+      // publish window may still be scanning the segment's postings, so
+      // its tables survive under the burned claim until the age-gated
+      // vacuum sweep reclaims them ([[Warehouse.retractSegment]])
       Warehouse.retractSegment(spark, name, gen)
       attempt += 1
       require(attempt < 5,

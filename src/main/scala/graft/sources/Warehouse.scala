@@ -322,23 +322,75 @@ object Warehouse {
 
   /** Retract a just-published ORPHANED segment — the appender's post-
     * publish re-check found a rebuild won the race, so this segment
-    * names a superseded base. Deleting the ready marker is safe:
-    * [[resolveSegmented]] never returns a segment whose base is not the
-    * live full build, so no probe can have planned against it. The
-    * caller drops the segment's tables first, then retracts, then
-    * re-appends against the new base.
+    * names a superseded base. Only the ready and segof MARKERS go; the
+    * claim marker and the segment's DATA stay. The segment was briefly
+    * live: a probe that resolved in the window between this appender's
+    * publish and the rebuild's publish legitimately planned against it
+    * and may still be scanning its files — deleting the data here would
+    * fail that reader mid-query, the exact race the vacuum age gate
+    * protects against everywhere else. The surviving claim-without-ready
+    * is precisely the shape [[vacuumStoreGenerations]]' burned-claim
+    * sweep reclaims, age-gated, once no probe can still hold it. The
+    * caller re-appends against the winning base; the orphan's tag never
+    * counts as committed ([[segmentTagPublished]]).
     */
-  def retractSegment(spark: SparkSession, store: String, gen: Long): Unit = {
-    Files.deleteIfExists(genDir(spark, store).resolve(s"ready-$gen"))
-    burnClaim(spark, store, gen)
+  def retractSegment(spark: SparkSession, store: String, gen: Long): Unit =
+    retractKeepDataIn(genDir(spark, store), gen)
+
+  /** [[retractSegment]] for path stores — same grace-period contract:
+    * the data directory survives for racing probes and is reclaimed by
+    * the age-gated burned-claim sweep of [[vacuumPathSegmented]].
+    */
+  def retractPathSegment(root: String, gen: Long): Unit =
+    retractKeepDataIn(pathGenDir(root), gen)
+
+  private def retractKeepDataIn(dir: Path, gen: Long): Unit = {
+    Files.deleteIfExists(dir.resolve(s"ready-$gen"))
+    Files.deleteIfExists(dir.resolve(s"segof-$gen"))
+    // claim-<gen> deliberately stays: it keeps the generation number
+    // un-reissuable and makes the leftover data visible to the sweep
   }
 
-  /** [[retractSegment]] for path stores (caller deletes the data dir
-    * first via [[deletePathGenData]]).
+  /** Withdraw a [[confirmSegmentTag]] confirmation — the appender's
+    * SECOND liveness observation found a rebuild published between the
+    * first re-check and the confirm, so the tag is durably committed
+    * while its rows live only in a superseded segment; left standing, a
+    * replay would skip and the rows would be silently lost. Removes the
+    * marker file AND (if a racing vacuum already folded it) the manifest
+    * entry, so the subsequent re-append/replay is not suppressed.
     */
-  def retractPathSegment(root: String, gen: Long): Unit = {
-    Files.deleteIfExists(pathGenDir(root).resolve(s"ready-$gen"))
-    burnPathClaim(root, gen)
+  def unconfirmSegmentTag(spark: SparkSession, store: String, tag: String): Unit =
+    unconfirmTagIn(genDir(spark, store), tag)
+
+  /** [[unconfirmSegmentTag]] for path stores. */
+  def unconfirmPathSegmentTag(root: String, tag: String): Unit =
+    unconfirmTagIn(pathGenDir(root), tag)
+
+  private def unconfirmTagIn(dir: Path, tag: String): Unit = {
+    Files.deleteIfExists(dir.resolve(s"tagdone-$tag"))
+    if (!manifestTags(dir).contains(tag)) return
+    // a vacuum folded the marker into the manifest between confirm and
+    // withdraw — rewrite the manifest without it, under the same lock
+    // discipline as [[compactTagMarkers]]. Spin briefly for the lock;
+    // failing LOUDLY beats leaving a false commitment (silent loss)
+    val lock = dir.resolve("tagdone.log.lock")
+    val deadline = System.currentTimeMillis() + 10_000L
+    var locked = false
+    while (!locked && System.currentTimeMillis() < deadline) {
+      locked = try { Files.createFile(lock); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          Thread.sleep(50L); false }
+    }
+    require(locked, s"unconfirmTag('$tag'): could not acquire the manifest " +
+      "lock — the tag may still read as committed; retry before replaying")
+    try {
+      val rest = (manifestTags(dir) - tag).toSeq.sorted
+      val tmp = dir.resolve(s"tagdone.log.tmp-${System.nanoTime()}")
+      Files.write(tmp, rest.asJava)
+      Files.move(tmp, tagLog(dir),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(lock)
   }
 
   /** Drop published generations older than the newest `keep`, and

@@ -767,8 +767,17 @@ class WarehouseSpec extends SparkSpecBase {
       "the re-appended batch's tag commits exactly once")
     assert(key(TextAnalysis.bm25AgainstStore(spark, "bm25race")) == key(TextAnalysis.bm25(t)),
       "after the lost race the batch is in the index — never silently dropped")
+    // GRACE PERIOD: the orphan was briefly live — a probe that resolved
+    // in the publish window may still be scanning it, so the retract
+    // keeps its data under the burned claim; only the age-gated vacuum
+    // sweep reclaims it
+    assert(spark.catalog.tableExists(Warehouse.storeTableName("bm25race", 2L, "postings")),
+      "the orphan's tables survive the retract for racing probes")
+    Warehouse.vacuumSegmentedStore(spark, "bm25race", Seq("postings", "stats"), minAgeMs = 0L)
     assert(!spark.catalog.tableExists(Warehouse.storeTableName("bm25race", 2L, "postings")),
-      "the orphan's tables are gone")
+      "the burned-claim sweep reclaims the orphan's tables")
+    assert(Warehouse.resolveSegmented(spark, "bm25race") == ((3L, Seq(4L))),
+      "the sweep never touches the live group")
     Warehouse.dropStore(spark, "bm25race", Seq("postings", "stats"))
 
     // IVF: same protocol on the path store
@@ -788,9 +797,92 @@ class WarehouseSpec extends SparkSpecBase {
     assert(Warehouse.pathSegmentTagPublished(root, "v:1"))
     assert(Similarity.appendToIvfIndex(
       emb.filter(col("vec_id") >= vhalf), root, Some("v:1")).isEmpty)
+    // same grace period on the path store: data survives the retract ...
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(Warehouse.pathGenData(root, 2L))),
+      "the orphan segment's data dir survives the retract for racing probes")
+    // ... and the age-gated sweep reclaims it without touching the live group
+    Similarity.vacuumIvfIndex(root, minAgeMs = 0L)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(Warehouse.pathGenData(root, 2L))),
-      "the orphan segment's data dir is gone")
+      "the burned-claim sweep reclaims the orphan's data dir")
+    assert(Warehouse.resolvePathSegmented(root) == ((3L, Seq(4L))))
+  }
+
+  test("confirm-vs-rebuild TOCTOU: a rebuild landing between re-check and confirm is detected; the confirmation is withdrawn and the batch re-appends") {
+    import graft.operators.{Similarity, TextAnalysis}
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+    val half = t.documents.count() / 2
+
+    // BM25: the rebuild publishes in the SECOND window — after the
+    // post-publish re-check passed, before the tag confirmation. Left
+    // unhandled, the tag would be durably committed while its rows live
+    // only in the superseded segment (a replay would skip: silent loss).
+    Warehouse.dropStore(spark, "bm25toctou", Seq("postings", "stats"))
+    TextAnalysis.buildBm25Store(t.documents.filter(col("doc_id") < half), "bm25toctou", buckets = 8)
+    val batch = t.documents.filter(col("doc_id") >= half)
+    var rebuilt = false
+    val seg = TextAnalysis.appendToBm25StoreHooked(batch, "bm25toctou", Some("tc:1"),
+      beforeConfirm = () => {
+        if (!rebuilt) { rebuilt = true
+          TextAnalysis.buildBm25Store(t.documents.filter(col("doc_id") < half), "bm25toctou", buckets = 8)
+        }
+      })
+    assert(seg.contains(4L),
+      "attempt 1 (gen 2) was superseded mid-confirm by the rebuild (gen 3); " +
+        "the withdrawn confirmation must fall through to a re-append (gen 4)")
+    assert(Warehouse.resolveSegmented(spark, "bm25toctou") == ((3L, Seq(4L))))
+    assert(Warehouse.segmentTagPublished(spark, "bm25toctou", "tc:1"),
+      "the tag commits on the surviving re-append")
+    assert(TextAnalysis.appendToBm25Store(batch, "bm25toctou", dedupeTag = Some("tc:1")).isEmpty,
+      "exactly-once: the replayed tag skips")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(key(TextAnalysis.bm25AgainstStore(spark, "bm25toctou")) == key(TextAnalysis.bm25(t)),
+      "the batch's rows are in the live index despite the mid-confirm rebuild")
+    Warehouse.dropStore(spark, "bm25toctou", Seq("postings", "stats"))
+
+    // IVF: same protocol on the path store
+    val root = java.nio.file.Files.createTempDirectory("graft_ivftoctou_").resolve("idx").toString
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val vhalf = emb.count() / 2
+    Similarity.buildIvfIndexOf(emb.filter(col("vec_id") < vhalf), root)
+    var vrebuilt = false
+    val vseg = Similarity.appendToIvfIndexHooked(
+      emb.filter(col("vec_id") >= vhalf), root, Some("vtc:1"),
+      beforeConfirm = () => {
+        if (!vrebuilt) { vrebuilt = true
+          Similarity.buildIvfIndexOf(emb.filter(col("vec_id") < vhalf), root)
+        }
+      })
+    assert(vseg.contains(4L))
+    assert(Warehouse.resolvePathSegmented(root) == ((3L, Seq(4L))))
+    assert(Warehouse.pathSegmentTagPublished(root, "vtc:1"))
+    assert(Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") >= vhalf), root, Some("vtc:1")).isEmpty)
+  }
+
+  test("unconfirmSegmentTag withdraws a confirmation even after vacuum folded it into the manifest") {
+    val store = "unconfproto"
+    Warehouse.dropStore(spark, store, Seq("x"))
+    val g1 = Warehouse.claimGeneration(spark, store)
+    Warehouse.publishGeneration(spark, store, g1)
+    // marker-file form
+    Warehouse.confirmSegmentTag(spark, store, "u:1")
+    assert(Warehouse.segmentTagPublished(spark, store, "u:1"))
+    Warehouse.unconfirmSegmentTag(spark, store, "u:1")
+    assert(!Warehouse.segmentTagPublished(spark, store, "u:1"),
+      "a withdrawn marker-file confirmation stops counting")
+    // folded-manifest form: vacuum compacts the marker into tagdone.log
+    Warehouse.confirmSegmentTag(spark, store, "u:2")
+    Warehouse.vacuumStoreGenerations(spark, store, Seq("x"), minAgeMs = 0L)
+    assert(Warehouse.segmentTagPublished(spark, store, "u:2"),
+      "the folded confirmation still counts")
+    Warehouse.unconfirmSegmentTag(spark, store, "u:2")
+    assert(!Warehouse.segmentTagPublished(spark, store, "u:2"),
+      "withdrawal must reach the folded manifest, not just the marker file")
+    Warehouse.dropStore(spark, store, Seq("x"))
   }
 
   test("orphan tags never commit; appender confirmation is the durable record and folds into one manifest") {
