@@ -26,15 +26,23 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    // d5's pair stage, both configs (threshold 0.15 = d5's default)
-    val (pairsGate, gateSec) = timed(Dedup.embeddingPairs(t, 0.15).count())
+    // d5's pair stage: the DERIVED default (scaleSafeLsh of the corpus
+    // count — what a naive caller gets) plus the fixed configs for the
+    // lever table (threshold 0.15 = d5's default)
+    val nVec = t.embeddings.count()
+    val derived = graft.operators.scaleSafeLsh(nVec)
+    val (pairsDefault, defaultSec) = timed(Dedup.embeddingPairs(t, 0.15).count())
+    val (pairsGate, gateSec) =
+      timed(Dedup.embeddingPairs(t, 0.15, nbits = 16, bandBits = 4).count())
     val (pairsScaled, scaledSec) =
       timed(Dedup.embeddingPairs(t, 0.15, nbits = 64, bandBits = 16).count())
     val (pairsMid, midSec) =
       timed(Dedup.embeddingPairs(t, 0.15, nbits = 64, bandBits = 8).count())
 
-    // s4, both configs (full k-NN graph materialization)
-    val (_, knnGateSec) = timed(Similarity.knnGraph(t).count())
+    // s4: derived default and the fixed configs (full k-NN graph)
+    val (_, knnDefaultSec) = timed(Similarity.knnGraph(t).count())
+    val (_, knnGateSec) =
+      timed(Similarity.knnGraph(t, nbits = 16, bandBits = 4).count())
     val (_, knnScaledSec) =
       timed(Similarity.knnGraph(t, nbits = 64, bandBits = 16).count())
 
@@ -62,11 +70,14 @@ object ScaleProbe {
     val rScaled = recallOf(64, 16)
 
     def d(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    println(s"""{"metric":"scale_probe","dir":"$dir","nvec":${emb.count()},""" +
-      s""""d5_gate":{"sec":${d(gateSec)},"pairs":$pairsGate,"recall_cos05":${d(rGate)}},""" +
+    println(s"""{"metric":"scale_probe","dir":"$dir","nvec":$nVec,""" +
+      s""""derived":[${derived._1},${derived._2}],""" +
+      s""""d5_default":{"sec":${d(defaultSec)},"pairs":$pairsDefault},""" +
+      s""""d5_gate_16x4":{"sec":${d(gateSec)},"pairs":$pairsGate,"recall_cos05":${d(rGate)}},""" +
       s""""d5_mid_64x8":{"sec":${d(midSec)},"pairs":$pairsMid,"recall_cos05":${d(rMid)}},""" +
       s""""d5_scaled_64x16":{"sec":${d(scaledSec)},"pairs":$pairsScaled,"recall_cos05":${d(rScaled)}},""" +
-      s""""s4_gate_sec":${d(knnGateSec)},"s4_scaled_64x16_sec":${d(knnScaledSec)},""" +
+      s""""s4_default_sec":${d(knnDefaultSec)},"s4_gate_16x4_sec":${d(knnGateSec)},""" +
+      s""""s4_scaled_64x16_sec":${d(knnScaledSec)},""" +
       s""""exact_cos05_sampled":$nExact}""")
     spark.stop()
   }

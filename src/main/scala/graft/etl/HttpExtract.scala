@@ -169,6 +169,20 @@ final class EndpointClient(
   def testConnection(): Boolean =
     HttpExtract.testConnection(() => transport(EndpointClient.seasonsPath(1)),
       maxAttempts, backoffMs, sleep)
+
+  /** api_client.py:167-171 (`get_raw_zip`, step 1 of 2) — GET the dumps
+    * index and resolve `delayed_dumps.csv.download_url`, the URL of the
+    * delayed CSV dump zip. The FETCH of that URL stays caller-side: the
+    * zip is a file input, and [[graft.sources.CsvSource.fromZip]] owns
+    * the zip→DataFrame half — so the typed surface is
+    * `client.rawZipUrl() → download → CsvSource.fromZip`, the
+    * reference's two-step flow with the transport seam between the
+    * steps. 404 → None (no dump published); a well-formed index without
+    * the expected field fails LOUDLY naming the missing path rather than
+    * returning a null URL.
+    */
+  def rawZipUrl(): Option[String] =
+    getOpt(EndpointClient.dumpsIndexPath).map(EndpointClient.dumpDownloadUrl)
 }
 
 object EndpointClient {
@@ -180,4 +194,25 @@ object EndpointClient {
   def constructorStandingsPath(year: Int, round: Option[Int] = None): String =
     round.map(r => s"/$year/$r/constructorStandings.json").getOrElse(s"/$year/constructorStandings.json")
   def seasonsPath(limit: Int): String = s"/seasons.json?limit=$limit"
+
+  /** The dumps index (api_client.py:168). In the reference this is an
+    * ABSOLUTE url (it bypasses the client's base_url); under the
+    * transport seam the path keeps the reference's full form and the
+    * transport decides how to issue it.
+    */
+  val dumpsIndexPath: String = "/data/dumps/download/"
+
+  /** Extract `delayed_dumps.csv.download_url` from the dumps index body
+    * (api_client.py:169) — Jackson (on Spark's own classpath), no
+    * hand-rolled JSON. Missing fields fail loudly with the full path.
+    */
+  def dumpDownloadUrl(indexBody: String): String = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(indexBody)
+      .path("delayed_dumps").path("csv").path("download_url")
+    require(node.isTextual,
+      "dumps index has no delayed_dumps.csv.download_url field — " +
+        s"cannot resolve the raw zip (body starts: ${indexBody.take(120)})")
+    node.asText()
+  }
 }

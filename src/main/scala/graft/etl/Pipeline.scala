@@ -1,6 +1,8 @@
 package graft.etl
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -302,13 +304,18 @@ final class MetadataStore(spark: SparkSession, root: String,
         if (withErr.columns.contains("syncedAt"))
           withErr.withColumn("syncedAt", coalesce(col("syncedAt"), lit(0L)))
         else withErr.withColumn("syncedAt", lit(0L))
-      withTs
+      // full-row dedup: ONLY [[compactLog]]'s fold-then-delete overlap
+      // window produces duplicates, and those are bit-identical rows —
+      // distinct entries always differ in id, so nothing real collapses
+      withTs.dropDuplicates()
     } else spark.emptyDataset[MetadataStore.LogRow].toDF()
 
   def appendLog(entity: String, status: String, records: Long, watermark: Option[Long],
       refId: Option[Long] = None, error: Option[String] = None): Long = {
-    val prior = readLog().as[MetadataStore.LogRow].collect().toSeq
-    val nextId = if (prior.isEmpty) 1L else prior.map(_.id).max + 1
+    // next id via a distributed max — never materialize the log on the
+    // driver (a years-long deployment's log is one row per table-load;
+    // metadata-sized, but a full driver collect per append is a wart)
+    val nextId = readLog().agg(coalesce(max(col("id")), lit(0L))).as[Long].head() + 1L
     val row = MetadataStore.LogRow(nextId, entity, status, records, watermark, refId, error, clock())
     // append-only: a crash mid-write can at worst lose THIS entry; an
     // overwrite of the whole log would destroy every watermark if it died
@@ -330,12 +337,12 @@ final class MetadataStore(spark: SparkSession, root: String,
   }
 
   /** Latest successful watermark per entity (reference: get_watermark). */
-  def watermark(entity: String): Option[Long] = {
-    val rows = readLog().as[MetadataStore.LogRow]
-      .filter(r => r.entity == entity && r.status == "success")
-      .collect()
-    rows.sortBy(_.id).lastOption.flatMap(_.watermark)
-  }
+  def watermark(entity: String): Option[Long] =
+    readLog()
+      .filter(col("entity") === entity && col("status") === "success")
+      .orderBy(col("id").desc).limit(1)
+      .as[MetadataStore.LogRow].collect()
+      .headOption.flatMap(_.watermark)
 
   /** Wall-clock of the last successful sync (freshness-gate input). */
   def lastSuccessAt(entity: String): Option[Long] =
@@ -348,7 +355,55 @@ final class MetadataStore(spark: SparkSession, root: String,
     history(entity).lastOption.map(_.status)
 
   def history(entity: String): Seq[MetadataStore.LogRow] =
-    readLog().as[MetadataStore.LogRow].collect().toSeq.filter(_.entity == entity).sortBy(_.id)
+    // filtered BEFORE the collect: only this entity's rows reach the
+    // driver (the log itself can span every entity's full history)
+    readLog().filter(col("entity") === entity)
+      .as[MetadataStore.LogRow].collect().toSeq.sortBy(_.id)
+
+  /** Fold the append-only log pile into one parquet file. Every
+    * [[appendLog]] writes its own small file, so a years-long deployment
+    * accumulates one file per table-load — correct but increasingly slow
+    * to list and read. The fold preserves the log verbatim (same rows,
+    * same ids — watermarks, history and two-phase chains unchanged) and
+    * is crash-safe at every step:
+    *
+    *  1. stale staging dirs from crashed compactions are swept;
+    *  2. the CURRENT data files are snapshotted first — appends landing
+    *     during the fold write new files not in the snapshot and survive;
+    *  3. the fold is written to a SIBLING staging dir (invisible to
+    *     readers of the log path), then moved in under a distinct name —
+    *     from that instant the log briefly holds duplicates, which
+    *     readers drop ([[readLog]]'s full-row dedup), so a crash between
+    *     the move and the deletes loses nothing and corrupts nothing;
+    *  4. exactly the snapshotted files are deleted.
+    */
+  def compactLog(): Unit = {
+    val dir = Paths.get(logPath)
+    if (!Files.exists(dir)) return
+    val parent = dir.getParent
+    listFiles(parent).filter(_.getFileName.toString.startsWith(s"${dir.getFileName}.compacting-"))
+      .foreach(p => { listFiles(p).foreach(Files.deleteIfExists(_)); Files.deleteIfExists(p) })
+    val old = listFiles(dir).filter { p =>
+      val n = p.getFileName.toString
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (old.size <= 1) return
+    val staging = parent.resolve(s"${dir.getFileName}.compacting-${System.nanoTime()}")
+    readLog().repartition(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    listFiles(staging)
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .foreach(f => Files.move(f, dir.resolve(s"compact-${System.nanoTime()}-${f.getFileName}")))
+    old.foreach(Files.deleteIfExists(_))
+    listFiles(staging).foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(staging)
+  }
+
+  private def listFiles(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
 
   /** The reference's `get_next_round_to_load` (metadata.py:150-190),
     * generalized to graft's Long period keys: the first calendar period

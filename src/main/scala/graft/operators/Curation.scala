@@ -249,10 +249,11 @@ object Curation {
     */
   def semanticCanonical(t: Tables, minCosine: Double = 0.3,
       oracleRounds: Option[Int] = None,
-      nbits: Int = 16, bandBits: Int = 4): DataFrame = {
-    // nbits/bandBits = d5's band-width scale lever (SCALECHECK): the
-    // 4-bit default is the gate-pinned arithmetic; at millions of
-    // vectors widen the bands (64×16) so the pair graph stays linear
+      nbits: Int = 0, bandBits: Int = 0): DataFrame = {
+    // nbits/bandBits = d5's band-width scale lever (SCALECHECK). The
+    // default (0, 0) derives the geometry from the corpus count
+    // ([[graft.operators.scaleSafeLsh]]) so the pair graph stays linear
+    // at any corpus size; pass both to pin a geometry explicitly
     val pairs = Dedup.embeddingPairs(t, minCosine, nbits, bandBits)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val clusters = Dedup.clustersOfPairs(pairs, oracleRounds = oracleRounds)

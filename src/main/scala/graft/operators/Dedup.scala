@@ -929,9 +929,10 @@ object Dedup {
       .orderBy(col("cluster_id"), col("doc_id")), iter, converged)
   }
 
-  /** d5: embedding-cosine near-dup. Random-hyperplane sign sketch (16
-    * bits) map-side, bucket-join on 4-bit bands, exact cosine only on
-    * bucket collisions. The full pair matrix never exists.
+  /** d5: embedding-cosine near-dup. Random-hyperplane sign sketch
+    * map-side, bucket-join on bands (geometry derived scale-safe from
+    * the corpus count — [[graft.operators.scaleSafeLsh]]), exact cosine
+    * only on bucket collisions. The full pair matrix never exists.
     */
   def embeddingNearDup(t: Tables, minCosine: Double = 0.15, topN: Int = 50): DataFrame =
     embeddingPairs(t, minCosine)
@@ -948,34 +949,31 @@ object Dedup {
     * a band collapses the corpus into 2^bandBits buckets, so candidate
     * pairs grow ~bands · N²/2^bandBits for uncorrelated vectors —
     * CONSTANT bucket space means quadratic growth no matter how the
-    * corpus shards. The 4-bit default is right for thousands of
-    * vectors (and is the gate-pinned arithmetic); at millions, widen
-    * the bands (e.g. nbits = 64, bandBits = 16: 4096× fewer random
-    * collisions per band) and accept the documented recall trade at
-    * LOW thresholds — near-identical vectors (the dedup targets) still
-    * collide with high probability.
+    * corpus shards. The DEFAULT (both 0) derives the geometry from the
+    * corpus row count via [[graft.operators.scaleSafeLsh]] — expected
+    * bucket occupancy capped at 64, so candidates stay linear in n at
+    * any corpus size, with the documented recall trade at LOW
+    * thresholds (near-identical vectors, the dedup targets, collide at
+    * every width). Pass both explicitly to pin a geometry (the oracle
+    * replicas and crafted specs do).
     */
   private[graft] def embeddingPairs(t: Tables, minCosine: Double,
-      nbits: Int = 16, bandBits: Int = 4, seed: Long = 7L): DataFrame =
+      nbits: Int = 0, bandBits: Int = 0, seed: Long = 7L): DataFrame =
     embeddingPairsOf(t.embeddings, minCosine, nbits, bandBits, seed)
 
   /** [[embeddingPairs]] over an explicit `(vec_id, embedding)` frame —
     * the unit crafted-input specs drive (the semDedupOf pattern).
     */
   private[graft] def embeddingPairsOf(embeddings: DataFrame, minCosine: Double,
-      nbits: Int = 16, bandBits: Int = 4, seed: Long = 7L): DataFrame = {
-    // bandBits capped at 63: (1L << 64) - 1 wraps to 0 on the JVM, which
-    // would mask every band value to 0 — a silent full cross-product
-    require(bandBits >= 1 && bandBits <= 63 && nbits >= bandBits && nbits <= 64 &&
-      nbits % bandBits == 0,
-      s"need 1 <= bandBits=$bandBits <= 63, bandBits <= nbits=$nbits <= 64, nbits % bandBits == 0")
-    val bands = nbits / bandBits
-    val mask = (1L << bandBits) - 1
+      nbits: Int = 0, bandBits: Int = 0, seed: Long = 7L): DataFrame = {
+    val (nb, bb) = resolveLshGeometry(embeddings, nbits, bandBits)
+    val bands = nb / bb
+    val mask = (1L << bb) - 1
     val sk = embeddings.select(col("vec_id"),
-      sign_sketch(col("embedding"), nbits, seed).as("sketch"))
+      sign_sketch(col("embedding"), nb, seed).as("sketch"))
     // plain column expressions, not a transform() lambda (see simhash)
     val bandCols = (0 until bands).map(b =>
-      shiftright(col("sketch"), b * bandBits).bitwiseAND(lit(mask)))
+      shiftright(col("sketch"), b * bb).bitwiseAND(lit(mask)))
     val banded = sk.select(col("vec_id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")

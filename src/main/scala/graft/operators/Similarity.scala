@@ -509,28 +509,23 @@ object Similarity {
     * degenerate one-bucket corpus fails loudly unless the caller
     * explicitly opts out with `None`.
     */
-  def knnGraph(t: Tables, k: Int = 3, nbits: Int = 16, seed: Long = 7L,
+  def knnGraph(t: Tables, k: Int = 3, nbits: Int = 0, seed: Long = 7L,
       maxBucketSize: Option[Long] = Some(QuadraticGuardDefault),
-      bandBits: Int = 4): DataFrame = {
+      bandBits: Int = 0): DataFrame = {
     // band WIDTH is the scale lever, not band count: a band collapses
     // the corpus into 2^bandBits buckets, so candidates grow
     // ~bands · N²/2^bandBits for uncorrelated vectors — adding more
-    // 4-bit bands only multiplies the quadratic. At millions of vectors
-    // use nbits = 64, bandBits = 16 (4096× fewer random collisions per
-    // band; near-identical vectors still collide) — SCALECHECK measures
-    // both configs at sf1.
-    // same degenerate-config guard as Dedup.embeddingPairsOf: bandBits=64
-    // would wrap the mask to 0 (silent cross-product); nbits < bandBits
-    // would mean zero bands (silently empty graph)
-    require(bandBits >= 1 && bandBits <= 63 && nbits >= bandBits && nbits <= 64 &&
-      nbits % bandBits == 0,
-      s"need 1 <= bandBits=$bandBits <= 63, bandBits <= nbits=$nbits <= 64, nbits % bandBits == 0")
-    val mask = (1L << bandBits) - 1
+    // 4-bit bands only multiplies the quadratic. The DEFAULT derives
+    // the geometry from the corpus count ([[graft.operators.
+    // scaleSafeLsh]] — occupancy-capped, candidates linear in n);
+    // SCALECHECK measures the fixed configs at sf1.
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
-    val bandCols = (0 until nbits / bandBits).map(b =>
-      shiftright(col("sketch"), b * bandBits).bitwiseAND(lit(mask)))
+    val (nb, bb) = resolveLshGeometry(emb, nbits, bandBits)
+    val mask = (1L << bb) - 1
+    val bandCols = (0 until nb / bb).map(b =>
+      shiftright(col("sketch"), b * bb).bitwiseAND(lit(mask)))
     val banded = emb
-      .select(col("vec_id"), sign_sketch(col("embedding"), nbits, seed).as("sketch"))
+      .select(col("vec_id"), sign_sketch(col("embedding"), nb, seed).as("sketch"))
       .select(col("vec_id"), posexplode(array(bandCols: _*)))
       .select(col("vec_id"), col("pos").as("band_idx"), col("col").as("band_val"))
     // same fail-loudly philosophy as d8's maxClusterSize: a band bucket

@@ -25,6 +25,59 @@ package object operators {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Scale-safe sign-LSH geometry `(nbits, bandBits)` derived from the
+    * corpus row count — the default for d5/s4/dc8's banded embedding
+    * LSH. A band of width w collapses the corpus into 2^w buckets, so
+    * RANDOM candidate pairs grow ~bands·n²/2^w: any FIXED width is
+    * quadratic past some corpus size (SCALECHECK measured the old 4-bit
+    * default at 17-26× on 10× data). Deriving the width caps expected
+    * bucket occupancy at 64 rows — candidate pairs stay ~bands·32·n,
+    * LINEAR in n with a constant the exact-cosine rerank absorbs:
+    *
+    *   n ≤ 1,024   → 16-bit sketch, 4 bands × 4 bits
+    *   n ≤ 16,384  → 32-bit sketch, 4 bands × 8 bits
+    *   n ≤ 4.2e6   → 64-bit sketch, 4 bands × 16 bits
+    *   above       → 64-bit sketch, 2 bands × 32 bits (covers any real
+    *                 corpus: occupancy 64 holds to n = 2.7e11)
+    *
+    * Recall trade, stated honestly (SCALECHECK's measured table): wide
+    * bands only catch NEAR-IDENTICAL vectors — exactly the dedup
+    * contract (exact twins share the whole sketch and collide at every
+    * width; cos≈0.97 pairs survive a 16-bit band with p ≈ 0.86^16 per
+    * band). Moderate-threshold similarity (cos ~0.5) at scale is the
+    * IVF family's job (s2/s9), not banding's. Callers needing a pinned
+    * geometry (the oracle replicas, crafted specs) pass both values
+    * explicitly; the derivation is a pure step function of the count,
+    * so a gate corpus crossing a ladder boundary fails LOUDLY in the
+    * oracle-pin spec rather than silently drifting.
+    */
+  def scaleSafeLsh(n: Long): (Int, Int) = {
+    val bandBits = Seq(4, 8, 16, 32).find(w => n <= (64L << w)).getOrElse(32)
+    (math.min(4 * bandBits, 64), bandBits)
+  }
+
+  /** Resolve a caller's `(nbits, bandBits)` against the derive-default
+    * contract: both 0 → [[scaleSafeLsh]] of the corpus count (one cheap
+    * count job, the eager-guard precedent); both set → validated as
+    * given; mixed → refused (a half-pinned geometry is always a bug).
+    * bandBits is capped at 63 because `(1L << 64) - 1` wraps to 0 on
+    * the JVM — a silent full cross-product.
+    */
+  private[graft] def resolveLshGeometry(embeddings: DataFrame,
+      nbits: Int, bandBits: Int): (Int, Int) = {
+    val (nb, bb) =
+      if (nbits == 0 && bandBits == 0) scaleSafeLsh(embeddings.count())
+      else {
+        require(nbits != 0 && bandBits != 0,
+          s"pass BOTH nbits=$nbits and bandBits=$bandBits to pin an LSH " +
+            "geometry, or NEITHER (0, 0) to derive it from the corpus count")
+        (nbits, bandBits)
+      }
+    require(bb >= 1 && bb <= 63 && nb >= bb && nb <= 64 && nb % bb == 0,
+      s"need 1 <= bandBits=$bb <= 63, bandBits <= nbits=$nb <= 64, nbits % bandBits == 0")
+    (nb, bb)
+  }
+
   /** Default bound for the quadratic-blowup guards (d8 `maxClusterSize`,
     * s4 `maxBucketSize`, the store builds' `maxDf`/`maxBandBucket`): the
     * guards are ON by default, opt-out via explicit `None`. 2^20 is

@@ -618,6 +618,30 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("scale-safe LSH derivation: occupancy-capped ladder, and the gate corpus pins the oracle geometry") {
+    import graft.operators.scaleSafeLsh
+    // the pure step function: expected bucket occupancy capped at 64
+    assert(scaleSafeLsh(0L) == ((16, 4)))
+    assert(scaleSafeLsh(1024L) == ((16, 4)))
+    assert(scaleSafeLsh(1025L) == ((32, 8)))
+    assert(scaleSafeLsh(16384L) == ((32, 8)))
+    assert(scaleSafeLsh(16385L) == ((64, 16)))
+    assert(scaleSafeLsh(64L << 16) == ((64, 16)))
+    assert(scaleSafeLsh((64L << 16) + 1) == ((64, 32)))
+    assert(scaleSafeLsh(10_000_000_000L) == ((64, 32)),
+      "the 32-bit rung covers any real corpus (occupancy 64 holds to 2.7e11)")
+    // ORACLE PIN: d5/s4/dc8's DuckDB replicas replay the 16-bit sketch /
+    // 4-bit bands arithmetic. The operators derive their geometry from
+    // the corpus count, so the gate stays hash-exact ONLY while the
+    // gate corpus sits on the ladder's first rung. If this fails, the
+    // driver regenerated testdata past 1,024 embeddings: re-pin
+    // OracleReplicas.d5PairCtes / s4KnnGraph at the new derived width.
+    val n = graft.sources.Tables(spark, sfDir).embeddings.count()
+    assert(scaleSafeLsh(n) == ((16, 4)),
+      s"gate corpus has $n embeddings — derived geometry ${scaleSafeLsh(n)} no " +
+        "longer matches the (16, 4) the oracle replicas pin; re-pin the replicas")
+  }
+
   test("d5 band-width lever: exact twins collide at EVERY band width; guards reject bad configs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

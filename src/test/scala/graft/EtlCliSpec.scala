@@ -225,4 +225,35 @@ class EtlCliSpec extends SparkSpecBase {
     val fatal = new EndpointClient(_ => HttpExtract.Status(403, "forbidden"), sleep = _ => ())
     intercept[Pipeline.FatalExtractException] { fatal.raceResults(2023, 1) }
   }
+
+  test("rawZipUrl: resolves the dumps index to delayed_dumps.csv.download_url (api_client.py:167-171)") {
+    // the index path is the reference's literal dumps URL form
+    assert(EndpointClient.dumpsIndexPath == "/data/dumps/download/")
+    // scripted fake: the index JSON with the reference's exact shape
+    val index =
+      """{"delayed_dumps": {"csv": {"download_url": "https://example.test/dumps/f1.zip",
+        |  "size": 123}, "json": {"download_url": "https://example.test/dumps/f1.json.zip"}},
+        | "live_dumps": {}}""".stripMargin
+    val hits = scala.collection.mutable.ListBuffer.empty[String]
+    val client = new EndpointClient(
+      path => { hits += path; HttpExtract.Ok(index) }, sleep = _ => ())
+    assert(client.rawZipUrl().contains("https://example.test/dumps/f1.zip"),
+      "the CSV dump's url, not the JSON dump's")
+    assert(hits == Seq("/data/dumps/download/"))
+    // 404 → None (no dump published); the fetch half is CsvSource.fromZip's
+    val gone = new EndpointClient(_ => HttpExtract.Status(404), sleep = _ => ())
+    assert(gone.rawZipUrl().isEmpty)
+    // a well-formed index MISSING the field fails loudly, never null
+    val odd = new EndpointClient(_ => HttpExtract.Ok("""{"delayed_dumps": {}}"""),
+      sleep = _ => ())
+    val e = intercept[IllegalArgumentException] { odd.rawZipUrl() }
+    assert(e.getMessage.contains("delayed_dumps.csv.download_url"))
+    // retry policy reaches this accessor too: 500 then the index recovers
+    var calls = 0
+    val flaky2 = new EndpointClient(
+      _ => { calls += 1
+        if (calls == 1) HttpExtract.Status(500) else HttpExtract.Ok(index) },
+      sleep = _ => ())
+    assert(flaky2.rawZipUrl().nonEmpty && calls == 2)
+  }
 }

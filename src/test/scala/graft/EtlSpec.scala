@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import java.util.zip.{ZipEntry, ZipOutputStream}
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -135,6 +136,55 @@ class EtlSpec extends SparkSpecBase {
     val runner = new PipelineRunner(spark, wh, store, specs, extracts())
     runner.run(Pipeline.PreSeason)
     assert(store.currentStatus("dim_customer").contains("success"))
+  }
+
+  test("compactLog folds the append pile to one file, preserving watermarks and history verbatim") {
+    val (_, md) = freshDirs()
+    val store = new MetadataStore(spark, md)
+    // a realistic chain: successes with advancing watermarks, a failure,
+    // a two-phase running+terminal pair, a second entity
+    val id1 = store.startSync("fact_events")
+    store.completeSync("fact_events", id1, success = true, 10L, Some(100L))
+    val id2 = store.startSync("fact_events")
+    store.completeSync("fact_events", id2, success = false, 0L, None, Some("boom"))
+    val id3 = store.startSync("fact_events")
+    store.completeSync("fact_events", id3, success = true, 5L, Some(200L))
+    store.appendLog("dim_nation", "success", 25L, None)
+    val logDir = java.nio.file.Paths.get(s"$md/sync_log")
+    def dataFiles() = {
+      val s = java.nio.file.Files.list(logDir)
+      try s.iterator().asScala.toSeq.map(_.getFileName.toString)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      finally s.close()
+    }
+    assert(dataFiles().size == 7, "one file per append before the fold")
+    val historyBefore = store.history("fact_events")
+    val wmBefore = store.watermark("fact_events")
+    store.compactLog()
+    assert(dataFiles().size == 1, "the pile folds to one file")
+    assert(store.history("fact_events") == historyBefore,
+      "a compacted log preserves history verbatim — ids, statuses, refIds, errors")
+    assert(store.watermark("fact_events") == wmBefore && wmBefore.contains(200L))
+    assert(store.currentStatus("dim_nation").contains("success"))
+    // appends continue after the fold with the id chain intact
+    val id4 = store.appendLog("fact_events", "success", 1L, Some(300L))
+    assert(id4 == historyBefore.map(_.id).max + 2,
+      "next id continues from the folded log (dim_nation's row holds max)")
+    assert(store.watermark("fact_events").contains(300L))
+    // idempotent: a second fold (now 2 files) and a third (1 file, no-op)
+    store.compactLog()
+    assert(dataFiles().size == 1)
+    store.compactLog()
+    assert(store.watermark("fact_events").contains(300L))
+    // crash-window shape: a duplicate of the folded file (the move-in
+    // landed, the deletes did not) must not duplicate history
+    val f = logDir.resolve(dataFiles().head)
+    java.nio.file.Files.copy(f, logDir.resolve(s"compact-dup-${f.getFileName}"))
+    assert(store.history("fact_events") == store.history("fact_events").distinct &&
+      store.history("fact_events").size == 7,
+      "readers full-row-dedup the fold-overlap window")
+    store.compactLog()
+    assert(dataFiles().size == 1 && store.watermark("fact_events").contains(300L))
   }
 
   test("single-table targeted run loads exactly one entity") {
