@@ -98,6 +98,25 @@ object GraphBench {
     val pinnedSec = pagerankRounds(broadcastRanks = true)
     val unpinnedSec = pagerankRounds(broadcastRanks = false)
 
+    // the BUCKETED-STORE path (the billion-node deployment shape): edges
+    // persisted bucketed by src, ranks shuffle-joined into the layout —
+    // measured against the broadcast pin on the same graph
+    def storeRounds(store: String, und0: DataFrame): Double = {
+      graft.sources.Warehouse.dropStore(spark, store, Seq("edges", "wedges"))
+      val w = und0.select(col("src"), col("dst"), lit(1L).as("w"))
+      Graph.buildEdgeStoreOf(und0, w, store, cpus.toInt)
+      val edgesDeg = Graph.storeTable(spark, store, "edges")
+      var ranks = edgesDeg.groupBy(col("src")).agg(min(col("deg")).as("deg"))
+        .select(col("src").as("node"), lit(Graph.Rank0).as("rank"))
+      val t0 = System.nanoTime()
+      (1 to 3).foreach { _ =>
+        ranks = Graph.pagerankRound(ranks, edgesDeg, broadcastRanks = false)
+          .localCheckpoint(true)
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val storeSec = storeRounds("gbstore", und)
+
     // optional: the same pinned-vs-unpinned loop on the REAL co-purchase
     // graph (SPARK_GRAFT_SF_DIR), where the g1 baseline was measured
     val real = sys.env.get("SPARK_GRAFT_SF_DIR").map { dir =>
@@ -114,17 +133,33 @@ object GraphBench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      (rounds(true), rounds(false))
+      def storeRounds5(): Double = {
+        graft.sources.Warehouse.dropStore(spark, "gbstorereal", Seq("edges", "wedges"))
+        Graph.buildEdgeStoreOf(und2,
+          und2.select(col("src"), col("dst"), lit(1L).as("w")), "gbstorereal", cpus.toInt)
+        val edgesDeg = Graph.storeTable(spark, "gbstorereal", "edges")
+        var ranks = edgesDeg.groupBy(col("src")).agg(min(col("deg")).as("deg"))
+          .select(col("src").as("node"), lit(Graph.Rank0).as("rank"))
+        val t0 = System.nanoTime()
+        (1 to 5).foreach { _ =>
+          ranks = Graph.pagerankRound(ranks, edgesDeg, broadcastRanks = false)
+            .localCheckpoint(true)
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (rounds(true), rounds(false), storeRounds5())
     }
-    val realJson = real.map { case (p, u) =>
-      s""","real_pagerank5_pinned_sec":$p,"real_pagerank5_unpinned_sec":$u"""
+    val realJson = real.map { case (p, u, s) =>
+      s""","real_pagerank5_pinned_sec":$p,"real_pagerank5_unpinned_sec":$u,""" +
+        s""""real_pagerank5_store_sec":$s"""
     }.getOrElse("")
 
     println(s"""{"metric":"graph_ordered_vs_naive","rim":$nRim,"edges":$nEdges,""" +
       s""""triangles":$orderedTris,"naive_wedge_rows":$naiveWedgeRows,""" +
       s""""ordered_wedge_rows":$orderedWedgeRows,"naive_sec":$naiveSec,""" +
       s""""ordered_sec":$orderedSec,"pagerank3_pinned_sec":$pinnedSec,""" +
-      s""""pagerank3_unpinned_sec":$unpinnedSec$realJson,"cpus":$cpus}""")
+      s""""pagerank3_unpinned_sec":$unpinnedSec,""" +
+      s""""pagerank3_store_sec":$storeSec$realJson,"cpus":$cpus}""")
     spark.stop()
   }
 }

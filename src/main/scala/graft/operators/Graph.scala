@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.Tables
+import graft.sources.{Tables, Warehouse}
 
 /** Graph analytics over the part co-purchase graph (parts that appear in
   * the same order are connected). The reference's star schema is a graph
@@ -21,9 +21,11 @@ import graft.sources.Tables
   *    equi-join (ranks ⋈ edges on src) plus one aggregation (sum by
   *    dst) — compact (node, rank) longs shuffle, never adjacency lists.
   *    Lineage is cut per round (`localCheckpoint`) so the plan stays
-  *    flat at any iteration count. On a real cluster the edge table
-  *    would be bucketed by src so the per-round join reuses one side's
-  *    layout; the loop shape is unchanged.
+  *    flat at any iteration count. For graphs whose rank table outgrows
+  *    the broadcast pin, [[buildEdgeStore]] persists the edges bucketed
+  *    by src and the `*AgainstStore` loops co-locate the per-round join
+  *    on that layout (edge side exchange-free — the GRAPHBENCH-measured
+  *    deployment path); the loop shape is unchanged.
   *  - All rank arithmetic is INTEGER (micro-units, floor division) —
   *    Long sums are associative, so results are bit-identical under any
   *    partitioning AND exactly replayable by the DuckDB oracle
@@ -79,11 +81,20 @@ object Graph {
     // per-round work is then a single (ranks ⋈ edgesDeg) join + one
     // aggregation, not a second node-sized join per round
     val edgesDeg = edges.join(deg, "src").localCheckpoint(eager = true)
+    pagerankCore(deg, edgesDeg, iters, topK, broadcastRanks = true)
+  }
 
+  /** The g1 loop over pre-built (deg, edgesDeg) frames — shared by the
+    * in-memory path (checkpointed inputs, ranks broadcast pinned) and
+    * the bucketed-store path (bucketed scans, shuffle-joined ranks).
+    */
+  private def pagerankCore(deg: DataFrame, edgesDeg: DataFrame,
+      iters: Int, topK: Int, broadcastRanks: Boolean): DataFrame = {
     var ranks = deg.select(col("src").as("node"), lit(Rank0).as("rank"))
     var i = 0
     while (i < iters) {
-      ranks = pagerankRound(ranks, edgesDeg).localCheckpoint(eager = true)
+      ranks = pagerankRound(ranks, edgesDeg, broadcastRanks)
+        .localCheckpoint(eager = true)
       i += 1
     }
     ranks.join(deg, ranks("node") === deg("src"))
@@ -149,6 +160,14 @@ object Graph {
     val wdeg = edges.groupBy("src").agg(sum(col("w")).as("wdeg"))
       .localCheckpoint(eager = true)
     val edgesW = edges.join(wdeg, "src").localCheckpoint(eager = true)
+    weightedPagerankCore(wdeg, edgesW, iters, topK, broadcastRanks)
+  }
+
+  /** The g9 loop over pre-built (wdeg, edgesW) frames — shared with the
+    * bucketed-store path like [[pagerankCore]].
+    */
+  private def weightedPagerankCore(wdeg: DataFrame, edgesW: DataFrame,
+      iters: Int, topK: Int, broadcastRanks: Boolean): DataFrame = {
     var ranks = wdeg.select(col("src").as("node"), lit(Rank0).as("rank"))
     var i = 0
     while (i < iters) {
@@ -165,6 +184,105 @@ object Graph {
       .select(col("node").as("part_key"), col("wdeg"), col("rank"))
       .orderBy(col("rank").desc, col("part_key"))
       .limit(topK)
+  }
+
+  // ---------------------------------------------------------------------
+  // Bucketed edge store — the billion-node deployment path. The
+  // in-memory loops pin a ranks BROADCAST, which is correct while the
+  // node set is dimension-sized; on a graph whose rank table no longer
+  // fits an executor, the per-round join must co-locate on storage
+  // layout instead. The store persists the symmetric closure (degree
+  // attached) bucketed+sorted by src, so every round's (ranks ⋈ edges)
+  // join reads co-bucketed files: the EDGE side — the 100 TB side —
+  // never enters an exchange; only the compact (node, rank) longs
+  // shuffle into the bucket layout, plus the (dst) partial agg. Same
+  // claim/publish generation protocol as the dedup/BM25/IVF stores
+  // (racing rebuilds get distinct generations; probes pin a published
+  // one). WarehouseSpec asserts the exchange shape via PlanAudit and
+  // bit-identity of store-path ranks vs the in-memory loops; GRAPHBENCH
+  // measures it against the broadcast pin at both node-set sizes.
+  // ---------------------------------------------------------------------
+
+  /** Build (or rebuild) the co-purchase edge store: `edges`
+    * (src, dst, deg) and `wedges` (src, dst, w, wdeg), both
+    * bucketed+sorted by src. Returns the published generation.
+    */
+  def buildEdgeStore(t: Tables, store: String = "graphedges", buckets: Int = 32): Long =
+    buildEdgeStoreOf(copurchaseEdges(t), weightedCopurchaseEdges(t), store, buckets)
+
+  /** [[buildEdgeStore]] over explicit unweighted/weighted edge lists
+    * (one row per unordered pair) — exposed for crafted graphs and
+    * GraphBench's synthetic hub graph.
+    */
+  def buildEdgeStoreOf(und: DataFrame, wund: DataFrame,
+      store: String, buckets: Int): Long = {
+    val spark = und.sparkSession
+    val edges = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val wedges = wund.select(col("src"), col("dst"), col("w"))
+      .union(wund.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val wdeg = wedges.groupBy("src").agg(sum(col("w")).as("wdeg"))
+    val gen = Warehouse.claimGeneration(spark, store)
+    try {
+      Warehouse.writeBucketed(edges.join(deg, "src"),
+        Warehouse.storeTableName(store, gen, "edges"), "src", buckets)
+      Warehouse.writeBucketed(wedges.join(wdeg, "src"),
+        Warehouse.storeTableName(store, gen, "wedges"), "src", buckets)
+      Warehouse.publishGeneration(spark, store, gen)
+    } catch { case e: Throwable =>
+      Seq("edges", "wedges").foreach(sfx => scala.util.Try(
+        Warehouse.drop(spark, Warehouse.storeTableName(store, gen, sfx))))
+      Warehouse.burnClaim(spark, store, gen)
+      throw e
+    }
+    gen
+  }
+
+  /** The live generation's bucketed table — package-visible so specs
+    * can audit the raw scan shape.
+    */
+  private[graft] def storeTable(spark: SparkSession, store: String, suffix: String): DataFrame =
+    Warehouse.table(spark,
+      Warehouse.storeTableName(store, Warehouse.resolveGeneration(spark, store), suffix))
+
+  /** Per-node degree off the bucketed edge table: groupBy(src) is
+    * satisfied by the bucket clustering, so this is exchange-free; min
+    * is degenerate (deg is constant per src) but deterministic.
+    */
+  private def storeDeg(edgesDeg: DataFrame, degCol: String): DataFrame =
+    edgesDeg.groupBy(col("src")).agg(min(col(degCol)).as(degCol))
+
+  /** g1 against the persisted store: the identical integer loop (results
+    * BIT-IDENTICAL to [[pagerank]] — spec-pinned), ranks shuffle-joined
+    * into the bucket layout each round, the edge side read co-bucketed
+    * with no exchange. The bucketed scan replaces the in-memory path's
+    * checkpoint, so each round re-reads the (pruned two-column) edge
+    * files — the trade that makes the loop independent of executor
+    * memory.
+    */
+  def pagerankAgainstStore(spark: SparkSession, store: String = "graphedges",
+      iters: Int = 5, topK: Int = 100): DataFrame = {
+    val edgesDeg = storeTable(spark, store, "edges")
+    pagerankCore(storeDeg(edgesDeg, "deg"), edgesDeg, iters, topK, broadcastRanks = false)
+  }
+
+  /** g9 against the persisted store ([[pagerankAgainstStore]]'s shape on
+    * the weighted table).
+    */
+  def weightedPagerankAgainstStore(spark: SparkSession, store: String = "graphedges",
+      iters: Int = 5, topK: Int = 100): DataFrame = {
+    val edgesW = storeTable(spark, store, "wedges")
+    weightedPagerankCore(storeDeg(edgesW, "wdeg"), edgesW, iters, topK, broadcastRanks = false)
+  }
+
+  /** g5 against the persisted store — the frontier starts seed-only, so
+    * early rounds shuffle a frontier-sized rank table into the bucket
+    * layout while the edge side still never moves.
+    */
+  def personalizedPagerankAgainstStore(spark: SparkSession, store: String = "graphedges",
+      iters: Int = 4, topK: Int = 50): DataFrame = {
+    val edgesDeg = storeTable(spark, store, "edges")
+    personalizedCore(storeDeg(edgesDeg, "deg"), edgesDeg, iters, topK, broadcastRanks = false)
   }
 
   /** g5: PERSONALIZED PageRank from the graph's hub (highest-degree,
@@ -187,7 +305,15 @@ object Graph {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = true)
     val edgesDeg = edges.join(deg, "src").localCheckpoint(eager = true)
-    val spark = und.sparkSession
+    personalizedCore(deg, edgesDeg, iters, topK, broadcastRanks)
+  }
+
+  /** The g5 loop over pre-built (deg, edgesDeg) frames — shared with the
+    * bucketed-store path like [[pagerankCore]].
+    */
+  private def personalizedCore(deg: DataFrame, edgesDeg: DataFrame,
+      iters: Int, topK: Int, broadcastRanks: Boolean): DataFrame = {
+    val spark = deg.sparkSession
     // the hub seed: one driver-side row, bounded by construction; an
     // empty graph yields an empty result like pagerankFromEdges, not a
     // crash

@@ -983,6 +983,57 @@ class WarehouseSpec extends SparkSpecBase {
     Warehouse.dropStore(spark, "bm25legacy", Seq("postings", "stats"))
   }
 
+  test("graph edge store: store-path ranks are bit-identical and the per-round join never moves the edge side") {
+    import graft.operators.Graph
+    import graft.sources.PlanAudit
+    import org.apache.spark.sql.functions.{col, lit, min}
+    val t = Tables(spark, sfDir)
+    Warehouse.dropStore(spark, "graphedges", Seq("edges", "wedges"))
+    Graph.buildEdgeStore(t, "graphedges", buckets = 32)
+
+    // bit-identity with the in-memory loops: identical integer
+    // arithmetic, identical rounds — the deployment path changes ONLY
+    // the physical join shape, never a rank value
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(Graph.pagerankAgainstStore(spark, "graphedges")) == rows(Graph.pagerank(t)),
+      "g1 against the store must be bit-identical to the in-memory loop")
+    assert(rows(Graph.weightedPagerankAgainstStore(spark, "graphedges")) ==
+      rows(Graph.weightedPagerank(t)),
+      "g9 against the store must be bit-identical to the in-memory loop")
+    assert(rows(Graph.personalizedPagerankAgainstStore(spark, "graphedges")) ==
+      rows(Graph.personalizedPagerank(t)),
+      "g5 against the store must be bit-identical to the in-memory loop")
+
+    // exchange shape of ONE round under a forced shuffle join (broadcast
+    // disabled — the billion-node regime the store exists for): the
+    // bucketed edge side must NEVER enter an exchange, and dropping the
+    // bucket layout must cost exactly one more shuffle (the edge side)
+    val edgesDeg = Graph.storeTable(spark, "graphedges", "edges")
+    val ranks0 = edgesDeg.groupBy(col("src")).agg(min(col("deg")).as("deg"))
+      .select(col("src").as("node"), lit(Graph.Rank0).as("rank"))
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = PlanAudit.planAudit(
+        Graph.pagerankRound(ranks0, edgesDeg, broadcastRanks = false)).collect()
+      assert(bucketed.exists(r => r.getString(0) == "scan" &&
+        r.getString(1).contains("graphedges")), "the round must scan the store table")
+      val bucketedShuffles = bucketed.filter(_.getString(0) == "shuffle").map(_.getString(6))
+      assert(!bucketedShuffles.exists(_.contains("src#")),
+        s"the edge side must never shuffle (bucket layout co-locates it): " +
+          bucketedShuffles.mkString("; "))
+      // same round, same inputs, bucket layout stripped (localCheckpoint
+      // rematerializes the rows without the catalog bucketing)
+      val plain = PlanAudit.planAudit(Graph.pagerankRound(
+        ranks0, edgesDeg.localCheckpoint(true), broadcastRanks = false)).collect()
+      val nPlain = plain.count(_.getString(0) == "shuffle")
+      assert(bucketedShuffles.length == nPlain - 1,
+        s"dropping the bucket layout must cost exactly the edge-side exchange: " +
+          s"bucketed=${bucketedShuffles.length} plain=$nPlain")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    Warehouse.dropStore(spark, "graphedges", Seq("edges", "wedges"))
+  }
+
   test("PlanAudit surfaces the store layer's plan shape as data") {
     import graft.operators.{Dedup, Similarity, TextAnalysis}
     import graft.sources.PlanAudit
