@@ -168,8 +168,14 @@ object OracleReplicas {
     * up to 2^iters, and the operator asserts it converged within the
     * budget so a pathological long-chain graph fails loudly instead of
     * producing a spurious gate divergence.
+    *
+    * r15: 16 → 24 after the derived-LSH default (scaleSafeLsh) produces
+    * SPARSER threshold graphs whose min-label propagation measured 21
+    * productive rounds at sf0.1 (dense 4-bit graphs converged well under
+    * 16); generations past the fixpoint are no-ops, so the raised budget
+    * costs only SQL length, never a result.
     */
-  val PointerJumpIters = 16
+  val PointerJumpIters = 24
 
   /** Min-label propagation WITH pointer jumping over `edges(s, d)` (both
     * directions present) + `verts(doc_id)`, as a generated CTE chain —

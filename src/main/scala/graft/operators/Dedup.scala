@@ -907,20 +907,33 @@ object Dedup {
       // through it collapses chains exponentially — O(log diameter)
       // rounds instead of O(diameter), i.e. fewer sequential Spark jobs
       // (the dominant cost of this loop: each round is a fixed number of
-      // bucket-key shuffles regardless of data size)
-      // LAZY checkpoint: the convergence count below is the action that
-      // materializes it, so each round costs ONE Spark job (materialize +
-      // count fused), not two. Column pruning cannot reach through the
-      // checkpoint boundary, so the count still persists every column.
+      // bucket-key shuffles regardless of data size). A second compress
+      // through the SAME stale map was tried (r15) and measured a no-op
+      // round-for-round — identical changed-counts on the sparse derived-
+      // LSH graphs — so one compress per generation stays the contract
+      // the oracle chains replay.
       val next = stepped
         .join(labels.select(col("doc_id").as("label"), col("label").as("__jump")),
           Seq("label"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("__jump"), col("label"))).as("label"),
           col("__old"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       val changed = next.filter(col("label") =!= col("__old")).count()
-      labels = next.drop("__old")
+      // STATS RESET, load-bearing past ~15 rounds: a checkpointed Dataset
+      // INHERITS its producing plan's estimated sizeInBytes, and each
+      // round's joins multiply those BigInts — the estimate's DIGIT count
+      // triples per round, so by round ~20 the driver sits in million-digit
+      // BigInteger.multiply inside SizeInBytesOnlyStatsPlanVisitor
+      // (measured: 0.25 s → 200 s per round on a 1.3k-node graph; jstack
+      // pinned the main thread in Toom-Cook multiplication). Rebuilding the
+      // frame over the checkpointed RDD drops the inherited estimate, so
+      // every round plans against flat default stats. The extra row
+      // conversion is two longs per node per round — noise next to the
+      // round's own shuffles. (AQE still sizes the joins from RUNTIME
+      // shuffle stats, so no planning quality is lost.)
+      val cleaned = next.drop("__old")
+      labels = next.sparkSession.createDataFrame(cleaned.rdd, cleaned.schema)
       converged = changed == 0
       iter += 1
     }
