@@ -833,6 +833,167 @@ object OracleReplicas {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** s12: residual IVF-PQ — the s6 replica with the fine stage trained
+    * and encoded on INTEGER residuals r = q·cnt_c − s_c (exact: the
+    * coarse chain's own cell sums and populations), the ADC LUT built
+    * from the PLAIN query ints against the residual books, and the
+    * candidate score recomposed as (dot(q', s_c) + radc) / cnt_c — one
+    * IEEE division over integer-valued doubles, identical in both
+    * engines. Mirrors [[graft.operators.ProductQuant.ivfPqResidualTopK]].
+    */
+  def s12IvfPqResidual(nQueries: Int = 10, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 4, pqNlist: Int = 16, iters: Int = 2, nCandidates: Int = 64,
+      dim: Int = 64, scale: Long = 4096, trainSize: Long = 1024L): String = {
+    val subDim = dim / m
+    val cosOf = "CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END"
+    def cRound(i: Int, prev: String): String =
+      s"""cr${i}s AS (
+         |  SELECT v.vec_id, g.cid,
+         |    SUM(CAST(v.x AS DOUBLE) * CAST(g.s AS DOUBLE)) AS dot,
+         |    SUM(CAST(v.x AS DOUBLE) * CAST(v.x AS DOUBLE)) AS na,
+         |    SUM(CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)) AS nb
+         |  FROM vx v JOIN $prev g USING (pos)
+         |  GROUP BY v.vec_id, g.cid),
+         |ca$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ($cosOf) DESC, cid) AS rn
+         |    FROM cr${i}s) z WHERE rn = 1),
+         |cg$i AS (
+         |  SELECT a.cid, v.pos, SUM(v.x) AS s
+         |  FROM ca$i a JOIN vx v USING (vec_id) GROUP BY a.cid, v.pos)""".stripMargin
+    val cRounds = (1 to iters).map(i => cRound(i, if (i == 1) "cg0" else s"cg${i - 1}")).mkString(",\n")
+    // fine rounds over the RESIDUAL subvector rows rx
+    def fRound(i: Int, prev: String): String =
+      s"""r${i}s AS (
+         |  SELECT v.vec_id, v.sub, g.cid,
+         |    SUM(CAST(v.x AS DOUBLE) * CAST(g.s AS DOUBLE)) AS dot,
+         |    SUM(CAST(v.x AS DOUBLE) * CAST(v.x AS DOUBLE)) AS na,
+         |    SUM(CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)) AS nb
+         |  FROM tx v JOIN $prev g ON v.sub = g.sub AND v.pos = g.pos
+         |  GROUP BY v.vec_id, v.sub, g.cid),
+         |a$i AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY ($cosOf) DESC, cid) AS rn
+         |    FROM r${i}s) z WHERE rn = 1),
+         |g$i AS (
+         |  SELECT a.sub, a.cid, v.pos, SUM(v.x) AS s
+         |  FROM a$i a JOIN tx v ON a.vec_id = v.vec_id AND a.sub = v.sub
+         |  GROUP BY a.sub, a.cid, v.pos)""".stripMargin
+    val fRounds = (1 to iters).map(i => fRound(i, if (i == 1) "g0" else s"g${i - 1}")).mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $scale.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |vx AS (
+       |  SELECT vec_id, CAST((pos - 1) // $subDim AS INT) AS sub, pos, x FROM (
+       |    SELECT vec_id, unnest(q) AS x, unnest(range(1, len(q) + 1)) AS pos FROM qv) z),
+       |cg0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, pos, CAST(x AS HUGEINT) AS s
+       |  FROM vx WHERE vec_id < $nlist),
+       |$cRounds,
+       |cfs AS (
+       |  SELECT v.vec_id, g.cid,
+       |    SUM(CAST(v.x AS DOUBLE) * CAST(g.s AS DOUBLE)) AS dot,
+       |    SUM(CAST(v.x AS DOUBLE) * CAST(v.x AS DOUBLE)) AS na,
+       |    SUM(CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)) AS nb
+       |  FROM vx v JOIN cg$iters g USING (pos)
+       |  GROUP BY v.vec_id, g.cid),
+       |cfr AS (
+       |  SELECT vec_id, cid, dot,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ($cosOf) DESC, cid) AS rn
+       |  FROM cfs),
+       |cafin AS MATERIALIZED (SELECT vec_id, cid FROM cfr WHERE rn = 1),
+       |cprobes AS (
+       |  SELECT vec_id AS query_id, cid FROM cfr
+       |  WHERE vec_id < $nQueries AND rn <= $nprobe),
+       |cpairs AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM cprobes p JOIN cafin a USING (cid)
+       |  WHERE a.vec_id <> p.query_id),
+       |ccnt AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS cnt FROM cafin GROUP BY cid),
+       |rx AS MATERIALIZED (
+       |  SELECT v.vec_id, v.sub, v.pos, v.x * c.cnt - g.s AS x
+       |  FROM vx v
+       |  JOIN cafin a USING (vec_id)
+       |  JOIN ccnt c ON c.cid = a.cid
+       |  JOIN cg$iters g ON g.cid = a.cid AND g.pos = v.pos),
+       |tx AS (SELECT * FROM rx WHERE vec_id < $trainSize),
+       |g0 AS (
+       |  SELECT sub, CAST(vec_id AS INT) AS cid, pos, CAST(x AS HUGEINT) AS s
+       |  FROM tx WHERE vec_id < $pqNlist),
+       |$fRounds,
+       |fs AS (
+       |  SELECT v.vec_id, v.sub, g.cid,
+       |    SUM(CAST(v.x AS DOUBLE) * CAST(g.s AS DOUBLE)) AS dot,
+       |    SUM(CAST(v.x AS DOUBLE) * CAST(v.x AS DOUBLE)) AS na,
+       |    SUM(CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)) AS nb
+       |  FROM rx v JOIN g$iters g ON v.sub = g.sub AND v.pos = g.pos
+       |  GROUP BY v.vec_id, v.sub, g.cid),
+       |codes AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY ($cosOf) DESC, cid) AS rn
+       |    FROM fs) z WHERE rn = 1),
+       |rpop AS (
+       |  SELECT sub, cid, CAST(COUNT(*) AS BIGINT) AS pop
+       |  FROM a$iters GROUP BY sub, cid),
+       |lut AS (
+       |  SELECT query_id, sub, cid, sdot / pop AS pdot FROM (
+       |    SELECT v.vec_id AS query_id, v.sub, g.cid, p.pop,
+       |      SUM(CAST(v.x AS DOUBLE) * CAST(g.s AS DOUBLE)) AS sdot
+       |    FROM vx v
+       |    JOIN g$iters g ON v.sub = g.sub AND v.pos = g.pos
+       |    JOIN rpop p ON p.sub = g.sub AND p.cid = g.cid
+       |    WHERE v.vec_id < $nQueries
+       |    GROUP BY v.vec_id, v.sub, g.cid, p.pop) z),
+       |cdot AS (
+       |  SELECT vec_id AS query_id, cid, dot AS cdot FROM cfs
+       |  WHERE vec_id < $nQueries),
+       |adc AS (
+       |  SELECT cp.query_id, cp.vec_id,
+       |    ${(0 until m).map(i =>
+             s"MAX(CASE WHEN c.sub = $i THEN l.pdot END) AS p$i").mkString(",\n       |    ")},
+       |    COUNT(*) AS nsub
+       |  FROM cpairs cp
+       |  JOIN codes c ON c.vec_id = cp.vec_id
+       |  JOIN lut l ON l.query_id = cp.query_id AND l.sub = c.sub AND l.cid = c.cid
+       |  GROUP BY cp.query_id, cp.vec_id
+       |  HAVING COUNT(*) = $m),
+       |scored0 AS (
+       |  SELECT a.query_id, a.vec_id,
+       |    (d.cdot + (${(0 until m).map(i => s"a.p$i").reduce((x, y) => s"($x + $y)")})) / c.cnt AS sc
+       |  FROM adc a
+       |  JOIN cafin f ON f.vec_id = a.vec_id
+       |  JOIN ccnt c ON c.cid = f.cid
+       |  JOIN cdot d ON d.query_id = a.query_id AND d.cid = f.cid),
+       |cand AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sc DESC, vec_id) AS cr
+       |    FROM scored0) z WHERE cr <= $nCandidates),
+       |pr AS (
+       |  SELECT c.query_id, c.neighbor_id, unnest(qe.embedding) AS x, unnest(ne.embedding) AS y
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+       |sc AS (
+       |  SELECT query_id, neighbor_id,
+       |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+       |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+       |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+       |  FROM pr GROUP BY query_id, neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    ($cosOf) AS cosf,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ($cosOf) DESC, neighbor_id) AS INT) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, neighbor_id, ROUND(cosf, 6) AS cos
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** s4: corpus-wide kNN graph — d5/s3's sign sketch (same inlined
     * weights) on every vector, undirected 4-bit band collision pairs,
     * exact cosine, then each pair feeds both endpoints' top-k. Mirrors

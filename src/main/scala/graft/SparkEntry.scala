@@ -136,6 +136,7 @@ object SparkEntry {
     "s4_knn_graph" -> ((s, dir) => Similarity.knnGraph(Tables(s, dir))),
     "s5_ann_pq" -> ((s, dir) => ProductQuant.pqTopK(Tables(s, dir))),
     "s6_ann_ivfpq" -> ((s, dir) => ProductQuant.ivfPqTopK(Tables(s, dir))),
+    "s12_ann_ivfpq_residual" -> ((s, dir) => ProductQuant.ivfPqResidualTopK(Tables(s, dir))),
     "s10_ivf_index_probe" -> ((s, dir) => {
       // the persisted-IVF-index path through the DuckDB gate: rebuild
       // the partitioned index (generation claim → partitionBy(cid)
@@ -799,6 +800,7 @@ object SparkEntry {
     "s9_ivf_range" -> OracleReplicas.s9IvfRange(),
     "s5_ann_pq" -> OracleReplicas.s5Pq(),
     "s6_ann_ivfpq" -> OracleReplicas.s6IvfPq(),
+    "s12_ann_ivfpq_residual" -> OracleReplicas.s12IvfPqResidual(),
     "s3_ann_lsh" -> OracleReplicas.s3LshTopK(),
     "d2_dedup_minhash" -> OracleReplicas.d2MinhashLsh(),
     "d7_dedup_incremental" -> OracleReplicas.d7MinhashIncremental(),

@@ -48,6 +48,16 @@ object ProductQuant {
       .select(col("vec_id"), col("pos").as("sub"), col("col").as("q"))
   }
 
+  /** [[subvectors]] over an ALREADY-integer vector column (the residual
+    * path's input — residuals are integer-exact by construction, so no
+    * re-quantization).
+    */
+  private def splitSubs(df: DataFrame, vecCol: String, m: Int, subDim: Int): DataFrame = {
+    val subCols = (0 until m).map(s => slice(col(vecCol), s * subDim + 1, subDim))
+    df.select(col("vec_id"), posexplode(array(subCols: _*)))
+      .select(col("vec_id"), col("pos").as("sub"), col("col").as("q"))
+  }
+
   /** Per-subspace codebooks via s2's integer-sum Lloyd's rounds, all `m`
     * subspaces trained in the same jobs (`sub` rides in every key) — and
     * only over the `trainSize`-bounded sample: codebook TRAINING is the
@@ -62,18 +72,25 @@ object ProductQuant {
       trainSize: Long): DataFrame = {
     val tv = sv.filter(col("vec_id") < trainSize)
     val seeds = tv.filter(col("vec_id") < nlist)
-      .select(col("sub"), col("vec_id").cast("int").as("cid"), col("q").as("centroid"))
+      .select(col("sub"), col("vec_id").cast("int").as("cid"), col("q").as("centroid"),
+        lit(1L).as("pop"))
     var centroids = seeds
     var i = 0
     while (i < iters) {
+      // `pop` = the training members whose coordinates formed this sum —
+      // the divisor that turns the integer-sum centroid into a mean.
+      // Cosine consumers (assignment, the raw ADC) ignore it; the
+      // residual ADC divides by it so codes with different populations
+      // score on the same scale.
       centroids = assignCodes(tv, centroids)
         .join(tv, Seq("vec_id", "sub"))
-        .select(col("sub"), col("cid"), posexplode(col("q")))
+        .select(col("sub"), col("cid"), col("vec_id"), posexplode(col("q")))
         .groupBy(col("sub"), col("cid"), col("pos"))
-        .agg(sum(col("col")).as("sumv"))
+        .agg(sum(col("col")).as("sumv"), count(lit(1)).as("npos"))
         .groupBy(col("sub"), col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("sumv")))),
-          s => s.getField("sumv")).as("centroid"))
+          s => s.getField("sumv")).as("centroid"),
+          max(col("npos")).as("pop"))
         .localCheckpoint(true)
       i += 1
     }
@@ -213,6 +230,119 @@ object ProductQuant {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("pdot")).as("adc"), count(lit(1)).as("nsub"))
       .filter(col("nsub") === m)
+      .withColumn("cr", row_number().over(wC))
+      .filter(col("cr") <= nCandidates)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    rerankExact(cand, emb, nQueries, k)
+  }
+
+  /** s12: IVF-PQ with RESIDUAL encoding — the FAISS-default refinement
+    * [[ivfPqTopK]] deliberately skipped. PQ codes quantize the vector's
+    * OFFSET from its coarse cell instead of the raw vector: residuals
+    * cluster tighter than raw vectors (the coarse stage already explains
+    * the between-cell variance), so the same code budget approximates
+    * the true dot product better and the candidate ranking improves —
+    * ProductQuantSpec measures the recall lift against the raw path on
+    * the same corpus.
+    *
+    * The r14 verdict's determinism objection ("a residual encode would
+    * break the shared-arithmetic determinism") is dissolved by keeping
+    * the residual IN the scaled-integer domain: with q the quantized
+    * vector, c its cell, cnt_c the cell population and s_c the cell's
+    * integer coordinate SUMS (what [[Similarity.kmeansCentroids]]
+    * already produces — sum ≡ mean for cosine), the residual is
+    *
+    *   r = q·cnt_c − s_c            (exact integers; v ≡ (s_c + r)/cnt_c)
+    *
+    * so codebook training, encoding and ADC all replay in DuckDB
+    * exactly like the raw path. The candidate score recomposes the dot
+    * estimate: dot(q', v) = (dot(q', s_c) + dot(q', r_v)) / cnt_c with
+    * dot(q', r_v) ≈ the residual-ADC sum — every term an integer-valued
+    * double < 2^53 (bound: dim·q_max²·cnt·train ≈ 2^44 at gate scale),
+    * and the single final division is one IEEE op both engines perform
+    * identically. Scale shape is [[ivfPqTopK]]'s: per-cell scalars
+    * (cnt, coarse dot) broadcast; only the residual LUT join replaces
+    * the raw LUT join.
+    */
+  def ivfPqResidualTopK(t: Tables, nQueries: Int = 10, k: Int = 5, nlist: Int = 16,
+      nprobe: Int = 4, m: Int = 4, pqNlist: Int = 16, iters: Int = 2,
+      nCandidates: Int = 64, trainSize: Long = 1024L): DataFrame = {
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val dim = 64
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+
+    // coarse routing — identical to the raw path
+    val coarse = Similarity.kmeansCentroids(emb, nlist, iters)
+    val assigned = Similarity.assignNearest(emb, coarse).select(col("vec_id"), col("cid"))
+    val q = Similarity.querySet(t, nQueries)
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(coarse))
+      .withColumn("ccos", cosine_sim(
+        quantize_vec(col("query_emb"), KmeansQuantScale).cast("array<double>"), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    val candPairs = broadcast(probes).join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+
+    // integer residuals: r = q·cnt − s_c, one corpus scan, cell scalars
+    // and centroid sums broadcast
+    val cellCnt = assigned.groupBy(col("cid")).agg(count(lit(1)).as("cnt"))
+    val qint = emb.select(col("vec_id"),
+      quantize_vec(col("embedding"), KmeansQuantScale).cast("array<double>").as("qv"))
+    val resid = qint.join(assigned, Seq("vec_id"))
+      .join(broadcast(cellCnt), Seq("cid"))
+      .join(broadcast(coarse), Seq("cid"))
+      .select(col("vec_id"),
+        zip_with(col("qv"), col("centroid"), (x, s) => x * col("cnt") - s).as("rv"))
+    val rsv = splitSubs(resid, "rv", m, dim / m)
+
+    // residual codebooks/codes (same integer k-means), LUT from the PLAIN
+    // query ints against the residual books. The entry is the MEAN-level
+    // partial dot: dot(q'_sub, rsum_code) / pop_code — one IEEE division
+    // over integer-valued operands (deterministic, replayed verbatim);
+    // without the division the entry is scaled by the code's training
+    // population, which varies per code and wrecks within-cell ranking
+    // (measured: recall 0.66 vs the raw path's 0.84 before this fix).
+    val rbooks = codebooks(rsv, pqNlist, iters, trainSize)
+    val rcodes = assignCodes(rsv, rbooks)
+    val qsv = subvectors(emb, m, dim / m)
+    val lutR = qsv.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("sub"), col("q"))
+      .join(broadcast(rbooks), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        (intDot(col("q"), col("centroid")) / col("pop")).as("pdot"))
+
+    // per-(query, cell) coarse dot — nQueries·nlist scalars, broadcast
+    val coarseDot = qint.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv"))
+      .crossJoin(broadcast(coarse))
+      .select(col("query_id"), col("cid"), intDot(col("qv"), col("centroid")).as("cdot"))
+
+    // pdot entries are no longer integer-valued, so their sum's FP
+    // association must be pinned: one column per subspace, folded left
+    // to right — both engines add (((p0+p1)+p2)+p3), bit-identically
+    val subCols = (0 until m).map(i =>
+      max(when(col("sub") === i, col("pdot"))).as(s"p$i"))
+    val radcSum = (0 until m).map(i => col(s"p$i")).reduce(_ + _)
+    val wC = Window.partitionBy(col("query_id")).orderBy(col("sc").desc, col("vec_id"))
+    val cand = candPairs
+      .join(rcodes, Seq("vec_id"))
+      .join(broadcast(lutR), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(subCols.head, (subCols.tail :+ count(lit(1)).as("nsub")): _*)
+      .filter(col("nsub") === m)
+      .withColumn("radc", radcSum)
+      .join(assigned, Seq("vec_id"))
+      .join(broadcast(cellCnt), Seq("cid"))
+      .join(broadcast(coarseDot), Seq("query_id", "cid"))
+      // dot estimate of the candidate: dot(q', v) = (dot(q', s_c) +
+      // dot(q', r_v)) / cnt_c — r is cnt-scaled by construction, so BOTH
+      // terms divide by the candidate's cell population; one addition
+      // then one division, the same two IEEE ops the oracle runs
+      .withColumn("sc", (col("cdot") + col("radc")) / col("cnt"))
       .withColumn("cr", row_number().over(wC))
       .filter(col("cr") <= nCandidates)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))

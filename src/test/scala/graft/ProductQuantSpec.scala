@@ -79,6 +79,69 @@ class ProductQuantSpec extends SparkSpecBase {
     }
   }
 
+  test("s12: residual IVF-PQ — structure, determinism, gate-corpus recall never below the raw path") {
+    val rows = ProductQuant.ivfPqResidualTopK(t).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q), s"query $q self-match")
+    }
+    val again = ProductQuant.ivfPqResidualTopK(t).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "the residual train/encode/score chain must be bit-deterministic")
+
+    val brute = Similarity.bruteForce(t).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recallOf(rs: Array[org.apache.spark.sql.Row]) =
+      (brute & rs.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet)
+        .size.toDouble / brute.size
+    val rRaw = recallOf(ProductQuant.ivfPqTopK(t).collect())
+    val rRes = recallOf(rows)
+    info(f"recall@5 raw=$rRaw%.3f residual=$rRes%.3f")
+    assert(rRes >= rRaw,
+      f"residual encoding must not lose recall vs the raw path: $rRes%.3f < $rRaw%.3f")
+    assert(rRes >= 0.5, f"s12 recall@5 dropped to $rRes%.3f")
+  }
+
+  test("s12 residual precision wins STRICTLY on a clustered corpus (the regime residual PQ exists for)") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    // 16 well-separated cluster centers, 32 members each, small
+    // deterministic per-member offsets: raw PQ must spend its 16 codes
+    // per subspace covering the BETWEEN-cluster spread, so within-cell
+    // candidates collapse onto few codes and the ADC ranking is nearly
+    // blind; residual codes see only the within-cell offsets and rank
+    // them finely. Built as a Tables dir (embeddings.parquet only).
+    val dir = java.nio.file.Files.createTempDirectory("s12clustered").toString
+    def centerVal(c: Int, d: Int): Float =
+      ((((c * 131071L + d * 40503L) % 1997).toFloat / 1997f) - 0.5f) * 2.0f
+    def noiseVal(v: Int, d: Int): Float =
+      ((((v * 2654435761L + d * 97L) % 997).toFloat / 997f) - 0.5f) * 0.05f
+    val rows = (0 until 512).map { v =>
+      val c = v % 16
+      (v.toLong, (0 until 64).map(d => centerVal(c, d) + noiseVal(v, d)))
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "emb")
+      .select(col("vec_id"),
+        col("emb").cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val tc = Tables(spark, dir)
+    val brute = Similarity.bruteForce(tc).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recallOf(rs: Array[org.apache.spark.sql.Row]) =
+      (brute & rs.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet)
+        .size.toDouble / brute.size
+    // nCandidates tighter than the 32-member clusters: the exact rerank
+    // can no longer paper over a blind ADC ranking — which 8 candidates
+    // get reranked IS the approximation quality under test
+    val rRaw = recallOf(ProductQuant.ivfPqTopK(tc, nCandidates = 8).collect())
+    val rRes = recallOf(ProductQuant.ivfPqResidualTopK(tc, nCandidates = 8).collect())
+    info(f"clustered recall@5 raw=$rRaw%.3f residual=$rRes%.3f (nCandidates=8)")
+    assert(rRes > rRaw,
+      f"on the clustered corpus the residual path must STRICTLY beat raw: $rRes%.3f <= $rRaw%.3f")
+  }
+
   test("s6 recall@5 vs exact brute force stays reasonable under double pruning") {
     // IVF admits nprobe/nlist of the corpus, PQ ranks within it; with a
     // 64-candidate exact rerank the composition should still find most
