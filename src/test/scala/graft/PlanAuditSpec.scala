@@ -24,6 +24,10 @@ class PlanAuditSpec extends SparkSpecBase {
     "dc4_mixture", "dc9_full_curation", "dc10_curation_audit",
     "t6_tfidf", "t8_unigram_logprob", "t12_bigram_logprob",
     "s2_ann_ivf", "s6_ann_ivfpq", "s1_ann_brute",
+    // s12: s6's probe crossJoin plus the (nQueries × nlist) coarse-dot
+    // scalar table — both sides broadcast-tiny by construction (queries
+    // and centroids), never corpus rows
+    "s12_ann_ivfpq_residual",
     // t15: the 1-row CMS sketch attaches to the 10 probe tokens;
     // t16: the 1-row token and bigram totals attach to the pair table
     "t15_cms_freq", "t16_pmi_collocations",
