@@ -457,18 +457,22 @@ object Similarity {
     * set; the ranking window runs on queries × candidates, not queries ×
     * corpus (brute force's cost).
     */
-  def lshTopK(t: Tables, nQueries: Int = 10, k: Int = 5, nbits: Int = 16, seed: Long = 7L): DataFrame = {
-    require(nbits % 4 == 0 && nbits >= 4, s"nbits=$nbits must be a positive multiple of 4")
+  def lshTopK(t: Tables, nQueries: Int = 10, k: Int = 5, nbits: Int = 0, seed: Long = 7L,
+      bandBits: Int = 0): DataFrame = {
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
-    // bands derived from the sketch width (4 bits each) — hard-coding 4
-    // bands would make every pair collide on the all-zero upper bands of
-    // a narrower sketch (candidate set degenerates to the full corpus).
+    // geometry derived scale-safe from the corpus count by default
+    // ([[graft.operators.scaleSafeLsh]] — d5/s4's r15 contract): a fixed
+    // 4-bit band admits ~n/16 corpus rows PER query band at any n, so
+    // the candidate rerank grows linearly with a corpus-sized constant;
+    // the derived width keeps expected bucket occupancy flat instead.
     // Plain column expressions, not a transform() lambda: higher-order
     // functions run on the interpreted path per corpus row.
-    val bandCols = (0 until nbits / 4).map(b =>
-      shiftright(col("sketch"), b * 4).bitwiseAND(lit(15L)))
+    val (nb, bb) = resolveLshGeometry(emb, nbits, bandBits)
+    val mask = (1L << bb) - 1
+    val bandCols = (0 until nb / bb).map(b =>
+      shiftright(col("sketch"), b * bb).bitwiseAND(lit(mask)))
     val banded = emb
-      .select(col("vec_id"), sign_sketch(col("embedding"), nbits, seed).as("sketch"))
+      .select(col("vec_id"), sign_sketch(col("embedding"), nb, seed).as("sketch"))
       .select(col("vec_id"), posexplode(array(bandCols: _*)))
       .select(col("vec_id"), col("pos").as("band_idx"), col("col").as("band_val"))
     val qb = banded.filter(col("vec_id") < nQueries)
