@@ -64,12 +64,15 @@ final class JdbcMergeSink(
     val columns = deduped.columns.toSeq
     val plan = dialect.plan(tableFor(spec.name), columns, spec.keyColumns)
     // the single-writer-per-key guarantee below is void when Spark runs
-    // two attempts of the same partition concurrently (speculative
-    // execution, or a zombie retry): both attempts UPDATE zero rows and
-    // both INSERT — silent duplicates unless the destination enforces a
-    // unique/PK constraint on the keys. Two-statement dialects therefore
-    // refuse to run under speculation; single-statement upserts are
-    // destination-side atomic and stay safe.
+    // two attempts of the same partition concurrently: both attempts
+    // UPDATE zero rows and both INSERT — silent duplicates unless the
+    // destination enforces a unique/PK constraint on the keys. The guard
+    // refuses the PREDICTABLE cause (speculative execution); a zombie
+    // retry racing its replacement is not driver-detectable, which is
+    // why the class doc REQUIRES a unique key constraint on the
+    // destination for update-then-insert (making the zombie's duplicate
+    // a loud constraint violation, retried via the update path).
+    // Single-statement upserts are destination-side atomic either way.
     JdbcMergeSink.assertSpeculationSafe(plan, spec.name, dialect,
       fresh.sparkSession.sparkContext.getConf.getBoolean("spark.speculation", false))
     val colIdx = columns.zipWithIndex.toMap

@@ -381,8 +381,17 @@ final class MetadataStore(spark: SparkSession, root: String,
     val dir = Paths.get(logPath)
     if (!Files.exists(dir)) return
     val parent = dir.getParent
-    listFiles(parent).filter(_.getFileName.toString.startsWith(s"${dir.getFileName}.compacting-"))
-      .foreach(p => { listFiles(p).foreach(Files.deleteIfExists(_)); Files.deleteIfExists(p) })
+    // stale-staging sweep: RECURSIVE (a compaction that died mid-parquet
+    // -write leaves nested _temporary/attempt dirs a flat delete would
+    // refuse, breaking every later compaction) and AGE-GATED (an hour-old
+    // floor, so a concurrent compaction's live staging dir is never
+    // swept from under it)
+    val cutoff = System.currentTimeMillis() - 3600_000L
+    listFiles(parent)
+      .filter(_.getFileName.toString.startsWith(s"${dir.getFileName}.compacting-"))
+      .filter(p => scala.util.Try(Files.getLastModifiedTime(p).toMillis)
+        .toOption.forall(_ <= cutoff))
+      .foreach(deleteRecursively)
     val old = listFiles(dir).filter { p =>
       val n = p.getFileName.toString
       !n.startsWith("_") && !n.startsWith(".")
@@ -394,8 +403,7 @@ final class MetadataStore(spark: SparkSession, root: String,
       .filter(_.getFileName.toString.startsWith("part-"))
       .foreach(f => Files.move(f, dir.resolve(s"compact-${System.nanoTime()}-${f.getFileName}")))
     old.foreach(Files.deleteIfExists(_))
-    listFiles(staging).foreach(Files.deleteIfExists(_))
-    Files.deleteIfExists(staging)
+    deleteRecursively(staging)
   }
 
   private def listFiles(dir: Path): Seq[Path] =
@@ -404,6 +412,12 @@ final class MetadataStore(spark: SparkSession, root: String,
       val s = Files.list(dir)
       try s.iterator().asScala.toSeq finally s.close()
     }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) listFiles(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+    ()
+  }
 
   /** The reference's `get_next_round_to_load` (metadata.py:150-190),
     * generalized to graft's Long period keys: the first calendar period

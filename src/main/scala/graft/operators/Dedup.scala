@@ -912,13 +912,19 @@ object Dedup {
       // round-for-round — identical changed-counts on the sparse derived-
       // LSH graphs — so one compress per generation stays the contract
       // the oracle chains replay.
+      // LAZY checkpoint: the convergence count below is the action that
+      // materializes it, so each round costs ONE Spark job — and the
+      // sequential job count is the loop's dominant cost. (Materialization
+      // DOES truncate under AQE: rounds 1-13 of the stats-blowup
+      // investigation ran at constant 0.25 s on the lazy path, so the
+      // r15 eager detour was unnecessary and cost a job per round.)
       val next = stepped
         .join(labels.select(col("doc_id").as("label"), col("label").as("__jump")),
           Seq("label"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("__jump"), col("label"))).as("label"),
           col("__old"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       val changed = next.filter(col("label") =!= col("__old")).count()
       // STATS RESET, load-bearing past ~15 rounds: a checkpointed Dataset
       // INHERITS its producing plan's estimated sizeInBytes, and each
@@ -927,11 +933,11 @@ object Dedup {
       // BigInteger.multiply inside SizeInBytesOnlyStatsPlanVisitor
       // (measured: 0.25 s → 200 s per round on a 1.3k-node graph; jstack
       // pinned the main thread in Toom-Cook multiplication). Rebuilding the
-      // frame over the checkpointed RDD drops the inherited estimate, so
-      // every round plans against flat default stats. The extra row
-      // conversion is two longs per node per round — noise next to the
-      // round's own shuffles. (AQE still sizes the joins from RUNTIME
-      // shuffle stats, so no planning quality is lost.)
+      // frame over the (count-materialized) checkpointed RDD drops the
+      // inherited estimate, so every round plans against flat default
+      // stats. The extra row conversion is two longs per node per round —
+      // noise next to the round's own shuffles. (AQE still sizes the
+      // joins from RUNTIME shuffle stats, so no planning quality is lost.)
       val cleaned = next.drop("__old")
       labels = next.sparkSession.createDataFrame(cleaned.rdd, cleaned.schema)
       converged = changed == 0

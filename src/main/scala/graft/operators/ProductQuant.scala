@@ -84,7 +84,7 @@ object ProductQuant {
       // score on the same scale.
       centroids = assignCodes(tv, centroids)
         .join(tv, Seq("vec_id", "sub"))
-        .select(col("sub"), col("cid"), col("vec_id"), posexplode(col("q")))
+        .select(col("sub"), col("cid"), posexplode(col("q")))
         .groupBy(col("sub"), col("cid"), col("pos"))
         .agg(sum(col("col")).as("sumv"), count(lit(1)).as("npos"))
         .groupBy(col("sub"), col("cid"))

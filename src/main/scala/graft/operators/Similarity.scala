@@ -336,9 +336,12 @@ object Similarity {
         // SECOND liveness observation: a rebuild publishing between the
         // re-check above and the confirm supersedes the segment while
         // its tag reads committed — a later replay would skip and the
-        // rows would live only in the superseded segment (the loss class
-        // this protocol closes). If the base moved, withdraw the
-        // confirmation and fall through to retract/re-append.
+        // rows would live only in the superseded segment. The re-check
+        // NARROWS that window to the instant between this observation
+        // and the return (closing it fully needs a transactional marker
+        // store — the same boundary atomicPublish documents); if the
+        // base moved, withdraw the confirmation and fall through to
+        // retract/re-append.
         if (Warehouse.resolvePathSegmented(path)._1 == base) return Some(gen)
         dedupeTag.foreach(Warehouse.unconfirmPathSegmentTag(path, _))
       }

@@ -937,9 +937,11 @@ object TextAnalysis {
         // SECOND liveness observation: a rebuild publishing between the
         // re-check above and the confirm supersedes the segment while
         // its tag reads committed — a later replay would skip and the
-        // rows would live only in the superseded segment. If the base
-        // moved, withdraw the confirmation and fall through to
-        // retract/re-append (same protocol as
+        // rows would live only in the superseded segment. The re-check
+        // NARROWS that window to the instant between this observation
+        // and the return (closing it fully needs a transactional marker
+        // store); if the base moved, withdraw the confirmation and fall
+        // through to retract/re-append (same protocol as
         // [[graft.operators.Similarity.appendToIvfIndex]]).
         if (Warehouse.resolveSegmented(spark, name)._1 == base) return Some(gen)
         dedupeTag.foreach(Warehouse.unconfirmSegmentTag(spark, name, _))

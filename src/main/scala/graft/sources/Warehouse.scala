@@ -187,8 +187,7 @@ object Warehouse {
     * files are swept under the lock.
     */
   private def compactTagMarkers(dir: Path, lockTtlMs: Long = 3600_000L): Unit = {
-    val markers = listTagMarkers(dir)
-    if (markers.isEmpty) return
+    if (listTagMarkers(dir).isEmpty) return
     val lock = dir.resolve("tagdone.log.lock")
     scala.util.Try(Files.getLastModifiedTime(lock).toMillis).toOption
       .filter(_ < System.currentTimeMillis() - lockTtlMs)
@@ -197,6 +196,11 @@ object Warehouse {
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     if (!locked) return
     try {
+      // markers snapshotted UNDER the lock — a pre-lock snapshot could
+      // resurrect a tag [[unconfirmTagIn]] withdrew between the snapshot
+      // and the fold (unconfirm also serializes on this lock, so after
+      // it deletes a marker no folder can still see it)
+      val markers = listTagMarkers(dir)
       val union = (manifestTags(dir) ++ markers).toSeq.sorted
       val tmp = dir.resolve(s"tagdone.log.tmp-${System.nanoTime()}")
       Files.write(tmp, union.asJava)
@@ -345,10 +349,17 @@ object Warehouse {
     retractKeepDataIn(pathGenDir(root), gen)
 
   private def retractKeepDataIn(dir: Path, gen: Long): Unit = {
+    // ONLY the ready marker goes. Deleting segof here would open a
+    // misclassification window: a resolver that listed ready markers
+    // just before this delete and reads segof just after would see the
+    // orphan as a FULL BUILD (ready, no segof) and resolve it as the
+    // live base — a silently tiny corpus. With segof intact the orphan
+    // is, at every instant, either a superseded-base segment (correctly
+    // ignored) or unpublished. claim-<gen> and segof-<gen> deliberately
+    // stay: the claim keeps the generation number un-reissuable and
+    // makes the leftover data visible to the age-gated burned-claim
+    // sweep, which reclaims all three together.
     Files.deleteIfExists(dir.resolve(s"ready-$gen"))
-    Files.deleteIfExists(dir.resolve(s"segof-$gen"))
-    // claim-<gen> deliberately stays: it keeps the generation number
-    // un-reissuable and makes the leftover data visible to the sweep
   }
 
   /** Withdraw a [[confirmSegmentTag]] confirmation — the appender's
@@ -367,12 +378,15 @@ object Warehouse {
     unconfirmTagIn(pathGenDir(root), tag)
 
   private def unconfirmTagIn(dir: Path, tag: String): Unit = {
-    Files.deleteIfExists(dir.resolve(s"tagdone-$tag"))
-    if (!manifestTags(dir).contains(tag)) return
-    // a vacuum folded the marker into the manifest between confirm and
-    // withdraw — rewrite the manifest without it, under the same lock
-    // discipline as [[compactTagMarkers]]. Spin briefly for the lock;
-    // failing LOUDLY beats leaving a false commitment (silent loss)
+    // the ENTIRE withdrawal serializes on the compaction lock: marker
+    // delete and manifest rewrite both happen under it, and
+    // [[compactTagMarkers]] snapshots its marker list under the same
+    // lock — so a racing vacuum either folds the marker BEFORE this
+    // (we remove the manifest entry below) or lists AFTER (the marker
+    // is gone). An unlocked withdrawal could race a vacuum's pre-lock
+    // snapshot and have the tag resurrected into the manifest — a
+    // durable false commitment, i.e. silent loss on replay. Spin
+    // briefly for the lock; failing LOUDLY beats that.
     val lock = dir.resolve("tagdone.log.lock")
     val deadline = System.currentTimeMillis() + 10_000L
     var locked = false
@@ -384,12 +398,15 @@ object Warehouse {
     require(locked, s"unconfirmTag('$tag'): could not acquire the manifest " +
       "lock — the tag may still read as committed; retry before replaying")
     try {
-      val rest = (manifestTags(dir) - tag).toSeq.sorted
-      val tmp = dir.resolve(s"tagdone.log.tmp-${System.nanoTime()}")
-      Files.write(tmp, rest.asJava)
-      Files.move(tmp, tagLog(dir),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Files.deleteIfExists(dir.resolve(s"tagdone-$tag"))
+      if (manifestTags(dir).contains(tag)) {
+        val rest = (manifestTags(dir) - tag).toSeq.sorted
+        val tmp = dir.resolve(s"tagdone.log.tmp-${System.nanoTime()}")
+        Files.write(tmp, rest.asJava)
+        Files.move(tmp, tagLog(dir),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
     } finally Files.deleteIfExists(lock)
   }
 
