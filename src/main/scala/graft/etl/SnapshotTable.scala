@@ -1,10 +1,12 @@
 package graft.etl
 
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.{PosixStoreIO, StoreIO}
 
 /** Version-conflict signal for optimistic commits: the table advanced
   * between snapshot resolution and manifest publication. Callers re-read
@@ -31,42 +33,32 @@ final case class VersionConflictException(expected: Long)
   *    concurrent commits (snapshot isolation); older versions stay
   *    readable (time travel) until explicitly vacuumed
   *
-  * Portability: the LAYOUT (immutable data dirs + a manifest chain)
-  * assumes nothing about the store, but THIS implementation's commit
-  * primitive is POSIX `link(2)` via `Files.createLink` — it requires a
-  * filesystem with hard links (local disk, NFS, most HDFS-compatible
-  * mounts) and throws `UnsupportedOperationException` elsewhere. Porting
-  * to S3/GCS-class object stores means swapping [[tryCommit]]'s publish
-  * step for a conditional PUT (`If-None-Match: *`), which gives the same
-  * create-new-or-fail semantics atomically for both name and content;
-  * everything else carries over. Reference analog: the sync metadata +
-  * idempotent loads of /root/reference/metadata.py, hardened for
-  * concurrent writers.
+  * Portability: every metadata-plane operation (manifest publish, list,
+  * read, sidecars, vacuum of manifests) goes through the injected
+  * [[graft.sources.StoreIO]] seam. The default [[PosixStoreIO]] commits
+  * with POSIX `link(2)` (shared filesystems); an object-store deployment
+  * implements the six StoreIO operations once — `putIfAbsent` as a
+  * conditional PUT (`If-None-Match: *`) — and the whole table format
+  * carries over unchanged. The DATA plane (immutable parquet dirs) is
+  * Spark's, which already speaks object stores via the Hadoop FS layer.
+  * Reference analog: the sync metadata + idempotent loads of
+  * /root/reference/metadata.py, hardened for concurrent writers.
   */
-final class SnapshotTable(spark: SparkSession, root: String) {
+final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = PosixStoreIO) {
 
   final case class Snapshot(version: Long, dirs: Seq[String])
 
   /** The table's root directory (specs inspect the on-disk layout). */
   def rootPath: String = root
 
-  private val manifestDir = Paths.get(root, "_manifests")
+  private val manifestDir = s"$root/_manifests"
   private val dataDir = Paths.get(root, "data")
 
-  private def manifestPath(v: Long): Path = manifestDir.resolve(f"v$v%012d")
-
-  private def listDir(dir: Path): Seq[Path] = {
-    // Files.list leaks a directory fd unless closed — this accessor runs
-    // on every read, so the leak would accumulate in long-lived runners
-    val s = Files.list(dir)
-    try s.iterator().asScala.toSeq finally s.close()
-  }
+  private def manifestPath(v: Long): String = f"$manifestDir/v$v%012d"
 
   private def listVersions(): Seq[Long] =
-    if (!Files.isDirectory(manifestDir)) Seq.empty
-    else listDir(manifestDir)
-      .map(_.getFileName.toString)
-      .filter(_.startsWith("v"))
+    io.list(manifestDir)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
       .map(_.drop(1).toLong)
       .sorted
 
@@ -76,8 +68,9 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   def snapshot(version: Option[Long] = None): Option[Snapshot] = {
     val v = version.orElse(currentVersion)
     v.map { ver =>
-      val lines = Files.readAllLines(manifestPath(ver)).asScala.toSeq
-      Snapshot(ver, lines.filter(_.nonEmpty))
+      val bytes = io.get(manifestPath(ver)).getOrElse(
+        throw new IllegalStateException(s"version $ver vanished at $root (vacuumed?)"))
+      Snapshot(ver, new String(bytes, "UTF-8").split("\n", -1).toSeq.filter(_.nonEmpty))
     }
   }
 
@@ -92,11 +85,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     */
   def versionAsOf(tsMillis: Long): Option[Long] =
     listVersions().filter { v =>
-      // a concurrent vacuum may unlink an old manifest between the
+      // a concurrent vacuum may remove an old manifest between the
       // listing and this stat — a vanished version simply doesn't
       // qualify; it must not crash the lookup of versions that do
-      try Files.getLastModifiedTime(manifestPath(v)).toMillis <= tsMillis
-      catch { case _: java.io.IOException => false }
+      io.mtime(manifestPath(v)).exists(_ <= tsMillis)
     }.lastOption
 
   /** Read the table as of a wall-clock instant (see [[versionAsOf]]). */
@@ -189,29 +181,16 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   }
 
   /** Publish `dirs` as version `expected + 1` (expected = -1 for the
-    * first commit). Atomic: the manifest is fully written to a temp file
-    * first, then hard-linked into its versioned name — `link` is
-    * create-new-or-EEXIST, so a concurrent commit of the same version
-    * loses deterministically and no reader ever sees a partial manifest.
-    * POSIX-only (see class doc): on a store without hard links, replace
-    * this publish with a conditional PUT of the manifest bytes.
+    * first commit). Atomic through the [[graft.sources.StoreIO]] seam:
+    * `putIfAbsent` commits name and content together — a concurrent
+    * commit of the same version loses deterministically and no reader
+    * ever sees a partial manifest (POSIX impl: temp file + `link(2)`;
+    * object stores: conditional PUT).
     */
-  def tryCommit(expected: Long, dirs: Seq[String]): Long = {
-    Files.createDirectories(manifestDir)
-    val tmp = manifestDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, dirs.mkString("\n").getBytes("UTF-8"),
-      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-    val target = manifestPath(expected + 1)
-    try {
-      Files.createLink(target, tmp)
+  def tryCommit(expected: Long, dirs: Seq[String]): Long =
+    if (io.putIfAbsent(manifestPath(expected + 1), dirs.mkString("\n").getBytes("UTF-8")))
       expected + 1
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw VersionConflictException(expected)
-    } finally {
-      Files.deleteIfExists(tmp)
-    }
-  }
+    else throw VersionConflictException(expected)
 
   /** Optimistic-retry commit: `change` maps the current dir list to the
     * new one; on conflict the FRESH snapshot is re-read and the change
@@ -282,7 +261,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         val json = statsCols.zipWithIndex.map { case (c, i) =>
           s""""$c":{"min":${row.getLong(2 * i)},"max":${row.getLong(2 * i + 1)}}"""
         }.mkString("{", ",", "}")
-        Files.write(dirPath.resolve("_stats.json"), json.getBytes("UTF-8"))
+        io.put(s"$dirPath/_stats.json", json.getBytes("UTF-8"))
       }
       if (bloomCols.nonEmpty) {
         import graft.functions.GraftFunctions.bloom_build
@@ -293,19 +272,19 @@ final class SnapshotTable(spark: SparkSession, root: String) {
           val b64 = java.util.Base64.getEncoder.encodeToString(row.getAs[Array[Byte]](i))
           s""""$c":"$b64""""
         }.mkString("{", ",", "}")
-        Files.write(dirPath.resolve("_bloom.json"), json.getBytes("UTF-8"))
+        io.put(s"$dirPath/_bloom.json", json.getBytes("UTF-8"))
       }
     }
   }
 
   private val StatsEntryRe = """"([^"]+)":\{"min":(-?\d+),"max":(-?\d+)\}""".r
 
-  private def statsOf(dir: String): Map[String, (Long, Long)] = {
-    val p = dataDir.resolve(dir).resolve("_stats.json")
-    if (!Files.exists(p)) Map.empty
-    else StatsEntryRe.findAllMatchIn(new String(Files.readAllBytes(p), "UTF-8"))
-      .map(m => m.group(1) -> ((m.group(2).toLong, m.group(3).toLong))).toMap
-  }
+  private def statsOf(dir: String): Map[String, (Long, Long)] =
+    io.get(s"${dataDir.resolve(dir)}/_stats.json") match {
+      case None => Map.empty
+      case Some(bytes) => StatsEntryRe.findAllMatchIn(new String(bytes, "UTF-8"))
+        .map(m => m.group(1) -> ((m.group(2).toLong, m.group(3).toLong))).toMap
+    }
 
   /** The directories a `[lo, hi]` range scan on `colName` must read at
     * a snapshot: a directory is skipped ONLY when its recorded zone
@@ -339,12 +318,12 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   private val BloomEntryRe = """"([^"]+)":"([A-Za-z0-9+/=]+)"""".r
 
-  private def bloomsOf(dir: String): Map[String, Array[Byte]] = {
-    val p = dataDir.resolve(dir).resolve("_bloom.json")
-    if (!Files.exists(p)) Map.empty
-    else BloomEntryRe.findAllMatchIn(new String(Files.readAllBytes(p), "UTF-8"))
-      .map(m => m.group(1) -> java.util.Base64.getDecoder.decode(m.group(2))).toMap
-  }
+  private def bloomsOf(dir: String): Map[String, Array[Byte]] =
+    io.get(s"${dataDir.resolve(dir)}/_bloom.json") match {
+      case None => Map.empty
+      case Some(bytes) => BloomEntryRe.findAllMatchIn(new String(bytes, "UTF-8"))
+        .map(m => m.group(1) -> java.util.Base64.getDecoder.decode(m.group(2))).toMap
+    }
 
   /** The directories a point lookup `colName = value` must read at a
     * snapshot: a directory is skipped when its zone map excludes the
@@ -564,10 +543,15 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val drop = versions.dropRight(keepVersions)
     val keep = versions.takeRight(keepVersions)
     val live = keep.flatMap(v => snapshot(Some(v)).map(_.dirs).getOrElse(Seq.empty)).toSet
-    drop.foreach(v => Files.deleteIfExists(manifestPath(v)))
+    drop.foreach(v => io.delete(manifestPath(v)))
+    // data-plane sweep: parquet dirs are Spark's (Hadoop FS) world, not
+    // StoreIO's — on an object store this walk is the filesystem
+    // connector's LIST + DELETE, same as the write path
     if (Files.isDirectory(dataDir)) {
       val cutoff = System.currentTimeMillis() - minAgeMs
-      listDir(dataDir)
+      val s = Files.list(dataDir)
+      val children = try s.iterator().asScala.toSeq finally s.close()
+      children
         .filter(p => !live.contains(p.getFileName.toString))
         .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
         .foreach { p =>

@@ -253,10 +253,9 @@ object Similarity {
     * published IVF index WITHOUT rebuilding it. The batch is assigned to
     * the live base generation's FIXED centroids and published as a
     * SEGMENT generation (the Lucene/FAISS segment model): a cid-
-    * partitioned directory whose `segof` marker (beside the claim/ready
-    * markers in `_generations`, see
-    * [[graft.sources.Warehouse.markPathSegment]]) names the base whose
-    * centroids routed it. Probes read base ∪ segments — at 100 TB
+    * partitioned directory whose chain entry (see
+    * [[graft.sources.Warehouse.publishPathSegment]]) names the base
+    * whose centroids routed it. Probes read base ∪ segments — at 100 TB
     * the corpus is k-means-assigned ONCE per rebuild and every ingest
     * batch costs only its own assignment (one broadcast cross-score over
     * the increment) plus a directory-sized write; nothing corpus-sized
@@ -274,38 +273,35 @@ object Similarity {
       dedupeTag: Option[String] = None): Option[Long] =
     appendToIvfIndexHooked(inc, path, dedupeTag)
 
-  /** [[appendToIvfIndex]] with test seams: `beforeRecheck` runs between
-    * the segment publish and the post-publish base re-check;
-    * `beforeConfirm` runs between a PASSED re-check and the tag
-    * confirmation — the TOCTOU window where a rebuild's publish would
-    * leave a durable tag on a superseded segment.
+  /** [[appendToIvfIndex]] with a test seam: `beforePublish` runs after
+    * the segment's data is written, immediately before the atomic
+    * publish — specs inject a racing rebuild there to exercise the
+    * lost-race path deterministically.
     */
   private[graft] def appendToIvfIndexHooked(inc: DataFrame, path: String,
       dedupeTag: Option[String] = None,
-      beforeRecheck: () => Unit = () => (),
-      beforeConfirm: () => Unit = () => ()): Option[Long] = {
+      beforePublish: () => Unit = () => ()): Option[Long] = {
+    import graft.sources.SupersededBaseException
     val spark = inc.sparkSession
     // at-least-once appenders (streaming foreachBatch replays a
-    // micro-batch after crash recovery) pass a dedupeTag; a tag already
-    // COMMITTED (appender-confirmed, or on a live-group segment) means
-    // this batch landed — skip. The tag rides the segof marker written
-    // before publish, so publish is the atomic commit point
+    // micro-batch after crash recovery) pass a dedupeTag; a committed
+    // tag means this batch landed — skip. The tag commits ATOMICALLY
+    // with its segment's publish, so commitment is true exactly when
+    // the rows are in the live index
     if (dedupeTag.exists(Warehouse.pathSegmentTagPublished(path, _))) return None
     // an empty increment must publish NOTHING: a schema-less parquet dir
     // would poison every subsequent probe's read. Checked on the raw
     // increment (assignNearest is row-preserving), BEFORE any base
     // resolve/centroid read — the streaming wrapper's per-batch hot path
     if (inc.isEmpty) return None
-    // append-vs-rebuild race: a rebuild publishing between our base
-    // resolve and our publish ORPHANS the segment (probes only read
-    // segments naming the live base), and its rows may predate the
-    // rebuild's corpus snapshot. The post-publish re-check detects the
-    // lost race, RETRACTS the orphan (safe — no probe can resolve a
-    // superseded-base segment) and re-appends against the winner's
-    // centroids, so the batch is never silently dropped. A crash inside
-    // the residual window leaves an orphan whose tag does NOT count as
-    // committed ([[graft.sources.Warehouse.segmentTagPublished]]), so
-    // the replay re-appends: at-least-once, never lost.
+    // append-vs-rebuild race: the publish IS the liveness check — one
+    // chain commit ([[graft.sources.Warehouse.publishPathSegment]])
+    // verifies the base is still live, publishes the segment and
+    // commits the tag. A rebuild that won first makes the publish throw
+    // BEFORE anything became visible; the appender deletes its
+    // never-published directory and re-appends against the winner's
+    // centroids, so the batch is never silently dropped and no orphan
+    // segment ever exists.
     var attempt = 0
     while (true) {
       val (base, _) = Warehouse.resolvePathSegmented(path)
@@ -316,40 +312,21 @@ object Similarity {
       val genPath = Warehouse.pathGenData(path, gen)
       try {
         assigned.write.mode("overwrite").partitionBy("cid").parquet(genPath)
-        // marked BEFORE publish, so a published segment is never mistaken
-        // for a full build; the catch burns the mark with the claim
-        Warehouse.markPathSegment(path, gen, base, dedupeTag)
-        Warehouse.publishPathGeneration(path, gen)
-      } catch { case e: Throwable =>
-        Warehouse.deletePathGenData(path, gen)
-        Warehouse.burnPathClaim(path, gen)
-        throw e
+        beforePublish()
+        Warehouse.publishPathSegment(path, gen, base, dedupeTag)
+        return Some(gen)
+      } catch {
+        case _: SupersededBaseException =>
+          // never published — no probe can hold this generation: its
+          // data dir goes NOW (no grace period needed) and the claim
+          // burns; fall through to re-append against the winning base
+          Warehouse.deletePathGenData(path, gen)
+          Warehouse.burnPathClaim(path, gen)
+        case e: Throwable =>
+          Warehouse.deletePathGenData(path, gen)
+          Warehouse.burnPathClaim(path, gen)
+          throw e
       }
-      beforeRecheck()
-      if (Warehouse.resolvePathSegmented(path)._1 == base) {
-        beforeConfirm()
-        // confirmed live: durably record the tag as committed (the only
-        // record that survives a later rebuild superseding this segment;
-        // a crash before this line leaves the tag uncommitted, so the
-        // replay re-appends — duplicates over loss)
-        dedupeTag.foreach(Warehouse.confirmPathSegmentTag(path, _))
-        // SECOND liveness observation: a rebuild publishing between the
-        // re-check above and the confirm supersedes the segment while
-        // its tag reads committed — a later replay would skip and the
-        // rows would live only in the superseded segment. The re-check
-        // NARROWS that window to the instant between this observation
-        // and the return (closing it fully needs a transactional marker
-        // store — the same boundary atomicPublish documents); if the
-        // base moved, withdraw the confirmation and fall through to
-        // retract/re-append.
-        if (Warehouse.resolvePathSegmented(path)._1 == base) return Some(gen)
-        dedupeTag.foreach(Warehouse.unconfirmPathSegmentTag(path, _))
-      }
-      // lost race: retract MARKERS only — a probe that resolved in the
-      // publish window may still be scanning the segment's parquet, so
-      // its data survives under the burned claim until the age-gated
-      // vacuum sweep reclaims it ([[Warehouse.retractPathSegment]])
-      Warehouse.retractPathSegment(path, gen)
       attempt += 1
       require(attempt < 5,
         s"appendToIvfIndex('$path') lost to $attempt consecutive concurrent " +

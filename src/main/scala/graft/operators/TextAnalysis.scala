@@ -875,32 +875,31 @@ object TextAnalysis {
       dedupeTag: Option[String] = None): Option[Long] =
     appendToBm25StoreHooked(docs, name, dedupeTag)
 
-  /** [[appendToBm25Store]] with test seams: `beforeRecheck` runs between
-    * the segment publish and the post-publish base re-check;
-    * `beforeConfirm` runs between a PASSED re-check and the tag
-    * confirmation — the TOCTOU window where a rebuild's publish would
-    * leave a durable tag on a superseded segment.
+  /** [[appendToBm25Store]] with a test seam: `beforePublish` runs after
+    * the segment's tables are written, immediately before the atomic
+    * publish — specs inject a racing rebuild there to exercise the
+    * lost-race path deterministically.
     */
   private[graft] def appendToBm25StoreHooked(docs: DataFrame, name: String,
       dedupeTag: Option[String] = None,
-      beforeRecheck: () => Unit = () => (),
-      beforeConfirm: () => Unit = () => ()): Option[Long] = {
-    import graft.sources.Warehouse
+      beforePublish: () => Unit = () => ()): Option[Long] = {
+    import graft.sources.{SupersededBaseException, Warehouse}
     val spark = docs.sparkSession
-    // at-least-once appenders pass a dedupeTag; a tag already COMMITTED
-    // (appender-confirmed, or on a live-group segment) means this batch
-    // landed — skip (the tag rides the segof marker written before
-    // publish, so publish is the atomic commit point)
+    // at-least-once appenders pass a dedupeTag; a committed tag means
+    // this batch landed — skip. The tag commits ATOMICALLY with its
+    // segment's publish ([[graft.sources.Warehouse.publishSegment]]),
+    // so commitment is true exactly when the rows are in the live index
     if (dedupeTag.exists(Warehouse.segmentTagPublished(spark, name, _))) return None
     // an empty increment publishes nothing — checked BEFORE the base
     // resolve and the bucket-metadata lookup (the streaming wrapper's
     // per-batch hot path pays one first-row job, nothing else)
     if (docs.isEmpty) return None
-    // append-vs-rebuild race: same protocol as
-    // [[graft.operators.Similarity.appendToIvfIndex]] — publish, then
-    // re-check the live base; a lost race retracts the orphan and
-    // re-appends against the winner, so the batch is never silently
-    // dropped (an orphan's tag never counts as committed)
+    // append-vs-rebuild race: the publish IS the liveness check — one
+    // chain commit verifies the base is still live, publishes the
+    // segment and commits the tag. A rebuild that won first makes the
+    // publish throw BEFORE anything became visible; the appender drops
+    // its never-published tables and re-appends against the winner, so
+    // the batch is never silently dropped and no orphan ever exists.
     var attempt = 0
     while (true) {
       val (base, _) = Warehouse.resolveSegmented(spark, name)
@@ -918,39 +917,21 @@ object TextAnalysis {
       val gen = Warehouse.claimGeneration(spark, name)
       try {
         writeBm25Generation(docs, name, gen, layout)
-        Warehouse.markSegment(spark, name, gen, base, dedupeTag)
-        Warehouse.publishGeneration(spark, name, gen)
+        beforePublish()
+        Warehouse.publishSegment(spark, name, gen, base, dedupeTag)
+        return Some(gen)
       } catch {
+        case _: SupersededBaseException =>
+          // never published — no probe can hold this generation, so its
+          // tables go NOW (no grace period needed) and the claim burns;
+          // fall through to re-append against the winning base
+          dropBm25Generation(spark, name, gen)
+          Warehouse.burnClaim(spark, name, gen)
         case e: Throwable =>
           dropBm25Generation(spark, name, gen)
           Warehouse.burnClaim(spark, name, gen)
           throw e
       }
-      beforeRecheck()
-      if (Warehouse.resolveSegmented(spark, name)._1 == base) {
-        beforeConfirm()
-        // confirmed live: durably record the tag as committed (the only
-        // record that survives a later rebuild superseding this segment;
-        // a crash before this line leaves the tag uncommitted, so the
-        // replay re-appends — duplicates over loss)
-        dedupeTag.foreach(Warehouse.confirmSegmentTag(spark, name, _))
-        // SECOND liveness observation: a rebuild publishing between the
-        // re-check above and the confirm supersedes the segment while
-        // its tag reads committed — a later replay would skip and the
-        // rows would live only in the superseded segment. The re-check
-        // NARROWS that window to the instant between this observation
-        // and the return (closing it fully needs a transactional marker
-        // store); if the base moved, withdraw the confirmation and fall
-        // through to retract/re-append (same protocol as
-        // [[graft.operators.Similarity.appendToIvfIndex]]).
-        if (Warehouse.resolveSegmented(spark, name)._1 == base) return Some(gen)
-        dedupeTag.foreach(Warehouse.unconfirmSegmentTag(spark, name, _))
-      }
-      // lost race: retract MARKERS only — a probe that resolved in the
-      // publish window may still be scanning the segment's postings, so
-      // its tables survive under the burned claim until the age-gated
-      // vacuum sweep reclaims them ([[Warehouse.retractSegment]])
-      Warehouse.retractSegment(spark, name, gen)
       attempt += 1
       require(attempt < 5,
         s"appendToBm25Store('$name') lost to $attempt consecutive concurrent " +

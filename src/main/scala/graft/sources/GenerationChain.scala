@@ -1,0 +1,369 @@
+package graft.sources
+
+/** Segment-publish refusal: the base the appender built against was
+  * superseded by a concurrent rebuild BEFORE the publish committed. The
+  * segment is not published — no probe ever saw it — so the appender
+  * simply drops its data, burns its claim and re-appends against the
+  * winner. This exception replacing the old publish-then-recheck /
+  * confirm / unconfirm / retract choreography is the whole point of the
+  * chain: the liveness check and the publish are ONE atomic commit, so
+  * the orphan-segment and committed-tag-on-dead-rows states cannot be
+  * reached at all.
+  */
+final case class SupersededBaseException(base: Long, live: Option[Long])
+  extends RuntimeException(
+    s"segment publish refused: base generation $base was superseded " +
+      s"(live base is now ${live.fold("<none>")(_.toString)}) — re-append against the winner")
+
+object GenerationChain {
+  sealed abstract class Status(val wire: String)
+  /** Claimed, unpublished — an in-flight (or crashed) build owns it. */
+  case object Claimed extends Status("claimed")
+  /** Published — visible to probes (live iff in the live group). */
+  case object Published extends Status("published")
+  /** Marked for data deletion by a vacuum pass; invisible to probes.
+    * Survives a crash mid-vacuum so the next pass re-runs the
+    * (idempotent) data delete and then removes the entry.
+    */
+  case object Retired extends Status("retired")
+
+  private val statuses = Seq(Claimed, Published, Retired).map(s => s.wire -> s).toMap
+
+  /** One generation's full lifecycle record. `base` is set for append
+    * segments (the full build they were routed against); `tag` is the
+    * appender's idempotence key, committed into the state's tag set
+    * atomically with the segment's publish. Timestamps are writer wall
+    * clocks: `supersededAt` (set when the entry leaves the live group)
+    * drives the vacuum age gate, so a generation is reclaimable only
+    * once it has been out of the live read set for the full floor —
+    * under the old marker protocol the gate ran on PUBLISH time, which
+    * let an hour-old generation be swept seconds after it was
+    * superseded, out from under a probe that had just resolved it.
+    */
+  final case class Entry(gen: Long, base: Option[Long], status: Status,
+      claimedAt: Long, publishedAt: Long, supersededAt: Long, tag: Option[String])
+
+  final case class State(version: Long, entries: Vector[Entry],
+      tags: Set[String], tagFiles: Vector[String]) {
+    def entry(gen: Long): Option[Entry] = entries.find(_.gen == gen)
+    /** The live FULL build: highest-numbered published full generation
+      * (claim order, not publish order, ranks racing rebuilds — the
+      * marker protocol's rule, preserved).
+      */
+    def liveBase: Option[Long] =
+      entries.filter(e => e.status == Published && e.base.isEmpty).map(_.gen).maxOption
+    def liveSegments: Seq[Long] = liveBase.fold(Seq.empty[Long])(b =>
+      entries.filter(e => e.status == Published && e.base.contains(b)).map(_.gen).sorted)
+    def liveGroup: Set[Long] = liveBase.fold(Set.empty[Long])(b => liveSegments.toSet + b)
+    /** Highest published generation of ANY kind (non-segmented stores). */
+    def current: Option[Long] = entries.filter(_.status == Published).map(_.gen).maxOption
+    def maxGen: Long = entries.map(_.gen).maxOption.getOrElse(0L)
+  }
+
+  val empty: State = State(-1L, Vector.empty, Set.empty, Vector.empty)
+
+  private[sources] def serialize(s: State): Array[Byte] = {
+    val g = s.entries.map(e => Seq("g", e.gen, e.base.getOrElse("-"), e.status.wire,
+      e.claimedAt, e.publishedAt, e.supersededAt, e.tag.getOrElse("-")).mkString(" "))
+    val t = s.tags.toSeq.sorted.map("t " + _)
+    val tf = s.tagFiles.map("tf " + _)
+    (g ++ t ++ tf).mkString("\n").getBytes("UTF-8")
+  }
+
+  private[sources] def deserialize(version: Long, bytes: Array[Byte]): State = {
+    var entries = Vector.empty[Entry]
+    var tags = Set.empty[String]
+    var tagFiles = Vector.empty[String]
+    new String(bytes, "UTF-8").split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+      line.split(" ") match {
+        case Array("g", gen, base, st, ca, pa, sa, tag) =>
+          entries :+= Entry(gen.toLong,
+            if (base == "-") None else Some(base.toLong),
+            statuses(st), ca.toLong, pa.toLong, sa.toLong,
+            if (tag == "-") None else Some(tag))
+        case Array("t", tag) => tags += tag
+        case Array("tf", f) => tagFiles :+= f
+        case other => throw new IllegalStateException(
+          s"corrupt generation-chain line: '${other.mkString(" ")}'")
+      }
+    }
+    State(version, entries, tags, tagFiles)
+  }
+}
+
+/** The generation/segment/tag protocol as ONE versioned state chain,
+  * committed through the [[StoreIO]] create-new-or-fail primitive —
+  * [[graft.etl.SnapshotTable]]'s manifest-chain machinery applied to
+  * the warehouse store lifecycle. Each chain version `v{N}` holds the
+  * complete store state (generation entries + committed appender tags);
+  * every transition is an optimistic read-modify-write that commits the
+  * next version atomically, so of two racing writers exactly one wins
+  * and the loser re-derives against the winner's state.
+  *
+  * This replaces the marker-file choreography (claim-/ready-/segof-/
+  * tagdone- files) that produced three consecutive rounds of race
+  * findings. The states those races lived in are now unreachable:
+  *
+  *   - append-vs-rebuild: [[publishSegment]] verifies the base is live
+  *     and publishes IN THE SAME COMMIT — a lost race throws
+  *     [[SupersededBaseException]] before anything becomes visible, so
+  *     published orphan segments do not exist;
+  *   - tag-commitment TOCTOU: the idempotence tag joins the committed
+  *     set in that same commit — a tag is durably committed exactly
+  *     when its rows are in the live read set, with no window between;
+  *   - withdrawal-vs-vacuum: there is nothing to withdraw — confirm/
+  *     unconfirm/retract are gone, and vacuum transitions ride the same
+  *     CAS as everything else.
+  *
+  * Scale shape: entries stay bounded (live group + in-flight claims +
+  * retired-pending); committed tags accumulate one per ingested batch
+  * and are folded into immutable `tags-*` archive files by vacuum, so
+  * steady-state commits rewrite O(live state), not O(history).
+  */
+final class GenerationChain(dir: String, io: StoreIO,
+    clock: () => Long = () => System.currentTimeMillis()) {
+  import GenerationChain._
+
+  private def chainPath(v: Long): String = f"$dir/v$v%012d"
+
+  /** Read the latest committed state (empty before the first commit). */
+  def state(): State = {
+    // a concurrent chain trim can delete an old version between the list
+    // and the read; only the LATEST matters and it is never trimmed, but
+    // retry defensively if it vanishes mid-read (a fresher one exists)
+    var attempts = 0
+    while (attempts < 10) {
+      val versions = io.list(dir)
+        .filter(n => n.length == 13 && n.startsWith("v") && n.drop(1).forall(_.isDigit))
+        .map(_.drop(1).toLong)
+      if (versions.isEmpty) return empty
+      val v = versions.max
+      io.get(chainPath(v)) match {
+        case Some(bytes) => return deserialize(v, bytes)
+        case None => attempts += 1
+      }
+    }
+    throw new IllegalStateException(s"generation chain at $dir is unreadable")
+  }
+
+  /** Optimistic commit: `transition` maps the fresh state to the next
+    * one (throwing to refuse — e.g. [[SupersededBaseException]] — is
+    * the atomic-refusal path); on a version conflict the transition
+    * re-runs against the winner's state. Returns the committed state.
+    */
+  private def commit(transition: State => State): State = {
+    var attempts = 0
+    while (attempts < 100) {
+      val s = state()
+      val next = transition(s)
+      if (io.putIfAbsent(chainPath(s.version + 1), serialize(next)))
+        return next.copy(version = s.version + 1)
+      attempts += 1
+    }
+    throw new IllegalStateException(s"generation-chain commit lost 100 races at $dir")
+  }
+
+  /** Claim the next free generation number (atomic: racing builders get
+    * distinct numbers). Invisible to probes until published.
+    */
+  def claim(): Long = {
+    var claimed = 0L
+    commit { s =>
+      claimed = s.maxGen + 1
+      s.copy(entries = s.entries :+ Entry(claimed, None, Claimed, clock(), 0L, 0L, None))
+    }
+    claimed
+  }
+
+  /** Publish a claimed generation as a FULL build. Atomically recomputes
+    * the live group: every published entry that leaves it (the previous
+    * base, its segments, lower-numbered racing rebuilds — or this very
+    * generation, if a higher-numbered rebuild already published) is
+    * stamped `supersededAt` now, which starts its vacuum age-gate clock.
+    */
+  def publishFull(gen: Long): Unit = {
+    commit { s =>
+      val e = s.entry(gen).getOrElse(throw new IllegalStateException(
+        s"generation $gen is not claimed in $dir"))
+      require(e.status == Claimed, s"generation $gen is ${e.status.wire}, not claimable-to-publish")
+      val now = clock()
+      val published = s.entries.map(en =>
+        if (en.gen == gen) en.copy(status = Published, publishedAt = now) else en)
+      val live = s.copy(entries = published).liveGroup
+      // stamp everything that just left (or never joined) the live
+      // group — including THIS generation, if a higher-numbered racing
+      // rebuild already published past it
+      s.copy(entries = published.map(en =>
+        if (en.status == Published && en.supersededAt == 0L && !live.contains(en.gen))
+          en.copy(supersededAt = now)
+        else en))
+    }
+    ()
+  }
+
+  /** Publish a claimed generation as an APPEND SEGMENT of `base`,
+    * committing the appender's idempotence `tag` in the same commit.
+    * Refuses with [[SupersededBaseException]] — publishing nothing —
+    * when `base` is no longer the live full build; the at-least-once
+    * commit point is exactly this commit, so [[tagCommitted]] is true
+    * iff the batch's rows are durably in the live read set.
+    */
+  def publishSegment(gen: Long, base: Long, tag: Option[String]): Unit = {
+    tag.foreach(t => require(t.nonEmpty && t.matches("[A-Za-z0-9._:-]+"),
+      s"dedupe tag '$t' must match [A-Za-z0-9._:-]+"))
+    commit { s =>
+      val e = s.entry(gen).getOrElse(throw new IllegalStateException(
+        s"generation $gen is not claimed in $dir"))
+      require(e.status == Claimed, s"generation $gen is ${e.status.wire}, not claimable-to-publish")
+      if (!s.liveBase.contains(base)) throw SupersededBaseException(base, s.liveBase)
+      val now = clock()
+      s.copy(
+        entries = s.entries.map(en =>
+          if (en.gen == gen)
+            en.copy(base = Some(base), status = Published, publishedAt = now, tag = tag)
+          else en),
+        tags = s.tags ++ tag)
+    }
+    ()
+  }
+
+  /** Remove a claimed-but-unpublished generation's entry (after its
+    * data is dropped) — build-failure / lost-race cleanup. Idempotent;
+    * refuses to burn a PUBLISHED generation (that is vacuum's job).
+    */
+  def burn(gen: Long): Unit = {
+    commit { s =>
+      s.entry(gen) match {
+        case None => s
+        case Some(e) if e.status == Claimed => s.copy(entries = s.entries.filterNot(_.gen == gen))
+        case Some(e) => throw new IllegalStateException(
+          s"cannot burn generation $gen: it is ${e.status.wire}")
+      }
+    }
+    ()
+  }
+
+  /** True iff `tag`'s batch COMMITTED — it rode a segment publish that
+    * won its liveness race. Durable forever (vacuum folds tags into
+    * archive files, never drops them): the at-least-once replay check.
+    */
+  def tagCommitted(tag: String): Boolean = {
+    val s = state()
+    s.tags.contains(tag) || s.tagFiles.exists(f =>
+      io.get(s"$dir/$f").exists(b =>
+        new String(b, "UTF-8").linesIterator.map(_.trim).contains(tag)))
+  }
+
+  /** The live read set: (live full build, its published segments).
+    * Fails with the caller-supplied hint when nothing full is published.
+    */
+  def resolveSegmented(what: String): (Long, Seq[Long]) = {
+    val s = state()
+    val base = s.liveBase.getOrElse(throw new IllegalStateException(
+      s"$what has no published full build — run its build first"))
+    (base, s.liveSegments)
+  }
+
+  def segmentBase(gen: Long): Option[Long] = state().entry(gen).flatMap(_.base)
+
+  /** Vacuum pass. `select` picks candidate PUBLISHED generations from
+    * the fresh state (keep-count or below-live-base — the caller's
+    * policy); the chain enforces the safety rules on top:
+    *
+    *  - the live group is never reclaimed, whatever `select` says;
+    *  - a published candidate is eligible only once `supersededAt` is
+    *    older than `minAgeMs` — i.e. it has been OUT of the live read
+    *    set for the full floor (a probe pinned to it resolved before
+    *    that instant);
+    *  - dead claims (below the newest published generation, age-gated
+    *    on claim time) are swept only when something IS published —
+    *    before the first publish every claim may be an in-flight first
+    *    build; claims at or above the newest published generation are
+    *    never swept (in-flight builds/appends, however slow);
+    *  - reclaim is crash-safe two-phase: entries flip to `retired` in
+    *    one commit, data deletion (`deleteGen`, idempotent) runs
+    *    outside it, and a second commit removes the entries — a crash
+    *    between leaves `retired` entries the next pass re-processes.
+    *
+    * The pass also folds committed tags into an archive file once the
+    * inline set grows, sweeps orphaned archives, and trims old chain
+    * versions.
+    */
+  def vacuum(select: State => Seq[Long], minAgeMs: Long)(deleteGen: Long => Unit): Unit = {
+    val now = clock()
+    val cutoff = now - minAgeMs
+    var toDelete = Seq.empty[Long]
+    commit { s =>
+      val live = s.liveGroup
+      val newestPublished = s.current
+      val selected = select(s).toSet
+      val retirePub = s.entries.filter(e => e.status == Published &&
+        selected.contains(e.gen) && !live.contains(e.gen) &&
+        e.supersededAt > 0L && e.supersededAt <= cutoff).map(_.gen)
+      val retireClaims = newestPublished match {
+        case Some(np) => s.entries.filter(e => e.status == Claimed &&
+          e.gen < np && e.claimedAt <= cutoff).map(_.gen)
+        case None => Seq.empty
+      }
+      val already = s.entries.filter(_.status == Retired).map(_.gen)
+      toDelete = (retirePub ++ retireClaims ++ already).distinct
+      val flip = (retirePub ++ retireClaims).toSet
+      s.copy(entries = s.entries.map(e =>
+        if (flip.contains(e.gen)) e.copy(status = Retired) else e))
+    }
+    toDelete.foreach(deleteGen)
+    if (toDelete.nonEmpty) {
+      val gone = toDelete.toSet
+      commit(s => s.copy(entries = s.entries.filterNot(e =>
+        e.status == Retired && gone.contains(e.gen))))
+    }
+    compactTags()
+    sweepArchives(now)
+    trimChain(now)
+  }
+
+  /** Fold inline committed tags into one immutable archive file when
+    * the inline set grows — so a long-lived streaming store's commits
+    * rewrite O(live state), not one line per historical micro-batch.
+    * Tags committed AFTER the fold snapshot stay inline (the transition
+    * re-reads fresh state on every CAS attempt).
+    */
+  private def compactTags(threshold: Int = 64): Unit = {
+    if (state().tags.size <= threshold) return
+    commit { s =>
+      if (s.tags.size <= threshold) s
+      else {
+        val all = (s.tags ++ s.tagFiles.flatMap(f =>
+          io.get(s"$dir/$f").toSeq.flatMap(b =>
+            new String(b, "UTF-8").linesIterator.map(_.trim).filter(_.nonEmpty)))).toSeq.sorted
+        val name = s"tags-${java.util.UUID.randomUUID()}"
+        io.put(s"$dir/$name", all.mkString("\n").getBytes("UTF-8"))
+        s.copy(tags = Set.empty, tagFiles = Vector(name))
+      }
+    }
+    ()
+  }
+
+  /** Delete tag archives no committed state references (lost fold races
+    * leak them) once they are an hour old — never a referenced one.
+    */
+  private def sweepArchives(now: Long): Unit = {
+    val referenced = state().tagFiles.toSet
+    io.list(dir).filter(_.startsWith("tags-")).filterNot(referenced.contains)
+      .filter(f => io.mtime(s"$dir/$f").forall(_ <= now - 3600_000L))
+      .foreach(f => io.delete(s"$dir/$f"))
+  }
+
+  /** Drop chain versions well behind the head — readers only ever load
+    * the latest, so a 16-version margin (plus a one-minute age floor
+    * against a reader mid list-then-get) is generous.
+    */
+  private def trimChain(now: Long): Unit = {
+    val versions = io.list(dir)
+      .filter(n => n.length == 13 && n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).sorted
+    versions.dropRight(16)
+      .filter(v => io.mtime(chainPath(v)).forall(_ <= now - 60_000L))
+      .foreach(v => io.delete(chainPath(v)))
+  }
+}

@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+/** The minimal storage contract the METADATA planes commit through —
+  * [[graft.etl.SnapshotTable]]'s manifest chain and [[Warehouse]]'s
+  * generation chain both publish state transitions exclusively via
+  * [[putIfAbsent]], so porting the whole store layer to an object store
+  * means implementing these six operations once:
+  *
+  *   - `putIfAbsent`  → S3/GCS conditional PUT (`If-None-Match: *`)
+  *   - `put`          → plain PUT (single-object overwrite is atomic)
+  *   - `get`/`list`/`delete`/`mtime` → GET / LIST / DELETE / HEAD
+  *
+  * The DATA plane (parquet directories) deliberately stays outside this
+  * seam: Spark reads and writes it through the Hadoop filesystem layer,
+  * which already speaks object stores. Only the small, frequently-raced
+  * metadata objects — manifests, generation chains, sidecars — need the
+  * create-new-or-fail primitive, and this trait is exactly that surface.
+  *
+  * Contract (every impl, spec-enforced by the shared conformance sweep):
+  *   - [[putIfAbsent]] is ATOMIC for name AND content: of N racing
+  *     writers to one path exactly one wins, and no reader ever
+  *     observes a partial object;
+  *   - [[put]] is atomic replace (readers see old or new, never torn);
+  *   - [[delete]] is idempotent;
+  *   - [[list]] of an absent directory is empty, not an error.
+  */
+trait StoreIO {
+  /** Publish `bytes` at `path` iff nothing exists there. Returns false
+    * (and writes nothing visible) when the path is already taken.
+    */
+  def putIfAbsent(path: String, bytes: Array[Byte]): Boolean
+
+  /** Atomic overwrite — last writer wins, readers never see a torn mix. */
+  def put(path: String, bytes: Array[Byte]): Unit
+
+  def get(path: String): Option[Array[Byte]]
+
+  /** Child object names directly under `dir` (empty when absent). */
+  def list(dir: String): Seq[String]
+
+  /** Idempotent; true iff something was removed. */
+  def delete(path: String): Boolean
+
+  /** Last-modified wall clock of `path`, if it exists. */
+  def mtime(path: String): Option[Long]
+}
+
+/** The shared-filesystem implementation (local disk, NFS, HDFS mounts).
+  * The create-new-or-fail primitive is POSIX `link(2)`: content is fully
+  * written to a hidden sibling first, then hard-linked into its final
+  * name — `link` fails with EEXIST if the name was taken, so both name
+  * and content commit atomically and a reader never sees a partial
+  * object. Reference analog: the conditional-PUT publish documented in
+  * SnapshotTable's header, realized with filesystem primitives.
+  */
+object PosixStoreIO extends StoreIO {
+  private def p(path: String): Path = Paths.get(path)
+
+  override def putIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
+    val target = p(path)
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, bytes, StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    try { Files.createLink(target, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  override def put(path: String, bytes: Array[Byte]): Unit = {
+    val target = p(path)
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, bytes, StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def get(path: String): Option[Array[Byte]] =
+    try Some(Files.readAllBytes(p(path)))
+    catch { case _: java.io.IOException => None }
+
+  override def list(dir: String): Seq[String] = {
+    val d = p(dir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally s.close()
+    }
+  }
+
+  override def delete(path: String): Boolean = Files.deleteIfExists(p(path))
+
+  override def mtime(path: String): Option[Long] =
+    try Some(Files.getLastModifiedTime(p(path)).toMillis)
+    catch { case _: java.io.IOException => None }
+}
+
+/** In-memory implementation with FAULT INJECTION — the conformance twin
+  * the protocol specs race against. Object-store semantics (a flat
+  * key→bytes map, no directories, conditional-PUT commit) with two
+  * injectable failure shapes:
+  *
+  *   - `loseRaces(n)`: the next `n` putIfAbsent calls observe a
+  *     concurrent winner — the call fails AND the configured rival
+  *     commit (if any) is applied first, so optimistic-retry loops are
+  *     exercised against genuinely advancing state, not just spurious
+  *     rejection;
+  *   - `failAfterCommit(n)`: the n-th successful putIfAbsent APPLIES
+  *     its write and then throws — the crash-after-commit shape whose
+  *     recovery the protocols must survive.
+  *
+  * Thread-safe; `clock` is injectable so age-gate specs are
+  * deterministic.
+  */
+final class InMemoryStoreIO(clock: () => Long = () => System.currentTimeMillis())
+    extends StoreIO {
+  private val objects = new java.util.concurrent.ConcurrentHashMap[String, (Array[Byte], Long)]()
+  private val racesToLose = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val crashAt = new java.util.concurrent.atomic.AtomicInteger(-1)
+  private val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var rival: () => Unit = () => ()
+  // the rival's OWN commits are exempt from loss injection — without
+  // this a rival that writes through the same store recurses into the
+  // loss path and the injected race never resolves
+  private val inRival = new ThreadLocal[Boolean] { override def initialValue = false }
+
+  /** The next `n` putIfAbsent calls lose: `beforeEach` runs first (the
+    * racing writer's commit), then the call returns false.
+    */
+  def loseRaces(n: Int, beforeEach: () => Unit = () => ()): Unit = {
+    rival = beforeEach
+    racesToLose.set(n)
+  }
+
+  /** The n-th successful putIfAbsent from now commits, then throws. */
+  def failAfterCommit(n: Int): Unit = { commits.set(0); crashAt.set(n) }
+
+  override def putIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
+    if (!inRival.get() && racesToLose.getAndUpdate(i => math.max(0, i - 1)) > 0) {
+      inRival.set(true)
+      try rival() // the rival's state lands first — the loser must re-read
+      finally inRival.set(false)
+      return false
+    }
+    val won = objects.putIfAbsent(path, (bytes.clone(), clock())) == null
+    if (won && crashAt.get() > 0 && commits.incrementAndGet() == crashAt.get())
+      throw new java.io.IOException(s"injected crash AFTER committing $path")
+    won
+  }
+
+  override def put(path: String, bytes: Array[Byte]): Unit =
+    objects.put(path, (bytes.clone(), clock())): Unit
+
+  override def get(path: String): Option[Array[Byte]] =
+    Option(objects.get(path)).map(_._1.clone())
+
+  override def list(dir: String): Seq[String] = {
+    val prefix = if (dir.endsWith("/")) dir else dir + "/"
+    objects.keySet().asScala.iterator
+      .filter(k => k.startsWith(prefix) && !k.stripPrefix(prefix).contains('/'))
+      .map(_.stripPrefix(prefix)).toSeq
+  }
+
+  override def delete(path: String): Boolean = objects.remove(path) != null
+
+  override def mtime(path: String): Option[Long] =
+    Option(objects.get(path)).map(_._2)
+}

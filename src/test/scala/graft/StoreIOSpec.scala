@@ -1,0 +1,135 @@
+package graft
+
+import graft.etl.SnapshotTable
+import graft.sources.{GenerationChain, InMemoryStoreIO, PosixStoreIO, StoreIO, SupersededBaseException}
+
+/** The [[StoreIO]] seam: conformance of both implementations to the
+  * create-new-or-fail contract, and the protocols (SnapshotTable's
+  * manifest chain, the warehouse GenerationChain) driven through the
+  * fault-injecting in-memory impl — losing races, crashing after the
+  * commit point — to prove the optimistic machinery converges on a
+  * store that fights back. This is the object-store portability
+  * evidence: everything above the seam is impl-agnostic.
+  */
+class StoreIOSpec extends SparkSpecBase {
+
+  private def posixIn(prefix: String): (StoreIO, String) =
+    (PosixStoreIO, java.nio.file.Files.createTempDirectory(prefix).toString + "/io")
+
+  test("conformance: putIfAbsent admits exactly one winner of N racing writers (both impls)") {
+    val impls = Seq(
+      ("posix", posixIn("graft_ioconf_")),
+      ("memory", (new InMemoryStoreIO(): StoreIO, "/mem/conf")))
+    impls.foreach { case (label, (io, root)) =>
+      // 8 threads race one key; exactly one putIfAbsent returns true and
+      // the surviving content is the winner's (never torn, never mixed)
+      val winners = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      val threads = (0 until 8).map { i =>
+        new Thread(() => {
+          if (io.putIfAbsent(s"$root/key", s"writer-$i".getBytes("UTF-8"))) winners.add(i)
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(winners.size == 1, s"[$label] exactly one racing writer must win")
+      val content = new String(io.get(s"$root/key").get, "UTF-8")
+      assert(content == s"writer-${winners.peek()}",
+        s"[$label] the committed content is the winner's, atomically")
+      // a second putIfAbsent on the same key loses without clobbering
+      assert(!io.putIfAbsent(s"$root/key", "late".getBytes("UTF-8")))
+      assert(new String(io.get(s"$root/key").get, "UTF-8") == s"writer-${winners.peek()}")
+
+      // put = atomic replace; list sees exactly the children; delete is
+      // idempotent; mtime exists for existing keys only
+      io.put(s"$root/key", "replaced".getBytes("UTF-8"))
+      assert(new String(io.get(s"$root/key").get, "UTF-8") == "replaced")
+      io.put(s"$root/other", "x".getBytes("UTF-8"))
+      assert(io.list(root).toSet == Set("key", "other"), s"[$label] list mismatch")
+      assert(io.list(s"$root/absent").isEmpty, s"[$label] listing an absent dir is empty")
+      assert(io.mtime(s"$root/key").nonEmpty && io.mtime(s"$root/gone").isEmpty)
+      assert(io.delete(s"$root/other") && !io.delete(s"$root/other"))
+      assert(io.get(s"$root/other").isEmpty)
+    }
+  }
+
+  test("SnapshotTable converges when the injected store loses every race to a rival commit") {
+    import spark.implicits._
+    val io = new InMemoryStoreIO()
+    val root = "/mem/snap"
+    val table = new SnapshotTable(spark, root, io)
+    val rival = new SnapshotTable(spark, root, io)
+    table.append(Seq((1L, "a")).toDF("k", "v"))
+
+    // every commit attempt for the next 5 tries finds the version taken
+    // by a rival no-op commit (same dirs, next version) — the appender's
+    // optimistic retry must re-read and eventually land WITHOUT losing
+    // the rival's committed versions or its own rows
+    io.loseRaces(5, beforeEach = () => {
+      val cur = rival.snapshot().get
+      rival.tryCommit(cur.version, cur.dirs): Unit
+    })
+    val v = table.append(Seq((2L, "b")).toDF("k", "v"))
+    assert(v == rival.snapshot().get.version, "the append lands on the latest version")
+    assert(table.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "both the original and the raced append's rows survive")
+    assert(v >= 6L, "the five stolen versions are real commits in the chain, not retries in place")
+  }
+
+  test("GenerationChain: crash AFTER the publish commit leaves the tag committed (replay skips); a lost race leaves nothing (replay re-appends)") {
+    val io = new InMemoryStoreIO()
+    val chain = new GenerationChain("/mem/chain", io)
+    val base = chain.claim()
+    chain.publishFull(base)
+
+    // crash AFTER the atomic commit point: the publish lands, THEN the
+    // store throws. Recovery replays the batch, sees its tag committed,
+    // and skips — exactly-once effect from at-least-once retries.
+    val seg = chain.claim()
+    io.failAfterCommit(1)
+    intercept[java.io.IOException] { chain.publishSegment(seg, base, Some("b:1")) }
+    assert(chain.tagCommitted("b:1"),
+      "the commit preceded the crash — the tag must read committed on replay")
+    assert(chain.resolveSegmented("mem")._2 == Seq(seg),
+      "the segment is in the live read set despite the crash")
+
+    // lost race BEFORE the commit point: a rebuild steals the chain
+    // version and supersedes the base — the publish must refuse with
+    // nothing visible and the tag uncommitted
+    val seg2 = chain.claim()
+    io.loseRaces(1, beforeEach = () => {
+      val g = chain.claim(); chain.publishFull(g)
+    })
+    intercept[SupersededBaseException] { chain.publishSegment(seg2, base, Some("b:2")) }
+    assert(!chain.tagCommitted("b:2"),
+      "a refused publish leaves the tag uncommitted — the replay re-appends")
+    chain.burn(seg2)
+    assert(chain.state().entry(seg2).isEmpty)
+  }
+
+  test("GenerationChain folds committed tags into an archive once the inline set grows; commitment survives the fold") {
+    val io = new InMemoryStoreIO()
+    val chain = new GenerationChain("/mem/tags", io)
+    var base = chain.claim()
+    chain.publishFull(base)
+    val tags = (0 until 70).map(i => s"batch:$i")
+    tags.foreach { t =>
+      val g = chain.claim()
+      chain.publishSegment(g, base, Some(t))
+    }
+    def select(s: GenerationChain.State): Seq[Long] =
+      s.liveBase.fold(Seq.empty[Long])(b => s.entries
+        .filter(e => e.status == GenerationChain.Published && e.gen < b).map(_.gen))
+    chain.vacuum(select, 0L)(_ => ())
+    val folded = chain.state()
+    assert(folded.tags.isEmpty && folded.tagFiles.size == 1,
+      s"70 inline tags must fold into one archive, got inline=${folded.tags.size} " +
+        s"files=${folded.tagFiles.size}")
+    tags.foreach(t => assert(chain.tagCommitted(t), s"tag $t lost in the fold"))
+
+    // a rebuild + vacuum later, archived tags still count and NEW tags
+    // keep committing inline
+    val g2 = chain.claim(); chain.publishFull(g2); base = g2
+    val g3 = chain.claim(); chain.publishSegment(g3, base, Some("fresh:1"))
+    chain.vacuum(select, 0L)(_ => ())
+    assert(chain.tagCommitted("batch:13") && chain.tagCommitted("fresh:1"))
+  }
+}

@@ -2,48 +2,53 @@ package graft
 
 import scala.util.Random
 
-import graft.sources.Warehouse
+import graft.sources.{GenerationChain, InMemoryStoreIO, SupersededBaseException, Warehouse}
 
-/** Model-based check of the store generation/segment/tag protocol: a
-  * seeded random interleaving of rebuilds, appends (confirmed and
-  * crash-unconfirmed), orphan appends (the lost append-vs-rebuild
-  * race's residue), failed builds and minAge=0 vacuums is replayed
+/** Model-based check of the chain-backed generation/segment/tag
+  * protocol: a seeded random interleaving of rebuilds, appends, STALE
+  * appends (the lost append-vs-rebuild race, which the chain must
+  * refuse atomically), failed builds and minAge=0 vacuums is replayed
   * against a driver-side model, asserting after EVERY operation:
   *
   *   1. the segmented resolve = (model live base, model live segments)
-  *      — no interleaving can surface a superseded or orphan segment;
-  *   2. a CONFIRMED tag reports committed forever (through supersede
-  *      and vacuum — the manifest fold preserves it);
-  *   3. an UNCONFIRMED tag reports committed exactly while its base is
-  *      live, and never again once superseded (its batch re-appends —
-  *      duplicates over loss, the at-least-once contract).
+  *      — no interleaving can surface a superseded segment, and a
+  *      refused publish surfaces nothing at all;
+  *   2. a tag whose segment publish SUCCEEDED reports committed forever
+  *      (through supersede and vacuum — the chain's tag set and archive
+  *      fold preserve it);
+  *   3. a tag whose publish was REFUSED ([[SupersededBaseException]])
+  *      never reports committed — its batch re-appends (at-least-once,
+  *      duplicates over loss).
   *
-  * The example specs pin chosen interleavings; this sweeps hundreds of
-  * random ones per seed, over BOTH marker media: the table-store
-  * protocol and its path-store twin run the same parameterized body,
-  * so the two backends cannot drift apart in what is tested.
+  * The sweep runs over THREE backends through one parameterized body so
+  * they cannot drift apart: the table-store protocol, its path-store
+  * twin (both on [[graft.sources.PosixStoreIO]]), and the raw
+  * [[GenerationChain]] over the fault-injecting [[InMemoryStoreIO]] —
+  * where every commit additionally loses `loseEvery`-spaced CAS races
+  * to prove optimistic retry converges on a store that fights back.
   */
 class WarehouseModelSpec extends SparkSpecBase {
 
-  /** The six protocol entry points a backend exposes to the sweep. */
+  /** The protocol entry points a backend exposes to the sweep.
+    * `publishSegment` throws [[SupersededBaseException]] on a stale
+    * base — that refusal IS part of the contract under test.
+    */
   private case class Proto(
       claim: () => Long,
-      publish: Long => Unit,
-      mark: (Long, Long, String) => Unit,
-      confirm: String => Unit,
+      publishFull: Long => Unit,
+      publishSegment: (Long, Long, String) => Unit,
       burn: Long => Unit,
       vacuum: () => Unit,
       resolve: () => (Long, Seq[Long]),
       tagPublished: String => Boolean)
 
-  private case class Tag(base: Long, confirmed: Boolean)
-
   private def sweep(seed: Int, p: Proto): Unit = {
     val rnd = new Random(seed)
     var liveBase: Option[Long] = None
     var liveSegs: Vector[Long] = Vector.empty
-    var fullBuilds: Vector[Long] = Vector.empty
-    var tags = Map.empty[String, Tag]
+    var oldBases: Vector[Long] = Vector.empty
+    var committed = Set.empty[String]
+    var refused = Set.empty[String]
     var nextTag = 0
 
     def checkInvariants(): Unit = {
@@ -52,39 +57,37 @@ class WarehouseModelSpec extends SparkSpecBase {
         assert(gotBase == b && gotSegs == liveSegs,
           s"[seed $seed] resolve=(${gotBase}, $gotSegs) model=($b, $liveSegs)")
       }
-      tags.foreach { case (t, m) =>
-        val expected = m.confirmed || liveBase.contains(m.base)
-        assert(p.tagPublished(t) == expected,
-          s"[seed $seed] tag $t (base ${m.base}, confirmed ${m.confirmed}, " +
-            s"live $liveBase): expected committed=$expected")
-      }
+      committed.foreach(t => assert(p.tagPublished(t),
+        s"[seed $seed] committed tag $t must stay committed forever"))
+      refused.foreach(t => assert(!p.tagPublished(t),
+        s"[seed $seed] refused tag $t must never read committed"))
     }
 
     (1 to 60).foreach { _ =>
       rnd.nextInt(10) match {
         case 0 | 1 | 2 => // REBUILD: new full build supersedes the group
           val g = p.claim()
-          p.publish(g)
-          liveBase = Some(g); liveSegs = Vector.empty; fullBuilds :+= g
-        case 3 | 4 | 5 => // APPEND to the live base (70% confirmed)
+          p.publishFull(g)
+          liveBase.foreach(b => oldBases :+= b)
+          liveBase = Some(g); liveSegs = Vector.empty
+        case 3 | 4 | 5 => // APPEND to the live base: atomic publish + tag
           liveBase.foreach { b =>
             val g = p.claim()
             val t = s"s:$nextTag"; nextTag += 1
-            p.mark(g, b, t)
-            p.publish(g)
-            val confirmed = rnd.nextInt(10) < 7
-            if (confirmed) p.confirm(t)
-            liveSegs :+= g; tags += t -> Tag(b, confirmed)
+            p.publishSegment(g, b, t)
+            liveSegs :+= g; committed += t
           }
-        case 6 => // ORPHAN: a crashed appender's segment naming an OLD base
-          fullBuilds.filterNot(liveBase.contains) match {
+        case 6 => // STALE APPEND: a base superseded before the publish —
+          // the chain must REFUSE atomically; the appender burns and
+          // (in real code) re-appends. Nothing becomes visible.
+          oldBases.filterNot(liveBase.contains) match {
             case old if old.nonEmpty =>
               val b = old(rnd.nextInt(old.size))
               val g = p.claim()
               val t = s"s:$nextTag"; nextTag += 1
-              p.mark(g, b, t)
-              p.publish(g)
-              tags += t -> Tag(b, confirmed = false)
+              intercept[SupersededBaseException] { p.publishSegment(g, b, t) }
+              p.burn(g)
+              refused += t
             case _ =>
           }
         case 7 => // FAILED build: claim burned, invisible forever
@@ -102,9 +105,8 @@ class WarehouseModelSpec extends SparkSpecBase {
       Warehouse.dropStore(spark, store, Seq("x"))
       sweep(seed, Proto(
         claim = () => Warehouse.claimGeneration(spark, store),
-        publish = Warehouse.publishGeneration(spark, store, _),
-        mark = (g, b, t) => Warehouse.markSegment(spark, store, g, b, Some(t)),
-        confirm = Warehouse.confirmSegmentTag(spark, store, _),
+        publishFull = Warehouse.publishGeneration(spark, store, _),
+        publishSegment = (g, b, t) => Warehouse.publishSegment(spark, store, g, b, Some(t)),
         burn = Warehouse.burnClaim(spark, store, _),
         vacuum = () => Warehouse.vacuumSegmentedStore(spark, store, Seq("x"), minAgeMs = 0L),
         resolve = () => Warehouse.resolveSegmented(spark, store),
@@ -119,13 +121,38 @@ class WarehouseModelSpec extends SparkSpecBase {
         .createTempDirectory(s"graft_pathmodel$seed").resolve("idx").toString
       sweep(seed, Proto(
         claim = () => Warehouse.claimPathGeneration(root),
-        publish = Warehouse.publishPathGeneration(root, _),
-        mark = (g, b, t) => Warehouse.markPathSegment(root, g, b, Some(t)),
-        confirm = Warehouse.confirmPathSegmentTag(root, _),
+        publishFull = Warehouse.publishPathGeneration(root, _),
+        publishSegment = (g, b, t) => Warehouse.publishPathSegment(root, g, b, Some(t)),
         burn = Warehouse.burnPathClaim(root, _),
         vacuum = () => Warehouse.vacuumPathSegmented(root, minAgeMs = 0L),
         resolve = () => Warehouse.resolvePathSegmented(root),
         tagPublished = Warehouse.pathSegmentTagPublished(root, _)))
+    }
+  }
+
+  test("the raw chain over the fault-injecting in-memory store preserves the invariants while losing every 3rd CAS race") {
+    Seq(11, 29).foreach { seed =>
+      val io = new InMemoryStoreIO()
+      val chain = new GenerationChain(s"/mem/protomodel$seed", io)
+      // every third putIfAbsent loses a race spuriously — the commit
+      // loop must re-read and retry until it lands; the protocol's
+      // outcomes must be indistinguishable from the clean backends
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      def flaky[A](op: => A): A = {
+        if (counter.incrementAndGet() % 3 == 0) io.loseRaces(1)
+        op
+      }
+      def select(s: GenerationChain.State): Seq[Long] =
+        s.liveBase.fold(Seq.empty[Long])(b => s.entries
+          .filter(e => e.status == GenerationChain.Published && e.gen < b).map(_.gen))
+      sweep(seed, Proto(
+        claim = () => flaky(chain.claim()),
+        publishFull = g => flaky(chain.publishFull(g)),
+        publishSegment = (g, b, t) => flaky(chain.publishSegment(g, b, Some(t))),
+        burn = g => flaky(chain.burn(g)),
+        vacuum = () => flaky(chain.vacuum(select, 0L)(_ => ())),
+        resolve = () => chain.resolveSegmented("mem store"),
+        tagPublished = chain.tagCommitted))
     }
   }
 }

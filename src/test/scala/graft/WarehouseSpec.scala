@@ -250,10 +250,14 @@ class WarehouseSpec extends SparkSpecBase {
       "vacuum must keep the current generation")
   }
 
-  private def genMarker(store: String, marker: String): java.nio.file.Path =
-    java.nio.file.Paths.get(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      "_generations", store, marker)
+  /** Chain-state helpers: the marker files are gone — protocol state
+    * lives in the store's [[graft.sources.GenerationChain]].
+    */
+  private def chainEntry(store: String, gen: Long): Option[graft.sources.GenerationChain.Entry] =
+    Warehouse.chainOf(spark, store).state().entry(gen)
+
+  private def entryStatus(store: String, gen: Long): Option[String] =
+    chainEntry(store, gen).map(_.status.wire)
 
   test("vacuum age gate: a seconds-old superseded generation survives the default floor") {
     Warehouse.dropStore(spark, "agestore", Seq("x"))
@@ -265,18 +269,23 @@ class WarehouseSpec extends SparkSpecBase {
     Warehouse.writeBucketed(spark.range(5).toDF("id"),
       Warehouse.storeTableName("agestore", g2, "x"), "id", 2)
     Warehouse.publishGeneration(spark, "agestore", g2)
+    assert(chainEntry("agestore", g1).exists(_.supersededAt > 0L),
+      "publishing g2 must stamp g1's superseded instant — the age-gate clock " +
+        "runs from when a generation LEFT the live read set, not from its publish")
 
-    // default minAgeMs (1 h): g1 was superseded seconds ago — a probe
+    // default minAgeMs (1 h): g1 left the live set seconds ago — a probe
     // could still be pinned to it, so vacuum must leave it alone
     Warehouse.vacuumStoreGenerations(spark, "agestore", Seq("x"), keep = 1)
     assert(spark.catalog.tableExists(Warehouse.storeTableName("agestore", g1, "x")),
       "the age gate must protect a freshly-superseded generation")
-    assert(java.nio.file.Files.exists(genMarker("agestore", s"ready-$g1")))
+    assert(entryStatus("agestore", g1).contains("published"))
 
     // explicit 0 (caller asserts no pinned probes): g1 is reclaimed, g2 kept
     Warehouse.vacuumStoreGenerations(spark, "agestore", Seq("x"), keep = 1, minAgeMs = 0L)
     assert(!spark.catalog.tableExists(Warehouse.storeTableName("agestore", g1, "x")))
     assert(spark.catalog.tableExists(Warehouse.storeTableName("agestore", g2, "x")))
+    assert(chainEntry("agestore", g1).isEmpty,
+      "the reclaimed generation's chain entry is removed after its data delete")
     Warehouse.dropStore(spark, "agestore", Seq("x"))
   }
 
@@ -289,29 +298,29 @@ class WarehouseSpec extends SparkSpecBase {
     Warehouse.writeBucketed(spark.range(3).toDF("id"),
       Warehouse.storeTableName("claimstore", g1, "x"), "id", 2)
     Warehouse.vacuumStoreGenerations(spark, "claimstore", Seq("x"), keep = 1, minAgeMs = 0L)
-    assert(java.nio.file.Files.exists(genMarker("claimstore", s"claim-$g1")),
+    assert(entryStatus("claimstore", g1).contains("claimed"),
       "with nothing published, every claim may be an in-flight first build")
     assert(spark.catalog.tableExists(Warehouse.storeTableName("claimstore", g1, "x")),
       "the in-flight build's tables must survive the claim sweep")
 
-    // after the first publish: EVERY claim above the newest published
-    // generation is protected — with two concurrent appenders both hold
-    // such claims, and sweeping the lower one would fail that append
-    // mid-write under a minAgeMs=0 vacuum
+    // after the first publish: EVERY claim at or above the newest
+    // published generation is protected — with two concurrent appenders
+    // both hold such claims, and sweeping the lower one would fail that
+    // append mid-write under a minAgeMs=0 vacuum
     Warehouse.publishGeneration(spark, "claimstore", g1)
     val lower = Warehouse.claimGeneration(spark, "claimstore")
     val upper = Warehouse.claimGeneration(spark, "claimstore")
     Warehouse.vacuumStoreGenerations(spark, "claimstore", Seq("x"), keep = 1, minAgeMs = 0L)
-    assert(java.nio.file.Files.exists(genMarker("claimstore", s"claim-$lower")) &&
-      java.nio.file.Files.exists(genMarker("claimstore", s"claim-$upper")),
-      "claims above the newest ready marker may all be in-flight builds — none is swept")
-    assert(java.nio.file.Files.exists(genMarker("claimstore", s"ready-$g1")),
+    assert(entryStatus("claimstore", lower).contains("claimed") &&
+      entryStatus("claimstore", upper).contains("claimed"),
+      "claims above the newest published generation may all be in-flight builds — none is swept")
+    assert(entryStatus("claimstore", g1).contains("published"),
       "the kept generation stays published")
     // once a later build PUBLISHES past a claim, that claim is provably
     // dead (its number can never be the live generation) and reclaimed
     Warehouse.publishGeneration(spark, "claimstore", upper)
     Warehouse.vacuumStoreGenerations(spark, "claimstore", Seq("x"), keep = 1, minAgeMs = 0L)
-    assert(!java.nio.file.Files.exists(genMarker("claimstore", s"claim-$lower")),
+    assert(chainEntry("claimstore", lower).isEmpty,
       "a claim surpassed by a published generation is dead and reclaimed")
     Warehouse.dropStore(spark, "claimstore", Seq("x"))
   }
@@ -468,8 +477,8 @@ class WarehouseSpec extends SparkSpecBase {
     val after = graft.operators.Dedup.minhashIncrementalAgainstStore("guardprobe", batch)
       .collect().map(key).toSet
     assert(after == before, "a fresh probe after a tripped rebuild must equal the pre-trip probe")
-    // and the failed build reclaimed its own claim marker
-    assert(!java.nio.file.Files.exists(genMarker("guardprobe", s"claim-${g1 + 1}")),
+    // and the failed build reclaimed its own claim entry
+    assert(chainEntry("guardprobe", g1 + 1).isEmpty,
       "a tripped guard must burn its claim so the generation number is not leaked forever")
     Warehouse.dropStore(spark, "guardprobe", Seq("bands", "sigs"))
   }
@@ -738,7 +747,7 @@ class WarehouseSpec extends SparkSpecBase {
     assert(d16 == d7 && d16.nonEmpty)
   }
 
-  test("append-vs-rebuild race: the appender retracts its orphan and re-appends against the winner") {
+  test("append-vs-rebuild race: the lost publish is refused atomically and the appender re-appends against the winner") {
     import graft.operators.{Similarity, TextAnalysis}
     import org.apache.spark.sql.functions.col
     val t = Tables(spark, sfDir)
@@ -746,9 +755,10 @@ class WarehouseSpec extends SparkSpecBase {
     def key(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
 
-    // BM25: a rebuild publishes between the segment publish and the
-    // post-publish re-check (the race window) — the appender must
-    // retract gen 2 and re-append as a segment of the winner
+    // BM25: a rebuild publishes between the segment's table write and
+    // its publish — the publish commit itself detects the superseded
+    // base and REFUSES (nothing becomes visible), and the appender
+    // re-appends as a segment of the winner
     Warehouse.dropStore(spark, "bm25race", Seq("postings", "stats"))
     TextAnalysis.buildBm25Store(t.documents.filter(col("doc_id") < half), "bm25race", buckets = 8)
     val batch = t.documents.filter(col("doc_id") >= half)
@@ -767,17 +777,17 @@ class WarehouseSpec extends SparkSpecBase {
       "the re-appended batch's tag commits exactly once")
     assert(key(TextAnalysis.bm25AgainstStore(spark, "bm25race")) == key(TextAnalysis.bm25(t)),
       "after the lost race the batch is in the index — never silently dropped")
-    // GRACE PERIOD: the orphan was briefly live — a probe that resolved
-    // in the publish window may still be scanning it, so the retract
-    // keeps its data under the burned claim; only the age-gated vacuum
-    // sweep reclaims it
-    assert(spark.catalog.tableExists(Warehouse.storeTableName("bm25race", 2L, "postings")),
-      "the orphan's tables survive the retract for racing probes")
-    Warehouse.vacuumSegmentedStore(spark, "bm25race", Seq("postings", "stats"), minAgeMs = 0L)
+    // NO ORPHAN: the refused generation was never published, so no probe
+    // can hold it — its tables are dropped and its claim burned on the
+    // spot (the old protocol's published-orphan grace period is gone
+    // because the state it protected is unreachable)
     assert(!spark.catalog.tableExists(Warehouse.storeTableName("bm25race", 2L, "postings")),
-      "the burned-claim sweep reclaims the orphan's tables")
+      "the refused segment's tables are reclaimed immediately")
+    assert(chainEntry("bm25race", 2L).isEmpty,
+      "the refused segment leaves no chain entry")
+    Warehouse.vacuumSegmentedStore(spark, "bm25race", Seq("postings", "stats"), minAgeMs = 0L)
     assert(Warehouse.resolveSegmented(spark, "bm25race") == ((3L, Seq(4L))),
-      "the sweep never touches the live group")
+      "the vacuum never touches the live group")
     Warehouse.dropStore(spark, "bm25race", Seq("postings", "stats"))
 
     // IVF: same protocol on the path store
@@ -797,167 +807,77 @@ class WarehouseSpec extends SparkSpecBase {
     assert(Warehouse.pathSegmentTagPublished(root, "v:1"))
     assert(Similarity.appendToIvfIndex(
       emb.filter(col("vec_id") >= vhalf), root, Some("v:1")).isEmpty)
-    // same grace period on the path store: data survives the retract ...
-    assert(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(Warehouse.pathGenData(root, 2L))),
-      "the orphan segment's data dir survives the retract for racing probes")
-    // ... and the age-gated sweep reclaims it without touching the live group
-    Similarity.vacuumIvfIndex(root, minAgeMs = 0L)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(Warehouse.pathGenData(root, 2L))),
-      "the burned-claim sweep reclaims the orphan's data dir")
+      "the refused segment's data dir is reclaimed immediately (it was never visible)")
+    Similarity.vacuumIvfIndex(root, minAgeMs = 0L)
     assert(Warehouse.resolvePathSegmented(root) == ((3L, Seq(4L))))
   }
 
-  test("confirm-vs-rebuild TOCTOU: a rebuild landing between re-check and confirm is detected; the confirmation is withdrawn and the batch re-appends") {
-    import graft.operators.{Similarity, TextAnalysis}
-    import org.apache.spark.sql.functions.col
-    val t = Tables(spark, sfDir)
-    val half = t.documents.count() / 2
-
-    // BM25: the rebuild publishes in the SECOND window — after the
-    // post-publish re-check passed, before the tag confirmation. Left
-    // unhandled, the tag would be durably committed while its rows live
-    // only in the superseded segment (a replay would skip: silent loss).
-    Warehouse.dropStore(spark, "bm25toctou", Seq("postings", "stats"))
-    TextAnalysis.buildBm25Store(t.documents.filter(col("doc_id") < half), "bm25toctou", buckets = 8)
-    val batch = t.documents.filter(col("doc_id") >= half)
-    var rebuilt = false
-    val seg = TextAnalysis.appendToBm25StoreHooked(batch, "bm25toctou", Some("tc:1"),
-      beforeConfirm = () => {
-        if (!rebuilt) { rebuilt = true
-          TextAnalysis.buildBm25Store(t.documents.filter(col("doc_id") < half), "bm25toctou", buckets = 8)
-        }
-      })
-    assert(seg.contains(4L),
-      "attempt 1 (gen 2) was superseded mid-confirm by the rebuild (gen 3); " +
-        "the withdrawn confirmation must fall through to a re-append (gen 4)")
-    assert(Warehouse.resolveSegmented(spark, "bm25toctou") == ((3L, Seq(4L))))
-    assert(Warehouse.segmentTagPublished(spark, "bm25toctou", "tc:1"),
-      "the tag commits on the surviving re-append")
-    assert(TextAnalysis.appendToBm25Store(batch, "bm25toctou", dedupeTag = Some("tc:1")).isEmpty,
-      "exactly-once: the replayed tag skips")
-    def key(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
-    assert(key(TextAnalysis.bm25AgainstStore(spark, "bm25toctou")) == key(TextAnalysis.bm25(t)),
-      "the batch's rows are in the live index despite the mid-confirm rebuild")
-    Warehouse.dropStore(spark, "bm25toctou", Seq("postings", "stats"))
-
-    // IVF: same protocol on the path store
-    val root = java.nio.file.Files.createTempDirectory("graft_ivftoctou_").resolve("idx").toString
-    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
-    val vhalf = emb.count() / 2
-    Similarity.buildIvfIndexOf(emb.filter(col("vec_id") < vhalf), root)
-    var vrebuilt = false
-    val vseg = Similarity.appendToIvfIndexHooked(
-      emb.filter(col("vec_id") >= vhalf), root, Some("vtc:1"),
-      beforeConfirm = () => {
-        if (!vrebuilt) { vrebuilt = true
-          Similarity.buildIvfIndexOf(emb.filter(col("vec_id") < vhalf), root)
-        }
-      })
-    assert(vseg.contains(4L))
-    assert(Warehouse.resolvePathSegmented(root) == ((3L, Seq(4L))))
-    assert(Warehouse.pathSegmentTagPublished(root, "vtc:1"))
-    assert(Similarity.appendToIvfIndex(
-      emb.filter(col("vec_id") >= vhalf), root, Some("vtc:1")).isEmpty)
-  }
-
-  test("unconfirmSegmentTag withdraws a confirmation even after vacuum folded it into the manifest") {
-    val store = "unconfproto"
-    Warehouse.dropStore(spark, store, Seq("x"))
-    val g1 = Warehouse.claimGeneration(spark, store)
-    Warehouse.publishGeneration(spark, store, g1)
-    // marker-file form
-    Warehouse.confirmSegmentTag(spark, store, "u:1")
-    assert(Warehouse.segmentTagPublished(spark, store, "u:1"))
-    Warehouse.unconfirmSegmentTag(spark, store, "u:1")
-    assert(!Warehouse.segmentTagPublished(spark, store, "u:1"),
-      "a withdrawn marker-file confirmation stops counting")
-    // folded-manifest form: vacuum compacts the marker into tagdone.log
-    Warehouse.confirmSegmentTag(spark, store, "u:2")
-    Warehouse.vacuumStoreGenerations(spark, store, Seq("x"), minAgeMs = 0L)
-    assert(Warehouse.segmentTagPublished(spark, store, "u:2"),
-      "the folded confirmation still counts")
-    Warehouse.unconfirmSegmentTag(spark, store, "u:2")
-    assert(!Warehouse.segmentTagPublished(spark, store, "u:2"),
-      "withdrawal must reach the folded manifest, not just the marker file")
-    Warehouse.dropStore(spark, store, Seq("x"))
-  }
-
-  test("orphan tags never commit; appender confirmation is the durable record and folds into one manifest") {
+  test("segment publish is the single atomic commit point: stale publishes refuse, committed tags are durable forever") {
+    import graft.sources.SupersededBaseException
     val store = "tagproto"
     Warehouse.dropStore(spark, store, Seq("x"))
-    val dir = java.nio.file.Paths.get(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      "_generations", store)
 
     val g1 = Warehouse.claimGeneration(spark, store) // full build
     Warehouse.publishGeneration(spark, store, g1)
     val g2 = Warehouse.claimGeneration(spark, store) // segment of g1
-    Warehouse.markSegment(spark, store, g2, g1, Some("commit:1"))
-    Warehouse.publishGeneration(spark, store, g2)
-    // a LIVE-group segment's tag counts even before the appender's
-    // confirmation lands (its rows are in the live read set)
+    Warehouse.publishSegment(spark, store, g2, g1, Some("commit:1"))
+    // the tag commits ATOMICALLY with the publish — no confirmation
+    // step, no window where the rows are live but the tag is not
     assert(Warehouse.segmentTagPublished(spark, store, "commit:1"))
-    // ... and the appender's post-re-check confirmation makes it durable
-    Warehouse.confirmSegmentTag(spark, store, "commit:1")
+
     val g3 = Warehouse.claimGeneration(spark, store) // rebuild
     Warehouse.publishGeneration(spark, store, g3)
-    // the reviewer scenario: claim order is NOT publish order — a
-    // crashed appender's segment with a LOWER number than the rebuild
-    // that published first is an orphan all the same. Craft both
-    // shapes: g4 (orphan above the rebuild) and, below, a no-confirm
-    // live-base segment later superseded
-    val g4 = Warehouse.claimGeneration(spark, store) // ORPHAN: names g1 AFTER g3 superseded it
-    Warehouse.markSegment(spark, store, g4, g1, Some("orphan:1"))
-    Warehouse.publishGeneration(spark, store, g4)
-
     assert(Warehouse.segmentTagPublished(spark, store, "commit:1"),
-      "a confirmed tag stays committed after the rebuild (the rebuild absorbed its batch)")
-    assert(!Warehouse.segmentTagPublished(spark, store, "orphan:1"),
-      "an orphan's batch never landed in the live index — its replay must re-append")
+      "a committed tag stays committed after the rebuild (the rebuild absorbed its batch)")
 
-    // an UNCONFIRMED live-base segment (appender crashed between publish
-    // and confirm): committed while its base is live ...
+    // the old protocol's ORPHAN shape — an appender publishing a
+    // segment of a superseded base — is now a REFUSED commit: the
+    // publish throws, nothing becomes visible, the tag never commits
+    val g4 = Warehouse.claimGeneration(spark, store)
+    intercept[SupersededBaseException] {
+      Warehouse.publishSegment(spark, store, g4, g1, Some("stale:1"))
+    }
+    assert(!Warehouse.segmentTagPublished(spark, store, "stale:1"),
+      "a refused publish must not commit its tag — the replay re-appends")
+    assert(entryStatus(store, g4).contains("claimed"),
+      "the refused generation is still just a claim (the appender burns it)")
+    Warehouse.burnClaim(spark, store, g4)
+
+    // a live-base segment whose appender then crashes: its tag committed
+    // at publish and STAYS committed through the next rebuild — under
+    // atomic publish there is no 'unconfirmed' state to lose
     val g5 = Warehouse.claimGeneration(spark, store)
-    Warehouse.markSegment(spark, store, g5, g3, Some("unconf:1"))
-    Warehouse.publishGeneration(spark, store, g5)
-    assert(Warehouse.segmentTagPublished(spark, store, "unconf:1"))
-
-    // a further rebuild supersedes everything; the segmented vacuum
-    // reclaims the old chain and the orphan with it
+    Warehouse.publishSegment(spark, store, g5, g3, Some("crash:1"))
     val g6 = Warehouse.claimGeneration(spark, store)
     Warehouse.publishGeneration(spark, store, g6)
-    assert(!Warehouse.segmentTagPublished(spark, store, "unconf:1"),
-      "... but without confirmation it stops counting once superseded — " +
-        "its replay re-appends (duplicates over loss)")
+    assert(Warehouse.segmentTagPublished(spark, store, "crash:1"),
+      "rows that were in the live read set at publish are never silently re-appended")
+
+    // vacuum reclaims the superseded chain; every committed tag survives
     Warehouse.vacuumSegmentedStore(spark, store, Seq("x"), minAgeMs = 0L)
-    assert(Warehouse.segmentTagPublished(spark, store, "commit:1"),
-      "the confirmed tag survives its segment's vacuum")
-    assert(!Warehouse.segmentTagPublished(spark, store, "orphan:1"),
-      "vacuum never resurrects an orphan's tag")
-    // and the echo lives in the single folded manifest, not loose markers
-    val loose = {
-      val st = java.nio.file.Files.list(dir)
-      try st.iterator().asScala.toSeq.map(_.getFileName.toString).filter(_.startsWith("tagdone-"))
-      finally st.close()
-    }
-    assert(loose.isEmpty && java.nio.file.Files.exists(dir.resolve("tagdone.log")),
-      "vacuum folds the appender's tagdone markers into one manifest file")
+    assert(Warehouse.segmentTagPublished(spark, store, "commit:1") &&
+      Warehouse.segmentTagPublished(spark, store, "crash:1"),
+      "committed tags survive their segments' vacuum")
+    assert(!Warehouse.segmentTagPublished(spark, store, "stale:1"),
+      "vacuum never resurrects a refused tag")
+    assert(chainEntry(store, g2).isEmpty && chainEntry(store, g3).isEmpty &&
+      chainEntry(store, g5).isEmpty,
+      "the superseded base and its segments are reclaimed")
 
     // claim protection: EVERY claim above the newest published generation
     // survives a minAgeMs=0 vacuum (two concurrent in-flight appends)
-    val c6 = Warehouse.claimGeneration(spark, store)
     val c7 = Warehouse.claimGeneration(spark, store)
+    val c8 = Warehouse.claimGeneration(spark, store)
     Warehouse.vacuumSegmentedStore(spark, store, Seq("x"), minAgeMs = 0L)
-    assert(java.nio.file.Files.exists(dir.resolve(s"claim-$c6")) &&
-      java.nio.file.Files.exists(dir.resolve(s"claim-$c7")),
-      "in-flight claims above the newest ready marker are never swept")
+    assert(entryStatus(store, c7).contains("claimed") &&
+      entryStatus(store, c8).contains("claimed"),
+      "in-flight claims above the newest published generation are never swept")
     // once a later build PUBLISHES, a dead lower claim is reclaimed
-    Warehouse.publishGeneration(spark, store, c7)
+    Warehouse.publishGeneration(spark, store, c8)
     Warehouse.vacuumSegmentedStore(spark, store, Seq("x"), minAgeMs = 0L)
-    assert(!java.nio.file.Files.exists(dir.resolve(s"claim-$c6")),
+    assert(chainEntry(store, c7).isEmpty,
       "a claim surpassed by a published generation is dead and reclaimed")
     Warehouse.dropStore(spark, store, Seq("x"))
   }
