@@ -281,10 +281,12 @@ object Freshness {
   * for deterministic specs.
   */
 final class MetadataStore(spark: SparkSession, root: String,
-    clock: () => Long = () => System.currentTimeMillis() / 1000) {
+    clock: () => Long = () => System.currentTimeMillis() / 1000,
+    io: graft.sources.StoreIO = graft.sources.PosixStoreIO) {
   import spark.implicits._
 
   private val logPath = s"$root/sync_log"
+  private val idDir = s"$root/sync_log_ids"
 
   def nowSec: Long = clock()
 
@@ -306,22 +308,45 @@ final class MetadataStore(spark: SparkSession, root: String,
         else withErr.withColumn("syncedAt", lit(0L))
       // full-row dedup: ONLY [[compactLog]]'s fold-then-delete overlap
       // window produces duplicates, and those are bit-identical rows —
-      // distinct entries always differ in id, so nothing real collapses
+      // distinct entries always differ in id BY CONSTRUCTION
+      // ([[appendLog]] allocates ids through the StoreIO
+      // create-new-or-fail primitive, so two concurrent appenders can
+      // never mint the same id), so nothing real collapses
       withTs.dropDuplicates()
     } else spark.emptyDataset[MetadataStore.LogRow].toDF()
 
   def appendLog(entity: String, status: String, records: Long, watermark: Option[Long],
       refId: Option[Long] = None, error: Option[String] = None): Long = {
-    // next id via a distributed max — never materialize the log on the
+    // floor via a distributed max — never materialize the log on the
     // driver (a years-long deployment's log is one row per table-load;
     // metadata-sized, but a full driver collect per append is a wart)
-    val nextId = readLog().agg(coalesce(max(col("id")), lit(0L))).as[Long].head() + 1L
+    val logMax = readLog().agg(coalesce(max(col("id")), lit(0L))).as[Long].head()
+    val nextId = reserveId(logMax)
     val row = MetadataStore.LogRow(nextId, entity, status, records, watermark, refId, error, clock())
     // append-only: a crash mid-write can at worst lose THIS entry; an
     // overwrite of the whole log would destroy every watermark if it died
     // between delete and commit
     Seq(row).toDS().toDF().repartition(1)
       .write.mode(SaveMode.Append).parquet(logPath)
+    nextId
+  }
+
+  /** Reserve the next log id through the StoreIO create-new-or-fail
+    * primitive: a bare read-max-increment lets two concurrent appenders
+    * mint the same id and (when the rest of the row also matches — same
+    * entity, same clock second) write bit-identical rows that
+    * [[readLog]]'s dedup silently collapses to one. Racing reservations
+    * lose and probe upward, so ids are unique by construction; a marker
+    * whose append then crashed just burns a number. Markers at or below
+    * the folded log's max are swept, age-gated, by [[compactLog]].
+    * `floor` is the log's current max id (the distributed-max read).
+    */
+  private[graft] def reserveId(floor: Long): Long = {
+    val markerMax = io.list(idDir)
+      .filter(_.startsWith("id-")).map(_.stripPrefix("id-").toLong)
+      .maxOption.getOrElse(0L)
+    var nextId = math.max(floor, markerMax) + 1L
+    while (!io.putIfAbsent(s"$idDir/id-$nextId", Array.emptyByteArray)) nextId += 1L
     nextId
   }
 
@@ -383,14 +408,15 @@ final class MetadataStore(spark: SparkSession, root: String,
     val parent = dir.getParent
     // stale-staging sweep: RECURSIVE (a compaction that died mid-parquet
     // -write leaves nested _temporary/attempt dirs a flat delete would
-    // refuse, breaking every later compaction) and AGE-GATED (an hour-old
-    // floor, so a concurrent compaction's live staging dir is never
-    // swept from under it)
+    // refuse, breaking every later compaction) and AGE-GATED on the
+    // NEWEST mtime found anywhere under the staging dir — the top-level
+    // dir's mtime freezes once _temporary subdirs exist, so a live
+    // compaction whose parquet write stalls past the floor would read
+    // as stale by the top-level stat alone and be deleted mid-write
     val cutoff = System.currentTimeMillis() - 3600_000L
     listFiles(parent)
       .filter(_.getFileName.toString.startsWith(s"${dir.getFileName}.compacting-"))
-      .filter(p => scala.util.Try(Files.getLastModifiedTime(p).toMillis)
-        .toOption.forall(_ <= cutoff))
+      .filter(p => newestMtime(p) <= cutoff)
       .foreach(deleteRecursively)
     val old = listFiles(dir).filter { p =>
       val n = p.getFileName.toString
@@ -398,12 +424,27 @@ final class MetadataStore(spark: SparkSession, root: String,
     }
     if (old.size <= 1) return
     val staging = parent.resolve(s"${dir.getFileName}.compacting-${System.nanoTime()}")
-    readLog().repartition(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val folded = readLog().localCheckpoint(true)
+    folded.repartition(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
     listFiles(staging)
       .filter(_.getFileName.toString.startsWith("part-"))
       .foreach(f => Files.move(f, dir.resolve(s"compact-${System.nanoTime()}-${f.getFileName}")))
     old.foreach(Files.deleteIfExists(_))
     deleteRecursively(staging)
+    // id-reservation markers at or below the folded log's max id are
+    // spent (their rows are durably in the log); an age gate protects a
+    // marker whose append is still in flight between reserve and write
+    val maxId = folded.agg(coalesce(max(col("id")), lit(0L))).as[Long].head()
+    io.list(idDir)
+      .filter(_.startsWith("id-")).filter(_.stripPrefix("id-").toLong <= maxId)
+      .filter(n => io.mtime(s"$idDir/$n").forall(_ <= cutoff))
+      .foreach(n => io.delete(s"$idDir/$n"))
+  }
+
+  /** Newest mtime anywhere under `p` (the path's own when childless). */
+  private def newestMtime(p: Path): Long = {
+    val own = scala.util.Try(Files.getLastModifiedTime(p).toMillis).toOption.getOrElse(0L)
+    (own +: listFiles(p).map(newestMtime)).max
   }
 
   private def listFiles(dir: Path): Seq[Path] =

@@ -187,6 +187,34 @@ class EtlSpec extends SparkSpecBase {
     assert(dataFiles().size == 1 && store.watermark("fact_events").contains(300L))
   }
 
+  test("concurrent log-id reservations never mint the same id") {
+    // the id is RESERVED through the StoreIO create-new-or-fail
+    // primitive: before this, two appenders racing the read-max-
+    // increment could write the same id — and when the rest of the row
+    // matched too (same entity, same clock second), readLog's full-row
+    // dedup silently collapsed both entries into one. The race window
+    // is the reservation itself, so that is what 4 threads hammer; the
+    // parquet append is the committer's (serial-writer) job.
+    val (_, md) = freshDirs()
+    val store = new MetadataStore(spark, md)
+    val minted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (0 until 4).map { _ =>
+      new Thread(() => (0 until 5).foreach { _ =>
+        // every thread passes the SAME stale floor — the exact
+        // read-max-increment race shape
+        minted.add(store.reserveId(0L))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val ids = minted.asScala.toSeq
+    assert(ids.size == 20 && ids.distinct.size == 20,
+      s"20 racing reservations must mint 20 distinct ids, got ${ids.sorted}")
+    assert(ids.toSet == (1L to 20L).toSet, "ids stay dense from 1")
+    // and the next real append continues past every reservation
+    assert(store.appendLog("entity_x", "success", 1L, None) == 21L)
+  }
+
   test("single-table targeted run loads exactly one entity") {
     val (wh, md) = freshDirs()
     val store = new MetadataStore(spark, md)
