@@ -294,6 +294,7 @@ object SparkEntry {
     "g7_label_communities" -> ((s, dir) => Graph.labelCommunities(Tables(s, dir))),
     "g8_clustering_coeff" -> ((s, dir) => Graph.clusteringCoeff(Tables(s, dir))),
     "g9_weighted_pagerank" -> ((s, dir) => Graph.weightedPagerank(Tables(s, dir))),
+    "g10_triangle_sample" -> ((s, dir) => Graph.triangleSample(Tables(s, dir))),
     // m5's plants: bytes differ (2nd char flipped) but the decoded
     // thumbnail is IDENTICAL — for len > 64 the sampler touches
     // positions 1 and ≥3 only, so the flip is representation-invisible
@@ -1784,6 +1785,34 @@ object SparkEntry {
         |FROM (SELECT unnest([u, v, w]) AS part_key FROM tri) z
         |GROUP BY part_key
         |ORDER BY part_key""".stripMargin,
+    // g10: g2's degree-ordered wedge chain replayed on the md5-coin
+    // sampled subgraph (q19's hash-split literal), degrees recomputed on
+    // the SAMPLE, estimate scaled by keepDen³ (default 1/4 → ×64)
+    "g10_triangle_sample" ->
+      s"""WITH $graphCtes,
+        |samp AS (
+        |  SELECT src, dst FROM und
+        |  WHERE md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR))
+        |        < '40000000000000000000000000000000'),
+        |sedges AS (SELECT src, dst FROM samp UNION ALL SELECT dst, src FROM samp),
+        |sdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sedges GROUP BY src),
+        |o AS (
+        |  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u.src < u.dst)
+        |              THEN u.src ELSE u.dst END AS lo,
+        |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u.src < u.dst)
+        |              THEN u.dst ELSE u.src END AS hi
+        |  FROM samp u JOIN sdeg d1 ON d1.src = u.src JOIN sdeg d2 ON d2.src = u.dst),
+        |wedge AS (
+        |  SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+        |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+        |tri AS (
+        |  SELECT u, v, w FROM wedge
+        |  JOIN (SELECT LEAST(lo, hi) AS v, GREATEST(lo, hi) AS w FROM o) c USING (v, w))
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM samp) AS n_edges_sampled,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tri_sampled,
+        |       CAST(COUNT(*) * 64 AS BIGINT) AS est_triangles
+        |FROM tri""".stripMargin,
     // g8: g2's triangle chain + the degree table, coefficient computed
     // with the identical left-associative 2.0·n/(deg·(deg−1)) shape
     "g8_clustering_coeff" ->

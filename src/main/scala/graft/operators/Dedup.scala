@@ -926,20 +926,10 @@ object Dedup {
           col("__old"))
         .localCheckpoint(eager = false)
       val changed = next.filter(col("label") =!= col("__old")).count()
-      // STATS RESET, load-bearing past ~15 rounds: a checkpointed Dataset
-      // INHERITS its producing plan's estimated sizeInBytes, and each
-      // round's joins multiply those BigInts — the estimate's DIGIT count
-      // triples per round, so by round ~20 the driver sits in million-digit
-      // BigInteger.multiply inside SizeInBytesOnlyStatsPlanVisitor
-      // (measured: 0.25 s → 200 s per round on a 1.3k-node graph; jstack
-      // pinned the main thread in Toom-Cook multiplication). Rebuilding the
-      // frame over the (count-materialized) checkpointed RDD drops the
-      // inherited estimate, so every round plans against flat default
-      // stats. The extra row conversion is two longs per node per round —
-      // noise next to the round's own shuffles. (AQE still sizes the
-      // joins from RUNTIME shuffle stats, so no planning quality is lost.)
-      val cleaned = next.drop("__old")
-      labels = next.sparkSession.createDataFrame(cleaned.rdd, cleaned.schema)
+      // STATS RESET, load-bearing past ~15 rounds — see
+      // [[graft.operators.reframed]] (the count above already
+      // materialized the lazy checkpoint this re-frames over)
+      labels = reframed(next.drop("__old"))
       converged = changed == 0
       iter += 1
     }

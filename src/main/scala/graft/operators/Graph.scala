@@ -93,8 +93,12 @@ object Graph {
     var ranks = deg.select(col("src").as("node"), lit(Rank0).as("rank"))
     var i = 0
     while (i < iters) {
-      ranks = pagerankRound(ranks, edgesDeg, broadcastRanks)
-        .localCheckpoint(eager = true)
+      // reframed: reset the checkpoint's inherited stats estimate every
+      // round — `iters` is caller-settable, and past ~15 rounds the
+      // compounding estimate stalls the driver in BigInt multiplication
+      // ([[graft.operators.reframed]]; IterativeStatsSpec pins this)
+      ranks = reframed(pagerankRound(ranks, edgesDeg, broadcastRanks)
+        .localCheckpoint(eager = true))
       i += 1
     }
     ranks.join(deg, ranks("node") === deg("src"))
@@ -171,13 +175,14 @@ object Graph {
     var ranks = wdeg.select(col("src").as("node"), lit(Rank0).as("rank"))
     var i = 0
     while (i < iters) {
-      ranks = (if (broadcastRanks) broadcast(ranks) else ranks)
+      // reframed: per-round stats reset ([[graft.operators.reframed]])
+      ranks = reframed((if (broadcastRanks) broadcast(ranks) else ranks)
         .join(edgesW, col("node") === edgesW("src"))
         .groupBy(col("dst"))
         .agg((lit(Teleport) +
           sum(expr(s"($Damping * ((rank * w) div wdeg)) div 100"))).as("rank"))
         .select(col("dst").as("node"), col("rank"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = true))
       i += 1
     }
     ranks.join(wdeg, ranks("node") === wdeg("src"))
@@ -329,8 +334,9 @@ object Graph {
         var ranks = seedRow(Rank0)
         var i = 0
         while (i < iters) {
-          ranks = pprRound(ranks, edgesDeg, seedRow(Teleport), broadcastRanks)
-            .localCheckpoint(eager = true)
+          // reframed: per-round stats reset ([[graft.operators.reframed]])
+          ranks = reframed(pprRound(ranks, edgesDeg, seedRow(Teleport), broadcastRanks)
+            .localCheckpoint(eager = true))
           i += 1
         }
         ranks.filter(col("rank") > 0)
@@ -372,9 +378,10 @@ object Graph {
           val relaxed = dist
             .join(edges, dist("node") === edges("src"))
             .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
-          dist = dist.unionByName(relaxed)
+          // reframed: per-round stats reset ([[graft.operators.reframed]])
+          dist = reframed(dist.unionByName(relaxed)
             .groupBy(col("node")).agg(min(col("hops")).as("hops"))
-            .localCheckpoint(eager = true)
+            .localCheckpoint(eager = true))
           i += 1
         }
         dist.orderBy(col("hops"), col("node"))
@@ -418,7 +425,8 @@ object Graph {
       // before AQE converts (g1's measured lesson — pagerankRound). On
       // a billion-node graph pass broadcastLabels = false and bucket
       // the edge table by dst.
-      labels = edges.join(
+      // reframed: per-round stats reset ([[graft.operators.reframed]])
+      labels = reframed(edges.join(
           if (broadcastLabels) broadcast(labels) else labels,
           edges("dst") === labels("node"))
         .groupBy(edges("src"), col("label"))
@@ -426,7 +434,7 @@ object Graph {
         .groupBy(col("src"))
         .agg(max_by(col("label"), struct(col("c"), (-col("label")).as("nl"))).as("label"))
         .select(col("src").as("node"), col("label"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = true))
       i += 1
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
@@ -526,6 +534,62 @@ object Graph {
       least(col("lo"), col("hi")).as("v"), greatest(col("lo"), col("hi")).as("w"))
     if (broadcastClosing) wedges.join(broadcast(closing), Seq("v", "w"))
     else wedges.join(closing.hint("shuffle_hash"), Seq("v", "w"))
+  }
+
+  /** g10: SAMPLED triangle estimation — the sketch twin of g2's exact
+    * wedge stream (the repo's exact→approx pairing: q16→q24, t5→t5's
+    * sketch, exact counts→HLL/KMV). DOULION (Tsourakakis, Kang, Miller,
+    * Faloutsos — KDD 2009): keep each undirected edge with probability
+    * p = keepNum/keepDen, count triangles on the sparsified graph, and
+    * scale the count by 1/p³ — an unbiased estimator whose variance
+    * concentrates once the graph has ω(1/p³) triangles. The wedge
+    * stream (g2's Σ outdeg² cost — THE growth term: 15× on 10× data at
+    * sf1, because wedge count IS the statistic) shrinks ~p² and the
+    * closure probe ~p, so the default p = 1/4 cuts the exact path's
+    * dominant cost ~16× while the estimate stays within a few percent
+    * on any triangle-rich graph.
+    *
+    * The sampling coin is DETERMINISTIC — an md5 prefix test on the
+    * canonical `src:dst` pair (q19's hash-split trick), so the sampled
+    * subgraph is a pure function of the edge set: bit-stable across
+    * partitionings, engines and reruns, and the oracle replays the
+    * whole chain (sample → degree-order → wedge-close → scale) exactly.
+    * Output: one row — (n_edges, n_edges_sampled, n_tri_sampled,
+    * est_triangles) with est = (count · keepDen³) div keepNum³.
+    */
+  def triangleSample(t: Tables, keepNum: Int = 1, keepDen: Int = 4): DataFrame =
+    triangleSampleFromEdges(copurchaseEdges(t), keepNum, keepDen)
+
+  /** g10 over any undirected edge list (`src`, `dst`, one row per
+    * unordered pair) — exposed for crafted-graph specs.
+    * `broadcastClosing` — see [[trianglesFromEdges]].
+    */
+  def triangleSampleFromEdges(und: DataFrame, keepNum: Int = 1, keepDen: Int = 4,
+      broadcastClosing: Boolean = true): DataFrame = {
+    require(keepNum >= 1 && keepDen >= keepNum && keepDen <= 256,
+      s"need 1 <= keepNum=$keepNum <= keepDen=$keepDen <= 256")
+    // md5-prefix coin at p = keepNum/keepDen over the first 32 hex bits
+    // (uniform on the canonical pair string; q19_hash_split's exact
+    // mechanism, so DuckDB replays it with the same literal). p = 1 is
+    // the keep-everything identity — the threshold form would need a
+    // 9-hex-digit prefix, which no 32-char digest compares below
+    val threshold = f"${keepNum.toLong * 0x100000000L / keepDen}%08x" + "0" * 24
+    val coin =
+      if (keepNum == keepDen) lit(true)
+      else md5(concat_ws(":", col("src"), col("dst"))) < lit(threshold)
+    val edges = und.select(col("src"), col("dst")).localCheckpoint(eager = true)
+    val sampled = edges.filter(coin).localCheckpoint(eager = true)
+    val den3 = keepDen.toLong * keepDen * keepDen
+    val num3 = keepNum.toLong * keepNum * keepNum
+    // degree ordering recomputes ON THE SAMPLED GRAPH (sparsification
+    // changes degrees, and the estimator only needs the sampled graph's
+    // own triangle count — the oracle orders by the same sampled degrees)
+    trianglesFromEdges(sampled, broadcastClosing)
+      .agg(count(lit(1)).as("n_tri_sampled"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(sampled.agg(count(lit(1)).as("n_edges_sampled")))
+      .select(col("n_edges"), col("n_edges_sampled"), col("n_tri_sampled"),
+        expr(s"(n_tri_sampled * ${den3}L) div ${num3}L").as("est_triangles"))
   }
 
   /** g3: per-edge EMBEDDEDNESS — the number of triangles through each

@@ -264,10 +264,22 @@ object ProductQuant {
     * identically. Scale shape is [[ivfPqTopK]]'s: per-cell scalars
     * (cnt, coarse dot) broadcast; only the residual LUT join replaces
     * the raw LUT join.
+    *
+    * `refineFactor` (FAISS's IndexRefineFlat stage, 0 = off): with a
+    * TIGHT shortlist (nCandidates close to k) the ADC estimate decides
+    * which vectors ever reach the exact rerank, and its within-cell
+    * noise costs recall (the STRICT clustered spec measures 0.38 at
+    * nCandidates = 8). refineFactor = c widens the exact-cosine pool to
+    * max(nCandidates, c·k): the ADC still prunes the cell population,
+    * but the final ranking is exact over c·k vectors — the candidates
+    * are already fetched for the probed cells, so the extra cost is
+    * c·k − nCandidates exact dot products per query, traded directly
+    * for recall (spec: strictly above the unrefined path; measured in
+    * RETRIEVALBENCH.md).
     */
   def ivfPqResidualTopK(t: Tables, nQueries: Int = 10, k: Int = 5, nlist: Int = 16,
       nprobe: Int = 4, m: Int = 4, pqNlist: Int = 16, iters: Int = 2,
-      nCandidates: Int = 64, trainSize: Long = 1024L): DataFrame = {
+      nCandidates: Int = 64, trainSize: Long = 1024L, refineFactor: Int = 0): DataFrame = {
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
     val dim = 64
     require(dim % m == 0, s"m=$m must divide dim=$dim")
@@ -344,7 +356,8 @@ object ProductQuant {
       // then one division, the same two IEEE ops the oracle runs
       .withColumn("sc", (col("cdot") + col("radc")) / col("cnt"))
       .withColumn("cr", row_number().over(wC))
-      .filter(col("cr") <= nCandidates)
+      .filter(col("cr") <= (if (refineFactor > 0)
+        math.max(nCandidates, refineFactor * k) else nCandidates))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
 
     rerankExact(cand, emb, nQueries, k)

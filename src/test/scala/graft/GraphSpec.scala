@@ -277,4 +277,40 @@ class GraphSpec extends SparkSpecBase {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("g10: p=1 sampling IS the exact count; the estimator is an integer-exact ×den³ scale") {
+    import spark.implicits._
+    // K5: C(5,3) = 10 triangles; p = 1 keeps every edge, so the
+    // 'estimate' must equal the exact count with no variance term
+    val k5 = (for (a <- 0L until 5L; b <- (a + 1) until 5L) yield (a, b)).toDF("src", "dst")
+    val full = Graph.triangleSampleFromEdges(k5, keepNum = 1, keepDen = 1).head()
+    assert((full.getLong(0), full.getLong(1), full.getLong(2), full.getLong(3)) ==
+      ((10L, 10L, 10L, 10L)), s"p=1 on K5 must report exactly 10 triangles: $full")
+
+    // p = 1/4 on K5 is a deterministic md5 coin: whatever survives, the
+    // estimate is exactly 64 × the sampled count, and the sampled edge
+    // set is a pure function of the edge list (re-run = same row)
+    val s1 = Graph.triangleSampleFromEdges(k5).head()
+    assert(s1.getLong(3) == 64L * s1.getLong(2), "est = 64 × sampled count, integer-exact")
+    assert(Graph.triangleSampleFromEdges(k5).head() == s1, "the md5 coin is deterministic")
+  }
+
+  test("g10: co-purchase estimate brackets g2's exact total (DOULION at the default p=1/4)") {
+    val t = graft.sources.Tables(spark, sfDir)
+    // exact total: each triangle credits its three nodes once in g2
+    val exact = Graph.triangleCounts(t).collect().map(_.getLong(1)).sum / 3
+    val row = Graph.triangleSample(t).head()
+    val (nEdges, nSampled, nTri, est) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(exact > 100, s"precondition: the sf0.001 graph is triangle-rich (got $exact)")
+    // the md5 coin is uniform: the kept-edge fraction concentrates near
+    // 1/4 (band checked loosely — it is deterministic, not flaky)
+    assert(nSampled > nEdges / 8 && nSampled < nEdges * 3 / 8,
+      s"sampled $nSampled of $nEdges edges — the coin must be ~1/4")
+    assert(est == nTri * 64, "integer-exact scale")
+    // DOULION's concentration at p=1/4 on a triangle-rich graph: the
+    // deterministic estimate sits well within a factor-2 band of exact
+    assert(est > exact / 2 && est < exact * 2,
+      s"estimate $est vs exact $exact — outside the factor-2 band")
+  }
 }

@@ -140,6 +140,17 @@ class ProductQuantSpec extends SparkSpecBase {
     info(f"clustered recall@5 raw=$rRaw%.3f residual=$rRes%.3f (nCandidates=8)")
     assert(rRes > rRaw,
       f"on the clustered corpus the residual path must STRICTLY beat raw: $rRes%.3f <= $rRaw%.3f")
+
+    // the REFINE stage (refineFactor=4 → exact-cosine pool of 4·k=20):
+    // the ADC's within-cell noise no longer decides the final ranking,
+    // only the pruning — recall must rise strictly above the tight
+    // shortlist and approach the pool's ceiling
+    val rRef = recallOf(
+      ProductQuant.ivfPqResidualTopK(tc, nCandidates = 8, refineFactor = 4).collect())
+    info(f"clustered recall@5 refined=$rRef%.3f (pool 4·k)")
+    assert(rRef > rRes,
+      f"the refine pool must strictly beat the tight shortlist: $rRef%.3f <= $rRes%.3f")
+    assert(rRef >= 0.6, f"refined recall@5 dropped to $rRef%.3f")
   }
 
   test("s6 recall@5 vs exact brute force stays reasonable under double pruning") {
