@@ -77,12 +77,30 @@ object Bench {
     // pass keep the invariant ACROSS passes too — a rerun where every rep
     // crashed must not min() its fast-crash time into a successful
     // first-pass measurement
+    // SPARK_GRAFT_BENCH_VERBOSE=1: per-rep wall times + the slowest
+    // Spark STAGES of each rep to stderr — the variance-attribution
+    // instrument (which stage moves when a quiet floor drifts between
+    // sessions), not part of the driver's JSON contract
+    val verbose = sys.env.get("SPARK_GRAFT_BENCH_VERBOSE").contains("1")
+    val stageTimes = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    if (verbose) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val info = sc.stageInfo
+          val ms = (for (s <- info.submissionTime; c <- info.completionTime) yield c - s)
+            .getOrElse(0L)
+          stageTimes.put(info.stageId, (info.name.takeWhile(_ != '\n'), ms))
+        }
+      })
+
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         nReps: Int): (Double, Boolean) = {
       val ok = scala.collection.mutable.ListBuffer.empty[Double]
       val crashed = scala.collection.mutable.ListBuffer.empty[Double]
-      (1 to nReps).foreach { _ =>
+      (1 to nReps).foreach { rep =>
         if (!failures.contains(name)) {
+          stageTimes.clear()
           val t0 = System.nanoTime()
           try {
             val df = fn(spark, sfDir)
@@ -93,7 +111,14 @@ object Bench {
             }
             org.apache.spark.sql.classic.GraftInterop.ofRows(spark, stripped)
               .write.format("noop").mode("overwrite").save()
-            ok += (System.nanoTime() - t0) / 1e9
+            val secs = (System.nanoTime() - t0) / 1e9
+            ok += secs
+            if (verbose) {
+              import scala.jdk.CollectionConverters._
+              val top = stageTimes.asScala.toSeq.sortBy(-_._2._2).take(5)
+                .map { case (id, (nm, ms)) => f"s$id $nm%.40s ${ms / 1000.0}%.2fs" }
+              System.err.println(f"[bench-rep] $name rep$rep $secs%.2fs | ${top.mkString(" ; ")}")
+            }
           } catch { case e: Throwable =>
             // a crashed query must not masquerade as a fast one: record
             // the elapsed-until-crash time, and the errors array flags it

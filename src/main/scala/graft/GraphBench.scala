@@ -147,11 +147,24 @@ object GraphBench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      (rounds(true), rounds(false), storeRounds5())
+      // g2 vs g10 WEDGE-STAGE isolation on the same pre-built edges:
+      // the per-key bench conflates the (linear, shared) edge build with
+      // the wedge term — this is the term g10 exists to flatten, so it
+      // is measured alone (exact count vs p=1/4 sampled estimate)
+      val (exactTris, exactSec) = timed {
+        Graph.triangleCountsFromEdges(und2).agg(sum(col("n_tri"))).collect()(0).getLong(0) / 3
+      }
+      val (estRow, sampleSec) = timed {
+        Graph.triangleSampleFromEdges(und2).collect()(0)
+      }
+      (rounds(true), rounds(false), storeRounds5(),
+        exactTris, exactSec, estRow.getLong(3), sampleSec)
     }
-    val realJson = real.map { case (p, u, s) =>
+    val realJson = real.map { case (p, u, s, xt, xs, et, es) =>
       s""","real_pagerank5_pinned_sec":$p,"real_pagerank5_unpinned_sec":$u,""" +
-        s""""real_pagerank5_store_sec":$s"""
+        s""""real_pagerank5_store_sec":$s,"real_tri_exact":$xt,""" +
+        s""""real_tri_exact_sec":$xs,"real_tri_sample_est":$et,""" +
+        s""""real_tri_sample_sec":$es"""
     }.getOrElse("")
 
     println(s"""{"metric":"graph_ordered_vs_naive","rim":$nRim,"edges":$nEdges,""" +
