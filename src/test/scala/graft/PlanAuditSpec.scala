@@ -57,7 +57,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // budget table
     "dc16_language_balance",
     // s9: s2's query-by-centroid crossJoin (nlist-row broadcast)
-    "s9_ivf_range")
+    "s9_ivf_range",
+    // g10: three ONE-ROW aggregates (sampled-triangle count, edge
+    // count, sampled-edge count) crossJoin into the single result row
+    "g10_triangle_sample")
 
   test("no query plan contains a CartesianProduct; BNLJ only where declared scalar-attach") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -105,6 +105,98 @@ class StoreIOSpec extends SparkSpecBase {
     assert(chain.state().entry(seg2).isEmpty)
   }
 
+  test("GenerationChain under REAL thread races (POSIX impl): distinct claims, one live base, every tag committed exactly once") {
+    // the model sweep is sequential; this drives 8 OS threads through
+    // the actual filesystem CAS — claims must come out distinct, every
+    // appender must either commit its tag or observe the refusal, and
+    // the final state must be internally consistent
+    val dir = java.nio.file.Files.createTempDirectory("graft_chainrace_").toString + "/chain"
+    val chain = new GenerationChain(dir, PosixStoreIO)
+    val base = chain.claim()
+    chain.publishFull(base)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        val tag = s"race:$i"
+        var done = false
+        var attempts = 0
+        while (!done && attempts < 6) {
+          val b = chain.state().liveBase.get
+          val g = chain.claim()
+          if (i % 4 == 0 && attempts == 0) {
+            // a quarter of the writers REBUILD instead (full publish),
+            // forcing real supersede races onto the appenders
+            chain.publishFull(g)
+            outcomes.add(tag -> "rebuilt")
+            done = true
+          } else {
+            try { chain.publishSegment(g, b, Some(tag)); outcomes.add(tag -> "appended"); done = true }
+            catch { case _: SupersededBaseException => chain.burn(g); attempts += 1 }
+          }
+        }
+        if (!done) outcomes.add(tag -> "gave-up")
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val byOutcome = outcomes.asScala.toSeq.groupBy(_._2)
+    assert(!byOutcome.contains("gave-up"), s"appenders must converge: $byOutcome")
+    val s = chain.state()
+    // claims all distinct by construction of the chain — the entries
+    // (and the vacuumed numbers) can never collide
+    assert(s.entries.map(_.gen).distinct.size == s.entries.size)
+    // every appended tag committed; segments in the live group all name
+    // the live base
+    byOutcome.getOrElse("appended", Nil).foreach { case (tag, _) =>
+      assert(chain.tagCommitted(tag), s"appended tag $tag must be committed")
+    }
+    val live = s.liveBase.get
+    assert(s.liveSegments.forall(g => s.entry(g).get.base.contains(live)))
+    // and a published segment of a non-live base exists nowhere
+    assert(s.entries.filter(e => e.status == GenerationChain.Published && e.base.nonEmpty)
+      .forall(e => e.base.contains(live) || e.supersededAt > 0L),
+      "published segments are live-group members or stamped superseded")
+  }
+
+  test("crash sweep: an appender killed after EVERY commit index recovers to exactly-once") {
+    // systematic crash-point enumeration: the append flow commits
+    // (claim, publish); for each k, run a fresh store, crash on the
+    // k-th successful commit of the append, then RECOVER with the
+    // at-least-once replay (tag check -> re-append) and assert the
+    // batch lands exactly once. The invariant is the protocol's whole
+    // point: no crash index yields zero copies or two copies.
+    (1 to 2).foreach { crashAt =>
+      val io = new InMemoryStoreIO()
+      val chain = new GenerationChain(s"/mem/crash$crashAt", io)
+      val base = chain.claim()
+      chain.publishFull(base)
+
+      def appendOnce(tag: String): Unit = {
+        if (chain.tagCommitted(tag)) return // replay: already landed
+        val g = chain.claim()               // commit 1
+        // (data write happens here in real appenders — no chain commit)
+        chain.publishSegment(g, base, Some(tag)) // commit 2
+      }
+
+      io.failAfterCommit(crashAt)
+      intercept[java.io.IOException] { appendOnce("crash:batch") }
+      // recovery: the replayed batch must land exactly once
+      appendOnce("crash:batch")
+      val s = chain.state()
+      assert(chain.tagCommitted("crash:batch"),
+        s"[crash@$crashAt] the batch must be committed after recovery")
+      val published = s.entries.filter(e =>
+        e.status == GenerationChain.Published && e.tag.contains("crash:batch"))
+      assert(published.size == 1,
+        s"[crash@$crashAt] exactly one published copy, got ${s.entries}")
+      // a crash after claim leaves a dead claim the age-gated sweep
+      // reclaims — it must never block or double-count
+      if (crashAt == 1)
+        assert(s.entries.count(_.status == GenerationChain.Claimed) == 1,
+          s"[crash@$crashAt] the crashed claim lingers (burned-claim shape) until vacuumed")
+    }
+  }
+
   test("GenerationChain folds committed tags into an archive once the inline set grows; commitment survives the fold") {
     val io = new InMemoryStoreIO()
     val chain = new GenerationChain("/mem/tags", io)
