@@ -114,6 +114,12 @@ object Bench {
             val secs = (System.nanoTime() - t0) / 1e9
             ok += secs
             if (verbose) {
+              // stage events arrive on the ASYNC listener bus — drain it
+              // before reading, or a slow stage of this rep lands after
+              // the next rep's clear() (misattributed) or after this
+              // report printed (missing): wrong attribution is worse
+              // than none for a variance instrument
+              org.apache.spark.GraftSparkInterop.drainListenerBus(spark.sparkContext)
               import scala.jdk.CollectionConverters._
               val top = stageTimes.asScala.toSeq.sortBy(-_._2._2).take(5)
                 .map { case (id, (nm, ms)) => f"s$id $nm%.40s ${ms / 1000.0}%.2fs" }

@@ -152,7 +152,9 @@ object GraphBench {
       // the wedge term — this is the term g10 exists to flatten, so it
       // is measured alone (exact count vs p=1/4 sampled estimate)
       val (exactTris, exactSec) = timed {
-        Graph.triangleCountsFromEdges(und2).agg(sum(col("n_tri"))).collect()(0).getLong(0) / 3
+        // coalesce: a triangle-free graph sums to NULL, not 0
+        Graph.triangleCountsFromEdges(und2)
+          .agg(coalesce(sum(col("n_tri")), lit(0L))).collect()(0).getLong(0) / 3
       }
       val (estRow, sampleSec) = timed {
         Graph.triangleSampleFromEdges(und2).collect()(0)

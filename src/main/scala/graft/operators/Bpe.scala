@@ -242,8 +242,10 @@ object Bpe {
       Warehouse.publishGeneration(spark, name, gen)
     } catch {
       case e: Throwable =>
-        Seq(dictT, mergesT).foreach(tb => scala.util.Try(Warehouse.drop(spark, tb)))
-        Warehouse.burnClaim(spark, name, gen)
+        // guarded: drops + burn only when the chain provably shows the
+        // generation unpublished (an ambiguous publish self-verifies;
+        // a double-failure must leak, never delete live data)
+        Warehouse.cleanupFailedBuild(spark, name, gen, Seq("dict", "merges"))
         throw e
     }
   }

@@ -258,8 +258,8 @@ object Dedup {
         labelsT, "doc_id", buckets)
       Warehouse.publishGeneration(spark, name, gen)
     } catch { case e: Throwable =>
-      scala.util.Try(Warehouse.drop(spark, labelsT))
-      Warehouse.burnClaim(spark, name, gen)
+      // guarded cleanup: only when the chain provably shows gen unpublished
+      Warehouse.cleanupFailedBuild(spark, name, gen, Seq("labels"))
       throw e
     }
   }
@@ -308,8 +308,8 @@ object Dedup {
       Warehouse.writeBucketed(clustersOfPairs(pairs, maxIter), labelsT, "doc_id", buckets)
       Warehouse.publishGeneration(spark, name, gen)
     } catch { case e: Throwable =>
-      scala.util.Try(Warehouse.drop(spark, labelsT))
-      Warehouse.burnClaim(spark, name, gen)
+      // guarded cleanup: only when the chain provably shows gen unpublished
+      Warehouse.cleanupFailedBuild(spark, name, gen, Seq("labels"))
       throw e
     }
   }
@@ -364,8 +364,8 @@ object Dedup {
       Warehouse.writeBucketed(labels, labelsT, "doc_id", buckets)
       Warehouse.publishGeneration(spark, name, gen)
     } catch { case e: Throwable =>
-      scala.util.Try(Warehouse.drop(spark, labelsT))
-      Warehouse.burnClaim(spark, name, gen)
+      // guarded cleanup: only when the chain provably shows gen unpublished
+      Warehouse.cleanupFailedBuild(spark, name, gen, Seq("labels"))
       throw e
     }
   }
@@ -629,10 +629,10 @@ object Dedup {
         dsh.groupBy(col("h")).agg(count(lit(1)).as("df")), dfT, "h", buckets)
       Warehouse.publishGeneration(spark, name, gen)
     } catch { case e: Throwable =>
-      // the sibling builders' failure contract: drop the partial table,
-      // burn the claim, leave the previous generation resolvable
-      scala.util.Try(Warehouse.drop(spark, dfT))
-      Warehouse.burnClaim(spark, name, gen)
+      // the sibling builders' failure contract, guarded: drop the
+      // partial table and burn the claim only when the chain provably
+      // shows gen unpublished; the previous generation stays resolvable
+      Warehouse.cleanupFailedBuild(spark, name, gen, Seq("shdf"))
       throw e
     }
   }

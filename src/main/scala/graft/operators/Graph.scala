@@ -235,9 +235,8 @@ object Graph {
         Warehouse.storeTableName(store, gen, "wedges"), "src", buckets)
       Warehouse.publishGeneration(spark, store, gen)
     } catch { case e: Throwable =>
-      Seq("edges", "wedges").foreach(sfx => scala.util.Try(
-        Warehouse.drop(spark, Warehouse.storeTableName(store, gen, sfx))))
-      Warehouse.burnClaim(spark, store, gen)
+      // guarded cleanup: only when the chain provably shows gen unpublished
+      Warehouse.cleanupFailedBuild(spark, store, gen, Seq("edges", "wedges"))
       throw e
     }
     gen

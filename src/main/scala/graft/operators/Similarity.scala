@@ -237,13 +237,12 @@ object Similarity {
       // claim (which vacuum never sweeps)
       Warehouse.publishPathGeneration(path, gen)
     } catch { case e: Throwable =>
-      // delete the partial data dir BEFORE burning the claim: a marker-
-      // less g<gen> dir would be invisible to vacuum (markers drive it)
-      // and, if this claim number is re-issued, dynamic partition
-      // overwrite could let stale cid dirs survive into a published
-      // generation
-      Warehouse.deletePathGenData(path, gen)
-      Warehouse.burnPathClaim(path, gen)
+      // guarded cleanup (only when the chain provably shows gen
+      // unpublished): the partial data dir is deleted BEFORE the claim
+      // burns — an entry-less g<gen> dir would be invisible to vacuum,
+      // and a re-issued claim number under dynamic partition overwrite
+      // could let stale cid dirs survive into a published generation
+      Warehouse.cleanupFailedPathBuild(path, gen)
       throw e
     }
     refined
@@ -281,58 +280,25 @@ object Similarity {
   private[graft] def appendToIvfIndexHooked(inc: DataFrame, path: String,
       dedupeTag: Option[String] = None,
       beforePublish: () => Unit = () => ()): Option[Long] = {
-    import graft.sources.SupersededBaseException
     val spark = inc.sparkSession
-    // at-least-once appenders (streaming foreachBatch replays a
-    // micro-batch after crash recovery) pass a dedupeTag; a committed
-    // tag means this batch landed — skip. The tag commits ATOMICALLY
-    // with its segment's publish, so commitment is true exactly when
-    // the rows are in the live index
-    if (dedupeTag.exists(Warehouse.pathSegmentTagPublished(path, _))) return None
-    // an empty increment must publish NOTHING: a schema-less parquet dir
-    // would poison every subsequent probe's read. Checked on the raw
-    // increment (assignNearest is row-preserving), BEFORE any base
-    // resolve/centroid read — the streaming wrapper's per-batch hot path
-    if (inc.isEmpty) return None
-    // append-vs-rebuild race: the publish IS the liveness check — one
-    // chain commit ([[graft.sources.Warehouse.publishPathSegment]])
-    // verifies the base is still live, publishes the segment and
-    // commits the tag. A rebuild that won first makes the publish throw
-    // BEFORE anything became visible; the appender deletes its
-    // never-published directory and re-appends against the winner's
-    // centroids, so the batch is never silently dropped and no orphan
-    // segment ever exists.
-    var attempt = 0
-    while (true) {
-      val (base, _) = Warehouse.resolvePathSegmented(path)
-      val centroids = spark.read.parquet(
-        s"${Warehouse.pathGenData(path, base)}/_centroids")
-      val assigned = assignNearest(inc, centroids)
-      val gen = Warehouse.claimPathGeneration(path)
-      val genPath = Warehouse.pathGenData(path, gen)
-      try {
-        assigned.write.mode("overwrite").partitionBy("cid").parquet(genPath)
-        beforePublish()
-        Warehouse.publishPathSegment(path, gen, base, dedupeTag)
-        return Some(gen)
-      } catch {
-        case _: SupersededBaseException =>
-          // never published — no probe can hold this generation: its
-          // data dir goes NOW (no grace period needed) and the claim
-          // burns; fall through to re-append against the winning base
-          Warehouse.deletePathGenData(path, gen)
-          Warehouse.burnPathClaim(path, gen)
-        case e: Throwable =>
-          Warehouse.deletePathGenData(path, gen)
-          Warehouse.burnPathClaim(path, gen)
-          throw e
-      }
-      attempt += 1
-      require(attempt < 5,
-        s"appendToIvfIndex('$path') lost to $attempt consecutive concurrent " +
-          "rebuilds — aborting (the batch is safe to replay)")
-    }
-    None // unreachable
+    // the whole retry/cleanup protocol lives ONCE in
+    // [[graft.sources.Warehouse.appendSegmentWith]] (committed-tag
+    // skip, empty-increment guard — checked on the raw increment since
+    // assignNearest is row-preserving, BEFORE any base resolve/centroid
+    // read — atomic publish-or-refuse, and the provably-unpublished
+    // cleanup guard). This wrapper contributes the IVF specifics: the
+    // batch is assigned against the LIVE base's frozen centroids, per
+    // attempt, so a re-append after a lost race routes against the
+    // winner's centroids.
+    Warehouse.appendSegmentWith[DataFrame](
+      Warehouse.pathChainOf(path), s"appendToIvfIndex('$path')",
+      dedupeTag, inc.isEmpty,
+      prepare = base => assignNearest(inc, spark.read.parquet(
+        s"${Warehouse.pathGenData(path, base)}/_centroids")),
+      writeData = (gen, assigned) => assigned.write.mode("overwrite")
+        .partitionBy("cid").parquet(Warehouse.pathGenData(path, gen)),
+      dropData = gen => Warehouse.deletePathGenData(path, gen),
+      beforePublish = beforePublish)
   }
 
   /** Reclaim superseded IVF generations — the fixed-floor segmented

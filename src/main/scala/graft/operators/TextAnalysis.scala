@@ -810,8 +810,8 @@ object TextAnalysis {
       Warehouse.publishGeneration(spark, name, gen)
     } catch {
       case e: Throwable =>
-        dropBm25Generation(spark, name, gen)
-        Warehouse.burnClaim(spark, name, gen)
+        // guarded cleanup: only when the chain provably shows gen unpublished
+        Warehouse.cleanupFailedBuild(spark, name, gen, Seq("postings", "stats"))
         throw e
     }
   }
@@ -883,61 +883,31 @@ object TextAnalysis {
   private[graft] def appendToBm25StoreHooked(docs: DataFrame, name: String,
       dedupeTag: Option[String] = None,
       beforePublish: () => Unit = () => ()): Option[Long] = {
-    import graft.sources.{SupersededBaseException, Warehouse}
+    import graft.sources.Warehouse
     val spark = docs.sparkSession
-    // at-least-once appenders pass a dedupeTag; a committed tag means
-    // this batch landed — skip. The tag commits ATOMICALLY with its
-    // segment's publish ([[graft.sources.Warehouse.publishSegment]]),
-    // so commitment is true exactly when the rows are in the live index
-    if (dedupeTag.exists(Warehouse.segmentTagPublished(spark, name, _))) return None
-    // an empty increment publishes nothing — checked BEFORE the base
-    // resolve and the bucket-metadata lookup (the streaming wrapper's
-    // per-batch hot path pays one first-row job, nothing else)
-    if (docs.isEmpty) return None
-    // append-vs-rebuild race: the publish IS the liveness check — one
-    // chain commit verifies the base is still live, publishes the
-    // segment and commits the tag. A rebuild that won first makes the
-    // publish throw BEFORE anything became visible; the appender drops
-    // its never-published tables and re-appends against the winner, so
-    // the batch is never silently dropped and no orphan ever exists.
-    var attempt = 0
-    while (true) {
-      val (base, _) = Warehouse.resolveSegmented(spark, name)
-      // the segment MUST share the base's bucket layout for per-term
-      // pruning to hold across the union — derived from the base's
-      // catalog metadata, never a caller-repeated parameter; unreadable
-      // metadata refuses the append instead of guessing
-      val layout = Warehouse.bucketCount(spark,
+    // the whole retry/cleanup protocol lives ONCE in
+    // [[graft.sources.Warehouse.appendSegmentWith]]: committed-tag
+    // skip, empty-increment guard, atomic publish-or-refuse, immediate
+    // cleanup of a refused (never-visible) segment, and the
+    // provably-unpublished guard on every other failure path. This
+    // wrapper contributes only the BM25 specifics: the segment MUST
+    // share the base's bucket layout for per-term pruning to hold
+    // across the union — derived from the base's catalog metadata,
+    // never a caller-repeated parameter; unreadable metadata refuses
+    // the append instead of guessing.
+    Warehouse.appendSegmentWith[Int](
+      Warehouse.chainOf(spark, name), s"appendToBm25Store('$name')",
+      dedupeTag, docs.isEmpty,
+      prepare = base => Warehouse.bucketCount(spark,
         Warehouse.storeTableName(name, base, "postings"))
         .getOrElse(throw new IllegalStateException(
           s"BM25 store '$name' base generation $base has unreadable bucket " +
             "metadata — refusing to append a segment whose layout could " +
             "diverge from the base (cross-segment pruning would silently " +
-            "void); rebuild the base or drop the store"))
-      val gen = Warehouse.claimGeneration(spark, name)
-      try {
-        writeBm25Generation(docs, name, gen, layout)
-        beforePublish()
-        Warehouse.publishSegment(spark, name, gen, base, dedupeTag)
-        return Some(gen)
-      } catch {
-        case _: SupersededBaseException =>
-          // never published — no probe can hold this generation, so its
-          // tables go NOW (no grace period needed) and the claim burns;
-          // fall through to re-append against the winning base
-          dropBm25Generation(spark, name, gen)
-          Warehouse.burnClaim(spark, name, gen)
-        case e: Throwable =>
-          dropBm25Generation(spark, name, gen)
-          Warehouse.burnClaim(spark, name, gen)
-          throw e
-      }
-      attempt += 1
-      require(attempt < 5,
-        s"appendToBm25Store('$name') lost to $attempt consecutive concurrent " +
-          "rebuilds — aborting (the batch is safe to replay)")
-    }
-    None // unreachable
+            "void); rebuild the base or drop the store")),
+      writeData = (gen, layout) => writeBm25Generation(docs, name, gen, layout),
+      dropData = gen => dropBm25Generation(spark, name, gen),
+      beforePublish = beforePublish)
   }
 
   /** Query the persisted BM25 index: same output contract as [[bm25]]

@@ -44,7 +44,16 @@ object GenerationChain {
       claimedAt: Long, publishedAt: Long, supersededAt: Long, tag: Option[String])
 
   final case class State(version: Long, entries: Vector[Entry],
-      tags: Set[String], tagFiles: Vector[String]) {
+      tags: Set[String], tagFiles: Vector[String],
+      /** Archives a fold UNREFERENCED, with the instant it happened —
+        * their content lives on in the new archive, but a reader who
+        * loaded the pre-fold state may still be about to `get` them, so
+        * deletion age-gates on the UNREFERENCE instant (the same
+        * supersededAt discipline generations follow; a creation-mtime
+        * gate gives zero protection to an archive that was referenced
+        * for days and unreferenced a millisecond ago).
+        */
+      retiredFiles: Vector[(String, Long)] = Vector.empty) {
     def entry(gen: Long): Option[Entry] = entries.find(_.gen == gen)
     /** The live FULL build: highest-numbered published full generation
       * (claim order, not publish order, ranks racing rebuilds — the
@@ -67,13 +76,15 @@ object GenerationChain {
       e.claimedAt, e.publishedAt, e.supersededAt, e.tag.getOrElse("-")).mkString(" "))
     val t = s.tags.toSeq.sorted.map("t " + _)
     val tf = s.tagFiles.map("tf " + _)
-    (g ++ t ++ tf).mkString("\n").getBytes("UTF-8")
+    val rtf = s.retiredFiles.map { case (f, ts) => s"rtf $f $ts" }
+    (g ++ t ++ tf ++ rtf).mkString("\n").getBytes("UTF-8")
   }
 
   private[sources] def deserialize(version: Long, bytes: Array[Byte]): State = {
     var entries = Vector.empty[Entry]
     var tags = Set.empty[String]
     var tagFiles = Vector.empty[String]
+    var retired = Vector.empty[(String, Long)]
     new String(bytes, "UTF-8").split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
       line.split(" ") match {
         case Array("g", gen, base, st, ca, pa, sa, tag) =>
@@ -83,11 +94,12 @@ object GenerationChain {
             if (tag == "-") None else Some(tag))
         case Array("t", tag) => tags += tag
         case Array("tf", f) => tagFiles :+= f
+        case Array("rtf", f, ts) => retired :+= (f -> ts.toLong)
         case other => throw new IllegalStateException(
           s"corrupt generation-chain line: '${other.mkString(" ")}'")
       }
     }
-    State(version, entries, tags, tagFiles)
+    State(version, entries, tags, tagFiles, retired)
   }
 }
 
@@ -175,6 +187,27 @@ final class GenerationChain(dir: String, io: StoreIO,
     claimed
   }
 
+  /** Resolve an AMBIGUOUS publish failure: the commit's `putIfAbsent`
+    * threw (not refused) — on an object store a timed-out PUT may have
+    * landed; on POSIX the post-link temp cleanup can fail after the
+    * link succeeded. Nobody else can publish OUR claimed generation, so
+    * a re-read settles it: published = the commit landed, treat the
+    * publish as SUCCESS (swallowing the error — the durable state is
+    * exactly what the caller asked for); otherwise rethrow. Without
+    * this, every caller's failure cleanup would delete a LIVE
+    * generation's data while (for segments) the atomically-committed
+    * tag makes the replay skip — permanent loss. If the verifying
+    * re-read itself fails, the original exception propagates with the
+    * reader suppressed — and callers' cleanup must then LEAK, not
+    * delete (the guarded-cleanup contract on [[Warehouse]]'s helpers).
+    */
+  private def verifyAmbiguousPublish(gen: Long, e: Throwable): Unit = {
+    val published =
+      try state().entry(gen).exists(_.status == Published)
+      catch { case re: Throwable => e.addSuppressed(re); throw e }
+    if (!published) throw e
+  }
+
   /** Publish a claimed generation as a FULL build. Atomically recomputes
     * the live group: every published entry that leaves it (the previous
     * base, its segments, lower-numbered racing rebuilds — or this very
@@ -182,6 +215,15 @@ final class GenerationChain(dir: String, io: StoreIO,
     * stamped `supersededAt` now, which starts its vacuum age-gate clock.
     */
   def publishFull(gen: Long): Unit = {
+    try publishFullCommit(gen)
+    catch {
+      case e: IllegalStateException => throw e // pre-commit refusal
+      case e: IllegalArgumentException => throw e
+      case e: Throwable => verifyAmbiguousPublish(gen, e)
+    }
+  }
+
+  private def publishFullCommit(gen: Long): Unit = {
     commit { s =>
       val e = s.entry(gen).getOrElse(throw new IllegalStateException(
         s"generation $gen is not claimed in $dir"))
@@ -211,6 +253,16 @@ final class GenerationChain(dir: String, io: StoreIO,
   def publishSegment(gen: Long, base: Long, tag: Option[String]): Unit = {
     tag.foreach(t => require(t.nonEmpty && t.matches("[A-Za-z0-9._:-]+"),
       s"dedupe tag '$t' must match [A-Za-z0-9._:-]+"))
+    try publishSegmentCommit(gen, base, tag)
+    catch {
+      case e: SupersededBaseException => throw e // atomic refusal, nothing committed
+      case e: IllegalStateException => throw e
+      case e: IllegalArgumentException => throw e
+      case e: Throwable => verifyAmbiguousPublish(gen, e)
+    }
+  }
+
+  private def publishSegmentCommit(gen: Long, base: Long, tag: Option[String]): Unit = {
     commit { s =>
       val e = s.entry(gen).getOrElse(throw new IllegalStateException(
         s"generation $gen is not claimed in $dir"))
@@ -242,6 +294,18 @@ final class GenerationChain(dir: String, io: StoreIO,
     }
     ()
   }
+
+  /** True iff the chain PROVABLY shows `gen` unpublished (claimed or
+    * absent) — the guard every failure-cleanup must pass before it
+    * deletes a generation's data: a published generation is live (or
+    * durably superseded) and its data belongs to probes/vacuum, and an
+    * UNREADABLE chain answers false so an ambiguous double-failure
+    * leaks a claim (reclaimed by the age-gated sweep) instead of
+    * deleting data that may be in the live read set.
+    */
+  def provablyUnpublished(gen: Long): Boolean =
+    try state().entry(gen).forall(_.status == Claimed)
+    catch { case _: Throwable => false }
 
   /** True iff `tag`'s batch COMMITTED — it rode a segment publish that
     * won its liveness race. Durable forever (vacuum folds tags into
@@ -338,17 +402,33 @@ final class GenerationChain(dir: String, io: StoreIO,
             new String(b, "UTF-8").linesIterator.map(_.trim).filter(_.nonEmpty)))).toSeq.sorted
         val name = s"tags-${java.util.UUID.randomUUID()}"
         io.put(s"$dir/$name", all.mkString("\n").getBytes("UTF-8"))
-        s.copy(tags = Set.empty, tagFiles = Vector(name))
+        // the folded-in archives RETIRE rather than vanish: a reader who
+        // loaded the pre-fold state may still be about to read them, so
+        // they are stamped with the unreference instant and swept only
+        // past the age floor ([[State.retiredFiles]])
+        val now = clock()
+        s.copy(tags = Set.empty, tagFiles = Vector(name),
+          retiredFiles = s.retiredFiles ++ s.tagFiles.map(_ -> now))
       }
     }
     ()
   }
 
-  /** Delete tag archives no committed state references (lost fold races
-    * leak them) once they are an hour old — never a referenced one.
+  /** Delete retired archives an hour past their UNREFERENCE instant
+    * (pre-fold readers have long resolved), plus never-referenced
+    * orphans from lost fold races (mtime-gated — they were never in any
+    * state, so no reader can hold them).
     */
   private def sweepArchives(now: Long): Unit = {
-    val referenced = state().tagFiles.toSet
+    val s = state()
+    val ripe = s.retiredFiles.filter(_._2 <= now - 3600_000L)
+    if (ripe.nonEmpty) {
+      ripe.foreach { case (f, _) => io.delete(s"$dir/$f") }
+      val gone = ripe.map(_._1).toSet
+      commit(s2 => s2.copy(retiredFiles = s2.retiredFiles.filterNot(r => gone.contains(r._1))))
+    }
+    val held = state()
+    val referenced = held.tagFiles.toSet ++ held.retiredFiles.map(_._1)
     io.list(dir).filter(_.startsWith("tags-")).filterNot(referenced.contains)
       .filter(f => io.mtime(s"$dir/$f").forall(_ <= now - 3600_000L))
       .foreach(f => io.delete(s"$dir/$f"))

@@ -199,6 +199,95 @@ object Warehouse {
       suffixes.foreach(s => drop(spark, storeTableName(store, g, s)))
     }
 
+  /** The shared at-least-once SEGMENT-APPEND protocol — one place for
+    * the retry and cleanup rules both appenders (BM25 table store, IVF
+    * path store) follow:
+    *
+    *   1. a committed `dedupeTag` means the batch already landed —
+    *      skip (the tag commits atomically with its segment's publish);
+    *   2. an empty increment publishes nothing;
+    *   3. loop: resolve the live base → `prepare` the per-attempt
+    *      context (bucket layout, centroids) → claim → `writeData` →
+    *      `beforePublish` (test seam) → atomic publish;
+    *   4. [[SupersededBaseException]] = lost the race BEFORE anything
+    *      became visible: drop the never-published data, burn the
+    *      claim, re-append against the winner (bounded at 5 attempts);
+    *   5. any other failure cleans up ONLY when the chain PROVABLY
+    *      shows the generation unpublished
+    *      ([[GenerationChain.provablyUnpublished]]) — an ambiguous
+    *      publish already self-verifies inside the chain, and a
+    *      double-failure (commit AND verification both erroring) must
+    *      LEAK a claim for the age-gated sweep, never delete data that
+    *      may be in the live read set with a committed tag (that would
+    *      be silent permanent loss: the replay would skip).
+    */
+  private[graft] def appendSegmentWith[C](chain: GenerationChain, what: String,
+      dedupeTag: Option[String], isEmpty: => Boolean,
+      prepare: Long => C,
+      writeData: (Long, C) => Unit,
+      dropData: Long => Unit,
+      beforePublish: () => Unit = () => ()): Option[Long] = {
+    if (dedupeTag.exists(chain.tagCommitted)) return None
+    if (isEmpty) return None
+    var attempt = 0
+    while (true) {
+      val (base, _) = chain.resolveSegmented(what)
+      val ctx = prepare(base)
+      val gen = chain.claim()
+      try {
+        writeData(gen, ctx)
+        beforePublish()
+        chain.publishSegment(gen, base, dedupeTag)
+        return Some(gen)
+      } catch {
+        case _: SupersededBaseException =>
+          dropData(gen)
+          chain.burn(gen)
+        case e: Throwable =>
+          if (chain.provablyUnpublished(gen)) {
+            dropData(gen)
+            chain.burn(gen)
+          }
+          throw e
+      }
+      attempt += 1
+      require(attempt < 5,
+        s"$what lost to $attempt consecutive concurrent rebuilds — " +
+          "aborting (the batch is safe to replay)")
+    }
+    None // unreachable
+  }
+
+  /** Guarded FULL-BUILD failure cleanup: drop the half-written data and
+    * burn the claim ONLY when the chain provably shows the generation
+    * unpublished — the publish self-verifies ambiguous commits, so a
+    * failure that reaches the caller is either pre-publish (write
+    * failed, guard trips: clean) or a double-failure, which must leak
+    * the claim for the age-gated sweep rather than delete a possibly
+    * live generation's data.
+    */
+  private[graft] def cleanupFailedBuild(chain: GenerationChain, gen: Long)(
+      dropData: => Unit): Unit =
+    if (chain.provablyUnpublished(gen)) {
+      dropData
+      chain.burn(gen)
+    }
+
+  /** [[cleanupFailedBuild]] for table stores by name (per-table drops
+    * Try-wrapped: a half-created table's drop may itself fail, and the
+    * cleanup must still burn the claim and surface the ORIGINAL error).
+    */
+  def cleanupFailedBuild(spark: SparkSession, store: String, gen: Long,
+      suffixes: Seq[String]): Unit =
+    cleanupFailedBuild(chainOf(spark, store), gen) {
+      suffixes.foreach(s =>
+        scala.util.Try(drop(spark, storeTableName(store, gen, s))): Unit)
+    }
+
+  /** [[cleanupFailedBuild]] for path stores. */
+  def cleanupFailedPathBuild(root: String, gen: Long): Unit =
+    cleanupFailedBuild(pathChainOf(root), gen)(deletePathGenData(root, gen))
+
   /** Keep-count selection: all published generations but the newest
     * `keep` (the chain core protects the live group on top).
     */

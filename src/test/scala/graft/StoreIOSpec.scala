@@ -80,16 +80,18 @@ class StoreIOSpec extends SparkSpecBase {
     val base = chain.claim()
     chain.publishFull(base)
 
-    // crash AFTER the atomic commit point: the publish lands, THEN the
-    // store throws. Recovery replays the batch, sees its tag committed,
-    // and skips — exactly-once effect from at-least-once retries.
+    // failure AFTER the atomic commit point: the publish lands, THEN
+    // the store throws (an object store's ambiguous PUT). The publish
+    // SELF-VERIFIES — a re-read proves the commit landed, so the caller
+    // sees SUCCESS instead of an exception whose cleanup would delete a
+    // live segment's data while the committed tag makes replays skip.
     val seg = chain.claim()
     io.failAfterCommit(1)
-    intercept[java.io.IOException] { chain.publishSegment(seg, base, Some("b:1")) }
+    chain.publishSegment(seg, base, Some("b:1")) // no throw: verified landed
     assert(chain.tagCommitted("b:1"),
-      "the commit preceded the crash — the tag must read committed on replay")
+      "the commit preceded the failure — the tag reads committed")
     assert(chain.resolveSegmented("mem")._2 == Seq(seg),
-      "the segment is in the live read set despite the crash")
+      "the segment is in the live read set despite the store error")
 
     // lost race BEFORE the commit point: a rebuild steals the chain
     // version and supersedes the base — the publish must refuse with
@@ -175,13 +177,22 @@ class StoreIOSpec extends SparkSpecBase {
         if (chain.tagCommitted(tag)) return // replay: already landed
         val g = chain.claim()               // commit 1
         // (data write happens here in real appenders — no chain commit)
-        chain.publishSegment(g, base, Some(tag)) // commit 2
+        chain.publishSegment(g, base, Some(tag)) // commit 2 (self-verifying)
       }
 
       io.failAfterCommit(crashAt)
-      intercept[java.io.IOException] { appendOnce("crash:batch") }
-      // recovery: the replayed batch must land exactly once
-      appendOnce("crash:batch")
+      if (crashAt == 1) {
+        // the CLAIM commit crashes post-commit: the claim number is lost
+        // to the caller, the error propagates, the replay re-appends
+        intercept[java.io.IOException] { appendOnce("crash:batch") }
+        appendOnce("crash:batch") // recovery
+      } else {
+        // the PUBLISH commit crashes post-commit: the publish
+        // self-verifies against the chain and reports SUCCESS — no
+        // retry needed, and a retry (below) skips on the committed tag
+        appendOnce("crash:batch")
+        appendOnce("crash:batch") // idempotent replay
+      }
       val s = chain.state()
       assert(chain.tagCommitted("crash:batch"),
         s"[crash@$crashAt] the batch must be committed after recovery")
@@ -197,16 +208,18 @@ class StoreIOSpec extends SparkSpecBase {
     }
   }
 
-  test("GenerationChain folds committed tags into an archive once the inline set grows; commitment survives the fold") {
-    val io = new InMemoryStoreIO()
-    val chain = new GenerationChain("/mem/tags", io)
+  test("GenerationChain folds committed tags into an archive once the inline set grows; commitment survives the fold; superseded archives retire age-gated") {
+    var now = 1000_000_000L
+    val io = new InMemoryStoreIO(() => now)
+    val chain = new GenerationChain("/mem/tags", io, () => now)
     var base = chain.claim()
     chain.publishFull(base)
-    val tags = (0 until 70).map(i => s"batch:$i")
-    tags.foreach { t =>
-      val g = chain.claim()
-      chain.publishSegment(g, base, Some(t))
+    def addTags(prefix: String): Seq[String] = {
+      val ts = (0 until 70).map(i => s"$prefix:$i")
+      ts.foreach { t => val g = chain.claim(); chain.publishSegment(g, base, Some(t)) }
+      ts
     }
+    val tags = addTags("batch")
     def select(s: GenerationChain.State): Seq[Long] =
       s.liveBase.fold(Seq.empty[Long])(b => s.entries
         .filter(e => e.status == GenerationChain.Published && e.gen < b).map(_.gen))
@@ -223,5 +236,31 @@ class StoreIOSpec extends SparkSpecBase {
     val g3 = chain.claim(); chain.publishSegment(g3, base, Some("fresh:1"))
     chain.vacuum(select, 0L)(_ => ())
     assert(chain.tagCommitted("batch:13") && chain.tagCommitted("fresh:1"))
+
+    // a SECOND fold retires the first archive instead of deleting it:
+    // a reader who loaded the pre-fold state may still be about to read
+    // it, so it survives for the age floor FROM ITS UNREFERENCE INSTANT
+    // (a creation-mtime gate would let a days-old archive die the
+    // moment it was folded, under that reader's feet)
+    val firstArchive = folded.tagFiles.head
+    addTags("more")
+    chain.vacuum(select, 0L)(_ => ())
+    val s2 = chain.state()
+    assert(s2.tagFiles.size == 1 && s2.tagFiles.head != firstArchive,
+      "the second fold produced a fresh archive")
+    assert(s2.retiredFiles.exists(_._1 == firstArchive),
+      "the folded-in archive is RETIRED, not deleted")
+    assert(io.get(s"/mem/tags/$firstArchive").nonEmpty,
+      "the retired archive's bytes survive for pre-fold readers")
+    assert(chain.tagCommitted("batch:13") && chain.tagCommitted("more:13"))
+
+    // past the hour floor it is reclaimed
+    now += 3700_000L
+    chain.vacuum(select, 0L)(_ => ())
+    assert(io.get(s"/mem/tags/$firstArchive").isEmpty,
+      "an hour past unreference the retired archive is swept")
+    assert(chain.state().retiredFiles.isEmpty)
+    assert(chain.tagCommitted("batch:13") && chain.tagCommitted("more:13"),
+      "commitment survives the retirement sweep (content lives in the new archive)")
   }
 }
