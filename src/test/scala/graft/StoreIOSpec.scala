@@ -208,6 +208,29 @@ class StoreIOSpec extends SparkSpecBase {
     }
   }
 
+  test("vacuum crash between the retire commit and the data delete: probes are unaffected and the next pass finishes the reclaim") {
+    val io = new InMemoryStoreIO()
+    val chain = new GenerationChain("/mem/vaccrash", io)
+    val g1 = chain.claim(); chain.publishFull(g1)
+    val g2 = chain.claim(); chain.publishFull(g2) // supersedes g1
+    def select(s: GenerationChain.State): Seq[Long] =
+      s.liveBase.fold(Seq.empty[Long])(b => s.entries
+        .filter(e => e.status == GenerationChain.Published && e.gen < b).map(_.gen))
+    val deleted = scala.collection.mutable.ListBuffer.empty[Long]
+    io.failAfterCommit(1) // the RETIRE commit lands, then the store dies
+    intercept[java.io.IOException] { chain.vacuum(select, 0L)(g => deleted += g) }
+    assert(deleted.isEmpty, "the crash precedes any data delete")
+    val s = chain.state()
+    assert(s.entry(g1).exists(_.status == GenerationChain.Retired),
+      "the retire commit is durable")
+    assert(s.current.contains(g2) && chain.resolveSegmented("mem")._1 == g2,
+      "retired entries are invisible to resolution — probes are unaffected")
+    // recovery: the next pass re-processes the lingering retired entry
+    chain.vacuum(select, 0L)(g => deleted += g)
+    assert(deleted.toSeq == Seq(g1), "the data delete runs exactly once, on recovery")
+    assert(chain.state().entry(g1).isEmpty, "the finished reclaim removes the entry")
+  }
+
   test("GenerationChain folds committed tags into an archive once the inline set grows; commitment survives the fold; superseded archives retire age-gated") {
     var now = 1000_000_000L
     val io = new InMemoryStoreIO(() => now)
