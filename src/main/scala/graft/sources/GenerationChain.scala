@@ -39,6 +39,11 @@ object GenerationChain {
     * under the old marker protocol the gate ran on PUBLISH time, which
     * let an hour-old generation be swept seconds after it was
     * superseded, out from under a probe that had just resolved it.
+    * Writer clocks can skew across machines, but the marker protocol's
+    * filesystem mtimes had the same exposure (whoever's clock stamps
+    * the write) and NTP-grade skew is noise against the 1 h floor —
+    * size `minAgeMs` to dominate worst-case skew plus the longest
+    * probe, exactly as before.
     */
   final case class Entry(gen: Long, base: Option[Long], status: Status,
       claimedAt: Long, publishedAt: Long, supersededAt: Long, tag: Option[String])
@@ -168,6 +173,10 @@ final class GenerationChain(dir: String, io: StoreIO,
     while (attempts < 100) {
       val s = state()
       val next = transition(s)
+      // no-op transitions (an idempotent burn of an absent entry, a
+      // vacuum pass with nothing eligible) publish nothing — a chain
+      // version per no-op call would be pure churn for the trimmer
+      if (next == s) return s
       if (io.putIfAbsent(chainPath(s.version + 1), serialize(next)))
         return next.copy(version = s.version + 1)
       attempts += 1
