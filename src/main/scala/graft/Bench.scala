@@ -118,8 +118,11 @@ object Bench {
               // before reading, or a slow stage of this rep lands after
               // the next rep's clear() (misattributed) or after this
               // report printed (missing): wrong attribution is worse
-              // than none for a variance instrument
-              org.apache.spark.GraftSparkInterop.drainListenerBus(spark.sparkContext)
+              // than none for a variance instrument. Try-wrapped: the
+              // drain's 10 s timeout must degrade the REPORT, never
+              // record a succeeded rep as a query failure
+              scala.util.Try(
+                org.apache.spark.GraftSparkInterop.drainListenerBus(spark.sparkContext)): Unit
               import scala.jdk.CollectionConverters._
               val top = stageTimes.asScala.toSeq.sortBy(-_._2._2).take(5)
                 .map { case (id, (nm, ms)) => f"s$id $nm%.40s ${ms / 1000.0}%.2fs" }

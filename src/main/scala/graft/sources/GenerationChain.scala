@@ -100,6 +100,11 @@ object GenerationChain {
         case Array("t", tag) => tags += tag
         case Array("tf", f) => tagFiles :+= f
         case Array("rtf", f, ts) => retired :+= (f -> ts.toLong)
+        // strict by design: an unknown record type is treated as
+        // corruption, not skipped — silently ignoring state a newer
+        // writer depends on is how split-brain starts. Format
+        // evolution that old readers may encounter must ship behind an
+        // explicit version record, not a new line type.
         case other => throw new IllegalStateException(
           s"corrupt generation-chain line: '${other.mkString(" ")}'")
       }
@@ -406,9 +411,17 @@ final class GenerationChain(dir: String, io: StoreIO,
     commit { s =>
       if (s.tags.size <= threshold) s
       else {
-        val all = (s.tags ++ s.tagFiles.flatMap(f =>
-          io.get(s"$dir/$f").toSeq.flatMap(b =>
-            new String(b, "UTF-8").linesIterator.map(_.trim).filter(_.nonEmpty)))).toSeq.sorted
+        // a referenced archive that cannot be read ABORTS the fold: a
+        // transient miss silently merged as empty would write a new
+        // archive without its tags and retire-then-delete the only
+        // copy — replays of those batches would re-append, duplicating
+        // rows. Loud failure is retryable; silent tag loss is not.
+        val all = (s.tags ++ s.tagFiles.flatMap { f =>
+          val bytes = io.get(s"$dir/$f").getOrElse(throw new IllegalStateException(
+            s"tag archive $f unreadable — aborting the fold (committed tags " +
+              "must never be silently dropped); retry the vacuum"))
+          new String(bytes, "UTF-8").linesIterator.map(_.trim).filter(_.nonEmpty)
+        }).toSeq.sorted
         val name = s"tags-${java.util.UUID.randomUUID()}"
         io.put(s"$dir/$name", all.mkString("\n").getBytes("UTF-8"))
         // the folded-in archives RETIRE rather than vanish: a reader who

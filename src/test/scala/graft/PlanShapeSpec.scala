@@ -330,14 +330,11 @@ class PlanShapeSpec extends SparkSpecBase {
     try {
       job
       // listener callbacks are async — flush the shared listener bus
-      // deterministically (LiveListenerBus.waitUntilEmpty is private[spark],
-      // so reach it reflectively), then confirm the count is quiescent so a
+      // deterministically (via the compile-checked GraftSparkInterop
+      // bridge; the old reflective lookup skipped the drain silently on
+      // a method-name miss), then confirm the count is quiescent so a
       // late-reported stage job can't slip past the assertion
-      val sc = spark.sparkContext
-      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
-      bus.getClass.getMethods.find(m =>
-        m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
-        .foreach(_.invoke(bus))
+      org.apache.spark.GraftSparkInterop.drainListenerBus(spark.sparkContext)
       var last = -1; var stable = 0
       while (stable < 3) {
         Thread.sleep(200)

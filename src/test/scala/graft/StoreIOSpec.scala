@@ -120,29 +120,39 @@ class StoreIOSpec extends SparkSpecBase {
     val threads = (0 until 8).map { i =>
       new Thread(() => {
         val tag = s"race:$i"
-        var done = false
-        var attempts = 0
-        while (!done && attempts < 6) {
-          val b = chain.state().liveBase.get
-          val g = chain.claim()
-          if (i % 4 == 0 && attempts == 0) {
-            // a quarter of the writers REBUILD instead (full publish),
-            // forcing real supersede races onto the appenders
-            chain.publishFull(g)
-            outcomes.add(tag -> "rebuilt")
-            done = true
-          } else {
-            try { chain.publishSegment(g, b, Some(tag)); outcomes.add(tag -> "appended"); done = true }
-            catch { case _: SupersededBaseException => chain.burn(g); attempts += 1 }
+        try {
+          var done = false
+          var attempts = 0
+          while (!done && attempts < 6) {
+            val b = chain.state().liveBase.get
+            val g = chain.claim()
+            if (i % 4 == 0 && attempts == 0) {
+              // a quarter of the writers REBUILD instead (full publish),
+              // forcing real supersede races onto the appenders
+              chain.publishFull(g)
+              outcomes.add(tag -> "rebuilt")
+              done = true
+            } else {
+              try { chain.publishSegment(g, b, Some(tag)); outcomes.add(tag -> "appended"); done = true }
+              catch { case _: SupersededBaseException => chain.burn(g); attempts += 1 }
+            }
           }
+          if (!done) outcomes.add(tag -> "gave-up")
+        } catch {
+          // Thread.join does not propagate: an unexpected throw must
+          // surface as an outcome or the test passes with fewer
+          // writers than it claims to race
+          case e: Throwable => outcomes.add(tag -> s"error: $e")
         }
-        if (!done) outcomes.add(tag -> "gave-up")
       })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
     import scala.jdk.CollectionConverters._
     val byOutcome = outcomes.asScala.toSeq.groupBy(_._2)
-    assert(!byOutcome.contains("gave-up"), s"appenders must converge: $byOutcome")
+    assert(outcomes.size == threads.size,
+      s"every writer must report an outcome: $byOutcome")
+    assert(byOutcome.keySet.forall(k => k == "rebuilt" || k == "appended"),
+      s"appenders must converge without errors: $byOutcome")
     val s = chain.state()
     // claims all distinct by construction of the chain — the entries
     // (and the vacuumed numbers) can never collide
