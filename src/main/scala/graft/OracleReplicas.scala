@@ -1140,6 +1140,48 @@ object OracleReplicas {
        |HAVING COUNT(*) + ${k - 1} >= $minSpanTokens
        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
 
+  /** d20: the cleaned corpus — replay d9's span replica, cut every
+    * `doc_b`-side span (the keep-lowest-doc_id rule), merge overlapping
+    * cuts as a DISTINCT position set, and splice the kept tokens back
+    * with single spaces. Mirrors
+    * [[graft.operators.Dedup.substringRewrite]] — the parallel `unnest`
+    * pair zips each doc's tokens with 1-based positions, exactly the
+    * Spark side's `zip_with(tokens, sequence(1, n))`.
+    */
+  def d20SubstringRewrite(k: Int = 8, minSpanTokens: Int = 16): String =
+    s"""WITH ${substringCtes(k)},
+       |m AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+       |  FROM psh a JOIN psh b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+       |    pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS island
+       |  FROM m),
+       |spans AS (
+       |  SELECT doc_b AS doc_id, MIN(pos_b) AS s, MIN(pos_b) + COUNT(*) + ${k - 2} AS e
+       |  FROM isl
+       |  GROUP BY doc_a, doc_b, diag, island
+       |  HAVING COUNT(*) + ${k - 1} >= $minSpanTokens),
+       |cutpos AS (
+       |  SELECT DISTINCT doc_id, pos
+       |  FROM (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans) z),
+       |tokpos AS (
+       |  SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos FROM toks),
+       |kept AS (
+       |  SELECT p.doc_id, p.pos, p.tok
+       |  FROM tokpos p LEFT JOIN cutpos c ON p.doc_id = c.doc_id AND p.pos = c.pos
+       |  WHERE c.pos IS NULL),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS kept_n,
+       |    string_agg(tok, ' ' ORDER BY pos) AS text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(len(t.t) AS INTEGER) AS n_tokens,
+       |  CAST(len(t.t) - COALESCE(a.kept_n, 0) AS INTEGER) AS removed_tokens,
+       |  COALESCE(a.text, '') AS text
+       |FROM toks t LEFT JOIN agg a USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   /** d10: one-sided d9 — a new batch's spans against the existing
     * corpus only, mirroring [[graft.operators.Dedup.substringSpansIncremental]].
     */

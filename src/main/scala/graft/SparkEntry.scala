@@ -61,6 +61,7 @@ object SparkEntry {
     "d8_semdedup" -> ((s, dir) => Dedup.semDedup(Tables(s, dir))),
     "d9_substring_dedup" -> ((s, dir) => Dedup.substringSpans(Tables(s, dir))),
     "d10_substring_incremental" -> ((s, dir) => Dedup.substringSpansIncremental(Tables(s, dir))),
+    "d20_substring_rewrite" -> ((s, dir) => Dedup.substringRewrite(Tables(s, dir))),
     "d11_url_dedup" -> ((s, dir) => Urls.urlDedup(Tables(s, dir))),
     "d14_fuzzy_join" -> ((s, dir) => Dedup.fuzzyJoin(Tables(s, dir))),
     "d15_shingle_novelty" -> ((s, dir) => Dedup.shingleNovelty(Tables(s, dir))),
@@ -847,6 +848,7 @@ object SparkEntry {
         |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "d10_substring_incremental" -> OracleReplicas.d10SubstringIncremental(),
+    "d20_substring_rewrite" -> OracleReplicas.d20SubstringRewrite(),
     // d18: d15's text-shingle replica split at the d16/d17 boundary —
     // the fresh half's shingles LEFT-join the corpus half's distinct
     // shingle set; novel = no corpus row (the absent-from-corpus rule)

@@ -1,9 +1,5 @@
 package graft.etl
 
-import java.nio.file.{Files, Paths}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.sources.{PosixStoreIO, StoreIO}
@@ -40,7 +36,9 @@ final case class VersionConflictException(expected: Long)
   * implements the six StoreIO operations once — `putIfAbsent` as a
   * conditional PUT (`If-None-Match: *`) — and the whole table format
   * carries over unchanged. The DATA plane (immutable parquet dirs) is
-  * Spark's, which already speaks object stores via the Hadoop FS layer.
+  * Spark's, which already speaks object stores via the Hadoop FS layer
+  * — and [[vacuum]]'s data-directory sweep deletes through that same
+  * layer, so reclamation works wherever the write path does.
   * Reference analog: the sync metadata + idempotent loads of
   * /root/reference/metadata.py, hardened for concurrent writers.
   */
@@ -52,7 +50,9 @@ final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = Posix
   def rootPath: String = root
 
   private val manifestDir = s"$root/_manifests"
-  private val dataDir = Paths.get(root, "data")
+  private val dataDir = s"$root/data"
+
+  private def dataPath(name: String): String = s"$dataDir/$name"
 
   private def manifestPath(v: Long): String = f"$manifestDir/v$v%012d"
 
@@ -109,7 +109,7 @@ final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = Posix
     if (snap.dirs.isEmpty) spark.emptyDataFrame
     else {
       val r = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
-      r.parquet(snap.dirs.map(d => dataDir.resolve(d).toString): _*)
+      r.parquet(snap.dirs.map(d => dataPath(d)): _*)
     }
   }
 
@@ -151,7 +151,7 @@ final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = Posix
     val toSet = st.dirs.toSet
     def readDirs(dirs: Seq[String]): Option[DataFrame] =
       if (dirs.isEmpty) None
-      else Some(spark.read.parquet(dirs.map(d => dataDir.resolve(d).toString): _*))
+      else Some(spark.read.parquet(dirs.map(d => dataPath(d)): _*))
     val added = readDirs(st.dirs.filterNot(fromSet))
     val removed = readDirs(sf.dirs.filterNot(toSet))
     import org.apache.spark.sql.functions.lit
@@ -176,7 +176,7 @@ final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = Posix
     */
   private def writeData(df: DataFrame): String = {
     val name = s"d-${java.util.UUID.randomUUID().toString.take(18)}"
-    df.write.parquet(dataDir.resolve(name).toString)
+    df.write.parquet(dataPath(name))
     name
   }
 
@@ -250,8 +250,8 @@ final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = Posix
     */
   private def writeSidecars(name: String, statsCols: Seq[String],
       bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17, bloomK: Int = 4): Unit = {
-    val dirPath = dataDir.resolve(name)
-    val back = spark.read.parquet(dirPath.toString)
+    val dirPath = dataPath(name)
+    val back = spark.read.parquet(dirPath)
     if (!back.isEmpty) {
       if (statsCols.nonEmpty) {
         val aggs = statsCols.flatMap(c =>
@@ -280,7 +280,7 @@ final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = Posix
   private val StatsEntryRe = """"([^"]+)":\{"min":(-?\d+),"max":(-?\d+)\}""".r
 
   private def statsOf(dir: String): Map[String, (Long, Long)] =
-    io.get(s"${dataDir.resolve(dir)}/_stats.json") match {
+    io.get(s"${dataPath(dir)}/_stats.json") match {
       case None => Map.empty
       case Some(bytes) => StatsEntryRe.findAllMatchIn(new String(bytes, "UTF-8"))
         .map(m => m.group(1) -> ((m.group(2).toLong, m.group(3).toLong))).toMap
@@ -312,14 +312,14 @@ final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = Posix
     val dirs = dirsMatching(colName, lo, hi, version)
     val base =
       if (dirs.isEmpty) read(version).limit(0)
-      else spark.read.parquet(dirs.map(d => dataDir.resolve(d).toString): _*)
+      else spark.read.parquet(dirs.map(d => dataPath(d)): _*)
     base.filter(col(colName) >= lo && col(colName) <= hi)
   }
 
   private val BloomEntryRe = """"([^"]+)":"([A-Za-z0-9+/=]+)"""".r
 
   private def bloomsOf(dir: String): Map[String, Array[Byte]] =
-    io.get(s"${dataDir.resolve(dir)}/_bloom.json") match {
+    io.get(s"${dataPath(dir)}/_bloom.json") match {
       case None => Map.empty
       case Some(bytes) => BloomEntryRe.findAllMatchIn(new String(bytes, "UTF-8"))
         .map(m => m.group(1) -> java.util.Base64.getDecoder.decode(m.group(2))).toMap
@@ -361,7 +361,7 @@ final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = Posix
     val dirs = dirsMatchingEq(colName, value, version)
     val base =
       if (dirs.isEmpty) read(version).limit(0)
-      else spark.read.parquet(dirs.map(d => dataDir.resolve(d).toString): _*)
+      else spark.read.parquet(dirs.map(d => dataPath(d)): _*)
     base.filter(col(colName) === value)
   }
 
@@ -544,20 +544,27 @@ final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = Posix
     val keep = versions.takeRight(keepVersions)
     val live = keep.flatMap(v => snapshot(Some(v)).map(_.dirs).getOrElse(Seq.empty)).toSet
     drop.foreach(v => io.delete(manifestPath(v)))
+    // orphaned `.tmp-*` siblings from a StoreIO publish that crashed
+    // between the temp write and its cleanup — never named by any
+    // manifest, so only the age floor (a commit in flight) applies;
+    // an unreadable mtime means KEEP
+    val tmpCutoff = System.currentTimeMillis() - math.max(minAgeMs, 3600_000L)
+    io.list(manifestDir).filter(_.startsWith(".tmp-"))
+      .filter(n => io.mtime(s"$manifestDir/$n").exists(_ <= tmpCutoff))
+      .foreach(n => io.delete(s"$manifestDir/$n"))
     // data-plane sweep: parquet dirs are Spark's (Hadoop FS) world, not
-    // StoreIO's — on an object store this walk is the filesystem
-    // connector's LIST + DELETE, same as the write path
-    if (Files.isDirectory(dataDir)) {
-      val cutoff = System.currentTimeMillis() - minAgeMs
-      val s = Files.list(dataDir)
-      val children = try s.iterator().asScala.toSeq finally s.close()
-      children
-        .filter(p => !live.contains(p.getFileName.toString))
-        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-        .foreach { p =>
-          def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
-          rm(p.toFile)
-        }
+    // StoreIO's — the LIST, mtime gate and recursive DELETE all resolve
+    // through the path's own filesystem connector (same layer the write
+    // path used), so an `s3a://` table's unreferenced directories are
+    // actually reclaimed instead of surviving a local-only walk forever
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val dd = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = dd.getFileSystem(graft.sources.HadoopFs.conf())
+    if (fs.exists(dd)) {
+      fs.listStatus(dd).toSeq
+        .filter(st => !live.contains(st.getPath.getName))
+        .filter(_.getModificationTime <= cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
     }
   }
 }

@@ -194,6 +194,69 @@ object Dedup {
     Warehouse.publishGeneration(spark, name, gen)
   }
 
+  /** Absorb an ingest batch into the persisted SIGNATURE store without
+    * re-hashing corpus text: the next generation's sigs table is the
+    * stored sigs UNIONED with the batch's freshly-hashed signatures
+    * (doc_id-deduped, so an at-least-once replay of the same batch is
+    * idempotent), and the band index derives from reading the new sigs
+    * table back. Band count and signature length come FROM THE STORE
+    * (a caller-repeated parameter drifting mid-stream would silently
+    * shift the probe threshold). Publication is the standard
+    * claim/publish with guarded failure cleanup — a crash mid-absorb
+    * publishes nothing and the prior generation stays live.
+    *
+    * Scale note: this rewrites O(corpus) SIGNATURE rows per call
+    * (compact longs, never text) — the per-micro-batch composition the
+    * d19 ingest stream uses at spec/store scale. A 100 TB deployment
+    * amortizes the rewrite per corpus GENERATION
+    * ([[buildSignatureStore]] on the grown corpus) rather than per
+    * micro-batch.
+    */
+  def growSignatureStore(batch: DataFrame, name: String, buckets: Int = 32,
+      maxBandBucket: Option[Long] = Some(QuadraticGuardDefault)): Unit = {
+    val spark = batch.sparkSession
+    val oldGen = Warehouse.resolveGeneration(spark, name)
+    val oldSigs = Warehouse.table(spark, Warehouse.storeTableName(name, oldGen, "sigs"))
+    val oldBands = Warehouse.table(spark, Warehouse.storeTableName(name, oldGen, "bands"))
+    val numHashes = oldSigs.select(size(col("sig")).as("n")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(64)
+    val bands = oldBands.agg((max(col("band_idx")) + 1).cast("int").as("b")).collect()
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).getOrElse(16)
+    val fresh = spreadIfNarrow(batch.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
+      .filter(size(col("tokens")) > 1)
+      .select(col("doc_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig"))
+    val gen = Warehouse.claimGeneration(spark, name)
+    val sigsT = Warehouse.storeTableName(name, gen, "sigs")
+    val bandsT = Warehouse.storeTableName(name, gen, "bands")
+    try {
+      Warehouse.writeBucketed(
+        oldSigs.unionByName(fresh).dropDuplicates("doc_id"), sigsT, "doc_id", buckets)
+      val sigs = Warehouse.table(spark, sigsT)
+      Warehouse.writeBucketed(
+        sigs.select(col("doc_id"), posexplode(sig_bands(col("sig"), bands)))
+          .select(col("pos").as("band_idx"), col("col").as("band_hash"), col("doc_id")),
+        bandsT, "band_hash", buckets)
+      // the same quadratic guard as the full build — a batch can mint a
+      // corpus-hot bucket too; the guarded catch below unpublishes
+      maxBandBucket.foreach { m =>
+        val worst = Warehouse.table(spark, bandsT)
+          .groupBy(col("band_idx"), col("band_hash")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > m).orderBy(col("n").desc).limit(1).collect()
+        worst.headOption.foreach { r =>
+          throw new IllegalStateException(
+            s"signature store '$name' band bucket exceeds maxBandBucket=$m after absorb: " +
+              s"band ${r.get(0)} hash ${r.get(1)} holds ${r.getAs[Long]("n")} docs — " +
+              "store generation not published (fix the corpus or opt out with maxBandBucket = None)")
+        }
+      }
+      Warehouse.publishGeneration(spark, name, gen)
+    } catch { case e: Throwable =>
+      Warehouse.cleanupFailedBuild(spark, name, gen, Seq("sigs", "bands"))
+      throw e
+    }
+  }
+
   /** d7 against the persisted store: the new batch's band keys
     * (explicitly partitioned to the store's bucket layout) join the
     * bucketed band table co-partitioned — the corpus side NEVER
@@ -671,8 +734,28 @@ object Dedup {
   }
 
   def substringSpans(t: Tables, k: Int = 8, minSpanTokens: Int = 16,
-      maxDf: Option[Long] = None): DataFrame = {
-    val psh0 = tokenized(t)
+      maxDf: Option[Long] = None): DataFrame =
+    substringSpanCore(tokenized(t), k, minSpanTokens, maxDf)
+      .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+
+  /** d9 over an arbitrary (doc_id, text) frame — the entry point specs
+    * use to re-run span detection on a REWRITTEN corpus (the
+    * [[substringRewrite]] fixed-point check) or any non-Tables source.
+    */
+  def substringSpansOfDocs(docs: DataFrame, k: Int = 8, minSpanTokens: Int = 16,
+      maxDf: Option[Long] = None): DataFrame =
+    substringSpanCore(
+      spreadIfNarrow(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), ws_tokens(col("text")).as("tokens")),
+      k, minSpanTokens, maxDf)
+      .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+
+  /** The d9 engine (unordered): positional k-shingle inverted index +
+    * alignment-diagonal gaps-and-islands over a tokenized frame.
+    */
+  private def substringSpanCore(toks: DataFrame, k: Int, minSpanTokens: Int,
+      maxDf: Option[Long]): DataFrame = {
+    val psh0 = toks
       .filter(size(col("tokens")) >= k)
       .select(col("doc_id"), posexplode(shingle_hashes(col("tokens"), k)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
@@ -701,7 +784,68 @@ object Dedup {
         (count(lit(1)) + lit(k - 1)).as("span_tokens"))
       .filter(col("span_tokens") >= minSpanTokens)
       .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"), col("span_tokens"))
-      .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+  }
+
+  /** d20: the CLEANED corpus — the transform the whole substring family
+    * exists to enable. d9 reports WHERE the duplicated spans are; this
+    * emits the deduplicated TEXT a training pipeline actually feeds the
+    * tokenizer (Lee et al. 2022's ExactSubstr step DELETES the spans —
+    * packing raw text re-trains on every copy). Keep rule: the lowest
+    * doc_id containing a span keeps its copy; every later document's
+    * copy (each d9 pair's `doc_b` side) is cut, token-boundary spliced.
+    * Transitive chains fall out of the pair set: if docs 1<2<3 share a
+    * span, pairs (1,2)/(1,3)/(2,3) cut it from 2 and 3 and doc 1 keeps
+    * the only copy. Within-document repetition is untouched (d9 is
+    * cross-doc by construction; t7 measures self-repetition).
+    *
+    * Output per doc: original token count, removed token count, and the
+    * rewritten text (kept tokens of the canonical whitespace/lowercase
+    * token stream, single-space joined — the normalized form every
+    * downstream operator tokenizes back to bit-identically).
+    *
+    * Fixed point (spec-pinned): re-running d9 on the rewritten corpus
+    * finds zero ≥`minSpanTokens` cross-doc spans among kept text.
+    *
+    * Scale shape: span detection is d9's (the maxDf-capped index is the
+    * 100 TB path; at corpus scale the spans come from
+    * [[substringSpansAgainstStore]] instead); interval merging moves
+    * (doc, start, end) longs through one per-doc window; the splice is
+    * one higher-order-function pass over each document's token array
+    * (HOF lambdas run interpreted per ROW, not per token-row — the
+    * array never explodes and no text shuffles beyond the tokenize
+    * scan itself).
+    */
+  def substringRewrite(t: Tables, k: Int = 8, minSpanTokens: Int = 16,
+      maxDf: Option[Long] = None): DataFrame = {
+    val toks = tokenized(t)
+    val spans = substringSpanCore(toks, k, minSpanTokens, maxDf)
+    val cuts = spans.select(col("doc_b").as("doc_id"),
+      col("start_b").cast("long").as("s"),
+      (col("start_b") + col("span_tokens") - 1).cast("long").as("e"))
+    // merge overlapping cut intervals per doc (gaps-and-islands on the
+    // running max end) so the splice probes O(merged spans) per token
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val prevMaxE = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = cuts
+      .withColumn("fresh", when(prevMaxE.isNull || col("s") > prevMaxE, 1).otherwise(0))
+      .withColumn("island", sum(col("fresh")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"))
+    toks.join(merged, Seq("doc_id"), "left")
+      .withColumn("cuts",
+        coalesce(col("cuts"), array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("kept", filter(
+        zip_with(col("tokens"), sequence(lit(1), size(col("tokens"))),
+          (tok, pos) => struct(tok.as("tok"), pos.as("pos"))),
+        x => !exists(col("cuts"), c =>
+          x.getField("pos") >= c.getField("s") && x.getField("pos") <= c.getField("e"))))
+      .select(col("doc_id"),
+        size(col("tokens")).as("n_tokens"),
+        (size(col("tokens")) - size(col("kept"))).as("removed_tokens"),
+        array_join(transform(col("kept"), x => x.getField("tok")), " ").as("text"))
+      .orderBy(col("doc_id"))
   }
 
   /** d10: INCREMENTAL substring dedup — d9's spans for a NEW batch

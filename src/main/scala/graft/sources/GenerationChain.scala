@@ -76,13 +76,25 @@ object GenerationChain {
 
   val empty: State = State(-1L, Vector.empty, Set.empty, Vector.empty)
 
+  /** The chain's serialization FORMAT version, written as the first
+    * record of every state file. The strict parser below refuses
+    * unknown record types as corruption, so any format evolution an
+    * old reader may encounter MUST ship as a format bump: a reader
+    * seeing a higher version fails with an explicit upgrade message
+    * instead of a misleading "corrupt line" — and a same-version state
+    * is guaranteed fully parseable. States written before the record
+    * existed carry no `v` line and parse as format 1 (their record set
+    * is exactly format 1's).
+    */
+  val FormatVersion: Long = 1L
+
   private[sources] def serialize(s: State): Array[Byte] = {
     val g = s.entries.map(e => Seq("g", e.gen, e.base.getOrElse("-"), e.status.wire,
       e.claimedAt, e.publishedAt, e.supersededAt, e.tag.getOrElse("-")).mkString(" "))
     val t = s.tags.toSeq.sorted.map("t " + _)
     val tf = s.tagFiles.map("tf " + _)
     val rtf = s.retiredFiles.map { case (f, ts) => s"rtf $f $ts" }
-    (g ++ t ++ tf ++ rtf).mkString("\n").getBytes("UTF-8")
+    (s"v $FormatVersion" +: (g ++ t ++ tf ++ rtf)).mkString("\n").getBytes("UTF-8")
   }
 
   private[sources] def deserialize(version: Long, bytes: Array[Byte]): State = {
@@ -92,6 +104,10 @@ object GenerationChain {
     var retired = Vector.empty[(String, Long)]
     new String(bytes, "UTF-8").split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
       line.split(" ") match {
+        case Array("v", fv) =>
+          if (fv.toLong > FormatVersion) throw new IllegalStateException(
+            s"generation-chain state is format ${fv.toLong}, newer than this " +
+              s"reader's $FormatVersion — upgrade the library before reading this store")
         case Array("g", gen, base, st, ca, pa, sa, tag) =>
           entries :+= Entry(gen.toLong,
             if (base == "-") None else Some(base.toLong),
@@ -103,8 +119,8 @@ object GenerationChain {
         // strict by design: an unknown record type is treated as
         // corruption, not skipped — silently ignoring state a newer
         // writer depends on is how split-brain starts. Format
-        // evolution that old readers may encounter must ship behind an
-        // explicit version record, not a new line type.
+        // evolution that old readers may encounter ships behind the
+        // `v` record above, which fails with an upgrade message first.
         case other => throw new IllegalStateException(
           s"corrupt generation-chain line: '${other.mkString(" ")}'")
       }
@@ -324,12 +340,24 @@ final class GenerationChain(dir: String, io: StoreIO,
   /** True iff `tag`'s batch COMMITTED — it rode a segment publish that
     * won its liveness race. Durable forever (vacuum folds tags into
     * archive files, never drops them): the at-least-once replay check.
+    *
+    * A referenced archive that cannot be read FAILS the check loudly
+    * instead of answering "not committed": a fresh state's `tagFiles`
+    * entries must exist until retired past the age floor, so a miss is
+    * corruption or transience — and a silent false here is exactly the
+    * failure [[compactTags]]'s fold-abort guards against (an
+    * at-least-once replay would re-append an already-committed batch,
+    * duplicating rows). Loud failure is retryable; duplicate data is
+    * not.
     */
   def tagCommitted(tag: String): Boolean = {
     val s = state()
-    s.tags.contains(tag) || s.tagFiles.exists(f =>
-      io.get(s"$dir/$f").exists(b =>
-        new String(b, "UTF-8").linesIterator.map(_.trim).contains(tag)))
+    s.tags.contains(tag) || s.tagFiles.exists { f =>
+      val bytes = io.get(s"$dir/$f").getOrElse(throw new IllegalStateException(
+        s"tag archive $f unreadable at $dir — cannot decide whether the batch " +
+          "already committed (answering 'no' would duplicate rows on replay); retry"))
+      new String(bytes, "UTF-8").linesIterator.map(_.trim).contains(tag)
+    }
   }
 
   /** The live read set: (live full build, its published segments).
@@ -398,6 +426,7 @@ final class GenerationChain(dir: String, io: StoreIO,
     compactTags()
     sweepArchives(now)
     trimChain(now)
+    sweepTmp(now)
   }
 
   /** Fold inline committed tags into one immutable archive file when
@@ -451,21 +480,38 @@ final class GenerationChain(dir: String, io: StoreIO,
     }
     val held = state()
     val referenced = held.tagFiles.toSet ++ held.retiredFiles.map(_._1)
+    // `.exists`, not `.forall`: an UNREADABLE mtime means "keep" — a
+    // just-written fold archive whose stat transiently fails must not
+    // be swept before the fold's CAS references it (deleting it would
+    // commit a state whose archived tags all read uncommitted)
     io.list(dir).filter(_.startsWith("tags-")).filterNot(referenced.contains)
-      .filter(f => io.mtime(s"$dir/$f").forall(_ <= now - 3600_000L))
+      .filter(f => io.mtime(s"$dir/$f").exists(_ <= now - 3600_000L))
       .foreach(f => io.delete(s"$dir/$f"))
   }
 
   /** Drop chain versions well behind the head — readers only ever load
     * the latest, so a 16-version margin (plus a one-minute age floor
-    * against a reader mid list-then-get) is generous.
+    * against a reader mid list-then-get) is generous. Unknown mtime
+    * means "keep", same as the archive sweep.
     */
   private def trimChain(now: Long): Unit = {
     val versions = io.list(dir)
       .filter(n => n.length == 13 && n.startsWith("v") && n.drop(1).forall(_.isDigit))
       .map(_.drop(1).toLong).sorted
     versions.dropRight(16)
-      .filter(v => io.mtime(chainPath(v)).forall(_ <= now - 60_000L))
+      .filter(v => io.mtime(chainPath(v)).exists(_ <= now - 60_000L))
       .foreach(v => io.delete(chainPath(v)))
   }
+
+  /** Reclaim orphaned `.tmp-*` siblings in the chain directory — the
+    * write half of a [[StoreIO]] publish that crashed between the temp
+    * write and its cleanup. They were never visible to any reader (the
+    * state parser only loads `v*` names; archives are only reached via
+    * `tagFiles`), so the only rule is the age floor against a publish
+    * in flight right now.
+    */
+  private def sweepTmp(now: Long): Unit =
+    io.list(dir).filter(_.startsWith(".tmp-"))
+      .filter(f => io.mtime(s"$dir/$f").exists(_ <= now - 3600_000L))
+      .foreach(f => io.delete(s"$dir/$f"))
 }

@@ -16,9 +16,16 @@ import scala.jdk.CollectionConverters._
   *
   * The DATA plane (parquet directories) deliberately stays outside this
   * seam: Spark reads and writes it through the Hadoop filesystem layer,
-  * which already speaks object stores. Only the small, frequently-raced
-  * metadata objects — manifests, generation chains, sidecars — need the
-  * create-new-or-fail primitive, and this trait is exactly that surface.
+  * which already speaks object stores — and the lifecycle DELETES
+  * (vacuum reclaim, failure cleanup, staging sweeps) go through that
+  * same layer ([[HadoopFs]]), so the data plane is Hadoop-FS end to
+  * end. Only the small, frequently-raced metadata objects — manifests,
+  * generation chains, sidecars — need the create-new-or-fail
+  * primitive, and this trait is exactly that surface. Implementations:
+  * [[PosixStoreIO]] (local/NFS `link(2)`), [[HadoopFsStoreIO]]
+  * (HDFS-family rename-without-overwrite), [[InMemoryStoreIO]] (the
+  * fault-injecting conformance twin); S3-native conditional PUT is a
+  * fourth an SDK-backed deployment writes against this trait.
   *
   * Contract (every impl, spec-enforced by the shared conformance sweep):
   *   - [[putIfAbsent]] is ATOMIC for name AND content: of N racing
@@ -80,9 +87,14 @@ object PosixStoreIO extends StoreIO {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  // ABSENT maps to None; any other IOException (EACCES, a transient
+  // NFS error, not-a-directory) PROPAGATES — conflating "unreadable"
+  // with "absent" turns a transient fault into a protocol decision
+  // (replay gates would re-append committed batches, deletion gates
+  // would sweep live objects)
   override def get(path: String): Option[Array[Byte]] =
     try Some(Files.readAllBytes(p(path)))
-    catch { case _: java.io.IOException => None }
+    catch { case _: java.nio.file.NoSuchFileException => None }
 
   override def list(dir: String): Seq[String] = {
     val d = p(dir)
@@ -98,7 +110,7 @@ object PosixStoreIO extends StoreIO {
 
   override def mtime(path: String): Option[Long] =
     try Some(Files.getLastModifiedTime(p(path)).toMillis)
-    catch { case _: java.io.IOException => None }
+    catch { case _: java.nio.file.NoSuchFileException => None }
 }
 
 /** In-memory implementation with FAULT INJECTION — the conformance twin

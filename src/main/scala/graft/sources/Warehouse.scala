@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
@@ -150,7 +150,7 @@ object Warehouse {
     val dir = genDir(spark, store)
     val chainGens = chainOf(spark, store).state().entries.map(_.gen)
     val prefix = s"${store.toLowerCase(java.util.Locale.ROOT)}__g"
-    val diskGens = Option(new java.io.File(warehousePath(spark)).list()).toSeq.flatten
+    val diskGens = HadoopFs.listNames(spark.conf.get("spark.sql.warehouse.dir"))
       .filter(_.startsWith(prefix))
       .flatMap(n => n.stripPrefix(prefix).takeWhile(_.isDigit) match {
         case "" => None
@@ -159,7 +159,7 @@ object Warehouse {
     for (g <- (chainGens ++ diskGens).distinct; s <- suffixes)
       drop(spark, storeTableName(store, g, s))
     suffixes.foreach(s => drop(spark, s"${store}_$s"))
-    if (Files.exists(dir)) rmTree(dir.toFile)
+    HadoopFs.deleteRecursive(dir.toString): Unit
   }
 
   /** Remove a claimed-but-unpublished generation's chain entry (after
@@ -241,13 +241,9 @@ object Warehouse {
         return Some(gen)
       } catch {
         case _: SupersededBaseException =>
-          dropData(gen)
-          chain.burn(gen)
+          reclaimUnpublished(chain, gen, dropData)
         case e: Throwable =>
-          if (chain.provablyUnpublished(gen)) {
-            dropData(gen)
-            chain.burn(gen)
-          }
+          reclaimUnpublished(chain, gen, dropData)
           throw e
       }
       attempt += 1
@@ -258,20 +254,39 @@ object Warehouse {
     None // unreachable
   }
 
+  /** The shared guarded cleanup: drop data and burn the claim ONLY when
+    * the chain provably shows `gen` unpublished (leak-beats-loss on any
+    * ambiguity), and hand off to a vacuum that retires the expired
+    * claim BETWEEN the guard check and the burn — vacuum's own reclaim
+    * is then in flight (the data drop both sides run is idempotent),
+    * so burn's refusal is the expected handoff, swallowed iff the
+    * fresh chain no longer shows the generation unpublished. A burn
+    * refusal while the generation IS still provably unpublished (or
+    * the chain is unreadable) rethrows: that's a real protocol error,
+    * not a handoff.
+    */
+  private def reclaimUnpublished(chain: GenerationChain, gen: Long,
+      dropData: Long => Unit): Unit =
+    if (chain.provablyUnpublished(gen)) {
+      dropData(gen)
+      try chain.burn(gen)
+      catch { case e: IllegalStateException =>
+        if (chain.provablyUnpublished(gen)) throw e
+      }
+    }
+
   /** Guarded FULL-BUILD failure cleanup: drop the half-written data and
     * burn the claim ONLY when the chain provably shows the generation
     * unpublished — the publish self-verifies ambiguous commits, so a
     * failure that reaches the caller is either pre-publish (write
     * failed, guard trips: clean) or a double-failure, which must leak
     * the claim for the age-gated sweep rather than delete a possibly
-    * live generation's data.
+    * live generation's data. Same vacuum handoff as the appenders'
+    * [[reclaimUnpublished]].
     */
   private[graft] def cleanupFailedBuild(chain: GenerationChain, gen: Long)(
       dropData: => Unit): Unit =
-    if (chain.provablyUnpublished(gen)) {
-      dropData
-      chain.burn(gen)
-    }
+    reclaimUnpublished(chain, gen, _ => dropData)
 
   /** [[cleanupFailedBuild]] for table stores by name (per-table drops
     * Try-wrapped: a half-created table's drop may itself fail, and the
@@ -376,15 +391,13 @@ object Warehouse {
   /** Delete a directory generation's data dir (recursive). Builders call
     * this on failure BEFORE [[burnPathClaim]]: a marker-less partial dir
     * would be invisible to vacuum and could poison a re-issued
-    * generation number under dynamic partition overwrite.
+    * generation number under dynamic partition overwrite. Deletes ride
+    * the Hadoop filesystem layer ([[HadoopFs]]) — the same connectors
+    * Spark wrote the parquet through — so vacuum can reclaim on an
+    * object store, not just a local disk.
     */
   def deletePathGenData(root: String, gen: Long): Unit =
-    rmTree(new java.io.File(pathGenData(root, gen)))
-
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-    f.delete()
-  }
+    HadoopFs.deleteRecursive(pathGenData(root, gen)): Unit
 
   /** Vacuum a directory store: same safety rules as
     * [[vacuumStoreGenerations]] (shared [[GenerationChain.vacuum]]
@@ -400,33 +413,24 @@ object Warehouse {
     * location is resolved from the catalog while the table still
     * exists (covers external/custom-location tables); the fallback for
     * already-orphaned dirs uses the warehouse-dir convention with the
-    * LOWERCASED name (the catalog lowercases managed-table dirs). A
-    * resolvable catalog location with a NON-file scheme means the data
-    * lives somewhere this JVM's filesystem cannot (and must not) touch:
-    * DROP TABLE removes the catalog entry and no local rm runs — the
-    * warehouse-dir convention path would be an unrelated directory.
+    * LOWERCASED name (the catalog lowercases managed-table dirs). The
+    * delete dispatches on the location's scheme through the Hadoop
+    * filesystem layer ([[HadoopFs]]) — a managed table on `s3a://` is
+    * reclaimed through the same connector that wrote it, instead of
+    * leaking forever behind a catalog-only drop.
     */
   def drop(spark: SparkSession, name: String): Unit = {
-    val catalogLoc: Option[Either[Unit, java.io.File]] =
+    val catalogLoc: Option[String] =
       if (spark.catalog.tableExists(name))
-        scala.util.Try(new java.net.URI(
+        scala.util.Try(
           spark.sql(s"DESCRIBE EXTENDED $name")
             .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
-            .collect()(0).getString(1))).toOption
-          .map { u =>
-            if (u.getScheme == null || u.getScheme == "file")
-              Right(new java.io.File(u.getPath))
-            else Left(()) // remote location: catalog drop only, no local rm
-          }
+            .collect()(0).getString(1)).toOption
       else None
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    val loc: Option[java.io.File] = catalogLoc match {
-      case Some(Left(()))  => None
-      case Some(Right(f))  => Some(f)
-      case None            => Some(new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-        name.toLowerCase(java.util.Locale.ROOT)))
-    }
-    loc.filter(_.exists()).foreach(rmTree)
+    val loc = catalogLoc.getOrElse(
+      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/" +
+        name.toLowerCase(java.util.Locale.ROOT))
+    HadoopFs.deleteRecursive(loc): Unit
   }
 }

@@ -522,6 +522,49 @@ object DocPipelines {
         ()
       }
 
+  /** Streaming CLUSTER MAINTENANCE ingest — the d19 twin, closing the
+    * last persisted store without one: every non-empty micro-batch is
+    * absorbed into the near-dup clustering by the same three-step loop
+    * the batch ingest runs —
+    *
+    *   1. [[graft.operators.Dedup.maintainClustersAgainstStore]]: the
+    *      batch's cross pairs (vs the persisted signature store) and
+    *      internal pairs join the stored labeling's star edges; min-label
+    *      components relabel everything, including old clusters a bridge
+    *      doc merges;
+    *   2. [[graft.operators.Dedup.publishMaintainedClusters]]: the new
+    *      labeling publishes as the cluster store's next FULL generation
+    *      (claim/publish — a crash mid-batch publishes nothing, probes
+    *      keep the prior generation);
+    *   3. [[graft.operators.Dedup.growSignatureStore]]: the batch's
+    *      signatures join the persisted signature store so the NEXT
+    *      batch's cross pairs can see this one.
+    *
+    * Exactly-once WITHOUT tags: unlike the segment appenders (s11/t23,
+    * whose rows would double-count on replay), every step here is
+    * IDEMPOTENT-BY-CONVERGENCE — a replayed batch re-derives the same
+    * labeling (its docs already sit in the star edges; min-label is a
+    * fixed point), re-publishes identical content under a fresh
+    * generation, and the signature absorb doc_id-dedupes — so
+    * at-least-once replay after any crash point converges to the same
+    * stores, StreamingSpec-pinned. ZERO streaming state: the stores ARE
+    * the state, on disk.
+    */
+  def clusterMaintainStream(docs: DataFrame, clusterStore: String, sigStore: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val labels = graft.operators.Dedup.maintainClustersAgainstStore(
+            clusterStore, sigStore, batch, numHashes, bands, threshold)
+          graft.operators.Dedup.publishMaintainedClusters(labels, clusterStore)
+          graft.operators.Dedup.growSignatureStore(batch, sigStore)
+        }
+        ()
+      }
+
   case class PackInDoc(shard: Int, doc_id: Long, ws_tokens: Long, pri: String)
   case class PackedOut(doc_id: Long, shard: Int, ws_tokens: Long,
       start_tok: Long, seq_first: Long, seq_last: Long)

@@ -301,6 +301,49 @@ class DedupSpec extends SparkSpecBase {
     assert(incr.forall { case (n, o, _, _, _) => n >= split && o < split })
   }
 
+  test("d20 rewrite: the cut set is exactly the union of doc_b-side spans, untouched docs round-trip, and re-running d9 on the rewritten corpus finds nothing") {
+    import org.apache.spark.sql.functions.col
+    val k = 8
+    val minSpan = 16
+    // ground truth from d9's (independently brute-force-verified) spans:
+    // every doc_b-side span interval is cut; the kept tokens splice back
+    // in order with single spaces
+    val spans = Dedup.substringSpans(t, k, minSpan).collect()
+      .map(r => (r.getAs[Long]("doc_b"), r.getAs[Int]("start_b"), r.getAs[Long]("span_tokens")))
+    val cutsByDoc = spans.groupBy(_._1).map { case (d, ss) =>
+      d -> ss.flatMap { case (_, s, n) => s until (s + n.toInt) }.toSet
+    }
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.toLowerCase.split("\\s+"))
+      .toMap
+    val got = Dedup.substringRewrite(t, k, minSpan).collect()
+    assert(got.length == docs.size, "every document appears in the rewritten corpus")
+    var removedTotal = 0L
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = docs(id)
+      val cut = cutsByDoc.getOrElse(id, Set.empty[Int])
+      val keptExpected = toks.zipWithIndex
+        .collect { case (tok, i) if !cut.contains(i + 1) => tok }
+      assert(r.getAs[Int]("n_tokens") == toks.length, s"doc $id token count")
+      assert(r.getAs[Int]("removed_tokens") == cut.size, s"doc $id removed count")
+      assert(r.getAs[String]("text") == keptExpected.mkString(" "),
+        s"doc $id spliced text diverges from the ground-truth cut")
+      removedTotal += cut.size
+    }
+    assert(removedTotal > 0, "the corpus plants duplicated spans — the rewrite must cut")
+    assert(cutsByDoc.keySet.exists(id => cutsByDoc(id).nonEmpty))
+
+    // the FIXED POINT the operator exists for: the rewritten corpus has
+    // no remaining cross-doc duplicated span at the same threshold
+    val rewritten = Dedup.substringRewrite(t, k, minSpan)
+      .select(col("doc_id"), col("text"))
+    val again = Dedup.substringSpansOfDocs(rewritten, k, minSpan).collect()
+    assert(again.isEmpty,
+      s"rewritten corpus must contain zero >=$minSpan-token cross-doc spans, found ${again.length}")
+  }
+
   test("propagation closes a 100-node path graph in O(log n) rounds, far from the maxIter backstop") {
     // adversarial shape for min-label propagation: a pure path
     // 0-1-2-...-99 (diameter 99). Plain propagation needs ~99 rounds;

@@ -23,15 +23,17 @@ class SnapshotModelSpec extends SparkSpecBase {
   test("random op interleavings preserve content, retained history and compaction neutrality") {
     import spark.implicits._
     // seed 3 runs on the default POSIX StoreIO; seed 11 runs the SAME
-    // sweep with the manifest plane on the in-memory impl — the two
-    // commit backends cannot drift apart in what the model checks
-    Seq(3, 11).foreach { seed =>
+    // sweep with the manifest plane on the in-memory impl; seed 17 on
+    // the Hadoop-FS impl (the API family real clusters deploy) — the
+    // three commit backends cannot drift apart in what the model checks
+    Seq(3, 11, 17).foreach { seed =>
       val rnd = new Random(seed)
       val root = java.nio.file.Files
         .createTempDirectory(s"graft_snapmodel$seed").resolve("t").toString
       val st =
         if (seed == 3) new SnapshotTable(spark, root)
-        else new SnapshotTable(spark, root, new graft.sources.InMemoryStoreIO())
+        else if (seed == 11) new SnapshotTable(spark, root, new graft.sources.InMemoryStoreIO())
+        else new SnapshotTable(spark, root, new graft.sources.HadoopFsStoreIO())
 
       def batch(): Seq[(Long, Long)] =
         Seq.fill(1 + rnd.nextInt(8))(

@@ -16,10 +16,12 @@ class StoreIOSpec extends SparkSpecBase {
   private def posixIn(prefix: String): (StoreIO, String) =
     (PosixStoreIO, java.nio.file.Files.createTempDirectory(prefix).toString + "/io")
 
-  test("conformance: putIfAbsent admits exactly one winner of N racing writers (both impls)") {
+  test("conformance: putIfAbsent admits exactly one winner of N racing writers (all three impls)") {
     val impls = Seq(
       ("posix", posixIn("graft_ioconf_")),
-      ("memory", (new InMemoryStoreIO(): StoreIO, "/mem/conf")))
+      ("memory", (new InMemoryStoreIO(): StoreIO, "/mem/conf")),
+      ("hadoopfs", (new graft.sources.HadoopFsStoreIO(): StoreIO,
+        java.nio.file.Files.createTempDirectory("graft_hfsconf_").toString + "/io")))
     impls.foreach { case (label, (io, root)) =>
       // 8 threads race one key; exactly one putIfAbsent returns true and
       // the surviving content is the winner's (never torn, never mixed)
@@ -295,5 +297,205 @@ class StoreIOSpec extends SparkSpecBase {
     assert(chain.state().retiredFiles.isEmpty)
     assert(chain.tagCommitted("batch:13") && chain.tagCommitted("more:13"),
       "commitment survives the retirement sweep (content lives in the new archive)")
+  }
+
+  test("tagCommitted fails loudly on an unreadable referenced archive instead of answering 'not committed'") {
+    // a fresh state's tagFiles reference must exist until retired past
+    // the age floor, so a miss is corruption or transience — answering
+    // false would make an at-least-once replay re-append an
+    // already-committed batch (duplicated rows, silently)
+    val io = new InMemoryStoreIO()
+    io.put("/mem/tagmiss/v000000000000", "v 1\ntf tags-gone".getBytes("UTF-8"))
+    val chain = new GenerationChain("/mem/tagmiss", io)
+    val e = intercept[IllegalStateException] { chain.tagCommitted("batch:1") }
+    assert(e.getMessage.contains("unreadable") && e.getMessage.contains("retry"))
+    // once the archive is readable the same call decides normally
+    io.put("/mem/tagmiss/tags-gone", "batch:1".getBytes("UTF-8"))
+    assert(chain.tagCommitted("batch:1") && !chain.tagCommitted("batch:2"))
+  }
+
+  test("chain format version: every state leads with the v record; a FUTURE format fails with an upgrade message; legacy states parse as format 1") {
+    val io = new InMemoryStoreIO()
+    val chain = new GenerationChain("/mem/fmt", io)
+    val g = chain.claim(); chain.publishFull(g)
+    val head = new String(io.get("/mem/fmt/v000000000001").get, "UTF-8")
+    assert(head.startsWith(s"v ${GenerationChain.FormatVersion}\n"),
+      s"state must lead with the format record, got: ${head.take(20)}")
+    assert(chain.state().current.contains(g), "same-version round trip")
+
+    // a state written by a NEWER library fails with an explicit upgrade
+    // message — not the misleading 'corrupt line' the strict parser
+    // gives unknown record types
+    io.put("/mem/fmt2/v000000000000",
+      s"v ${GenerationChain.FormatVersion + 1}\nq some-future-record".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] { new GenerationChain("/mem/fmt2", io).state() }
+    assert(e.getMessage.contains(s"format ${GenerationChain.FormatVersion + 1}") &&
+      e.getMessage.contains("upgrade"), s"got: ${e.getMessage}")
+    assert(!e.getMessage.contains("corrupt"))
+
+    // a pre-record state (no v line) is exactly format 1's record set
+    io.put("/mem/fmt3/v000000000000", "g 1 - published 0 5 0 -\nt old:tag".getBytes("UTF-8"))
+    val legacy = new GenerationChain("/mem/fmt3", io)
+    assert(legacy.state().current.contains(1L) && legacy.tagCommitted("old:tag"))
+  }
+
+  test("PosixStoreIO: absent maps to None; an unreadable object propagates instead of masquerading as absent") {
+    val root = java.nio.file.Files.createTempDirectory("graft_absent_").toString
+    assert(PosixStoreIO.get(s"$root/missing").isEmpty)
+    assert(PosixStoreIO.mtime(s"$root/missing").isEmpty)
+    // a directory where an object is expected is UNREADABLE, not absent
+    // — deletion gates treating unknown-mtime as infinitely old would
+    // otherwise sweep objects they merely failed to stat
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$root/adir"))
+    intercept[java.io.IOException] { PosixStoreIO.get(s"$root/adir") }
+  }
+
+  test("deletion gates keep, not sweep, on an unknown mtime; orphaned .tmp files are swept age-gated") {
+    var now = 1000_000_000L
+    // an impl that answers None for a transiently-unstattable object —
+    // the shape the .exists age gates must treat as KEEP
+    val inner = new InMemoryStoreIO(() => now)
+    val io: StoreIO = new StoreIO {
+      def putIfAbsent(path: String, bytes: Array[Byte]): Boolean = inner.putIfAbsent(path, bytes)
+      def put(path: String, bytes: Array[Byte]): Unit = inner.put(path, bytes)
+      def get(path: String): Option[Array[Byte]] = inner.get(path)
+      def list(dir: String): Seq[String] = inner.list(dir)
+      def delete(path: String): Boolean = inner.delete(path)
+      def mtime(path: String): Option[Long] =
+        if (path.endsWith("tags-unstattable") || path.endsWith(".tmp-unstattable")) None
+        else inner.mtime(path)
+    }
+    val chain = new GenerationChain("/mem/tmpsweep", io, () => now)
+    val g = chain.claim(); chain.publishFull(g)
+    // orphans: never referenced by any state (lost fold races, crashed publishes)
+    io.put("/mem/tmpsweep/tags-unstattable", "t".getBytes("UTF-8"))
+    io.put("/mem/tmpsweep/.tmp-unstattable", "x".getBytes("UTF-8"))
+    io.put("/mem/tmpsweep/.tmp-old", "x".getBytes("UTF-8"))
+    now += 7200_000L
+    io.put("/mem/tmpsweep/.tmp-fresh", "x".getBytes("UTF-8"))
+    chain.vacuum(_ => Seq.empty, 3600_000L)(_ => ())
+    assert(inner.get("/mem/tmpsweep/tags-unstattable").nonEmpty,
+      "an orphan archive with an unknown mtime is KEPT (it may be a just-written fold)")
+    assert(inner.get("/mem/tmpsweep/.tmp-unstattable").nonEmpty,
+      "a tmp orphan with an unknown mtime is KEPT")
+    assert(inner.get("/mem/tmpsweep/.tmp-old").isEmpty,
+      "an hour-old tmp orphan is swept")
+    assert(inner.get("/mem/tmpsweep/.tmp-fresh").nonEmpty,
+      "a fresh tmp file (a publish possibly in flight) survives the floor")
+    // past the floor the unstattable orphans are still kept — sweeping
+    // is only ever justified by a READABLE, expired mtime
+    now += 7200_000L
+    chain.vacuum(_ => Seq.empty, 3600_000L)(_ => ())
+    assert(inner.get("/mem/tmpsweep/tags-unstattable").nonEmpty)
+    assert(inner.get("/mem/tmpsweep/.tmp-fresh").isEmpty, "now aged past the floor: swept")
+  }
+
+  test("CROSS-PROCESS chain races (POSIX impl): two JVMs commit through one directory — every commit lands exactly once, no torn reads") {
+    // every other race sweep runs in one JVM; this is the one that
+    // would catch an FS-semantics surprise (NFS client caching, a
+    // non-atomic link) before a user does: a second OS process races
+    // claim+publishSegment commits against the same chain directory.
+    // link(2)'s EEXIST contract is cross-process by definition — this
+    // proves the whole protocol stack above it is too.
+    val dir = java.nio.file.Files.createTempDirectory("graft_xproc_").toString + "/chain"
+    val chain = new GenerationChain(dir, PosixStoreIO)
+    val base = chain.claim()
+    chain.publishFull(base)
+    val n = 25
+    val cp = Seq("target/scala-2.13/classes", "target/scala-2.13/test-classes")
+      .map(f => new java.io.File(f).getAbsolutePath).mkString(":") + ":/opt/spark/jars/*"
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val proc = new ProcessBuilder(javaBin, "-cp", cp, "graft.ChainRacerMain",
+      dir, base.toString, n.toString, "theirs").redirectErrorStream(true).start()
+    // the parent JVM races the same commit mix concurrently
+    (1 to n).foreach { i =>
+      val g = chain.claim()
+      chain.publishSegment(g, base, Some(s"ours:$i"))
+    }
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    assert(proc.waitFor() == 0 && out.contains("RACER_DONE"),
+      s"the second JVM must finish cleanly, got:\n$out")
+    val s = chain.state()
+    assert(s.liveSegments.size == 2 * n,
+      s"every cross-process publish landed exactly once, got ${s.liveSegments.size}")
+    assert(s.liveSegments.distinct.size == 2 * n && s.entries.map(_.gen).distinct.size == s.entries.size,
+      "claims are globally distinct across processes")
+    assert(s.version == 1 + 4 * n,
+      s"one chain version per commit (2 setup + ${4 * n} raced), got ${s.version}")
+    (1 to n).foreach { i =>
+      assert(chain.tagCommitted(s"ours:$i") && chain.tagCommitted(s"theirs:$i"))
+    }
+    // every committed version file is fully-formed — a torn read shape
+    // (partial line, foreign record) would also have crashed either
+    // process's strict parser mid-race
+    val lineRe = "^(v \\d+|g \\d+ (-|\\d+) (claimed|published|retired) \\d+ \\d+ \\d+ [^ ]+|t [^ ]+|tf [^ ]+|rtf [^ ]+ \\d+)$".r
+    PosixStoreIO.list(dir).filter(_.startsWith("v")).foreach { f =>
+      val content = new String(PosixStoreIO.get(s"$dir/$f").get, "UTF-8")
+      content.linesIterator.foreach(l =>
+        assert(lineRe.matches(l), s"malformed line in $f: '$l'"))
+    }
+  }
+
+  test("file://-scheme SnapshotTable end-to-end: manifests commit via HadoopFsStoreIO and the vacuum data sweep dispatches on the path's scheme") {
+    import spark.implicits._
+    // an explicit scheme on the root proves BOTH planes resolve through
+    // the Hadoop filesystem layer: PosixStoreIO/java.io would treat
+    // "file:" as a relative path component and fail or silently no-op —
+    // exactly the object-store-leak shape the dispatch exists to close
+    val local = java.nio.file.Files.createTempDirectory("graft_fsscheme_")
+    val root = "file:" + local.toString + "/t"
+    val st = new SnapshotTable(spark, root, new graft.sources.HadoopFsStoreIO())
+    st.append(Seq((1L, "a")).toDF("k", "v"))
+    st.overwrite(Seq((2L, "b")).toDF("k", "v"))
+    assert(st.read().collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val dataDir = local.resolve("t").resolve("data")
+    def dirCount: Long = {
+      val s = java.nio.file.Files.list(dataDir)
+      try s.count() finally s.close()
+    }
+    assert(dirCount == 2, "both committed data dirs exist before the vacuum")
+    st.vacuum(keepVersions = 1, minAgeMs = 0L)
+    assert(dirCount == 1,
+      "the unreferenced data dir is reclaimed through the file:-scheme Hadoop dispatch")
+    assert(st.read().collect().map(_.getString(1)).toSeq == Seq("b"),
+      "the kept version is untouched")
+  }
+
+  test("appendSegmentWith: a vacuum that retires the expired claim mid-cleanup wins the handoff — the appender retries instead of erroring") {
+    var now = 1000_000_000L
+    val io = new InMemoryStoreIO(() => now)
+    val chain = new GenerationChain("/mem/retiredclaim", io, () => now)
+    val g1 = chain.claim(); chain.publishFull(g1)
+    var rivalFired = false
+    val written = scala.collection.mutable.ListBuffer.empty[Long]
+    val dropped = scala.collection.mutable.ListBuffer.empty[Long]
+    val res = graft.sources.Warehouse.appendSegmentWith[Long](chain, "probe store",
+      dedupeTag = Some("batch:1"), isEmpty = false,
+      prepare = identity,
+      writeData = (g, _) => { written += g; () },
+      dropData = { g =>
+        dropped += g
+        // the injected interleaving: the appender's lost-race cleanup
+        // passed its provably-unpublished check; NOW a vacuum retires
+        // the (minAge-expired) claim and crashes before removing the
+        // entry — the claim sits RETIRED when the appender's burn runs
+        now += 7200_000L
+        scala.util.Try(chain.vacuum(_ => Seq.empty, 3600_000L)(_ =>
+          throw new RuntimeException("injected crash mid-delete"))): Unit
+      },
+      beforePublish = () => {
+        if (!rivalFired) {
+          rivalFired = true
+          val r = chain.claim(); chain.publishFull(r) // supersedes g1
+        }
+      })
+    assert(res.nonEmpty, "the re-append against the winner lands")
+    assert(written.size == 2 && dropped.toSeq == Seq(written.head),
+      "exactly the first attempt's data was written-then-dropped")
+    val s = chain.state()
+    assert(s.entry(res.get).exists(_.status == GenerationChain.Published))
+    assert(chain.tagCommitted("batch:1"), "the tag committed with the surviving segment")
+    assert(s.entry(written.head).forall(_.status == GenerationChain.Retired),
+      "the lost claim is vacuum's to finish (retired or already gone), never re-burned")
   }
 }

@@ -1102,4 +1102,74 @@ class StreamingSpec extends SparkSpecBase {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming cluster maintenance (d19 twin): multi-batch ingest with a cluster-merge batch equals the one-shot recompute; replays converge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.sources.Warehouse
+    // the crafted merge corpus (WarehouseSpec's): two separate clusters,
+    // then a bridge doc whose arrival must MERGE them — streamed
+    val c1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val c2 = "one two three four five six seven eight nine ten"
+    val base = Seq((0L, c1), (1L, c1 + " extra"), (2L, c2), (3L, c2 + " more"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq((5L, c1 + " also")) // joins cluster {0,1}
+    val batch2 = Seq((4L, c1 + " " + c2)) // the bridge: merges everything
+    Warehouse.dropStore(spark, "d19st_sigs", Seq("bands", "sigs"))
+    Warehouse.dropStore(spark, "d19st_cl", Seq("labels"))
+    Dedup.buildSignatureStore(base, "d19st_sigs", bands = 32, maxBandBucket = None)
+    Dedup.buildClusterStore(base, "d19st_cl", bands = 32, threshold = 0.3)
+
+    def labels(): Seq[(Long, Long)] = {
+      val g = Warehouse.resolveGeneration(spark, "d19st_cl")
+      Warehouse.table(spark, Warehouse.storeTableName("d19st_cl", g, "labels"))
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSeq
+    }
+    def oneShot(docs: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      Dedup.clustersOfPairs(
+        Dedup.minhashPairsOf(docs, bands = 32, threshold = 0.3)
+          .select(col("doc_a"), col("doc_b")))
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSeq
+
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocPipelines.clusterMaintainStream(
+      mem.toDF().toDF("doc_id", "text"), "d19st_cl", "d19st_sigs",
+      bands = 32, threshold = 0.3).start()
+    try {
+      mem.addData(batch1.toIndexedSeq); q.processAllAvailable()
+      val all1 = base.unionByName(batch1.toDF("doc_id", "text"))
+      assert(labels() == oneShot(all1),
+        "after batch 1 the store equals the one-shot recompute over everything so far")
+      assert(labels().map(_._2).distinct.sorted == Seq(0L, 2L),
+        "precondition holds mid-stream: still two separate clusters")
+
+      mem.addData(batch2.toIndexedSeq); q.processAllAvailable()
+      val all2 = all1.unionByName(batch2.toDF("doc_id", "text"))
+      val fin = labels()
+      assert(fin == oneShot(all2),
+        "the bridge batch merges and relabels to the one-shot recompute's labels")
+      assert(fin.nonEmpty && fin.map(_._2).distinct == Seq(0L),
+        "everything merged into one cluster")
+
+      // at-least-once convergence: re-running the whole absorb for an
+      // already-processed batch (the crash-recovery replay shape) must
+      // change NOTHING — maintenance is a fixed point, the publish is
+      // content-identical, the signature absorb doc_id-dedupes
+      val replayed = Dedup.maintainClustersAgainstStore(
+        "d19st_cl", "d19st_sigs", batch2.toDF("doc_id", "text"),
+        bands = 32, threshold = 0.3)
+      Dedup.publishMaintainedClusters(replayed, "d19st_cl")
+      Dedup.growSignatureStore(batch2.toDF("doc_id", "text"), "d19st_sigs")
+      assert(labels() == fin, "a replayed batch converges to the same labeling")
+      val sg = Warehouse.resolveGeneration(spark, "d19st_sigs")
+      assert(Warehouse.table(spark,
+        Warehouse.storeTableName("d19st_sigs", sg, "sigs")).count() == 6,
+        "a replayed signature absorb never duplicates rows")
+    } finally q.stop()
+    Warehouse.dropStore(spark, "d19st_sigs", Seq("bands", "sigs"))
+    Warehouse.dropStore(spark, "d19st_cl", Seq("labels"))
+  }
 }

@@ -130,6 +130,25 @@ class WarehouseModelSpec extends SparkSpecBase {
     }
   }
 
+  test("the raw chain over HadoopFsStoreIO preserves the same invariants (the rename-without-overwrite commit primitive)") {
+    Seq(13, 31).foreach { seed =>
+      val io = new graft.sources.HadoopFsStoreIO()
+      val chain = new GenerationChain(java.nio.file.Files
+        .createTempDirectory(s"graft_hfsmodel$seed").resolve("chain").toString, io)
+      def select(s: GenerationChain.State): Seq[Long] =
+        s.liveBase.fold(Seq.empty[Long])(b => s.entries
+          .filter(e => e.status == GenerationChain.Published && e.gen < b).map(_.gen))
+      sweep(seed, Proto(
+        claim = () => chain.claim(),
+        publishFull = chain.publishFull,
+        publishSegment = (g, b, t) => chain.publishSegment(g, b, Some(t)),
+        burn = chain.burn,
+        vacuum = () => chain.vacuum(select, 0L)(_ => ()),
+        resolve = () => chain.resolveSegmented("hfs store"),
+        tagPublished = chain.tagCommitted))
+    }
+  }
+
   test("the raw chain over the fault-injecting in-memory store preserves the invariants while losing every 3rd CAS race") {
     Seq(11, 29).foreach { seed =>
       val io = new InMemoryStoreIO()
