@@ -1182,6 +1182,51 @@ object OracleReplicas {
        |FROM toks t LEFT JOIN agg a USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
 
+  /** d21: the cleaned INGEST batch — d20's splice applied to the
+    * one-sided span set (new batch vs existing corpus only, d10's
+    * roles): cut every span from the NEW side, splice, and emit only
+    * the batch's rows. Mirrors
+    * [[graft.operators.Dedup.substringRewriteAgainstStore]] (whose
+    * spans come from the persisted d17 store — identity with this
+    * in-job replay is exactly what gates the store path).
+    */
+  def d21SubstringRewriteIngest(splitId: Long = 250, k: Int = 8,
+      minSpanTokens: Int = 16): String =
+    s"""WITH ${substringCtes(k)},
+       |m AS (
+       |  SELECT a.doc_id AS new_id, b.doc_id AS dup_of, a.pos AS pos_new, b.pos AS pos_old
+       |  FROM psh a JOIN psh b ON a.h = b.h AND a.doc_id >= $splitId AND b.doc_id < $splitId),
+       |isl AS (
+       |  SELECT new_id, dup_of, pos_new, pos_old, pos_new - pos_old AS diag,
+       |    pos_new - ROW_NUMBER() OVER (PARTITION BY new_id, dup_of, pos_new - pos_old ORDER BY pos_new) AS island
+       |  FROM m),
+       |spans AS (
+       |  SELECT new_id AS doc_id, MIN(pos_new) AS s, MIN(pos_new) + COUNT(*) + ${k - 2} AS e
+       |  FROM isl
+       |  GROUP BY new_id, dup_of, diag, island
+       |  HAVING COUNT(*) + ${k - 1} >= $minSpanTokens),
+       |cutpos AS (
+       |  SELECT DISTINCT doc_id, pos
+       |  FROM (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans) z),
+       |tokpos AS (
+       |  SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos
+       |  FROM toks WHERE doc_id >= $splitId),
+       |kept AS (
+       |  SELECT p.doc_id, p.pos, p.tok
+       |  FROM tokpos p LEFT JOIN cutpos c ON p.doc_id = c.doc_id AND p.pos = c.pos
+       |  WHERE c.pos IS NULL),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS kept_n,
+       |    string_agg(tok, ' ' ORDER BY pos) AS text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(len(t.t) AS INTEGER) AS n_tokens,
+       |  CAST(len(t.t) - COALESCE(a.kept_n, 0) AS INTEGER) AS removed_tokens,
+       |  COALESCE(a.text, '') AS text
+       |FROM toks t LEFT JOIN agg a USING (doc_id)
+       |WHERE t.doc_id >= $splitId
+       |ORDER BY t.doc_id""".stripMargin
+
   /** d10: one-sided d9 — a new batch's spans against the existing
     * corpus only, mirroring [[graft.operators.Dedup.substringSpansIncremental]].
     */

@@ -62,6 +62,19 @@ object SparkEntry {
     "d9_substring_dedup" -> ((s, dir) => Dedup.substringSpans(Tables(s, dir))),
     "d10_substring_incremental" -> ((s, dir) => Dedup.substringSpansIncremental(Tables(s, dir))),
     "d20_substring_rewrite" -> ((s, dir) => Dedup.substringRewrite(Tables(s, dir))),
+    "d21_rewrite_ingest" -> ((s, dir) => {
+      // d17's store pattern for the REWRITE transform: drop → build the
+      // corpus half's positional-shingle store → emit the CLEANED batch
+      // (spans cut from the new side, corpus untouched). Output ≡ the
+      // in-job one-sided replay, so a store-layer failure fails the
+      // DuckDB gate itself
+      import org.apache.spark.sql.functions.col
+      val t = Tables(s, dir)
+      graft.sources.Warehouse.dropStore(s, "d21_store", Seq("shingles"))
+      Dedup.buildSubstringStore(t.documents.filter(col("doc_id") < 250), "d21_store")
+      Dedup.substringRewriteAgainstStore("d21_store",
+        t.documents.filter(col("doc_id") >= 250))
+    }),
     "d11_url_dedup" -> ((s, dir) => Urls.urlDedup(Tables(s, dir))),
     "d14_fuzzy_join" -> ((s, dir) => Dedup.fuzzyJoin(Tables(s, dir))),
     "d15_shingle_novelty" -> ((s, dir) => Dedup.shingleNovelty(Tables(s, dir))),
@@ -849,6 +862,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "d10_substring_incremental" -> OracleReplicas.d10SubstringIncremental(),
     "d20_substring_rewrite" -> OracleReplicas.d20SubstringRewrite(),
+    "d21_rewrite_ingest" -> OracleReplicas.d21SubstringRewriteIngest(),
     // d18: d15's text-shingle replica split at the d16/d17 boundary —
     // the fresh half's shingles LEFT-join the corpus half's distinct
     // shingle set; novel = no corpus row (the absent-from-corpus rule)

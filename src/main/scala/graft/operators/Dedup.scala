@@ -154,12 +154,39 @@ object Dedup {
       maxBandBucket: Option[Long] = Some(QuadraticGuardDefault)): Unit = {
     val spark = docs.sparkSession
     val gen = Warehouse.claimGeneration(spark, name)
+    try {
+      writeSignatureGeneration(docs, name, gen, numHashes, bands, buckets, maxBandBucket)
+      Warehouse.publishGeneration(spark, name, gen)
+    } catch { case e: Throwable =>
+      // guarded cleanup (incl. a tripped guard): drop the partial tables
+      // and burn the claim only when the chain provably shows gen
+      // unpublished; the prior generation, if any, stays live untouched
+      Warehouse.cleanupFailedBuild(spark, name, gen, Seq("sigs", "bands"))
+      throw e
+    }
+  }
+
+  /** ONE definition of a signature-store generation's content — the
+    * sigs table (bucketed doc_id) and the band index derived from
+    * READING IT BACK (bucketed band_hash) — shared by the full build
+    * and the segment append so the hash→band chain cannot drift between
+    * them (the append ≡ one-shot contract rests on both writing exactly
+    * this). Corpus text is hashed exactly once: the sigs table streams
+    * to disk in the hash pass; nothing corpus-sized is ever held
+    * resident (an eager checkpoint here grew superlinearly past ~1M
+    * docs on a single host). The quadratic guard (ON by default) checks
+    * the compact band index after the single-pass write: a band bucket
+    * holding B docs makes every probe hitting it emit B candidate rows,
+    * so a corpus-hot bucket (near-constant documents, a broken
+    * tokenizer) refuses publication by throwing — the caller's guarded
+    * cleanup unpublishes.
+    */
+  private def writeSignatureGeneration(docs: DataFrame, name: String, gen: Long,
+      numHashes: Int, bands: Int, buckets: Int,
+      maxBandBucket: Option[Long]): Unit = {
+    val spark = docs.sparkSession
     val sigsT = Warehouse.storeTableName(name, gen, "sigs")
     val bandsT = Warehouse.storeTableName(name, gen, "bands")
-    // corpus text is hashed exactly once: the sigs table streams to disk
-    // in the hash pass, and the bands table derives from READING IT BACK
-    // — nothing corpus-sized is ever held resident (an eager checkpoint
-    // here grew superlinearly past ~1M docs on a single host)
     Warehouse.writeBucketed(
       spreadIfNarrow(docs.select(col("doc_id"), col("text")))
         .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
@@ -170,20 +197,11 @@ object Dedup {
     val banded = sigs.select(col("doc_id"), posexplode(sig_bands(col("sig"), bands)))
       .select(col("pos").as("band_idx"), col("col").as("band_hash"), col("doc_id"))
     Warehouse.writeBucketed(banded, bandsT, "band_hash", buckets)
-    // quadratic guard, ON by default: a band bucket holding B docs makes
-    // every ingest probe that hits it emit B candidate rows — a
-    // corpus-hot bucket (near-constant documents, a broken tokenizer)
-    // turns each probe quadratic. Checked by reading back the compact
-    // band index (3 longs/row) AFTER the single-pass build, so the text
-    // is not rescanned; a tripped guard refuses to publish the new
-    // generation (the prior one, if any, stays live and untouched).
     maxBandBucket.foreach { m =>
       val worst = Warehouse.table(spark, bandsT)
         .groupBy(col("band_idx"), col("band_hash")).agg(count(lit(1)).as("n"))
         .filter(col("n") > m).orderBy(col("n").desc).limit(1).collect()
       worst.headOption.foreach { r =>
-        Seq(sigsT, bandsT).foreach(Warehouse.drop(spark, _))
-        Warehouse.burnClaim(spark, name, gen)
         throw new IllegalStateException(
           s"signature store '$name' band bucket exceeds maxBandBucket=$m: " +
             s"band ${r.get(0)} hash ${r.get(1)} holds ${r.getAs[Long]("n")} docs — " +
@@ -191,37 +209,93 @@ object Dedup {
             "(fix the corpus or opt out with maxBandBucket = None)")
       }
     }
-    Warehouse.publishGeneration(spark, name, gen)
   }
 
-  /** Absorb an ingest batch into the persisted SIGNATURE store without
-    * re-hashing corpus text: the next generation's sigs table is the
-    * stored sigs UNIONED with the batch's freshly-hashed signatures
-    * (doc_id-deduped, so an at-least-once replay of the same batch is
-    * idempotent), and the band index derives from reading the new sigs
-    * table back. Band count and signature length come FROM THE STORE
-    * (a caller-repeated parameter drifting mid-stream would silently
-    * shift the probe threshold). Publication is the standard
-    * claim/publish with guarded failure cleanup — a crash mid-absorb
-    * publishes nothing and the prior generation stays live.
-    *
-    * Scale note: this rewrites O(corpus) SIGNATURE rows per call
-    * (compact longs, never text) — the per-micro-batch composition the
-    * d19 ingest stream uses at spec/store scale. A 100 TB deployment
-    * amortizes the rewrite per corpus GENERATION
-    * ([[buildSignatureStore]] on the grown corpus) rather than per
-    * micro-batch.
+  /** The signature-store layout constants, derived FROM THE STORE's
+    * base generation (signature length from the stored array, band
+    * count from the band index, bucket count from catalog metadata) —
+    * appenders and folds must match the base exactly or co-partitioned
+    * probing and the probe threshold silently break, so a
+    * caller-repeated parameter is never trusted and unreadable metadata
+    * fails loudly.
     */
-  def growSignatureStore(batch: DataFrame, name: String, buckets: Int = 32,
+  private def signatureLayoutOf(spark: SparkSession, name: String,
+      base: Long): (Int, Int, Int) = {
+    val sigsT = Warehouse.storeTableName(name, base, "sigs")
+    val bandsT = Warehouse.storeTableName(name, base, "bands")
+    val numHashes = Warehouse.table(spark, sigsT)
+      .select(size(col("sig")).as("n")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(throw new IllegalStateException(
+        s"signature store '$name' base generation $base has an empty sigs table — " +
+          "cannot derive the signature length; rebuild the base"))
+    val bands = Warehouse.table(spark, bandsT)
+      .agg((max(col("band_idx")) + 1).cast("int").as("b")).collect()
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      .getOrElse(throw new IllegalStateException(
+        s"signature store '$name' base generation $base has an empty band index — " +
+          "cannot derive the band count; rebuild the base"))
+    val buckets = Warehouse.bucketCount(spark, bandsT)
+      .getOrElse(throw new IllegalStateException(
+        s"signature store '$name' base generation $base has unreadable bucket " +
+          "metadata — refusing a segment whose layout could diverge from the " +
+          "base (co-partitioned probing would silently void); rebuild the base"))
+    (numHashes, bands, buckets)
+  }
+
+  /** Segment-append for the SIGNATURE store — the t23/s11 incremental
+    * model at the dedup layer: a batch of NEW documents lands as a
+    * SEGMENT generation (its own sigs + bands tables in the base's
+    * exact layout, every constant derived from the store), published
+    * through the shared [[Warehouse.appendSegmentWith]] protocol
+    * (committed-tag skip, atomic publish-or-refuse, guarded cleanup).
+    * Probes ([[minhashIncrementalAgainstStore]]) read base ∪ segments,
+    * each per-generation join still co-partitioned against its bucketed
+    * table. Work per ingest batch is O(batch) — the corpus is hashed
+    * once per rebuild, not once per batch ([[growSignatureStore]] is
+    * the corresponding COMPACTION: it folds base + segments + batch
+    * into the next full build, superseding the segments). Callers
+    * append NEW doc_ids only (the d7/d16 ingest contract).
+    */
+  def appendToSignatureStore(docs: DataFrame, name: String,
+      dedupeTag: Option[String] = None,
+      maxBandBucket: Option[Long] = Some(QuadraticGuardDefault)): Option[Long] = {
+    val spark = docs.sparkSession
+    Warehouse.appendSegmentWith[(Int, Int, Int)](
+      Warehouse.chainOf(spark, name), s"appendToSignatureStore('$name')",
+      dedupeTag, docs.isEmpty,
+      prepare = base => signatureLayoutOf(spark, name, base),
+      writeData = (gen, layout) => {
+        val (numHashes, bands, buckets) = layout
+        writeSignatureGeneration(docs, name, gen, numHashes, bands, buckets, maxBandBucket)
+      },
+      dropData = gen => Seq("sigs", "bands").foreach(sfx =>
+        scala.util.Try(Warehouse.drop(spark, Warehouse.storeTableName(name, gen, sfx))): Unit))
+  }
+
+  /** COMPACT the segmented signature store (optionally absorbing one
+    * more batch): fold base ∪ published segments ∪ `batch` into the
+    * next FULL generation without re-hashing corpus text — stored sigs
+    * union the batch's freshly-hashed signatures (doc_id-deduped, so an
+    * at-least-once replay is idempotent), and the band index derives
+    * from reading the new sigs table back. Every layout constant comes
+    * FROM THE STORE ([[signatureLayoutOf]]). Publishing the full build
+    * supersedes the folded segments ([[Warehouse.vacuumSegmentedStore]]
+    * reclaims them age-gated) — the maintenance step that bounds the
+    * per-probe segment count, exactly [[appendToSignatureStore]]'s
+    * Lucene-model complement. A crash mid-fold publishes nothing.
+    *
+    * Scale note: the fold rewrites O(corpus) SIGNATURE rows (compact
+    * longs, never text) — run it on the rebuild cadence; per-batch
+    * ingest uses [[appendToSignatureStore]]'s O(batch) segments.
+    */
+  def growSignatureStore(batch: DataFrame, name: String,
       maxBandBucket: Option[Long] = Some(QuadraticGuardDefault)): Unit = {
     val spark = batch.sparkSession
-    val oldGen = Warehouse.resolveGeneration(spark, name)
-    val oldSigs = Warehouse.table(spark, Warehouse.storeTableName(name, oldGen, "sigs"))
-    val oldBands = Warehouse.table(spark, Warehouse.storeTableName(name, oldGen, "bands"))
-    val numHashes = oldSigs.select(size(col("sig")).as("n")).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(64)
-    val bands = oldBands.agg((max(col("band_idx")) + 1).cast("int").as("b")).collect()
-      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).getOrElse(16)
+    val (base, segs) = Warehouse.resolveSegmented(spark, name)
+    val (numHashes, bands, buckets) = signatureLayoutOf(spark, name, base)
+    val oldSigs = (base +: segs)
+      .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "sigs")))
+      .reduce(_ unionAll _)
     val fresh = spreadIfNarrow(batch.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
       .filter(size(col("tokens")) > 1)
@@ -268,12 +342,13 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
       buckets: Int = 32): DataFrame = {
     val spark = newDocs.sparkSession
-    // resolve the store generation ONCE so both store-side reads (bands
-    // + sigs) pin to the same immutable snapshot even if a rebuild
-    // publishes mid-construction
-    val gen = Warehouse.resolveGeneration(spark, name)
-    val storeBands = Warehouse.table(spark, Warehouse.storeTableName(name, gen, "bands"))
-    val storeSigs = Warehouse.table(spark, Warehouse.storeTableName(name, gen, "sigs"))
+    // segment-aware resolve, ONCE, so every store-side read (each
+    // generation's bands + sigs) pins to the same immutable snapshot
+    // even if a rebuild or append publishes mid-construction
+    // ([[appendToSignatureStore]]; a no-append store reads exactly its
+    // base as before)
+    val (base, segs) = Warehouse.resolveSegmented(spark, name)
+    val gens = base +: segs
     val freshSigs = spreadIfNarrow(newDocs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
       .filter(size(col("tokens")) > 1)
@@ -284,15 +359,30 @@ object Dedup {
     val freshBands = freshSigs.select(col("new_id"), posexplode(sig_bands(col("sig_a"), bands)))
       .select(col("new_id"), col("pos").as("fband_idx"), col("col").as("fband_hash"))
       .repartition(buckets, col("fband_hash"))
-    val pairs = freshBands
-      .join(storeBands,
+    // per-GENERATION joins unioned, not a join against a unioned store:
+    // a union of bucketed tables loses its bucketing and would shuffle
+    // the whole corpus index on every ingest — joining each generation's
+    // table separately keeps every store-side read co-partitioned
+    // (segments share the base's exact layout by construction)
+    val pairs = gens.map { g =>
+      freshBands.join(
+        Warehouse.table(spark, Warehouse.storeTableName(name, g, "bands")),
         col("fband_idx") === col("band_idx") && col("fband_hash") === col("band_hash"))
-      .select(col("new_id"), col("doc_id").as("dup_of"))
-      .distinct()
-    pairs
-      .join(freshSigs, Seq("new_id"))
-      .join(storeSigs
-        .select(col("doc_id").as("dup_of"), col("sig").as("sig_b")), Seq("dup_of"))
+        .select(col("new_id"), col("doc_id").as("dup_of"))
+    }.reduce(_ unionAll _).distinct()
+    // the sig attach joins per generation too (doc_ids are disjoint
+    // across generations — the NEW-doc_ids append contract — so each
+    // pair's dup_of resolves in exactly one table); the fresh-side
+    // attach happens FIRST, preserving the single-generation plan
+    // byte-for-byte, and the shared subtree's exchanges are physically
+    // reused across branches (ReusedExchange), so the band work runs
+    // once regardless of segment count
+    val withFresh = pairs.join(freshSigs, Seq("new_id"))
+    gens.map { g =>
+      withFresh.join(
+        Warehouse.table(spark, Warehouse.storeTableName(name, g, "sigs"))
+          .select(col("doc_id").as("dup_of"), col("sig").as("sig_b")), Seq("dup_of"))
+    }.reduce(_ unionAll _)
       .withColumn("est_jaccard",
         sig_agreement(col("sig_a"), col("sig_b")).cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
@@ -348,9 +438,17 @@ object Dedup {
   def buildClusterStoreFromSignatureStore(spark: SparkSession, sigStore: String,
       name: String, threshold: Double = 0.5,
       buckets: Int = 32, maxIter: Int = 100): Unit = {
-    val sgen = Warehouse.resolveGeneration(spark, sigStore)
-    val storeBands = Warehouse.table(spark, Warehouse.storeTableName(sigStore, sgen, "bands"))
-    val storeSigs = Warehouse.table(spark, Warehouse.storeTableName(sigStore, sgen, "sigs"))
+    // segment-aware: the labeling derives from base ∪ published append
+    // segments (one union per table kind; this is a REBUILD-time pass,
+    // so the union's lost bucketing costs one shuffle here, never on
+    // the per-ingest probe path)
+    val (sbase, ssegs) = Warehouse.resolveSegmented(spark, sigStore)
+    val storeBands = (sbase +: ssegs)
+      .map(g => Warehouse.table(spark, Warehouse.storeTableName(sigStore, g, "bands")))
+      .reduce(_ unionAll _)
+    val storeSigs = (sbase +: ssegs)
+      .map(g => Warehouse.table(spark, Warehouse.storeTableName(sigStore, g, "sigs")))
+      .reduce(_ unionAll _)
     val a = storeBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = storeBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
     val pairs = a.join(b, Seq("band_idx", "band_hash"))
@@ -819,11 +917,41 @@ object Dedup {
       maxDf: Option[Long] = None): DataFrame = {
     val toks = tokenized(t)
     val spans = substringSpanCore(toks, k, minSpanTokens, maxDf)
-    val cuts = spans.select(col("doc_b").as("doc_id"),
+    spliceAroundCuts(toks, spans.select(col("doc_b").as("doc_id"),
       col("start_b").cast("long").as("s"),
-      (col("start_b") + col("span_tokens") - 1).cast("long").as("e"))
-    // merge overlapping cut intervals per doc (gaps-and-islands on the
-    // running max end) so the splice probes O(merged spans) per token
+      (col("start_b") + col("span_tokens") - 1).cast("long").as("e")))
+  }
+
+  /** d21 (d20 at d10/d17's ingest shape): the CLEANED INGEST BATCH —
+    * spans of NEW documents against the PERSISTED substring store
+    * ([[substringSpansAgainstStore]]'s one-sided probe) are cut from
+    * the NEW side (the corpus keeps its copies), token-boundary
+    * spliced. Within-batch duplication is untouched, exactly d10's
+    * one-sided contract — run [[substringRewrite]] over the batch
+    * first (or fold the batch into the next store generation) when
+    * batch-internal dedup is also wanted. This is the transform a
+    * continuous training-data pipeline runs on every arriving shard:
+    * work per ingest is O(batch × collisions) span detection plus one
+    * splice pass over the batch's own tokens — corpus text never read.
+    */
+  def substringRewriteAgainstStore(name: String, newDocs: DataFrame, k: Int = 8,
+      minSpanTokens: Int = 16, buckets: Int = 32): DataFrame = {
+    val toks = spreadIfNarrow(newDocs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
+    val spans = substringSpansAgainstStore(name, newDocs, k, minSpanTokens, buckets)
+    spliceAroundCuts(toks, spans.select(col("new_id").as("doc_id"),
+      col("start_new").cast("long").as("s"),
+      (col("start_new") + col("span_tokens") - 1).cast("long").as("e")))
+  }
+
+  /** The shared splice kernel of d20/d21: merge each document's cut
+    * intervals (gaps-and-islands on the running max end, so the splice
+    * probes O(merged spans) per token), then keep exactly the tokens no
+    * interval covers and re-join with single spaces. One
+    * higher-order-function pass per document's token array — the array
+    * never explodes and no text shuffles beyond the caller's scan.
+    */
+  private def spliceAroundCuts(toks: DataFrame, cuts: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     val prevMaxE = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
     val merged = cuts

@@ -536,31 +536,37 @@ object DocPipelines {
     *      labeling publishes as the cluster store's next FULL generation
     *      (claim/publish — a crash mid-batch publishes nothing, probes
     *      keep the prior generation);
-    *   3. [[graft.operators.Dedup.growSignatureStore]]: the batch's
-    *      signatures join the persisted signature store so the NEXT
-    *      batch's cross pairs can see this one.
+    *   3. [[graft.operators.Dedup.appendToSignatureStore]]: the batch's
+    *      signatures land as an O(batch) SEGMENT of the signature store
+    *      (the `streamId:batchId` dedupe tag, same lifecycle rules as
+    *      [[bm25IngestStream]]) so the NEXT batch's cross pairs can see
+    *      this one; [[graft.operators.Dedup.growSignatureStore]] is the
+    *      out-of-band compaction that folds accumulated segments back
+    *      into one full build.
     *
-    * Exactly-once WITHOUT tags: unlike the segment appenders (s11/t23,
-    * whose rows would double-count on replay), every step here is
-    * IDEMPOTENT-BY-CONVERGENCE — a replayed batch re-derives the same
-    * labeling (its docs already sit in the star edges; min-label is a
-    * fixed point), re-publishes identical content under a fresh
-    * generation, and the signature absorb doc_id-dedupes — so
-    * at-least-once replay after any crash point converges to the same
-    * stores, StreamingSpec-pinned. ZERO streaming state: the stores ARE
-    * the state, on disk.
+    * Exactly-once: the labeling steps (1-2) are IDEMPOTENT-BY-
+    * CONVERGENCE — a replayed batch re-derives the same labeling (its
+    * docs already sit in the star edges; a self-pair from probing its
+    * own committed segment is just a component self-loop) and
+    * re-publishes identical content — while the signature absorb (the
+    * one step whose rows WOULD double-count) carries the committed tag
+    * and skips on replay. At-least-once replay after any crash point
+    * therefore converges to the same stores, StreamingSpec-pinned.
+    * ZERO streaming state: the stores ARE the state, on disk.
     */
   def clusterMaintainStream(docs: DataFrame, clusterStore: String, sigStore: String,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5):
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      streamId: String = "cluster-maintain"):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val labels = graft.operators.Dedup.maintainClustersAgainstStore(
             clusterStore, sigStore, batch, numHashes, bands, threshold)
           graft.operators.Dedup.publishMaintainedClusters(labels, clusterStore)
-          graft.operators.Dedup.growSignatureStore(batch, sigStore)
+          graft.operators.Dedup.appendToSignatureStore(batch, sigStore,
+            dedupeTag = Some(s"$streamId:$batchId"))
         }
         ()
       }

@@ -344,6 +344,48 @@ class DedupSpec extends SparkSpecBase {
       s"rewritten corpus must contain zero >=$minSpan-token cross-doc spans, found ${again.length}")
   }
 
+  test("d21 ingest rewrite against the persisted span store equals the in-job one-sided splice; re-probing the cleaned batch finds nothing") {
+    import org.apache.spark.sql.functions.col
+    val split = 250L
+    graft.sources.Warehouse.dropStore(spark, "d21s_store", Seq("shingles"))
+    Dedup.buildSubstringStore(t.documents.filter(col("doc_id") < split), "d21s_store")
+    val got = Dedup.substringRewriteAgainstStore("d21s_store",
+      t.documents.filter(col("doc_id") >= split)).collect()
+    // ground truth: d10's (independently cross-split-verified) one-sided
+    // spans, cut driver-side from the batch docs
+    val spans = Dedup.substringSpansIncremental(t, split).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Int]("start_new"),
+        r.getAs[Long]("span_tokens")))
+    val cutsByDoc = spans.groupBy(_._1).map { case (d, ss) =>
+      d -> ss.flatMap { case (_, s, n) => s until (s + n.toInt) }.toSet
+    }
+    val docs = t.documents.filter(col("doc_id") >= split)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.toLowerCase.split("\\s+")).toMap
+    assert(got.length == docs.size, "every batch doc appears, corpus docs never do")
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = docs(id)
+      val cut = cutsByDoc.getOrElse(id, Set.empty[Int])
+      val kept = toks.zipWithIndex.collect { case (tok, i) if !cut.contains(i + 1) => tok }
+      assert(r.getAs[Int]("n_tokens") == toks.length, s"doc $id token count")
+      assert(r.getAs[Int]("removed_tokens") == cut.size, s"doc $id removed count")
+      assert(r.getAs[String]("text") == kept.mkString(" "), s"doc $id spliced text")
+    }
+    assert(cutsByDoc.values.map(_.size).sum > 0, "the corpus plants cross-split spans")
+
+    // the fixed point at the ingest boundary: the cleaned batch shares
+    // no remaining >=16-token span with the indexed corpus
+    val again = Dedup.substringSpansAgainstStore("d21s_store",
+      Dedup.substringRewriteAgainstStore("d21s_store",
+        t.documents.filter(col("doc_id") >= split))
+        .select(col("doc_id"), col("text"))).collect()
+    assert(again.isEmpty,
+      s"the cleaned batch must share nothing with the corpus, found ${again.length}")
+    graft.sources.Warehouse.dropStore(spark, "d21s_store", Seq("shingles"))
+  }
+
   test("propagation closes a 100-node path graph in O(log n) rounds, far from the maxIter backstop") {
     // adversarial shape for min-label propagation: a pure path
     // 0-1-2-...-99 (diameter 99). Plain propagation needs ~99 rounds;

@@ -1154,20 +1154,45 @@ class StreamingSpec extends SparkSpecBase {
       assert(fin.nonEmpty && fin.map(_._2).distinct == Seq(0L),
         "everything merged into one cluster")
 
+      // the stream ingested each batch as an O(batch) SEGMENT of the
+      // signature store (never an O(corpus) rewrite)
+      val (sb, ss) = Warehouse.resolveSegmented(spark, "d19st_sigs")
+      assert(ss.size == 2, s"each micro-batch lands as one segment, got $ss")
+      def sigCount(): Long = (sb +: Warehouse.resolveSegmented(spark, "d19st_sigs")._2)
+        .map(g => Warehouse.table(spark,
+          Warehouse.storeTableName("d19st_sigs", g, "sigs")).count()).sum
+      assert(sigCount() == 6, "base 4 docs + two 1-doc segments")
+
       // at-least-once convergence: re-running the whole absorb for an
       // already-processed batch (the crash-recovery replay shape) must
       // change NOTHING — maintenance is a fixed point, the publish is
-      // content-identical, the signature absorb doc_id-dedupes
+      // content-identical, and the signature segment's committed tag
+      // makes the replay SKIP instead of double-appending
       val replayed = Dedup.maintainClustersAgainstStore(
         "d19st_cl", "d19st_sigs", batch2.toDF("doc_id", "text"),
         bands = 32, threshold = 0.3)
       Dedup.publishMaintainedClusters(replayed, "d19st_cl")
-      Dedup.growSignatureStore(batch2.toDF("doc_id", "text"), "d19st_sigs")
+      assert(Dedup.appendToSignatureStore(batch2.toDF("doc_id", "text"), "d19st_sigs",
+        dedupeTag = Some("cluster-maintain:1")).isEmpty,
+        "a committed batch's signature segment must never re-append")
       assert(labels() == fin, "a replayed batch converges to the same labeling")
-      val sg = Warehouse.resolveGeneration(spark, "d19st_sigs")
+      assert(sigCount() == 6, "a replayed signature absorb never duplicates rows")
+
+      // COMPACTION: growSignatureStore folds base + segments into the
+      // next full build (re-absorbing batch2 — doc_id-deduped, so the
+      // fold is replay-safe too); probes and maintenance see the same
+      // corpus, segments become vacuum-reclaimable
+      Dedup.growSignatureStore(batch2.toDF("doc_id", "text"), "d19st_sigs")
+      val (cb, cs) = Warehouse.resolveSegmented(spark, "d19st_sigs")
+      assert(cs.isEmpty && cb > sb, "the fold publishes a full build that supersedes the segments")
       assert(Warehouse.table(spark,
-        Warehouse.storeTableName("d19st_sigs", sg, "sigs")).count() == 6,
-        "a replayed signature absorb never duplicates rows")
+        Warehouse.storeTableName("d19st_sigs", cb, "sigs")).count() == 6,
+        "the folded build holds every doc exactly once")
+      val afterFold = Dedup.maintainClustersAgainstStore(
+        "d19st_cl", "d19st_sigs", Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        bands = 32, threshold = 0.3)
+      assert(afterFold.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == fin,
+        "maintenance over the folded store reads the same corpus")
     } finally q.stop()
     Warehouse.dropStore(spark, "d19st_sigs", Seq("bands", "sigs"))
     Warehouse.dropStore(spark, "d19st_cl", Seq("labels"))

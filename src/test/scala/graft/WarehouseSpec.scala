@@ -77,6 +77,64 @@ class WarehouseSpec extends SparkSpecBase {
       s"the batch side aligns to the store's bucket layout:\n$physical")
   }
 
+  test("signature store SEGMENT append: probe ≡ one-shot rebuild, per-generation reads stay co-partitioned, committed tags skip replays") {
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Double]("est_jaccard"))).toSet
+
+    // base over the first 200 docs; docs 200-250 arrive as an append
+    // SEGMENT; the probe (docs >= 250) must see base ∪ segment exactly
+    // as a one-shot store over the first 250 would
+    Warehouse.dropStore(spark, "sigseg", Seq("bands", "sigs"))
+    Warehouse.dropStore(spark, "sigseg_ref", Seq("bands", "sigs"))
+    graft.operators.Dedup.buildSignatureStore(
+      t.documents.filter(col("doc_id") < 200), "sigseg")
+    val seg = graft.operators.Dedup.appendToSignatureStore(
+      t.documents.filter(col("doc_id") >= 200 && col("doc_id") < 250), "sigseg",
+      dedupeTag = Some("sigb:0"))
+    assert(seg.nonEmpty, "the segment publishes")
+    val (base, segs) = Warehouse.resolveSegmented(spark, "sigseg")
+    assert(segs == Seq(seg.get), s"the live read set is (base=$base, segments=$segs)")
+    graft.operators.Dedup.buildSignatureStore(
+      t.documents.filter(col("doc_id") < 250), "sigseg_ref")
+    val probe = graft.operators.Dedup.minhashIncrementalAgainstStore(
+      "sigseg", t.documents.filter(col("doc_id") >= 250))
+    assert(key(probe) == key(graft.operators.Dedup.minhashIncrementalAgainstStore(
+      "sigseg_ref", t.documents.filter(col("doc_id") >= 250))),
+      "base ∪ segment must probe exactly like a one-shot store over the union")
+    assert(key(probe).nonEmpty)
+
+    // the at-scale property survives segments: NO store-side band-key
+    // shuffle — each generation's bucketed table is read co-partitioned
+    // (a union-then-join would re-shuffle the whole index per ingest)
+    val physical = probe.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange hashpartitioning(band_hash"),
+      s"store bands must never shuffle, even segmented:\n$physical")
+
+    // committed tag skips the replay; the derived cluster build reads
+    // base ∪ segments (labels ≡ a build from the one-shot twin store)
+    assert(graft.operators.Dedup.appendToSignatureStore(
+      t.documents.filter(col("doc_id") >= 200 && col("doc_id") < 250), "sigseg",
+      dedupeTag = Some("sigb:0")).isEmpty,
+      "a committed segment batch must never re-append")
+    Warehouse.dropStore(spark, "sigseg_cl", Seq("labels"))
+    Warehouse.dropStore(spark, "sigseg_cl_ref", Seq("labels"))
+    graft.operators.Dedup.buildClusterStoreFromSignatureStore(spark, "sigseg", "sigseg_cl")
+    graft.operators.Dedup.buildClusterStoreFromSignatureStore(spark, "sigseg_ref", "sigseg_cl_ref")
+    def storeLabels(name: String) = {
+      val g = Warehouse.resolveGeneration(spark, name)
+      Warehouse.table(spark, Warehouse.storeTableName(name, g, "labels"))
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSet
+    }
+    assert(storeLabels("sigseg_cl") == storeLabels("sigseg_cl_ref") &&
+      storeLabels("sigseg_cl").nonEmpty,
+      "labels derived from the segmented store equal the one-shot twin's")
+    Seq("sigseg", "sigseg_ref").foreach(Warehouse.dropStore(spark, _, Seq("bands", "sigs")))
+    Seq("sigseg_cl", "sigseg_cl_ref").foreach(Warehouse.dropStore(spark, _, Seq("labels")))
+  }
+
   test("persisted BPE dict store: encode equals t14 bit-identically and never shuffles the dict") {
     import org.apache.spark.sql.functions.col
     val t = Tables(spark, sfDir)
