@@ -87,10 +87,32 @@ object AppendBench {
     val viaIvfAppend = Similarity.searchIvfIndexWith(q, ivfRoot)
     assert(viaIvfAppend.count() == 50, "segment-union probe must return 10 queries x top-5")
 
+    // ---- Signature store: segment append vs compaction fold vs rebuild -
+    // the r17 claim: per-batch ingest cost tracks the BATCH (segment
+    // append), the corpus-sized fold is a maintenance-cadence cost
+    // (growSignatureStore), and all three layouts probe identically
+    import graft.operators.Dedup
+    Seq("ab_sig_rebuild", "ab_sig_base", "ab_sig_base2")
+      .foreach(Warehouse.dropStore(spark, _, Seq("sigs", "bands")))
+    val (sigRebuildSec, _) = timed(Dedup.buildSignatureStore(docs, "ab_sig_rebuild"))
+    val (sigBaseSec, _) = timed(Dedup.buildSignatureStore(corpusDocs, "ab_sig_base"))
+    val (sigAppendSec, _) = timed(Dedup.appendToSignatureStore(batchDocs, "ab_sig_base"))
+    Dedup.buildSignatureStore(corpusDocs, "ab_sig_base2") // untimed twin base for the fold
+    val (sigGrowSec, _) = timed(Dedup.growSignatureStore(batchDocs, "ab_sig_base2"))
+    val probeSet = docs.filter(col("doc_id") < 1000)
+    def sigProbe(store: String): Seq[Seq[Any]] =
+      Dedup.minhashIncrementalAgainstStore(store, probeSet).collect().map(_.toSeq).toSeq
+    val viaSeg = sigProbe("ab_sig_base")
+    assert(viaSeg == sigProbe("ab_sig_base2") && viaSeg == sigProbe("ab_sig_rebuild") &&
+      viaSeg.nonEmpty,
+      "segmented, folded and one-shot signature stores must probe identically")
+
     println(s"""{"metric":"append_vs_rebuild","corpus_docs":$nCorpus,"batch_docs":$nBatch,""" +
       s""""bm25_base_build_sec":$baseBuildSec,"bm25_append_sec":$appendSec,""" +
       s""""bm25_rebuild_sec":$rebuildSec,"vecs":$nVec,"ivf_build_sec":$ivfBuildSec,""" +
-      s""""ivf_append_sec":$ivfAppendSec,"ivf_rebuild_sec":$ivfRebuildSec,"cpus":$cpus}""")
+      s""""ivf_append_sec":$ivfAppendSec,"ivf_rebuild_sec":$ivfRebuildSec,""" +
+      s""""sig_base_build_sec":$sigBaseSec,"sig_append_sec":$sigAppendSec,""" +
+      s""""sig_grow_sec":$sigGrowSec,"sig_rebuild_sec":$sigRebuildSec,"cpus":$cpus}""")
     spark.stop()
   }
 }

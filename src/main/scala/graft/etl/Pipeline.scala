@@ -449,9 +449,16 @@ final class MetadataStore(spark: SparkSession, root: String,
       .foreach(n => io.delete(s"$idDir/$n"))
   }
 
-  /** Newest mtime anywhere under `p` (the path's own when childless). */
+  /** Newest mtime anywhere under `p` (the path's own when childless).
+    * An UNREADABLE stat reads as infinitely YOUNG (Long.MaxValue), so
+    * the staging sweep keeps what it cannot stat — the same
+    * keep-on-unknown rule every deletion age gate follows; a transient
+    * failure (or a child vanishing under a live compaction) must never
+    * age a directory to zero and get it swept mid-write.
+    */
   private def newestMtime(p: Path): Long = {
-    val own = scala.util.Try(Files.getLastModifiedTime(p).toMillis).toOption.getOrElse(0L)
+    val own = scala.util.Try(Files.getLastModifiedTime(p).toMillis)
+      .toOption.getOrElse(Long.MaxValue)
     (own +: listFiles(p).map(newestMtime)).max
   }
 
