@@ -563,8 +563,35 @@ final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = Posix
     if (fs.exists(dd)) {
       fs.listStatus(dd).toSeq
         .filter(st => !live.contains(st.getPath.getName))
-        .filter(_.getModificationTime <= cutoff)
+        // the age gate runs on the NEWEST FILE under the candidate, not
+        // the directory status: S3A reports modification time 0 for
+        // directories, which would void the floor (0 <= cutoff always)
+        // on exactly the object-store deployments the Hadoop-FS sweep
+        // targets — a writer's just-written data dir, not yet named in
+        // any manifest, could be swept mid-commit. Files carry real
+        // mtimes on S3A; an unknown age (no files, stat failure, zero
+        // mtimes) means KEEP, the same keep-on-unknown rule every other
+        // deletion gate follows (leak-beats-loss; a kept orphan is
+        // re-examined next pass)
+        .filter(st => newestMtimeUnder(fs, st) match {
+          case Some(newest) => newest <= cutoff
+          case None => false
+        })
         .foreach(st => fs.delete(st.getPath, true))
     }
   }
+
+  /** The newest known modification instant under a data-dir candidate:
+    * the max of the directory's own status mtime and every file's mtime
+    * beneath it (recursive). None — unknown — when no positive mtime
+    * exists or the walk fails; callers must KEEP on None.
+    */
+  private def newestMtimeUnder(fs: org.apache.hadoop.fs.FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Option[Long] =
+    try {
+      var newest = st.getModificationTime
+      val it = fs.listFiles(st.getPath, true)
+      while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+      if (newest > 0L) Some(newest) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

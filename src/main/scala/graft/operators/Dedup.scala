@@ -242,6 +242,28 @@ object Dedup {
     (numHashes, bands, buckets)
   }
 
+  /** The bucket count a store table was actually built with, shared by
+    * every probe that must repartition its batch side to the store's
+    * layout: `given == 0` derives from catalog metadata (unreadable
+    * metadata fails loudly — a guessed layout silently voids
+    * co-partitioning); a nonzero `given` validates against the stored
+    * count so caller-vs-store drift fails loudly too.
+    */
+  private def storedBucketsOf(spark: SparkSession, name: String, gen: Long,
+      suffix: String, given: Int): Int = {
+    val stored = Warehouse.bucketCount(spark,
+      Warehouse.storeTableName(name, gen, suffix))
+      .getOrElse(throw new IllegalStateException(
+        s"store '$name' generation $gen has unreadable bucket metadata on " +
+          s"'$suffix' — refusing a probe whose partitioning could diverge " +
+          "from the store (co-partitioned probing would silently void); rebuild the store"))
+    require(given == 0 || given == stored,
+      s"probe buckets=$given differs from store '$name''s built layout " +
+        s"($stored) — the probe side would join mis-partitioned; pass 0 " +
+        "to derive the layout from the store")
+    stored
+  }
+
   /** Segment-append for the SIGNATURE store — the t23/s11 incremental
     * model at the dedup layer: a batch of NEW documents lands as a
     * SEGMENT generation (its own sigs + bands tables in the base's
@@ -287,48 +309,85 @@ object Dedup {
     * Scale note: the fold rewrites O(corpus) SIGNATURE rows (compact
     * longs, never text) — run it on the rebuild cadence; per-batch
     * ingest uses [[appendToSignatureStore]]'s O(batch) segments.
+    *
+    * FOLD-vs-APPEND race: the fold resolves (base, segments) up front
+    * and its window is corpus-sized, so a segment published DURING it
+    * (the documented compact-while-streaming usage) would be superseded
+    * without its rows — and its committed dedupe tag would make the
+    * replay skip: silent permanent loss. The publish therefore commits
+    * through [[Warehouse.publishGenerationExpecting]], which refuses
+    * atomically ([[graft.sources.StaleFoldException]]) when the live
+    * set changed; the fold drops its never-visible tables and re-folds
+    * against the fresh set, absorbing the new segments (bounded
+    * retries, mirroring [[Warehouse.appendSegmentWith]]'s).
     */
   def growSignatureStore(batch: DataFrame, name: String,
-      maxBandBucket: Option[Long] = Some(QuadraticGuardDefault)): Unit = {
+      maxBandBucket: Option[Long] = Some(QuadraticGuardDefault)): Unit =
+    growSignatureStoreHooked(batch, name, maxBandBucket)
+
+  /** [[growSignatureStore]] with a test seam: `beforePublish` runs after
+    * the folded tables are written, immediately before the conditional
+    * publish — specs inject a racing segment append there to exercise
+    * the stale-fold refusal deterministically.
+    */
+  private[graft] def growSignatureStoreHooked(batch: DataFrame, name: String,
+      maxBandBucket: Option[Long] = Some(QuadraticGuardDefault),
+      beforePublish: () => Unit = () => ()): Unit = {
     val spark = batch.sparkSession
-    val (base, segs) = Warehouse.resolveSegmented(spark, name)
-    val (numHashes, bands, buckets) = signatureLayoutOf(spark, name, base)
-    val oldSigs = (base +: segs)
-      .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "sigs")))
-      .reduce(_ unionAll _)
-    val fresh = spreadIfNarrow(batch.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
-      .filter(size(col("tokens")) > 1)
-      .select(col("doc_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig"))
-    val gen = Warehouse.claimGeneration(spark, name)
-    val sigsT = Warehouse.storeTableName(name, gen, "sigs")
-    val bandsT = Warehouse.storeTableName(name, gen, "bands")
-    try {
-      Warehouse.writeBucketed(
-        oldSigs.unionByName(fresh).dropDuplicates("doc_id"), sigsT, "doc_id", buckets)
-      val sigs = Warehouse.table(spark, sigsT)
-      Warehouse.writeBucketed(
-        sigs.select(col("doc_id"), posexplode(sig_bands(col("sig"), bands)))
-          .select(col("pos").as("band_idx"), col("col").as("band_hash"), col("doc_id")),
-        bandsT, "band_hash", buckets)
-      // the same quadratic guard as the full build — a batch can mint a
-      // corpus-hot bucket too; the guarded catch below unpublishes
-      maxBandBucket.foreach { m =>
-        val worst = Warehouse.table(spark, bandsT)
-          .groupBy(col("band_idx"), col("band_hash")).agg(count(lit(1)).as("n"))
-          .filter(col("n") > m).orderBy(col("n").desc).limit(1).collect()
-        worst.headOption.foreach { r =>
-          throw new IllegalStateException(
-            s"signature store '$name' band bucket exceeds maxBandBucket=$m after absorb: " +
-              s"band ${r.get(0)} hash ${r.get(1)} holds ${r.getAs[Long]("n")} docs — " +
-              "store generation not published (fix the corpus or opt out with maxBandBucket = None)")
+    var attempt = 0
+    while (attempt < 5) {
+      val (base, segs) = Warehouse.resolveSegmented(spark, name)
+      val (numHashes, bands, buckets) = signatureLayoutOf(spark, name, base)
+      val oldSigs = (base +: segs)
+        .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "sigs")))
+        .reduce(_ unionAll _)
+      val fresh = spreadIfNarrow(batch.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
+        .filter(size(col("tokens")) > 1)
+        .select(col("doc_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig"))
+      val gen = Warehouse.claimGeneration(spark, name)
+      val sigsT = Warehouse.storeTableName(name, gen, "sigs")
+      val bandsT = Warehouse.storeTableName(name, gen, "bands")
+      try {
+        Warehouse.writeBucketed(
+          oldSigs.unionByName(fresh).dropDuplicates("doc_id"), sigsT, "doc_id", buckets)
+        val sigs = Warehouse.table(spark, sigsT)
+        Warehouse.writeBucketed(
+          sigs.select(col("doc_id"), posexplode(sig_bands(col("sig"), bands)))
+            .select(col("pos").as("band_idx"), col("col").as("band_hash"), col("doc_id")),
+          bandsT, "band_hash", buckets)
+        // the same quadratic guard as the full build — a batch can mint a
+        // corpus-hot bucket too; the guarded catch below unpublishes
+        maxBandBucket.foreach { m =>
+          val worst = Warehouse.table(spark, bandsT)
+            .groupBy(col("band_idx"), col("band_hash")).agg(count(lit(1)).as("n"))
+            .filter(col("n") > m).orderBy(col("n").desc).limit(1).collect()
+          worst.headOption.foreach { r =>
+            throw new IllegalStateException(
+              s"signature store '$name' band bucket exceeds maxBandBucket=$m after absorb: " +
+                s"band ${r.get(0)} hash ${r.get(1)} holds ${r.getAs[Long]("n")} docs — " +
+                "store generation not published (fix the corpus or opt out with maxBandBucket = None)")
+          }
         }
+        beforePublish()
+        // conditional on the folded live set still being current: an
+        // append that landed mid-fold refuses this publish (nothing
+        // committed, nothing visible) and the loop re-folds with the
+        // new segment in the union
+        Warehouse.publishGenerationExpecting(spark, name, gen, base, segs)
+        return
+      } catch {
+        case _: graft.sources.StaleFoldException =>
+          Warehouse.cleanupFailedBuild(spark, name, gen, Seq("sigs", "bands"))
+          attempt += 1
+        case e: Throwable =>
+          Warehouse.cleanupFailedBuild(spark, name, gen, Seq("sigs", "bands"))
+          throw e
       }
-      Warehouse.publishGeneration(spark, name, gen)
-    } catch { case e: Throwable =>
-      Warehouse.cleanupFailedBuild(spark, name, gen, Seq("sigs", "bands"))
-      throw e
     }
+    throw new IllegalStateException(
+      s"growSignatureStore('$name') lost to 5 consecutive concurrent " +
+        "appends/rebuilds — aborting (the batch is safe to replay)")
   }
 
   /** d7 against the persisted store: the new batch's band keys
@@ -337,10 +396,18 @@ object Dedup {
     * shuffles, and history×history pairs never form. Work per ingest is
     * O(batch × collisions) plus a store read; the batch's own text is
     * hashed exactly once.
+    *
+    * LAYOUT: the probe's numHashes/bands/buckets derive FROM THE STORE
+    * ([[signatureLayoutOf]] — pass 0, the default) exactly like the
+    * append and fold paths: a probe hashed with parameters that differ
+    * from the store's build silently misses duplicates (band/bucket
+    * mismatch, sig_agreement over different-length arrays). A nonzero
+    * caller value is VALIDATED against the derived layout and a drift
+    * fails loudly instead.
     */
   def minhashIncrementalAgainstStore(name: String, newDocs: DataFrame,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      buckets: Int = 32): DataFrame = {
+      numHashes: Int = 0, bands: Int = 0, threshold: Double = 0.5,
+      buckets: Int = 0): DataFrame = {
     val spark = newDocs.sparkSession
     // segment-aware resolve, ONCE, so every store-side read (each
     // generation's bands + sigs) pins to the same immutable snapshot
@@ -348,17 +415,26 @@ object Dedup {
     // ([[appendToSignatureStore]]; a no-append store reads exactly its
     // base as before)
     val (base, segs) = Warehouse.resolveSegmented(spark, name)
+    val (storeHashes, storeBands, storeBuckets) = signatureLayoutOf(spark, name, base)
+    Seq(("numHashes", numHashes, storeHashes), ("bands", bands, storeBands),
+      ("buckets", buckets, storeBuckets)).foreach { case (what, given, stored) =>
+      require(given == 0 || given == stored,
+        s"probe $what=$given differs from signature store '$name''s built " +
+          s"layout ($stored) — the probe would silently miss duplicates; " +
+          "pass 0 to derive the layout from the store")
+    }
+    val (nh, bnds, bkts) = (storeHashes, storeBands, storeBuckets)
     val gens = base +: segs
     val freshSigs = spreadIfNarrow(newDocs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
       .filter(size(col("tokens")) > 1)
-      .select(col("doc_id").as("new_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig_a"))
+      .select(col("doc_id").as("new_id"), shingle_minhash(col("tokens"), 2, nh, 42L).as("sig_a"))
       .localCheckpoint(true) // feeds banding + the verify attach
     // fresh band keys carry distinct names so the plan (and its spec)
     // can tell the batch-side exchange from a store-side one
-    val freshBands = freshSigs.select(col("new_id"), posexplode(sig_bands(col("sig_a"), bands)))
+    val freshBands = freshSigs.select(col("new_id"), posexplode(sig_bands(col("sig_a"), bnds)))
       .select(col("new_id"), col("pos").as("fband_idx"), col("col").as("fband_hash"))
-      .repartition(buckets, col("fband_hash"))
+      .repartition(bkts, col("fband_hash"))
     // per-GENERATION joins unioned, not a join against a unioned store:
     // a union of bucketed tables loses its bucketing and would shuffle
     // the whole corpus index on every ingest — joining each generation's
@@ -384,7 +460,7 @@ object Dedup {
           .select(col("doc_id").as("dup_of"), col("sig").as("sig_b")), Seq("dup_of"))
     }.reduce(_ unionAll _)
       .withColumn("est_jaccard",
-        sig_agreement(col("sig_a"), col("sig_b")).cast("double") / numHashes)
+        sig_agreement(col("sig_a"), col("sig_b")).cast("double") / nh)
       .filter(col("est_jaccard") >= threshold)
       .select(col("new_id"), col("dup_of"), round(col("est_jaccard"), 4).as("est_jaccard"))
       .orderBy(col("new_id"), col("dup_of"))
@@ -806,15 +882,20 @@ object Dedup {
     * work per ingest is O(batch shingles) plus a pruned store read.
     */
   def noveltyAgainstStore(name: String, newDocs: DataFrame, k: Int = 3,
-      buckets: Int = 32): DataFrame = {
+      buckets: Int = 0): DataFrame = {
     val spark = newDocs.sparkSession
+    // bucket layout derives FROM THE STORE (0 = derive): a probe
+    // repartitioned to a different count joins mis-partitioned and the
+    // co-location silently voids; a nonzero caller value validates
+    val gen = Warehouse.resolveGeneration(spark, name)
+    val bkts = storedBucketsOf(spark, name, gen, "shdf", buckets)
     val fresh = spreadIfNarrow(newDocs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
       .filter(size(col("tokens")) >= k)
       .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("tokens"), k))).as("fh"))
-      .repartition(buckets, col("fh"))
+      .repartition(bkts, col("fh"))
     val existing = Warehouse.table(spark,
-      Warehouse.storeTableName(name, Warehouse.resolveGeneration(spark, name), "shdf"))
+      Warehouse.storeTableName(name, gen, "shdf"))
       .select(col("h"), col("df"))
     val perDoc = fresh.join(existing, col("fh") === col("h"), "left")
       .groupBy(col("doc_id"))
@@ -935,7 +1016,7 @@ object Dedup {
     * splice pass over the batch's own tokens — corpus text never read.
     */
   def substringRewriteAgainstStore(name: String, newDocs: DataFrame, k: Int = 8,
-      minSpanTokens: Int = 16, buckets: Int = 32): DataFrame = {
+      minSpanTokens: Int = 16, buckets: Int = 0): DataFrame = {
     val toks = spreadIfNarrow(newDocs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
     val spans = substringSpansAgainstStore(name, newDocs, k, minSpanTokens, buckets)
@@ -951,7 +1032,30 @@ object Dedup {
     * higher-order-function pass per document's token array — the array
     * never explodes and no text shuffles beyond the caller's scan.
     */
-  private def spliceAroundCuts(toks: DataFrame, cuts: DataFrame): DataFrame = {
+  private def spliceAroundCuts(toks: DataFrame, cuts: DataFrame): DataFrame =
+    spliceKeptTokens(toks, cuts)
+      .select(col("doc_id"),
+        size(col("tokens")).as("n_tokens"),
+        (size(col("tokens")) - size(col("kept"))).as("removed_tokens"),
+        array_join(transform(col("kept"), x => x.getField("tok")), " ").as("text"))
+      .orderBy(col("doc_id"))
+
+  /** [[spliceAroundCuts]] keeping the spliced TOKEN ARRAY — (doc_id,
+    * tokens, kept) — so a composition (dc9's rewrite stage) can derive
+    * its downstream signals (decon shingles, mixture token counts) from
+    * the kept tokens map-side without a round-trip through joined text.
+    *
+    * The merged cut table BROADCASTS into the splice join: cuts are
+    * span-count-sized — per ingest shard at the production scale
+    * (d21/[[substringRewriteAgainstStore]], where the batch bounds
+    * them) and duplication-bounded for the in-job/backfill d20 — while
+    * the token side is corpus-sized, so broadcasting the cuts keeps
+    * token arrays out of EVERY exchange (the curation pipelines'
+    * text-never-shuffles discipline; a cut set too large to broadcast
+    * means the corpus should be running the store-backed shard form
+    * anyway, exactly d9's 100 TB note).
+    */
+  private[operators] def spliceKeptTokens(toks: DataFrame, cuts: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     val prevMaxE = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
     val merged = cuts
@@ -961,7 +1065,7 @@ object Dedup {
       .agg(min(col("s")).as("s"), max(col("e")).as("e"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"))
-    toks.join(merged, Seq("doc_id"), "left")
+    toks.join(broadcast(merged), Seq("doc_id"), "left")
       .withColumn("cuts",
         coalesce(col("cuts"), array().cast("array<struct<s:bigint,e:bigint>>")))
       .withColumn("kept", filter(
@@ -969,11 +1073,29 @@ object Dedup {
           (tok, pos) => struct(tok.as("tok"), pos.as("pos"))),
         x => !exists(col("cuts"), c =>
           x.getField("pos") >= c.getField("s") && x.getField("pos") <= c.getField("e"))))
+  }
+
+  /** d20's engine over an arbitrary (doc_id, text) frame, emitting the
+    * kept TOKEN ARRAY per doc — (doc_id, n_tokens, removed_tokens,
+    * kept: array<string>) — the form [[graft.operators.Curation]]'s
+    * composed pipeline consumes (its decon shingles and mixture counts
+    * derive from the kept tokens map-side). Same span engine and splice
+    * kernel as [[substringRewrite]]/[[substringRewriteAgainstStore]],
+    * shared so the composition cannot drift from the gate-verified
+    * operators.
+    */
+  private[operators] def substringRewriteKept(docs: DataFrame, k: Int = 8,
+      minSpanTokens: Int = 16, maxDf: Option[Long] = None): DataFrame = {
+    val toks = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
+    val spans = substringSpanCore(toks, k, minSpanTokens, maxDf)
+    spliceKeptTokens(toks, spans.select(col("doc_b").as("doc_id"),
+      col("start_b").cast("long").as("s"),
+      (col("start_b") + col("span_tokens") - 1).cast("long").as("e")))
       .select(col("doc_id"),
         size(col("tokens")).as("n_tokens"),
         (size(col("tokens")) - size(col("kept"))).as("removed_tokens"),
-        array_join(transform(col("kept"), x => x.getField("tok")), " ").as("text"))
-      .orderBy(col("doc_id"))
+        transform(col("kept"), x => x.getField("tok")).as("kept"))
   }
 
   /** d10: INCREMENTAL substring dedup — d9's spans for a NEW batch
@@ -1066,8 +1188,14 @@ object Dedup {
     * O(batch × collisions) plus a store read.
     */
   def substringSpansAgainstStore(name: String, newDocs: DataFrame, k: Int = 8,
-      minSpanTokens: Int = 16, buckets: Int = 32): DataFrame = {
+      minSpanTokens: Int = 16, buckets: Int = 0): DataFrame = {
     val spark = newDocs.sparkSession
+    // bucket layout derives FROM THE STORE (0 = derive; nonzero
+    // validates); k is a BUILD parameter the occurrence hashes bake in —
+    // it must match the store's build or probe hashes never collide
+    // (documented contract; the layout constants that CAN derive, do)
+    val gen = Warehouse.resolveGeneration(spark, name)
+    val bkts = storedBucketsOf(spark, name, gen, "shingles", buckets)
     // batch-side columns carry distinct names so the plan (and spec) can
     // tell the batch exchange from a store-side one
     val fresh = spreadIfNarrow(newDocs.select(col("doc_id"), col("text")))
@@ -1075,9 +1203,9 @@ object Dedup {
       .filter(size(col("tokens")) >= k)
       .select(col("doc_id"), posexplode(shingle_hashes(col("tokens"), k)))
       .select(col("col").as("fh"), col("doc_id").as("new_id"), (col("pos") + 1).as("pos_new"))
-      .repartition(buckets, col("fh"))
+      .repartition(bkts, col("fh"))
     val existing = Warehouse.table(spark,
-      Warehouse.storeTableName(name, Warehouse.resolveGeneration(spark, name), "shingles"))
+      Warehouse.storeTableName(name, gen, "shingles"))
       .select(col("h"), col("doc_id").as("dup_of"), col("pos").as("pos_old"))
     val w = Window.partitionBy(col("new_id"), col("dup_of"), col("diag")).orderBy(col("pos_new"))
     fresh.join(existing, col("fh") === col("h"))

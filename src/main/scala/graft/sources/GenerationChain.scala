@@ -15,6 +15,25 @@ final case class SupersededBaseException(base: Long, live: Option[Long])
     s"segment publish refused: base generation $base was superseded " +
       s"(live base is now ${live.fold("<none>")(_.toString)}) — re-append against the winner")
 
+/** Fold-publish refusal: the live read set a COMPACTION resolved and
+  * folded (base + segments) changed before its full-build publish
+  * committed — a segment published during the fold window holds rows
+  * the fold never saw, and publishing over it would supersede the
+  * segment WITHOUT its rows (its atomically-committed dedupe tag then
+  * makes the at-least-once replay skip: silent permanent loss). Like
+  * [[SupersededBaseException]] this is an ATOMIC refusal — nothing was
+  * published — so the folder drops its never-visible tables, burns its
+  * claim, and re-folds against the fresh live set (absorbing the new
+  * segments).
+  */
+final case class StaleFoldException(expectedBase: Long, expectedSegments: Seq[Long],
+    liveBase: Option[Long], liveSegments: Seq[Long])
+  extends RuntimeException(
+    s"fold publish refused: folded live set (base $expectedBase, segments " +
+      s"${expectedSegments.mkString("[", ",", "]")}) is no longer current " +
+      s"(live: base ${liveBase.fold("<none>")(_.toString)}, segments " +
+      s"${liveSegments.mkString("[", ",", "]")}) — re-fold against the fresh set")
+
 object GenerationChain {
   sealed abstract class Status(val wire: String)
   /** Claimed, unpublished — an in-flight (or crashed) build owns it. */
@@ -85,6 +104,17 @@ object GenerationChain {
     * is guaranteed fully parseable. States written before the record
     * existed carry no `v` line and parse as format 1 (their record set
     * is exactly format 1's).
+    *
+    * ROLLING-DEPLOYMENT NOTE: the `v` record itself was a new line type
+    * when it shipped — a pre-version-record reader sees a newly-written
+    * chain's `v 1` line as "corrupt generation-chain line", not an
+    * upgrade message (nothing can be done retroactively; the record
+    * exists so this is the LAST time that failure mode is possible).
+    * Deployments mixing library versions must therefore upgrade ALL
+    * readers before any post-record writer commits; the same rule
+    * applies to any future format bump — readers first, writers after,
+    * since a format-N writer makes the store unreadable (loudly, with
+    * the upgrade message) to every format-<N reader.
     */
   val FormatVersion: Long = 1L
 
@@ -130,7 +160,9 @@ object GenerationChain {
 }
 
 /** The generation/segment/tag protocol as ONE versioned state chain,
-  * committed through the [[StoreIO]] create-new-or-fail primitive —
+  * committed through the [[StoreIO]] create-new-or-fail primitive
+  * (impl selection per scheme/deployment: the WHICH IMPL table in
+  * [[StoreIO]]'s header) —
   * [[graft.etl.SnapshotTable]]'s manifest-chain machinery applied to
   * the warehouse store lifecycle. Each chain version `v{N}` holds the
   * complete store state (generation entries + committed appender tags);
@@ -253,11 +285,37 @@ final class GenerationChain(dir: String, io: StoreIO,
     }
   }
 
-  private def publishFullCommit(gen: Long): Unit = {
+  /** [[publishFull]] CONDITIONED on the live read set: refuses with
+    * [[StaleFoldException]] — publishing nothing — unless the live
+    * (base, segments) group still equals the set the caller resolved
+    * and folded. The compaction contract's other half: an append's
+    * [[publishSegment]] refuses when a rebuild won; this refuses when
+    * an APPEND won during the fold window, so a segment can never be
+    * superseded without its rows having been folded in. The liveness
+    * check and the publish are one atomic commit, exactly the
+    * segment-publish discipline.
+    */
+  def publishFullExpecting(gen: Long, expectedBase: Long,
+      expectedSegments: Seq[Long]): Unit = {
+    try publishFullCommit(gen, Some((expectedBase, expectedSegments.sorted)))
+    catch {
+      case e: StaleFoldException => throw e // atomic refusal, nothing committed
+      case e: IllegalStateException => throw e // pre-commit refusal
+      case e: IllegalArgumentException => throw e
+      case e: Throwable => verifyAmbiguousPublish(gen, e)
+    }
+  }
+
+  private def publishFullCommit(gen: Long,
+      expecting: Option[(Long, Seq[Long])] = None): Unit = {
     commit { s =>
       val e = s.entry(gen).getOrElse(throw new IllegalStateException(
         s"generation $gen is not claimed in $dir"))
       require(e.status == Claimed, s"generation $gen is ${e.status.wire}, not claimable-to-publish")
+      expecting.foreach { case (eb, esegs) =>
+        if (!s.liveBase.contains(eb) || s.liveSegments != esegs)
+          throw StaleFoldException(eb, esegs, s.liveBase, s.liveSegments)
+      }
       val now = clock()
       val published = s.entries.map(en =>
         if (en.gen == gen) en.copy(status = Published, publishedAt = now) else en)

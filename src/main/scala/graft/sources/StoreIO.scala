@@ -27,6 +27,23 @@ import scala.jdk.CollectionConverters._
   * fault-injecting conformance twin); S3-native conditional PUT is a
   * fourth an SDK-backed deployment writes against this trait.
   *
+  * WHICH IMPL PER DEPLOYMENT (the selection a `forScheme` chooser
+  * would encode; today the caller picks at construction):
+  *   - local disk / NFS with writers in MULTIPLE OS processes →
+  *     [[PosixStoreIO]]: `link(2)` is the only primitive here that is
+  *     atomic across processes (spec-raced cross-JVM in StoreIOSpec);
+  *   - `hdfs://` (and rename-contract-equivalent stores: ABFS, GCS
+  *     connector with rename) → [[HadoopFsStoreIO]]: the server-side
+  *     rename-without-overwrite carries the race; note its RAW-LOCAL
+  *     (`file://`) envelope is IN-PROCESS ONLY by design — the
+  *     FileContext local rename is check-then-act cross-process, so
+  *     multi-process `file://` writers belong on PosixStoreIO;
+  *   - tests / fault injection → [[InMemoryStoreIO]];
+  *   - `s3a://` → the documented fourth impl (SDK conditional PUT,
+  *     `If-None-Match: *`): s3a rename does NOT provide
+  *     create-new-or-fail, so HadoopFsStoreIO must not front raw S3
+  *     (the data plane on s3a is fine — it never needs the primitive).
+  *
   * Contract (every impl, spec-enforced by the shared conformance sweep):
   *   - [[putIfAbsent]] is ATOMIC for name AND content: of N racing
   *     writers to one path exactly one wins, and no reader ever

@@ -98,6 +98,17 @@ object Warehouse {
   def publishGeneration(spark: SparkSession, store: String, gen: Long): Unit =
     chainOf(spark, store).publishFull(gen)
 
+  /** [[publishGeneration]] conditioned on the live read set a COMPACTION
+    * resolved and folded: refuses with [[StaleFoldException]] when a
+    * segment (or rebuild) published during the fold window — publishing
+    * over it would supersede rows the fold never saw while their
+    * committed dedupe tags make replays skip (silent permanent loss).
+    * The folder drops its never-visible tables and re-folds.
+    */
+  def publishGenerationExpecting(spark: SparkSession, store: String, gen: Long,
+      expectedBase: Long, expectedSegments: Seq[Long]): Unit =
+    chainOf(spark, store).publishFullExpecting(gen, expectedBase, expectedSegments)
+
   /** Publish a claimed generation as an APPEND SEGMENT of `base`,
     * committing the appender's idempotence `tag` atomically with it.
     * Throws [[SupersededBaseException]] — publishing nothing — when a
@@ -420,17 +431,50 @@ object Warehouse {
     * leaking forever behind a catalog-only drop.
     */
   def drop(spark: SparkSession, name: String): Unit = {
-    val catalogLoc: Option[String] =
-      if (spark.catalog.tableExists(name))
+    val existed = spark.catalog.tableExists(name)
+    // Location AND Type from the catalog while the table still exists —
+    // the data delete below is restricted to tables the warehouse OWNS
+    val described: Option[Map[String, String]] =
+      if (existed)
         scala.util.Try(
-          spark.sql(s"DESCRIBE EXTENDED $name")
-            .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
-            .collect()(0).getString(1)).toOption
+          spark.sql(s"DESCRIBE EXTENDED $name").collect()
+            .map(r => r.getString(0) -> Option(r.getString(1)).getOrElse(""))
+            .toMap).toOption
       else None
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    val loc = catalogLoc.getOrElse(
-      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/" +
-        name.toLowerCase(java.util.Locale.ROOT))
-    HadoopFs.deleteRecursive(loc): Unit
+    val warehouseRoot = spark.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/").stripPrefix("file:")
+    def underWarehouse(p: String): Boolean = {
+      val n = p.stripPrefix("file:")
+      n == warehouseRoot || n.startsWith(warehouseRoot + "/")
+    }
+    val fallback = warehouseRoot + "/" + name.toLowerCase(java.util.Locale.ROOT)
+    // The delete rules, ownership-scoped (an EXTERNAL table registered
+    // at a shared remote path must survive its catalog drop — the
+    // catalog never owned that data):
+    //   - a resolved MANAGED location, or any location under OUR
+    //     warehouse root, is warehouse-owned → recursive delete through
+    //     the Hadoop FS layer (same connector that wrote it);
+    //   - a resolved EXTERNAL/unknown-type location elsewhere →
+    //     catalog-only drop, data untouched;
+    //   - an existing table whose DESCRIBE failed → location AND
+    //     ownership unknown → catalog-only drop (keep-on-unknown);
+    //   - a table the catalog has already forgotten (orphaned dir from
+    //     a prior JVM) → the managed-convention path under our root is
+    //     the only candidate, and it is ours by construction.
+    described match {
+      case Some(d) =>
+        val loc = d.get("Location").map(_.trim).filter(_.nonEmpty)
+        val managed = d.get("Type").exists(_.trim.equalsIgnoreCase("MANAGED"))
+        loc match {
+          case Some(l) if managed || underWarehouse(l) =>
+            HadoopFs.deleteRecursive(l): Unit
+          case Some(_) => () // external data at a foreign location: keep
+          case None =>
+            if (managed) HadoopFs.deleteRecursive(fallback): Unit
+        }
+      case None if existed => () // DESCRIBE failed: ownership unknown, keep
+      case None => HadoopFs.deleteRecursive(fallback): Unit
+    }
   }
 }

@@ -286,6 +286,38 @@ class SnapshotTableSpec extends SparkSpecBase {
     intercept[Exception] { t.read(Some(0L)).collect() } // vacuumed away
   }
 
+  test("vacuum's data-plane age gate runs on the newest FILE mtime, not the directory stat") {
+    val t = fresh()
+    t.append(Seq((1L, "a")).toDF("id", "v")) // v0
+    t.overwrite(Seq((2L, "b")).toDF("id", "v")) // v1 — v0's dir unreferenced
+    val dataRoot = new java.io.File(t.rootPath + "/data")
+    def dirs() = dataRoot.listFiles().filter(_.isDirectory)
+    val live = t.snapshot().get.dirs.toSet
+    val unref = dirs().filter(d => !live.contains(d.getName))
+    assert(unref.length == 1)
+    // Backdate ONLY the directory inode, keep its files fresh — the
+    // S3A shape inverted (there the DIR reports 0 while files carry
+    // real mtimes): a gate on the directory stat would sweep this dir
+    // out from under its fresh files; the newest-FILE gate must keep it
+    val old = System.currentTimeMillis() - 48L * 3600_000L
+    unref.head.setLastModified(old)
+    // keepVersions=1 drops v0's manifest → the dir is a true sweep
+    // candidate (unreferenced by every KEPT manifest), gated on age only
+    t.vacuum(keepVersions = 1, minAgeMs = 3600_000L)
+    assert(dirs().exists(_.getName == unref.head.getName),
+      "a dir with fresh files survives, whatever the directory inode says")
+    // backdate everything beneath it too → genuinely old, swept
+    def walk(f: java.io.File): Unit = {
+      f.setLastModified(old)
+      if (f.isDirectory) f.listFiles().foreach(walk)
+    }
+    walk(unref.head)
+    t.vacuum(keepVersions = 1, minAgeMs = 3600_000L)
+    assert(!dirs().exists(_.getName == unref.head.getName),
+      "an aged-out unreferenced dir is reclaimed")
+    assert(t.read().collect().map(_.getLong(0)).toSeq == Seq(2L), "live data intact")
+  }
+
   test("overwriteWith composes racing read-modify-writes (no lost update)") {
     val t = fresh()
     t.overwrite(Seq((0L, "base")).toDF("id", "v"))

@@ -135,6 +135,120 @@ class WarehouseSpec extends SparkSpecBase {
     Seq("sigseg_cl", "sigseg_cl_ref").foreach(Warehouse.dropStore(spark, _, Seq("labels")))
   }
 
+  test("drop deletes managed data but never an external table's foreign location") {
+    import spark.implicits._
+    // EXTERNAL table at a location outside the warehouse root: drop
+    // must forget the catalog entry and leave the data untouched (the
+    // catalog never owned it — a shared remote path would be destroyed)
+    val extDir = java.nio.file.Files.createTempDirectory("graft_ext_").toString + "/shared"
+    Seq((1L, "keep"), (2L, "me")).toDF("id", "v").write.parquet(extDir)
+    spark.sql("DROP TABLE IF EXISTS ext_keep")
+    spark.sql(s"CREATE TABLE ext_keep (id BIGINT, v STRING) USING parquet LOCATION '$extDir'")
+    assert(spark.table("ext_keep").count() == 2)
+    Warehouse.drop(spark, "ext_keep")
+    assert(!spark.catalog.tableExists("ext_keep"))
+    assert(new java.io.File(extDir).isDirectory &&
+      spark.read.parquet(extDir).count() == 2,
+      "external data at a foreign location survives the drop")
+    // MANAGED table: drop reclaims the warehouse-owned location
+    cleanTables("managed_gone")
+    Seq((1L, "x")).toDF("id", "v").write.saveAsTable("managed_gone")
+    val loc = spark.sql("DESCRIBE EXTENDED managed_gone").collect()
+      .find(_.getString(0) == "Location").get.getString(1).stripPrefix("file:")
+    assert(new java.io.File(loc).isDirectory)
+    Warehouse.drop(spark, "managed_gone")
+    assert(!new java.io.File(loc).exists(), "managed data is reclaimed on drop")
+  }
+
+  test("fold-vs-append race: a segment published mid-fold refuses the fold's publish; the re-fold absorbs it losslessly") {
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Double]("est_jaccard"))).toSet
+
+    // base < 150; the fold absorbs batch [150, 200); a RACING ingest
+    // publishes segment [200, 250) inside the fold window (the
+    // documented compact-while-streaming usage). Without the
+    // conditional publish, the fold's full build would supersede that
+    // segment WITHOUT its rows while its committed tag blocks the
+    // replay — docs 200-249's signatures silently and permanently gone.
+    Warehouse.dropStore(spark, "foldrace", Seq("bands", "sigs"))
+    Warehouse.dropStore(spark, "foldrace_ref", Seq("bands", "sigs"))
+    graft.operators.Dedup.buildSignatureStore(
+      t.documents.filter(col("doc_id") < 150), "foldrace")
+    var raced = false
+    graft.operators.Dedup.growSignatureStoreHooked(
+      t.documents.filter(col("doc_id") >= 150 && col("doc_id") < 200), "foldrace",
+      beforePublish = () => if (!raced) {
+        raced = true
+        assert(graft.operators.Dedup.appendToSignatureStore(
+          t.documents.filter(col("doc_id") >= 200 && col("doc_id") < 250),
+          "foldrace", dedupeTag = Some("race:0")).nonEmpty,
+          "the mid-fold segment publishes against the still-live base")
+      })
+    assert(raced, "the seam fired")
+
+    // the racing segment's rows survived the fold: probing the folded
+    // store equals a one-shot store over ALL 250 docs
+    graft.operators.Dedup.buildSignatureStore(
+      t.documents.filter(col("doc_id") < 250), "foldrace_ref")
+    val probe = graft.operators.Dedup.minhashIncrementalAgainstStore(
+      "foldrace", t.documents.filter(col("doc_id") >= 250))
+    val want = key(graft.operators.Dedup.minhashIncrementalAgainstStore(
+      "foldrace_ref", t.documents.filter(col("doc_id") >= 250)))
+    assert(key(probe) == want && want.nonEmpty,
+      "the re-fold must absorb the mid-fold segment's rows exactly")
+    // the racing batch's tag stays committed (its rows ARE in the live
+    // read set, via the re-fold) and the live set is one full build
+    assert(Warehouse.segmentTagPublished(spark, "foldrace", "race:0"))
+    val (_, segsAfter) = Warehouse.resolveSegmented(spark, "foldrace")
+    assert(segsAfter.isEmpty, "the fold's winner is a full build with no live segments")
+    Seq("foldrace", "foldrace_ref").foreach(Warehouse.dropStore(spark, _, Seq("bands", "sigs")))
+  }
+
+  test("probe layout derives from the store; a drifted caller parameter fails loudly") {
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+    // a NON-default build (numHashes=32, bands=8, buckets=16): probes
+    // called with defaults must derive this layout from the store
+    Warehouse.dropStore(spark, "oddlayout", Seq("bands", "sigs"))
+    graft.operators.Dedup.buildSignatureStore(
+      t.documents.filter(col("doc_id") < 250), "oddlayout",
+      numHashes = 32, bands = 8, buckets = 16)
+    val probe = graft.operators.Dedup.minhashIncrementalAgainstStore(
+      "oddlayout", t.documents.filter(col("doc_id") >= 250))
+    val rows = probe.collect()
+    assert(rows.nonEmpty, "the derived-layout probe finds the cross-split dups")
+    assert(rows.forall(_.getAs[Double]("est_jaccard") <= 1.0))
+    // an explicit matching parameter validates fine…
+    graft.operators.Dedup.minhashIncrementalAgainstStore(
+      "oddlayout", t.documents.filter(col("doc_id") >= 250),
+      numHashes = 32, bands = 8, buckets = 16).collect()
+    // …and a drifted one fails loudly instead of silently missing dups
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.minhashIncrementalAgainstStore(
+        "oddlayout", t.documents.filter(col("doc_id") >= 250), numHashes = 64)
+    }
+    assert(e.getMessage.contains("differs from signature store"))
+    // the substring/novelty probes share the rule through their bucket
+    // derivation: default derives the non-default build's count, a
+    // drifted explicit count refuses
+    Warehouse.dropStore(spark, "oddsub", Seq("shingles"))
+    graft.operators.Dedup.buildSubstringStore(
+      t.documents.filter(col("doc_id") < 250), "oddsub", buckets = 16)
+    assert(graft.operators.Dedup.substringSpansAgainstStore("oddsub",
+      t.documents.filter(col("doc_id") >= 250)).collect().nonEmpty)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.substringSpansAgainstStore("oddsub",
+        t.documents.filter(col("doc_id") >= 250), buckets = 7)
+    }
+    assert(e2.getMessage.contains("pass 0 to derive"),
+      s"substring probe bucket drift fails loudly: ${e2.getMessage}")
+    Warehouse.dropStore(spark, "oddsub", Seq("shingles"))
+    Warehouse.dropStore(spark, "oddlayout", Seq("bands", "sigs"))
+  }
+
   test("persisted BPE dict store: encode equals t14 bit-identically and never shuffles the dict") {
     import org.apache.spark.sql.functions.col
     val t = Tables(spark, sfDir)
