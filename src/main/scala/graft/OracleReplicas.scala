@@ -1052,6 +1052,28 @@ object OracleReplicas {
        |FROM cand WHERE est >= $threshold
        |ORDER BY new_id, dup_of""".stripMargin
 
+  /** d22: the takedown probe — d7's one-sided replica over a corpus
+    * with the REMOVED doc_id ranges excluded from the existing side,
+    * mirroring [[graft.operators.Dedup.removeFromSignatureStore]]'s
+    * contract: probing the store after the removal cascade is
+    * bit-identical to probing a store rebuilt from the filtered corpus
+    * (which is exactly what this SQL computes — the store path builds a
+    * base, appends a segment, removes ids spanning BOTH, then probes).
+    */
+  def d22TakedownProbe(splitId: Long = 250,
+      removed: Seq[(Long, Long)] = Seq((100L, 150L), (210L, 220L)),
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 42L): String = {
+    val keepCond = removed
+      .map { case (lo, hi) => s"NOT (a.doc_id >= $lo AND a.doc_id < $hi)" }
+      .mkString(" AND ")
+    s"""WITH ${minhashCtes(numHashes, bands, seed,
+        s"a.doc_id < $splitId AND $keepCond AND b.doc_id >= $splitId")}
+       |SELECT doc_b AS new_id, doc_a AS dup_of, ROUND(est, 4) AS est_jaccard
+       |FROM cand WHERE est >= $threshold
+       |ORDER BY new_id, dup_of""".stripMargin
+  }
+
   /** dc12: near-dup decontamination — the d7 one-sided replica with the
     * roles flipped (benchmark = existing side, corpus = probe side) and
     * a per-corpus-doc best-match pick, mirroring

@@ -107,6 +107,28 @@ object SparkEntry {
       Dedup.substringSpansAgainstStore("d17_store",
         t.documents.filter(col("doc_id") >= 250))
     }),
+    "d22_takedown_probe" -> ((s, dir) => {
+      // TAKEDOWN through the gate: build the corpus-half signature
+      // store, append an ingest segment, REMOVE ids spanning both the
+      // base and the segment (the right-to-be-forgotten cascade's
+      // signature layer), then probe with the fresh half. The oracle
+      // replays d7 over the FILTERED corpus — so the removal's declared
+      // contract (probe ≡ a store rebuilt from the filtered corpus,
+      // across segments) is DuckDB-verified, not just spec-verified
+      import org.apache.spark.sql.functions.col
+      val t = Tables(s, dir)
+      graft.sources.Warehouse.dropStore(s, "d22_store", Seq("bands", "sigs"))
+      Dedup.buildSignatureStore(t.documents.filter(col("doc_id") < 200), "d22_store")
+      Dedup.appendToSignatureStore(
+        t.documents.filter(col("doc_id") >= 200 && col("doc_id") < 250), "d22_store")
+      Dedup.removeFromSignatureStore(
+        t.documents.filter(
+          (col("doc_id") >= 100 && col("doc_id") < 150) ||
+            (col("doc_id") >= 210 && col("doc_id") < 220)).select(col("doc_id")),
+        "d22_store")
+      Dedup.minhashIncrementalAgainstStore("d22_store",
+        t.documents.filter(col("doc_id") >= 250))
+    }),
     "d19_cluster_maintenance" -> ((s, dir) => {
       // the dedup ingest loop's CLUSTER layer through the gate: build
       // the corpus half's signature store, DERIVE its persisted labeling
@@ -824,6 +846,7 @@ object SparkEntry {
     // replica SQL — a store-layer bug (stale generation, bucket-layout
     // corruption, lost rows) now fails the DuckDB gate, not only a spec
     "d16_store_probe" -> OracleReplicas.d7MinhashIncremental(),
+    "d22_takedown_probe" -> OracleReplicas.d22TakedownProbe(),
     // d17 probes the PERSISTED positional-shingle store; declared
     // contract is output-identity with d10, so it shares d10's replica
     "d17_substr_store_probe" -> OracleReplicas.d10SubstringIncremental(),

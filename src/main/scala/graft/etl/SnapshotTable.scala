@@ -365,6 +365,106 @@ final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = Posix
     base.filter(col(colName) === value)
   }
 
+  /** Row-level DELETE, copy-on-write — the takedown/right-to-be-
+    * forgotten primitive (opt-out lists, legal removals): rewrite ONLY
+    * the data directories that actually hold matching rows, publish the
+    * untouched directories plus the rewrites as a new version. Earlier
+    * versions keep the deleted rows readable (time travel) until
+    * [[vacuum]] ages them out — PERMANENT erasure is deleteWhere + a
+    * vacuum with `keepVersions` small enough to drop every pre-delete
+    * manifest; document retention accordingly. `diff(before, after)`
+    * shows exactly the deleted multiset (change_type = delete).
+    *
+    * Candidate selection: a cheap matching-row probe per directory
+    * (parquet footer/row-group pushdown applies), so a needle delete
+    * rewrites one directory, not the table. Use [[deleteWhereRange]] /
+    * [[deleteWhereEq]] to prune candidates from zone-map/Bloom sidecars
+    * BEFORE any data read — on a 100 TB table the probe scan itself is
+    * the cost, and the sidecar variants skip it for every directory
+    * whose recorded zones/filters exclude the predicate.
+    *
+    * Rewritten directories re-derive the sidecars their source carried
+    * (same columns), so data-skipping keeps working after the delete.
+    * Concurrency follows [[compact]]'s rules: concurrent appends fold
+    * in untouched; if a touched directory vanished (concurrent
+    * overwrite/compaction) the rewrite is stale — discarded and redone
+    * from the fresh snapshot.
+    */
+  def deleteWhere(predicate: org.apache.spark.sql.Column): Long =
+    deleteRewrite(snap => snap.dirs, predicate)
+
+  /** [[deleteWhere]] for a `[lo, hi]` range on a zone-mapped column:
+    * candidates prune to the directories whose recorded zones admit the
+    * range — no data I/O at all for the rest.
+    */
+  def deleteWhereRange(colName: String, lo: Long, hi: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    deleteRewrite(snap => dirsMatching(colName, lo, hi, Some(snap.version)),
+      col(colName) >= lo && col(colName) <= hi)
+  }
+
+  /** [[deleteWhere]] for a point predicate on a Bloom-indexed column:
+    * candidates prune by zone map AND Bloom sidecar (no false
+    * negatives, so skipping is always safe) — the needle-takedown path.
+    */
+  def deleteWhereEq(colName: String, value: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    deleteRewrite(snap => dirsMatchingEq(colName, value, Some(snap.version)),
+      col(colName) === value)
+  }
+
+  private def deleteRewrite(admit: Snapshot => Seq[String],
+      predicate: org.apache.spark.sql.Column, maxAttempts: Int = 10): Long = {
+    import org.apache.spark.sql.functions.not
+    var outer = 0
+    while (outer < maxAttempts) {
+      val snap = snapshot()
+        .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
+      // sidecar-admitted candidates, then the matching-row probe: only
+      // directories that HOLD a matching row are rewritten (a zone/Bloom
+      // false positive costs one pushed-down probe scan, never a write)
+      val touched = admit(snap).filter(d =>
+        !spark.read.parquet(dataPath(d)).filter(predicate).isEmpty)
+      if (touched.isEmpty) return snap.version
+      val rewrites = touched.flatMap { d =>
+        val kept = spark.read.parquet(dataPath(d)).filter(not(predicate))
+        if (kept.isEmpty) None // every row deleted: the dir just drops
+        else {
+          val name = writeData(kept)
+          // re-derive exactly the sidecars the source directory carried,
+          // including its Bloom geometry (not the defaults)
+          val blooms = bloomsOf(d)
+          val (bBits, bK) = blooms.headOption.map { case (_, bytes) =>
+            val (nbits, k, _) = graft.functions.GraftBloom.fromBytes(bytes)
+            (nbits, k)
+          }.getOrElse((1 << 17, 4))
+          writeSidecars(name, statsOf(d).keys.toSeq.sorted,
+            blooms.keys.toSeq.sorted, bBits, bK)
+          Some(d -> name)
+        }
+      }.toMap
+      var stale = false
+      var inner = 0
+      while (!stale && inner < maxAttempts) {
+        val cur = snapshot().get
+        if (!touched.forall(cur.dirs.contains)) {
+          // a directory this delete rewrote is no longer current (a
+          // concurrent overwrite/compaction replaced it): publishing the
+          // rewrite could resurrect rows the other writer removed —
+          // discard and redo against the fresh snapshot
+          stale = true
+        } else {
+          val dirs = cur.dirs.flatMap(d =>
+            if (!touched.contains(d)) Some(d) else rewrites.get(d))
+          try return tryCommit(cur.version, dirs)
+          catch { case VersionConflictException(_) => inner += 1 }
+        }
+      }
+      outer += 1
+    }
+    throw new IllegalStateException(s"deleteWhere lost $maxAttempts races at $root")
+  }
+
   /** Replace the table contents with `df` at the next version.
     * NOTE: overwrite is last-writer-wins BY DEFINITION — of two racing
     * overwrites, the later version's content stands (each remains

@@ -334,23 +334,65 @@ object Dedup {
       maxBandBucket: Option[Long] = Some(QuadraticGuardDefault),
       beforePublish: () => Unit = () => ()): Unit = {
     val spark = batch.sparkSession
+    refoldSignatureStore(spark, name, s"growSignatureStore('$name')",
+      fold = (oldSigs, layout) => {
+        val fresh = spreadIfNarrow(batch.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
+          .filter(size(col("tokens")) > 1)
+          .select(col("doc_id"), shingle_minhash(col("tokens"), 2, layout._1, 42L).as("sig"))
+        oldSigs.unionByName(fresh).dropDuplicates("doc_id")
+      },
+      maxBandBucket, beforePublish)
+  }
+
+  /** TAKEDOWN at the signature layer: fold base ∪ segments MINUS the
+    * removed doc_ids into the next full generation — after this, every
+    * probe is bit-identical to probing a store rebuilt from the
+    * filtered corpus (remaining docs' signatures are pure functions of
+    * their text, so the filtered fold IS the rebuild, minus the
+    * re-hash). Same conditional publish as the grow fold — a segment
+    * landing mid-removal refuses the publish and the removal re-folds,
+    * so an ingest racing a takedown loses neither rows nor removals.
+    * No quadratic guard: a row subset cannot mint a hot bucket the
+    * build's guard didn't already refuse.
+    */
+  def removeFromSignatureStore(docIds: DataFrame, name: String): Unit =
+    removeFromSignatureStoreHooked(docIds, name)
+
+  private[graft] def removeFromSignatureStoreHooked(docIds: DataFrame, name: String,
+      beforePublish: () => Unit = () => ()): Unit = {
+    val spark = docIds.sparkSession
+    val ids = docIds.select(col("doc_id")).distinct().localCheckpoint(true)
+    refoldSignatureStore(spark, name, s"removeFromSignatureStore('$name')",
+      fold = (oldSigs, _) => oldSigs.join(broadcast(ids), Seq("doc_id"), "left_anti"),
+      maxBandBucket = None, beforePublish)
+  }
+
+  /** The shared FOLD core of [[growSignatureStore]] and
+    * [[removeFromSignatureStore]]: resolve the live set, derive the
+    * layout from the base, `fold` the unioned stored signatures into
+    * the next full build, publish CONDITIONALLY on the resolved set
+    * still being live ([[Warehouse.publishGenerationExpecting]] — see
+    * the fold-vs-append note on [[growSignatureStore]]), and re-fold on
+    * a refused publish (bounded retries, mirroring
+    * [[Warehouse.appendSegmentWith]]'s).
+    */
+  private def refoldSignatureStore(spark: SparkSession, name: String, what: String,
+      fold: (DataFrame, (Int, Int, Int)) => DataFrame,
+      maxBandBucket: Option[Long], beforePublish: () => Unit): Unit = {
     var attempt = 0
     while (attempt < 5) {
       val (base, segs) = Warehouse.resolveSegmented(spark, name)
-      val (numHashes, bands, buckets) = signatureLayoutOf(spark, name, base)
+      val layout = signatureLayoutOf(spark, name, base)
+      val (_, bands, buckets) = layout
       val oldSigs = (base +: segs)
         .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "sigs")))
         .reduce(_ unionAll _)
-      val fresh = spreadIfNarrow(batch.select(col("doc_id"), col("text")))
-        .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
-        .filter(size(col("tokens")) > 1)
-        .select(col("doc_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig"))
       val gen = Warehouse.claimGeneration(spark, name)
       val sigsT = Warehouse.storeTableName(name, gen, "sigs")
       val bandsT = Warehouse.storeTableName(name, gen, "bands")
       try {
-        Warehouse.writeBucketed(
-          oldSigs.unionByName(fresh).dropDuplicates("doc_id"), sigsT, "doc_id", buckets)
+        Warehouse.writeBucketed(fold(oldSigs, layout), sigsT, "doc_id", buckets)
         val sigs = Warehouse.table(spark, sigsT)
         Warehouse.writeBucketed(
           sigs.select(col("doc_id"), posexplode(sig_bands(col("sig"), bands)))
@@ -386,7 +428,7 @@ object Dedup {
       }
     }
     throw new IllegalStateException(
-      s"growSignatureStore('$name') lost to 5 consecutive concurrent " +
+      s"$what lost to 5 consecutive concurrent " +
         "appends/rebuilds — aborting (the batch is safe to replay)")
   }
 
@@ -549,6 +591,66 @@ object Dedup {
       Warehouse.cleanupFailedBuild(spark, name, gen, Seq("labels"))
       throw e
     }
+  }
+
+  /** TAKEDOWN at the cluster layer: relabel the components AFTER the
+    * signature store was filtered ([[removeFromSignatureStore]] first)
+    * — a removed doc can be the BRIDGE holding a cluster together, so
+    * dropping its label row is not enough (the cluster must split
+    * exactly as a rebuild over the filtered corpus would, and a
+    * cluster whose min member left needs its new min). The labeling
+    * therefore re-derives from the filtered signature store's pair
+    * graph ([[buildClusterStoreFromSignatureStore]] — compact longs,
+    * zero text), which is bit-identical to d6 over the filtered corpus
+    * by that builder's own gate-pinned contract.
+    */
+  def removeFromClusterStore(spark: SparkSession, clusterStore: String,
+      sigStore: String, threshold: Double = 0.5, buckets: Int = 32,
+      maxIter: Int = 100): Unit =
+    buildClusterStoreFromSignatureStore(spark, sigStore, clusterStore,
+      threshold, buckets, maxIter)
+
+  /** The dedup store family a [[removeDocs]] takedown cascades through
+    * — name each persisted store the deployment maintains; None skips
+    * that layer.
+    */
+  final case class DedupStoreFamily(
+      signature: Option[String] = None,
+      substring: Option[String] = None,
+      novelty: Option[String] = None,
+      clusters: Option[String] = None)
+
+  /** TAKEDOWN / right-to-be-forgotten across the persisted dedup store
+    * family — the cascade an opt-out or legal-removal request runs
+    * after [[graft.etl.SnapshotTable.deleteWhere]] removes the rows
+    * from the corpus table itself: every named store re-publishes a
+    * generation whose probes are BIT-IDENTICAL to the same store
+    * rebuilt from the filtered corpus (spec-pinned per layer). Order
+    * matters only for the cluster layer, which relabels from the
+    * FILTERED signature store; the cascade runs signature → clusters →
+    * substring → novelty. `removedDocs` carries (doc_id, text) — text
+    * is required by the novelty layer's df subtraction (and must be the
+    * exact ingested text); id-only layers ignore it.
+    *
+    * Scale shape: each layer is one fold of compact longs (signatures /
+    * occurrences / df counters — never corpus text) plus the cluster
+    * relabel's pair pass, all publish-protocol-raced against concurrent
+    * ingest (conditional publishes refuse and re-fold). Old generations
+    * still hold the removed rows until the store vacuum ages them out —
+    * permanent erasure is this cascade plus
+    * [[graft.sources.Warehouse.vacuumSegmentedStore]] /
+    * [[graft.sources.Warehouse.vacuumStoreGenerations]], exactly like
+    * deleteWhere + table vacuum.
+    */
+  def removeDocs(removedDocs: DataFrame, family: DedupStoreFamily): Unit = {
+    val spark = removedDocs.sparkSession
+    val ids = removedDocs.select(col("doc_id")).distinct().localCheckpoint(true)
+    family.signature.foreach(n => removeFromSignatureStore(ids, n))
+    for (c <- family.clusters; s <- family.signature)
+      removeFromClusterStore(spark, c, s)
+    family.substring.foreach(n => removeFromSubstringStore(ids, n))
+    family.novelty.foreach(n => removeFromNoveltyStore(
+      removedDocs.select(col("doc_id"), col("text")), n))
   }
 
   /** d19: cluster MAINTENANCE — absorb a new batch into the persisted
@@ -912,6 +1014,58 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** TAKEDOWN at the novelty layer: subtract the removed documents'
+    * distinct-shingle contributions from the persisted df index and
+    * publish the result as the next full generation — df'(h) =
+    * Σdf(h) − |removed docs containing h|, rows reaching 0 dropped, so
+    * the published index is bit-identical to [[buildNoveltyStore]] over
+    * the filtered corpus (df counts are pure functions of which docs
+    * contain which shingles). `removedDocs` must carry (doc_id, text)
+    * with the EXACT text the store ingested, and only docs that were
+    * ingested — the df counters have no per-doc rows to validate
+    * against (that compactness is the store's whole point), so the
+    * contract is the caller's; the identity spec pins it. Conditional
+    * publish: the resolved live set must still be current at commit.
+    */
+  def removeFromNoveltyStore(removedDocs: DataFrame, name: String, k: Int = 3): Unit = {
+    val spark = removedDocs.sparkSession
+    var attempt = 0
+    while (attempt < 5) {
+      val (base, segs) = Warehouse.resolveSegmented(spark, name)
+      val buckets = storedBucketsOf(spark, name, base, "shdf", 0)
+      val oldDf = (base +: segs)
+        .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "shdf")))
+        .reduce(_ unionAll _)
+        .groupBy(col("h")).agg(sum(col("df")).as("df"))
+      val rdf = spreadIfNarrow(removedDocs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
+        .filter(size(col("tokens")) >= k)
+        .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("tokens"), k))).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("rdf"))
+      val gen = Warehouse.claimGeneration(spark, name)
+      val dfT = Warehouse.storeTableName(name, gen, "shdf")
+      try {
+        Warehouse.writeBucketed(
+          oldDf.join(rdf, Seq("h"), "left")
+            .select(col("h"), (col("df") - coalesce(col("rdf"), lit(0L))).as("df"))
+            .filter(col("df") > 0),
+          dfT, "h", buckets)
+        Warehouse.publishGenerationExpecting(spark, name, gen, base, segs)
+        return
+      } catch {
+        case _: graft.sources.StaleFoldException =>
+          Warehouse.cleanupFailedBuild(spark, name, gen, Seq("shdf"))
+          attempt += 1
+        case e: Throwable =>
+          Warehouse.cleanupFailedBuild(spark, name, gen, Seq("shdf"))
+          throw e
+      }
+    }
+    throw new IllegalStateException(
+      s"removeFromNoveltyStore('$name') lost to 5 consecutive concurrent " +
+        "appends/rebuilds — aborting (the removal is safe to replay)")
+  }
+
   def substringSpans(t: Tables, k: Int = 8, minSpanTokens: Int = 16,
       maxDf: Option[Long] = None): DataFrame =
     substringSpanCore(tokenized(t), k, minSpanTokens, maxDf)
@@ -1220,6 +1374,46 @@ object Dedup {
       .filter(col("span_tokens") >= minSpanTokens)
       .select(col("new_id"), col("dup_of"), col("start_new"), col("start_old"), col("span_tokens"))
       .orderBy(col("new_id"), col("dup_of"), col("start_new"), col("start_old"))
+  }
+
+  /** TAKEDOWN at the substring layer: the removed doc_ids' (h, doc_id,
+    * pos) occurrence rows drop from base ∪ segments into the next full
+    * generation — occurrences are pure per-doc functions of text, so
+    * the filtered fold is bit-identical to [[buildSubstringStore]] over
+    * the filtered corpus. Conditional publish, same rules as the
+    * signature fold.
+    */
+  def removeFromSubstringStore(docIds: DataFrame, name: String): Unit = {
+    val spark = docIds.sparkSession
+    val ids = docIds.select(col("doc_id")).distinct().localCheckpoint(true)
+    var attempt = 0
+    while (attempt < 5) {
+      val (base, segs) = Warehouse.resolveSegmented(spark, name)
+      val buckets = storedBucketsOf(spark, name, base, "shingles", 0)
+      val oldOcc = (base +: segs)
+        .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "shingles")))
+        .reduce(_ unionAll _)
+      val gen = Warehouse.claimGeneration(spark, name)
+      val shinglesT = Warehouse.storeTableName(name, gen, "shingles")
+      try {
+        Warehouse.writeBucketed(
+          oldOcc.join(broadcast(ids), Seq("doc_id"), "left_anti")
+            .select(col("h"), col("doc_id"), col("pos")),
+          shinglesT, "h", buckets)
+        Warehouse.publishGenerationExpecting(spark, name, gen, base, segs)
+        return
+      } catch {
+        case _: graft.sources.StaleFoldException =>
+          Warehouse.cleanupFailedBuild(spark, name, gen, Seq("shingles"))
+          attempt += 1
+        case e: Throwable =>
+          Warehouse.cleanupFailedBuild(spark, name, gen, Seq("shingles"))
+          throw e
+      }
+    }
+    throw new IllegalStateException(
+      s"removeFromSubstringStore('$name') lost to 5 consecutive concurrent " +
+        "appends/rebuilds — aborting (the removal is safe to replay)")
   }
 
   /** d6: near-duplicate clusters — connected components over the LSH

@@ -301,6 +301,52 @@ object Similarity {
       beforePublish = beforePublish)
   }
 
+  /** TAKEDOWN at the ANN layer: drop the removed vec_ids from base ∪
+    * segments and publish the filtered assignments as the next full
+    * generation, KEEPING the base's centroids verbatim — removal does
+    * not re-train (k-means on the filtered corpus would move every
+    * centroid and re-route every probe; re-training stays the periodic
+    * REBUILD's job, exactly like [[appendToIvfIndex]]'s frozen-centroid
+    * contract). The declared contract (spec-pinned): the published
+    * index holds exactly the prior live read set's rows minus the
+    * removed ids, with identical cid routing — so no probe can ever
+    * return a removed vector, and every surviving result is unchanged.
+    * Conditional publish: a segment landing mid-removal refuses the
+    * commit and the removal re-folds.
+    */
+  def removeFromIvfIndex(vecIds: DataFrame, path: String): Unit = {
+    val spark = vecIds.sparkSession
+    val ids = vecIds.select(col("vec_id")).distinct().localCheckpoint(true)
+    var attempt = 0
+    while (attempt < 5) {
+      val (base, segs) = Warehouse.resolvePathSegmented(path)
+      val index = (base +: segs)
+        .map(g => spark.read.parquet(Warehouse.pathGenData(path, g)))
+        .reduce(_ unionAll _)
+      val centroids = spark.read.parquet(
+        s"${Warehouse.pathGenData(path, base)}/_centroids")
+      val gen = Warehouse.claimPathGeneration(path)
+      val genPath = Warehouse.pathGenData(path, gen)
+      try {
+        index.join(broadcast(ids), Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("cid").parquet(genPath)
+        centroids.write.mode("overwrite").parquet(s"$genPath/_centroids")
+        Warehouse.publishPathGenerationExpecting(path, gen, base, segs)
+        return
+      } catch {
+        case _: graft.sources.StaleFoldException =>
+          Warehouse.cleanupFailedPathBuild(path, gen)
+          attempt += 1
+        case e: Throwable =>
+          Warehouse.cleanupFailedPathBuild(path, gen)
+          throw e
+      }
+    }
+    throw new IllegalStateException(
+      s"removeFromIvfIndex('$path') lost to 5 consecutive concurrent " +
+        "appends/rebuilds — aborting (the removal is safe to replay)")
+  }
+
   /** Reclaim superseded IVF generations — the fixed-floor segmented
     * vacuum ([[graft.sources.Warehouse.vacuumPathSegmented]]): prior
     * bases and their segments go, the live base + its segments +

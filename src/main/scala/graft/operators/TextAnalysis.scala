@@ -910,6 +910,81 @@ object TextAnalysis {
       beforePublish = beforePublish)
   }
 
+  /** TAKEDOWN at the retrieval layer: drop the removed documents'
+    * postings from base ∪ segments and subtract their (n_docs, dl_sum)
+    * contributions from the corpus stats, publishing the next full
+    * generation — after this, [[bm25AgainstStore]] is bit-identical to
+    * querying a store rebuilt from the filtered corpus (postings are
+    * per-doc functions of text; the stats are exact integer sums, so
+    * the subtraction reproduces the rebuild's operands exactly, and
+    * both stores' avgdl divisions see identical integers).
+    * `removedDocs` carries (doc_id, text) — the document length of a
+    * zero-posting doc (empty/one-token text) is not recoverable from
+    * the postings, so the stats subtraction recomputes dl from the
+    * exact ingested text with the build's own tokenize chain; only
+    * ingested docs may be passed (the identity spec pins the
+    * contract). Conditional publish: a segment landing mid-removal
+    * refuses the commit and the removal re-folds.
+    */
+  def removeFromBm25Store(removedDocs: org.apache.spark.sql.DataFrame,
+      name: String): Unit = {
+    import graft.sources.Warehouse
+    val spark = removedDocs.sparkSession
+    val removed = spreadIfNarrow(removedDocs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), size(ws_tokens(col("text"))).cast("double").as("dl"))
+      .dropDuplicates("doc_id")
+      .localCheckpoint(true)
+    val ids = removed.select(col("doc_id"))
+    var attempt = 0
+    while (attempt < 5) {
+      val (base, segs) = Warehouse.resolveSegmented(spark, name)
+      val buckets = Warehouse.bucketCount(spark,
+        Warehouse.storeTableName(name, base, "postings"))
+        .getOrElse(throw new IllegalStateException(
+          s"BM25 store '$name' base generation $base has unreadable bucket " +
+            "metadata — refusing a removal whose layout could diverge; rebuild the base"))
+      val oldPostings = (base +: segs)
+        .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "postings")))
+        .reduce(_ unionAll _)
+      val oldStats = (base +: segs)
+        .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "stats"))
+          .select(col("n_docs"), col("dl_sum")))
+        .reduce(_ unionAll _)
+      val gen = Warehouse.claimGeneration(spark, name)
+      try {
+        Warehouse.writeBucketed(
+          oldPostings.join(broadcast(ids), Seq("doc_id"), "left_anti")
+            .select(col("token"), col("doc_id"), col("dl"), col("tf")),
+          Warehouse.storeTableName(name, gen, "postings"), "token", buckets)
+        // exact integer-valued double sums (< 2^53): subtraction
+        // reproduces the filtered rebuild's (n_docs, dl_sum) bit-for-bit
+        oldStats
+          .agg(sum(col("n_docs")).as("n_docs"), sum(col("dl_sum")).as("dl_sum"))
+          .crossJoin(removed.agg(
+            count(lit(1)).cast("double").as("r_n"),
+            coalesce(sum(col("dl")), lit(0.0)).as("r_dl")))
+          .select(
+            (col("n_docs") - col("r_n")).as("n_docs"),
+            ((col("dl_sum") - col("r_dl")) / (col("n_docs") - col("r_n"))).as("avgdl"),
+            (col("dl_sum") - col("r_dl")).as("dl_sum"))
+          .write.format("parquet")
+          .saveAsTable(Warehouse.storeTableName(name, gen, "stats"))
+        Warehouse.publishGenerationExpecting(spark, name, gen, base, segs)
+        return
+      } catch {
+        case _: graft.sources.StaleFoldException =>
+          Warehouse.cleanupFailedBuild(spark, name, gen, Seq("postings", "stats"))
+          attempt += 1
+        case e: Throwable =>
+          Warehouse.cleanupFailedBuild(spark, name, gen, Seq("postings", "stats"))
+          throw e
+      }
+    }
+    throw new IllegalStateException(
+      s"removeFromBm25Store('$name') lost to 5 consecutive concurrent " +
+        "appends/rebuilds — aborting (the removal is safe to replay)")
+  }
+
   /** Query the persisted BM25 index: same output contract as [[bm25]]
     * on the indexed corpus (spec-asserted equal). Work per query is
     * |Q| pruned bucket reads + a hit-sized (doc) aggregation — never a

@@ -352,6 +352,13 @@ object Warehouse {
   def publishPathGeneration(root: String, gen: Long): Unit =
     pathChainOf(root).publishFull(gen)
 
+  /** [[publishGenerationExpecting]] for path stores — the conditional
+    * fold/removal publish on the directory-store chain.
+    */
+  def publishPathGenerationExpecting(root: String, gen: Long,
+      expectedBase: Long, expectedSegments: Seq[Long]): Unit =
+    pathChainOf(root).publishFullExpecting(gen, expectedBase, expectedSegments)
+
   /** [[publishSegment]] for path stores — the same atomic
     * liveness-check + publish + tag commit, one chain for both store
     * kinds so the protocol rules live once.

@@ -1,0 +1,281 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.etl.SnapshotTable
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.{Tables, Warehouse}
+
+/** Takedown / right-to-be-forgotten, end to end: SnapshotTable's
+  * copy-on-write row deletes and the persisted-store removal cascade.
+  * The store contracts are IDENTITY contracts (the d16/d17 pattern):
+  * after removal, every probe is bit-identical to the same store
+  * REBUILT from the filtered corpus.
+  */
+class TakedownSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def t = Tables(spark, sfDir)
+
+  private def fresh(): SnapshotTable =
+    new SnapshotTable(spark,
+      java.nio.file.Files.createTempDirectory("graft_takedown_").toString + "/t")
+
+  // ----------------------------------------------------------------- //
+  // SnapshotTable.deleteWhere
+  // ----------------------------------------------------------------- //
+
+  test("deleteWhere: copy-on-write rewrite of only the matching directories; diff shows exactly the deleted rows; history time-travels") {
+    val st = fresh()
+    st.appendIndexed((0L until 100L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    st.appendIndexed((100L until 200L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    st.appendIndexed((200L until 300L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    val before = st.currentVersion.get
+    val dirsBefore = st.snapshot().get.dirs
+
+    val after = st.deleteWhereRange("id", 120L, 140L)
+    assert(after == before + 1)
+    // zone-map pruning: only the [100, 200) directory was touched — the
+    // other two survive into the new manifest under their OLD names
+    val dirsAfter = st.snapshot().get.dirs
+    assert(dirsBefore.count(dirsAfter.contains) == 2,
+      s"exactly one directory rewritten: $dirsBefore -> $dirsAfter")
+    // content: the range is gone, everything else intact
+    val ids = st.read().collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 300L).toSet -- (120L to 140L))
+    // diff(before, after) is exactly the deleted multiset
+    val d = st.diff(before, after).collect()
+    assert(d.forall(_.getAs[String]("change_type") == "delete"))
+    assert(d.map(_.getLong(0)).toSet == (120L to 140L).toSet)
+    // time travel still reads the pre-delete rows (until vacuumed)
+    assert(st.read(Some(before)).count() == 300)
+    // the rewritten directory re-derived its zone map: a range read on
+    // the new version still prunes to one directory per 100-block
+    assert(st.dirsMatching("id", 150L, 160L).size == 1)
+    // deleting every row of a directory drops the dir entirely
+    st.deleteWhereRange("id", 200L, 299L)
+    assert(st.snapshot().get.dirs.size == 2)
+    assert(st.read().count() == 300 - 21 - 100)
+  }
+
+  test("deleteWhereEq prunes by Bloom sidecar; generic deleteWhere probes before rewriting; racing appends compose") {
+    val st = fresh()
+    st.appendIndexed((0L until 100L).map(i => (i, i % 7)).toDF("id", "grp"),
+      Seq("id"), bloomCols = Seq("id"))
+    st.appendIndexed((100L until 200L).map(i => (i, i % 7)).toDF("id", "grp"),
+      Seq("id"), bloomCols = Seq("id"))
+    val dirsBefore = st.snapshot().get.dirs
+    st.deleteWhereEq("id", 42L)
+    val dirsAfter = st.snapshot().get.dirs
+    assert(dirsBefore.count(dirsAfter.contains) == 1,
+      "the Bloom/zone sidecars admit exactly the one holding directory")
+    assert(st.read().count() == 199)
+    assert(st.readWhereEq("id", 42L).isEmpty)
+
+    // generic-predicate delete: the matching-row probe leaves
+    // directories with no matches untouched
+    val before2 = st.snapshot().get.dirs
+    st.deleteWhere(col("grp") === 3 && col("id") >= 100L && col("id") < 110L)
+    val after2 = st.snapshot().get.dirs
+    assert(before2.count(after2.contains) == 1,
+      "only the directory holding matching rows is rewritten")
+    assert(st.read().filter(col("grp") === 3 && col("id") < 110L && col("id") >= 100L).isEmpty)
+
+    // a delete of nothing commits nothing
+    val v = st.currentVersion.get
+    assert(st.deleteWhereEq("id", 999999L) == v)
+    assert(st.currentVersion.get == v)
+
+    // an append landing between the rewrite and the commit folds in
+    // (same composition rule as compact: only touched dirs replace)
+    val t2 = new java.util.concurrent.atomic.AtomicLong()
+    val appender = new Thread(() => t2.set(st.append(Seq((5000L, 0L)).toDF("id", "grp"))))
+    appender.start(); appender.join()
+    st.deleteWhereEq("id", 43L)
+    assert(st.read().filter(col("id") === 5000L).count() == 1,
+      "appended rows survive a delete commit")
+  }
+
+  // ----------------------------------------------------------------- //
+  // The store removal cascade: identity vs rebuild-from-filtered-corpus
+  // ----------------------------------------------------------------- //
+
+  private val removedCond =
+    (col("doc_id") >= 100 && col("doc_id") < 150) ||
+      (col("doc_id") >= 210 && col("doc_id") < 220)
+  private def corpus: DataFrame = t.documents.filter(col("doc_id") < 250)
+  private def filteredCorpus: DataFrame = corpus.filter(!removedCond)
+  private def removedDocs: DataFrame = corpus.filter(removedCond)
+  private def probeBatch: DataFrame = t.documents.filter(col("doc_id") >= 250)
+
+  test("signature-store removal across base ∪ segments probes identically to a rebuild from the filtered corpus") {
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Double]("est_jaccard"))).toSet
+    Warehouse.dropStore(spark, "tk_sig", Seq("bands", "sigs"))
+    Warehouse.dropStore(spark, "tk_sig_ref", Seq("bands", "sigs"))
+    Dedup.buildSignatureStore(t.documents.filter(col("doc_id") < 200), "tk_sig")
+    Dedup.appendToSignatureStore(
+      t.documents.filter(col("doc_id") >= 200 && col("doc_id") < 250), "tk_sig")
+    Dedup.removeFromSignatureStore(removedDocs.select(col("doc_id")), "tk_sig")
+    Dedup.buildSignatureStore(filteredCorpus, "tk_sig_ref")
+    val got = key(Dedup.minhashIncrementalAgainstStore("tk_sig", probeBatch))
+    val want = key(Dedup.minhashIncrementalAgainstStore("tk_sig_ref", probeBatch))
+    assert(got == want, s"takedown probe must equal the filtered rebuild: got $got want $want")
+    assert(got.nonEmpty, "the filtered corpus still has cross-split near-dups")
+    // the removal folded to ONE full build (no live segments) and no
+    // removed id survives in any live table
+    val (base, segs) = Warehouse.resolveSegmented(spark, "tk_sig")
+    assert(segs.isEmpty)
+    val liveIds = Warehouse.table(spark, Warehouse.storeTableName("tk_sig", base, "sigs"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(removedDocs.select(col("doc_id")).collect().map(_.getLong(0)).forall(!liveIds.contains(_)),
+      "no removed id remains in the live generation")
+    Seq("tk_sig", "tk_sig_ref").foreach(Warehouse.dropStore(spark, _, Seq("bands", "sigs")))
+  }
+
+  test("removal-vs-append race: a segment published mid-removal refuses the publish; the re-fold keeps the segment AND the removal") {
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"))).toSet
+    Warehouse.dropStore(spark, "tk_race", Seq("bands", "sigs"))
+    Warehouse.dropStore(spark, "tk_race_ref", Seq("bands", "sigs"))
+    Dedup.buildSignatureStore(t.documents.filter(col("doc_id") < 200), "tk_race")
+    var raced = false
+    Dedup.removeFromSignatureStoreHooked(
+      t.documents.filter(col("doc_id") >= 100 && col("doc_id") < 150).select(col("doc_id")),
+      "tk_race",
+      beforePublish = () => if (!raced) {
+        raced = true
+        assert(Dedup.appendToSignatureStore(
+          t.documents.filter(col("doc_id") >= 200 && col("doc_id") < 250),
+          "tk_race", dedupeTag = Some("tkrace:0")).nonEmpty)
+      })
+    assert(raced)
+    Dedup.buildSignatureStore(
+      t.documents.filter(col("doc_id") < 250 && !(col("doc_id") >= 100 && col("doc_id") < 150)),
+      "tk_race_ref")
+    assert(key(Dedup.minhashIncrementalAgainstStore("tk_race", probeBatch)) ==
+      key(Dedup.minhashIncrementalAgainstStore("tk_race_ref", probeBatch)),
+      "the re-fold must keep the mid-removal segment's rows and drop the removed ids")
+    Seq("tk_race", "tk_race_ref").foreach(Warehouse.dropStore(spark, _, Seq("bands", "sigs")))
+  }
+
+  test("substring-store removal probes identically to a rebuild from the filtered corpus") {
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Int]("start_new"), r.getAs[Int]("start_old"),
+        r.getAs[Long]("span_tokens"))).toSet
+    Warehouse.dropStore(spark, "tk_sub", Seq("shingles"))
+    Warehouse.dropStore(spark, "tk_sub_ref", Seq("shingles"))
+    Dedup.buildSubstringStore(corpus, "tk_sub")
+    Dedup.removeFromSubstringStore(removedDocs.select(col("doc_id")), "tk_sub")
+    Dedup.buildSubstringStore(filteredCorpus, "tk_sub_ref")
+    val got = key(Dedup.substringSpansAgainstStore("tk_sub", probeBatch))
+    assert(got == key(Dedup.substringSpansAgainstStore("tk_sub_ref", probeBatch)))
+    assert(got.nonEmpty)
+    Seq("tk_sub", "tk_sub_ref").foreach(Warehouse.dropStore(spark, _, Seq("shingles")))
+  }
+
+  test("novelty-store removal (df subtraction) scores identically to a rebuild from the filtered corpus") {
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("novel_shingles"), r.getAs[Double]("novelty_frac"))).toSet
+    Warehouse.dropStore(spark, "tk_nov", Seq("shdf"))
+    Warehouse.dropStore(spark, "tk_nov_ref", Seq("shdf"))
+    Dedup.buildNoveltyStore(corpus, "tk_nov")
+    Dedup.removeFromNoveltyStore(removedDocs.select(col("doc_id"), col("text")), "tk_nov")
+    Dedup.buildNoveltyStore(filteredCorpus, "tk_nov_ref")
+    assert(key(Dedup.noveltyAgainstStore("tk_nov", probeBatch)) ==
+      key(Dedup.noveltyAgainstStore("tk_nov_ref", probeBatch)))
+    // the subtracted df table IS the filtered build's, row for row
+    def dfRows(name: String) = {
+      val g = Warehouse.resolveGeneration(spark, name)
+      Warehouse.table(spark, Warehouse.storeTableName(name, g, "shdf"))
+        .collect().map(r => (r.getAs[Long]("h"), r.getAs[Long]("df"))).toSet
+    }
+    assert(dfRows("tk_nov") == dfRows("tk_nov_ref"),
+      "df'(h) = df(h) - removed contributions, zero rows dropped")
+    Seq("tk_nov", "tk_nov_ref").foreach(Warehouse.dropStore(spark, _, Seq("shdf")))
+  }
+
+  test("removeDocs cascade: cluster relabel splits bridged clusters and re-mins, identical to the filtered rebuild") {
+    Warehouse.dropStore(spark, "tk_casc_sig", Seq("bands", "sigs"))
+    Warehouse.dropStore(spark, "tk_casc_cl", Seq("labels"))
+    Warehouse.dropStore(spark, "tk_ref_sig", Seq("bands", "sigs"))
+    Warehouse.dropStore(spark, "tk_ref_cl", Seq("labels"))
+    Dedup.buildSignatureStore(corpus, "tk_casc_sig")
+    Dedup.buildClusterStoreFromSignatureStore(spark, "tk_casc_sig", "tk_casc_cl")
+    Dedup.removeDocs(removedDocs.select(col("doc_id"), col("text")),
+      Dedup.DedupStoreFamily(signature = Some("tk_casc_sig"), clusters = Some("tk_casc_cl")))
+    Dedup.buildSignatureStore(filteredCorpus, "tk_ref_sig")
+    Dedup.buildClusterStoreFromSignatureStore(spark, "tk_ref_sig", "tk_ref_cl")
+    def labels(name: String) = {
+      val g = Warehouse.resolveGeneration(spark, name)
+      Warehouse.table(spark, Warehouse.storeTableName(name, g, "labels"))
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSet
+    }
+    val got = labels("tk_casc_cl")
+    assert(got == labels("tk_ref_cl"), "relabel after removal equals the filtered rebuild")
+    assert(got.nonEmpty)
+    assert(!got.exists { case (d, c) =>
+      (d >= 100 && d < 150) || (d >= 210 && d < 220) ||
+        (c >= 100 && c < 150) || (c >= 210 && c < 220)
+    }, "no removed id survives as a member OR a label")
+    Seq("tk_casc_sig", "tk_ref_sig").foreach(Warehouse.dropStore(spark, _, Seq("bands", "sigs")))
+    Seq("tk_casc_cl", "tk_ref_cl").foreach(Warehouse.dropStore(spark, _, Seq("labels")))
+  }
+
+  test("BM25-store removal queries identically to a rebuild from the filtered corpus") {
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    Warehouse.dropStore(spark, "tk_bm", Seq("postings", "stats"))
+    Warehouse.dropStore(spark, "tk_bm_ref", Seq("postings", "stats"))
+    TextAnalysis.buildBm25Store(corpus, "tk_bm")
+    TextAnalysis.removeFromBm25Store(removedDocs.select(col("doc_id"), col("text")), "tk_bm")
+    TextAnalysis.buildBm25Store(filteredCorpus, "tk_bm_ref")
+    val got = key(TextAnalysis.bm25AgainstStore(spark, "tk_bm"))
+    assert(got == key(TextAnalysis.bm25AgainstStore(spark, "tk_bm_ref")),
+      "scores after removal are bit-identical to the filtered rebuild's")
+    assert(got.nonEmpty)
+    Seq("tk_bm", "tk_bm_ref").foreach(Warehouse.dropStore(spark, _, Seq("postings", "stats")))
+  }
+
+  test("IVF removal: content equals the prior live set minus the removed ids, centroids frozen, no removed id ever probed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tk_ivf_").toString + "/idx"
+    Similarity.buildIvfIndex(t, dir)
+    Similarity.appendToIvfIndex(
+      t.embeddings.filter(col("vec_id") < 0), dir) // empty: exercises the no-op path
+    val (b0, _) = Warehouse.resolvePathSegmented(dir)
+    val beforeRows = spark.read.parquet(Warehouse.pathGenData(dir, b0))
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val beforeCentroids = spark.read
+      .parquet(s"${Warehouse.pathGenData(dir, b0)}/_centroids")
+      .collect().map(_.toString).sorted.toSeq
+    val victims = Seq(3L, 7L, 11L)
+    def queries = t.embeddings.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val rangeBefore = Similarity.searchIvfIndexRange(queries, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Similarity.removeFromIvfIndex(victims.toDF("vec_id"), dir)
+    val (b1, segs1) = Warehouse.resolvePathSegmented(dir)
+    assert(b1 != b0 && segs1.isEmpty)
+    val afterRows = spark.read.parquet(Warehouse.pathGenData(dir, b1))
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(afterRows == beforeRows.filterNot(r => victims.contains(r._1)),
+      "the new generation holds exactly the old rows minus the removed ids, cid routing intact")
+    val afterCentroids = spark.read
+      .parquet(s"${Warehouse.pathGenData(dir, b1)}/_centroids")
+      .collect().map(_.toString).sorted.toSeq
+    assert(afterCentroids == beforeCentroids, "removal never re-trains centroids")
+    // probe semantics: the radius search after removal is the radius
+    // search before it, minus pairs whose neighbor was removed
+    val rangeAfter = Similarity.searchIvfIndexRange(queries, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rangeAfter == rangeBefore.filterNot(r => victims.contains(r._2)),
+      "after ≡ before minus removed neighbors, every surviving pair unchanged")
+    assert(rangeAfter.nonEmpty)
+  }
+}
