@@ -1280,9 +1280,11 @@ object OracleReplicas {
     */
   def dc9FullCuration(benchSize: Long = 50, shingleK: Int = 3, minShared: Long = 5,
       totalBudget: Long = 60000, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, seed: Long = 42L): String =
+      threshold: Double = 0.5, seed: Long = 42L,
+      rewriteK: Int = 8, rewriteMinSpan: Int = 16): String =
     s"""WITH
-       |${dc9Ctes(benchSize, shingleK, minShared, totalBudget, numHashes, bands, threshold, seed)}
+       |${dc9Ctes(benchSize, shingleK, minShared, totalBudget, numHashes, bands,
+          threshold, seed, rewriteK, rewriteMinSpan)}
        |SELECT doc_id, source, ws_tokens, cum_tokens, src_budget FROM sel
        |WHERE cum_tokens <= src_budget
        |ORDER BY source, cum_tokens""".stripMargin
@@ -1293,17 +1295,28 @@ object OracleReplicas {
     */
   def dc10CurationAudit(benchSize: Long = 50, shingleK: Int = 3, minShared: Long = 5,
       totalBudget: Long = 60000, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, seed: Long = 42L): String =
+      threshold: Double = 0.5, seed: Long = 42L,
+      rewriteK: Int = 8, rewriteMinSpan: Int = 16): String =
     s"""WITH
-       |${dc9Ctes(benchSize, shingleK, minShared, totalBudget, numHashes, bands, threshold, seed)}
+       |${dc9Ctes(benchSize, shingleK, minShared, totalBudget, numHashes, bands,
+          threshold, seed, rewriteK, rewriteMinSpan)}
        |SELECT * FROM (
-       |  SELECT 0 AS stage_ord, 'corpus' AS stage, (SELECT COUNT(*) FROM corpus) AS survivors
-       |  UNION ALL SELECT 1, 'quality_gate', (SELECT COUNT(*) FROM s1)
-       |  UNION ALL SELECT 2, 'exact_dedup', (SELECT COUNT(*) FROM s2)
-       |  UNION ALL SELECT 3, 'near_dup', (SELECT COUNT(*) FROM s3)
-       |  UNION ALL SELECT 4, 'decontaminate', (SELECT COUNT(*) FROM s4)
-       |  UNION ALL SELECT 5, 'mixture',
-       |    (SELECT COUNT(*) FROM sel WHERE cum_tokens <= src_budget)) z
+       |  SELECT 0 AS stage_ord, 'corpus' AS stage, (SELECT COUNT(*) FROM corpus) AS survivors,
+       |    (SELECT CAST(COALESCE(SUM(len(t)), 0) AS BIGINT) FROM gtoks) AS ws_tokens
+       |  UNION ALL SELECT 1, 'quality_gate', (SELECT COUNT(*) FROM s1),
+       |    (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s1)
+       |  UNION ALL SELECT 2, 'exact_dedup', (SELECT COUNT(*) FROM s2),
+       |    (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s2)
+       |  UNION ALL SELECT 3, 'near_dup', (SELECT COUNT(*) FROM s3),
+       |    (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s3)
+       |  UNION ALL SELECT 4, 'substring_rewrite', (SELECT COUNT(*) FROM s3r),
+       |    (SELECT CAST(COALESCE(SUM(ws_tokens), 0) AS BIGINT) FROM s3r)
+       |  UNION ALL SELECT 5, 'decontaminate', (SELECT COUNT(*) FROM s4),
+       |    (SELECT CAST(COALESCE(SUM(ws_tokens), 0) AS BIGINT) FROM s4)
+       |  UNION ALL SELECT 6, 'mixture',
+       |    (SELECT COUNT(*) FROM sel WHERE cum_tokens <= src_budget),
+       |    (SELECT CAST(COALESCE(SUM(ws_tokens), 0) AS BIGINT) FROM sel
+       |     WHERE cum_tokens <= src_budget)) z
        |ORDER BY stage_ord""".stripMargin
 
   /** The dc9 CTE chain (gate → exact → near-dup → decon → mixture
@@ -1313,7 +1326,8 @@ object OracleReplicas {
     */
   private def dc9Ctes(benchSize: Long, shingleK: Int, minShared: Long,
       totalBudget: Long, numHashes: Int, bands: Int,
-      threshold: Double, seed: Long): String = {
+      threshold: Double, seed: Long,
+      rewriteK: Int = 8, rewriteMinSpan: Int = 16): String = {
     val enStopwords = graft.operators.TextAnalysis.Stopwords("en")
       .map(w => s"'$w'").mkString("[", ",", "]")
     // k-token ' '-joined shingles: range(1, len(t) - (k - 2)) positions
@@ -1325,6 +1339,11 @@ object OracleReplicas {
          |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
          |        FROM $from) zt
          |  WHERE len(t) >= $shingleK) z)""".stripMargin
+    // the rewrite stage's positional k-gram (string shingles stand in
+    // for the FNV domain, the dc1/d4 precedent) and the k=3 decon
+    // shingles over the KEPT token sequence
+    val rShingleExpr = (0 until rewriteK).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    val keptShingleExpr = (0 until shingleK).map(j => s"t[i+$j]").mkString(" || ' ' || ")
     s"""corpus AS MATERIALIZED (SELECT * FROM documents WHERE doc_id >= $benchSize),
        |gtoks AS (
        |  SELECT doc_id, source, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
@@ -1351,7 +1370,7 @@ object OracleReplicas {
        |    ROUND(CASE WHEN nsh > 0 THEN 1.0 - dsh / nsh ELSE 0.0 END, 6) AS dup_2gram_frac
        |  FROM gbase),
        |s1 AS MATERIALIZED (
-       |  SELECT doc_id, source, text, quality_score FROM gm
+       |  SELECT doc_id, source, text, quality_score, n_tokens FROM gm
        |  WHERE n_tokens >= 16 AND punct_ratio <= 0.10 AND stop_ratio >= 0.01
        |    AND dup_token_frac <= 0.68 AND top_token_frac <= 0.16 AND dup_2gram_frac <= 0.08),
        |ex AS (SELECT MIN(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
@@ -1368,17 +1387,52 @@ object OracleReplicas {
        |  FROM labels l JOIN s2 USING (doc_id)),
        |drops AS (SELECT doc_id FROM rk WHERE rn > 1),
        |s3 AS MATERIALIZED (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+       |rt AS MATERIALIZED (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM s3),
+       |rpsh AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, $rShingleExpr AS h
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${rewriteK - 2})) AS i
+       |        FROM rt WHERE len(t) >= $rewriteK) z),
+       |rm AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+       |  FROM rpsh a JOIN rpsh b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |risl AS (
+       |  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+       |    pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS island
+       |  FROM rm),
+       |rspans AS (
+       |  SELECT doc_b AS doc_id, MIN(pos_b) AS sp, MIN(pos_b) + COUNT(*) + ${rewriteK - 2} AS ep
+       |  FROM risl
+       |  GROUP BY doc_a, doc_b, diag, island
+       |  HAVING COUNT(*) + ${rewriteK - 1} >= $rewriteMinSpan),
+       |rcut AS (
+       |  SELECT DISTINCT doc_id, pos
+       |  FROM (SELECT doc_id, unnest(range(sp, ep + 1)) AS pos FROM rspans) z),
+       |rtokpos AS (
+       |  SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos FROM rt),
+       |rkept AS (
+       |  SELECT p.doc_id, p.pos, p.tok
+       |  FROM rtokpos p LEFT JOIN rcut c2 ON p.doc_id = c2.doc_id AND p.pos = c2.pos
+       |  WHERE c2.pos IS NULL),
+       |rlist AS MATERIALIZED (
+       |  SELECT doc_id, list(tok ORDER BY pos) AS t, COUNT(*) AS rn FROM rkept GROUP BY doc_id),
+       |s3r AS MATERIALIZED (
+       |  SELECT s3.doc_id, s3.source, s3.quality_score,
+       |    CAST(COALESCE(r.rn, 0) AS BIGINT) AS ws_tokens,
+       |    COALESCE(r.t, CAST([] AS VARCHAR[])) AS t
+       |  FROM s3 LEFT JOIN rlist r ON s3.doc_id = r.doc_id),
        |${shingleCte("bsh", s"documents WHERE doc_id < $benchSize")},
        |bench AS (SELECT DISTINCT shingle FROM bsh),
-       |${shingleCte("csh", "s3")},
+       |csh AS (SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t) - ${shingleK - 2}),
+       |    i -> $keptShingleExpr)) AS shingle
+       |  FROM s3r
+       |  WHERE len(t) >= $shingleK) z),
        |cont AS (
        |  SELECT doc_id FROM csh JOIN bench USING (shingle)
        |  GROUP BY doc_id HAVING COUNT(*) >= $minShared),
-       |s4 AS MATERIALIZED (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
-       |c AS (
-       |  SELECT doc_id, source,
-       |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS ws_tokens
-       |  FROM s4),
+       |s4 AS MATERIALIZED (SELECT * FROM s3r WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |c AS (SELECT doc_id, source, ws_tokens FROM s4),
        |wt AS (
        |  SELECT source, CAST(CAST(substr(source, 4) AS INT) % 3 + 1 AS DOUBLE) AS w
        |  FROM (SELECT DISTINCT source FROM s4) z),

@@ -459,9 +459,23 @@ object Curation {
       minShared: Long = 5, totalBudget: Long = 60000, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.5,
       weight: Column = expr("try_cast(substr(source, 4) as int)") % 3 + 1,
+      rewriteK: Int = 8, rewriteMinSpan: Int = 16,
       oracleRounds: Option[Int] = None): DataFrame =
     curationStages(t, benchSize, shingleK, minShared, totalBudget, numHashes,
-      bands, threshold, weight, oracleRounds = oracleRounds).mixture
+      bands, threshold, weight, rewriteK, rewriteMinSpan,
+      oracleRounds = oracleRounds).mixture
+
+  /** The REWRITTEN survivor corpus dc9 hands to decon/mixture —
+    * (doc_id, text) after the substring-rewrite stage — exposed so the
+    * composition's fixed point is spec-assertable: re-running d9 over
+    * THIS corpus finds zero cross-doc spans (the text a trainer
+    * actually packs carries no duplicated span, end to end).
+    */
+  private[graft] def fullCurationRewritten(t: Tables, benchSize: Long = 50,
+      oracleRounds: Option[Int] = None): DataFrame =
+    curationStages(t, benchSize, 3, 5, 60000, 64, 16, 0.5,
+      expr("try_cast(substr(source, 4) as int)") % 3 + 1, 8, 16,
+      oracleRounds = oracleRounds).rewrittenText
 
   /** dc10: the attrition audit of [[fullCuration]] — per-stage survivor
     * counts (corpus → quality gate → exact dedup → near-dup → decon →
@@ -482,26 +496,35 @@ object Curation {
       minShared: Long = 5, totalBudget: Long = 60000, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.5,
       weight: Column = expr("try_cast(substr(source, 4) as int)") % 3 + 1,
+      rewriteK: Int = 8, rewriteMinSpan: Int = 16,
       oracleRounds: Option[Int] = None): DataFrame = {
-    // checkpointStages: without it the audit's six count branches would
+    // checkpointStages: without it the audit's count branches would
     // re-run the LSH-pair + propagation stage THREE times (Catalyst does
     // no common-subtree elimination across union branches) — with it,
     // each stage materializes once and every count reads a materialized
     // frame. dc9 itself keeps the checkpoint-free plan: its stages feed
     // exactly one consumer each, so a barrier would only add cost.
     val st = curationStages(t, benchSize, shingleK, minShared, totalBudget,
-      numHashes, bands, threshold, weight, checkpointStages = true,
-      oracleRounds = oracleRounds)
+      numHashes, bands, threshold, weight, rewriteK, rewriteMinSpan,
+      checkpointStages = true, oracleRounds = oracleRounds)
+    // survivors AND surviving tokens per stage: the token column is the
+    // attrition a TRAINING pipeline actually budgets by — and the only
+    // place the substring-rewrite stage's effect is visible (it drops
+    // tokens, not documents; tokens_removed = the near_dup row minus
+    // the substring_rewrite row)
     Seq(
       (0, "corpus", st.corpus),
       (1, "quality_gate", st.gated),
       (2, "exact_dedup", st.exact),
       (3, "near_dup", st.nearDup),
-      (4, "decontaminate", st.decon),
-      (5, "mixture", st.mixture))
+      (4, "substring_rewrite", st.rewritten),
+      (5, "decontaminate", st.decon),
+      (6, "mixture", st.mixture))
       .map { case (ord, name, df) =>
-        df.agg(count(lit(1)).as("survivors"))
-          .select(lit(ord).as("stage_ord"), lit(name).as("stage"), col("survivors"))
+        df.agg(count(lit(1)).as("survivors"),
+          coalesce(sum(col("ws_tokens")), lit(0L)).as("ws_tokens"))
+          .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+            col("survivors"), col("ws_tokens"))
       }
       .reduce(_.union(_))
       .orderBy(col("stage_ord"))
@@ -513,11 +536,13 @@ object Curation {
     * exactly the run that ships.
     */
   private final case class CurationStages(corpus: DataFrame, gated: DataFrame,
-      exact: DataFrame, nearDup: DataFrame, decon: DataFrame, mixture: DataFrame)
+      exact: DataFrame, nearDup: DataFrame, rewritten: DataFrame,
+      decon: DataFrame, mixture: DataFrame, rewrittenText: DataFrame)
 
   private def curationStages(t: Tables, benchSize: Long, shingleK: Int,
       minShared: Long, totalBudget: Long, numHashes: Int,
       bands: Int, threshold: Double, weight: Column,
+      rewriteK: Int = 8, rewriteMinSpan: Int = 16,
       checkpointStages: Boolean = false,
       oracleRounds: Option[Int] = None): CurationStages = {
     // identity barrier when auditing (multi-consumer stages), no-op for
@@ -544,11 +569,8 @@ object Curation {
       md5(col("text")).as("content_hash"),
       size(col("toks")).cast("long").as("ws_tokens"),
       when(size(col("toks")) > 1,
-        shingle_minhash(col("toks"), 2, numHashes, 42L)).as("sig"),
-      when(size(col("toks")) >= shingleK,
-        array_distinct(shingle_hashes(col("toks"), shingleK)))
-        .otherwise(array().cast("array<bigint>")).as("shingles"))
-      .localCheckpoint(true) // feeds exact-dedup + 5 later branches
+        shingle_minhash(col("toks"), 2, numHashes, 42L)).as("sig"))
+      .localCheckpoint(true) // feeds exact-dedup + later branches
     // ---- stage 2: exact dedup (d1): keep min doc_id per content hash
     val exactKeep = base.groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))
     val s2 = base.join(exactKeep.select(col("doc_id")), Seq("doc_id"), "left_semi")
@@ -570,25 +592,53 @@ object Curation {
       .filter(col("doc_id") =!= col("keeper_id"))
       .select(col("doc_id"))
     val s3 = materialized(s2.join(dropIds, Seq("doc_id"), "left_anti"))
-    // ---- stage 4: decontamination (dc1): the eval slice is UNgated —
-    // benchmark docs are what they are, only the training side is curated
+    // ---- stage 4: SUBSTRING REWRITE (d20 over the near-dup survivors):
+    // the text a trainer actually packs — duplicated cross-doc spans
+    // are cut (keep-lowest-doc_id) BEFORE decontamination sees the
+    // shingles and BEFORE the mixture counts tokens, so (a) decon
+    // judges the text that ships, not spans the rewrite deletes anyway,
+    // and (b) the token budget buys deduplicated tokens. Survivor ids
+    // BROADCAST into a second corpus scan to re-attach text map-side
+    // (token arrays still never enter a keyed exchange — the kept-token
+    // signals below are computed map-side before any join; at corpus
+    // scale the stages run store-backed and this composition's spans
+    // come from the persisted d17 store, exactly d9's 100 TB note).
+    val survText = t.documents.filter(col("doc_id") >= benchSize)
+      .join(broadcast(s3.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    val kept = Dedup.substringRewriteKept(survText, rewriteK, rewriteMinSpan)
+    val keptSignals = kept.select(col("doc_id"),
+      size(col("kept")).cast("long").as("ws_tokens"),
+      when(size(col("kept")) >= shingleK,
+        array_distinct(shingle_hashes(col("kept"), shingleK)))
+        .otherwise(array().cast("array<bigint>")).as("shingles"))
+    val srw = materialized(s3.select(col("doc_id"), col("source"), col("quality_score"))
+      .join(keptSignals, Seq("doc_id")))
+    // ---- stage 5: decontamination (dc1) over the REWRITTEN shingles:
+    // the eval slice is UNgated — benchmark docs are what they are,
+    // only the training side is curated
     val benchSh = t.documents.filter(col("doc_id") < benchSize)
       .select(ws_tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= shingleK)
       .select(explode(array_distinct(shingle_hashes(col("toks"), shingleK))).as("shingle"))
       .distinct()
-    val contaminated = s3.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val contaminated = srw.select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .join(broadcast(benchSh), Seq("shingle"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("doc_id"))
-    val s4 = materialized(s3.join(contaminated, Seq("doc_id"), "left_anti"))
-    // ---- stage 5: mixture (dc4's exact core) over the survivors
+    val s4 = materialized(srw.join(contaminated, Seq("doc_id"), "left_anti"))
+    // ---- stage 6: mixture (dc4's exact core) over the survivors'
+    // REWRITTEN token counts
     val mixture = mixtureOf(s4.select(col("doc_id"), col("source"), col("ws_tokens")),
       totalBudget, weight)
     CurationStages(
-      corpus = t.documents.filter(col("doc_id") >= benchSize).select(col("doc_id")),
-      gated = base, exact = s2, nearDup = s3, decon = s4, mixture = mixture)
+      corpus = t.documents.filter(col("doc_id") >= benchSize)
+        .select(col("doc_id"), size(ws_tokens(col("text"))).cast("long").as("ws_tokens")),
+      gated = base, exact = s2, nearDup = s3, rewritten = srw,
+      decon = s4, mixture = mixture,
+      rewrittenText = kept.select(col("doc_id"),
+        array_join(col("kept"), " ").as("text")))
   }
 
   /** dc11: DSIR data selection — the importance-RESAMPLING step t11's

@@ -1229,6 +1229,18 @@ object Dedup {
           x.getField("pos") >= c.getField("s") && x.getField("pos") <= c.getField("e"))))
   }
 
+  /** d20 over an arbitrary (doc_id, text) frame — the entry point the
+    * dc9 fixed-point spec re-runs on a REWRITTEN survivor corpus, and
+    * the non-Tables twin of [[substringRewrite]] (exactly
+    * [[substringSpansOfDocs]]'s relationship to [[substringSpans]]).
+    */
+  def substringRewriteOfDocs(docs: DataFrame, k: Int = 8, minSpanTokens: Int = 16,
+      maxDf: Option[Long] = None): DataFrame =
+    substringRewriteKept(docs, k, minSpanTokens, maxDf)
+      .select(col("doc_id"), col("n_tokens"), col("removed_tokens"),
+        array_join(col("kept"), " ").as("text"))
+      .orderBy(col("doc_id"))
+
   /** d20's engine over an arbitrary (doc_id, text) frame, emitting the
     * kept TOKEN ARRAY per doc — (doc_id, n_tokens, removed_tokens,
     * kept: array<string>) — the form [[graft.operators.Curation]]'s

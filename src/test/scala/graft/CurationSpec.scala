@@ -282,18 +282,23 @@ class CurationSpec extends SparkSpecBase {
     assert(got.size > 1, "threshold 0.3 yields a non-degenerate cluster structure")
   }
 
-  test("dc10 attrition audit: stages are monotone and consistent with the run it audits") {
+  test("dc10 attrition audit: stages are monotone in rows AND tokens, consistent with the run it audits") {
     val audit = Curation.fullCurationAudit(t).collect()
-    assert(audit.map(_.getAs[String]("stage")).toSeq ==
-      Seq("corpus", "quality_gate", "exact_dedup", "near_dup", "decontaminate", "mixture"),
-      "six stages in pipeline order")
+    val chain = Seq("corpus", "quality_gate", "exact_dedup", "near_dup",
+      "substring_rewrite", "decontaminate", "mixture")
+    assert(audit.map(_.getAs[String]("stage")).toSeq == chain,
+      "seven stages in pipeline order")
     val counts = audit.map(r => r.getAs[String]("stage") -> r.getAs[Long]("survivors")).toMap
-    // each stage only ever drops rows (a stage may drop nothing at
-    // this tiny sf — the sf0.01 oracle pins the exact per-stage counts)
-    val chain = Seq("corpus", "quality_gate", "exact_dedup", "near_dup", "decontaminate", "mixture")
+    val tokens = audit.map(r => r.getAs[String]("stage") -> r.getAs[Long]("ws_tokens")).toMap
+    // each stage only ever drops rows and tokens (a stage may drop
+    // nothing at this tiny sf — the sf0.01 oracle pins exact values;
+    // the rewrite stage drops TOKENS, never rows)
     chain.sliding(2).foreach { case Seq(a, b) =>
       assert(counts(b) <= counts(a), s"stage $b cannot add rows over $a: $counts")
+      assert(tokens(b) <= tokens(a), s"stage $b cannot add tokens over $a: $tokens")
     }
+    assert(counts("substring_rewrite") == counts("near_dup"),
+      "the rewrite stage cuts spans, never documents")
     assert(counts("mixture") < counts("corpus"),
       s"the pipeline must drop SOMETHING on this corpus: $counts")
     // the audited counts are the run's own: the final stage equals dc9's output
@@ -301,6 +306,60 @@ class CurationSpec extends SparkSpecBase {
       "audit's mixture row must equal the shipped dc9 row count")
     assert(counts("corpus") ==
       t.documents.filter(col("doc_id") >= 50).count(), "input census matches the corpus slice")
+  }
+
+  test("dc9 composes the substring rewrite: spans cut before decon sees shingles, tokens budgeted after the cut, fixed point holds") {
+    import spark.implicits._
+    // PLANTED corpus: the sf corpora's span carriers die in earlier
+    // stages, so the composed rewrite needs its own crafted input.
+    //   span = "the zz01 … zz19" (20 tokens, FNV 8-shingle islands →
+    //   one 20-token cut; contains the bench-overlapping subrun)
+    val span = ("the" +: (1 to 19).map(i => f"zz$i%02d")).mkString(" ")
+    def fillers(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    def doc(id: Long, text: String, source: String) =
+      (id, text, "en", source, text.length.toLong)
+    val rows = Seq(
+      // bench doc: shares 6 ≥ minShared 3-shingles with the span's
+      // zz05..zz12 subrun (bench docs are ungated)
+      doc(10L, (5 to 12).map(i => f"zz$i%02d").mkString(" "), "src1"),
+      // the span KEEPER (lowest doc_id): stays contaminated → decon drops it
+      doc(55L, s"the a ${fillers("ka", 18)} $span ${fillers("kb", 20)}", "src1"),
+      // the span LOSER: the rewrite cuts its copy, and with it the ONLY
+      // shingles it shares with the bench → survives decon — the
+      // order-of-stages semantics (decon judges the text that ships)
+      doc(70L, s"the a ${fillers("la", 18)} $span ${fillers("lb", 20)}", "src2"),
+      // plain survivors + an exact-dup pair + a near-dup pair
+      doc(71L, s"the a ${fillers("pa", 30)}", "src1"),
+      doc(72L, s"the a ${fillers("pb", 30)}", "src2"),
+      doc(80L, s"the a ${fillers("pa", 30)}", "src1"), // exact dup of 71
+      doc(81L, s"the a ${fillers("nd", 30)} x1 x2", "src1"),
+      doc(82L, s"the a ${fillers("nd", 30)} y1 y2", "src2")) // near-dup of 81
+    val dir = java.nio.file.Files.createTempDirectory("graft_dc9_planted_").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val pt = graft.sources.Tables(spark, dir)
+
+    val audit = Curation.fullCurationAudit(pt).collect()
+    val tokens = audit.map(r => r.getAs[String]("stage") -> r.getAs[Long]("ws_tokens")).toMap
+    val counts = audit.map(r => r.getAs[String]("stage") -> r.getAs[Long]("survivors")).toMap
+    assert(counts("exact_dedup") == counts("quality_gate") - 1, "doc 80 exact-dups doc 71")
+    assert(counts("near_dup") == counts("exact_dedup") - 1, "one of 81/82 is a near-dup drop")
+    assert(tokens("substring_rewrite") == tokens("near_dup") - 20,
+      s"doc 70's 20-token span copy is cut, doc 55's kept: $tokens")
+
+    val out = Curation.fullCuration(pt).collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    assert(!ids.contains(55L), "the span keeper stays contaminated and decon drops it")
+    assert(ids.contains(70L), "the rewritten doc LOST its contaminating shingles and survives")
+    val d70 = out.find(_.getAs[Long]("doc_id") == 70L).get
+    assert(d70.getAs[Long]("ws_tokens") == 40L,
+      "doc 70's budgeted tokens are the REWRITTEN count: 60 original - the 20-token cut")
+
+    // fixed point over the composition's OUTPUT corpus: re-running d9 on
+    // the rewritten survivor text finds zero cross-doc spans
+    assert(graft.operators.Dedup.substringSpansOfDocs(
+      Curation.fullCurationRewritten(pt)).isEmpty,
+      "the text dc9 hands to mixture/packing carries no duplicated span")
   }
 
   test("t7 repetition scoring: planted duplicate tokens raise the dup fractions") {
