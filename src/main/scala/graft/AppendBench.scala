@@ -107,12 +107,47 @@ object AppendBench {
       viaSeg.nonEmpty,
       "segmented, folded and one-shot signature stores must probe identically")
 
+    // ---- Substring store: the heaviest rebuild in the family -----------
+    // (tokenize + positional-shingle the corpus). r18 claim: the ingest
+    // batch lands as an O(batch) occurrence segment; the fold is a
+    // bucketed rewrite of compact longs (NO re-tokenize), cheaper than
+    // the rebuild it replaces; all layouts probe identically.
+    Seq("ab_sub_rebuild", "ab_sub_base", "ab_sub_base2")
+      .foreach(Warehouse.dropStore(spark, _, Seq("shingles")))
+    val (subRebuildSec, _) = timed(Dedup.buildSubstringStore(docs, "ab_sub_rebuild"))
+    val (subBaseSec, _) = timed(Dedup.buildSubstringStore(corpusDocs, "ab_sub_base"))
+    val (subAppendSec, _) = timed(Dedup.appendToSubstringStore(batchDocs, "ab_sub_base"))
+    Dedup.buildSubstringStore(corpusDocs, "ab_sub_base2")
+    Dedup.appendToSubstringStore(batchDocs, "ab_sub_base2")
+    val (subGrowSec, _) = timed(Dedup.growSubstringStore("ab_sub_base2", spark))
+    def subProbe(store: String): Seq[Seq[Any]] =
+      Dedup.substringSpansAgainstStore(store, probeSet).collect().map(_.toSeq).toSeq
+    val viaSubSeg = subProbe("ab_sub_base")
+    assert(viaSubSeg == subProbe("ab_sub_base2") && viaSubSeg == subProbe("ab_sub_rebuild"),
+      "segmented, folded and one-shot substring stores must probe identically")
+
+    // ---- Novelty store: df segments merge additively --------------------
+    Seq("ab_nov_rebuild", "ab_nov_base")
+      .foreach(Warehouse.dropStore(spark, _, Seq("shdf")))
+    val (novRebuildSec, _) = timed(Dedup.buildNoveltyStore(docs, "ab_nov_rebuild"))
+    val (novBaseSec, _) = timed(Dedup.buildNoveltyStore(corpusDocs, "ab_nov_base"))
+    val (novAppendSec, _) = timed(Dedup.appendToNoveltyStore(batchDocs, "ab_nov_base"))
+    val (novGrowSec, _) = timed(Dedup.growNoveltyStore("ab_nov_base", spark))
+    def novProbe(store: String): Seq[Seq[Any]] =
+      Dedup.noveltyAgainstStore(store, probeSet).collect().map(_.toSeq).toSeq
+    assert(novProbe("ab_nov_base") == novProbe("ab_nov_rebuild"),
+      "folded segmented novelty store must probe identically to the one-shot")
+
     println(s"""{"metric":"append_vs_rebuild","corpus_docs":$nCorpus,"batch_docs":$nBatch,""" +
       s""""bm25_base_build_sec":$baseBuildSec,"bm25_append_sec":$appendSec,""" +
       s""""bm25_rebuild_sec":$rebuildSec,"vecs":$nVec,"ivf_build_sec":$ivfBuildSec,""" +
       s""""ivf_append_sec":$ivfAppendSec,"ivf_rebuild_sec":$ivfRebuildSec,""" +
       s""""sig_base_build_sec":$sigBaseSec,"sig_append_sec":$sigAppendSec,""" +
-      s""""sig_grow_sec":$sigGrowSec,"sig_rebuild_sec":$sigRebuildSec,"cpus":$cpus}""")
+      s""""sig_grow_sec":$sigGrowSec,"sig_rebuild_sec":$sigRebuildSec,""" +
+      s""""sub_base_build_sec":$subBaseSec,"sub_append_sec":$subAppendSec,""" +
+      s""""sub_grow_sec":$subGrowSec,"sub_rebuild_sec":$subRebuildSec,""" +
+      s""""nov_base_build_sec":$novBaseSec,"nov_append_sec":$novAppendSec,""" +
+      s""""nov_grow_sec":$novGrowSec,"nov_rebuild_sec":$novRebuildSec,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -38,6 +38,21 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // OFF for correctness: when ON (the 4.x default), UnionExec
+      // reports its children's common partitioning, and a keyed
+      // aggregate over a union of SAME-BUCKETED scans skips its
+      // exchange. The claim is honored on the row path (same-index
+      // partitions zip) but NOT on the COLUMNAR path (partitions
+      // concatenate while still claiming clustering) — a columnar
+      // union of two co-bucketed tables + groupBy on the bucket key
+      // returns per-child partials as final rows (reproduced on
+      // 4.1.2: two 4-bucket tables sharing key h=1 → groupBy(h) emits
+      // h=1 twice). Every segmented-store fold/probe unions
+      // co-bucketed generations, so this library cannot run with the
+      // optimization on; the exchanges it legitimately saved (dfT over
+      // filtered postings unions) return, priced into the audited
+      // plans.
+      .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.ui.enabled", "false")
 
   /** Create (or reuse) a session and register graft SQL functions. */

@@ -952,20 +952,16 @@ object Dedup {
     * a warehouse table bucketed on the hash (`<name>_shdf`), under the
     * dedup stores' claim/publish protocol. An ingest batch probes it
     * co-partitioned — corpus text is never re-tokenized and the store
-    * side never shuffles.
+    * side never shuffles. The shingle width k rides along as an
+    * RLE-constant column (the substring store's rule) so appenders and
+    * probes derive it from the store.
     */
   def buildNoveltyStore(docs: DataFrame, name: String, k: Int = 3,
       buckets: Int = 32): Unit = {
     val spark = docs.sparkSession
     val gen = Warehouse.claimGeneration(spark, name)
-    val dfT = Warehouse.storeTableName(name, gen, "shdf")
     try {
-      val dsh = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
-        .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
-        .filter(size(col("tokens")) >= k)
-        .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("tokens"), k))).as("h"))
-      Warehouse.writeBucketed(
-        dsh.groupBy(col("h")).agg(count(lit(1)).as("df")), dfT, "h", buckets)
+      writeNoveltyGeneration(docs, name, gen, k, buckets)
       Warehouse.publishGeneration(spark, name, gen)
     } catch { case e: Throwable =>
       // the sibling builders' failure contract, guarded: drop the
@@ -976,6 +972,122 @@ object Dedup {
     }
   }
 
+  /** ONE definition of a novelty-store generation's content — the
+    * (h, df, k) distinct-doc frequency table bucketed on the hash —
+    * shared by the full build and the segment append. df is ADDITIVE
+    * across disjoint doc sets (the NEW-doc_ids append contract), so
+    * base ∪ segments merged by sum is bit-identical to a one-shot build
+    * over the union corpus (t23's stats rule at shingle granularity).
+    */
+  private def writeNoveltyGeneration(docs: DataFrame, name: String, gen: Long,
+      k: Int, buckets: Int): Unit = {
+    val dfT = Warehouse.storeTableName(name, gen, "shdf")
+    val dsh = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
+      .filter(size(col("tokens")) >= k)
+      .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("tokens"), k))).as("h"))
+    Warehouse.writeBucketed(
+      dsh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .select(col("h"), col("df"), lit(k).as("k")),
+      dfT, "h", buckets)
+  }
+
+  /** The novelty store's (k, buckets) layout from its base generation —
+    * the substring store's derivation rules (legacy stores without the
+    * k column return None and the caller's explicit k stands).
+    */
+  private def noveltyLayoutOf(spark: SparkSession, name: String,
+      base: Long): (Option[Int], Int) = {
+    val dfT = Warehouse.storeTableName(name, base, "shdf")
+    val buckets = storedBucketsOf(spark, name, base, "shdf", 0)
+    val tbl = Warehouse.table(spark, dfT)
+    val kOpt =
+      if (!tbl.columns.contains("k")) None
+      else tbl.select(col("k")).limit(1).collect().headOption.map(_.getInt(0))
+    (kOpt, buckets)
+  }
+
+  private def resolveNoveltyK(name: String, given: Int, stored: Option[Int]): Int =
+    stored match {
+      case Some(sk) =>
+        require(given == 0 || given == sk,
+          s"k=$given differs from novelty store '$name''s built width ($sk) — " +
+            "probe hashes would never match the index (every shingle reads novel); pass 0 to derive")
+        sk
+      case None =>
+        require(given > 0,
+          s"novelty store '$name' predates the recorded-k column and no explicit " +
+            "k was passed — pass the build's k (it must match or every shingle reads novel)")
+        given
+    }
+
+  /** Segment-append for the NOVELTY store: the batch's own distinct-doc
+    * df table lands as an O(batch) SEGMENT in the base's layout through
+    * the shared [[Warehouse.appendSegmentWith]] protocol. df is
+    * additive across the disjoint doc sets (NEW-doc_ids contract), so
+    * probes treat a shingle as seen iff ANY generation holds it and
+    * [[growNoveltyStore]]'s sum-merge compaction is exact.
+    */
+  def appendToNoveltyStore(docs: DataFrame, name: String,
+      dedupeTag: Option[String] = None, k: Int = 0): Option[Long] = {
+    val spark = docs.sparkSession
+    Warehouse.appendSegmentWith[(Int, Int)](
+      Warehouse.chainOf(spark, name), s"appendToNoveltyStore('$name')",
+      dedupeTag, docs.isEmpty,
+      prepare = base => {
+        val (kOpt, buckets) = noveltyLayoutOf(spark, name, base)
+        (resolveNoveltyK(name, k, kOpt), buckets)
+      },
+      writeData = (gen, layout) =>
+        writeNoveltyGeneration(docs, name, gen, layout._1, layout._2),
+      dropData = gen => scala.util.Try(
+        Warehouse.drop(spark, Warehouse.storeTableName(name, gen, "shdf"))): Unit)
+  }
+
+  /** COMPACT the segmented novelty store: merge base ∪ segments by
+    * df-SUM into the next full generation (exact — the doc sets are
+    * disjoint), no text ever re-tokenized. Conditional publish, the
+    * shared fold discipline. NOTE: unlike [[growSignatureStore]] this
+    * fold takes no batch — a df absorb is NOT replay-idempotent (no
+    * doc_ids survive in the counters to dedupe on), so batches land
+    * only through [[appendToNoveltyStore]]'s tagged segments.
+    */
+  def growNoveltyStore(name: String, spark: SparkSession): Unit =
+    growNoveltyStoreHooked(name, spark)
+
+  private[graft] def growNoveltyStoreHooked(name: String, spark: SparkSession,
+      beforePublish: () => Unit = () => ()): Unit = {
+    var attempt = 0
+    while (attempt < 5) {
+      val (base, segs) = Warehouse.resolveSegmented(spark, name)
+      val (kOpt, buckets) = noveltyLayoutOf(spark, name, base)
+      val folded = (base +: segs)
+        .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "shdf"))
+          .select(col("h"), col("df")))
+        .reduce(_ unionAll _)
+        .groupBy(col("h")).agg(sum(col("df")).as("df"))
+      val withK = kOpt.fold(folded)(sk => folded.select(col("h"), col("df"), lit(sk).as("k")))
+      val gen = Warehouse.claimGeneration(spark, name)
+      try {
+        Warehouse.writeBucketed(withK,
+          Warehouse.storeTableName(name, gen, "shdf"), "h", buckets)
+        beforePublish()
+        Warehouse.publishGenerationExpecting(spark, name, gen, base, segs)
+        return
+      } catch {
+        case _: graft.sources.StaleFoldException =>
+          Warehouse.cleanupFailedBuild(spark, name, gen, Seq("shdf"))
+          attempt += 1
+        case e: Throwable =>
+          Warehouse.cleanupFailedBuild(spark, name, gen, Seq("shdf"))
+          throw e
+      }
+    }
+    throw new IllegalStateException(
+      s"growNoveltyStore('$name') lost to 5 consecutive concurrent " +
+        "appends/rebuilds — aborting (the fold is safe to replay)")
+  }
+
   /** d15 at ingest: the NEW batch's novelty AGAINST the persisted
     * corpus index — a shingle is novel when the corpus has never seen
     * it (no store row), the incremental twin of d15's within-corpus
@@ -983,26 +1095,47 @@ object Dedup {
     * store's bucket layout and LEFT-join the df table co-partitioned;
     * work per ingest is O(batch shingles) plus a pruned store read.
     */
-  def noveltyAgainstStore(name: String, newDocs: DataFrame, k: Int = 3,
+  def noveltyAgainstStore(name: String, newDocs: DataFrame, k: Int = 0,
       buckets: Int = 0): DataFrame = {
     val spark = newDocs.sparkSession
-    // bucket layout derives FROM THE STORE (0 = derive): a probe
-    // repartitioned to a different count joins mis-partitioned and the
-    // co-location silently voids; a nonzero caller value validates
-    val gen = Warehouse.resolveGeneration(spark, name)
-    val bkts = storedBucketsOf(spark, name, gen, "shdf", buckets)
+    // layout derives FROM THE STORE (0 = derive; nonzero validates):
+    // buckets from catalog metadata, k from the recorded constant
+    // column. Segment-aware resolve, ONCE: a shingle is SEEN iff any
+    // live generation holds it — per-generation co-partitioned LEFT
+    // joins (the fresh exchange is physically reused across branches),
+    // novel = unseen in every one (df is additive across the disjoint
+    // generation doc sets, so presence-anywhere is exactly the
+    // one-shot df > 0).
+    val (base, segs) = Warehouse.resolveSegmented(spark, name)
+    val (kOpt, storeBuckets) = noveltyLayoutOf(spark, name, base)
+    require(buckets == 0 || buckets == storeBuckets,
+      s"probe buckets=$buckets differs from store '$name''s built layout " +
+        s"($storeBuckets) — the probe side would join mis-partitioned; pass 0 " +
+        "to derive the layout from the store")
+    val kk = resolveNoveltyK(name, k, kOpt)
     val fresh = spreadIfNarrow(newDocs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
-      .filter(size(col("tokens")) >= k)
-      .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("tokens"), k))).as("fh"))
-      .repartition(bkts, col("fh"))
-    val existing = Warehouse.table(spark,
-      Warehouse.storeTableName(name, gen, "shdf"))
-      .select(col("h"), col("df"))
-    val perDoc = fresh.join(existing, col("fh") === col("h"), "left")
+      .filter(size(col("tokens")) >= kk)
+      .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("tokens"), kk))).as("fh"))
+      .repartition(storeBuckets, col("fh"))
+    // CHAINED per-generation left joins, each co-partitioned on the
+    // bucket key (store h unique per generation, so row counts are
+    // preserved) — a union-then-regroup would add a batch-side
+    // exchange; the chain keeps the single-generation plan shape
+    // byte-identical when no segments exist
+    val gens = base +: segs
+    val joined = gens.zipWithIndex.foldLeft(fresh) { case (acc, (g, i)) =>
+      acc.join(
+        Warehouse.table(spark, Warehouse.storeTableName(name, g, "shdf"))
+          .select(col("h").as(s"h_$i"), lit(1).as(s"seen_$i")),
+        col("fh") === col(s"h_$i"), "left")
+        .drop(s"h_$i")
+    }
+    val seenAny = gens.indices.map(i => col(s"seen_$i").isNotNull).reduce(_ || _)
+    val perDoc = joined
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df").isNull, 1L).otherwise(0L)).as("novel_shingles"))
+        sum(when(seenAny, 0L).otherwise(1L)).as("novel_shingles"))
     newDocs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1027,28 +1160,31 @@ object Dedup {
     * contract is the caller's; the identity spec pins it. Conditional
     * publish: the resolved live set must still be current at commit.
     */
-  def removeFromNoveltyStore(removedDocs: DataFrame, name: String, k: Int = 3): Unit = {
+  def removeFromNoveltyStore(removedDocs: DataFrame, name: String, k: Int = 0): Unit = {
     val spark = removedDocs.sparkSession
     var attempt = 0
     while (attempt < 5) {
       val (base, segs) = Warehouse.resolveSegmented(spark, name)
-      val buckets = storedBucketsOf(spark, name, base, "shdf", 0)
+      val (kOpt, buckets) = noveltyLayoutOf(spark, name, base)
+      val kk = resolveNoveltyK(name, k, kOpt)
       val oldDf = (base +: segs)
-        .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "shdf")))
+        .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "shdf"))
+          .select(col("h"), col("df")))
         .reduce(_ unionAll _)
         .groupBy(col("h")).agg(sum(col("df")).as("df"))
       val rdf = spreadIfNarrow(removedDocs.select(col("doc_id"), col("text")))
         .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
-        .filter(size(col("tokens")) >= k)
-        .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("tokens"), k))).as("h"))
+        .filter(size(col("tokens")) >= kk)
+        .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("tokens"), kk))).as("h"))
         .groupBy(col("h")).agg(count(lit(1)).as("rdf"))
       val gen = Warehouse.claimGeneration(spark, name)
       val dfT = Warehouse.storeTableName(name, gen, "shdf")
+      val subtracted = oldDf.join(rdf, Seq("h"), "left")
+        .select(col("h"), (col("df") - coalesce(col("rdf"), lit(0L))).as("df"))
+        .filter(col("df") > 0)
       try {
         Warehouse.writeBucketed(
-          oldDf.join(rdf, Seq("h"), "left")
-            .select(col("h"), (col("df") - coalesce(col("rdf"), lit(0L))).as("df"))
-            .filter(col("df") > 0),
+          kOpt.fold(subtracted)(sk => subtracted.select(col("h"), col("df"), lit(sk).as("k"))),
           dfT, "h", buckets)
         Warehouse.publishGenerationExpecting(spark, name, gen, base, segs)
         return
@@ -1169,7 +1305,7 @@ object Dedup {
     * work per ingest is O(batch × collisions) span detection plus one
     * splice pass over the batch's own tokens — corpus text never read.
     */
-  def substringRewriteAgainstStore(name: String, newDocs: DataFrame, k: Int = 8,
+  def substringRewriteAgainstStore(name: String, newDocs: DataFrame, k: Int = 0,
       minSpanTokens: Int = 16, buckets: Int = 0): DataFrame = {
     val toks = spreadIfNarrow(newDocs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
@@ -1310,33 +1446,52 @@ object Dedup {
     * ingest batch joins its own occurrences co-partitioned against disk
     * — corpus text is never re-tokenized and the store side never
     * shuffles. Same FNV shingle kernel as d9/d10, so probing is
-    * bit-equivalent to the in-job recompute (spec-verified).
+    * bit-equivalent to the in-job recompute (spec-verified). The
+    * shingle width `k` rides along as a constant column (RLE-compressed
+    * to nothing in parquet — the dl_sum precedent): k is baked into
+    * every hash, so appenders and probes DERIVE it from the store
+    * instead of trusting a caller-repeated parameter (a drifted k means
+    * probe hashes never collide — a silent total miss).
     */
   def buildSubstringStore(docs: DataFrame, name: String, k: Int = 8,
       buckets: Int = 32,
       maxDf: Option[Long] = Some(QuadraticGuardDefault)): Unit = {
     val spark = docs.sparkSession
     val gen = Warehouse.claimGeneration(spark, name)
+    try {
+      writeSubstringGeneration(docs, name, gen, k, buckets, maxDf)
+      Warehouse.publishGeneration(spark, name, gen)
+    } catch { case e: Throwable =>
+      Warehouse.cleanupFailedBuild(spark, name, gen, Seq("shingles"))
+      throw e
+    }
+  }
+
+  /** ONE definition of a substring-store generation's content — the
+    * (h, doc_id, pos, k) occurrence table bucketed on the hash — shared
+    * by the full build and the segment append so the tokenize→shingle
+    * chain cannot drift between them. The quadratic maxDf guard (ON by
+    * default, same shape as the signature store's): a shingle occupying
+    * `df` (doc, pos) slots emits df rows per probe occurrence, so
+    * corpus-hot boilerplate refuses publication by throwing — the
+    * caller's guarded cleanup unpublishes.
+    */
+  private def writeSubstringGeneration(docs: DataFrame, name: String, gen: Long,
+      k: Int, buckets: Int, maxDf: Option[Long]): Unit = {
+    val spark = docs.sparkSession
     val shinglesT = Warehouse.storeTableName(name, gen, "shingles")
     val psh = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
       .filter(size(col("tokens")) >= k)
       .select(col("doc_id"), posexplode(shingle_hashes(col("tokens"), k)))
-      .select(col("col").as("h"), col("doc_id"), (col("pos") + 1).as("pos"))
+      .select(col("col").as("h"), col("doc_id"), (col("pos") + 1).as("pos"),
+        lit(k).as("k"))
     Warehouse.writeBucketed(psh, shinglesT, "h", buckets)
-    // quadratic guard, ON by default (same shape as the signature
-    // store's): a shingle occurring in `df` (doc, pos) slots emits df
-    // rows per probe occurrence — corpus-hot boilerplate makes every
-    // ingest grind. Checked against the written compact index, not the
-    // text; a tripped guard refuses to publish the new generation (the
-    // prior one, if any, stays live and untouched).
     maxDf.foreach { m =>
       val worst = Warehouse.table(spark, shinglesT)
         .groupBy(col("h")).agg(count(lit(1)).as("n"))
         .filter(col("n") > m).orderBy(col("n").desc).limit(1).collect()
       worst.headOption.foreach { r =>
-        Warehouse.drop(spark, shinglesT)
-        Warehouse.burnClaim(spark, name, gen)
         throw new IllegalStateException(
           s"substring store '$name' shingle df exceeds maxDf=$m: " +
             s"hash ${r.get(0)} occupies ${r.getAs[Long]("n")} (doc, pos) slots — " +
@@ -1344,7 +1499,114 @@ object Dedup {
             "(cap with d9's maxDf upstream or opt out with maxDf = None)")
       }
     }
-    Warehouse.publishGeneration(spark, name, gen)
+  }
+
+  /** The substring store's layout — (k, buckets), both derived FROM THE
+    * STORE's base generation: buckets from catalog metadata (unreadable
+    * fails loudly), k from the constant column the build bakes in. A
+    * pre-k-column legacy store returns k = None — the caller's explicit
+    * k then stands, documented must-match (nothing to validate against).
+    */
+  private def substringLayoutOf(spark: SparkSession, name: String,
+      base: Long): (Option[Int], Int) = {
+    val shinglesT = Warehouse.storeTableName(name, base, "shingles")
+    val buckets = storedBucketsOf(spark, name, base, "shingles", 0)
+    val tbl = Warehouse.table(spark, shinglesT)
+    val kOpt =
+      if (!tbl.columns.contains("k")) None
+      else tbl.select(col("k")).limit(1).collect().headOption.map(_.getInt(0))
+    (kOpt, buckets)
+  }
+
+  /** Resolve the probe/append shingle width against the store: derive
+    * when the store records k (0 = derive; nonzero validates), fall
+    * back to the caller's explicit k on a legacy store.
+    */
+  private def resolveSubstringK(name: String, given: Int, stored: Option[Int]): Int =
+    stored match {
+      case Some(sk) =>
+        require(given == 0 || given == sk,
+          s"k=$given differs from substring store '$name''s built width ($sk) — " +
+            "hashes would never collide (a silent total miss); pass 0 to derive")
+        sk
+      case None =>
+        require(given > 0,
+          s"substring store '$name' predates the recorded-k column and no explicit " +
+            "k was passed — pass the build's k (it must match or hashes never collide)")
+        given
+    }
+
+  /** Segment-append for the SUBSTRING store — the r17 signature-store
+    * pattern verbatim at occurrence granularity: a batch of NEW
+    * documents lands as an O(batch) (h, doc_id, pos) SEGMENT in the
+    * base's exact bucket layout and shingle width (both derived from
+    * the store), published through the shared
+    * [[Warehouse.appendSegmentWith]] protocol (committed-tag skip,
+    * atomic publish-or-refuse, guarded cleanup). Probes
+    * ([[substringSpansAgainstStore]]) read base ∪ segments per
+    * generation, co-partitioned; [[growSubstringStore]] is the
+    * compaction. The heaviest rebuild in the store family (tokenize +
+    * shingle the corpus) now costs O(batch) per ingest. Callers append
+    * NEW doc_ids only (the d7/d16 ingest contract).
+    */
+  def appendToSubstringStore(docs: DataFrame, name: String,
+      dedupeTag: Option[String] = None, k: Int = 0,
+      maxDf: Option[Long] = Some(QuadraticGuardDefault)): Option[Long] = {
+    val spark = docs.sparkSession
+    Warehouse.appendSegmentWith[(Int, Int)](
+      Warehouse.chainOf(spark, name), s"appendToSubstringStore('$name')",
+      dedupeTag, docs.isEmpty,
+      prepare = base => {
+        val (kOpt, buckets) = substringLayoutOf(spark, name, base)
+        (resolveSubstringK(name, k, kOpt), buckets)
+      },
+      writeData = (gen, layout) =>
+        writeSubstringGeneration(docs, name, gen, layout._1, layout._2, maxDf),
+      dropData = gen => scala.util.Try(
+        Warehouse.drop(spark, Warehouse.storeTableName(name, gen, "shingles"))): Unit)
+  }
+
+  /** COMPACT the segmented substring store: fold base ∪ published
+    * segments into the next FULL generation WITHOUT re-tokenizing any
+    * text — the stored occurrence rows union as-is (compact longs; the
+    * fold is a bucketed rewrite, not a rebuild). Publishing is
+    * CONDITIONAL on the folded live set ([[graft.sources
+    * .StaleFoldException]] → re-fold), the growSignatureStore
+    * discipline, so a segment landing mid-fold is never superseded
+    * unfolded. Run on the rebuild cadence; per-batch ingest uses
+    * [[appendToSubstringStore]]'s O(batch) segments.
+    */
+  def growSubstringStore(name: String, spark: SparkSession): Unit =
+    growSubstringStoreHooked(name, spark)
+
+  private[graft] def growSubstringStoreHooked(name: String, spark: SparkSession,
+      beforePublish: () => Unit = () => ()): Unit = {
+    var attempt = 0
+    while (attempt < 5) {
+      val (base, segs) = Warehouse.resolveSegmented(spark, name)
+      val (_, buckets) = substringLayoutOf(spark, name, base)
+      val folded = (base +: segs)
+        .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "shingles")))
+        .reduce(_ unionAll _)
+      val gen = Warehouse.claimGeneration(spark, name)
+      try {
+        Warehouse.writeBucketed(folded,
+          Warehouse.storeTableName(name, gen, "shingles"), "h", buckets)
+        beforePublish()
+        Warehouse.publishGenerationExpecting(spark, name, gen, base, segs)
+        return
+      } catch {
+        case _: graft.sources.StaleFoldException =>
+          Warehouse.cleanupFailedBuild(spark, name, gen, Seq("shingles"))
+          attempt += 1
+        case e: Throwable =>
+          Warehouse.cleanupFailedBuild(spark, name, gen, Seq("shingles"))
+          throw e
+      }
+    }
+    throw new IllegalStateException(
+      s"growSubstringStore('$name') lost to 5 consecutive concurrent " +
+        "appends/rebuilds — aborting (the fold is safe to replay)")
   }
 
   /** d10 against the persisted store: the new batch's positional
@@ -1353,36 +1615,54 @@ object Dedup {
     * islands as d9/d10 rebuild maximal spans. Work per ingest is
     * O(batch × collisions) plus a store read.
     */
-  def substringSpansAgainstStore(name: String, newDocs: DataFrame, k: Int = 8,
+  def substringSpansAgainstStore(name: String, newDocs: DataFrame, k: Int = 0,
       minSpanTokens: Int = 16, buckets: Int = 0): DataFrame = {
     val spark = newDocs.sparkSession
-    // bucket layout derives FROM THE STORE (0 = derive; nonzero
-    // validates); k is a BUILD parameter the occurrence hashes bake in —
-    // it must match the store's build or probe hashes never collide
-    // (documented contract; the layout constants that CAN derive, do)
-    val gen = Warehouse.resolveGeneration(spark, name)
-    val bkts = storedBucketsOf(spark, name, gen, "shingles", buckets)
+    // the layout derives FROM THE STORE (0 = derive; nonzero
+    // validates): buckets from catalog metadata, k from the recorded
+    // constant column (legacy stores without it require the caller's
+    // explicit k — documented must-match). Segment-aware resolve, ONCE,
+    // pins every store-side read to one immutable snapshot.
+    val (base, segs) = Warehouse.resolveSegmented(spark, name)
+    val (kOpt, storeBuckets) = substringLayoutOf(spark, name, base)
+    require(buckets == 0 || buckets == storeBuckets,
+      s"probe buckets=$buckets differs from store '$name''s built layout " +
+        s"($storeBuckets) — the probe side would join mis-partitioned; pass 0 " +
+        "to derive the layout from the store")
+    val kk = resolveSubstringK(name, k, kOpt)
     // batch-side columns carry distinct names so the plan (and spec) can
-    // tell the batch exchange from a store-side one
+    // tell the batch exchange from a store-side one; the fresh side
+    // repartitions ONCE and the per-generation co-partitioned joins
+    // physically reuse it (ReusedExchange), so segment count never
+    // multiplies batch work
     val fresh = spreadIfNarrow(newDocs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
-      .filter(size(col("tokens")) >= k)
-      .select(col("doc_id"), posexplode(shingle_hashes(col("tokens"), k)))
+      .filter(size(col("tokens")) >= kk)
+      .select(col("doc_id"), posexplode(shingle_hashes(col("tokens"), kk)))
       .select(col("col").as("fh"), col("doc_id").as("new_id"), (col("pos") + 1).as("pos_new"))
-      .repartition(bkts, col("fh"))
-    val existing = Warehouse.table(spark,
-      Warehouse.storeTableName(name, gen, "shingles"))
-      .select(col("h"), col("doc_id").as("dup_of"), col("pos").as("pos_old"))
+      .repartition(storeBuckets, col("fh"))
+    // per-GENERATION joins unioned, not a join against a unioned store
+    // (a union of bucketed tables loses its bucketing — the whole index
+    // would re-shuffle per ingest); a (new_id, dup_of) pair's matches
+    // all live in the one generation holding dup_of (NEW-doc_ids append
+    // contract), so the island windows after the union see exactly the
+    // single-store row set
+    val matches = (base +: segs).map { g =>
+      fresh.join(
+        Warehouse.table(spark, Warehouse.storeTableName(name, g, "shingles"))
+          .select(col("h"), col("doc_id").as("dup_of"), col("pos").as("pos_old")),
+        col("fh") === col("h"))
+        .select(col("new_id"), col("dup_of"), col("pos_new"), col("pos_old"))
+    }.reduce(_ unionAll _)
     val w = Window.partitionBy(col("new_id"), col("dup_of"), col("diag")).orderBy(col("pos_new"))
-    fresh.join(existing, col("fh") === col("h"))
-      .select(col("new_id"), col("dup_of"), col("pos_new"), col("pos_old"))
+    matches
       .withColumn("diag", col("pos_new") - col("pos_old"))
       .withColumn("island", col("pos_new") - row_number().over(w))
       .groupBy(col("new_id"), col("dup_of"), col("diag"), col("island"))
       .agg(
         min(col("pos_new")).as("start_new"),
         min(col("pos_old")).as("start_old"),
-        (count(lit(1)) + lit(k - 1)).as("span_tokens"))
+        (count(lit(1)) + lit(kk - 1)).as("span_tokens"))
       .filter(col("span_tokens") >= minSpanTokens)
       .select(col("new_id"), col("dup_of"), col("start_new"), col("start_old"), col("span_tokens"))
       .orderBy(col("new_id"), col("dup_of"), col("start_new"), col("start_old"))
@@ -1409,8 +1689,7 @@ object Dedup {
       val shinglesT = Warehouse.storeTableName(name, gen, "shingles")
       try {
         Warehouse.writeBucketed(
-          oldOcc.join(broadcast(ids), Seq("doc_id"), "left_anti")
-            .select(col("h"), col("doc_id"), col("pos")),
+          oldOcc.join(broadcast(ids), Seq("doc_id"), "left_anti"),
           shinglesT, "h", buckets)
         Warehouse.publishGenerationExpecting(spark, name, gen, base, segs)
         return

@@ -359,13 +359,44 @@ object DocPipelines {
     * (run the batch d9 over the accumulated corpus for those).
     */
   def substringDedupStream(docs: DataFrame, storeName: String,
-      onSpans: (DataFrame, Long) => Unit, k: Int = 8, minSpanTokens: Int = 16,
-      buckets: Int = 32): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      onSpans: (DataFrame, Long) => Unit, k: Int = 0, minSpanTokens: Int = 16,
+      buckets: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onSpans(
           graft.operators.Dedup.substringSpansAgainstStore(
+            storeName, batch, k, minSpanTokens, buckets),
+          batchId)
+      }
+
+  /** Streaming REWRITE ingest — the d21 twin: each arriving micro-batch
+    * of documents is CLEANED against the persisted positional-shingle
+    * store ([[graft.operators.Dedup.substringRewriteAgainstStore]] —
+    * spans of the batch vs the corpus are cut from the batch side and
+    * token-boundary spliced through the shared d20/d21 kernel), and the
+    * rewritten frame (doc_id, n_tokens, removed_tokens, text) is handed
+    * to `onRewritten` with the batch id — the per-shard transform a
+    * continuous training-data pipeline runs on every arriving shard,
+    * as a stream.
+    *
+    * ZERO streaming state, exactly [[substringDedupStream]]'s model:
+    * the corpus side lives in the generation-versioned store (layout —
+    * bucket count AND shingle width k — derives from the store), each
+    * micro-batch pins whatever generation is live when it probes, and
+    * a restart resumes from the checkpoint against the same store. An
+    * all-novel batch (no store collisions) passes through splice-free
+    * with removed_tokens = 0 — the batch probe's exact semantics,
+    * StreamingSpec-pinned row-for-row including that case.
+    */
+  def rewriteIngestStream(docs: DataFrame, storeName: String,
+      onRewritten: (DataFrame, Long) => Unit, k: Int = 0, minSpanTokens: Int = 16,
+      buckets: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onRewritten(
+          graft.operators.Dedup.substringRewriteAgainstStore(
             storeName, batch, k, minSpanTokens, buckets),
           batchId)
       }
@@ -381,7 +412,7 @@ object DocPipelines {
     * batch probe on the same rows (StreamingSpec).
     */
   def noveltyScoreStream(docs: DataFrame, storeName: String,
-      onScores: (DataFrame, Long) => Unit, k: Int = 3, buckets: Int = 32):
+      onScores: (DataFrame, Long) => Unit, k: Int = 0, buckets: Int = 0):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode(OutputMode.Append)

@@ -763,6 +763,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming rewrite ingest cleans each micro-batch like batch d21, including a span-free batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.sources.Tables(spark, sfDir)
+    graft.sources.Warehouse.dropStore(spark, "rwstream", Seq("shingles"))
+    graft.operators.Dedup.buildSubstringStore(
+      t.documents.filter(col("doc_id") < 250), "rwstream")
+    val increment = t.documents.filter(col("doc_id") >= 250)
+      .select("doc_id", "text").as[(Long, String)].collect()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"),
+        r.getAs[Int]("removed_tokens"), r.getAs[String]("text"))
+    val perBatch = scala.collection.mutable.Map.empty[Long, Set[(Long, Int, Int, String)]]
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocPipelines.rewriteIngestStream(
+        mem.toDF().toDF("doc_id", "text"), "rwstream",
+        (rw, id) => perBatch(id) = rw.collect().map(key).toSet)
+      .start()
+    try {
+      // batch 0: real corpus docs (some carry cut spans); batch 1: an
+      // ALL-NOVEL batch sharing nothing ≥ minSpan with the store — it
+      // must pass through splice-free with removed_tokens = 0
+      val novel = (9000L to 9004L).map(i =>
+        (i, (0 until 30).map(j => s"nv${i}x$j").mkString(" ")))
+      mem.addData(increment.toIndexedSeq); q.processAllAvailable()
+      mem.addData(novel); q.processAllAvailable()
+      // streamed ≡ batch d21, row for row, per micro-batch
+      def want(rows: Seq[(Long, String)]) =
+        graft.operators.Dedup.substringRewriteAgainstStore(
+            "rwstream", rows.toDF("doc_id", "text"))
+          .collect().map(key).toSet
+      assert(perBatch(0L) == want(increment.toSeq),
+        "streamed rewrite diverged from batch d21 on the real increment")
+      assert(perBatch(0L).exists(_._3 > 0),
+        "the sf0.001 increment carries at least one cut span")
+      assert(perBatch(1L) == want(novel),
+        "streamed rewrite diverged from batch d21 on the novel batch")
+      assert(perBatch(1L).forall(r => r._3 == 0 && r._2 == 30),
+        "an all-novel batch passes through splice-free")
+    } finally q.stop()
+    graft.sources.Warehouse.dropStore(spark, "rwstream", Seq("shingles"))
+  }
+
   test("streaming KL drift scores each micro-batch against the pinned reference like batch t19") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

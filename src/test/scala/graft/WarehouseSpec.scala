@@ -135,6 +135,143 @@ class WarehouseSpec extends SparkSpecBase {
     Seq("sigseg_cl", "sigseg_cl_ref").foreach(Warehouse.dropStore(spark, _, Seq("labels")))
   }
 
+  test("substring store SEGMENT append: probe ≡ one-shot rebuild, k derived from the store, grow folds losslessly under race") {
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Int]("start_new"), r.getAs[Int]("start_old"),
+        r.getAs[Long]("span_tokens"))).toSet
+    Warehouse.dropStore(spark, "subseg", Seq("shingles"))
+    Warehouse.dropStore(spark, "subseg_ref", Seq("shingles"))
+    graft.operators.Dedup.buildSubstringStore(
+      t.documents.filter(col("doc_id") < 200), "subseg")
+    val seg = graft.operators.Dedup.appendToSubstringStore(
+      t.documents.filter(col("doc_id") >= 200 && col("doc_id") < 250), "subseg",
+      dedupeTag = Some("subb:0"))
+    assert(seg.nonEmpty, "the segment publishes")
+    graft.operators.Dedup.buildSubstringStore(
+      t.documents.filter(col("doc_id") < 250), "subseg_ref")
+    val probe = graft.operators.Dedup.substringSpansAgainstStore(
+      "subseg", t.documents.filter(col("doc_id") >= 250))
+    val want = key(graft.operators.Dedup.substringSpansAgainstStore(
+      "subseg_ref", t.documents.filter(col("doc_id") >= 250)))
+    assert(key(probe) == want && want.nonEmpty,
+      "base ∪ segment must probe exactly like a one-shot store over the union")
+    // at-scale shape survives segments: the only hash exchange on the
+    // shingle key is the batch side's explicit repartition
+    val physical = probe.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange hashpartitioning(h#"),
+      s"store occurrences must never shuffle, even segmented:\n$physical")
+    // committed tag skips the replay
+    assert(graft.operators.Dedup.appendToSubstringStore(
+      t.documents.filter(col("doc_id") >= 200 && col("doc_id") < 250), "subseg",
+      dedupeTag = Some("subb:0")).isEmpty)
+    // drifted k fails loudly instead of silently missing every span
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.substringSpansAgainstStore(
+        "subseg", t.documents.filter(col("doc_id") >= 250), k = 5)
+    }
+    assert(e.getMessage.contains("pass 0 to derive"))
+    // GROW: fold base ∪ segment to the next full build, racing a
+    // mid-fold segment append — the conditional publish refuses, the
+    // re-fold absorbs it, and probing still equals the one-shot store
+    Warehouse.dropStore(spark, "subseg_ref2", Seq("shingles"))
+    var raced = false
+    graft.operators.Dedup.growSubstringStoreHooked("subseg", spark,
+      beforePublish = () => if (!raced) {
+        raced = true
+        assert(graft.operators.Dedup.appendToSubstringStore(
+          t.documents.filter(col("doc_id") >= 250 && col("doc_id") < 300),
+          "subseg", dedupeTag = Some("subb:1")).nonEmpty)
+      })
+    assert(raced)
+    graft.operators.Dedup.buildSubstringStore(
+      t.documents.filter(col("doc_id") < 300), "subseg_ref2")
+    val probe2 = graft.operators.Dedup.substringSpansAgainstStore(
+      "subseg", t.documents.filter(col("doc_id") >= 300))
+    assert(key(probe2) == key(graft.operators.Dedup.substringSpansAgainstStore(
+      "subseg_ref2", t.documents.filter(col("doc_id") >= 300))),
+      "the re-fold absorbed the mid-fold segment losslessly")
+    val (_, segsAfter) = Warehouse.resolveSegmented(spark, "subseg")
+    assert(segsAfter.isEmpty, "the fold's winner is a full build")
+    Seq("subseg", "subseg_ref", "subseg_ref2")
+      .foreach(Warehouse.dropStore(spark, _, Seq("shingles")))
+  }
+
+  test("novelty store SEGMENT append: seen-anywhere probe ≡ one-shot rebuild; grow sum-merges df exactly") {
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("novel_shingles"), r.getAs[Double]("novelty_frac"))).toSet
+    Warehouse.dropStore(spark, "novseg", Seq("shdf"))
+    Warehouse.dropStore(spark, "novseg_ref", Seq("shdf"))
+    graft.operators.Dedup.buildNoveltyStore(
+      t.documents.filter(col("doc_id") < 200), "novseg")
+    assert(graft.operators.Dedup.appendToNoveltyStore(
+      t.documents.filter(col("doc_id") >= 200 && col("doc_id") < 250), "novseg",
+      dedupeTag = Some("novb:0")).nonEmpty)
+    graft.operators.Dedup.buildNoveltyStore(
+      t.documents.filter(col("doc_id") < 250), "novseg_ref")
+    val probe = graft.operators.Dedup.noveltyAgainstStore(
+      "novseg", t.documents.filter(col("doc_id") >= 250))
+    assert(key(probe) == key(graft.operators.Dedup.noveltyAgainstStore(
+      "novseg_ref", t.documents.filter(col("doc_id") >= 250))),
+      "seen-anywhere over base ∪ segment ≡ the one-shot index")
+    // replay skip
+    assert(graft.operators.Dedup.appendToNoveltyStore(
+      t.documents.filter(col("doc_id") >= 200 && col("doc_id") < 250), "novseg",
+      dedupeTag = Some("novb:0")).isEmpty)
+    // grow: the folded df table IS the one-shot build's, row for row
+    // (df additive across the disjoint doc sets)
+    graft.operators.Dedup.growNoveltyStore("novseg", spark)
+    def dfRows(name: String) = {
+      val g = Warehouse.resolveGeneration(spark, name)
+      Warehouse.table(spark, Warehouse.storeTableName(name, g, "shdf"))
+        .collect().map(r => (r.getAs[Long]("h"), r.getAs[Long]("df"))).toSet
+    }
+    assert(dfRows("novseg") == dfRows("novseg_ref") && dfRows("novseg").nonEmpty,
+      "sum-merged df ≡ one-shot df")
+    val (_, segsAfter) = Warehouse.resolveSegmented(spark, "novseg")
+    assert(segsAfter.isEmpty)
+    Seq("novseg", "novseg_ref").foreach(Warehouse.dropStore(spark, _, Seq("shdf")))
+  }
+
+  test("legacy stores without the recorded-k column: explicit k stands, missing k fails loudly") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit, size, array_distinct}
+    import graft.functions.GraftFunctions.{ws_tokens, shingle_hashes}
+    val t = Tables(spark, sfDir)
+    // hand-write a pre-k-column novelty store (h, df only) under the
+    // generation protocol — exactly what a store persisted before this
+    // round looks like on disk
+    Warehouse.dropStore(spark, "novlegacy", Seq("shdf"))
+    val gen = Warehouse.claimGeneration(spark, "novlegacy")
+    val dsh = t.documents.filter(col("doc_id") < 250)
+      .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
+      .filter(size(col("tokens")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("tokens"), 3))).as("h"))
+    Warehouse.writeBucketed(
+      dsh.groupBy(col("h")).agg(count(lit(1)).as("df")),
+      Warehouse.storeTableName("novlegacy", gen, "shdf"), "h", 32)
+    Warehouse.publishGeneration(spark, "novlegacy", gen)
+    val batch = t.documents.filter(col("doc_id") >= 250)
+    // no k column + no explicit k → loud refusal, never a silent all-novel read
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.noveltyAgainstStore("novlegacy", batch)
+    }
+    assert(e.getMessage.contains("predates the recorded-k column"))
+    // the caller's explicit k stands and probes correctly
+    Warehouse.dropStore(spark, "novlegacy_ref", Seq("shdf"))
+    graft.operators.Dedup.buildNoveltyStore(
+      t.documents.filter(col("doc_id") < 250), "novlegacy_ref")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("novelty_frac"))).toSet
+    assert(key(graft.operators.Dedup.noveltyAgainstStore("novlegacy", batch, k = 3)) ==
+      key(graft.operators.Dedup.noveltyAgainstStore("novlegacy_ref", batch)))
+    Seq("novlegacy", "novlegacy_ref").foreach(Warehouse.dropStore(spark, _, Seq("shdf")))
+  }
+
   test("drop deletes managed data but never an external table's foreign location") {
     import spark.implicits._
     // EXTERNAL table at a location outside the warehouse root: drop
