@@ -311,6 +311,26 @@ object SparkEntry {
     "q37_outliers" -> ((s, dir) => Relational.q37Outliers(Tables(s, dir))),
     "q38_deciles" -> ((s, dir) => Relational.q38Deciles(Tables(s, dir))),
     "q39_mom_revenue" -> ((s, dir) => Relational.momRevenue(Tables(s, dir))),
+    "q40_delete_where" -> ((s, dir) => {
+      // the corpus-table HALF of a takedown through the gate (d22 is
+      // the derived-store half): three zone-mapped appends build a
+      // SnapshotTable from the documents slice, a copy-on-write
+      // deleteWhereRange removes the takedown range (rewriting ONLY the
+      // admitting directory — the other two survive under their old
+      // names), and the post-delete read must equal DuckDB's filtered
+      // scan. A wrong rewrite (lost rows, resurrected rows, a
+      // mis-pruned directory) fails the oracle, not just a spec
+      import org.apache.spark.sql.functions.col
+      val t = Tables(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_q40_").toString + "/t"
+      val st = new graft.etl.SnapshotTable(s, root)
+      val docs = t.documents.select(col("doc_id"), col("source"), col("n_chars"))
+      st.appendIndexed(docs.filter(col("doc_id") < 150), Seq("doc_id"))
+      st.appendIndexed(docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), Seq("doc_id"))
+      st.appendIndexed(docs.filter(col("doc_id") >= 300), Seq("doc_id"))
+      st.deleteWhereRange("doc_id", 160L, 240L)
+      st.read().orderBy(col("doc_id"))
+    }),
     "st1_stream_window" -> ((s, dir) => graft.streaming.EventPipelines.windowedCountsBatch(Tables(s, dir))),
     "st2_sessionize" -> ((s, dir) => graft.streaming.EventPipelines.sessionizeBatch(Tables(s, dir))),
     // §2.8 training-sequence assembly
@@ -1389,6 +1409,13 @@ object SparkEntry {
         |  CASE WHEN prev IS NULL THEN NULL
         |       ELSE ROUND(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE) * 100, 4) END AS mom_pct
         |FROM d ORDER BY yr, mo""".stripMargin,
+    // q40: the post-delete snapshot read IS the filtered corpus scan —
+    // copy-on-write row deletion must lose exactly the range, nothing
+    // else (directory identity is spec-asserted; content is gated here)
+    "q40_delete_where" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id NOT BETWEEN 160 AND 240
+        |ORDER BY doc_id""".stripMargin,
     // d14: plain levenshtein ≤ maxDist in the oracle equals the
     // operator's threshold-bounded variant's kept set exactly
     "d14_fuzzy_join" ->

@@ -97,6 +97,26 @@ class TakedownSpec extends SparkSpecBase {
       "appended rows survive a delete commit")
   }
 
+  test("permanent erasure = deleteWhere + vacuum: the deleted rows leave the disk, not just the manifest") {
+    import org.apache.spark.sql.functions.col
+    val st = fresh()
+    st.appendIndexed((0L until 100L).map(i => (i, s"secret$i")).toDF("id", "v"), Seq("id"))
+    st.appendIndexed((100L until 200L).map(i => (i, s"other$i")).toDF("id", "v"), Seq("id"))
+    val preDelete = st.currentVersion.get
+    st.deleteWhereRange("id", 10L, 20L)
+    // history still readable — by design, until retention ends it
+    assert(st.read(Some(preDelete)).count() == 200)
+    // retention ends: drop every pre-delete manifest and its data
+    st.vacuum(keepVersions = 1, minAgeMs = 0L)
+    intercept[Exception] { st.read(Some(preDelete)).collect() }
+    assert(st.read().count() == 189)
+    // the erased values exist in NO parquet file under the table root
+    val remaining = spark.read.parquet(st.rootPath + "/data/*")
+      .filter(col("id") >= 10L && col("id") <= 20L)
+    assert(remaining.isEmpty,
+      "no data directory under the root may still hold an erased row")
+  }
+
   // ----------------------------------------------------------------- //
   // The store removal cascade: identity vs rebuild-from-filtered-corpus
   // ----------------------------------------------------------------- //
