@@ -422,9 +422,23 @@ final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = Posix
         .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
       // sidecar-admitted candidates, then the matching-row probe: only
       // directories that HOLD a matching row are rewritten (a zone/Bloom
-      // false positive costs one pushed-down probe scan, never a write)
-      val touched = admit(snap).filter(d =>
-        !spark.read.parquet(dataPath(d)).filter(predicate).isEmpty)
+      // false positive costs a pushed-down probe read, never a write).
+      // ONE distributed job probes every candidate together —
+      // input_file_name() maps hits back to their directories (names
+      // are UUIDs, so the /<name>/ segment match is unambiguous); a
+      // per-directory driver loop would run thousands of tiny jobs on
+      // a 100 TB table
+      val candidates = admit(snap)
+      val touched =
+        if (candidates.isEmpty) Seq.empty[String]
+        else {
+          import org.apache.spark.sql.functions.input_file_name
+          val hitFiles = spark.read.parquet(candidates.map(dataPath): _*)
+            .filter(predicate)
+            .select(input_file_name().as("f")).distinct()
+            .collect().map(_.getString(0))
+          candidates.filter(d => hitFiles.exists(_.contains(s"/$d/")))
+        }
       if (touched.isEmpty) return snap.version
       val rewrites = touched.flatMap { d =>
         val kept = spark.read.parquet(dataPath(d)).filter(not(predicate))
