@@ -641,6 +641,20 @@ object Dedup {
     * [[graft.sources.Warehouse.vacuumSegmentedStore]] /
     * [[graft.sources.Warehouse.vacuumStoreGenerations]], exactly like
     * deleteWhere + table vacuum.
+    *
+    * SCOPE — records vs models: the cascade covers the stores whose
+    * rows can REPRODUCE a removed document's content or identity
+    * (signatures, occurrence positions, df counters, labels — plus
+    * BM25 postings and IVF vectors via their own removers). Aggregate
+    * artifacts trained OVER the corpus — the BPE merge list (t21), the
+    * IVF centroids, the DSIR bucket weights (dc11), the KL drift
+    * reference (t19) — hold no per-document rows and are treated as
+    * MODELS: they re-derive on the rebuild cadence from the filtered
+    * corpus (exactly the posture [[graft.operators.Similarity
+    * .removeFromIvfIndex]] documents for centroids), which is also how
+    * takedown obligations conventionally distinguish records from
+    * model parameters. A deployment that must retrain immediately runs
+    * the artifact's build over the post-takedown corpus.
     */
   def removeDocs(removedDocs: DataFrame, family: DedupStoreFamily): Unit = {
     val spark = removedDocs.sparkSession
