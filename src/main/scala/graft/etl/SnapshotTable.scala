@@ -41,6 +41,14 @@ final case class VersionConflictException(expected: Long)
   * layer, so reclamation works wherever the write path does.
   * Reference analog: the sync metadata + idempotent loads of
   * /root/reference/metadata.py, hardened for concurrent writers.
+  *
+  * Picking `io` per deployment: [[graft.sources.StoreIO.forScheme]]
+  * encodes the table (and refuses schemes it cannot serve). One caveat
+  * it cannot arbitrate here: the io receives `root`-prefixed paths
+  * VERBATIM, so a `file:`-SCHEME root pairs with [[graft.sources
+  * .HadoopFsStoreIO]] (in-process writers only — see its header), while
+  * the cross-process [[PosixStoreIO]] wants the root as a PLAIN path
+  * (java.nio treats "file:" as a relative path component).
   */
 final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = PosixStoreIO) {
 

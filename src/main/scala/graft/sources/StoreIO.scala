@@ -27,22 +27,27 @@ import scala.jdk.CollectionConverters._
   * fault-injecting conformance twin); S3-native conditional PUT is a
   * fourth an SDK-backed deployment writes against this trait.
   *
-  * WHICH IMPL PER DEPLOYMENT (the selection a `forScheme` chooser
-  * would encode; today the caller picks at construction):
+  * WHICH IMPL PER DEPLOYMENT (encoded by [[StoreIO.forScheme]], which
+  * refuses schemes it cannot serve rather than guessing atomicity):
   *   - local disk / NFS with writers in MULTIPLE OS processes →
   *     [[PosixStoreIO]]: `link(2)` is the only primitive here that is
   *     atomic across processes (spec-raced cross-JVM in StoreIOSpec);
-  *   - `hdfs://` (and rename-contract-equivalent stores: ABFS, GCS
-  *     connector with rename) → [[HadoopFsStoreIO]]: the server-side
-  *     rename-without-overwrite carries the race; note its RAW-LOCAL
-  *     (`file://`) envelope is IN-PROCESS ONLY by design — the
-  *     FileContext local rename is check-then-act cross-process, so
-  *     multi-process `file://` writers belong on PosixStoreIO;
-  *   - tests / fault injection → [[InMemoryStoreIO]];
-  *   - `s3a://` → the documented fourth impl (SDK conditional PUT,
-  *     `If-None-Match: *`): s3a rename does NOT provide
-  *     create-new-or-fail, so HadoopFsStoreIO must not front raw S3
-  *     (the data plane on s3a is fine — it never needs the primitive).
+  *   - `hdfs://` / `viewfs://` / `abfs(s)://` (hierarchical-namespace
+  *     stores whose server-side rename refuses overwrite atomically) →
+  *     [[HadoopFsStoreIO]]; note its RAW-LOCAL (`file://`) envelope is
+  *     IN-PROCESS ONLY by design — the FileContext local rename is
+  *     check-then-act cross-process, so multi-process `file://`
+  *     writers belong on PosixStoreIO;
+  *   - tests / fault injection → [[InMemoryStoreIO]] (constructed
+  *     explicitly; a chooser-made fresh instance would hold no state
+  *     the test could inject into);
+  *   - `s3a://` AND `gs://` → the documented fourth impl (SDK
+  *     conditional PUT: S3 `If-None-Match: *`, GCS
+  *     `x-goog-if-generation-match: 0`): both connectors implement
+  *     rename as client-side copy-then-delete, which does NOT provide
+  *     create-new-or-fail, so HadoopFsStoreIO must not front either
+  *     (the DATA plane on s3a/gs is fine — it never needs the
+  *     primitive).
   *
   * Contract (every impl, spec-enforced by the shared conformance sweep):
   *   - [[putIfAbsent]] is ATOMIC for name AND content: of N racing
@@ -71,6 +76,67 @@ trait StoreIO {
 
   /** Last-modified wall clock of `path`, if it exists. */
   def mtime(path: String): Option[Long]
+}
+
+object StoreIO {
+  /** The URI scheme of `pathOrUri`, lowercase, when it has one
+    * (`hdfs://nn/x`, `file:/x`); None for plain filesystem paths.
+    * Package-visible so path layers can branch local-vs-remote joins
+    * on the same rule the chooser uses.
+    */
+  private[graft] def schemeOf(pathOrUri: String): Option[String] = {
+    val i = pathOrUri.indexOf(':')
+    // require >= 2 leading letters so a degenerate one-letter prefix
+    // (or a path containing ':' later) never reads as a scheme
+    if (i < 2) None
+    else {
+      val head = pathOrUri.substring(0, i)
+      if (head.forall(c => c.isLetter || c.isDigit || c == '+' || c == '-' || c == '.')
+        && head.head.isLetter) Some(head.toLowerCase(java.util.Locale.ROOT))
+      else None
+    }
+  }
+
+  /** Select the impl a deployment's scheme requires — the trait
+    * header's impl-per-deployment table, encoded so a caller cannot
+    * mispair scheme and primitive. Accepts a full URI/path (the scheme
+    * is extracted; scheme-less strings are local paths) or a bare
+    * scheme name.
+    *
+    * REFUSES loudly (IllegalArgumentException) for `s3`/`s3a`/`s3n`/
+    * `gs`/`wasb(s)` — their connectors' rename is client-side
+    * copy-then-delete, so no impl here can provide create-new-or-fail;
+    * the honest answer is the documented SDK conditional-PUT impl, not
+    * a silently-racy chain — and for any scheme it does not recognize
+    * (guessing atomicity is how metadata planes corrupt). Callers
+    * handing a `file:` URI to the returned [[PosixStoreIO]] must pass
+    * it PLAIN paths (it speaks `java.nio`; the warehouse path layer
+    * already strips the prefix).
+    */
+  def forScheme(pathOrScheme: String): StoreIO = {
+    val scheme = schemeOf(pathOrScheme).getOrElse {
+      if (pathOrScheme.isEmpty || pathOrScheme.exists(c => c == '/' || c == '.'))
+        "file" // a path, not a scheme name
+      else pathOrScheme.toLowerCase(java.util.Locale.ROOT)
+    }
+    scheme match {
+      case "file" | "posix" | "nfs" => PosixStoreIO
+      case "hdfs" | "viewfs" | "abfs" | "abfss" => new HadoopFsStoreIO()
+      case "s3" | "s3a" | "s3n" | "gs" | "wasb" | "wasbs" =>
+        throw new IllegalArgumentException(
+          s"StoreIO.forScheme: '$scheme' cannot provide create-new-or-fail " +
+            "(connector rename is client-side copy-then-delete) — the metadata " +
+            "plane on this store needs the SDK conditional-PUT StoreIO " +
+            "(S3 'If-None-Match: *' / GCS 'x-goog-if-generation-match: 0'); " +
+            "see the StoreIO header. The parquet DATA plane on this scheme is " +
+            "unaffected (it never needs the primitive).")
+      case other =>
+        throw new IllegalArgumentException(
+          s"StoreIO.forScheme: unrecognized scheme '$other' — refusing to guess " +
+            "whether its rename/link primitives are atomic; pick an impl " +
+            "explicitly per the StoreIO header's table.")
+    }
+  }
 }
 
 /** The shared-filesystem implementation (local disk, NFS, HDFS mounts).

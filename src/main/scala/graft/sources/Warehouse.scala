@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Path, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
@@ -63,21 +63,42 @@ object Warehouse {
   // grace periods are unreachable states now and have no API.
   // ---------------------------------------------------------------------
 
-  private def warehousePath(spark: SparkSession): String =
-    spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+  /** Scheme-aware chain-dir join: a remote-scheme root (`hdfs://`,
+    * `abfss://`) keeps its scheme and joins by string — the chain lives
+    * wherever the warehouse does, and its [[StoreIO]] comes from
+    * [[StoreIO.forScheme]] — while local roots normalize through
+    * `java.nio` exactly as before (so PosixStoreIO always sees plain
+    * paths, never `file:` URIs).
+    */
+  private def chainDir(root: String, rel: String*): String =
+    StoreIO.schemeOf(root) match {
+      case None | Some("file") =>
+        Paths.get(root.stripPrefix("file:"), rel: _*).toString
+      case Some(_) =>
+        (root.stripSuffix("/") +: rel).mkString("/")
+    }
 
-  private def genDir(spark: SparkSession, store: String): Path =
-    Paths.get(warehousePath(spark), "_generations", store.toLowerCase(java.util.Locale.ROOT))
+  private def genDir(spark: SparkSession, store: String): String =
+    chainDir(spark.conf.get("spark.sql.warehouse.dir"),
+      "_generations", store.toLowerCase(java.util.Locale.ROOT))
 
   /** The store's generation chain — package-visible so specs can assert
     * protocol state directly and sweep the chain against the
-    * fault-injecting [[InMemoryStoreIO]].
+    * fault-injecting [[InMemoryStoreIO]]. The impl is selected per the
+    * chain dir's scheme ([[StoreIO.forScheme]]): local dirs keep the
+    * cross-process `link(2)` commit, HDFS-family dirs route to the
+    * rename-without-overwrite impl, and schemes without a
+    * create-new-or-fail primitive refuse loudly at construction.
     */
-  private[graft] def chainOf(spark: SparkSession, store: String): GenerationChain =
-    new GenerationChain(genDir(spark, store).toString, PosixStoreIO)
+  private[graft] def chainOf(spark: SparkSession, store: String): GenerationChain = {
+    val dir = genDir(spark, store)
+    new GenerationChain(dir, StoreIO.forScheme(dir))
+  }
 
-  private[graft] def pathChainOf(root: String): GenerationChain =
-    new GenerationChain(pathGenDir(root).toString, PosixStoreIO)
+  private[graft] def pathChainOf(root: String): GenerationChain = {
+    val dir = pathGenDir(root)
+    new GenerationChain(dir, StoreIO.forScheme(dir))
+  }
 
   /** The generation-suffixed concrete table name. */
   def storeTableName(store: String, gen: Long, suffix: String): String =
@@ -170,7 +191,7 @@ object Warehouse {
     for (g <- (chainGens ++ diskGens).distinct; s <- suffixes)
       drop(spark, storeTableName(store, g, s))
     suffixes.foreach(s => drop(spark, s"${store}_$s"))
-    HadoopFs.deleteRecursive(dir.toString): Unit
+    HadoopFs.deleteRecursive(dir): Unit
   }
 
   /** Remove a claimed-but-unpublished generation's chain entry (after
@@ -335,12 +356,18 @@ object Warehouse {
   // Without this, racing rebuilds clobber one shared directory mid-probe.
   // ---------------------------------------------------------------------
 
-  private def pathGenDir(root: String): Path =
-    Paths.get(root.stripPrefix("file:"), "_generations")
+  private def pathGenDir(root: String): String =
+    chainDir(root, "_generations")
 
-  /** Data directory of generation `gen` under a path store's root. */
+  /** Data directory of generation `gen` under a path store's root
+    * (scheme-preserving: the data plane reads/writes it through Spark's
+    * Hadoop layer, which speaks remote schemes directly).
+    */
   def pathGenData(root: String, gen: Long): String =
-    s"${root.stripPrefix("file:")}/g$gen"
+    StoreIO.schemeOf(root) match {
+      case None | Some("file") => s"${root.stripPrefix("file:")}/g$gen"
+      case Some(_) => s"${root.stripSuffix("/")}/g$gen"
+    }
 
   /** Claim the next free generation of a directory store (atomic chain
     * commit; racing builders get distinct numbers). Invisible to probes

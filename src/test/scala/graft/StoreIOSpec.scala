@@ -461,6 +461,43 @@ class StoreIOSpec extends SparkSpecBase {
       "the kept version is untouched")
   }
 
+  test("forScheme encodes the impl-per-deployment table and refuses schemes without create-new-or-fail") {
+    // local paths — scheme-less, relative, file: URI, bare nfs — all
+    // route to the cross-process link(2) impl
+    assert(StoreIO.forScheme("/tmp/wh/_generations/x") eq PosixStoreIO)
+    assert(StoreIO.forScheme("relative/dir") eq PosixStoreIO)
+    assert(StoreIO.forScheme("file:/tmp/wh") eq PosixStoreIO)
+    assert(StoreIO.forScheme("file:///tmp/wh") eq PosixStoreIO)
+    assert(StoreIO.forScheme("nfs") eq PosixStoreIO)
+    // HDFS-family: server-side rename-without-overwrite carries the race
+    Seq("hdfs://nn:8020/wh", "viewfs://cluster/wh",
+      "abfss://c@acct.dfs.core.windows.net/wh", "abfs").foreach { s =>
+      assert(StoreIO.forScheme(s).isInstanceOf[graft.sources.HadoopFsStoreIO], s)
+    }
+    // object stores whose connector rename is copy-then-delete REFUSE
+    // (the honest answer is the SDK conditional-PUT impl, not a
+    // silently-racy chain), naming the needed primitive
+    Seq("s3a://bucket/key", "s3://bucket/key", "gs://bucket/key",
+      "wasbs://c@acct.blob.core.windows.net/x").foreach { s =>
+      val e = intercept[IllegalArgumentException](StoreIO.forScheme(s))
+      assert(e.getMessage.contains("conditional-PUT"), s)
+    }
+    // unknown schemes refuse rather than guessing atomicity — including
+    // a bare word that is neither a known scheme nor path-shaped
+    Seq("zz9://somewhere/x", "notascheme").foreach { s =>
+      val e = intercept[IllegalArgumentException](StoreIO.forScheme(s))
+      assert(e.getMessage.contains("refusing to guess"), s)
+    }
+    // a colon later in a plain path never reads as a scheme
+    assert(StoreIO.forScheme("/tmp/odd:name/dir") eq PosixStoreIO)
+    // and the selected impl actually drives a chain end-to-end
+    val dir = java.nio.file.Files.createTempDirectory("graft_forscheme_").toString + "/chain"
+    val chain = new GenerationChain(dir, StoreIO.forScheme(dir))
+    val g = chain.claim()
+    chain.publishFull(g)
+    assert(chain.state().liveBase.contains(g))
+  }
+
   test("appendSegmentWith: a vacuum that retires the expired claim mid-cleanup wins the handoff — the appender retries instead of erroring") {
     var now = 1000_000_000L
     val io = new InMemoryStoreIO(() => now)
