@@ -331,6 +331,27 @@ object SparkEntry {
       st.deleteWhereRange("doc_id", 160L, 240L)
       st.read().orderBy(col("doc_id"))
     }),
+    "q41_restore" -> ((s, dir) => {
+      // the RECOVERY flip side of q40: same three zone-mapped appends,
+      // same copy-on-write takedown delete — then restore(version
+      // before the delete) publishes the pre-delete directory list as a
+      // NEW version (one manifest commit, zero data rewrite), and the
+      // restored read must equal DuckDB's FULL corpus scan. A restore
+      // that loses rows, resurrects the wrong version, or re-reads a
+      // rewritten directory fails the oracle; version arithmetic,
+      // history intactness and the vacuum refusal are spec-asserted
+      import org.apache.spark.sql.functions.col
+      val t = Tables(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_q41_").toString + "/t"
+      val st = new graft.etl.SnapshotTable(s, root)
+      val docs = t.documents.select(col("doc_id"), col("source"), col("n_chars"))
+      st.appendIndexed(docs.filter(col("doc_id") < 150), Seq("doc_id"))
+      st.appendIndexed(docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), Seq("doc_id"))
+      val beforeDelete = st.appendIndexed(docs.filter(col("doc_id") >= 300), Seq("doc_id"))
+      st.deleteWhereRange("doc_id", 160L, 240L)
+      st.restore(beforeDelete)
+      st.read().orderBy(col("doc_id"))
+    }),
     "st1_stream_window" -> ((s, dir) => graft.streaming.EventPipelines.windowedCountsBatch(Tables(s, dir))),
     "st2_sessionize" -> ((s, dir) => graft.streaming.EventPipelines.sessionizeBatch(Tables(s, dir))),
     // §2.8 training-sequence assembly
@@ -1415,6 +1436,13 @@ object SparkEntry {
     "q40_delete_where" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id NOT BETWEEN 160 AND 240
+        |ORDER BY doc_id""".stripMargin,
+    // q41: restoring the pre-delete version must reproduce the FULL
+    // corpus — the restored manifest names the original (immutable)
+    // directories, so any divergence means restore resolved or
+    // published the wrong state
+    "q41_restore" ->
+      """SELECT doc_id, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
     // d14: plain levenshtein ≤ maxDist in the oracle equals the
     // operator's threshold-bounded variant's kept set exactly

@@ -497,6 +497,49 @@ final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = Posix
     */
   def overwrite(df: DataFrame): Long = commitRetry(writeData(df), (_, d) => Seq(d))
 
+  /** RESTORE the table to historical `version`'s content, committed as
+    * a NEW version — the recovery flip side of [[deleteWhere]] /
+    * [[overwrite]]: a mistaken delete or overwrite is undone by ONE
+    * manifest commit naming the old version's (immutable, still-present)
+    * data directories, no data rewrite at any scale. History stays
+    * intact — the mistaken version remains readable, and
+    * [[diff]](mistake, restored) shows exactly what the restore brought
+    * back — until [[vacuum]] ages it out.
+    *
+    * Concurrency: restore is deliberately SINGLE-ATTEMPT — on a version
+    * conflict it throws [[VersionConflictException]] instead of blindly
+    * retrying, because a retry would silently drop the racing writer's
+    * rows from the restored head; the caller re-examines the fresh state
+    * and decides. Refuses loudly when the target version's manifest or
+    * any of its data directories are gone (vacuumed): restore targets
+    * must be within the vacuum retention, and the pre-commit existence
+    * check turns the restore-vs-vacuum race from silent data loss on a
+    * later read into an immediate error (the residual window between
+    * check and commit is the same leak-beats-loss envelope vacuum's age
+    * gate already bounds).
+    */
+  def restore(version: Long): Long = restoreWithHook(version, () => ())
+
+  private[graft] def restoreWithHook(version: Long, beforeCommit: () => Unit): Long = {
+    // snapshot(Some(v)) throws on a vanished manifest; both that and the
+    // never-committed case surface as the same refusal
+    val target =
+      (try snapshot(Some(version))
+       catch { case _: IllegalStateException => None })
+        .getOrElse(throw new IllegalArgumentException(
+          s"restore: version $version is not available at $root (vacuumed or never committed)"))
+    val dd = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = dd.getFileSystem(graft.sources.HadoopFs.conf())
+    target.dirs.foreach { d =>
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dataPath(d))))
+        throw new IllegalArgumentException(
+          s"restore: version $version's data directory $d is gone (vacuumed) — cannot restore")
+    }
+    val current = snapshot().map(_.version).getOrElse(-1L)
+    beforeCommit()
+    tryCommit(current, target.dirs)
+  }
+
   /** Read-modify-write overwrite: `derive` maps the CURRENT table state
     * (None before the first commit) to the new contents. On a version
     * conflict the derivation re-runs against the winner's fresh snapshot

@@ -97,6 +97,57 @@ class TakedownSpec extends SparkSpecBase {
       "appended rows survive a delete commit")
   }
 
+  test("restore: one manifest commit returns the pre-delete state; history intact; refuses races and vacuumed targets") {
+    val st = fresh()
+    st.appendIndexed((0L until 100L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    st.appendIndexed((100L until 200L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    val before = st.appendIndexed((200L until 300L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    val dirsBefore = st.snapshot().get.dirs
+    val afterDelete = st.deleteWhereRange("id", 120L, 140L)
+
+    val restored = st.restore(before)
+    assert(restored == afterDelete + 1)
+    // the restored manifest NAMES the original immutable directories —
+    // zero data rewrite, at any scale
+    assert(st.snapshot().get.dirs == dirsBefore)
+    assert(st.read().collect().map(_.getLong(0)).toSet == (0L until 300L).toSet)
+    // history intact: the mistaken version still reads filtered
+    assert(st.read(Some(afterDelete)).count() == 300 - 21)
+    // diff(mistake, restored) is exactly the deleted multiset, re-inserted
+    val d = st.diff(afterDelete, restored).collect()
+    assert(d.forall(_.getAs[String]("change_type") == "insert"))
+    assert(d.map(_.getLong(0)).toSet == (120L to 140L).toSet)
+    // sidecars live inside the data dirs, so zone-map pruning works on
+    // the restored head unchanged
+    assert(st.dirsMatching("id", 150L, 160L).size == 1)
+    // life goes on: appends after a restore compose
+    st.append(Seq((900L, "x")).toDF("id", "v"))
+    assert(st.read().count() == 301)
+
+    // single-attempt by design: a commit landing between the resolve and
+    // the publish REFUSES (a blind retry would silently drop the racing
+    // writer's rows from the restored head)
+    intercept[graft.etl.VersionConflictException] {
+      st.restoreWithHook(before, () => { st.append(Seq((901L, "y")).toDF("id", "v")); () })
+    }
+    assert(st.read().count() == 302, "the racer's append survived the refusal")
+
+    // a target whose DATA directory is gone refuses loudly BEFORE any
+    // commit (the restore-vs-vacuum crash window, staged directly)
+    val victim = fresh()
+    victim.append(Seq((1L, "a")).toDF("id", "v"))
+    val gone = victim.snapshot().get.dirs.head
+    victim.overwrite(Seq((2L, "b")).toDF("id", "v"))
+    graft.sources.HadoopFs.deleteRecursive(s"${victim.rootPath}/data/$gone")
+    val eDir = intercept[IllegalArgumentException](victim.restore(0L))
+    assert(eDir.getMessage.contains("gone"))
+
+    // a vacuumed target's manifest refuses loudly
+    st.vacuum(keepVersions = 2, minAgeMs = 0L)
+    val eMan = intercept[IllegalArgumentException](st.restore(before))
+    assert(eMan.getMessage.contains("not available"))
+  }
+
   test("permanent erasure = deleteWhere + vacuum: the deleted rows leave the disk, not just the manifest") {
     import org.apache.spark.sql.functions.col
     val st = fresh()
