@@ -6,8 +6,9 @@ import graft.etl.SnapshotTable
 
 /** Model-based sweep of SnapshotTable's commit machinery — seeded
   * random interleavings of appends, overwrites, read-modify-writes,
-  * compactions and minAge=0 vacuums replayed against a driver-side
-  * model, asserting after EVERY operation:
+  * compactions, restores (to a random retained version) and minAge=0
+  * vacuums replayed against a driver-side model, asserting after EVERY
+  * operation:
   *
   *   1. the current read equals the model multiset;
   *   2. TIME TRAVEL: every retained version still reads exactly the
@@ -44,8 +45,8 @@ class SnapshotModelSpec extends SparkSpecBase {
       var current: Seq[(Long, Long)] = Seq.empty
       var history = Map.empty[Long, Seq[(Long, Long)]]
 
-      (1 to 18).foreach { _ =>
-        rnd.nextInt(10) match {
+      (1 to 20).foreach { _ =>
+        rnd.nextInt(11) match {
           case 0 | 1 | 2 | 3 =>
             val b = batch()
             val v = st.append(b.toDF("k", "v"))
@@ -72,7 +73,15 @@ class SnapshotModelSpec extends SparkSpecBase {
             st.vacuum(keepVersions = 2, minAgeMs = 0L)
             val kept = history.keys.toSeq.sorted.takeRight(2).toSet
             history = history.view.filterKeys(kept.contains).toMap
-          case _ => // compact/derive drawn before anything committed: no-op
+          case 10 if history.nonEmpty =>
+            // restore to any RETAINED version: one manifest commit, the
+            // head becomes that version's content, nothing else moves
+            val keys = history.keys.toSeq.sorted
+            val target = keys(rnd.nextInt(keys.size))
+            val v = st.restore(target)
+            current = history(target)
+            history += v -> current
+          case _ => // compact/derive/restore drawn before anything committed: no-op
         }
         if (st.currentVersion.isDefined) {
           assert(readBack(None) == current, s"[seed $seed] current read diverged")
