@@ -1064,8 +1064,10 @@ object OracleReplicas {
       removed: Seq[(Long, Long)] = Seq((100L, 150L), (210L, 220L)),
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, seed: Long = 42L): String = {
-    val keepCond = removed
-      .map { case (lo, hi) => s"NOT (a.doc_id >= $lo AND a.doc_id < $hi)" }
+    // "TRUE" leads so an empty removal list degenerates to the plain d7
+    // probe instead of a dangling-AND parse error
+    val keepCond = ("TRUE" +: removed
+      .map { case (lo, hi) => s"NOT (a.doc_id >= $lo AND a.doc_id < $hi)" })
       .mkString(" AND ")
     s"""WITH ${minhashCtes(numHashes, bands, seed,
         s"a.doc_id < $splitId AND $keepCond AND b.doc_id >= $splitId")}

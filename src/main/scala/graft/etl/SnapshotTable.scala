@@ -423,7 +423,12 @@ final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = Posix
 
   private def deleteRewrite(admit: Snapshot => Seq[String],
       predicate: org.apache.spark.sql.Column, maxAttempts: Int = 10): Long = {
-    import org.apache.spark.sql.functions.not
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    // a DELETE removes rows the predicate MATCHES; a row where it
+    // evaluates NULL did not match and must be KEPT — three-valued
+    // logic makes bare not(p) drop those rows silently (NOT(null) =
+    // null = filtered out), which in a takedown primitive is data loss
+    val keepCond = coalesce(not(predicate), lit(true))
     var outer = 0
     while (outer < maxAttempts) {
       val snap = snapshot()
@@ -448,8 +453,13 @@ final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = Posix
           candidates.filter(d => hitFiles.exists(_.contains(s"/$d/")))
         }
       if (touched.isEmpty) return snap.version
-      val rewrites = touched.flatMap { d =>
-        val kept = spark.read.parquet(dataPath(d)).filter(not(predicate))
+      // each touched directory rewrites independently — run them as
+      // CONCURRENT Spark jobs (needle deletes touch one dir; a wide
+      // takedown range can touch hundreds, and a sequential driver loop
+      // would serialize cluster-sized work behind driver round-trips)
+      import scala.collection.parallel.CollectionConverters._
+      val rewrites = touched.par.flatMap { d =>
+        val kept = spark.read.parquet(dataPath(d)).filter(keepCond)
         if (kept.isEmpty) None // every row deleted: the dir just drops
         else {
           val name = writeData(kept)
@@ -464,7 +474,7 @@ final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = Posix
             blooms.keys.toSeq.sorted, bBits, bK)
           Some(d -> name)
         }
-      }.toMap
+      }.seq.toMap
       var stale = false
       var inner = 0
       while (!stale && inner < maxAttempts) {

@@ -525,7 +525,8 @@ object Dedup {
     try {
       Warehouse.writeBucketed(
         clustersOfPairs(minhashPairsOf(docs, numHashes, bands, threshold)
-          .select(col("doc_a"), col("doc_b")), maxIter),
+          .select(col("doc_a"), col("doc_b")), maxIter)
+          .withColumn("threshold", lit(threshold)),
         labelsT, "doc_id", buckets)
       Warehouse.publishGeneration(spark, name, gen)
     } catch { case e: Throwable =>
@@ -584,7 +585,9 @@ object Dedup {
     val gen = Warehouse.claimGeneration(spark, name)
     val labelsT = Warehouse.storeTableName(name, gen, "labels")
     try {
-      Warehouse.writeBucketed(clustersOfPairs(pairs, maxIter), labelsT, "doc_id", buckets)
+      Warehouse.writeBucketed(
+        clustersOfPairs(pairs, maxIter).withColumn("threshold", lit(threshold)),
+        labelsT, "doc_id", buckets)
       Warehouse.publishGeneration(spark, name, gen)
     } catch { case e: Throwable =>
       // guarded cleanup: only when the chain provably shows gen unpublished
@@ -605,10 +608,43 @@ object Dedup {
     * by that builder's own gate-pinned contract.
     */
   def removeFromClusterStore(spark: SparkSession, clusterStore: String,
-      sigStore: String, threshold: Double = 0.5, buckets: Int = 32,
-      maxIter: Int = 100): Unit =
+      sigStore: String, threshold: Double = 0.0, buckets: Int = 0,
+      maxIter: Int = 100): Unit = {
+    // the relabel must use the BUILD's threshold and bucket layout or
+    // the published labeling silently diverges from "rebuild over the
+    // filtered corpus" — both derive from the store itself (the r17
+    // rule: a caller-repeated parameter is never trusted); explicit
+    // nonzero values validate against the recorded ones, and a legacy
+    // store (built before the recorded-threshold column) requires them
+    val gen = Warehouse.resolveGeneration(spark, clusterStore)
+    val recorded = clusterThresholdOf(spark, clusterStore, gen)
+    val th = recorded match {
+      case Some(st) =>
+        require(threshold == 0.0 || threshold == st,
+          s"threshold=$threshold differs from cluster store '$clusterStore''s " +
+            s"recorded build threshold ($st) — pass 0.0 to derive")
+        st
+      case None =>
+        require(threshold > 0.0,
+          s"cluster store '$clusterStore' predates the recorded-threshold column " +
+            "and no explicit threshold was passed — pass the build's threshold " +
+            "(a different one merges or splits clusters the build kept apart)")
+        threshold
+    }
+    val storeBuckets = storedBucketsOf(spark, clusterStore, gen, "labels", buckets)
     buildClusterStoreFromSignatureStore(spark, sigStore, clusterStore,
-      threshold, buckets, maxIter)
+      th, storeBuckets, maxIter)
+  }
+
+  /** The build threshold generation `gen`'s labels table records, when
+    * it does (stores built before the column read as None).
+    */
+  private def clusterThresholdOf(spark: SparkSession, name: String,
+      gen: Long): Option[Double] = {
+    val tbl = Warehouse.table(spark, Warehouse.storeTableName(name, gen, "labels"))
+    if (!tbl.columns.contains("threshold")) None
+    else tbl.select(col("threshold")).limit(1).collect().headOption.map(_.getDouble(0))
+  }
 
   /** The dedup store family a [[removeDocs]] takedown cascades through
     * — name each persisted store the deployment maintains; None skips
@@ -658,6 +694,11 @@ object Dedup {
     */
   def removeDocs(removedDocs: DataFrame, family: DedupStoreFamily): Unit = {
     val spark = removedDocs.sparkSession
+    require(family.clusters.isEmpty || family.signature.nonEmpty,
+      "removeDocs: the cluster layer relabels from the FILTERED signature " +
+        "store (a removed doc can be the bridge holding a cluster together), " +
+        "so DedupStoreFamily(clusters = ...) requires signature = ... too — " +
+        "a label-row drop alone would be an incomplete takedown")
     val ids = removedDocs.select(col("doc_id")).distinct().localCheckpoint(true)
     family.signature.foreach(n => removeFromSignatureStore(ids, n))
     for (c <- family.clusters; s <- family.signature)
@@ -693,12 +734,29 @@ object Dedup {
       oracleRounds: Option[Int] = None): DataFrame = {
     val spark = batch.sparkSession
     val gen = Warehouse.resolveGeneration(spark, clusterStore)
+    // the batch's pair threshold must be the STORE's (a different one
+    // would absorb the batch under a different clustering definition
+    // than the labels being continued): recorded values win — explicit
+    // nonzero validates, 0.0 derives; a pre-column legacy store keeps
+    // the caller's value as before
+    val th = clusterThresholdOf(spark, clusterStore, gen) match {
+      case Some(st) =>
+        require(threshold == 0.0 || threshold == st,
+          s"threshold=$threshold differs from cluster store '$clusterStore''s " +
+            s"recorded build threshold ($st) — pass 0.0 to derive")
+        st
+      case None =>
+        require(threshold > 0.0,
+          s"cluster store '$clusterStore' predates the recorded-threshold " +
+            "column — pass the build's threshold explicitly")
+        threshold
+    }
     val starEdges = Warehouse
       .table(spark, Warehouse.storeTableName(clusterStore, gen, "labels"))
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
-    val cross = minhashIncrementalAgainstStore(sigStore, batch, numHashes, bands, threshold)
+    val cross = minhashIncrementalAgainstStore(sigStore, batch, numHashes, bands, th)
       .select(col("new_id").as("doc_a"), col("dup_of").as("doc_b"))
-    val fresh = minhashPairsOf(batch, numHashes, bands, threshold)
+    val fresh = minhashPairsOf(batch, numHashes, bands, th)
       .select(col("doc_a"), col("doc_b"))
     clustersOfPairs(starEdges.unionByName(cross).unionByName(fresh),
       maxIter, oracleRounds)
@@ -711,10 +769,18 @@ object Dedup {
   def publishMaintainedClusters(labels: DataFrame, name: String,
       buckets: Int = 32): Unit = {
     val spark = labels.sparkSession
+    // continuity: a maintained generation CONTINUES the store's
+    // clustering, so it carries the build's recorded threshold forward
+    // (the takedown relabel derives it from whatever generation is
+    // current); a legacy store stays legacy until a full rebuild
+    val stamped = Warehouse.currentGeneration(spark, name)
+      .flatMap(g => clusterThresholdOf(spark, name, g))
+      .fold(labels)(th =>
+        labels.select(col("doc_id"), col("cluster_id")).withColumn("threshold", lit(th)))
     val gen = Warehouse.claimGeneration(spark, name)
     val labelsT = Warehouse.storeTableName(name, gen, "labels")
     try {
-      Warehouse.writeBucketed(labels, labelsT, "doc_id", buckets)
+      Warehouse.writeBucketed(stamped, labelsT, "doc_id", buckets)
       Warehouse.publishGeneration(spark, name, gen)
     } catch { case e: Throwable =>
       // guarded cleanup: only when the chain provably shows gen unpublished
@@ -1011,23 +1077,35 @@ object Dedup {
     * k column return None and the caller's explicit k stands).
     */
   private def noveltyLayoutOf(spark: SparkSession, name: String,
-      base: Long): (Option[Int], Int) = {
+      base: Long): (Option[Int], Int, Boolean) = {
     val dfT = Warehouse.storeTableName(name, base, "shdf")
     val buckets = storedBucketsOf(spark, name, base, "shdf", 0)
     val tbl = Warehouse.table(spark, dfT)
+    val hasKCol = tbl.columns.contains("k")
     val kOpt =
-      if (!tbl.columns.contains("k")) None
+      if (!hasKCol) None
       else tbl.select(col("k")).limit(1).collect().headOption.map(_.getInt(0))
-    (kOpt, buckets)
+    (kOpt, buckets, hasKCol)
   }
 
-  private def resolveNoveltyK(name: String, given: Int, stored: Option[Int]): Int =
+  // hasKCol distinguishes a LEGACY store (no k column) from an EMPTY
+  // one (column present, value gone with the rows — e.g. a takedown
+  // that removed every doc): the former's error names the migration,
+  // the latter's asks for the build k and is safe to satisfy (an empty
+  // index probes identically under any width)
+  private def resolveNoveltyK(name: String, given: Int, stored: Option[Int],
+      hasKCol: Boolean): Int =
     stored match {
       case Some(sk) =>
         require(given == 0 || given == sk,
           s"k=$given differs from novelty store '$name''s built width ($sk) — " +
             "probe hashes would never match the index (every shingle reads novel); pass 0 to derive")
         sk
+      case None if hasKCol =>
+        require(given > 0,
+          s"novelty store '$name' is EMPTY, so its recorded k left with its rows — " +
+            "pass the build's k explicitly (the probe's own shingling needs the width)")
+        given
       case None =>
         require(given > 0,
           s"novelty store '$name' predates the recorded-k column and no explicit " +
@@ -1049,8 +1127,8 @@ object Dedup {
       Warehouse.chainOf(spark, name), s"appendToNoveltyStore('$name')",
       dedupeTag, docs.isEmpty,
       prepare = base => {
-        val (kOpt, buckets) = noveltyLayoutOf(spark, name, base)
-        (resolveNoveltyK(name, k, kOpt), buckets)
+        val (kOpt, buckets, hasK) = noveltyLayoutOf(spark, name, base)
+        (resolveNoveltyK(name, k, kOpt, hasK), buckets)
       },
       writeData = (gen, layout) =>
         writeNoveltyGeneration(docs, name, gen, layout._1, layout._2),
@@ -1074,7 +1152,7 @@ object Dedup {
     var attempt = 0
     while (attempt < 5) {
       val (base, segs) = Warehouse.resolveSegmented(spark, name)
-      val (kOpt, buckets) = noveltyLayoutOf(spark, name, base)
+      val (kOpt, buckets, _) = noveltyLayoutOf(spark, name, base)
       val folded = (base +: segs)
         .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "shdf"))
           .select(col("h"), col("df")))
@@ -1121,12 +1199,12 @@ object Dedup {
     // generation doc sets, so presence-anywhere is exactly the
     // one-shot df > 0).
     val (base, segs) = Warehouse.resolveSegmented(spark, name)
-    val (kOpt, storeBuckets) = noveltyLayoutOf(spark, name, base)
+    val (kOpt, storeBuckets, hasK) = noveltyLayoutOf(spark, name, base)
     require(buckets == 0 || buckets == storeBuckets,
       s"probe buckets=$buckets differs from store '$name''s built layout " +
         s"($storeBuckets) — the probe side would join mis-partitioned; pass 0 " +
         "to derive the layout from the store")
-    val kk = resolveNoveltyK(name, k, kOpt)
+    val kk = resolveNoveltyK(name, k, kOpt, hasK)
     val fresh = spreadIfNarrow(newDocs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
       .filter(size(col("tokens")) >= kk)
@@ -1179,14 +1257,19 @@ object Dedup {
     var attempt = 0
     while (attempt < 5) {
       val (base, segs) = Warehouse.resolveSegmented(spark, name)
-      val (kOpt, buckets) = noveltyLayoutOf(spark, name, base)
-      val kk = resolveNoveltyK(name, k, kOpt)
+      val (kOpt, buckets, hasK) = noveltyLayoutOf(spark, name, base)
+      val kk = resolveNoveltyK(name, k, kOpt, hasK)
       val oldDf = (base +: segs)
         .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "shdf"))
           .select(col("h"), col("df")))
         .reduce(_ unionAll _)
         .groupBy(col("h")).agg(sum(col("df")).as("df"))
-      val rdf = spreadIfNarrow(removedDocs.select(col("doc_id"), col("text")))
+      // dedupe by doc_id like every sibling remover: a doc listed twice
+      // (two opt-out lists concatenated) would otherwise subtract its
+      // shingles' df twice — dropping rows the filtered corpus still
+      // holds, a violated identity contract, not just a wrong count
+      val rdf = spreadIfNarrow(
+          removedDocs.select(col("doc_id"), col("text")).dropDuplicates("doc_id"))
         .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
         .filter(size(col("tokens")) >= kk)
         .select(col("doc_id"), explode(array_distinct(shingle_hashes(col("tokens"), kk))).as("h"))
@@ -1355,9 +1438,15 @@ object Dedup {
     * them) and duplication-bounded for the in-job/backfill d20 — while
     * the token side is corpus-sized, so broadcasting the cuts keeps
     * token arrays out of EVERY exchange (the curation pipelines'
-    * text-never-shuffles discipline; a cut set too large to broadcast
-    * means the corpus should be running the store-backed shard form
-    * anyway, exactly d9's 100 TB note).
+    * text-never-shuffles discipline). The concrete envelope: the merged
+    * cut table (one row per rewritten doc) must fit Spark's broadcast
+    * hard limit (8 GB) and driver heap — a corpus whose DUPLICATED-doc
+    * count alone breaks that is far past the in-job form's design point
+    * and should be running the store-backed shard form (d21 /
+    * [[substringRewriteAgainstStore]]) where the batch bounds the cuts,
+    * exactly d9's 100 TB note. Un-hinting would not widen the envelope:
+    * AQE's SMJ fallback materializes the corpus-sized TOKEN side to
+    * shuffle storage first, the very cost this hint exists to avoid.
     */
   private[operators] def spliceKeptTokens(toks: DataFrame, cuts: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
@@ -1522,27 +1611,34 @@ object Dedup {
     * k then stands, documented must-match (nothing to validate against).
     */
   private def substringLayoutOf(spark: SparkSession, name: String,
-      base: Long): (Option[Int], Int) = {
+      base: Long): (Option[Int], Int, Boolean) = {
     val shinglesT = Warehouse.storeTableName(name, base, "shingles")
     val buckets = storedBucketsOf(spark, name, base, "shingles", 0)
     val tbl = Warehouse.table(spark, shinglesT)
+    val hasKCol = tbl.columns.contains("k")
     val kOpt =
-      if (!tbl.columns.contains("k")) None
+      if (!hasKCol) None
       else tbl.select(col("k")).limit(1).collect().headOption.map(_.getInt(0))
-    (kOpt, buckets)
+    (kOpt, buckets, hasKCol)
   }
 
   /** Resolve the probe/append shingle width against the store: derive
     * when the store records k (0 = derive; nonzero validates), fall
     * back to the caller's explicit k on a legacy store.
     */
-  private def resolveSubstringK(name: String, given: Int, stored: Option[Int]): Int =
+  private def resolveSubstringK(name: String, given: Int, stored: Option[Int],
+      hasKCol: Boolean): Int =
     stored match {
       case Some(sk) =>
         require(given == 0 || given == sk,
           s"k=$given differs from substring store '$name''s built width ($sk) — " +
             "hashes would never collide (a silent total miss); pass 0 to derive")
         sk
+      case None if hasKCol =>
+        require(given > 0,
+          s"substring store '$name' is EMPTY, so its recorded k left with its rows — " +
+            "pass the build's k explicitly (probe shingling needs the width)")
+        given
       case None =>
         require(given > 0,
           s"substring store '$name' predates the recorded-k column and no explicit " +
@@ -1571,8 +1667,8 @@ object Dedup {
       Warehouse.chainOf(spark, name), s"appendToSubstringStore('$name')",
       dedupeTag, docs.isEmpty,
       prepare = base => {
-        val (kOpt, buckets) = substringLayoutOf(spark, name, base)
-        (resolveSubstringK(name, k, kOpt), buckets)
+        val (kOpt, buckets, hasK) = substringLayoutOf(spark, name, base)
+        (resolveSubstringK(name, k, kOpt, hasK), buckets)
       },
       writeData = (gen, layout) =>
         writeSubstringGeneration(docs, name, gen, layout._1, layout._2, maxDf),
@@ -1598,7 +1694,7 @@ object Dedup {
     var attempt = 0
     while (attempt < 5) {
       val (base, segs) = Warehouse.resolveSegmented(spark, name)
-      val (_, buckets) = substringLayoutOf(spark, name, base)
+      val (_, buckets, _) = substringLayoutOf(spark, name, base)
       val folded = (base +: segs)
         .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "shingles")))
         .reduce(_ unionAll _)
@@ -1638,12 +1734,12 @@ object Dedup {
     // explicit k — documented must-match). Segment-aware resolve, ONCE,
     // pins every store-side read to one immutable snapshot.
     val (base, segs) = Warehouse.resolveSegmented(spark, name)
-    val (kOpt, storeBuckets) = substringLayoutOf(spark, name, base)
+    val (kOpt, storeBuckets, hasK) = substringLayoutOf(spark, name, base)
     require(buckets == 0 || buckets == storeBuckets,
       s"probe buckets=$buckets differs from store '$name''s built layout " +
         s"($storeBuckets) — the probe side would join mis-partitioned; pass 0 " +
         "to derive the layout from the store")
-    val kk = resolveSubstringK(name, k, kOpt)
+    val kk = resolveSubstringK(name, k, kOpt, hasK)
     // batch-side columns carry distinct names so the plan (and spec) can
     // tell the batch exchange from a store-side one; the fresh side
     // repartitions ONCE and the per-generation co-partitioned joins

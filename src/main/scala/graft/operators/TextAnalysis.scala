@@ -946,9 +946,16 @@ object TextAnalysis {
       val oldPostings = (base +: segs)
         .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "postings")))
         .reduce(_ unionAll _)
+      // same legacy tolerance as the query path: a stats table persisted
+      // before dl_sum existed reconstructs it as avgdl x n_docs (the one
+      // float product its own build performed, inverted) — a takedown
+      // must not fail analysis on exactly the stores queries still serve
       val oldStats = (base +: segs)
-        .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "stats"))
-          .select(col("n_docs"), col("dl_sum")))
+        .map { g =>
+          val st = Warehouse.table(spark, Warehouse.storeTableName(name, g, "stats"))
+          if (st.columns.contains("dl_sum")) st.select(col("n_docs"), col("dl_sum"))
+          else st.select(col("n_docs"), (col("avgdl") * col("n_docs")).as("dl_sum"))
+        }
         .reduce(_ unionAll _)
       val gen = Warehouse.claimGeneration(spark, name)
       try {
@@ -963,10 +970,16 @@ object TextAnalysis {
           .crossJoin(removed.agg(
             count(lit(1)).cast("double").as("r_n"),
             coalesce(sum(col("dl")), lit(0.0)).as("r_dl")))
+          // removing EVERY doc must reproduce the empty rebuild's stats
+          // row (n_docs 0, avgdl/dl_sum null — count/avg/sum over empty),
+          // not a NaN-propagating 0/0
           .select(
             (col("n_docs") - col("r_n")).as("n_docs"),
-            ((col("dl_sum") - col("r_dl")) / (col("n_docs") - col("r_n"))).as("avgdl"),
-            (col("dl_sum") - col("r_dl")).as("dl_sum"))
+            when(col("n_docs") === col("r_n"), lit(null).cast("double"))
+              .otherwise((col("dl_sum") - col("r_dl")) / (col("n_docs") - col("r_n")))
+              .as("avgdl"),
+            when(col("n_docs") === col("r_n"), lit(null).cast("double"))
+              .otherwise(col("dl_sum") - col("r_dl")).as("dl_sum"))
           .write.format("parquet")
           .saveAsTable(Warehouse.storeTableName(name, gen, "stats"))
         Warehouse.publishGenerationExpecting(spark, name, gen, base, segs)

@@ -349,4 +349,132 @@ class TakedownSpec extends SparkSpecBase {
       "after ≡ before minus removed neighbors, every surviving pair unchanged")
     assert(rangeAfter.nonEmpty)
   }
+
+  // ----------------------------------------------------------------- //
+  // Review regressions: three-valued logic, duplicate listings, empty
+  // stores, legacy stats, recorded cluster thresholds
+  // ----------------------------------------------------------------- //
+
+  test("deleteWhere KEEPS rows where the predicate evaluates NULL (three-valued logic is not data loss)") {
+    val st = fresh()
+    st.append(Seq((1L, Option("a")), (2L, None), (3L, Option("b"))).toDF("id", "v"))
+    st.deleteWhere(col("v") === "a")
+    // NOT(v = 'a') is NULL for row 2 — a bare filter(not(p)) would drop
+    // it; the delete's keep-side must treat did-not-match as KEEP
+    assert(st.read().collect().map(_.getLong(0)).toSet == Set(2L, 3L),
+      "the NULL-valued row never matched the delete predicate and survives")
+  }
+
+  test("novelty removal dedupes a doubly-listed doc (two opt-out lists concatenated subtract once)") {
+    Warehouse.dropStore(spark, "tk_nov2", Seq("shdf"))
+    Warehouse.dropStore(spark, "tk_nov2_ref", Seq("shdf"))
+    Dedup.buildNoveltyStore(corpus, "tk_nov2")
+    val doubled = removedDocs.select(col("doc_id"), col("text"))
+      .unionAll(removedDocs.select(col("doc_id"), col("text")))
+    Dedup.removeFromNoveltyStore(doubled, "tk_nov2")
+    Dedup.buildNoveltyStore(filteredCorpus, "tk_nov2_ref")
+    def dfRows(name: String) = {
+      val g = Warehouse.resolveGeneration(spark, name)
+      Warehouse.table(spark, Warehouse.storeTableName(name, g, "shdf"))
+        .collect().map(r => (r.getAs[Long]("h"), r.getAs[Long]("df"))).toSet
+    }
+    assert(dfRows("tk_nov2") == dfRows("tk_nov2_ref"),
+      "df subtracts each removed doc ONCE however many times it is listed")
+    Seq("tk_nov2", "tk_nov2_ref").foreach(Warehouse.dropStore(spark, _, Seq("shdf")))
+  }
+
+  test("a full takedown leaves an EMPTY novelty store that probes under the build k and says so when k is omitted") {
+    Warehouse.dropStore(spark, "tk_nov3", Seq("shdf"))
+    val small = corpus.filter(col("doc_id") < 20)
+    Dedup.buildNoveltyStore(small, "tk_nov3")
+    Dedup.removeFromNoveltyStore(small.select(col("doc_id"), col("text")), "tk_nov3")
+    // the recorded k left with the rows: deriving must say EMPTY (not
+    // "predates the recorded-k column"), and the build k still probes
+    val e = intercept[IllegalArgumentException](
+      Dedup.noveltyAgainstStore("tk_nov3", probeBatch.limit(5)))
+    assert(e.getMessage.contains("EMPTY"))
+    val scored = Dedup.noveltyAgainstStore("tk_nov3", probeBatch.limit(5), k = 3).collect()
+    assert(scored.nonEmpty && scored.forall(r =>
+      r.getAs[Long]("n_shingles") == 0 || r.getAs[Double]("novelty_frac") == 1.0),
+      "an empty index scores every probed shingle novel")
+    Warehouse.dropStore(spark, "tk_nov3", Seq("shdf"))
+  }
+
+  test("BM25 removal handles a legacy (n_docs, avgdl)-only stats table, and removing every doc reproduces the empty rebuild's stats") {
+    Warehouse.dropStore(spark, "tk_bm2", Seq("postings", "stats"))
+    Warehouse.dropStore(spark, "tk_bm2_ref", Seq("postings", "stats"))
+    TextAnalysis.buildBm25Store(corpus, "tk_bm2")
+    // regress the stats table to the pre-dl_sum wire shape the query
+    // path still back-compats — the remover must too
+    val g0 = Warehouse.resolveGeneration(spark, "tk_bm2")
+    val statsT = Warehouse.storeTableName("tk_bm2", g0, "stats")
+    val legacy = spark.table(statsT).select(col("n_docs"), col("avgdl")).collect()
+    Warehouse.drop(spark, statsT)
+    Seq((legacy.head.getDouble(0), legacy.head.getDouble(1)))
+      .toDF("n_docs", "avgdl").write.format("parquet").saveAsTable(statsT)
+    TextAnalysis.removeFromBm25Store(removedDocs.select(col("doc_id"), col("text")), "tk_bm2")
+    TextAnalysis.buildBm25Store(filteredCorpus, "tk_bm2_ref")
+    // avgdl reconstructed as dl_sum = avgdl x n_docs differs from the
+    // exact sum only at float-product rounding, so compare per-doc
+    // scores with a 1e-9 tolerance (rank tuples could flip on an ulp)
+    def scoresOf(name: String) = TextAnalysis.bm25AgainstStore(spark, name).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val got = scoresOf("tk_bm2")
+    val want = scoresOf("tk_bm2_ref")
+    assert(got.nonEmpty && got.keySet == want.keySet &&
+      got.forall { case (d, s) => math.abs(s - want(d)) < 1e-9 },
+      "legacy-stats removal matches the filtered rebuild")
+    // remove-all: stats must be the empty rebuild's (0, null, null) row,
+    // never a NaN-propagating 0/0
+    TextAnalysis.removeFromBm25Store(filteredCorpus.select(col("doc_id"), col("text")), "tk_bm2")
+    val g1 = Warehouse.resolveGeneration(spark, "tk_bm2")
+    val row = spark.table(Warehouse.storeTableName("tk_bm2", g1, "stats")).collect().head
+    assert(row.getDouble(0) == 0.0 && row.isNullAt(1) && row.isNullAt(2),
+      s"remove-all stats row is (0, null, null), got $row")
+    Seq("tk_bm2", "tk_bm2_ref").foreach(Warehouse.dropStore(spark, _, Seq("postings", "stats")))
+  }
+
+  test("cluster removal derives the RECORDED build threshold; a drifted explicit value and an incomplete family refuse") {
+    Warehouse.dropStore(spark, "tk_th_sig", Seq("bands", "sigs"))
+    Warehouse.dropStore(spark, "tk_th_cl", Seq("labels"))
+    Warehouse.dropStore(spark, "tk_th_ref_sig", Seq("bands", "sigs"))
+    Warehouse.dropStore(spark, "tk_th_ref_cl", Seq("labels"))
+    Dedup.buildSignatureStore(corpus, "tk_th_sig")
+    Dedup.buildClusterStoreFromSignatureStore(spark, "tk_th_sig", "tk_th_cl",
+      threshold = 0.7)
+    // maintain with a drifted explicit threshold refuses loudly (the
+    // batch would be absorbed under a different clustering definition)
+    val eM = intercept[IllegalArgumentException](
+      Dedup.maintainClustersAgainstStore("tk_th_cl", "tk_th_sig",
+        probeBatch.limit(5), threshold = 0.5))
+    assert(eM.getMessage.contains("recorded build threshold"))
+    // the removal cascade relabels at the RECORDED 0.7, not a default
+    Dedup.removeFromSignatureStore(
+      removedDocs.select(col("doc_id")).distinct(), "tk_th_sig")
+    Dedup.removeFromClusterStore(spark, "tk_th_cl", "tk_th_sig")
+    Dedup.buildSignatureStore(filteredCorpus, "tk_th_ref_sig")
+    Dedup.buildClusterStoreFromSignatureStore(spark, "tk_th_ref_sig", "tk_th_ref_cl",
+      threshold = 0.7)
+    def labels(name: String) = {
+      val g = Warehouse.resolveGeneration(spark, name)
+      Warehouse.table(spark, Warehouse.storeTableName(name, g, "labels"))
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSet
+    }
+    assert(labels("tk_th_cl") == labels("tk_th_ref_cl"),
+      "the relabel used the store's recorded 0.7, identical to a 0.7 rebuild")
+    // a family naming clusters without the signature store refuses: the
+    // relabel NEEDS the filtered pair graph, silence would be an
+    // incomplete takedown
+    val eF = intercept[IllegalArgumentException](
+      Dedup.removeDocs(removedDocs.select(col("doc_id"), col("text")),
+        Dedup.DedupStoreFamily(clusters = Some("tk_th_cl"))))
+    assert(eF.getMessage.contains("requires signature"))
+    Seq("tk_th_sig", "tk_th_ref_sig").foreach(Warehouse.dropStore(spark, _, Seq("bands", "sigs")))
+    Seq("tk_th_cl", "tk_th_ref_cl").foreach(Warehouse.dropStore(spark, _, Seq("labels")))
+  }
+
+  test("the d22 oracle replica degenerates to the plain probe on an empty removal list (no dangling AND)") {
+    val sql = graft.OracleReplicas.d22TakedownProbe(removed = Seq.empty)
+    assert(!sql.contains("AND  AND") && sql.contains("TRUE"))
+  }
 }
