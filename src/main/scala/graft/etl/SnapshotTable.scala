@@ -266,21 +266,31 @@ final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = Posix
           Seq(org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col(c)).cast("long"),
             org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col(c)).cast("long")))
         val row = back.agg(aggs.head, aggs.tail: _*).head()
-        val json = statsCols.zipWithIndex.map { case (c, i) =>
-          s""""$c":{"min":${row.getLong(2 * i)},"max":${row.getLong(2 * i + 1)}}"""
-        }.mkString("{", ",", "}")
-        io.put(s"$dirPath/_stats.json", json.getBytes("UTF-8"))
+        // a column that is NULL in every surviving row (reachable since
+        // the delete keep-side retains NULL-evaluating rows) has no
+        // zone — OMIT its entry: a stat-less column is never pruned on,
+        // so skipping stays safe, where an unboxed getLong would NPE
+        val entries = statsCols.zipWithIndex.flatMap { case (c, i) =>
+          if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+          else Some(s""""$c":{"min":${row.getLong(2 * i)},"max":${row.getLong(2 * i + 1)}}""")
+        }
+        if (entries.nonEmpty)
+          io.put(s"$dirPath/_stats.json", entries.mkString("{", ",", "}").getBytes("UTF-8"))
       }
       if (bloomCols.nonEmpty) {
         import graft.functions.GraftFunctions.bloom_build
         val aggs = bloomCols.map(c =>
           bloom_build(org.apache.spark.sql.functions.col(c).cast("long"), bloomBits, bloomK))
         val row = back.agg(aggs.head, aggs.tail: _*).head()
-        val json = bloomCols.zipWithIndex.map { case (c, i) =>
-          val b64 = java.util.Base64.getEncoder.encodeToString(row.getAs[Array[Byte]](i))
-          s""""$c":"$b64""""
-        }.mkString("{", ",", "}")
-        io.put(s"$dirPath/_bloom.json", json.getBytes("UTF-8"))
+        val entries = bloomCols.zipWithIndex.flatMap { case (c, i) =>
+          if (row.isNullAt(i)) None // all-NULL column: no filter, never pruned
+          else Some {
+            val b64 = java.util.Base64.getEncoder.encodeToString(row.getAs[Array[Byte]](i))
+            s""""$c":"$b64""""
+          }
+        }
+        if (entries.nonEmpty)
+          io.put(s"$dirPath/_bloom.json", entries.mkString("{", ",", "}").getBytes("UTF-8"))
       }
     }
   }
@@ -459,21 +469,27 @@ final class SnapshotTable(spark: SparkSession, root: String, io: StoreIO = Posix
       // would serialize cluster-sized work behind driver round-trips)
       import scala.collection.parallel.CollectionConverters._
       val rewrites = touched.par.flatMap { d =>
+        // persist so the emptiness check and the write share ONE scan of
+        // the surviving rows (unpersisted as soon as the dir is written —
+        // on a wide takedown the double read would dominate the rewrite)
         val kept = spark.read.parquet(dataPath(d)).filter(keepCond)
-        if (kept.isEmpty) None // every row deleted: the dir just drops
-        else {
-          val name = writeData(kept)
-          // re-derive exactly the sidecars the source directory carried,
-          // including its Bloom geometry (not the defaults)
-          val blooms = bloomsOf(d)
-          val (bBits, bK) = blooms.headOption.map { case (_, bytes) =>
-            val (nbits, k, _) = graft.functions.GraftBloom.fromBytes(bytes)
-            (nbits, k)
-          }.getOrElse((1 << 17, 4))
-          writeSidecars(name, statsOf(d).keys.toSeq.sorted,
-            blooms.keys.toSeq.sorted, bBits, bK)
-          Some(d -> name)
-        }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (kept.isEmpty) None // every row deleted: the dir just drops
+          else {
+            val name = writeData(kept)
+            // re-derive exactly the sidecars the source directory carried,
+            // including its Bloom geometry (not the defaults)
+            val blooms = bloomsOf(d)
+            val (bBits, bK) = blooms.headOption.map { case (_, bytes) =>
+              val (nbits, k, _) = graft.functions.GraftBloom.fromBytes(bytes)
+              (nbits, k)
+            }.getOrElse((1 << 17, 4))
+            writeSidecars(name, statsOf(d).keys.toSeq.sorted,
+              blooms.keys.toSeq.sorted, bBits, bK)
+            Some(d -> name)
+          }
+        } finally { kept.unpersist(false); () }
       }.seq.toMap
       var stale = false
       var inner = 0

@@ -617,34 +617,53 @@ object Dedup {
     // nonzero values validate against the recorded ones, and a legacy
     // store (built before the recorded-threshold column) requires them
     val gen = Warehouse.resolveGeneration(spark, clusterStore)
-    val recorded = clusterThresholdOf(spark, clusterStore, gen)
-    val th = recorded match {
-      case Some(st) =>
-        require(threshold == 0.0 || threshold == st,
-          s"threshold=$threshold differs from cluster store '$clusterStore''s " +
-            s"recorded build threshold ($st) — pass 0.0 to derive")
-        st
-      case None =>
-        require(threshold > 0.0,
-          s"cluster store '$clusterStore' predates the recorded-threshold column " +
-            "and no explicit threshold was passed — pass the build's threshold " +
-            "(a different one merges or splits clusters the build kept apart)")
-        threshold
-    }
+    val (recorded, hasCol) = clusterThresholdOf(spark, clusterStore, gen)
+    val th = resolveClusterThreshold(clusterStore, threshold, recorded, hasCol)
     val storeBuckets = storedBucketsOf(spark, clusterStore, gen, "labels", buckets)
     buildClusterStoreFromSignatureStore(spark, sigStore, clusterStore,
       th, storeBuckets, maxIter)
   }
 
-  /** The build threshold generation `gen`'s labels table records, when
-    * it does (stores built before the column read as None).
+  /** The build threshold generation `gen`'s labels table records —
+    * (value, columnPresent). (None, false) = LEGACY pre-column store;
+    * (None, true) = the table is EMPTY (a full takedown: the recorded
+    * value left with the rows); the distinction keeps the error
+    * messages honest, exactly the novelty/substring-k rule.
     */
   private def clusterThresholdOf(spark: SparkSession, name: String,
-      gen: Long): Option[Double] = {
+      gen: Long): (Option[Double], Boolean) = {
     val tbl = Warehouse.table(spark, Warehouse.storeTableName(name, gen, "labels"))
-    if (!tbl.columns.contains("threshold")) None
-    else tbl.select(col("threshold")).limit(1).collect().headOption.map(_.getDouble(0))
+    val hasCol = tbl.columns.contains("threshold")
+    val rec =
+      if (!hasCol) None
+      else tbl.select(col("threshold")).limit(1).collect().headOption.map(_.getDouble(0))
+    (rec, hasCol)
   }
+
+  /** Shared resolve: recorded wins (explicit nonzero validates), an
+    * EMPTY stamped store demands an explicit value with an honest
+    * message, a legacy store keeps the caller's.
+    */
+  private def resolveClusterThreshold(name: String, given: Double,
+      recorded: Option[Double], hasCol: Boolean): Double =
+    recorded match {
+      case Some(st) =>
+        require(given == 0.0 || given == st,
+          s"threshold=$given differs from cluster store '$name''s " +
+            s"recorded build threshold ($st) — pass 0.0 to derive")
+        st
+      case None if hasCol =>
+        require(given > 0.0,
+          s"cluster store '$name' is EMPTY, so its recorded threshold left " +
+            "with its rows — pass the build's threshold explicitly")
+        given
+      case None =>
+        require(given > 0.0,
+          s"cluster store '$name' predates the recorded-threshold column " +
+            "and no explicit threshold was passed — pass the build's threshold " +
+            "(a different one merges or splits clusters the build kept apart)")
+        given
+    }
 
   /** The dedup store family a [[removeDocs]] takedown cascades through
     * — name each persisted store the deployment maintains; None skips
@@ -730,7 +749,7 @@ object Dedup {
     */
   def maintainClustersAgainstStore(clusterStore: String, sigStore: String,
       batch: DataFrame, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, maxIter: Int = 100,
+      threshold: Double = 0.0, maxIter: Int = 100,
       oracleRounds: Option[Int] = None): DataFrame = {
     val spark = batch.sparkSession
     val gen = Warehouse.resolveGeneration(spark, clusterStore)
@@ -739,18 +758,8 @@ object Dedup {
     // than the labels being continued): recorded values win — explicit
     // nonzero validates, 0.0 derives; a pre-column legacy store keeps
     // the caller's value as before
-    val th = clusterThresholdOf(spark, clusterStore, gen) match {
-      case Some(st) =>
-        require(threshold == 0.0 || threshold == st,
-          s"threshold=$threshold differs from cluster store '$clusterStore''s " +
-            s"recorded build threshold ($st) — pass 0.0 to derive")
-        st
-      case None =>
-        require(threshold > 0.0,
-          s"cluster store '$clusterStore' predates the recorded-threshold " +
-            "column — pass the build's threshold explicitly")
-        threshold
-    }
+    val (recTh, hasThCol) = clusterThresholdOf(spark, clusterStore, gen)
+    val th = resolveClusterThreshold(clusterStore, threshold, recTh, hasThCol)
     val starEdges = Warehouse
       .table(spark, Warehouse.storeTableName(clusterStore, gen, "labels"))
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
@@ -767,20 +776,37 @@ object Dedup {
     * the write half of the d19 ingest loop.
     */
   def publishMaintainedClusters(labels: DataFrame, name: String,
-      buckets: Int = 32): Unit = {
+      buckets: Int = 0, threshold: Double = 0.0): Unit = {
     val spark = labels.sparkSession
     // continuity: a maintained generation CONTINUES the store's
-    // clustering, so it carries the build's recorded threshold forward
-    // (the takedown relabel derives it from whatever generation is
-    // current); a legacy store stays legacy until a full rebuild
-    val stamped = Warehouse.currentGeneration(spark, name)
-      .flatMap(g => clusterThresholdOf(spark, name, g))
-      .fold(labels)(th =>
-        labels.select(col("doc_id"), col("cluster_id")).withColumn("threshold", lit(th)))
+    // clustering, so BOTH layout constants carry forward — the recorded
+    // threshold stamps the new generation (an explicit value validates;
+    // an EMPTY prior demands one; a legacy prior stays legacy unless one
+    // is given) and the bucket count derives from the prior generation
+    // (caller-repeated parameters are never trusted); a FIRST publish
+    // takes the caller's values (buckets defaulting to 32)
+    val prior = Warehouse.currentGeneration(spark, name)
+    val useBuckets = prior match {
+      case Some(g) => storedBucketsOf(spark, name, g, "labels", buckets)
+      case None => if (buckets > 0) buckets else 32
+    }
+    val stampTh: Option[Double] = prior match {
+      case Some(g) =>
+        val (rec, hasCol) = clusterThresholdOf(spark, name, g)
+        (rec, hasCol) match {
+          case (Some(_), _) | (None, true) =>
+            Some(resolveClusterThreshold(name, threshold, rec, hasCol))
+          case (None, false) => // legacy prior: upgrade only when told
+            if (threshold > 0.0) Some(threshold) else None
+        }
+      case None => if (threshold > 0.0) Some(threshold) else None
+    }
+    val stamped = stampTh.fold(labels)(th =>
+      labels.select(col("doc_id"), col("cluster_id")).withColumn("threshold", lit(th)))
     val gen = Warehouse.claimGeneration(spark, name)
     val labelsT = Warehouse.storeTableName(name, gen, "labels")
     try {
-      Warehouse.writeBucketed(stamped, labelsT, "doc_id", buckets)
+      Warehouse.writeBucketed(stamped, labelsT, "doc_id", useBuckets)
       Warehouse.publishGeneration(spark, name, gen)
     } catch { case e: Throwable =>
       // guarded cleanup: only when the chain provably shows gen unpublished
@@ -1076,15 +1102,24 @@ object Dedup {
     * the substring store's derivation rules (legacy stores without the
     * k column return None and the caller's explicit k stands).
     */
+  /** Layout of the novelty store at `gens` (base first): buckets and
+    * the k-column presence come from the base; the recorded k comes
+    * from the FIRST generation holding a row — a base emptied by a full
+    * takedown still derives k from a populated append segment instead
+    * of misreading the store as empty/legacy.
+    */
   private def noveltyLayoutOf(spark: SparkSession, name: String,
-      base: Long): (Option[Int], Int, Boolean) = {
-    val dfT = Warehouse.storeTableName(name, base, "shdf")
-    val buckets = storedBucketsOf(spark, name, base, "shdf", 0)
-    val tbl = Warehouse.table(spark, dfT)
-    val hasKCol = tbl.columns.contains("k")
+      gens: Seq[Long]): (Option[Int], Int, Boolean) = {
+    val buckets = storedBucketsOf(spark, name, gens.head, "shdf", 0)
+    val hasKCol = Warehouse
+      .table(spark, Warehouse.storeTableName(name, gens.head, "shdf"))
+      .columns.contains("k")
     val kOpt =
       if (!hasKCol) None
-      else tbl.select(col("k")).limit(1).collect().headOption.map(_.getInt(0))
+      else gens.view.flatMap { g =>
+        Warehouse.table(spark, Warehouse.storeTableName(name, g, "shdf"))
+          .select(col("k")).limit(1).collect().headOption.map(_.getInt(0))
+      }.headOption
     (kOpt, buckets, hasKCol)
   }
 
@@ -1127,7 +1162,12 @@ object Dedup {
       Warehouse.chainOf(spark, name), s"appendToNoveltyStore('$name')",
       dedupeTag, docs.isEmpty,
       prepare = base => {
-        val (kOpt, buckets, hasK) = noveltyLayoutOf(spark, name, base)
+        // span the base's published segments too: a base emptied by a
+        // takedown still derives k from a populated segment (this is a
+        // LAYOUT read only — publish liveness stays chain-guarded)
+        val (curBase, curSegs) = Warehouse.resolveSegmented(spark, name)
+        val gens = if (curBase == base) base +: curSegs else Seq(base)
+        val (kOpt, buckets, hasK) = noveltyLayoutOf(spark, name, gens)
         (resolveNoveltyK(name, k, kOpt, hasK), buckets)
       },
       writeData = (gen, layout) =>
@@ -1152,7 +1192,7 @@ object Dedup {
     var attempt = 0
     while (attempt < 5) {
       val (base, segs) = Warehouse.resolveSegmented(spark, name)
-      val (kOpt, buckets, _) = noveltyLayoutOf(spark, name, base)
+      val (kOpt, buckets, _) = noveltyLayoutOf(spark, name, base +: segs)
       val folded = (base +: segs)
         .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "shdf"))
           .select(col("h"), col("df")))
@@ -1199,7 +1239,7 @@ object Dedup {
     // generation doc sets, so presence-anywhere is exactly the
     // one-shot df > 0).
     val (base, segs) = Warehouse.resolveSegmented(spark, name)
-    val (kOpt, storeBuckets, hasK) = noveltyLayoutOf(spark, name, base)
+    val (kOpt, storeBuckets, hasK) = noveltyLayoutOf(spark, name, base +: segs)
     require(buckets == 0 || buckets == storeBuckets,
       s"probe buckets=$buckets differs from store '$name''s built layout " +
         s"($storeBuckets) — the probe side would join mis-partitioned; pass 0 " +
@@ -1257,13 +1297,18 @@ object Dedup {
     var attempt = 0
     while (attempt < 5) {
       val (base, segs) = Warehouse.resolveSegmented(spark, name)
-      val (kOpt, buckets, hasK) = noveltyLayoutOf(spark, name, base)
-      val kk = resolveNoveltyK(name, k, kOpt, hasK)
+      val (kOpt, buckets, hasK) = noveltyLayoutOf(spark, name, base +: segs)
       val oldDf = (base +: segs)
         .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "shdf"))
           .select(col("h"), col("df")))
         .reduce(_ unionAll _)
         .groupBy(col("h")).agg(sum(col("df")).as("df"))
+      // a removal from a fully-EMPTY store is a no-op (the subtraction
+      // result is empty under any k) — return before demanding a k the
+      // emptied store can no longer record, so a second takedown through
+      // the removeDocs cascade never wedges mid-cascade
+      if (kOpt.isEmpty && oldDf.isEmpty) return
+      val kk = resolveNoveltyK(name, k, kOpt, hasK)
       // dedupe by doc_id like every sibling remover: a doc listed twice
       // (two opt-out lists concatenated) would otherwise subtract its
       // shingles' df twice — dropping rows the filtered corpus still
@@ -1610,15 +1655,21 @@ object Dedup {
     * pre-k-column legacy store returns k = None — the caller's explicit
     * k then stands, documented must-match (nothing to validate against).
     */
+  /** [[noveltyLayoutOf]]'s substring twin: k from the first generation
+    * holding a row, buckets/column presence from the base.
+    */
   private def substringLayoutOf(spark: SparkSession, name: String,
-      base: Long): (Option[Int], Int, Boolean) = {
-    val shinglesT = Warehouse.storeTableName(name, base, "shingles")
-    val buckets = storedBucketsOf(spark, name, base, "shingles", 0)
-    val tbl = Warehouse.table(spark, shinglesT)
-    val hasKCol = tbl.columns.contains("k")
+      gens: Seq[Long]): (Option[Int], Int, Boolean) = {
+    val buckets = storedBucketsOf(spark, name, gens.head, "shingles", 0)
+    val hasKCol = Warehouse
+      .table(spark, Warehouse.storeTableName(name, gens.head, "shingles"))
+      .columns.contains("k")
     val kOpt =
       if (!hasKCol) None
-      else tbl.select(col("k")).limit(1).collect().headOption.map(_.getInt(0))
+      else gens.view.flatMap { g =>
+        Warehouse.table(spark, Warehouse.storeTableName(name, g, "shingles"))
+          .select(col("k")).limit(1).collect().headOption.map(_.getInt(0))
+      }.headOption
     (kOpt, buckets, hasKCol)
   }
 
@@ -1667,7 +1718,10 @@ object Dedup {
       Warehouse.chainOf(spark, name), s"appendToSubstringStore('$name')",
       dedupeTag, docs.isEmpty,
       prepare = base => {
-        val (kOpt, buckets, hasK) = substringLayoutOf(spark, name, base)
+        // see appendToNoveltyStore: layout spans published segments
+        val (curBase, curSegs) = Warehouse.resolveSegmented(spark, name)
+        val gens = if (curBase == base) base +: curSegs else Seq(base)
+        val (kOpt, buckets, hasK) = substringLayoutOf(spark, name, gens)
         (resolveSubstringK(name, k, kOpt, hasK), buckets)
       },
       writeData = (gen, layout) =>
@@ -1694,7 +1748,7 @@ object Dedup {
     var attempt = 0
     while (attempt < 5) {
       val (base, segs) = Warehouse.resolveSegmented(spark, name)
-      val (_, buckets, _) = substringLayoutOf(spark, name, base)
+      val (_, buckets, _) = substringLayoutOf(spark, name, base +: segs)
       val folded = (base +: segs)
         .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "shingles")))
         .reduce(_ unionAll _)
@@ -1734,7 +1788,7 @@ object Dedup {
     // explicit k — documented must-match). Segment-aware resolve, ONCE,
     // pins every store-side read to one immutable snapshot.
     val (base, segs) = Warehouse.resolveSegmented(spark, name)
-    val (kOpt, storeBuckets, hasK) = substringLayoutOf(spark, name, base)
+    val (kOpt, storeBuckets, hasK) = substringLayoutOf(spark, name, base +: segs)
     require(buckets == 0 || buckets == storeBuckets,
       s"probe buckets=$buckets differs from store '$name''s built layout " +
         s"($storeBuckets) — the probe side would join mis-partitioned; pass 0 " +

@@ -586,7 +586,7 @@ object DocPipelines {
     * ZERO streaming state: the stores ARE the state, on disk.
     */
   def clusterMaintainStream(docs: DataFrame, clusterStore: String, sigStore: String,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.0,
       streamId: String = "cluster-maintain"):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
@@ -595,7 +595,8 @@ object DocPipelines {
         if (!batch.isEmpty) {
           val labels = graft.operators.Dedup.maintainClustersAgainstStore(
             clusterStore, sigStore, batch, numHashes, bands, threshold)
-          graft.operators.Dedup.publishMaintainedClusters(labels, clusterStore)
+          graft.operators.Dedup.publishMaintainedClusters(labels, clusterStore,
+            threshold = threshold)
           graft.operators.Dedup.appendToSignatureStore(batch, sigStore,
             dedupeTag = Some(s"$streamId:$batchId"))
         }

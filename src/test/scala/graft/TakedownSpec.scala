@@ -477,4 +477,93 @@ class TakedownSpec extends SparkSpecBase {
     val sql = graft.OracleReplicas.d22TakedownProbe(removed = Seq.empty)
     assert(!sql.contains("AND  AND") && sql.contains("TRUE"))
   }
+
+  test("deleteWhere surviving only NULL rows in a zone-mapped column rewrites without stats, never crashing or unsafely pruning") {
+    val st = fresh()
+    st.appendIndexed(
+      Seq((Option(5L), "m"), (Option.empty[Long], "n")).toDF("x", "v"), Seq("x"))
+    // the rewrite keeps ONLY the x=null row: min/max over it are null,
+    // and the sidecar pass must omit the column (a stat-less column is
+    // never pruned on) instead of NPE-ing on an unboxed null
+    st.deleteWhereRange("x", 0L, 10L)
+    val rows = st.read().collect()
+    assert(rows.length == 1 && rows.head.isNullAt(0) && rows.head.getString(1) == "n")
+    // the surviving dir has no x-zone, so a later range read still scans
+    // it (safe) and returns nothing (the null row matches no range)
+    assert(st.readWhere("x", 0L, 10L).count() == 0)
+  }
+
+  test("a second takedown through the cascade is a no-op on an emptied novelty store, not a wedge") {
+    Warehouse.dropStore(spark, "tk_nov4", Seq("shdf"))
+    val small = corpus.filter(col("doc_id") < 20)
+    Dedup.buildNoveltyStore(small, "tk_nov4")
+    Dedup.removeFromNoveltyStore(small.select(col("doc_id"), col("text")), "tk_nov4")
+    // the emptied store can no longer record k; removing MORE docs from
+    // it must no-op (the subtraction result is empty under any k), not
+    // throw mid-cascade on a k the caller cannot know
+    val before = Warehouse.resolveGeneration(spark, "tk_nov4")
+    Dedup.removeFromNoveltyStore(
+      corpus.filter(col("doc_id") >= 20 && col("doc_id") < 30)
+        .select(col("doc_id"), col("text")), "tk_nov4")
+    assert(Warehouse.resolveGeneration(spark, "tk_nov4") == before,
+      "the no-op publishes no new generation")
+    Warehouse.dropStore(spark, "tk_nov4", Seq("shdf"))
+  }
+
+  test("an emptied base derives k from a populated append segment; a drifted explicit k refuses (no silent total-miss)") {
+    Warehouse.dropStore(spark, "tk_nov5", Seq("shdf"))
+    val small = corpus.filter(col("doc_id") < 20)
+    Dedup.buildNoveltyStore(small, "tk_nov5", k = 3)
+    Dedup.removeFromNoveltyStore(small.select(col("doc_id"), col("text")), "tk_nov5")
+    // the empty store demands an explicit k for the first append...
+    val batch = corpus.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+    Dedup.appendToNoveltyStore(batch, "tk_nov5", k = 5)
+    // ...after which the layout derives k=5 FROM THE SEGMENT even though
+    // the base generation is empty (a base-only read would misreport the
+    // store as empty and let a wrong explicit k probe k=3 shingles
+    // against a k=5 index — zero collisions, everything falsely novel)
+    val probed = Dedup.noveltyAgainstStore("tk_nov5", batch).collect()
+    assert(probed.nonEmpty && probed.forall(r =>
+      r.getAs[Long]("n_shingles") == 0 || r.getAs[Double]("novelty_frac") == 0.0),
+      "probing the absorbed batch itself under the derived k finds every shingle seen")
+    val e = intercept[IllegalArgumentException](
+      Dedup.noveltyAgainstStore("tk_nov5", batch, k = 3))
+    assert(e.getMessage.contains("built width"))
+    Warehouse.dropStore(spark, "tk_nov5", Seq("shdf"))
+  }
+
+  test("maintain on an EMPTIED cluster store refuses a defaulted threshold; publish derives the store's bucket layout") {
+    Warehouse.dropStore(spark, "tk_cl2_sig", Seq("bands", "sigs"))
+    Warehouse.dropStore(spark, "tk_cl2", Seq("labels"))
+    val half = corpus.filter(col("doc_id") < 50)
+    Dedup.buildSignatureStore(half, "tk_cl2_sig")
+    Dedup.buildClusterStoreFromSignatureStore(spark, "tk_cl2_sig", "tk_cl2",
+      threshold = 0.7, buckets = 16)
+    // a maintained publish derives the 16-bucket layout from the prior
+    // generation, never the caller-side default of 32
+    val batch = corpus.filter(col("doc_id") >= 50 && col("doc_id") < 60)
+    val labels = Dedup.maintainClustersAgainstStore("tk_cl2", "tk_cl2_sig",
+      batch, threshold = 0.0)
+    Dedup.publishMaintainedClusters(labels, "tk_cl2")
+    val g1 = Warehouse.resolveGeneration(spark, "tk_cl2")
+    assert(Warehouse.bucketCount(spark,
+      Warehouse.storeTableName("tk_cl2", g1, "labels")).contains(16),
+      "the maintained generation keeps the build's bucket count")
+    // and it carried the recorded threshold forward
+    val th = spark.table(Warehouse.storeTableName("tk_cl2", g1, "labels"))
+      .select(col("threshold")).limit(1).collect().head.getDouble(0)
+    assert(th == 0.7)
+    // empty the store: the takedown relabel over the emptied sig store
+    Dedup.removeFromSignatureStore(half.select(col("doc_id")).distinct(), "tk_cl2_sig")
+    Dedup.removeFromClusterStore(spark, "tk_cl2", "tk_cl2_sig")
+    // an EMPTIED stamped store must NOT silently fall back to the 0.5
+    // default (the silent clustering-definition drift); it demands an
+    // explicit threshold with an honest message
+    val eM = intercept[IllegalArgumentException](
+      Dedup.maintainClustersAgainstStore("tk_cl2", "tk_cl2_sig", batch))
+    assert(eM.getMessage.contains("EMPTY"))
+    Seq("tk_cl2_sig").foreach(Warehouse.dropStore(spark, _, Seq("bands", "sigs")))
+    Seq("tk_cl2").foreach(Warehouse.dropStore(spark, _, Seq("labels")))
+  }
 }
