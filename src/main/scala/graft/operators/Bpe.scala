@@ -139,8 +139,14 @@ object Bpe {
           .persist(StorageLevel.MEMORY_AND_DISK)
       } catch { case e: Throwable => restoreInit(); throw e }
     val steps = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    // ONE action per merge round: the round's best-pair collect is the
+    // action that materializes the round's cache (computed FROM the
+    // still-cached parent), and the parent unpersists only after that
+    // collect returns — the former explicit count() per round was a
+    // second sequential job whose only purpose the collect already
+    // serves, and the loop's cost is its sequential job count.
+    var parent: Option[DataFrame] = None
     try {
-      cached.count()
       for (step <- 1 to numMerges) {
         val best = cached
           .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
@@ -149,18 +155,23 @@ object Bpe {
           .orderBy(col("n").desc, col("lhs"), col("rhs"))
           .limit(1)
           .collect() // 1 row by construction — the bounded-collect pattern
+        parent.foreach(_.unpersist()) // this round's collect materialized `cached`
+        parent = None
         if (best.nonEmpty) {
           val (a, bSym, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
           steps += ((step.toLong, a, bSym, a + bSym, n))
           val next = cached.withColumn("syms", mergePair(col("syms"), a, bSym))
             .persist(StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize before dropping the parent
-          cached.unpersist()
+          parent = Some(cached)
           cached = next
         }
       }
+      cached.count() // the contract: the returned dict is materialized
+      parent.foreach(_.unpersist())
       restoreInit()
-    } catch { case e: Throwable => restoreInit(); cached.unpersist(); throw e }
+    } catch { case e: Throwable =>
+      restoreInit(); parent.foreach(_.unpersist()); cached.unpersist(); throw e
+    }
     (steps.toSeq, cached)
   }
 

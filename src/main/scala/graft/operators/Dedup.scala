@@ -67,17 +67,30 @@ object Dedup {
     * cross-probe cannot see) and StoreBench's synthetic corpora.
     */
   def minhashPairsOf(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
-    // signatures feed three plan branches (banding + both sig-attach
-    // joins); materialize once instead of recomputing the scan+hash per
-    // branch (at scale: a checkpoint of n×(64 longs), tiny next to the
-    // corpus text)
-    val sigs = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
+      threshold: Double = 0.5): DataFrame =
+    minhashPairsOfSigs(hashedSigsOf(docs, numHashes), numHashes, bands, threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The d2 hash pass alone — (doc_id, sig) materialized once (the
+    * signatures feed three plan branches: banding + both sig-attach
+    * joins; at scale a checkpoint of n×(64 longs), tiny next to the
+    * corpus text). Shared by [[minhashPairsOf]], the store probe and
+    * d19's maintenance so a composed caller hashes the batch text
+    * exactly once.
+    */
+  private def hashedSigsOf(docs: DataFrame, numHashes: Int): DataFrame =
+    spreadIfNarrow(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
       .filter(size(col("tokens")) > 1)
       .select(col("doc_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig"))
       .localCheckpoint(true)
 
+  /** d2's pair scoring over PRE-HASHED signatures — UNordered (the
+    * composing callers union into a checkpoint, where a presentation
+    * sort is a wasted range exchange; [[minhashPairsOf]] re-adds it).
+    */
+  private def minhashPairsOfSigs(sigs: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame =
     lshCandidates(sigs, bands)
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
@@ -85,8 +98,6 @@ object Dedup {
         sig_agreement(col("sig_a"), col("sig_b")).cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** d7: INCREMENTAL dedup — a batch of new documents against the
     * EXISTING corpus (the shape of every real ingest: the corpus only
@@ -465,13 +476,25 @@ object Dedup {
           s"layout ($stored) — the probe would silently miss duplicates; " +
           "pass 0 to derive the layout from the store")
     }
-    val (nh, bnds, bkts) = (storeHashes, storeBands, storeBuckets)
+    probeSignatureStoreWithSigs(spark, name, base, segs,
+      (storeHashes, storeBands, storeBuckets),
+      hashedSigsOf(newDocs, storeHashes), threshold)
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
+  /** The d16 probe body over PRE-HASHED batch signatures (doc_id, sig)
+    * — split out so [[maintainClustersAgainstStore]] can feed the SAME
+    * hash pass to both the cross-probe and the batch-internal pairs
+    * instead of tokenizing and MinHashing the batch text twice.
+    * UNordered like [[minhashPairsOfSigs]]; the public probe re-adds
+    * its presentation sort.
+    */
+  private def probeSignatureStoreWithSigs(spark: SparkSession, name: String,
+      base: Long, segs: Seq[Long], layout: (Int, Int, Int),
+      sigs: DataFrame, threshold: Double): DataFrame = {
+    val (nh, bnds, bkts) = layout
     val gens = base +: segs
-    val freshSigs = spreadIfNarrow(newDocs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
-      .filter(size(col("tokens")) > 1)
-      .select(col("doc_id").as("new_id"), shingle_minhash(col("tokens"), 2, nh, 42L).as("sig_a"))
-      .localCheckpoint(true) // feeds banding + the verify attach
+    val freshSigs = sigs.select(col("doc_id").as("new_id"), col("sig").as("sig_a"))
     // fresh band keys carry distinct names so the plan (and its spec)
     // can tell the batch-side exchange from a store-side one
     val freshBands = freshSigs.select(col("new_id"), posexplode(sig_bands(col("sig_a"), bnds)))
@@ -505,7 +528,6 @@ object Dedup {
         sig_agreement(col("sig_a"), col("sig_b")).cast("double") / nh)
       .filter(col("est_jaccard") >= threshold)
       .select(col("new_id"), col("dup_of"), round(col("est_jaccard"), 4).as("est_jaccard"))
-      .orderBy(col("new_id"), col("dup_of"))
   }
 
   /** The PERSISTED cluster store — the third layer of the dedup ingest
@@ -763,9 +785,28 @@ object Dedup {
     val starEdges = Warehouse
       .table(spark, Warehouse.storeTableName(clusterStore, gen, "labels"))
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
-    val cross = minhashIncrementalAgainstStore(sigStore, batch, numHashes, bands, th)
+    // ONE hash pass over the batch text feeds BOTH pair sources (the
+    // cross-probe used to hash it once and minhashPairsOf a second
+    // time), and both read the store's derived layout — caller values
+    // still validate loudly against it exactly as the probe's do. The
+    // pair frames stay UNordered here: they union into the propagation
+    // loop's eager checkpoint, where the public forms' presentation
+    // sorts were two wasted range exchanges.
+    val (sbase, ssegs) = Warehouse.resolveSegmented(spark, sigStore)
+    val layout = signatureLayoutOf(spark, sigStore, sbase)
+    val (storeHashes, storeBands, _) = layout
+    Seq(("numHashes", numHashes, storeHashes), ("bands", bands, storeBands))
+      .foreach { case (what, given, stored) =>
+        require(given == 0 || given == stored,
+          s"maintain $what=$given differs from signature store '$sigStore''s " +
+            s"built layout ($stored) — the batch would pair under a different " +
+            "hash geometry than the store; pass 0 to derive the layout")
+      }
+    val sigs = hashedSigsOf(batch, storeHashes)
+    val cross = probeSignatureStoreWithSigs(spark, sigStore, sbase, ssegs,
+      layout, sigs, th)
       .select(col("new_id").as("doc_a"), col("dup_of").as("doc_b"))
-    val fresh = minhashPairsOf(batch, numHashes, bands, th)
+    val fresh = minhashPairsOfSigs(sigs, storeHashes, storeBands, th)
       .select(col("doc_a"), col("doc_b"))
     clustersOfPairs(starEdges.unionByName(cross).unionByName(fresh),
       maxIter, oracleRounds)

@@ -513,9 +513,20 @@ object Graph {
         when(srcFirst, col("src")).otherwise(col("dst")).as("lo"),
         when(srcFirst, col("dst")).otherwise(col("src")).as("hi"))
       .localCheckpoint(eager = true)
-    // wedges around lo: pairs of out-neighbors, canonicalized v < w by id
+    // wedges around lo: pairs of out-neighbors, canonicalized v < w by id.
+    // The self-join's inputs are repartitioned EXPLICITLY: AQE coalesces
+    // the edge-list exchange by its map-output BYTES (a few MB of long
+    // pairs), blind to the Σ outdeg² wedge stream the join stage then
+    // generates — measured at sf0.1 the wedge stage ran 8 tasks on 32
+    // cores (4× parallelism loss on the dominant stage). The width
+    // derives from the cluster's parallelism (scale-adaptive, not a
+    // constant): 4 waves per core smooths the per-node outdeg² variance
+    // that hashing u cannot balance.
+    val wedgeParts = 4 * und.sparkSession.sparkContext.defaultParallelism
     val e1 = ordered.select(col("lo").as("u"), col("hi").as("v"))
+      .repartition(wedgeParts, col("u"))
     val e2 = ordered.select(col("lo").as("u"), col("hi").as("w"))
+      .repartition(wedgeParts, col("u"))
     val wedges = e1.join(e2, Seq("u")).filter(col("v") < col("w"))
     // close the wedge: an ordered edge between v and w (either direction
     // in the degree order, but v<w by id — match both orientations).

@@ -17,9 +17,24 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Warehouse {
 
-  /** Write `df` as a bucketed+sorted catalog table. */
+  /** Write `df` as a bucketed+sorted catalog table.
+    *
+    * The input is hash-repartitioned onto the bucket layout first: a
+    * bucketed write from N upstream partitions otherwise opens a writer
+    * per (task, bucket) and the table lands as up to N × buckets files
+    * (measured: 32-bucket band/shingle tables written from ~32-task
+    * upstreams produced ~1,000 files each), which taxes the write (file
+    * opens + commits) and EVERY subsequent probe read (listing + footer
+    * per file). With the aligned exchange each bucket is exactly one
+    * task → one file. This is the write-side hash distribution the
+    * Iceberg `write.distribution-mode=hash` pattern names; the exchange
+    * it adds moves the compact store rows once, and at scale the bucket
+    * count (the caller's knob) grows with the corpus so per-task volume
+    * stays bounded.
+    */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
-    df.write
+    df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
