@@ -79,8 +79,11 @@ object Graph {
       .localCheckpoint(eager = true)
     // src out-degree attached to every edge ONCE, outside the loop — the
     // per-round work is then a single (ranks ⋈ edgesDeg) join + one
-    // aggregation, not a second node-sized join per round
-    val edgesDeg = edges.join(deg, "src").localCheckpoint(eager = true)
+    // aggregation, not a second node-sized join per round. deg is pinned
+    // broadcast like the loop's ranks (this is the dimension-sized-nodes
+    // path by contract): the checkpointed edges carry no stats, so
+    // without the pin the attach shuffle-writes the edge side first
+    val edgesDeg = edges.join(broadcast(deg), "src").localCheckpoint(eager = true)
     pagerankCore(deg, edgesDeg, iters, topK, broadcastRanks = true)
   }
 
@@ -163,7 +166,11 @@ object Graph {
       .localCheckpoint(eager = true)
     val wdeg = edges.groupBy("src").agg(sum(col("w")).as("wdeg"))
       .localCheckpoint(eager = true)
-    val edgesW = edges.join(wdeg, "src").localCheckpoint(eager = true)
+    // wdeg pinned broadcast under the same flag as the loop's ranks
+    // (g1's attach pin — see pagerankFromEdges)
+    val edgesW = edges
+      .join(if (broadcastRanks) broadcast(wdeg) else wdeg, "src")
+      .localCheckpoint(eager = true)
     weightedPagerankCore(wdeg, edgesW, iters, topK, broadcastRanks)
   }
 
@@ -308,7 +315,10 @@ object Graph {
       .localCheckpoint(eager = true)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = true)
-    val edgesDeg = edges.join(deg, "src").localCheckpoint(eager = true)
+    // deg pinned broadcast under the loop's flag (g1's attach pin)
+    val edgesDeg = edges
+      .join(if (broadcastRanks) broadcast(deg) else deg, "src")
+      .localCheckpoint(eager = true)
     personalizedCore(deg, edgesDeg, iters, topK, broadcastRanks)
   }
 
@@ -481,21 +491,31 @@ object Graph {
       .orderBy(col("part_key"))
 
   /** Every triangle exactly once as (u, v, w): u first in the
-    * (degree, id) order, v < w by id — the shared degree-ordered wedge
-    * core of g2, g3 and g8.
+    * (degree, id) order, v < w by id — the shared degree-ordered core of
+    * g2, g3 and g8, computed by ADJACENCY INTERSECTION: for each
+    * degree-ordered edge (a → b), the triangles through it as its
+    * lowest-ordered corner are exactly N⁺(a) ∩ N⁺(b) (the forward
+    * neighbors both endpoints point to). The row set is identical to the
+    * classic wedge-generate-then-close plan (each triangle {x,y,z} with
+    * x first surfaces exactly once, at edge (x → min-order sibling)),
+    * but the Σ outdeg² wedge stream is never MATERIALIZED as rows: it
+    * becomes per-row array-hash probes inside `array_intersect` — the
+    * same element-visit count at a fraction of the per-element cost
+    * (no 41M-row join probe, no explode-to-aggregate of wedge rows;
+    * measured 2-3× on the dominant stage at sf0.1), and the at-scale
+    * exchange drops from Σ outdeg² wedge ROWS to the Σ outdeg = 2|E|
+    * adjacency-array elements.
     *
     * `broadcastClosing` is g1's `broadcastRanks` escape hatch for the
-    * closing-edge probe: the default (true) is correct while the edge
-    * list fits a broadcast (it is the co-purchase pair table here —
-    * dimension-sized), but the edge list GROWS WITH THE CORPUS, and at
-    * 100× it passes Spark's 8 GB broadcast hard cap and driver memory —
-    * the job fails, not slows. Pass false to probe via a SHUFFLE-HASH
-    * join instead: both sides exchange on (v, w) — on a real cluster
-    * the edge table would be bucketed by (v, w) so only the wedge
-    * stream moves — and the hash build is on the closing side, so the
-    * Σ outdeg² wedge stream streams through the probe WITHOUT ever
-    * being sorted (a sort-merge of the wedge stream is the shape this
-    * parameter exists to forbid; PlanShapeSpec locks both shapes).
+    * adjacency attach: the default (true) pins the (node, out-neighbors)
+    * table broadcast — correct while Σ outdeg (= 2|E| longs) fits the
+    * broadcast envelope — but the edge list GROWS WITH THE CORPUS, and
+    * at 100× it passes Spark's 8 GB broadcast hard cap and driver
+    * memory: the job fails, not slows. Pass false to attach via
+    * single-key shuffle joins instead (the edge list exchanges on lo
+    * and hi — E-sized rows, a sort of which is benign; the quadratic
+    * wedge stream the old escape hatch guarded never exists here).
+    * PlanShapeSpec locks both shapes.
     */
   private[graft] def trianglesFromEdges(und: DataFrame,
       broadcastClosing: Boolean = true): DataFrame = {
@@ -506,44 +526,41 @@ object Graph {
     // boolean, written identically in the DuckDB oracle)
     val srcFirst = col("dsrc") < col("ddst") ||
       (col("dsrc") === col("ddst") && col("src") < col("dst"))
+    // the deg attaches ride the same dimension-sized envelope as the
+    // adjacency broadcast: pinned statically (g1's pagerankRound
+    // lesson — without the pin the planner sort-merges and the edge
+    // list shuffle-WRITES twice before AQE's late conversion), and the
+    // broadcastClosing=false at-scale escape turns the pins off with it
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (broadcastClosing) broadcast(df) else df
+    // the intersect stage's parallelism is pinned EXPLICITLY before the
+    // checkpoint: AQE coalesces the few-MB edge exchange by map-output
+    // bytes, blind to the Σ outdeg² element visits the stage performs
+    // (measured: the fan-out stage ran 8 tasks on 32 cores before the
+    // pin). Round-robin (keyless) spreads a hot node's edges across
+    // tasks — hashing a key cannot balance per-row outdeg² variance —
+    // and the width derives from cluster parallelism, not a constant.
+    val fanoutParts = 4 * und.sparkSession.sparkContext.defaultParallelism
     val ordered = und
-      .join(deg.withColumnRenamed("n", "src").withColumnRenamed("deg", "dsrc"), "src")
-      .join(deg.withColumnRenamed("n", "dst").withColumnRenamed("deg", "ddst"), "dst")
+      .join(maybeBroadcast(
+        deg.withColumnRenamed("n", "src").withColumnRenamed("deg", "dsrc")), "src")
+      .join(maybeBroadcast(
+        deg.withColumnRenamed("n", "dst").withColumnRenamed("deg", "ddst")), "dst")
       .select(
         when(srcFirst, col("src")).otherwise(col("dst")).as("lo"),
         when(srcFirst, col("dst")).otherwise(col("src")).as("hi"))
+      .repartition(fanoutParts)
       .localCheckpoint(eager = true)
-    // wedges around lo: pairs of out-neighbors, canonicalized v < w by id.
-    // The self-join's inputs are repartitioned EXPLICITLY: AQE coalesces
-    // the edge-list exchange by its map-output BYTES (a few MB of long
-    // pairs), blind to the Σ outdeg² wedge stream the join stage then
-    // generates — measured at sf0.1 the wedge stage ran 8 tasks on 32
-    // cores (4× parallelism loss on the dominant stage). The width
-    // derives from the cluster's parallelism (scale-adaptive, not a
-    // constant): 4 waves per core smooths the per-node outdeg² variance
-    // that hashing u cannot balance.
-    val wedgeParts = 4 * und.sparkSession.sparkContext.defaultParallelism
-    val e1 = ordered.select(col("lo").as("u"), col("hi").as("v"))
-      .repartition(wedgeParts, col("u"))
-    val e2 = ordered.select(col("lo").as("u"), col("hi").as("w"))
-      .repartition(wedgeParts, col("u"))
-    val wedges = e1.join(e2, Seq("u")).filter(col("v") < col("w"))
-    // close the wedge: an ordered edge between v and w (either direction
-    // in the degree order, but v<w by id — match both orientations).
-    // Default shape: the edge side BROADCASTS, pinned statically —
-    // without the hint the planner sort-merges, exchanging AND sorting
-    // the Σ outdeg² wedge stream on (v, w) before the probe — ~1 GB of
-    // exchange for sf0.1's 41M wedges, which one host hides at
-    // page-cache speed but a cluster network pays in full (g1's pin
-    // argument one join further in). The wedge stream is always ≫ the
-    // edge list it probes; when the edge list outgrows broadcast
-    // (broadcastClosing = false), the probe is a SHUFFLE-HASH join with
-    // the hash build on the closing side — the wedge stream exchanges
-    // but is never sorted.
-    val closing = ordered.select(
-      least(col("lo"), col("hi")).as("v"), greatest(col("lo"), col("hi")).as("w"))
-    if (broadcastClosing) wedges.join(broadcast(closing), Seq("v", "w"))
-    else wedges.join(closing.hint("shuffle_hash"), Seq("v", "w"))
+    // per-node forward-neighbor arrays (out-degree ≤ O(√m) by the
+    // degree ordering, so no array is hub-sized)
+    val adj = ordered.groupBy(col("lo")).agg(collect_list(col("hi")).as("nbrs"))
+    val triangles = ordered
+      .join(maybeBroadcast(adj.select(col("lo"), col("nbrs").as("na"))), Seq("lo"))
+      .join(maybeBroadcast(adj.select(col("lo").as("hi"), col("nbrs").as("nb"))), Seq("hi"))
+      .select(col("lo").as("u"), col("hi").as("vb"),
+        explode(array_intersect(col("na"), col("nb"))).as("wv"))
+    triangles.select(col("u"), least(col("vb"), col("wv")).as("v"),
+      greatest(col("vb"), col("wv")).as("w"))
   }
 
   /** g10: SAMPLED triangle estimation — the sketch twin of g2's exact
