@@ -376,7 +376,10 @@ object Dedup {
     val ids = docIds.select(col("doc_id")).distinct().localCheckpoint(true)
     refoldSignatureStore(spark, name, s"removeFromSignatureStore('$name')",
       fold = (oldSigs, _) => oldSigs.join(broadcast(ids), Seq("doc_id"), "left_anti"),
-      maxBandBucket = None, beforePublish)
+      maxBandBucket = None, beforePublish,
+      // a removal only filters rows: the stored band index anti-joins
+      // the same ids instead of re-hashing every surviving signature
+      foldBands = Some(b => b.join(broadcast(ids), Seq("doc_id"), "left_anti")))
   }
 
   /** The shared FOLD core of [[growSignatureStore]] and
@@ -390,7 +393,8 @@ object Dedup {
     */
   private def refoldSignatureStore(spark: SparkSession, name: String, what: String,
       fold: (DataFrame, (Int, Int, Int)) => DataFrame,
-      maxBandBucket: Option[Long], beforePublish: () => Unit): Unit = {
+      maxBandBucket: Option[Long], beforePublish: () => Unit,
+      foldBands: Option[DataFrame => DataFrame] = None): Unit = {
     var attempt = 0
     while (attempt < 5) {
       val (base, segs) = Warehouse.resolveSegmented(spark, name)
@@ -404,11 +408,28 @@ object Dedup {
       val bandsT = Warehouse.storeTableName(name, gen, "bands")
       try {
         Warehouse.writeBucketed(fold(oldSigs, layout), sigsT, "doc_id", buckets)
-        val sigs = Warehouse.table(spark, sigsT)
-        Warehouse.writeBucketed(
-          sigs.select(col("doc_id"), posexplode(sig_bands(col("sig"), bands)))
-            .select(col("pos").as("band_idx"), col("col").as("band_hash"), col("doc_id")),
-          bandsT, "band_hash", buckets)
+        // the band index: a fold that only FILTERS rows (takedown) passes
+        // `foldBands` and the stored index is filtered the same way —
+        // the stored bands derive row-for-row from the stored sigs, so
+        // filtering both by the same doc_id set is bit-identical to
+        // re-deriving from the filtered sigs, without re-hashing
+        // 16 bands × every surviving signature (the dominant compute of
+        // a takedown refold). Structural folds (grow/absorb) keep the
+        // derive-from-written-sigs path, the hash→band chain's single
+        // definition.
+        foldBands match {
+          case Some(fb) =>
+            val oldBands = (base +: segs)
+              .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "bands")))
+              .reduce(_ unionAll _)
+            Warehouse.writeBucketed(fb(oldBands), bandsT, "band_hash", buckets)
+          case None =>
+            val sigs = Warehouse.table(spark, sigsT)
+            Warehouse.writeBucketed(
+              sigs.select(col("doc_id"), posexplode(sig_bands(col("sig"), bands)))
+                .select(col("pos").as("band_idx"), col("col").as("band_hash"), col("doc_id")),
+              bandsT, "band_hash", buckets)
+        }
         // the same quadratic guard as the full build — a batch can mint a
         // corpus-hot bucket too; the guarded catch below unpublishes
         maxBandBucket.foreach { m =>
