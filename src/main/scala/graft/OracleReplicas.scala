@@ -174,32 +174,43 @@ object OracleReplicas {
     * productive rounds at sf0.1 (dense 4-bit graphs converged well under
     * 16); generations past the fixpoint are no-ops, so the raised budget
     * costs only SQL length, never a result.
+    *
+    * r19: 24 → 28 for the folded recurrence
+    * ([[graft.operators.Dedup.propagationRound]] — the jump now
+    * compresses through the PREVIOUS generation's label instead of the
+    * neighbor-folded one, which measured one extra productive round on
+    * the dc8 forest, 21 → 22 at sf0.1). The chain itself got CHEAPER per
+    * generation (one materialized CTE instead of three), so the raised
+    * budget still shrinks the oracle's total work.
     */
-  val PointerJumpIters = 24
+  val PointerJumpIters = 28
 
   /** Min-label propagation WITH pointer jumping over `edges(s, d)` (both
     * directions present) + `verts(doc_id)`, as a generated CTE chain —
-    * one (neighbor-min, fold, compress) generation per round, mirroring
-    * `Dedup.clustersOfPairsCounted` exactly; emits `labels(doc_id,
-    * cluster_id)`. Replaces the naive transitive-closure recursive walk,
-    * which is V×V rows on dense pair graphs (the g4 lesson — 108 s vs
-    * sub-second at sf0.01; dc8's cosine graph measured 300+ s). CTEs are
-    * MATERIALIZED: each generation is referenced three times, and
-    * default inlining re-expands the chain 3^iters-fold (the t13
-    * lesson).
+    * one generation per round, mirroring `Dedup.propagationRound`
+    * exactly: each vertex's next label is the MIN over its own label
+    * (the self contribution), its neighbors' labels, and the label of
+    * its label (the pointer jump — labels are vertex ids, so the
+    * previous generation maps every key and the inner joins drop
+    * nothing). Emits `labels(doc_id, cluster_id)`. Replaces the naive
+    * transitive-closure recursive walk, which is V×V rows on dense pair
+    * graphs (the g4 lesson — 108 s vs sub-second at sf0.01; dc8's
+    * cosine graph measured 300+ s). CTEs are MATERIALIZED: each
+    * generation is referenced three times, and default inlining
+    * re-expands the chain 3^iters-fold (the t13 lesson).
     */
   private def pointerJumpLabels(iters: Int = PointerJumpIters): String = {
     val rounds = (1 to iters).map { i =>
-      s"""pjn$i AS MATERIALIZED (
-         |  SELECT e.s AS doc_id, MIN(l.label) AS nmin
-         |  FROM edges e JOIN pjl${i - 1} l ON l.doc_id = e.d
-         |  GROUP BY e.s),
-         |pjm$i AS MATERIALIZED (
-         |  SELECT l.doc_id, LEAST(l.label, COALESCE(n.nmin, l.label)) AS label
-         |  FROM pjl${i - 1} l LEFT JOIN pjn$i n ON n.doc_id = l.doc_id),
-         |pjl$i AS MATERIALIZED (
-         |  SELECT m.doc_id, LEAST(m.label, COALESCE(j.label, m.label)) AS label
-         |  FROM pjm$i m LEFT JOIN pjl${i - 1} j ON j.doc_id = m.label)""".stripMargin
+      s"""pjl$i AS MATERIALIZED (
+         |  SELECT dst AS doc_id, MIN(cand) AS label FROM (
+         |    SELECT e.s AS dst, l.label AS cand
+         |    FROM edges e JOIN pjl${i - 1} l ON l.doc_id = e.d
+         |    UNION ALL
+         |    SELECT l.doc_id AS dst, j.label AS cand
+         |    FROM pjl${i - 1} l JOIN pjl${i - 1} j ON j.doc_id = l.label
+         |    UNION ALL
+         |    SELECT doc_id AS dst, label AS cand FROM pjl${i - 1}
+         |  ) GROUP BY dst)""".stripMargin
     }.mkString(",\n")
     s"""pjl0 AS MATERIALIZED (SELECT doc_id, doc_id AS label FROM verts),
        |$rounds,

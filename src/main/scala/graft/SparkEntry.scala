@@ -2281,30 +2281,32 @@ object SparkEntry {
 
   /** g4's oracle: min-label propagation WITH pointer jumping replayed
     * as a generated CTE chain (one generation per round), mirroring the
-    * Spark side's `clustersOfPairs` step exactly: neighbor-min, fold
-    * into own label, then compress through the previous generation's
-    * label map. Both engines iterate to the same unique fixpoint (the
-    * true per-component min); jumping covers ≥2^iters hops, so
-    * `iters`=10 handles any component diameter ≤ 1024 — far beyond the
-    * co-purchase graph's. A naive reachability closure (d6's walk CTE)
-    * is V×V rows on this near-complete graph — measured 108 s at
-    * sf0.01, vs well under a second for the jumping chain. CTEs are
-    * MATERIALIZED: each generation is referenced three times, and
-    * DuckDB's default inlining would re-expand the chain 3^iters-fold
-    * (the t13 lesson).
+    * Spark side's propagation round (`Dedup.propagationRound`) exactly:
+    * each node's next label is the MIN over its own label, its
+    * neighbors' labels, and the previous generation's label of its
+    * label (the pointer jump — labels are node ids, so the map covers
+    * every key and the inner joins drop nothing). Both engines iterate
+    * to the same unique fixpoint (the true per-component min); jumping
+    * covers ≥2^iters hops, so `iters`=10 handles any component diameter
+    * ≤ 1024 — far beyond the co-purchase graph's. A naive reachability
+    * closure (d6's walk CTE) is V×V rows on this near-complete graph —
+    * measured 108 s at sf0.01, vs well under a second for the jumping
+    * chain. CTEs are MATERIALIZED: each generation is referenced three
+    * times, and DuckDB's default inlining would re-expand the chain
+    * 3^iters-fold (the t13 lesson).
     */
   private def g4ComponentsSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
-      s"""n$i AS MATERIALIZED (
-         |  SELECT e.src AS node, MIN(l.label) AS nmin
-         |  FROM edges e JOIN l${i - 1} l ON l.node = e.dst
-         |  GROUP BY e.src),
-         |m$i AS MATERIALIZED (
-         |  SELECT l.node, LEAST(l.label, COALESCE(n.nmin, l.label)) AS label
-         |  FROM l${i - 1} l LEFT JOIN n$i n ON n.node = l.node),
-         |l$i AS MATERIALIZED (
-         |  SELECT m.node, LEAST(m.label, COALESCE(j.label, m.label)) AS label
-         |  FROM m$i m LEFT JOIN l${i - 1} j ON j.node = m.label)""".stripMargin
+      s"""l$i AS MATERIALIZED (
+         |  SELECT dst AS node, MIN(cand) AS label FROM (
+         |    SELECT e.src AS dst, l.label AS cand
+         |    FROM edges e JOIN l${i - 1} l ON l.node = e.dst
+         |    UNION ALL
+         |    SELECT l.node AS dst, j.label AS cand
+         |    FROM l${i - 1} l JOIN l${i - 1} j ON j.node = l.label
+         |    UNION ALL
+         |    SELECT node AS dst, label AS cand FROM l${i - 1}
+         |  ) GROUP BY dst)""".stripMargin
     }.mkString(",\n")
     s"""WITH $graphCtes,
        |verts AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),

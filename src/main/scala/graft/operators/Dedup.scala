@@ -1991,62 +1991,200 @@ object Dedup {
     // dedup clusters are near-cliques and converge in 2-3; the oracle
     // computes the full closure, so early truncation would also diverge
     // from verification)
+    val spark = pairGraph.sparkSession
     val pairs = pairGraph.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint(true)
+    // Scale-adaptive loop layout (guide §2): derive the layout from the
+    // MATERIALIZED edge count instead of inheriting a cluster-wide
+    // default that is 32× too wide at bench scale and could be 1000×
+    // too narrow at corpus scale. Two measured regimes:
+    //  - LATENCY-BOUND (under ~50k edge rows per core): a round's join
+    //    work is microseconds per task, so every extra partition and
+    //    every adaptive re-planning round-trip is pure overhead on a
+    //    sequential O(log diameter) loop. Collapse to
+    //    ceil(rows / 50k) partitions and plan the rounds STATICALLY —
+    //    adaptive execution materializes each exchange as its own query
+    //    stage, measured as ~6 driver round-trip jobs of 20-140 ms per
+    //    round on the dc8 forest (22 rounds), i.e. nearly the whole
+    //    per-round wall. Static rounds run as ONE job over 1-2
+    //    partitions. (Measured both ways: static 1-2 partitions ≈ 2×
+    //    faster on dc8; the same static treatment on g4's ~2M-row edge
+    //    joins was 3× SLOWER — hence the gate.)
+    //  - COMPUTE-BOUND (above the floor): keep adaptive execution — its
+    //    per-round coalescing/broadcast decisions earn their latency —
+    //    and spread the edge list across the cluster parallelism,
+    //    capped at ~2M compact rows per task so per-task volume stays
+    //    bounded no matter the corpus.
+    // In BOTH regimes the edge list — the loop's static side, scanned
+    // once per round — is pinned onto the neighbor-lookup join's layout
+    // once (hash-partitioned and sorted by the far end;
+    // `localCheckpoint` preserves both), so no round ever exchanges or
+    // sorts the 2|E| edge rows again. Only label-sized streams move per
+    // round.
+    val nEdges = 2L * pairs.count()
+    val para = spark.sparkContext.defaultParallelism
+    val latencyBound = nEdges < PropagationRowsPerCoreFloor * para
+    val parts =
+      if (latencyBound)
+        // floor 2, not 1: a single-partition checkpoint surfaces as
+        // SinglePartition, which EnsureRequirements does not treat as
+        // hash-compatible with the join's clustered requirement — the
+        // edge side would re-exchange every round (measured in the plan)
+        math.max(2L, (nEdges + PropagationRowsPerCoreFloor - 1) /
+          PropagationRowsPerCoreFloor).toInt
+      else
+        math.max(para.toLong,
+          (nEdges + PropagationRowsPerPartition - 1) / PropagationRowsPerPartition).toInt
+    // static-planning window: the session conf is restored
+    // unconditionally, and the RETURNED frame plans after the last
+    // restore, so only the jobs materialized inside see the static
+    // config
+    def staticPlanning[A](f: => A): A = {
+      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+      val widthWas = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try f finally {
+        spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        spark.conf.set("spark.sql.shuffle.partitions", widthWas)
+      }
+    }
+    // the setup checkpoints are built statically in BOTH regimes: a
+    // checkpoint materialized under adaptive execution surfaces as
+    // UnknownPartitioning (measured — the per-round join then re-sorts
+    // and re-exchanges the edge side it was pinned to avoid), while a
+    // statically-planned one carries its hash partitioning and sort
+    // order into every round
+    val (edges, labels0) = staticPlanning {
+      val l = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+        .distinct().withColumn("label", col("doc_id"))
+        .localCheckpoint(true)
+      // pre-partitioning the edge list pays exactly when the per-round
+      // neighbor join will NOT broadcast the labeling: in the
+      // latency-bound regime (static SMJ rounds), and at vert counts
+      // past broadcast size (where each adaptive round would otherwise
+      // re-exchange + re-sort the 2|E| side every round). When the
+      // labeling is small enough that adaptive execution broadcasts it,
+      // the edge side is streamed in place and a setup
+      // shuffle-and-sort of millions of edge rows is pure overhead
+      // (measured +1.9 s on g4's ~2M-row edge list for zero per-round
+      // benefit).
+      val eBase = pairs
+        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val e =
+        (if (latencyBound || l.count() > PropagationBroadcastableVerts)
+          eBase.repartition(parts, col("doc_b")).sortWithinPartitions("doc_b")
+        else eBase).localCheckpoint(true)
+      (e, l)
+    }
+    var labels = labels0
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels, edges("doc_b") === labels("doc_id"))
-        .groupBy(edges("doc_a").as("doc_id"))
-        .agg(min(col("label")).as("nmin"))
-      // carry the old label through the select so the convergence count
-      // reads the (already materialized) checkpoint instead of paying a
-      // second join against the previous generation every round
-      val stepped = labels
-        .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          col("label").as("__old"))
-      // pointer jumping: label ← label(label). Labels are vertex ids, so
-      // the previous generation maps every possible label; compressing
-      // through it collapses chains exponentially — O(log diameter)
-      // rounds instead of O(diameter), i.e. fewer sequential Spark jobs
-      // (the dominant cost of this loop: each round is a fixed number of
-      // bucket-key shuffles regardless of data size). A second compress
-      // through the SAME stale map was tried (r15) and measured a no-op
-      // round-for-round — identical changed-counts on the sparse derived-
-      // LSH graphs — so one compress per generation stays the contract
-      // the oracle chains replay.
-      // LAZY checkpoint: the convergence count below is the action that
-      // materializes it, so each round costs ONE Spark job — and the
-      // sequential job count is the loop's dominant cost. (Materialization
-      // DOES truncate under AQE: rounds 1-13 of the stats-blowup
-      // investigation ran at constant 0.25 s on the lazy path, so the
-      // r15 eager detour was unnecessary and cost a job per round.)
-      val next = stepped
-        .join(labels.select(col("doc_id").as("label"), col("label").as("__jump")),
-          Seq("label"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("__jump"), col("label"))).as("label"),
-          col("__old"))
-        .localCheckpoint(eager = false)
-      val changed = next.filter(col("label") =!= col("__old")).count()
-      // STATS RESET, load-bearing past ~15 rounds — see
-      // [[graft.operators.reframed]] (the count above already
-      // materialized the lazy checkpoint this re-frames over)
-      labels = reframed(next.drop("__old"))
-      converged = changed == 0
-      iter += 1
-    }
+    def runLoop(): Unit =
+      while (!converged && iter < maxIter) {
+        // LAZY checkpoint: the convergence count below is the action that
+        // materializes it, so each round costs ONE Spark job — and the
+        // sequential job count is the loop's dominant cost. (Materialization
+        // DOES truncate under AQE: rounds 1-13 of the stats-blowup
+        // investigation ran at constant 0.25 s on the lazy path, so the
+        // r15 eager detour was unnecessary and cost a job per round.)
+        val next = propagationRound(edges, labels).localCheckpoint(eager = false)
+        val changed = next.filter(col("label") =!= col("__old")).count()
+        // STATS RESET, load-bearing past ~15 rounds — see
+        // [[graft.operators.reframed]] (the count above already
+        // materialized the lazy checkpoint this re-frames over)
+        labels = reframed(next.drop("__old"))
+        converged = changed == 0
+        iter += 1
+      }
+    if (latencyBound) staticPlanning(runLoop()) else runLoop()
     (labels
       .select(col("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("cluster_id"), col("doc_id")), iter, converged)
+  }
+
+  /** Target rows per partition for the propagation loop's derived
+    * layout: compact 16-byte label/edge rows, so ~2M rows is tens of MB
+    * per task — large enough to amortize task launch, small enough to
+    * stay far from per-task memory pressure.
+    */
+  private val PropagationRowsPerPartition = 2000000L
+
+  /** Below this many edge rows PER CORE the loop stops fanning out to
+    * the full parallelism: a round's join work at that size is
+    * microseconds per task and the fan-out is pure task-launch tax on a
+    * latency-bound sequential loop (measured: the dc8 forest's 22
+    * rounds at 1-2 partitions beat 32 partitions by ~2×, while g4's
+    * ~1M-row edge joins serialized on 1 partition cost 3× — both sides
+    * of the trade are real).
+    */
+  private val PropagationRowsPerCoreFloor = 50000L
+
+  /** Above this many vertices the per-round labeling stops being
+    * broadcastable (~16-byte rows against the 10 MB adaptive broadcast
+    * threshold, with margin) and the neighbor join shuffles — from
+    * there the one-off pre-partition+sort of the edge list is cheaper
+    * than re-exchanging it every round.
+    */
+  private val PropagationBroadcastableVerts = 400000L
+
+  /** One min-label + pointer-jump generation over `edges(doc_a, doc_b)`
+    * (both directions present, checkpointed) × `labels(doc_id, label)`:
+    * emits `(doc_id, label, __old)` — the next labeling plus the
+    * previous one for the convergence count.
+    *
+    * r19 shape (guide §2.3/§2.4 — fewer exchanges, fewer bytes): two
+    * lookup joins feeding ONE min aggregation instead of the r18
+    * three-join chain (neighbor-min join → fold join → compress join)
+    * whose second and third joins each re-exchanged label-sized frames.
+    * The vertex's own label needs no join at all: it enters the same
+    * aggregation as a self-contribution, which also carries `__old` out
+    * through `min(when(self...))` (one self row per vertex) and keeps
+    * isolated-roster rows alive. Because the caller pins the edge list
+    * onto the neighbor join's layout once (see
+    * `clustersOfPairsCounted`), a round exchanges ONLY label-sized
+    * streams — ~4|V| compact rows — where the r18 chain re-shuffled the
+    * 2|E| edge rows plus ~5|V| every round; the sequential stage count
+    * per round is the loop's dominant cost at bench scale, the exchange
+    * bytes at corpus scale.
+    *
+    * Recurrence note: the jump compresses through the vertex's label
+    * from the PREVIOUS generation — next = min(old, neighbor labels,
+    * prev(old)) — where the r18 chain jumped through the already
+    * neighbor-folded label (next = min(s, prev(s)), s = min(old,
+    * neighbor labels)). Both recurrences are monotone, keep every label
+    * inside the vertex's component, and fix exactly at the per-component
+    * min, so the CONVERGED labeling — the only thing any declared query
+    * emits — is bit-identical; only the round count moves (measured +1
+    * round on the dc8 forest, still O(log diameter): the jump alone
+    * doubles the closed distance per round). The oracle chains replay
+    * this exact recurrence ([[graft.OracleReplicas.PointerJumpIters]]),
+    * and `clustersOfPairs` still asserts convergence within their
+    * generation budget.
+    *
+    * A second compress through the SAME stale map was tried (r15) and
+    * measured a no-op round-for-round — identical changed-counts on the
+    * sparse derived-LSH graphs — so one compress per generation stays
+    * the contract the oracle chains replay.
+    */
+  private[graft] def propagationRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    // neighbor contributions: the only stream that touches the 2|E| edge
+    // rows — and the caller pre-partitioned+sorted the checkpointed edge
+    // list on doc_b, so this join exchanges and sorts ONLY the
+    // label-sized side, every round
+    val nbr = edges.join(labels, edges("doc_b") === labels("doc_id"))
+      .select(edges("doc_a").as("dst"), col("label").as("cand"), lit(false).as("self"))
+    val lmap = labels.select(col("doc_id").as("jk"), col("label").as("cand"))
+    val jump = labels.join(lmap, labels("label") === lmap("jk"))
+      .select(labels("doc_id").as("dst"), lmap("cand"), lit(false).as("self"))
+    nbr
+      .unionByName(jump)
+      .unionByName(labels.select(col("doc_id").as("dst"), col("label").as("cand"),
+        lit(true).as("self")))
+      .groupBy(col("dst"))
+      .agg(min(col("cand")).as("label"),
+        min(when(col("self"), col("cand"))).as("__old"))
+      .select(col("dst").as("doc_id"), col("label"), col("__old"))
   }
 
   /** d5: embedding-cosine near-dup. Random-hyperplane sign sketch
