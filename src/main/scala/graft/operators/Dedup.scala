@@ -198,16 +198,24 @@ object Dedup {
     val spark = docs.sparkSession
     val sigsT = Warehouse.storeTableName(name, gen, "sigs")
     val bandsT = Warehouse.storeTableName(name, gen, "bands")
-    Warehouse.writeBucketed(
-      spreadIfNarrow(docs.select(col("doc_id"), col("text")))
-        .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
-        .filter(size(col("tokens")) > 1)
-        .select(col("doc_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig")),
-      sigsT, "doc_id", buckets)
-    val sigs = Warehouse.table(spark, sigsT)
-    val banded = sigs.select(col("doc_id"), posexplode(sig_bands(col("sig"), bands)))
+    // hash the batch text ONCE into an eager checkpoint, then publish
+    // the sigs table and the band index from the same frame
+    // CONCURRENTLY (guide §2.6): both write jobs are mostly fixed cost
+    // at ingest-batch sizes, and the band derivation is a row-for-row
+    // function of the checkpointed frame — exactly what the sigs table
+    // will contain — so the hash→band chain keeps its single
+    // definition. (Measured: the two sequential publishes were ~2/3 of
+    // every store phase's wall at sf0.1.)
+    val hashed = spreadIfNarrow(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), ws_tokens(col("text")).as("tokens"))
+      .filter(size(col("tokens")) > 1)
+      .select(col("doc_id"), shingle_minhash(col("tokens"), 2, numHashes, 42L).as("sig"))
+      .localCheckpoint(true)
+    val banded = hashed.select(col("doc_id"), posexplode(sig_bands(col("sig"), bands)))
       .select(col("pos").as("band_idx"), col("col").as("band_hash"), col("doc_id"))
-    Warehouse.writeBucketed(banded, bandsT, "band_hash", buckets)
+    Warehouse.writeBucketedConcurrently(Seq(
+      (hashed, sigsT, "doc_id", buckets),
+      (banded, bandsT, "band_hash", buckets)))
     maxBandBucket.foreach { m =>
       val worst = Warehouse.table(spark, bandsT)
         .groupBy(col("band_idx"), col("band_hash")).agg(count(lit(1)).as("n"))
@@ -407,29 +415,35 @@ object Dedup {
       val sigsT = Warehouse.storeTableName(name, gen, "sigs")
       val bandsT = Warehouse.storeTableName(name, gen, "bands")
       try {
-        Warehouse.writeBucketed(fold(oldSigs, layout), sigsT, "doc_id", buckets)
         // the band index: a fold that only FILTERS rows (takedown) passes
         // `foldBands` and the stored index is filtered the same way —
         // the stored bands derive row-for-row from the stored sigs, so
         // filtering both by the same doc_id set is bit-identical to
         // re-deriving from the filtered sigs, without re-hashing
         // 16 bands × every surviving signature (the dominant compute of
-        // a takedown refold). Structural folds (grow/absorb) keep the
-        // derive-from-written-sigs path, the hash→band chain's single
-        // definition.
-        foldBands match {
+        // a takedown refold). Structural folds (grow/absorb) derive the
+        // index from the CHECKPOINTED folded signatures — exactly what
+        // the sigs table will contain — keeping the hash→band chain's
+        // single definition. Either way the two tables depend only on
+        // inputs that exist before any write, so both generations'
+        // tables publish CONCURRENTLY (guide §2.6 — the sequential
+        // publishes were ~2/3 of every store phase's wall at sf0.1).
+        val (sigsDf, bandsDf) = foldBands match {
           case Some(fb) =>
             val oldBands = (base +: segs)
               .map(g => Warehouse.table(spark, Warehouse.storeTableName(name, g, "bands")))
               .reduce(_ unionAll _)
-            Warehouse.writeBucketed(fb(oldBands), bandsT, "band_hash", buckets)
+            (fold(oldSigs, layout), fb(oldBands))
           case None =>
-            val sigs = Warehouse.table(spark, sigsT)
-            Warehouse.writeBucketed(
-              sigs.select(col("doc_id"), posexplode(sig_bands(col("sig"), bands)))
-                .select(col("pos").as("band_idx"), col("col").as("band_hash"), col("doc_id")),
-              bandsT, "band_hash", buckets)
+            val foldedSigs = fold(oldSigs, layout).localCheckpoint(true)
+            (foldedSigs,
+              foldedSigs.select(col("doc_id"), posexplode(sig_bands(col("sig"), bands)))
+                .select(col("pos").as("band_idx"), col("col").as("band_hash"),
+                  col("doc_id")))
         }
+        Warehouse.writeBucketedConcurrently(Seq(
+          (sigsDf, sigsT, "doc_id", buckets),
+          (bandsDf, bandsT, "band_hash", buckets)))
         // the same quadratic guard as the full build — a batch can mint a
         // corpus-hot bucket too; the guarded catch below unpublishes
         maxBandBucket.foreach { m =>

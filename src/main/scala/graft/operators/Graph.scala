@@ -236,10 +236,13 @@ object Graph {
     val wdeg = wedges.groupBy("src").agg(sum(col("w")).as("wdeg"))
     val gen = Warehouse.claimGeneration(spark, store)
     try {
-      Warehouse.writeBucketed(edges.join(deg, "src"),
-        Warehouse.storeTableName(store, gen, "edges"), "src", buckets)
-      Warehouse.writeBucketed(wedges.join(wdeg, "src"),
-        Warehouse.storeTableName(store, gen, "wedges"), "src", buckets)
+      // independent frames — publish both tables concurrently
+      // (guide §2.6, the signature-store pattern)
+      Warehouse.writeBucketedConcurrently(Seq(
+        (edges.join(deg, "src"),
+          Warehouse.storeTableName(store, gen, "edges"), "src", buckets),
+        (wedges.join(wdeg, "src"),
+          Warehouse.storeTableName(store, gen, "wedges"), "src", buckets)))
       Warehouse.publishGeneration(spark, store, gen)
     } catch { case e: Throwable =>
       // guarded cleanup: only when the chain provably shows gen unpublished
@@ -517,8 +520,15 @@ object Graph {
     * wedge stream the old escape hatch guarded never exists here).
     * PlanShapeSpec locks both shapes.
     */
+  /** Per-task row target for the triangle fan-out when the edge count
+    * is known: ~6k degree-ordered edge rows keeps g2's full graph at
+    * the measured-good 4x-parallelism width while a sparsified graph
+    * gets proportionally fewer, fuller tasks.
+    */
+  private val FanoutRowsPerTask = 6000L
+
   private[graft] def trianglesFromEdges(und: DataFrame,
-      broadcastClosing: Boolean = true): DataFrame = {
+      broadcastClosing: Boolean = true, knownEdges: Option[Long] = None): DataFrame = {
     val sym = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("n"), col("deg"))
@@ -540,7 +550,18 @@ object Graph {
     // pin). Round-robin (keyless) spreads a hot node's edges across
     // tasks — hashing a key cannot balance per-row outdeg² variance —
     // and the width derives from cluster parallelism, not a constant.
-    val fanoutParts = 4 * und.sparkSession.sparkContext.defaultParallelism
+    // When the caller KNOWS the edge count (g10's sampled graph — an
+    // eager checkpoint, so the count is free), the width additionally
+    // caps at ~6k edge rows per task: a p=1/4-sparsified graph carries
+    // ~1/16 of the wedge work, and launching 128 near-empty tasks per
+    // stage was measurable overhead on a sub-second stage (the r18
+    // disclosed g10 trade this gate recovers).
+    val para = und.sparkSession.sparkContext.defaultParallelism
+    val fanoutParts = knownEdges match {
+      case Some(n) =>
+        math.max(1L, math.min(4L * para, (n + FanoutRowsPerTask - 1) / FanoutRowsPerTask)).toInt
+      case None => 4 * para
+    }
     val ordered = und
       .join(maybeBroadcast(
         deg.withColumnRenamed("n", "src").withColumnRenamed("deg", "dsrc")), "src")
@@ -610,8 +631,9 @@ object Graph {
     val num3 = keepNum.toLong * keepNum * keepNum
     // degree ordering recomputes ON THE SAMPLED GRAPH (sparsification
     // changes degrees, and the estimator only needs the sampled graph's
-    // own triangle count — the oracle orders by the same sampled degrees)
-    trianglesFromEdges(sampled, broadcastClosing)
+    // own triangle count — the oracle orders by the same sampled degrees);
+    // the sampled checkpoint's count sizes the intersect fan-out
+    trianglesFromEdges(sampled, broadcastClosing, knownEdges = Some(sampled.count()))
       .agg(count(lit(1)).as("n_tri_sampled"))
       .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
       .crossJoin(sampled.agg(count(lit(1)).as("n_edges_sampled")))

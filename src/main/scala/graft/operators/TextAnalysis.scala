@@ -838,14 +838,17 @@ object TextAnalysis {
       .filter(col("token") =!= "")
       .groupBy(col("token"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    Warehouse.writeBucketed(postings,
-      Warehouse.storeTableName(name, gen, "postings"), "token", buckets)
-    perDoc
-      .agg(count(lit(1)).cast("double").as("n_docs"),
-        (sum(col("dl")) / count(lit(1))).as("avgdl"),
-        sum(col("dl")).as("dl_sum"))
-      .write.format("parquet")
-      .saveAsTable(Warehouse.storeTableName(name, gen, "stats"))
+    // both tables derive from the checkpointed perDoc — publish
+    // concurrently (guide §2.6, the signature-store pattern)
+    Warehouse.runConcurrently(Seq(
+      () => Warehouse.writeBucketed(postings,
+        Warehouse.storeTableName(name, gen, "postings"), "token", buckets),
+      () => perDoc
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          (sum(col("dl")) / count(lit(1))).as("avgdl"),
+          sum(col("dl")).as("dl_sum"))
+        .write.format("parquet")
+        .saveAsTable(Warehouse.storeTableName(name, gen, "stats"))))
   }
 
   private def dropBm25Generation(spark: org.apache.spark.sql.SparkSession,
@@ -959,29 +962,32 @@ object TextAnalysis {
         .reduce(_ unionAll _)
       val gen = Warehouse.claimGeneration(spark, name)
       try {
-        Warehouse.writeBucketed(
-          oldPostings.join(broadcast(ids), Seq("doc_id"), "left_anti")
-            .select(col("token"), col("doc_id"), col("dl"), col("tf")),
-          Warehouse.storeTableName(name, gen, "postings"), "token", buckets)
-        // exact integer-valued double sums (< 2^53): subtraction
-        // reproduces the filtered rebuild's (n_docs, dl_sum) bit-for-bit
-        oldStats
-          .agg(sum(col("n_docs")).as("n_docs"), sum(col("dl_sum")).as("dl_sum"))
-          .crossJoin(removed.agg(
-            count(lit(1)).cast("double").as("r_n"),
-            coalesce(sum(col("dl")), lit(0.0)).as("r_dl")))
-          // removing EVERY doc must reproduce the empty rebuild's stats
-          // row (n_docs 0, avgdl/dl_sum null — count/avg/sum over empty),
-          // not a NaN-propagating 0/0
-          .select(
-            (col("n_docs") - col("r_n")).as("n_docs"),
-            when(col("n_docs") === col("r_n"), lit(null).cast("double"))
-              .otherwise((col("dl_sum") - col("r_dl")) / (col("n_docs") - col("r_n")))
-              .as("avgdl"),
-            when(col("n_docs") === col("r_n"), lit(null).cast("double"))
-              .otherwise(col("dl_sum") - col("r_dl")).as("dl_sum"))
-          .write.format("parquet")
-          .saveAsTable(Warehouse.storeTableName(name, gen, "stats"))
+        // both sides read only OLD generations + the removed-id set —
+        // publish concurrently (guide §2.6, the signature-store pattern)
+        Warehouse.runConcurrently(Seq(
+          () => Warehouse.writeBucketed(
+            oldPostings.join(broadcast(ids), Seq("doc_id"), "left_anti")
+              .select(col("token"), col("doc_id"), col("dl"), col("tf")),
+            Warehouse.storeTableName(name, gen, "postings"), "token", buckets),
+          // exact integer-valued double sums (< 2^53): subtraction
+          // reproduces the filtered rebuild's (n_docs, dl_sum) bit-for-bit
+          () => oldStats
+            .agg(sum(col("n_docs")).as("n_docs"), sum(col("dl_sum")).as("dl_sum"))
+            .crossJoin(removed.agg(
+              count(lit(1)).cast("double").as("r_n"),
+              coalesce(sum(col("dl")), lit(0.0)).as("r_dl")))
+            // removing EVERY doc must reproduce the empty rebuild's stats
+            // row (n_docs 0, avgdl/dl_sum null — count/avg/sum over empty),
+            // not a NaN-propagating 0/0
+            .select(
+              (col("n_docs") - col("r_n")).as("n_docs"),
+              when(col("n_docs") === col("r_n"), lit(null).cast("double"))
+                .otherwise((col("dl_sum") - col("r_dl")) / (col("n_docs") - col("r_n")))
+                .as("avgdl"),
+              when(col("n_docs") === col("r_n"), lit(null).cast("double"))
+                .otherwise(col("dl_sum") - col("r_dl")).as("dl_sum"))
+            .write.format("parquet")
+            .saveAsTable(Warehouse.storeTableName(name, gen, "stats"))))
         Warehouse.publishGenerationExpecting(spark, name, gen, base, segs)
         return
       } catch {

@@ -41,6 +41,42 @@ object Warehouse {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Run independent bucketed table writes CONCURRENTLY (guide §2.6 —
+    * overlap independent jobs): a store generation publishes 2+ tables
+    * whose write jobs are each mostly fixed cost (exchange, file
+    * commit, catalog update) at ingest-batch sizes, and the scheduler
+    * back-fills one write's idle tail with the other's tasks. Callers
+    * must pass writes with NO data dependency (each side's frame built
+    * from inputs that exist before the call — e.g. a checkpointed
+    * signature frame, never a read-back of a sibling write). All
+    * writes are awaited; the first failure rethrows after both sides
+    * settle, so the caller's unpublish/cleanup path sees a stable
+    * state.
+    */
+  private[graft] def writeBucketedConcurrently(
+      writes: Seq[(DataFrame, String, String, Int)]): Unit =
+    runConcurrently(writes.map { case (df, t, c, n) => () => writeBucketed(df, t, c, n) })
+
+  /** The thread mechanics behind [[writeBucketedConcurrently]], for
+    * publishes whose sides are not both bucketed (e.g. the BM25
+    * postings table + its one-row stats table). Every task is awaited;
+    * the first failure rethrows after all settle.
+    */
+  private[graft] def runConcurrently(tasks: Seq[() => Unit]): Unit =
+    if (tasks.sizeIs <= 1) tasks.foreach(_.apply())
+    else {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = tasks.map { t =>
+        val th = new Thread(() =>
+          try t() catch { case e: Throwable => errs.add(e) })
+        th.setDaemon(true)
+        th.start()
+        th
+      }
+      threads.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
+    }
+
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
   /** The bucket count a table was written with, from catalog metadata
