@@ -573,7 +573,12 @@ object Curation {
       .localCheckpoint(true) // feeds exact-dedup + later branches
     // ---- stage 2: exact dedup (d1): keep min doc_id per content hash
     val exactKeep = base.groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))
+    // checkpoints are materialized COLUMN-COMPLETE (no pruning below a
+    // barrier), so each stage's barrier carries only what later stages
+    // read — content_hash dies here (only exactKeep, derived from
+    // `base`, ever groups on it)
     val s2 = base.join(exactKeep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .drop("content_hash")
       .localCheckpoint(true) // feeds banding, 2 sig attaches, keeper, decon, mixture
     // ---- stage 3: near-dup clusters (d2 pairs → d6 propagation) + dc3 keeper
     val sigs = s2.select(col("doc_id"), col("sig"))
@@ -591,7 +596,12 @@ object Curation {
     val dropIds = clusters.join(keepers, Seq("cluster_id"))
       .filter(col("doc_id") =!= col("keeper_id"))
       .select(col("doc_id"))
-    val s3 = materialized(s2.join(dropIds, Seq("doc_id"), "left_anti"))
+    // the 64-long signature dies here: later stages read only ids,
+    // source, quality and the PRE-rewrite token count (the audit's
+    // near_dup row) — when the audit materializes this barrier, the
+    // checkpoint carries 4 compact columns instead of the sig array
+    val s3 = materialized(s2.join(dropIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("quality_score"), col("ws_tokens")))
     // ---- stage 4: SUBSTRING REWRITE (d20 over the near-dup survivors):
     // the text a trainer actually packs — duplicated cross-doc spans
     // are cut (keep-lowest-doc_id) BEFORE decontamination sees the
@@ -612,7 +622,10 @@ object Curation {
       when(size(col("kept")) >= shingleK,
         array_distinct(shingle_hashes(col("kept"), shingleK)))
         .otherwise(array().cast("array<bigint>")).as("shingles"))
-    val srw = materialized(s3.select(col("doc_id"), col("source"), col("quality_score"))
+    // quality_score's last read is the keeper argmax above — the
+    // rewrite barrier carries (id, source, rewritten token count,
+    // rewritten shingles) only
+    val srw = materialized(s3.select(col("doc_id"), col("source"))
       .join(keptSignals, Seq("doc_id")))
     // ---- stage 5: decontamination (dc1) over the REWRITTEN shingles:
     // the eval slice is UNgated — benchmark docs are what they are,
@@ -627,7 +640,11 @@ object Curation {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("doc_id"))
-    val s4 = materialized(srw.join(contaminated, Seq("doc_id"), "left_anti"))
+    // the shingle arrays' last read is the contamination probe above —
+    // the decon barrier (and the mixture it feeds) carries 3 compact
+    // columns
+    val s4 = materialized(srw.select(col("doc_id"), col("source"), col("ws_tokens"))
+      .join(contaminated, Seq("doc_id"), "left_anti"))
     // ---- stage 6: mixture (dc4's exact core) over the survivors'
     // REWRITTEN token counts
     val mixture = mixtureOf(s4.select(col("doc_id"), col("source"), col("ws_tokens")),
